@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (SURVEY §7.2): normalize the
+raw event feed into the event-log envelope, run a filtered ``$all`` read,
+and fold per-stream projection state — exercising ingest-shape, filters,
+order/limit and the projection engine in one plan. ``queries()`` /
+``oracle_sql()`` expose the full operator inventory (SURVEY §2) with
+DuckDB twins; see ``eventstorm_spark/inventory.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from eventstorm_spark import inventory
+
+    sf_dir = "/root/testdata/sf0.001"
+    counts = inventory.q_proj_count_by_stream(spark, sf_dir)
+    heads = inventory.q_head_revisions(spark, sf_dir)
+    return (
+        counts.join(heads, counts.partition == heads.stream)
+        .select(
+            F.col("stream"),
+            F.col("count").alias("n_events"),
+            F.col("head_revision"),
+            F.col("head_position"),
+        )
+        .orderBy("stream")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from eventstorm_spark import inventory
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return inventory.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eventstorm_spark import inventory
+
+    return inventory.oracle_sql()

@@ -1,0 +1,484 @@
+"""The engine's query inventory — `queries()` / `oracle_sql()` twins.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver tables (TESTDATA.md). The Spark side is the engine API
+(plan-compiled reads, projection folds, extension operators); the oracle
+side is ANSI SQL DuckDB runs on the same parquet. Column names are
+aliased identically on both sides (the driver's hash sorts columns by
+name). Floating aggregates are rounded identically on both sides to
+absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventstorm_spark.log.normalize import NORMALIZE_EVENTS_ORACLE_SQL, normalize_events
+from eventstorm_spark.log.plan import compile_read
+from eventstorm_spark.model import (
+    AllOptions,
+    BoundaryKind,
+    Direction,
+    FilterKind,
+    ReadOptions,
+    StreamOptions,
+    SubscriptionFilter,
+)
+from eventstorm_spark.projections.batch import run_batch, run_batch_emissions
+from eventstorm_spark.projections.dsl import projection
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+# Driver parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 reads only
+# via nanosAsLong; these columns are converted back to (micro) timestamps
+# with exact integer division — matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+# truncation, so oracle twins see identical values.
+_TS_NANO_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _TS_NANO_COLS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def es_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized envelope view of events.parquet (FIXTURES.md §C)."""
+    return normalize_events(load(spark, sf_dir, "events"))
+
+
+# Oracle CTE exposing the same envelope view to DuckDB.
+ORACLE_CTE = f"WITH es_events AS ({NORMALIZE_EVENTS_ORACLE_SQL})"
+
+# Envelope output columns for read queries: the hash-comparable subset
+# (metadata map / binary column excluded; their content is denormalized
+# into event_type/content_type/created anyway).
+_ENVELOPE_OUT = ["stream", "uuid", "data", "revision", "position", "event_type", "created"]
+_ENVELOPE_OUT_SQL = ", ".join(_ENVELOPE_OUT)
+
+
+def _read(spark, sf_dir, opts: ReadOptions) -> DataFrame:
+    return compile_read(es_events(spark, sf_dir), opts).select(*_ENVELOPE_OUT)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2/§2.3 — read-path operators (options -> plan truth table)
+# ---------------------------------------------------------------------------
+
+def q_read_stream_forward(spark, sf_dir):
+    """O1 fwd + F1: full forward read of one stream."""
+    return _read(spark, sf_dir, ReadOptions(
+        stream=StreamOptions("user-7", BoundaryKind.START)))
+
+
+def q_read_stream_from_revision(spark, sf_dir):
+    """F2 + O3: revision >= 10, forward, LIMIT 25."""
+    return _read(spark, sf_dir, ReadOptions(
+        count=25, stream=StreamOptions("user-7", BoundaryKind.AT, 10)))
+
+
+def q_read_stream_backward(spark, sf_dir):
+    """F2 + O1 desc: revision <= 30 backwards, LIMIT 10."""
+    return _read(spark, sf_dir, ReadOptions(
+        direction=Direction.BACKWARDS, count=10,
+        stream=StreamOptions("user-3", BoundaryKind.AT, 30)))
+
+
+def q_read_stream_first_event(spark, sf_dir):
+    """O4: start+backwards => first event."""
+    return _read(spark, sf_dir, ReadOptions(
+        direction=Direction.BACKWARDS,
+        stream=StreamOptions("user-5", BoundaryKind.START)))
+
+
+def q_read_stream_last_event(spark, sf_dir):
+    """O4: end+forwards => last event."""
+    return _read(spark, sf_dir, ReadOptions(
+        stream=StreamOptions("user-5", BoundaryKind.END)))
+
+
+def q_read_all_from_position(spark, sf_dir):
+    """F3 + O2: $all forward from position 500."""
+    return _read(spark, sf_dir, ReadOptions(
+        all=AllOptions(BoundaryKind.AT, 500)))
+
+
+def q_read_all_backward(spark, sf_dir):
+    """F3 + O2 desc + O3: $all backwards from position 300, LIMIT 50."""
+    return _read(spark, sf_dir, ReadOptions(
+        direction=Direction.BACKWARDS, count=50,
+        all=AllOptions(BoundaryKind.AT, 300)))
+
+
+def q_filter_stream_prefix(spark, sf_dir):
+    """F6: prefix-list filter on stream id over $all."""
+    return _read(spark, sf_dir, ReadOptions(
+        all=AllOptions(BoundaryKind.START, 0,
+                       SubscriptionFilter(FilterKind.STREAM_ID, prefixes=["user-1"]))))
+
+
+def q_filter_type_regex(spark, sf_dir):
+    """F5: regex filter on event type over $all."""
+    return _read(spark, sf_dir, ReadOptions(
+        all=AllOptions(BoundaryKind.START, 0,
+                       SubscriptionFilter(FilterKind.EVENT_TYPE, regex="^(click|purchase)$"))))
+
+
+def q_head_revisions(spark, sf_dir):
+    """O5: head revision per stream (max aggregate)."""
+    return (
+        es_events(spark, sf_dir)
+        .groupBy("stream")
+        .agg(F.max("revision").alias("head_revision"),
+             F.max("position").alias("head_position"))
+    )
+
+
+_READ_ORACLES = {
+    "read_stream_forward": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE stream = 'user-7'
+        ORDER BY revision ASC""",
+    "read_stream_from_revision": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events
+        WHERE stream = 'user-7' AND revision >= 10
+        ORDER BY revision ASC LIMIT 25""",
+    "read_stream_backward": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events
+        WHERE stream = 'user-3' AND revision <= 30
+        ORDER BY revision DESC LIMIT 10""",
+    "read_stream_first_event": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE stream = 'user-5'
+        ORDER BY revision ASC LIMIT 1""",
+    "read_stream_last_event": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE stream = 'user-5'
+        ORDER BY revision DESC LIMIT 1""",
+    "read_all_from_position": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE position >= 500
+        ORDER BY position ASC""",
+    "read_all_backward": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE position <= 300
+        ORDER BY position DESC LIMIT 50""",
+    "filter_stream_prefix": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE starts_with(stream, 'user-1')
+        ORDER BY position ASC""",
+    "filter_type_regex": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events
+        WHERE regexp_matches(event_type, '^(click|purchase)$')
+        ORDER BY position ASC""",
+    "head_revisions": f"""{ORACLE_CTE}
+        SELECT stream, max(revision) AS head_revision, max(position) AS head_position
+        FROM es_events GROUP BY stream""",
+}
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — projection folds (distributed batch replay, applyInPandas)
+# ---------------------------------------------------------------------------
+
+def _count_handler(state, e):
+    state["count"] += 1
+
+
+def q_proj_count_by_stream(spark, sf_dir):
+    """P2+P4: foreachStream count fold; final state per stream."""
+    spec = (
+        projection("count-by-stream").from_all().foreach_stream()
+        .when({"$init": lambda: {"count": 0}, "$any": _count_handler})
+        .output_state()
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+    )
+
+
+def _k_sum_handler(state, e):
+    state["count"] += 1
+    k = (e.body or {}).get("k")
+    if k is not None:
+        state["k_sum"] += int(k)
+
+
+def q_proj_stats_by_type(spark, sf_dir):
+    """P2+P3: partitionBy(eventType) fold accumulating count + sum of the
+    JSON body field `k` (U1 json body parse)."""
+    spec = (
+        projection("stats-by-type").from_all()
+        .partition_by(lambda e: e.eventType, column="event_type")
+        .when({"$init": lambda: {"count": 0, "k_sum": 0}, "$any": _k_sum_handler})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+        F.get_json_object("state", "$.k_sum").cast("long").alias("k_sum"),
+    )
+
+
+def q_proj_filtered_emissions(spark, sf_dir):
+    """P2+P6: filterBy suppresses emission while state advances; emission
+    log of a count fold on one stream, only counts > 10 emitted."""
+    spec = (
+        projection("filtered").from_stream("user-1")
+        .when({"$init": lambda: {"count": 0}, "$any": _count_handler})
+        .filter_by(lambda s: s["count"] > 10)
+        .output_state()
+    )
+    emissions = run_batch_emissions(spec, es_events(spark, sf_dir))
+    return emissions.select(
+        "position",
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+    )
+
+
+def q_proj_transform(spark, sf_dir):
+    """P2+P5: transformBy maps state after each event (stored + emitted)."""
+    spec = (
+        projection("xform").from_all().foreach_stream()
+        .when({"$init": lambda: {"count": 0}, "$any": _count_handler})
+        .transform_by(lambda s: {"count": s["count"], "double_count": s["count"] * 2})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        "partition",
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+        F.get_json_object("state", "$.double_count").cast("long").alias("double_count"),
+    )
+
+
+_PROJ_ORACLES = {
+    "proj_count_by_stream": f"""{ORACLE_CTE}
+        SELECT stream AS partition, count(*) AS count
+        FROM es_events GROUP BY stream""",
+    "proj_stats_by_type": f"""{ORACLE_CTE}
+        SELECT event_type AS partition, count(*) AS count,
+               sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
+        FROM es_events GROUP BY event_type""",
+    "proj_filtered_emissions": f"""{ORACLE_CTE}
+        SELECT position, rn AS count FROM (
+            SELECT position,
+                   CAST(row_number() OVER (ORDER BY position) AS BIGINT) AS rn
+            FROM es_events WHERE stream = 'user-1') t
+        WHERE rn > 10""",
+    "proj_transform": f"""{ORACLE_CTE}
+        SELECT stream AS partition, count(*) AS count, count(*) * 2 AS double_count
+        FROM es_events GROUP BY stream""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SQL passthrough over the driver tables) — the
+# joins/aggregations/windows/top-k the engine inherits from Catalyst
+# (SURVEY §2.4/§2.7: reference has none; Spark provides them natively).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_by_revenue(spark, sf_dir):
+    """Q3-shaped: customer⋈orders⋈lineitem, top-10 revenue orders for one
+    market segment. Broadcast the dimension side."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Q5-shaped: region⋈nation⋈customer⋈orders⋈lineitem revenue rollup."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    """Top-3 parts by revenue within each brand (window top-k)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+    )
+
+
+def q_segment_order_stats(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def q_events_daily_counts(spark, sf_dir):
+    """Time-bucketed aggregation over the raw event feed (window-by-time
+    analogue; the streaming subscription runs the same plan live)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+_REL_ORACLES = {
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "top_orders_by_revenue": """
+        SELECT o_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "nation_revenue": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""",
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, revenue, rank FROM (
+            SELECT p_brand, p_partkey, revenue,
+                   CAST(row_number() OVER (PARTITION BY p_brand
+                        ORDER BY revenue DESC, p_partkey) AS INT) AS rank
+            FROM (
+                SELECT p_brand, p_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_brand, p_partkey) t
+        ) ranked WHERE rank <= 3""",
+    "segment_order_stats": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "events_daily_counts": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2""",
+}
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = {
+        "read_stream_forward": q_read_stream_forward,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "read_all_from_position": q_read_all_from_position,
+        "read_all_backward": q_read_all_backward,
+        "filter_stream_prefix": q_filter_stream_prefix,
+        "filter_type_regex": q_filter_type_regex,
+        "head_revisions": q_head_revisions,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_filtered_emissions": q_proj_filtered_emissions,
+        "proj_transform": q_proj_transform,
+        "tpch_q1": q_tpch_q1,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "events_daily_counts": q_events_daily_counts,
+    }
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(_READ_ORACLES)
+    out.update(_PROJ_ORACLES)
+    out.update(_REL_ORACLES)
+    return out

@@ -1,0 +1,149 @@
+"""Batch replay of a projection over the event log.
+
+Distributed equivalent of feeding every historical event through
+``Projection.Update`` (``internal/projections/projection.go:399-414``) in
+position order: the event table is filtered by the projection's selector,
+shuffled once on the partition key, and each group is folded inside an
+``applyInPandas`` UDF that sorts by ``position`` and replays the chain.
+
+Scale properties:
+- exactly ONE shuffle (the groupBy on the partition key); selector and
+  column pruning happen before it, so only the envelope columns the fold
+  needs cross the wire;
+- state lives executor-side per group — the driver never sees events;
+- the per-group sort happens inside the UDF because ``applyInPandas``
+  does not guarantee intra-group order (SURVEY §7.4 risk 2);
+- when the partition key is expressible as a SQL column
+  (``partition_by(..., column=...)`` or ``foreach_stream``) the key is
+  computed JVM-side; an arbitrary Python key fn falls back to a
+  ``mapInPandas`` pass (Arrow-batched, still no extra shuffle).
+
+An unpartitioned projection is a single global fold — inherently
+sequential, exactly as in the reference; it is executed as one group.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eventstorm_spark.projections.dsl import ProjEvent, Projection
+
+# Envelope columns the fold consumes — pruned before the shuffle.
+_FOLD_COLUMNS = ["stream", "event_type", "data", "metadata", "content_type", "position"]
+
+FINAL_SCHEMA = "partition string, state string"
+EMIT_SCHEMA = "partition string, position long, state string"
+
+
+def _event_from_row(row: Any) -> ProjEvent:
+    meta = row.metadata if isinstance(row.metadata, dict) else {}
+    return ProjEvent.from_envelope(
+        stream=row.stream,
+        event_type=row.event_type,
+        data=row.data,
+        metadata=meta,
+        content_type=row.content_type,
+    )
+
+
+def _dump_state(state: Any) -> str:
+    return json.dumps(state, sort_keys=True, default=str)
+
+
+def _keyed(spec: Projection, df: DataFrame) -> DataFrame:
+    """Attach the partition key column ``__key``."""
+    pruned = df.select(*_FOLD_COLUMNS)
+    if not spec.is_partitioned:
+        return pruned.withColumn("__key", F.lit(""))
+    if spec.partition_column:
+        return pruned.withColumn("__key", F.expr(spec.partition_column).cast("string"))
+
+    fn = spec.partition_fn
+    out_schema = ", ".join(
+        [
+            "stream string", "event_type string", "data string",
+            "metadata map<string,string>", "content_type string",
+            "position long", "__key string",
+        ]
+    )
+
+    def add_key(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = [
+                fn(_event_from_row(r)) or ""
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pdf.assign(__key=keys)
+
+    return pruned.mapInPandas(add_key, schema=out_schema)
+
+
+def _make_fold(spec: Projection, emit_all: bool):
+    """Build the per-group fold closure (cloudpickle ships it whole)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("position", kind="mergesort")
+        key = pdf["__key"].iloc[0] if len(pdf) else ""
+        state: Any = None
+        out_pos: list[int] = []
+        out_state: list[str] = []
+        for row in pdf.itertuples(index=False):
+            e = _event_from_row(row)
+            e.partition = key if spec.is_partitioned else ""
+            state, forward = spec.run_chain(state, e)
+            if emit_all and forward:
+                out_pos.append(int(row.position))
+                out_state.append(_dump_state(state))
+        if emit_all:
+            return pd.DataFrame({"partition": key, "position": out_pos, "state": out_state})
+        return pd.DataFrame({"partition": [key], "state": [_dump_state(state)]})
+
+    return fold
+
+
+def _select(spec: Projection, events: DataFrame) -> DataFrame:
+    if spec.selector.streams is not None:
+        return events.where(F.col("stream").isin(list(spec.selector.streams)))
+    return events
+
+
+def run_batch(spec: Projection, events: DataFrame) -> DataFrame:
+    """Replay all events; return one row per partition with the FINAL
+    state (columns: partition string, state string-JSON)."""
+    keyed = _keyed(spec, _select(spec, events))
+    return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=False), FINAL_SCHEMA)
+
+
+def run_batch_emissions(spec: Projection, events: DataFrame) -> DataFrame:
+    """Replay all events; return every non-suppressed state snapshot —
+    the batch-replay contents of the result stream
+    (``$projections-{name}-result``, projection.go:136-141, S8).
+    Columns: partition, position, state(JSON)."""
+    keyed = _keyed(spec, _select(spec, events))
+    return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=True), EMIT_SCHEMA)
+
+
+def write_result_stream(spec: Projection, emissions: DataFrame, log) -> None:
+    """Append emissions to the event log under the projection's result
+    stream (S8, projection.go:309-328). Emissions become events whose
+    body is the state JSON."""
+    from eventstorm_spark.model import NewEvent
+
+    rows = emissions.orderBy("position").collect()
+    events = [
+        NewEvent(
+            uuid=f"{spec.name}-{r['partition']}-{r['position']}",
+            event_type="$projection-state",
+            data=r["state"],
+            metadata={"partition": r["partition"] or ""},
+        )
+        for r in rows
+    ]
+    if events:
+        log.append(spec.result_stream(), events)

@@ -1,0 +1,269 @@
+"""Projection DSL — EventStore's stateful-fold query language, in Python.
+
+The reference compiles a JavaScript source in a goja VM with host bindings
+``options/fromAll/fromStream/fromStreams/log``
+(``internal/projections/projection.go:426-450``); the fluent combinators
+build one chained ``ProjectionFunc(state, event) -> (state, forward)``
+(``projection.go:82-92``). We keep the exact combinator algebra and fold
+semantics but take Python callables where EventStore takes JS — an
+intentional idiom swap (SURVEY §7.4 risk 3); the parity target is the
+semantics pinned by ``projection_test.go``:
+
+- ``when({...})``: lazily ``$init`` state on first event; a typed handler
+  takes precedence over ``$any``; no matching handler leaves state
+  untouched but still forwards (projection.go:164-196);
+- handlers mutate state in place (JS object semantics — dicts here);
+- ``transformBy``: replaces state with f(state), stored AND forwarded
+  (projection.go:209-221);
+- ``filterBy``: boolean on state; false suppresses emission, state still
+  advances (projection.go:234-246);
+- ``partitionBy`` / ``foreachStream``: independent state per key; the key
+  is visible to handlers as ``event.partition`` (projection.go:263-290,
+  386-414).
+
+A Projection object is a pure *spec* (picklable, cloudpickle-safe): the
+fold state lives in the executor during batch replay
+(``projections.batch``) or in the Spark state store during streaming
+(``projections.streaming``). ``Projection.update`` runs the fold
+driver-side for unit tests — the literal analogue of
+``Projection.Update`` (projection.go:399-414).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence
+
+INIT_FUNC = "$init"
+ANY_HANDLER = "$any"
+
+
+@dataclass
+class ProjectionOptions:
+    """options({...}) — projection.go:48-53."""
+
+    result_stream: str = ""
+    include_links: bool = False
+    reorder_events: bool = False
+    processing_lag: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ProjectionOptions":
+        return cls(
+            result_stream=d.get("resultStreamName", ""),
+            include_links=bool(d.get("$includeLinks", False)),
+            reorder_events=bool(d.get("reorderEvents", False)),
+            processing_lag=int(d.get("processingLag", 0)),
+        )
+
+
+@dataclass
+class ProjEvent:
+    """The event envelope handed to handlers — projection.go:55-80.
+
+    Field names mirror the reference's JSON-tag names so handler bodies
+    read the same as their JS counterparts (``event.body``,
+    ``event.eventType``, ``event.partition`` ...). ``data`` and
+    ``sequenceNumber`` are unfinished in the reference (nil / -1,
+    projection.go:71-74); we reproduce those defaults.
+    """
+
+    isJson: bool = False
+    data: Optional[dict] = None
+    body: Optional[dict] = None
+    bodyRaw: str = ""
+    sequenceNumber: int = -1
+    metadataRaw: dict = field(default_factory=dict)
+    linkMetadataRaw: str = ""
+    partition: str = ""
+    eventType: str = ""
+    streamId: str = ""
+
+    @classmethod
+    def from_envelope(cls, *, stream: str, event_type: str, data: Optional[str],
+                      metadata: Optional[dict], content_type: Optional[str]) -> "ProjEvent":
+        is_json = (content_type or (metadata or {}).get("content-type")) == "application/json"
+        body = None
+        if is_json and data:
+            try:
+                body = json.loads(data)
+            except (ValueError, TypeError):
+                body = None
+        return cls(
+            isJson=is_json,
+            body=body,
+            bodyRaw=data or "",
+            metadataRaw=dict(metadata) if metadata else {},
+            eventType=event_type or "",
+            streamId=stream,
+        )
+
+
+# A chain step: (state, event) -> (state, forward) — projection.go:82.
+ChainFunc = Callable[[Any, ProjEvent], tuple]
+
+
+@dataclass(frozen=True)
+class Selector:
+    """fromStream/fromStreams/fromAll — projection.go:96-119."""
+
+    streams: Optional[tuple] = None  # None => $all
+
+    def matches(self, stream: str) -> bool:
+        return self.streams is None or stream in self.streams
+
+
+class Projection:
+    """Fluent projection spec. All combinators return self (the reference's
+    result-struct choreography only constrains call order; we keep it
+    unconstrained like EventStore's actual JS API)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.opts = ProjectionOptions()
+        self.selector: Selector = Selector(None)
+        self.partition_fn: Optional[Callable[[ProjEvent], str]] = None
+        self.partition_column: Optional[str] = None  # fast-path key expr (SQL string)
+        self.chain: list[ChainFunc] = []
+        self.output = False
+
+    # -- source selectors (projection.go:337-361) -------------------------
+
+    def options(self, opts: dict) -> "Projection":
+        self.opts = ProjectionOptions.from_dict(opts)
+        return self
+
+    def from_all(self) -> "Projection":
+        self.selector = Selector(None)
+        return self
+
+    def from_stream(self, stream: str) -> "Projection":
+        return self.from_streams(stream)
+
+    def from_streams(self, *streams: str) -> "Projection":
+        self.selector = Selector(tuple(streams))
+        return self
+
+    # -- partitioning (projection.go:263-290) -----------------------------
+
+    def partition_by(self, fn: Callable[[ProjEvent], str], *,
+                     column: Optional[str] = None) -> "Projection":
+        """``column`` (a SQL expression over the envelope) is an optional
+        JVM-side fast path for the shuffle key; it MUST agree with ``fn``.
+        Without it, batch replay computes the key by applying ``fn``
+        row-wise inside an Arrow batch (slow path)."""
+        self.partition_fn = fn
+        self.partition_column = column
+        return self
+
+    def foreach_stream(self) -> "Projection":
+        self.partition_fn = lambda e: e.streamId
+        self.partition_column = "stream"
+        return self
+
+    @property
+    def is_partitioned(self) -> bool:
+        return self.partition_fn is not None
+
+    # -- fold combinators --------------------------------------------------
+
+    def when(self, handlers: dict) -> "Projection":
+        """projection.go:176-196. Handlers mutate state in place; ``$init``
+        runs lazily when state is None; typed handler beats ``$any``."""
+        handlers = dict(handlers)
+
+        def step(state: Any, e: ProjEvent):
+            if state is None:
+                init = handlers.get(INIT_FUNC)
+                state = init() if init is not None else None
+            h = handlers.get(e.eventType) or handlers.get(ANY_HANDLER)
+            if h is not None:
+                h(state, e)
+            return state, True
+
+        self.chain.append(step)
+        return self
+
+    def transform_by(self, fn: Callable[[Any], Any]) -> "Projection":
+        """projection.go:209-221 — the transformed state is stored."""
+        self.chain.append(lambda state, e: (fn(state), True))
+        return self
+
+    def filter_by(self, fn: Callable[[Any], bool]) -> "Projection":
+        """projection.go:234-246 — false suppresses emission only."""
+        self.chain.append(lambda state, e: (state, bool(fn(state))))
+        return self
+
+    def output_state(self) -> "Projection":
+        """projection.go:320-328."""
+        self.output = True
+        return self
+
+    def output_to(self, stream: str) -> "Projection":
+        """No-op in the reference (projection.go:334-335) — kept for parity."""
+        return self
+
+    def result_stream(self) -> str:
+        """projection.go:136-141."""
+        return self.opts.result_stream or f"$projections-{self.name}-result"
+
+    # -- the fold ----------------------------------------------------------
+
+    def run_chain(self, state: Any, e: ProjEvent) -> tuple:
+        """Chained ProjectionFunc — projection.go:84-92."""
+        forward = True
+        for step in self.chain:
+            state, forward = step(state, e)
+            if not forward:
+                return state, False
+        return state, forward
+
+    # Driver-side single-fold runtime for unit tests (Update,
+    # projection.go:399-414). Distributed execution keeps state
+    # executor-side instead (batch.py / streaming.py).
+
+    def new_state(self) -> "FoldState":
+        return FoldState(self)
+
+    def update(self, e: ProjEvent, fold: "FoldState") -> Any:
+        return fold.update(e)
+
+
+class FoldState:
+    """Mutable fold state for one projection instance — the runtime half
+    of the reference Projection struct (defaultState / partitionsState,
+    projection.go:124-125)."""
+
+    def __init__(self, spec: Projection):
+        self.spec = spec
+        self.default_state: Any = None
+        self.partitions: dict[str, Any] = {}
+
+    def set_state(self, state: Any) -> None:
+        self.default_state = state
+
+    def set_partition_state(self, partition: str, state: Any) -> None:
+        self.partitions[partition] = state
+
+    def update(self, e: ProjEvent) -> Any:
+        """projection.go:399-414: route to partition state, run chain,
+        store, return state-or-None."""
+        spec = self.spec
+        if spec.is_partitioned:
+            partition = spec.partition_fn(e)
+            state = self.partitions.get(partition)
+        else:
+            partition, state = "", self.default_state
+        e.partition = partition
+        new_state, forward = spec.run_chain(state, e)
+        if spec.is_partitioned:
+            self.partitions[partition] = new_state
+        else:
+            self.default_state = new_state
+        return new_state if forward else None
+
+
+def projection(name: str) -> Projection:
+    """Entry point: ``projection('p').from_stream('s').when({...})``."""
+    return Projection(name)
