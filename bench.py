@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed end-to-end
+(plan + execute + materialize to a noop sink, so the measurement includes
+the full physical pipeline but not driver-side row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eventstorm_spark.session import get_spark
+
+
+# Headline set: one per operator family (reads, filters, agg, projection
+# fold, joins, window top-k, time bucketing).
+HEADLINE = [
+    "read_all_from_position",
+    "filter_type_regex",
+    "head_revisions",
+    "proj_stats_by_type",
+    "proj_count_by_stream",
+    "tpch_q1",
+    "top_orders_by_revenue",
+    "nation_revenue",
+    "top_parts_per_brand",
+    "segment_order_stats",
+    "events_daily_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("eventstorm_bench")
+
+    from eventstorm_spark import inventory
+
+    qs = inventory.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once with the cheapest query.
+    materialize(qs["head_revisions"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

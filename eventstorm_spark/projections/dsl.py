@@ -32,7 +32,7 @@ driver-side for unit tests — the literal analogue of
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Optional, Sequence
 
 INIT_FUNC = "$init"
@@ -58,7 +58,6 @@ class ProjectionOptions:
         )
 
 
-@dataclass
 class ProjEvent:
     """The event envelope handed to handlers — projection.go:55-80.
 
@@ -67,34 +66,57 @@ class ProjEvent:
     ``event.eventType``, ``event.partition`` ...). ``data`` and
     ``sequenceNumber`` are unfinished in the reference (nil / -1,
     projection.go:71-74); we reproduce those defaults.
+
+    ``body`` is parsed lazily from ``bodyRaw`` on first access — folds
+    that never read the JSON body (counters, routers) skip the per-event
+    ``json.loads`` entirely, which matters in tight applyInPandas loops.
     """
 
-    isJson: bool = False
-    data: Optional[dict] = None
-    body: Optional[dict] = None
-    bodyRaw: str = ""
-    sequenceNumber: int = -1
-    metadataRaw: dict = field(default_factory=dict)
-    linkMetadataRaw: str = ""
-    partition: str = ""
-    eventType: str = ""
-    streamId: str = ""
+    __slots__ = ("isJson", "data", "_body", "_body_parsed", "bodyRaw",
+                 "sequenceNumber", "metadataRaw", "linkMetadataRaw",
+                 "partition", "eventType", "streamId")
+
+    def __init__(self, isJson: bool = False, data: Optional[dict] = None,
+                 body: Optional[dict] = None, bodyRaw: str = "",
+                 sequenceNumber: int = -1, metadataRaw: Optional[dict] = None,
+                 linkMetadataRaw: str = "", partition: str = "",
+                 eventType: str = "", streamId: str = ""):
+        self.isJson = isJson
+        self.data = data
+        self._body = body
+        self._body_parsed = body is not None
+        self.bodyRaw = bodyRaw
+        self.sequenceNumber = sequenceNumber
+        self.metadataRaw = metadataRaw if metadataRaw is not None else {}
+        self.linkMetadataRaw = linkMetadataRaw
+        self.partition = partition
+        self.eventType = eventType
+        self.streamId = streamId
+
+    @property
+    def body(self) -> Optional[dict]:
+        if not self._body_parsed:
+            self._body_parsed = True
+            if self.isJson and self.bodyRaw:
+                try:
+                    self._body = json.loads(self.bodyRaw)
+                except (ValueError, TypeError):
+                    self._body = None
+        return self._body
+
+    @body.setter
+    def body(self, value: Optional[dict]) -> None:
+        self._body = value
+        self._body_parsed = True
 
     @classmethod
     def from_envelope(cls, *, stream: str, event_type: str, data: Optional[str],
                       metadata: Optional[dict], content_type: Optional[str]) -> "ProjEvent":
         is_json = (content_type or (metadata or {}).get("content-type")) == "application/json"
-        body = None
-        if is_json and data:
-            try:
-                body = json.loads(data)
-            except (ValueError, TypeError):
-                body = None
         return cls(
             isJson=is_json,
-            body=body,
             bodyRaw=data or "",
-            metadataRaw=dict(metadata) if metadata else {},
+            metadataRaw=metadata if isinstance(metadata, dict) else {},
             eventType=event_type or "",
             streamId=stream,
         )

@@ -1,0 +1,119 @@
+"""Subscriptions — catch-up + live event delivery as Structured Streaming.
+
+The reference implements subscriptions as goroutines doing an initial
+historical read then re-reading from ``last+1`` on every commit signal
+(``internal/streams/streams.go:224-309``). Spark's file-source streaming
+gives the same contract declaratively: a ``readStream`` over the event
+table starts at the requested position (catch-up) and each micro-batch
+delivers newly committed files (live); the checkpoint/offset log IS the
+reference's ``lastPositionOrRevision`` resume tracking (T3), and
+backpressure is ``maxFilesPerTrigger`` instead of the buffered channel
+(T6, streams.go:229-235).
+
+Delivery-order note: a micro-batch may span files out of order, so the
+consumer-facing sinks here sort each batch by position before handing it
+over — the per-batch analogue of the reference's ``ORDER BY position``
+re-read. Checkpoint markers every N events (T4, checkpointMod=32 at
+``grpc_server.go:136-155``) are emitted by the memory-sink collector.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstorm_spark.log.filters import filter_column
+from eventstorm_spark.model import EVENT_SCHEMA, SubscriptionFilter
+
+CHECKPOINT_EVERY = 32  # grpc_server.go:136 (checkpointMod)
+
+
+def _stream_source(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the event table (file source, envelope schema)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def subscribe_stream(spark: SparkSession, path: str, stream: str,
+                     from_revision: int = 0) -> DataFrame:
+    """Catch-up subscription to one stream from a revision (T1).
+
+    Resume semantics are inclusive ``>=`` exactly like the reference's
+    resume-opts builder (streams.go:264-285, `>=` at backend.go:111-116).
+    """
+    src = _stream_source(spark, path)
+    return src.where((F.col("stream") == stream) & (F.col("revision") >= from_revision))
+
+
+def subscribe_all(spark: SparkSession, path: str, from_position: int = 0,
+                  filter: Optional[SubscriptionFilter] = None) -> DataFrame:
+    """Catch-up subscription to $all from a position, with server-side
+    filter (T1 + T5 — the filter applies to catch-up AND live phases,
+    streams.go:270-276)."""
+    src = _stream_source(spark, path).where(F.col("position") >= from_position)
+    if filter is not None:
+        src = src.where(filter_column(filter))
+    return src
+
+
+@dataclass
+class Delivered:
+    """What a subscriber observed: ordered events + checkpoint markers."""
+
+    events: list = field(default_factory=list)
+    checkpoints: list = field(default_factory=list)  # positions at checkpoint emission
+
+
+class Subscription:
+    """A running subscription with reference-shaped delivery semantics.
+
+    Wraps a streaming query over the subscription DataFrame; each
+    micro-batch is sorted by position and appended to the delivery
+    buffer, emitting a checkpoint marker every CHECKPOINT_EVERY events
+    (T4). ``process_available()`` drains everything currently committed
+    — the deterministic replay harness for tests (Trigger-AvailableNow
+    semantics); with live appends, call it again to pick up new files.
+    """
+
+    _seq = 0
+
+    def __init__(self, sub_df: DataFrame, *, checkpoint_every: int = CHECKPOINT_EVERY):
+        Subscription._seq += 1
+        self.id = f"sub-{Subscription._seq}"
+        self.delivered = Delivered()
+        self.confirmed = False  # SubscriptionConfirmation (grpc_server.go:84-122)
+        self._count_since_checkpoint = 0
+        self._checkpoint_every = checkpoint_every
+
+        def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            rows = batch_df.orderBy("position").collect()
+            for r in rows:
+                self.delivered.events.append(r)
+                self._count_since_checkpoint += 1
+                if self._count_since_checkpoint >= self._checkpoint_every:
+                    self.delivered.checkpoints.append(r["position"])
+                    self._count_since_checkpoint = 0
+
+        self._query = (
+            sub_df.writeStream.outputMode("append")
+            .foreachBatch(on_batch)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        self.confirmed = True
+
+    def process_available(self) -> None:
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        self._query.stop()
+
+    @property
+    def positions(self) -> list:
+        return [r["position"] for r in self.delivered.events]
+
+    @property
+    def revisions(self) -> list:
+        return [r["revision"] for r in self.delivered.events]

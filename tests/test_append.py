@@ -1,0 +1,123 @@
+"""Append-path goldens — ported from
+/root/reference/internal/streams/streams_test.go:125-178 (revision and
+position assignment, append result) and :136-172 (expected-revision
+conflicts), plus validation (streams.go:191-203)."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstorm_spark.errors import (
+    ConflictError,
+    InvalidEventError,
+    StreamNotFoundError,
+    WrongExpectedRevisionError,
+)
+from eventstorm_spark.log.store import EventLog
+from eventstorm_spark.model import ExpectedRevision, NewEvent
+
+from tests.fixtures import new_events
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog(spark, str(tmp_path / "log"))
+
+
+def test_append_assigns_dense_revisions_and_positions(log):
+    res = log.append("test-stream", new_events(10))
+    assert res.first_position == 1
+    assert res.last_revision == 9
+    rows = log.read_stream("test-stream").collect()
+    assert [r["revision"] for r in rows] == list(range(10))
+    assert [r["position"] for r in rows] == list(range(1, 11))
+
+
+def test_append_result_tracks_first_position_last_revision(log):
+    log.append("a", new_events(3))
+    res = log.append("b", new_events(4, prefix="b"))
+    # positions are global: stream b starts after stream a's 3 events
+    assert res.first_position == 4
+    assert res.last_revision == 3
+    res2 = log.append("a", new_events(2, prefix="a2"))
+    assert res2.first_position == 8
+    assert res2.last_revision == 4  # continues a's revision sequence
+
+
+def test_append_stamps_metadata(log):
+    log.append("s", new_events(1))
+    row = log.read_stream("s").collect()[0]
+    assert row["metadata"]["type"] == "event-type"
+    assert row["metadata"]["content-type"] == "application/json"
+    assert int(row["metadata"]["created"]) > 0
+    assert row["created"] == int(row["metadata"]["created"])
+
+
+# streams_test.go:136-172 — expected-revision conflict matrix
+def test_expected_revision_no_stream_on_existing(log):
+    log.append("s", new_events(1))
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append("s", new_events(1, prefix="x"), ExpectedRevision.no_stream())
+
+
+def test_expected_revision_exists_on_missing(log):
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append("missing", new_events(1), ExpectedRevision.stream_exists())
+
+
+def test_expected_revision_mismatch(log):
+    log.append("s", new_events(16))  # head revision 15
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append("s", new_events(1, prefix="x"), ExpectedRevision.at(20))
+    # correct expectation succeeds
+    res = log.append("s", new_events(1, prefix="y"), ExpectedRevision.at(15))
+    assert res.last_revision == 16
+
+
+def test_failed_append_writes_nothing(log):
+    log.append("s", new_events(2))
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append("s", new_events(3, prefix="x"), ExpectedRevision.at(99))
+    assert log.df().count() == 2
+    assert log.head_revision("s") == 1
+
+
+# streams_test.go:125-134 — validation
+def test_validation_rejects_missing_type(log):
+    with pytest.raises(InvalidEventError):
+        log.append("s", [NewEvent("u1", "", "{}")])
+
+
+def test_validation_rejects_missing_content_type(log):
+    with pytest.raises(InvalidEventError):
+        log.append("s", [NewEvent("u1", "t", "{}", content_type="")])
+
+
+# backend.go:311-329 — duplicate (stream, uuid) conflict
+def test_duplicate_uuid_conflict(log):
+    log.append("s", new_events(2))
+    with pytest.raises(ConflictError):
+        log.append("s", new_events(1))  # same uuid-0
+    # same uuid on a DIFFERENT stream is fine (PK is (stream, uuid))
+    log.append("other", new_events(1))
+
+
+def test_duplicate_uuid_within_batch(log):
+    evs = new_events(1) + new_events(1)
+    with pytest.raises(ConflictError):
+        log.append("s", evs)
+
+
+def test_read_missing_stream_raises(log):
+    log.append("s", new_events(1))
+    with pytest.raises(StreamNotFoundError):
+        log.read_stream("nope")
+
+
+def test_cold_log_recovers_state(spark, log):
+    log.append("s", new_events(5))
+    cold = EventLog(spark, log.path)
+    assert cold.head_revision("s") == 4
+    assert cold.tail_position() == 5
+    res = cold.append("s", new_events(1, prefix="z"), ExpectedRevision.at(4))
+    assert res.first_position == 6

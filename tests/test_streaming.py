@@ -1,0 +1,144 @@
+"""Subscription + continuous-projection goldens.
+
+Ports /root/reference/internal/streams/streams_test.go:482-564 (per-stream
+isolation; $all catch-up + live) onto Structured Streaming with
+deterministic replay (processAllAvailable between append phases).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from eventstorm_spark.log.store import EventLog
+from eventstorm_spark.model import FilterKind, NewEvent, SubscriptionFilter
+from eventstorm_spark.projections.dsl import projection
+from eventstorm_spark.projections.batch import run_batch
+from eventstorm_spark.projections.streaming import run_streaming
+from eventstorm_spark.streaming.subscriptions import Subscription, subscribe_all, subscribe_stream
+
+
+def _events(n, start=0, et="event-type"):
+    return [NewEvent(f"u-{start + i}", et, json.dumps({"i": start + i})) for i in range(n)]
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog(spark, str(tmp_path / "log"))
+
+
+# streams_test.go:482-527 — per-stream subscription: 10 to test-stream,
+# 90 to test-stream-1 (must NOT be delivered), 90 more to test-stream;
+# subscriber sees exactly 100 in-order events.
+def test_stream_subscription_isolation(spark, log):
+    log.append("test-stream", _events(10))
+    sub_df = subscribe_stream(spark, log.path, "test-stream")
+    sub = Subscription(sub_df)
+    try:
+        sub.process_available()
+        assert sub.revisions == list(range(10))  # catch-up phase
+
+        log.append("test-stream-1", _events(90, start=100))  # noise stream
+        sub.process_available()
+        assert len(sub.delivered.events) == 10  # isolation
+
+        log.append("test-stream", _events(90, start=10))  # live phase
+        sub.process_available()
+        assert sub.revisions == list(range(100))
+        assert all(r["stream"] == "test-stream" for r in sub.delivered.events)
+    finally:
+        sub.stop()
+
+
+# streams_test.go:529-564 — $all subscription: 10 streams x 10 events,
+# all 100 delivered in position order; checkpoint every 32.
+def test_all_subscription_catchup_live(spark, log):
+    for i in range(5):
+        log.append(f"s-{i}", _events(10))
+    sub = Subscription(subscribe_all(spark, log.path))
+    try:
+        sub.process_available()
+        assert sub.positions == list(range(1, 51))  # catch-up
+
+        for i in range(5, 10):
+            log.append(f"s-{i}", _events(10))
+        sub.process_available()
+        assert sub.positions == list(range(1, 101))  # + live
+        assert len(sub.delivered.checkpoints) == 3  # every 32 events (T4)
+    finally:
+        sub.stop()
+
+
+# T5 — server-side filter applies to catch-up AND live phases
+def test_filtered_subscription(spark, log):
+    log.append("alpha-1", _events(5))
+    log.append("beta-1", _events(5, start=10))
+    flt = SubscriptionFilter(FilterKind.STREAM_ID, prefixes=["alpha-"])
+    sub = Subscription(subscribe_all(spark, log.path, filter=flt))
+    try:
+        sub.process_available()
+        assert len(sub.delivered.events) == 5
+
+        log.append("alpha-2", _events(3, start=20))
+        log.append("beta-2", _events(3, start=30))
+        sub.process_available()
+        streams = {r["stream"] for r in sub.delivered.events}
+        assert streams == {"alpha-1", "alpha-2"}
+        assert len(sub.delivered.events) == 8
+    finally:
+        sub.stop()
+
+
+# T3 — resume from a position: only events >= position delivered
+def test_subscription_from_position(spark, log):
+    for i in range(4):
+        log.append(f"s-{i}", _events(5))
+    sub = Subscription(subscribe_all(spark, log.path, from_position=11))
+    try:
+        sub.process_available()
+        assert sub.positions == list(range(11, 21))
+    finally:
+        sub.stop()
+
+
+# Continuous projection: streaming fold state == batch replay state
+def test_streaming_projection_matches_batch(spark, log):
+    for i in range(3):
+        log.append(f"user-{i}", _events(10, start=i * 100))
+
+    def count_any(state, e):
+        state["n"] += 1
+
+    def make_spec():
+        return (
+            projection("live-counts").from_all().foreach_stream()
+            .when({"$init": lambda: {"n": 0}, "$any": count_any})
+        )
+
+    stream_df = spark.readStream.schema(log.df().schema).parquet(log.path)
+    out = run_streaming(make_spec(), stream_df)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("live_counts").trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        live1 = {r["partition"]: r["state"] for r in spark.sql(
+            "SELECT * FROM live_counts").collect()}
+        assert live1 == {f"user-{i}": '{"n": 10}' for i in range(3)}
+
+        # live phase: more events fold on top of stored state
+        log.append("user-0", _events(5, start=900))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM live_counts").collect()
+        latest = {}
+        for r in rows:  # memory sink in update mode appends; last write wins
+            latest[r["partition"]] = r["state"]
+        assert latest["user-0"] == '{"n": 15}'
+    finally:
+        q.stop()
+
+    batch = {r["partition"]: r["state"]
+             for r in run_batch(make_spec(), log.df()).collect()}
+    assert batch == {"user-0": '{"n": 15}', "user-1": '{"n": 10}', "user-2": '{"n": 10}'}
