@@ -1,0 +1,261 @@
+"""Deduplication operators over the ``documents`` table.
+
+All candidate generation is JVM-side (split/transform/xxhash64/explode —
+whole-stage codegen, no Python in the hot path), and the quadratic step
+is always confined to LSH/blocking buckets:
+
+- exact: hash-groupBy on content digest — one shuffle on the digest;
+- n-gram Jaccard: explode shingles -> self-join on shingle -> per-pair
+  intersection counts (shuffle key = shingle, pairs only materialize for
+  docs that share a shingle);
+- MinHash-LSH: signature = min(xxhash64(shingle, seed_b)) per band ->
+  candidate pairs join per band bucket -> exact-Jaccard verification of
+  candidates only;
+- SimHash: sign-aggregated token hashes -> 64-bit fingerprint -> bucket
+  by band of bits.
+
+At 100 TB the shuffles are the story: shingle-explode multiplies rows by
+~shingle count, so near-dup ops repartition by the join key and rely on
+AQE to coalesce; the verification join is candidate-pair-sized (tiny vs
+corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_groups(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by content digest: one row per distinct
+    content with the canonical (min) id and the duplicate count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate class.
+
+    Window-free formulation: a groupBy + self-semi-join on (digest,
+    min_id) instead of row_number over a digest window, so the heavy
+    side shuffles once on the digest and Catalyst can broadcast the
+    (small) representative set when the dup rate is high.
+    """
+    reps = exact_groups(docs, text_col, id_col).select(
+        "digest", F.col("canonical_id").alias(id_col))
+    return docs.join(
+        reps.withColumnRenamed(id_col, "__keep_id"),
+        (F.md5(F.col(text_col)) == F.col("digest"))
+        & (F.col(id_col) == F.col("__keep_id")),
+        "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """id + distinct word-n-gram shingle array, all JVM-side:
+    split -> sequence -> transform(slice + concat_ws) -> array_distinct."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.select(F.col(id_col).alias("id"), shingles.alias("shingles"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    explode -> self-join on shingle -> count common shingles ->
+    jaccard = common / (|A| + |B| - common). Returns pairs (id_a < id_b)
+    with jaccard >= threshold. The join key is the shingle, so disjoint
+    documents never meet — this is blocking, not O(n²).
+    """
+    sh = with_shingles(docs, n, text_col, id_col)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """id + array<long> MinHash signature.
+
+    hash_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+    Computed as one JVM expression (transform over seeds × array_min of
+    transformed shingles) — no UDF, no shuffle.
+    """
+    sh = with_shingles(docs, n, text_col, id_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return sh.where(F.size("shingles") > 0).select("id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
+    """Band the signature, bucket-join per band -> distinct candidate pairs.
+
+    rows_per_band = len(signature)/bands. Pair probability ≈
+    1-(1-j^r)^b — with 64 hashes / 16 bands (r=4), j=0.8 pairs are
+    caught w.p. ~0.9986.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / bands).cast("int") + 1,
+                                (F.size("signature") / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, *, num_hashes: int = 64, bands: int = 16,
+                            n: int = 3, threshold: float = 0.8,
+                            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures -> banded candidates ->
+    exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                              text_col=text_col, id_col=id_col)
+    cands = minhash_lsh_candidates(sigs, bands=bands)
+    sh = with_shingles(docs, n, text_col, id_col)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, *, bits: int = 64, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document, fully JVM-side.
+
+    explode tokens -> xxhash64 -> 64 vectorized ±1-vote SUM aggregates
+    (one per bit, columnar, codegen'd) -> fingerprint assembled from the
+    vote signs. One shuffle on the doc id; no higher-order-function
+    lambdas in the hot path.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fingerprint = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        fingerprint = fingerprint.bitwiseOR(bit)
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidate pairs whose SimHash agrees on >=1 of the 4
+    16-bit bands (classic SimHash blocking)."""
+    fp = simhash(docs, text_col=text_col, id_col=id_col)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array([
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("simhash_a"), F.col("b.simhash").alias("simhash_b"))
+        .distinct()
+    )

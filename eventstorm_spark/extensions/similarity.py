@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two tiers:
+- brute-force cosine top-k — exact baseline; dot product and norms as
+  one JVM expression chain (zip_with + aggregate), TakeOrderedAndProject
+  for the top-k. At 100 TB this is the per-partition scan you fall back
+  to inside each IVF/LSH cell.
+- random-hyperplane LSH — signature = sign-bit string of dot products
+  with H fixed pseudo-random hyperplanes; candidate set = same-bucket
+  rows, searched exactly. Hyperplanes are generated deterministically
+  (seeded) and shipped as literals, so there is no fit step and no
+  driver-side state; bucket join replaces the all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array([F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+                     *, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k. Ties broken by id for determinism; the
+    physical plan is a single scan + TakeOrderedAndProject (no shuffle
+    of the full table)."""
+    q = _lit_vec(query_vec)
+    emb = _as_double_array(F.col(vec_col))
+    return (
+        embeddings
+        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed sign signature: bit_i = (v . h_i) >= 0."""
+    emb = _as_double_array(vec_col)
+    bits = [
+        F.when(dot(emb, _lit_vec(h)) >= 0,
+               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i, h in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+             *, num_planes: int = 6, hamming: int = 2, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: multiprobe LSH — scan only rows whose bucket is
+    within ``hamming`` bit flips of the query's bucket, then exact cosine.
+
+    ``num_planes`` trades prune ratio against recall and must grow with
+    corpus size (2^planes buckets); the multiprobe set is
+    sum(C(planes, i) for i <= hamming) buckets. This is the
+    bucket-join scale path when the corpus is billions of vectors;
+    for clustered corpora prefer ``ivf_topk``.
+    """
+    from itertools import combinations
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qsig = 0
+    for i, h in enumerate(planes):
+        if sum(q * x for q, x in zip(query_vec, h)) >= 0:
+            qsig |= 1 << i
+    near_buckets = set()
+    for d in range(hamming + 1):
+        for flips in combinations(range(num_planes), d):
+            s = qsig
+            for f in flips:
+                s ^= 1 << f
+            near_buckets.add(s)
+    sig = lsh_signature(F.col(vec_col), planes)
+    q = _lit_vec(query_vec)
+    emb = _as_double_array(F.col(vec_col))
+    return (
+        embeddings
+        .withColumn("__sig", sig)
+        .where(F.col("__sig").isin(list(near_buckets)))
+        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+             *, n_centroids: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus by
+    nearest-of-C sampled centroids, probe only the ``n_probe`` cells
+    nearest the query, exact-search inside them.
+
+    Centroids are the C lowest-id vectors (deterministic, no training
+    step; swap in k-means centroids for production). Cell assignment is
+    a JVM expression (argmax over C cosine columns — no shuffle, no
+    UDF); at scale the assignment is precomputed once as a partition
+    column, making the probe a partition-pruned scan.
+    """
+    cent_rows = (embeddings.orderBy(id_col).limit(n_centroids)
+                 .select(id_col, vec_col).collect())
+    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+
+    def _cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (-_cos_py(query_vec, cents[i]), i))[:n_probe]
+
+    emb = _as_double_array(F.col(vec_col))
+    sims = F.array([cosine(emb, _lit_vec(c)) for c in cents])
+    cell = F.expr(
+        "array_position(__cell_sims, array_max(__cell_sims)) - 1"
+    )
+    q = _lit_vec(query_vec)
+    return (
+        embeddings
+        .withColumn("__cell_sims", sims)
+        .withColumn("__cell", cell)
+        .where(F.col("__cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
+                            *, vec_col: str = "embedding", id_col: str = "vec_id",
+                            label_col: str = "label") -> DataFrame:
+    """Within-label exact nearest neighbor (blocking by label): the
+    bounded all-pairs pattern — join key = label, window top-k per row."""
+    from pyspark.sql import Window as W
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(label_col).alias("lbl"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(label_col).alias("lbl"),
+                          F.col(vec_col).alias("vb"))
+    pairs = (
+        a.join(b, ["lbl"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("lbl", "id_a", "id_b",
+                F.round(cosine(_as_double_array(F.col("va")),
+                               _as_double_array(F.col("vb"))), 6).alias("cosine_sim"))
+    )
+    w = W.partitionBy("lbl").orderBy(F.col("cosine_sim").desc(), F.col("id_a"), F.col("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lbl", "id_a", "id_b", "cosine_sim", "rank")
+    )

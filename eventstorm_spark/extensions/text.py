@@ -1,0 +1,101 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All pure JVM expressions (split/regexp/array functions) — no UDFs, so
+they pipeline inside whole-stage codegen on a corpus scan. Each has an
+exact SQL twin for the DuckDB oracle (see inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language function-word lists for the n-gram/stopword
+# language-id heuristic. Deliberately tiny and deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+}
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def word_token_count(text_col: Column) -> Column:
+    """BPE-ish word/punct token count: alpha runs, digit runs, or single
+    non-space symbols — the classic pre-tokenizer regex."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def quality_features(docs: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: lengths, token stats, punct/upper ratios,
+    stopword ratio (English list) — the standard corpus-filtering bundle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    n_stop = F.size(F.array_intersect(toks, F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])))
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_distinct_ratio"),
+    )
+
+
+def lang_scores(docs: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language scores + argmax guess.
+
+    score_lang = |distinct(tokens) ∩ stopwords_lang|; guess = argmax
+    (ties broken by language code order, deterministic in both engines).
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    cols = [F.col(id_col)]
+    score_cols = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        c = F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
+        score_cols[lang] = c
+        cols.append(c.alias(f"score_{lang}"))
+    best = None
+    for lang in sorted(LANG_STOPWORDS):  # later langs win only on strictly-greater
+        if best is None:
+            best = F.struct(score_cols[lang].alias("s"), F.lit(lang).alias("l"))
+        else:
+            cand = F.struct(score_cols[lang].alias("s"), F.lit(lang).alias("l"))
+            best = F.when(cand["s"] > best["s"], cand).otherwise(best)
+    cols.append(best["l"].alias("lang_guess"))
+    return docs.select(*cols)
+
+
+def fingerprints(docs: DataFrame, *, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 hex over word n-gram
+    shingles (winnowing's min-selection, one window over the whole doc).
+    Hex-string min is engine-portable, so the oracle can verify exactly."""
+    toks = tokens(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+    )

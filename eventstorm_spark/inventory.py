@@ -477,6 +477,213 @@ _REL_ORACLES = {
 
 
 # ---------------------------------------------------------------------------
+# §2.8 — training-data-pipeline extensions (dedup / similarity / text /
+# multimodal). Approximate operators (MinHash-LSH, SimHash, hyperplane
+# LSH) are declared without oracle SQL -> the driver records rows-only
+# checks; their exactness is pinned instead by tests
+# (tests/test_extensions.py) against the exact-Jaccard/brute-force twins,
+# which ARE oracle-checked here.
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import exact_groups
+    return exact_groups(load(spark, sf_dir, "documents"))
+
+
+def q_near_dup_ngram_jaccard(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import minhash_near_duplicates
+    return minhash_near_duplicates(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_candidates(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import simhash_buckets
+    return simhash_buckets(load(spark, sf_dir, "documents")).select("id_a", "id_b")
+
+
+def _query_vec(spark, sf_dir):
+    row = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from eventstorm_spark.extensions.similarity import brute_force_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.where(F.col("vec_id") != 0),
+                            _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from eventstorm_spark.extensions.similarity import lsh_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from eventstorm_spark.extensions.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+def q_knn_within_label(spark, sf_dir):
+    from eventstorm_spark.extensions.similarity import pairwise_topk_per_label
+    return pairwise_topk_per_label(load(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_doc_quality(spark, sf_dir):
+    from eventstorm_spark.extensions.text import quality_features
+    return quality_features(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from eventstorm_spark.extensions.text import lang_scores
+    return lang_scores(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from eventstorm_spark.extensions.text import fingerprints
+    return fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    from eventstorm_spark.extensions.text import token_count, word_token_count
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        word_token_count(F.col("text")).alias("n_word_tokens"),
+    )
+
+
+def q_multimodal_asset_stats(spark, sf_dir):
+    from eventstorm_spark.extensions.multimodal import asset_stats, synth_assets
+    return asset_stats(synth_assets(load(spark, sf_dir, "documents")))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from eventstorm_spark.extensions.multimodal import decode_and_featurize, synth_assets
+    feats = decode_and_featurize(synth_assets(load(spark, sf_dir, "documents")), fake=True)
+    return feats.select(
+        "asset_id", "modality",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    from eventstorm_spark.extensions.multimodal import frame_sample, synth_assets
+    return frame_sample(synth_assets(load(spark, sf_dir, "documents")))
+
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+    FROM toks)
+"""
+
+_EXT_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY md5(text)""",
+    "near_dup_ngram_jaccard": _SHINGLE_CTE + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        SELECT id_a, id_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""",
+    "ann_cosine_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "knn_within_label": """
+        SELECT lbl, id_a, id_b, cosine_sim, rank FROM (
+            SELECT a.label AS lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim,
+                   CAST(row_number() OVER (
+                        PARTITION BY a.label
+                        ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                              CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                 a.vec_id, b.vec_id) AS INT) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id) t
+        WHERE rank <= 3""",
+    "doc_quality": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))
+                     * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+               round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
+               round(len(list_intersect(string_split_regex(trim(text), '\s+'),
+                     ['the','a','of','and','to','in','is','it'])) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_distinct_ratio
+        FROM documents""",
+    "lang_id": r"""
+        WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     len(list_intersect(toks, ['der','die','das','und','zu','in','ist','ein'])) AS score_de,
+                     len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS score_en,
+                     len(list_intersect(toks, ['el','la','de','y','que','en','un','es'])) AS score_es,
+                     len(list_intersect(toks, ['le','la','de','et','que','en','un','est'])) AS score_fr
+              FROM t)
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE greatest(score_de, score_en, score_es, score_fr)
+                    WHEN score_de THEN 'de' WHEN score_en THEN 'en'
+                    WHEN score_es THEN 'es' ELSE 'fr' END AS lang_guess
+        FROM s""",
+    "doc_fingerprints": _SHINGLE_CTE + """
+        SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+        FROM sh""",
+    "token_counts": r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens
+        FROM documents""",
+    "multimodal_asset_stats": """
+        SELECT doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents""",
+    "multimodal_features": """
+        SELECT doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               round(CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f0
+        FROM documents""",
+    "multimodal_frame_sample": """
+        SELECT doc_id AS asset_id,
+               CAST(off // 64 AS INT) AS frame_no,
+               CAST(off AS INT) AS byte_offset
+        FROM (SELECT doc_id,
+                     unnest(range(0, greatest(octet_length(encode(text)), 1), 64)) AS off
+              FROM documents WHERE CAST(doc_id % 3 AS INT) = 2) t""",
+}
+
+
+# ---------------------------------------------------------------------------
 # assembly
 # ---------------------------------------------------------------------------
 
@@ -502,6 +709,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "segment_order_stats": q_segment_order_stats,
         "events_daily_counts": q_events_daily_counts,
+        # §2.8 extensions
+        "dedup_exact": q_dedup_exact,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (approx)
+        "simhash_candidates": q_simhash_candidates,     # rows-only (approx)
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)
+        "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (approx)
+        "knn_within_label": q_knn_within_label,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "multimodal_asset_stats": q_multimodal_asset_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
     return q
 
@@ -511,4 +734,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_READ_ORACLES)
     out.update(_PROJ_ORACLES)
     out.update(_REL_ORACLES)
+    out.update(_EXT_ORACLES)
     return out

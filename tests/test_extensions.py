@@ -1,0 +1,112 @@
+"""Extension-operator tests: the approximate paths (MinHash-LSH, SimHash,
+hyperplane LSH) are pinned against their exact oracle-checked twins; the
+multimodal plumbing is exercised for batch shape and stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstorm_spark.extensions import dedup, multimodal, similarity
+from eventstorm_spark.inventory import load, _query_vec
+
+SF_DIR = "/root/testdata/sf0.01"  # documents has planted near-dups at this SF
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings").cache()
+
+
+def test_minhash_lsh_finds_all_exact_near_dups(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(exact) >= 20  # the driver plants ~25 near-dup pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    # verification step guarantees precision; banding (r=4, b=16) gives
+    # ~0.999 recall at j>=0.8 — on the planted pairs it must be total
+    assert lsh == exact
+
+
+def test_simhash_buckets_cover_near_dups(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"]) for r in dedup.simhash_buckets(docs).collect()
+    }
+    missed = exact - cands
+    assert len(missed) <= len(exact) * 0.2  # banding recall on j>=0.9 pairs
+
+
+def test_drop_exact_duplicates_idempotent(docs):
+    deduped = dedup.drop_exact_duplicates(docs)
+    n1 = deduped.count()
+    assert n1 == deduped.select("text").distinct().count()
+    assert dedup.drop_exact_duplicates(deduped).count() == n1
+
+
+def test_lsh_topk_is_subset_with_overlap(spark, emb):
+    qv = _query_vec(spark, SF_DIR)
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb.where(F.col("vec_id") != 0), qv, k=10).collect()]
+    approx = similarity.lsh_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+    rows = approx.collect()
+    assert len(rows) <= 10
+    # all approx hits must be true rows scored identically to the exact path
+    exact_all = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.brute_force_topk(emb.where(F.col("vec_id") != 0), qv,
+                                             k=10**9).collect()
+    }
+    for r in rows:
+        assert abs(exact_all[r["vec_id"]] - r["cosine_sim"]) < 1e-9
+    # and the approximate set should overlap the exact top-k meaningfully
+    assert len(set(r["vec_id"] for r in rows) & set(exact)) >= 1
+
+
+def test_ivf_topk_recall(spark, emb):
+    qv = _query_vec(spark, SF_DIR)
+    sub = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(sub, qv, k=10).collect()]
+    ivf = [r["vec_id"] for r in similarity.ivf_topk(sub, qv, k=10).collect()]
+    assert len(ivf) == 10
+    assert len(set(ivf) & set(exact)) >= 3  # n_probe=4/16 cells
+
+
+def test_multimodal_decode_batch_shape(spark, docs):
+    assets = multimodal.synth_assets(docs.limit(50))
+    feats = multimodal.decode_and_featurize(assets, fake=True, batch_note_col=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+        assert r["rows_in_batch"] >= 1
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    assets = multimodal.synth_assets(docs.limit(5))
+    feats = multimodal.decode_and_featurize(assets, fake=False)
+    with pytest.raises(Exception) as exc_info:
+        feats.collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+
+
+def test_frame_sample_only_videos(spark, docs):
+    assets = multimodal.synth_assets(docs)
+    frames = multimodal.frame_sample(assets)
+    joined = frames.join(assets, "asset_id").select("modality").distinct().collect()
+    assert {r["modality"] for r in joined} == {"video"}
