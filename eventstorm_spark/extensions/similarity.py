@@ -44,16 +44,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_scores(embeddings: DataFrame, query_vec: Sequence[float],
+                  *, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Cosine similarity of every row against the query vector — a single
+    projection over the scan, no shuffle, no limit."""
+    q = _lit_vec(query_vec)
+    emb = _as_double_array(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+
+
 def brute_force_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
                      *, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k. Ties broken by id for determinism; the
     physical plan is a single scan + TakeOrderedAndProject (no shuffle
-    of the full table)."""
-    q = _lit_vec(query_vec)
-    emb = _as_double_array(F.col(vec_col))
+    of the full table). ``k`` must be small (takeOrdered holds k rows
+    per task in memory) — for unbounded scoring use ``cosine_scores``."""
     return (
-        embeddings
-        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        cosine_scores(embeddings, query_vec, vec_col=vec_col, id_col=id_col)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -67,8 +67,7 @@ def test_lsh_topk_is_subset_with_overlap(spark, emb):
     # all approx hits must be true rows scored identically to the exact path
     exact_all = {
         r["vec_id"]: r["cosine_sim"]
-        for r in similarity.brute_force_topk(emb.where(F.col("vec_id") != 0), qv,
-                                             k=10**9).collect()
+        for r in similarity.cosine_scores(emb.where(F.col("vec_id") != 0), qv).collect()
     }
     for r in rows:
         assert abs(exact_all[r["vec_id"]] - r["cosine_sim"]) < 1e-9
