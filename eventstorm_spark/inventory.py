@@ -182,7 +182,57 @@ def q_head_revisions(spark, sf_dir):
     )
 
 
+def q_scalar_envelope(spark, sf_dir):
+    """U1/U2/U5: json body path extraction, metadata-map access, and
+    created-ticks → timestamp → epoch-micros roundtrip — all JVM-side
+    expressions (eventstorm_spark.functions)."""
+    from eventstorm_spark.functions import (
+        body_field, meta_get, meta_type, ticks_to_timestamp,
+    )
+    ev = es_events(spark, sf_dir)
+    return ev.where(F.col("position") <= 200).select(
+        "position",
+        "uuid",
+        meta_type("metadata").alias("meta_type"),
+        meta_get("metadata", "content-type").alias("meta_content_type"),
+        F.unix_micros(ticks_to_timestamp("created")).alias("created_us"),
+        body_field("data", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_scalar_struct_uuid(spark, sf_dir):
+    """U6: structured 128-bit UUID from two int64 halves, correct and
+    reference-bug variants (grpc_server.go:46-48), derived from position."""
+    from eventstorm_spark.functions import uuid_from_int64s
+    ev = es_events(spark, sf_dir)
+    msb = (F.col("position") * F.lit(2654435761)).cast("long")
+    lsb = (F.col("position") * F.lit(40503)).cast("long")
+    return ev.where(F.col("position") <= 100).select(
+        "position",
+        uuid_from_int64s(msb, lsb).alias("uuid_ok"),
+        uuid_from_int64s(msb, lsb, reference_bug=True).alias("uuid_ref_bug"),
+    )
+
+
 _READ_ORACLES = {
+    "scalar_envelope": f"""{ORACLE_CTE}
+        SELECT position, uuid,
+               event_type AS meta_type,
+               'application/json' AS meta_content_type,
+               created // 10 AS created_us,
+               CAST(json_extract_string(data, '$.k') AS BIGINT) AS k
+        FROM es_events WHERE position <= 200""",
+    "scalar_struct_uuid": f"""{ORACLE_CTE},
+        h AS (SELECT position,
+                     printf('%016x', position * 2654435761) AS hi,
+                     printf('%016x', position * 40503) AS lo
+              FROM es_events WHERE position <= 100)
+        SELECT position,
+               concat_ws('-', substr(hi, 1, 8), substr(hi, 9, 4), substr(hi, 13, 4),
+                         substr(lo, 1, 4), substr(lo, 5, 12)) AS uuid_ok,
+               concat_ws('-', substr(hi, 1, 8), substr(hi, 9, 4), substr(hi, 13, 4),
+                         substr(hi, 1, 4), substr(hi, 5, 12)) AS uuid_ref_bug
+        FROM h""",
     "read_stream_forward": f"""{ORACLE_CTE}
         SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE stream = 'user-7'
         ORDER BY revision ASC""",
@@ -699,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_stream_prefix": q_filter_stream_prefix,
         "filter_type_regex": q_filter_type_regex,
         "head_revisions": q_head_revisions,
+        "scalar_envelope": q_scalar_envelope,
+        "scalar_struct_uuid": q_scalar_struct_uuid,
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_filtered_emissions": q_proj_filtered_emissions,
