@@ -199,6 +199,88 @@ def minhash_near_duplicates(docs: DataFrame, *, num_hashes: int = 64, bands: int
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Exact embedding-space near-duplicate pairs: cosine >= threshold.
+
+    All-pairs self-join — the verification tier, quadratic by design; use
+    it on a bounded corpus or on LSH candidates. The cosine is one JVM
+    expression chain (zip_with + aggregate), so the join output never
+    leaves codegen.
+    """
+    from eventstorm_spark.extensions.similarity import _as_double_array, cosine
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(_as_double_array(F.col("va")),
+                           _as_double_array(F.col("vb"))), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
+                              num_planes: int = 36, bands: int = 6, seed: int = 42,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Scale path: banded random-hyperplane LSH candidates -> exact cosine
+    verification of candidates only.
+
+    Sign-LSH bit-agreement probability is 1 - theta/pi, so with r =
+    num_planes/bands bits per band and b bands, a pair at cosine 0.9
+    (theta ~= 26 deg) collides in >=1 band w.p. ~1-(1-0.855^6)^6 ~= 0.93,
+    while orthogonal pairs are pruned almost surely. The corpus-sized
+    shuffles key on (band, bucket); the quadratic step only runs inside
+    buckets, and the verification join is candidate-pair-sized.
+    """
+    from eventstorm_spark.extensions.similarity import (
+        _as_double_array, _hyperplanes, _lit_vec, cosine, dot,
+    )
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    r = num_planes // bands
+    emb = _as_double_array(F.col(vec_col))
+    bits = [F.when(dot(emb, _lit_vec(h)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for h in planes]
+    band_buckets = F.array([
+        F.xxhash64(F.concat(F.lit(str(bnd)), *bits[bnd * r:(bnd + 1) * r]))
+        for bnd in range(bands)
+    ])
+    banded = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.posexplode(band_buckets).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b",
+            F.round(cosine(_as_double_array(F.col("va")),
+                           _as_double_array(F.col("vb"))), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -550,6 +550,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_duplicates(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import embedding_cosine_pairs
+    return embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    from eventstorm_spark.extensions.dedup import embedding_near_duplicates
+    return embedding_near_duplicates(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4, num_planes=24, bands=8)
+
+
 def q_simhash_candidates(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import simhash_buckets
     return simhash_buckets(load(spark, sf_dir, "documents")).select("id_a", "id_b")
@@ -657,6 +669,13 @@ _EXT_ORACLES = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""",
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""",
     "ann_cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -765,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (approx)
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,   # rows-only (approx)
         "simhash_candidates": q_simhash_candidates,     # rows-only (approx)
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)

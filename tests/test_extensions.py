@@ -109,3 +109,20 @@ def test_frame_sample_only_videos(spark, docs):
     frames = multimodal.frame_sample(assets)
     joined = frames.join(assets, "asset_id").select("modality").distinct().collect()
     assert {r["modality"] for r in joined} == {"video"}
+
+
+def test_embedding_lsh_precision_and_recall(emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(exact) >= 10
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            emb, threshold=0.4, num_planes=24, bands=8).collect()
+    }
+    # exact-cosine verification => perfect precision
+    assert approx <= exact
+    # banded sign-LSH (r=3, b=8) at cosine>=0.4 => high (not total) recall
+    assert len(approx) >= 0.6 * len(exact)
