@@ -28,11 +28,13 @@ HEADLINE = [
     "proj_stats_by_type",
     "proj_count_by_stream",
     "tpch_q1",
+    "tpch_q6",
     "top_orders_by_revenue",
     "nation_revenue",
     "top_parts_per_brand",
     "segment_order_stats",
     "events_daily_counts",
+    "events_sessionization",
 ]
 
 

@@ -471,7 +471,164 @@ def q_events_daily_counts(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Q6-shaped: pure filter + aggregate — the pushdown/pruning showcase
+    (predicates reach the parquet scan; two columns read)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_returnflag_priority(spark, sf_dir):
+    """Q12-shaped: join + conditional (CASE) aggregation, urgency split
+    per return flag (driver lineitem has no shipmode column)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_orders_with_returns(spark, sf_dir):
+    """Q4-shaped semi-join (EXISTS): orders having >=1 returned lineitem,
+    counted by priority. The probe side is a left-semi hash join — no
+    row duplication, no distinct needed."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS): customers that never ordered, by segment."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_set_ops_streams(spark, sf_dir):
+    """Set operators over the event log (SURVEY §2.4 — absent in the
+    reference, inherited from Spark): streams with purchases INTERSECT
+    streams with clicks, and purchase-only streams via EXCEPT."""
+    ev = es_events(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select("stream").distinct()
+    click = ev.where(F.col("event_type") == "click").select("stream").distinct()
+    both = purch.intersect(click).withColumn("tag", F.lit("both"))
+    only_purch = purch.exceptAll(click).withColumn("tag", F.lit("purchase_only"))
+    return both.unionAll(only_purch)
+
+
+def q_events_sessionization(spark, sf_dir):
+    """Gap-based sessionization: a new session starts after >30 min of
+    stream inactivity. lag + conditional cumsum windows, both keyed on
+    the stream — one shuffle, two window passes over the same partitioning
+    (Catalyst reuses the exchange)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", is_new)
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+def q_events_rolling_avg(spark, sf_dir):
+    """Rolling window frame: 4-event moving average of `value` per
+    stream, ordered by time."""
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, W.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_4"),
+    )
+
+
 _REL_ORACLES = {
+    "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""",
+    "returnflag_priority": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag""",
+    "orders_with_returns": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""",
+    "customers_without_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""",
+    "set_ops_streams": f"""{ORACLE_CTE},
+        purch AS (SELECT DISTINCT stream FROM es_events WHERE event_type = 'purchase'),
+        click AS (SELECT DISTINCT stream FROM es_events WHERE event_type = 'click')
+        SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
+        UNION ALL
+        SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "events_sessionization": """
+        WITH g AS (
+            SELECT user_id, event_id, value, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM g)
+        SELECT user_id, session_no, count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_no""",
+    "events_rolling_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                   AS rolling_avg_4
+        FROM events""",
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -780,6 +937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "segment_order_stats": q_segment_order_stats,
         "events_daily_counts": q_events_daily_counts,
+        "tpch_q6": q_tpch_q6,
+        "returnflag_priority": q_returnflag_priority,
+        "orders_with_returns": q_orders_with_returns,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops_streams": q_set_ops_streams,
+        "events_sessionization": q_events_sessionization,
+        "events_rolling_avg": q_events_rolling_avg,
         # §2.8 extensions
         "dedup_exact": q_dedup_exact,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
