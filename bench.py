@@ -26,6 +26,7 @@ HEADLINE = [
     "filter_type_regex",
     "head_revisions",
     "proj_stats_by_type",
+    "proj_stats_by_type_lowered",
     "proj_count_by_stream",
     "tpch_q1",
     "tpch_q6",

@@ -314,6 +314,25 @@ def q_proj_stats_by_type(spark, sf_dir):
     )
 
 
+def q_proj_stats_by_type_lowered(spark, sf_dir):
+    """P2 declarative variant: the same fold as proj_stats_by_type
+    expressed with when_agg, which run_batch lowers to a native
+    groupBy().agg() — map-side partial aggregation, zero Python in the
+    executor path. Same oracle as the general fold."""
+    from eventstorm_spark.projections.dsl import AggSpec
+    spec = (
+        projection("stats-by-type-lowered").from_all()
+        .partition_by(lambda e: e.eventType, column="event_type")
+        .when_agg({"count": AggSpec.count(), "k_sum": AggSpec.sum_of("k")})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+        F.get_json_object("state", "$.k_sum").cast("long").alias("k_sum"),
+    )
+
+
 def q_proj_filtered_emissions(spark, sf_dir):
     """P2+P6: filterBy suppresses emission while state advances; emission
     log of a count fold on one stream, only counts > 10 emitted."""
@@ -350,6 +369,10 @@ _PROJ_ORACLES = {
         SELECT stream AS partition, count(*) AS count
         FROM es_events GROUP BY stream""",
     "proj_stats_by_type": f"""{ORACLE_CTE}
+        SELECT event_type AS partition, count(*) AS count,
+               sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
+        FROM es_events GROUP BY event_type""",
+    "proj_stats_by_type_lowered": f"""{ORACLE_CTE}
         SELECT event_type AS partition, count(*) AS count,
                sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
         FROM es_events GROUP BY event_type""",
@@ -929,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_struct_uuid": q_scalar_struct_uuid,
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
         "tpch_q1": q_tpch_q1,

@@ -113,10 +113,51 @@ def _select(spec: Projection, events: DataFrame) -> DataFrame:
     return events
 
 
+def _lower_native(spec: Projection, keyed: DataFrame):
+    """Compile a pure ``when_agg`` fold to a native groupBy().agg().
+
+    Valid only when the declarative step is the whole chain (no
+    transform_by/filter_by after it). The win at scale: partial
+    aggregation map-side means the shuffle carries one pre-combined row
+    per (task, key) instead of every event, and no row ever enters
+    Python. Field semantics must agree exactly with ``AggSpec.update``:
+    sum/count start at 0 (coalesce), min/max of nothing is null, null
+    JSON fields are skipped, numeric strings coerce via double.
+    """
+    if spec.lowered_aggs is None or len(spec.chain) != 1:
+        return None
+    cols = []
+    for k in sorted(spec.lowered_aggs):
+        a = spec.lowered_aggs[k]
+        if a.kind == "count":
+            base = (F.lit(1) if a.where_type is None
+                    else F.when(F.col("event_type") == a.where_type, 1))
+            cols.append(F.count(base).alias(k))
+            continue
+        v = (F.get_json_object(F.col("data"), f"$.{a.field}")
+             .cast("double").cast(a.cast))
+        if a.where_type is not None:
+            v = F.when(F.col("event_type") == a.where_type, v)
+        fn = {"sum": F.sum, "min": F.min, "max": F.max}[a.kind]
+        agg = fn(v)
+        if a.kind == "sum":
+            agg = F.coalesce(agg, F.lit(0).cast(a.cast))
+        cols.append(agg.alias(k))
+    agged = keyed.groupBy("__key").agg(*cols)
+    state = F.to_json(
+        F.struct(*[F.col(k) for k in sorted(spec.lowered_aggs)]),
+        {"ignoreNullFields": "false"},
+    )
+    return agged.select(F.col("__key").alias("partition"), state.alias("state"))
+
+
 def run_batch(spec: Projection, events: DataFrame) -> DataFrame:
     """Replay all events; return one row per partition with the FINAL
     state (columns: partition string, state string-JSON)."""
     keyed = _keyed(spec, _select(spec, events))
+    lowered = _lower_native(spec, keyed)
+    if lowered is not None:
+        return lowered
     return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=False), FINAL_SCHEMA)
 
 

@@ -39,6 +39,67 @@ INIT_FUNC = "$init"
 ANY_HANDLER = "$any"
 
 
+@dataclass(frozen=True)
+class AggSpec:
+    """One declarative state field for ``when_agg``: an aggregate over the
+    selected events, optionally restricted to one event type.
+
+    kind: 'count' | 'sum' | 'min' | 'max'; ``field`` is a JSON body path
+    (without the leading ``$.``) for sum/min/max. Declarative handlers
+    describe the fold well enough for the batch engine to LOWER it to a
+    native ``groupBy().agg()`` (map-side partial aggregation, no Python
+    in the hot path) while staying runnable as an ordinary per-event fold
+    everywhere else (streaming state, unit harness).
+    """
+
+    kind: str
+    field: Optional[str] = None
+    where_type: Optional[str] = None
+    cast: str = "long"  # SQL cast for the JSON-extracted field
+
+    @classmethod
+    def count(cls, *, where_type: Optional[str] = None) -> "AggSpec":
+        return cls("count", None, where_type)
+
+    @classmethod
+    def sum_of(cls, field: str, *, where_type: Optional[str] = None,
+               cast: str = "long") -> "AggSpec":
+        return cls("sum", field, where_type, cast)
+
+    @classmethod
+    def min_of(cls, field: str, *, where_type: Optional[str] = None,
+               cast: str = "long") -> "AggSpec":
+        return cls("min", field, where_type, cast)
+
+    @classmethod
+    def max_of(cls, field: str, *, where_type: Optional[str] = None,
+               cast: str = "long") -> "AggSpec":
+        return cls("max", field, where_type, cast)
+
+    def _coerce(self, v):
+        return int(v) if self.cast in ("long", "int", "bigint") else float(v)
+
+    def update(self, acc, e: "ProjEvent"):
+        """The per-event fold semantics of this aggregate (the non-lowered
+        path; must agree exactly with the native lowering in batch.py)."""
+        if self.where_type is not None and e.eventType != self.where_type:
+            return acc
+        if self.kind == "count":
+            return (acc or 0) + 1
+        body = e.body or {}
+        v = body.get(self.field)
+        if v is None:
+            return acc
+        v = self._coerce(v)
+        if self.kind == "sum":
+            return (acc or 0) + v
+        if self.kind == "min":
+            return v if acc is None else min(acc, v)
+        if self.kind == "max":
+            return v if acc is None else max(acc, v)
+        raise ValueError(f"unknown agg kind: {self.kind}")
+
+
 @dataclass
 class ProjectionOptions:
     """options({...}) — projection.go:48-53."""
@@ -149,6 +210,9 @@ class Projection:
         self.partition_column: Optional[str] = None  # fast-path key expr (SQL string)
         self.chain: list[ChainFunc] = []
         self.output = False
+        # declarative when_agg spec — set => batch replay may lower the
+        # fold to a native groupBy().agg() (map-side combine, no Python)
+        self.lowered_aggs: Optional[dict[str, AggSpec]] = None
 
     # -- source selectors (projection.go:337-361) -------------------------
 
@@ -204,6 +268,34 @@ class Projection:
                 h(state, e)
             return state, True
 
+        self.chain.append(step)
+        return self
+
+    def when_agg(self, aggs: dict) -> "Projection":
+        """Declarative ``when``: state = named aggregates (AggSpec) over
+        the selected events.
+
+        Runs as an ordinary per-event fold (same chain contract as
+        ``when``), but because the handler semantics are declared rather
+        than opaque Python, batch replay lowers it to a native
+        ``groupBy().agg()`` — partial aggregation map-side, one shuffle
+        of pre-combined rows instead of every event crossing the wire
+        into an applyInPandas sort+loop. Any combinator chained AFTER
+        this (transform_by/filter_by) disables the lowering; batch falls
+        back to the general fold.
+        """
+        aggs = dict(aggs)
+
+        def step(state: Any, e: ProjEvent):
+            if state is None:
+                state = {k: (0 if a.kind in ("count", "sum") else None)
+                         for k, a in aggs.items()}
+            for k, a in aggs.items():
+                state[k] = a.update(state[k], e)
+            return state, True
+
+        if not self.chain:
+            self.lowered_aggs = aggs
         self.chain.append(step)
         return self
 
