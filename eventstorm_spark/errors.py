@@ -43,3 +43,14 @@ class InvalidEventError(EventStormError):
 
 class ProjectionExistsError(EventStormError):
     """Duplicate projection name — projection.go:29-33."""
+
+
+class StreamDeletedError(EventStormError):
+    """Append/read of a tombstoned (hard-deleted) stream — the error the
+    reference's stubbed Tombstone RPC (grpc_server.go:275-277) would
+    surface; semantics follow the EventStoreDB API the proto declares
+    (streams.proto:14-16)."""
+
+    def __init__(self, stream: str):
+        super().__init__(f"stream is tombstoned: {stream!r}")
+        self.stream = stream

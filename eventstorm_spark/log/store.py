@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from eventstorm_spark.errors import (
     ConflictError,
     InvalidEventError,
+    StreamDeletedError,
     StreamNotFoundError,
     WrongExpectedRevisionError,
 )
@@ -66,6 +67,18 @@ def _now_ticks() -> int:
     return time.time_ns() // 100
 
 
+# System stream holding deletion markers (S9). The reference's Delete /
+# Tombstone RPCs are stubs (grpc_server.go:271-281); we implement the
+# semantics the proto declares (streams.proto:14-16, EventStoreDB API):
+# soft delete hides the stream's past and allows recreation (revision
+# numbering continues); tombstone makes the stream permanently dead.
+# Markers are ordinary events, so they replicate/subscribe like any
+# other write; `scavenge()` is the physical reclamation job.
+DELETED_STREAMS = "$deleted-streams"
+DELETE_EVENT = "$stream-deleted"
+TOMBSTONE_EVENT = "$stream-tombstoned"
+
+
 class EventLog:
     """A named event log over a Parquet directory."""
 
@@ -75,6 +88,8 @@ class EventLog:
         self._lock = threading.Lock()
         self._tail_position: Optional[int] = None  # lazily discovered
         self._revisions: dict[str, int] = {}  # stream -> head revision cache
+        # stream -> (kind, before_position, last_revision); None = not loaded
+        self._deletions: Optional[dict[str, tuple]] = None
 
     # -- table access -----------------------------------------------------
 
@@ -156,10 +171,20 @@ class EventLog:
         """
         if not events:
             raise ValueError("append requires at least one event")
+        kind, _, _ = self._deletion_state(stream)
+        if kind == "tombstoned":
+            raise StreamDeletedError(stream)
         for ev in events:
             self._validate(ev)
         with self._lock:
             current = self.head_revision(stream)
+            # Soft-deleted stream: revision numbering continues from the
+            # pre-delete head even after scavenge reclaimed the rows
+            # (EventStoreDB recreation semantics).
+            if kind == "deleted":
+                _, _, last_rev = self._load_deletions()[stream]
+                if current is None or current < last_rev:
+                    current = last_rev if last_rev >= 0 else None
             self._check_revision(expected, current, stream)
             if check_duplicates and current is not None:
                 uuids = [e.uuid for e in events]
@@ -202,14 +227,131 @@ class EventLog:
                 count=len(events),
             )
 
+    # -- deletion (S9 — stubs in the reference, grpc_server.go:271-281) ---
+
+    def _load_deletions(self) -> dict[str, tuple]:
+        """Deletion markers, folded to per-stream state: tombstone wins,
+        else the latest (max before_position) soft delete."""
+        if self._deletions is not None:
+            return self._deletions
+        import json as _json
+
+        rows = (
+            self.df().where(F.col("stream") == DELETED_STREAMS)
+            .select("event_type", "data").collect()
+        )
+        d: dict[str, tuple] = {}
+        for r in rows:
+            body = _json.loads(r["data"])
+            target = body["stream"]
+            kind = "tombstoned" if r["event_type"] == TOMBSTONE_EVENT else "deleted"
+            entry = (kind, int(body["before_position"]), int(body["last_revision"]))
+            cur = d.get(target)
+            if cur is None or kind == "tombstoned" or (
+                cur[0] != "tombstoned" and entry[1] > cur[1]
+            ):
+                d[target] = entry
+        self._deletions = d
+        return d
+
+    def _deletion_state(self, stream: str) -> tuple:
+        return self._load_deletions().get(stream, (None, -1, -1))
+
+    def delete_stream(self, stream: str,
+                      expected: ExpectedRevision = ExpectedRevision.any(),
+                      *, tombstone: bool = False) -> AppendResult:
+        """Soft delete (default) or tombstone a stream.
+
+        Implemented as a marker event appended to the ``$deleted-streams``
+        system stream — an ordinary committed write, so it flows through
+        subscriptions and survives restarts; nothing is physically removed
+        until ``scavenge()``. Soft delete hides all events up to the
+        current tail; a later append recreates the stream with revision
+        numbering continuing from the pre-delete head. Tombstone is
+        permanent: further appends/reads raise StreamDeletedError.
+        """
+        kind, _, _ = self._deletion_state(stream)
+        if kind == "tombstoned":
+            raise StreamDeletedError(stream)
+        current = self.head_revision(stream)
+        if current is None and kind is None:
+            raise StreamNotFoundError(stream)
+        self._check_revision(expected, current, stream)
+        import json as _json
+
+        marker = NewEvent(
+            uuid=f"$del-{stream}-{self.tail_position()}",
+            event_type=TOMBSTONE_EVENT if tombstone else DELETE_EVENT,
+            data=_json.dumps({
+                "stream": stream,
+                "before_position": self.tail_position(),
+                "last_revision": -1 if current is None else current,
+            }),
+        )
+        res = self.append(DELETED_STREAMS, [marker], check_duplicates=False)
+        self._deletions = None
+        return res
+
+    def tombstone_stream(self, stream: str,
+                         expected: ExpectedRevision = ExpectedRevision.any()) -> AppendResult:
+        return self.delete_stream(stream, expected, tombstone=True)
+
+    def scavenge(self, num_files: int = 8) -> int:
+        """Physically reclaim deleted rows: drop every event covered by a
+        soft-delete marker and every event of a tombstoned stream
+        (markers are retained), rewriting the log position-sorted. The
+        cluster shape of this job is a partition-pruned anti-filter +
+        compaction (Delta: DELETE + OPTIMIZE); positions of surviving
+        rows are unchanged, so readers and subscriptions are unaffected.
+        Returns the number of rows removed.
+        """
+        dels = self._load_deletions()
+        cond = None
+        for s, (kind, before, _) in dels.items():
+            c = (F.col("stream") == s)
+            if kind != "tombstoned":
+                c = c & (F.col("position") <= before)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return 0
+        df = self.df()
+        kept = df.where(~cond)
+        removed = df.count() - kept.count()
+        if removed == 0:
+            return 0
+        tmp = self.path.rstrip("/") + ".scavenge"
+        (kept.repartitionByRange(num_files, "position")
+         .sortWithinPartitions("position")
+         .write.mode("overwrite").parquet(tmp))
+        back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
+        back.write.mode("overwrite").parquet(self.path)
+        self._revisions.clear()
+        self._tail_position = None
+        return removed
+
     # -- read path --------------------------------------------------------
 
     def read(self, opts: ReadOptions) -> DataFrame:
         """Execute a read plan. Missing stream -> StreamNotFoundError
-        (streams.go:211-222)."""
-        if opts.stream is not None and self.head_revision(opts.stream.identifier) is None:
-            raise StreamNotFoundError(opts.stream.identifier)
-        return compile_read(self.df(), opts)
+        (streams.go:211-222); tombstoned -> StreamDeletedError; a
+        soft-deleted stream reads as recreated-or-missing (only events
+        appended after the delete are visible)."""
+        df = self.df()
+        if opts.stream is not None:
+            sid = opts.stream.identifier
+            kind, before, _ = self._deletion_state(sid)
+            if kind == "tombstoned":
+                raise StreamDeletedError(sid)
+            if kind == "deleted":
+                df = df.where(~((F.col("stream") == sid)
+                                & (F.col("position") <= before)))
+                head = (df.where(F.col("stream") == sid)
+                        .agg(F.max("revision").alias("r")).collect()[0]["r"])
+                if head is None:
+                    raise StreamNotFoundError(sid)
+            elif self.head_revision(sid) is None:
+                raise StreamNotFoundError(sid)
+        return compile_read(df, opts)
 
     def read_stream(self, stream: str, *, direction: Direction = Direction.FORWARDS,
                     from_revision: Optional[int] = None,
