@@ -1,0 +1,78 @@
+"""Plan-quality regression tests — the scale contract (SURVEY §4).
+
+These assert the *physical plan shape*, not results: predicates must
+reach the parquet scan, projections must prune columns, top-k reads must
+not globally sort, small dimensions must broadcast, and prefix filters
+must compile to pushdown-capable StartsWith rather than RLike. A change
+that silently regresses any of these would still pass the value-equality
+oracles while being catastrophically slower at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstorm_spark import inventory
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return plan_of(inventory.queries()[name](spark, sf_dir))
+    return run
+
+
+def test_position_filter_reaches_scan(q):
+    plan = q("read_all_from_position")
+    assert "(position" in plan and ">= 500" in plan
+    assert "FileScan parquet" in plan
+
+
+def test_stream_read_prunes_and_pushes(q):
+    plan = q("read_stream_forward")
+    # equality predicate in the scan's data filters
+    assert "= user-7" in plan
+
+
+def test_backward_limited_read_is_topk_not_sort(q):
+    plan = q("read_stream_backward")
+    assert "TakeOrderedAndProject" in plan
+    # no global sort exchange for a LIMIT-k read
+    assert "rangepartitioning" not in plan
+
+
+def test_prefix_filter_compiles_to_startswith(q):
+    plan = q("filter_stream_prefix")
+    assert "StartsWith" in plan
+    assert "RLike" not in plan
+
+
+def test_q6_scan_prunes_columns(q):
+    plan = q("tpch_q6")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 4 referenced columns are read, not the full 11-col table
+    assert "l_quantity" in scan and "l_shipdate" in scan
+    assert "l_returnflag" not in scan and "l_orderkey" not in scan
+
+
+def test_dimension_joins_broadcast(q):
+    plan = q("top_orders_by_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_read_path_pushes_to_parquet_and_stays_jvm(q):
+    plan = q("read_all_from_position")
+    # pushed into the parquet reader itself (row-group/page pruning),
+    # not just a post-scan Filter node
+    assert "GreaterThanOrEqual(position,500)" in plan
+    assert "EvalPython" not in plan
+
+
+def test_native_agg_has_partial_aggregation(q):
+    """head_revisions must map-side combine before the shuffle."""
+    plan = q("head_revisions")
+    assert plan.count("HashAggregate") >= 2  # partial + final
