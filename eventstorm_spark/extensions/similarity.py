@@ -18,6 +18,9 @@ import math
 import random
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,11 +50,29 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_scores(embeddings: DataFrame, query_vec: Sequence[float],
                   *, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Cosine similarity of every row against the query vector — a single
-    projection over the scan, no shuffle, no limit."""
-    q = _lit_vec(query_vec)
-    emb = _as_double_array(F.col(vec_col))
-    return embeddings.select(
-        F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+    projection over the scan, no shuffle, no limit.
+
+    The kernel is an Arrow-batched numpy matvec (one GEMV per batch):
+    per-row ``zip_with``/``aggregate`` expressions are higher-order
+    functions that Spark interprets element-by-element, ~100x slower on
+    wide vectors. The Column-expression form remains available as
+    ``cosine()`` for composition inside JVM-only plans.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1)
+        denom = np.where(norms == 0, 1.0, norms * (qn if qn else 1.0))
+        return pd.Series(np.round((m @ q) / denom, 6))
+
+    return embeddings.select(F.col(id_col), score(F.col(vec_col)).alias("cosine_sim"))
 
 
 def brute_force_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
@@ -113,14 +134,25 @@ def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
             for f in flips:
                 s ^= 1 << f
             near_buckets.add(s)
-    sig = lsh_signature(F.col(vec_col), planes)
-    q = _lit_vec(query_vec)
-    emb = _as_double_array(F.col(vec_col))
-    return (
+    from pyspark.sql.functions import pandas_udf
+
+    pm = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(((m @ pm.T) >= 0) @ weights)
+
+    pruned = (
         embeddings
-        .withColumn("__sig", sig)
+        .withColumn("__sig", sig_udf(F.col(vec_col)))
         .where(F.col("__sig").isin(list(near_buckets)))
-        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+    )
+    return (
+        cosine_scores(pruned, query_vec, vec_col=vec_col, id_col=id_col)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -152,18 +184,28 @@ def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     probe = sorted(range(len(cents)),
                    key=lambda i: (-_cos_py(query_vec, cents[i]), i))[:n_probe]
 
-    emb = _as_double_array(F.col(vec_col))
-    sims = F.array([cosine(emb, _lit_vec(c)) for c in cents])
-    cell = F.expr(
-        "array_position(__cell_sims, array_max(__cell_sims)) - 1"
-    )
-    q = _lit_vec(query_vec)
-    return (
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.asarray(cents, dtype=np.float64)
+    cm = cm / np.where(np.linalg.norm(cm, axis=1, keepdims=True) == 0, 1.0,
+                       np.linalg.norm(cm, axis=1, keepdims=True))
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        return pd.Series(np.argmax(m @ cm.T, axis=1).astype("int32"))
+
+    pruned = (
         embeddings
-        .withColumn("__cell_sims", sims)
-        .withColumn("__cell", cell)
+        .withColumn("__cell", cell_udf(F.col(vec_col)))
         .where(F.col("__cell").isin(probe))
-        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+    )
+    return (
+        cosine_scores(pruned, query_vec, vec_col=vec_col, id_col=id_col)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
