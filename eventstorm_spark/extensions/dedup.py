@@ -22,6 +22,8 @@ corpus).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 
@@ -61,6 +63,24 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
         & (F.col(id_col) == F.col("__keep_id")),
         "left_semi",
     )
+
+
+def streaming_exact_dedup(stream_df: DataFrame, *, key_cols: Sequence[str],
+                          event_time_col: str = "ts",
+                          watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by a watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state store from
+    growing without bound — a key is remembered only until the watermark
+    passes its event time, which is the only viable contract on an
+    unbounded 100 TB/day feed (plain ``dropDuplicates`` on a stream pins
+    every key forever). Late duplicates inside the delay are suppressed;
+    duplicates older than the watermark are out of contract (route them
+    to the batch ``exact_groups`` backfill).
+    """
+    wm = stream_df.withWatermark(event_time_col, watermark_delay)
+    return wm.dropDuplicatesWithinWatermark(list(key_cols))
 
 
 # ---------------------------------------------------------------------------

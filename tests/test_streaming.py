@@ -142,3 +142,39 @@ def test_streaming_projection_matches_batch(spark, log):
     batch = {r["partition"]: r["state"]
              for r in run_batch(make_spec(), log.df()).collect()}
     assert batch == {"user-0": '{"n": 15}', "user-1": '{"n": 10}', "user-2": '{"n": 10}'}
+
+
+def test_streaming_exact_dedup_suppresses_replayed_events(spark, log):
+    """§2.8 streaming dedup: duplicate uuids arriving in later
+    micro-batches are suppressed while state stays watermark-bounded."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.dedup import streaming_exact_dedup
+    from eventstorm_spark.model import EVENT_SCHEMA
+
+    log.append("s", _events(10))
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+        .withColumn("created_ts", F.timestamp_micros(F.expr("created div 10")))
+    )
+    deduped = streaming_exact_dedup(
+        src, key_cols=["stream", "uuid"], event_time_col="created_ts")
+
+    seen = []
+
+    def on_batch(bdf, _epoch):
+        seen.extend(bdf.select("uuid").collect())
+
+    q = deduped.writeStream.outputMode("append").foreachBatch(on_batch).start()
+    try:
+        q.processAllAvailable()
+        assert len(seen) == 10
+        # replay the same uuids into the log (duplicate delivery), plus 5 new
+        log.append("s", _events(10), check_duplicates=False)
+        log.append("s", _events(5, start=10))
+        q.processAllAvailable()
+        uuids = sorted(r["uuid"] for r in seen)
+        assert len(seen) == 15, f"duplicates not suppressed: {len(seen)}"
+        assert uuids == sorted(f"u-{i}" for i in range(15))
+    finally:
+        q.stop()
