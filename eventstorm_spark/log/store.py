@@ -78,6 +78,15 @@ DELETED_STREAMS = "$deleted-streams"
 DELETE_EVENT = "$stream-deleted"
 TOMBSTONE_EVENT = "$stream-tombstoned"
 
+# Link events (EventStoreDB `$>` convention). The reference parses the
+# ResolveLinks read option (model.go:100, extensions.go:24) but never
+# implements links — linkTo is absent and ReadResp.link is never
+# populated (grpc_server.go:157-174). We implement the declared
+# semantics: a link's body is "revision@stream"; resolved reads replace
+# the link's payload with the target's while keeping the link's
+# coordinates for ordering/resume.
+LINK_EVENT = "$>"
+
 
 class EventLog:
     """A named event log over a Parquet directory."""
@@ -329,6 +338,73 @@ class EventLog:
         self._tail_position = None
         return removed
 
+    # -- links ------------------------------------------------------------
+
+    def link_to(self, stream: str, target_stream: str, target_revision: int,
+                *, uuid: Optional[str] = None,
+                expected: ExpectedRevision = ExpectedRevision.any()) -> AppendResult:
+        """Append a link event pointing at (target_stream, target_revision)
+        — EventStore's ``linkTo`` (absent from the reference; `$>` body
+        format per the EventStoreDB convention)."""
+        ev = NewEvent(
+            uuid=uuid or f"$link-{stream}-{target_stream}-{target_revision}",
+            event_type=LINK_EVENT,
+            data=f"{target_revision}@{target_stream}",
+            content_type="application/octet-stream",
+        )
+        return self.append(stream, [ev], expected)
+
+    @staticmethod
+    def resolve_links(df: DataFrame, events: DataFrame) -> DataFrame:
+        """Replace each `$>` link row's payload columns with its target's.
+
+        A left join against the envelope on the parsed (stream, revision)
+        pointer: non-link rows pass through; dangling links keep the link
+        body (EventStoreDB surfaces unresolved links the same way). The
+        link's own position/revision are preserved so ordering, limits
+        and resume positions keep referring to the *link* stream — only
+        payload identity changes. The join probe side is the (small) read
+        result; the build side is the envelope table keyed exactly like
+        the (stream-bucket, position) layout, so at scale this is a
+        broadcast of the probe or a bucket-co-located join, never a
+        corpus shuffle of the log itself.
+        """
+        is_link = F.col("event_type") == LINK_EVENT
+        at = F.split(F.col("data"), "@", 2)
+        probe = df.withColumns({
+            "__tgt_rev": F.when(is_link, F.element_at(at, 1).cast("long")),
+            "__tgt_stream": F.when(is_link, F.element_at(at, 2)),
+        })
+        tgt = events.select(
+            F.col("stream").alias("__t_stream"), F.col("revision").alias("__t_rev"),
+            F.col("uuid").alias("__t_uuid"), F.col("data").alias("__t_data"),
+            F.col("metadata").alias("__t_metadata"),
+            F.col("custom_metadata").alias("__t_custom"),
+            F.col("event_type").alias("__t_type"),
+            F.col("content_type").alias("__t_ct"), F.col("created").alias("__t_created"),
+        )
+        joined = probe.join(
+            tgt,
+            (probe["__tgt_stream"] == tgt["__t_stream"])
+            & (probe["__tgt_rev"] == tgt["__t_rev"]),
+            "left",
+        )
+        resolved = F.col("__t_uuid").isNotNull()
+
+        def pick(link_col: str, t_col: str):
+            return F.when(resolved, F.col(t_col)).otherwise(F.col(link_col))
+
+        return joined.select(
+            F.col("stream"), pick("uuid", "__t_uuid").alias("uuid"),
+            pick("data", "__t_data").alias("data"),
+            pick("metadata", "__t_metadata").alias("metadata"),
+            pick("custom_metadata", "__t_custom").alias("custom_metadata"),
+            F.col("revision"), F.col("position"),
+            pick("event_type", "__t_type").alias("event_type"),
+            pick("content_type", "__t_ct").alias("content_type"),
+            pick("created", "__t_created").alias("created"),
+        )
+
     # -- read path --------------------------------------------------------
 
     def read(self, opts: ReadOptions) -> DataFrame:
@@ -351,12 +427,23 @@ class EventLog:
                     raise StreamNotFoundError(sid)
             elif self.head_revision(sid) is None:
                 raise StreamNotFoundError(sid)
-        return compile_read(df, opts)
+        out = compile_read(df, opts)
+        if opts.resolve_links:
+            from eventstorm_spark.log.plan import _bounds
+
+            out = self.resolve_links(out, self.df())
+            if opts.stream is not None:
+                field, kind, at = "revision", opts.stream.kind, opts.stream.revision
+            else:
+                field, kind, at = "position", opts.all.kind, opts.all.position
+            _, asc, _ = _bounds(kind, opts.direction, at, opts.count)
+            out = out.orderBy(F.col(field).asc() if asc else F.col(field).desc())
+        return out
 
     def read_stream(self, stream: str, *, direction: Direction = Direction.FORWARDS,
                     from_revision: Optional[int] = None,
                     boundary: Optional[BoundaryKind] = None,
-                    count: int = 0) -> DataFrame:
+                    count: int = 0, resolve_links: bool = False) -> DataFrame:
         # Convenience default: a backwards read with no explicit boundary
         # starts at END (the client-intuitive "read latest first"); START
         # + backwards is the degenerate first-event shortcut and must be
@@ -366,7 +453,7 @@ class EventLog:
         else:
             kind = boundary or BoundaryKind.AT
         opts = ReadOptions(
-            direction=direction, count=count,
+            direction=direction, count=count, resolve_links=resolve_links,
             stream=StreamOptions(stream, kind, from_revision or 0),
         )
         return self.read(opts)
@@ -375,13 +462,13 @@ class EventLog:
                  from_position: Optional[int] = None,
                  boundary: Optional[BoundaryKind] = None,
                  filter: Optional[SubscriptionFilter] = None,
-                 count: int = 0) -> DataFrame:
+                 count: int = 0, resolve_links: bool = False) -> DataFrame:
         if boundary is None and from_position is None:
             kind = BoundaryKind.START if direction == Direction.FORWARDS else BoundaryKind.END
         else:
             kind = boundary or BoundaryKind.AT
         opts = ReadOptions(
-            direction=direction, count=count,
+            direction=direction, count=count, resolve_links=resolve_links,
             all=AllOptions(kind, from_position or 0, filter),
         )
         return self.read(opts)

@@ -101,3 +101,38 @@ def test_recreated_stream_survives_scavenge_with_continuity(log):
     cold = EventLog(log.spark, log.path)
     res = cold.append("s", new_events(1, prefix="again"))
     assert res.last_revision == 7
+
+
+# -- link events (resolve_links — parsed but unimplemented in the
+#    reference; EventStoreDB `$>` semantics) ------------------------------
+
+def test_link_to_and_resolve(log):
+    log.append("src", new_events(3))
+    log.link_to("index", "src", 1)
+    log.link_to("index", "src", 2)
+    raw = log.read_stream("index").collect()
+    assert [r["event_type"] for r in raw] == ["$>", "$>"]
+    assert [r["data"] for r in raw] == ["1@src", "2@src"]
+
+    resolved = log.read_stream("index", resolve_links=True).collect()
+    # payload identity is the target's; coordinates stay the link's
+    assert [r["event_type"] for r in resolved] == ["event-type", "event-type"]
+    assert [r["data"] for r in resolved] == ['{"i": 1}', '{"i": 2}']
+    assert [r["uuid"] for r in resolved] == ["uuid-1", "uuid-2"]
+    assert [r["stream"] for r in resolved] == ["index", "index"]
+    assert [r["revision"] for r in resolved] == [0, 1]
+
+
+def test_dangling_link_passes_through(log):
+    log.append("src", new_events(1))
+    log.link_to("index", "src", 99)  # no such target revision
+    resolved = log.read_stream("index", resolve_links=True).collect()
+    assert [r["event_type"] for r in resolved] == ["$>"]
+    assert [r["data"] for r in resolved] == ["99@src"]
+
+
+def test_resolve_links_noop_without_links(log):
+    log.append("s", new_events(4))
+    plain = log.read_stream("s").collect()
+    resolved = log.read_stream("s", resolve_links=True).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in resolved]
