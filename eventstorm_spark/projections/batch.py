@@ -108,8 +108,14 @@ def _make_fold(spec: Projection, emit_all: bool):
 
 
 def _select(spec: Projection, events: DataFrame) -> DataFrame:
-    if spec.selector.streams is not None:
-        return events.where(F.col("stream").isin(list(spec.selector.streams)))
+    sel = spec.selector
+    if sel.streams is not None:
+        return events.where(F.col("stream").isin(list(sel.streams)))
+    if sel.category is not None:
+        # startswith pushes down to the parquet scan, unlike rlike
+        return events.where(F.col("stream").startswith(sel.category + "-"))
+    if sel.pattern is not None:
+        return events.where(F.col("stream").rlike(sel.pattern))
     return events
 
 

@@ -189,12 +189,26 @@ ChainFunc = Callable[[Any, ProjEvent], tuple]
 
 @dataclass(frozen=True)
 class Selector:
-    """fromStream/fromStreams/fromAll — projection.go:96-119."""
+    """fromStream/fromStreams/fromAll — projection.go:96-119 — plus the
+    EventStore selectors the reference only stubs (`fromStreamsMatching`
+    is a result type with no binding, projection.go:305-307, and
+    `fromCategory` is absent): a category selects streams named
+    ``<category>-...``, a pattern is an unanchored regex over stream ids."""
 
     streams: Optional[tuple] = None  # None => $all
+    category: Optional[str] = None
+    pattern: Optional[str] = None
 
     def matches(self, stream: str) -> bool:
-        return self.streams is None or stream in self.streams
+        import re
+
+        if self.streams is not None:
+            return stream in self.streams
+        if self.category is not None:
+            return stream.startswith(self.category + "-")
+        if self.pattern is not None:
+            return re.search(self.pattern, stream) is not None
+        return True
 
 
 class Projection:
@@ -229,6 +243,19 @@ class Projection:
 
     def from_streams(self, *streams: str) -> "Projection":
         self.selector = Selector(tuple(streams))
+        return self
+
+    def from_category(self, category: str) -> "Projection":
+        """EventStore ``fromCategory`` (absent in the reference): all
+        streams named ``<category>-...`` — the `$by_category` convention."""
+        self.selector = Selector(category=category)
+        return self
+
+    def from_streams_matching(self, pattern: str) -> "Projection":
+        """EventStore ``fromStreamsMatching`` (type stub only in the
+        reference, projection.go:305-307): unanchored regex over stream
+        ids, same dialect as the F4 read filter."""
+        self.selector = Selector(pattern=pattern)
         return self
 
     # -- partitioning (projection.go:263-290) -----------------------------

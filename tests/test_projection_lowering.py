@@ -91,3 +91,25 @@ def test_null_only_min_is_null_both_paths(spark):
         .when_agg({"missing_min": AggSpec.min_of("does_not_exist")})
         .transform_by(lambda s: s), events))
     assert lowered == general == {"test-stream": {"missing_min": None}}
+
+
+def test_category_selector_end_to_end(spark):
+    """from_category + when_agg: selector prunes the scan, fold lowers."""
+    import json as _json
+
+    from eventstorm_spark.model import EVENT_SCHEMA
+    from tests.fixtures import envelope_rows
+
+    rows = []
+    pos = 1
+    for s in ["user-1", "user-2", "acct-1"]:
+        rows.extend(envelope_rows(s, 5, first_position=pos))
+        pos += 5
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    spec = (
+        projection("cat").from_category("user").foreach_stream()
+        .when_agg({"n": AggSpec.count()})
+    )
+    states = {r["partition"]: _json.loads(r["state"])
+              for r in run_batch(spec, events).collect()}
+    assert states == {"user-1": {"n": 5}, "user-2": {"n": 5}}

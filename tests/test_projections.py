@@ -167,3 +167,22 @@ def test_registry_duplicate():
     reg.register(projection("p1").from_all())
     with pytest.raises(ProjectionExistsError):
         reg.register(projection("p1").from_all())
+
+
+def test_from_category_selector():
+    from eventstorm_spark.projections.dsl import projection
+
+    spec = projection("c").from_category("user")
+    assert spec.selector.matches("user-1")
+    assert spec.selector.matches("user-22")
+    assert not spec.selector.matches("users-1")
+    assert not spec.selector.matches("account-1")
+
+
+def test_from_streams_matching_selector():
+    from eventstorm_spark.projections.dsl import projection
+
+    spec = projection("m").from_streams_matching("^(user|order)-[0-9]$")
+    assert spec.selector.matches("user-1")
+    assert spec.selector.matches("order-9")
+    assert not spec.selector.matches("user-10")
