@@ -33,14 +33,27 @@ from eventstorm_spark.model import (
     ExpectedRevision,
     SubscriptionFilter,
 )
+from eventstorm_spark.errors import (
+    ConflictError,
+    EventStormError,
+    InvalidEventError,
+    StreamDeletedError,
+    StreamNotFoundError,
+    WrongExpectedRevisionError,
+)
 from eventstorm_spark.log.store import EventLog
 from eventstorm_spark.log.normalize import normalize_events
-from eventstorm_spark.projections.dsl import Projection, projection
+from eventstorm_spark.model import BoundaryKind, FilterKind, NewEvent
+from eventstorm_spark.projections.dsl import AggSpec, Projection, projection
+from eventstorm_spark.projections.registry import ProjectionRegistry
 
 __all__ = [
     "get_spark",
     "EVENT_SCHEMA",
     "Direction",
+    "BoundaryKind",
+    "FilterKind",
+    "NewEvent",
     "ReadOptions",
     "StreamOptions",
     "AllOptions",
@@ -48,8 +61,16 @@ __all__ = [
     "SubscriptionFilter",
     "EventLog",
     "normalize_events",
+    "AggSpec",
     "Projection",
     "projection",
+    "ProjectionRegistry",
+    "EventStormError",
+    "ConflictError",
+    "InvalidEventError",
+    "StreamDeletedError",
+    "StreamNotFoundError",
+    "WrongExpectedRevisionError",
 ]
 
 __version__ = "0.1.0"
