@@ -158,6 +158,19 @@ def q_read_all_backward(spark, sf_dir):
         all=AllOptions(BoundaryKind.AT, 300)))
 
 
+def q_read_all_first_event(spark, sf_dir):
+    """O4 $all analogue: start+backwards => globally first event
+    (backend.go:163-166)."""
+    return _read(spark, sf_dir, ReadOptions(
+        direction=Direction.BACKWARDS, all=AllOptions(BoundaryKind.START)))
+
+
+def q_read_all_last_event(spark, sf_dir):
+    """O4 $all analogue: end+forwards => globally last event
+    (backend.go:167-171)."""
+    return _read(spark, sf_dir, ReadOptions(all=AllOptions(BoundaryKind.END)))
+
+
 def q_filter_stream_prefix(spark, sf_dir):
     """F6: prefix-list filter on stream id over $all."""
     return _read(spark, sf_dir, ReadOptions(
@@ -256,6 +269,12 @@ _READ_ORACLES = {
     "read_all_backward": f"""{ORACLE_CTE}
         SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE position <= 300
         ORDER BY position DESC LIMIT 50""",
+    "read_all_first_event": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events
+        ORDER BY position ASC LIMIT 1""",
+    "read_all_last_event": f"""{ORACLE_CTE}
+        SELECT {_ENVELOPE_OUT_SQL} FROM es_events
+        ORDER BY position DESC LIMIT 1""",
     "filter_stream_prefix": f"""{ORACLE_CTE}
         SELECT {_ENVELOPE_OUT_SQL} FROM es_events WHERE starts_with(stream, 'user-1')
         ORDER BY position ASC""",
@@ -333,6 +352,21 @@ def q_proj_stats_by_type_lowered(spark, sf_dir):
     )
 
 
+def q_proj_category_counts(spark, sf_dir):
+    """P10'/F8: fromCategory selector (startswith pushdown) + lowered
+    count fold per stream of the category."""
+    from eventstorm_spark.projections.dsl import AggSpec
+    spec = (
+        projection("cat-counts").from_category("user").foreach_stream()
+        .when_agg({"n": AggSpec.count()})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.n").cast("long").alias("n"),
+    )
+
+
 def q_proj_filtered_emissions(spark, sf_dir):
     """P2+P6: filterBy suppresses emission while state advances; emission
     log of a count fold on one stream, only counts > 10 emitted."""
@@ -376,6 +410,10 @@ _PROJ_ORACLES = {
         SELECT event_type AS partition, count(*) AS count,
                sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
         FROM es_events GROUP BY event_type""",
+    "proj_category_counts": f"""{ORACLE_CTE}
+        SELECT stream AS partition, count(*) AS n
+        FROM es_events WHERE starts_with(stream, 'user-')
+        GROUP BY stream""",
     "proj_filtered_emissions": f"""{ORACLE_CTE}
         SELECT position, rn AS count FROM (
             SELECT position,
@@ -945,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_stream_last_event": q_read_stream_last_event,
         "read_all_from_position": q_read_all_from_position,
         "read_all_backward": q_read_all_backward,
+        "read_all_first_event": q_read_all_first_event,
+        "read_all_last_event": q_read_all_last_event,
         "filter_stream_prefix": q_filter_stream_prefix,
         "filter_type_regex": q_filter_type_regex,
         "head_revisions": q_head_revisions,
@@ -953,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "proj_category_counts": q_proj_category_counts,
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
         "tpch_q1": q_tpch_q1,
