@@ -66,3 +66,48 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None,
+                     trigger_ms: int = 200):
+    """Run a projection continuously against an EventLog, emitting every
+    state update into its result stream (S8 live — the wiring the
+    reference holds but never connects, SURVEY §3.3).
+
+    Each state change becomes a ``$projection-state`` event appended to
+    ``$projections-{name}-result`` through the ordinary single-writer
+    append path, so result streams are themselves subscribable and
+    CAS-protected like any other stream. Returns the StreamingQuery;
+    call ``processAllAvailable()`` for deterministic replay in tests.
+    """
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.model import EVENT_SCHEMA, NewEvent
+
+    src = log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+    # result-stream events must not feed back into the fold
+    src = src.where(F.col("stream") != spec.result_stream())
+    updates = run_streaming(spec, src)
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        events = [
+            NewEvent(
+                uuid=f"{spec.name}-{r['partition']}-{epoch_id}-{i}",
+                event_type="$projection-state",
+                data=r["state"],
+                metadata={"partition": r["partition"] or ""},
+            )
+            for i, r in enumerate(rows)
+        ]
+        if events:
+            log.append(spec.result_stream(), events)
+
+    writer = (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

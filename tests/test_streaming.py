@@ -178,3 +178,36 @@ def test_streaming_exact_dedup_suppresses_replayed_events(spark, log):
         assert uuids == sorted(f"u-{i}" for i in range(15))
     finally:
         q.stop()
+
+
+def test_continuous_projection_emits_result_stream(spark, log):
+    """S8 live: state updates append to $projections-{name}-result as
+    subscribable events through the normal single-writer path."""
+    from eventstorm_spark.projections.streaming import start_continuous
+
+    spec = (
+        projection("live-count").from_all().foreach_stream()
+        .when({"$init": lambda: {"n": 0},
+               "$any": lambda s, e: s.__setitem__("n", s["n"] + 1)})
+        .output_state()
+    )
+    log.append("a", _events(3))
+    q = start_continuous(spec, log)
+    try:
+        q.processAllAvailable()
+        res = log.read_stream(spec.result_stream()).collect()
+        assert len(res) >= 1
+        states = {json.loads(r["data"])["n"] for r in res}
+        assert 3 in states  # stream a reached n=3
+        assert all(r["event_type"] == "$projection-state" for r in res)
+
+        log.append("b", _events(2, start=10))
+        log.append("a", _events(1, start=20))
+        q.processAllAvailable()
+        res = log.read_stream(spec.result_stream()).collect()
+        latest = {}
+        for r in res:  # revision order => last per partition wins
+            latest[r["metadata"]["partition"]] = json.loads(r["data"])["n"]
+        assert latest["a"] == 4 and latest["b"] == 2
+    finally:
+        q.stop()
