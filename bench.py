@@ -36,6 +36,11 @@ HEADLINE = [
     "segment_order_stats",
     "events_daily_counts",
     "events_sessionization",
+    # §2.8 training-data-pipeline operators
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "token_counts",
 ]
 
 

@@ -79,7 +79,13 @@ class Subscription:
 
     _seq = 0
 
-    def __init__(self, sub_df: DataFrame, *, checkpoint_every: int = CHECKPOINT_EVERY):
+    def __init__(self, sub_df: DataFrame, *, checkpoint_every: int = CHECKPOINT_EVERY,
+                 checkpoint_dir: Optional[str] = None):
+        """``checkpoint_dir`` makes the subscription durable: the Spark
+        offset log persists the resume position, so a new Subscription on
+        the same dir continues after the last delivered file without
+        redelivery — the engine's form of the reference's
+        ``lastPositionOrRevision`` tracking (T3) surviving restarts."""
         Subscription._seq += 1
         self.id = f"sub-{Subscription._seq}"
         self.delivered = Delivered()
@@ -96,12 +102,14 @@ class Subscription:
                     self.delivered.checkpoints.append(r["position"])
                     self._count_since_checkpoint = 0
 
-        self._query = (
+        writer = (
             sub_df.writeStream.outputMode("append")
             .foreachBatch(on_batch)
             .trigger(processingTime="200 milliseconds")
-            .start()
         )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._query = writer.start()
         self.confirmed = True
 
     def process_available(self) -> None:

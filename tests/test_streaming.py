@@ -211,3 +211,25 @@ def test_continuous_projection_emits_result_stream(spark, log):
         assert latest["a"] == 4 and latest["b"] == 2
     finally:
         q.stop()
+
+
+def test_subscription_resumes_from_checkpoint(spark, log, tmp_path):
+    """T3 durable resume: a restarted subscription on the same checkpoint
+    dir continues after the last delivered offset — no redelivery."""
+    ckpt = str(tmp_path / "ckpt")
+    log.append("s", _events(10))
+    sub = Subscription(subscribe_all(spark, log.path), checkpoint_dir=ckpt)
+    try:
+        sub.process_available()
+        assert len(sub.delivered.events) == 10
+    finally:
+        sub.stop()
+
+    log.append("s", _events(5, start=10))
+    sub2 = Subscription(subscribe_all(spark, log.path), checkpoint_dir=ckpt)
+    try:
+        sub2.process_available()
+        # only the post-restart appends are delivered
+        assert sub2.revisions == list(range(10, 15))
+    finally:
+        sub2.stop()
