@@ -634,7 +634,56 @@ def q_events_rolling_avg(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (region -> nation -> total) — multi-level
+    grouping sets in one pass over the joined fact."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_promo_revenue_ratio(spark, sf_dir):
+    """Q14-shaped: conditional-aggregate ratio (share of revenue from
+    parts of one type prefix) — CASE inside sum over a broadcast join."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 _REL_ORACLES = {
+    "rollup_revenue": """
+        SELECT r_name, n_name,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""",
+    "promo_revenue_ratio": """
+        SELECT round(sum(CASE WHEN starts_with(p_type, 'PROMO')
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "tpch_q6": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n_rows
@@ -1003,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats": q_segment_order_stats,
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
+        "rollup_revenue": q_rollup_revenue,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
         "returnflag_priority": q_returnflag_priority,
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
