@@ -31,7 +31,6 @@ from typing import Optional
 from pyspark.sql import functions as F
 
 from eventstorm_spark.errors import EventStormError
-from eventstorm_spark.model import BoundaryKind, Direction
 
 ROUND_ROBIN = "RoundRobin"
 PINNED = "Pinned"  # pin by stream id hash
