@@ -398,6 +398,47 @@ def q_proj_transform(spark, sf_dir):
     )
 
 
+def q_proj_linkto_errors(spark, sf_dir):
+    """emit surface (linkTo): projection links every `error` event into
+    an `$errors` index stream as a `$>` event (`revision@stream` body) —
+    the system-index pattern EventStore builds with linkTo. Single
+    shuffle (the fold groupBy); output tagged by source position so the
+    result is deterministic under any partitioning."""
+    from eventstorm_spark.projections.batch import run_batch_emitted
+    from eventstorm_spark.projections.dsl import link_to as _link_to
+
+    def handler(st, e):
+        _link_to("$errors", e)
+
+    spec = (
+        projection("link-errors").from_all().foreach_stream().enable_emit()
+        .when({"error": handler, "$any": lambda st, e: None})
+    )
+    return run_batch_emitted(spec, es_events(spark, sf_dir)).select(
+        "stream", "event_type", "data", "source_position")
+
+
+def q_proj_emit_enriched(spark, sf_dir):
+    """emit surface (emit): for each `purchase` event the handler emits an
+    enriched copy (body keeps `k`, adds the source user) into a derived
+    stream — the transform-and-reroute pattern of EventStore's emit()."""
+    from eventstorm_spark.projections.batch import run_batch_emitted
+    from eventstorm_spark.projections.dsl import emit as _emit
+
+    def handler(st, e):
+        k = (e.body or {}).get("k")
+        if k is not None:
+            _emit("$purchases-enriched", "purchase-enriched",
+                  {"k": int(k), "user": e.streamId})
+
+    spec = (
+        projection("emit-enriched").from_all().foreach_stream().enable_emit()
+        .when({"purchase": handler, "$any": lambda st, e: None})
+    )
+    return run_batch_emitted(spec, es_events(spark, sf_dir)).select(
+        "stream", "event_type", "data", "source_position")
+
+
 _PROJ_ORACLES = {
     "proj_count_by_stream": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS count
@@ -423,6 +464,18 @@ _PROJ_ORACLES = {
     "proj_transform": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS count, count(*) * 2 AS double_count
         FROM es_events GROUP BY stream""",
+    "proj_linkto_errors": f"""{ORACLE_CTE}
+        SELECT '$errors' AS stream, '$>' AS event_type,
+               CAST(revision AS VARCHAR) || '@' || stream AS data,
+               position AS source_position
+        FROM es_events WHERE event_type = 'error'""",
+    "proj_emit_enriched": f"""{ORACLE_CTE}
+        SELECT '$purchases-enriched' AS stream,
+               'purchase-enriched' AS event_type,
+               '{{"k": ' || CAST(CAST(json_extract_string(data, '$.k') AS BIGINT) AS VARCHAR)
+                   || ', "user": "' || stream || '"}}' AS data,
+               position AS source_position
+        FROM es_events WHERE event_type = 'purchase'""",
 }
 
 
@@ -1045,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_category_counts": q_proj_category_counts,
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
+        "proj_linkto_errors": q_proj_linkto_errors,
+        "proj_emit_enriched": q_proj_emit_enriched,
         "tpch_q1": q_tpch_q1,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "nation_revenue": q_nation_revenue,

@@ -35,10 +35,19 @@ from pyspark.sql import functions as F
 from eventstorm_spark.projections.dsl import ProjEvent, Projection
 
 # Envelope columns the fold consumes — pruned before the shuffle.
-_FOLD_COLUMNS = ["stream", "event_type", "data", "metadata", "content_type", "position"]
+# `revision` rides along so handlers see event.sequenceNumber (linkTo needs
+# it); it is one long per row on top of an envelope that already carries
+# the payload, so the shuffle-width cost is negligible.
+_FOLD_COLUMNS = ["stream", "event_type", "data", "metadata", "content_type",
+                 "position", "revision"]
 
 FINAL_SCHEMA = "partition string, state string"
 EMIT_SCHEMA = "partition string, position long, state string"
+# Events produced by emit()/linkTo() during replay, tagged with the
+# position of the input event that produced them (deterministic order).
+EMITTED_SCHEMA = ("stream string, event_type string, data string, "
+                  "metadata map<string,string>, content_type string, "
+                  "source_position long")
 
 
 def _event_from_row(row: Any) -> ProjEvent:
@@ -49,6 +58,7 @@ def _event_from_row(row: Any) -> ProjEvent:
         data=row.data,
         metadata=meta,
         content_type=row.content_type,
+        revision=row.revision,
     )
 
 
@@ -69,7 +79,7 @@ def _keyed(spec: Projection, df: DataFrame) -> DataFrame:
         [
             "stream string", "event_type string", "data string",
             "metadata map<string,string>", "content_type string",
-            "position long", "__key string",
+            "position long", "revision long", "__key string",
         ]
     )
 
@@ -96,7 +106,9 @@ def _make_fold(spec: Projection, emit_all: bool):
         for row in pdf.itertuples(index=False):
             e = _event_from_row(row)
             e.partition = key if spec.is_partitioned else ""
-            state, forward = spec.run_chain(state, e)
+            # run_chain_collect so emit()/linkTo() stay legal in state-only
+            # replays (their output is materialized by run_batch_emitted)
+            state, forward, _ = spec.run_chain_collect(state, e)
             if emit_all and forward:
                 out_pos.append(int(row.position))
                 out_state.append(_dump_state(state))
@@ -174,6 +186,70 @@ def run_batch_emissions(spec: Projection, events: DataFrame) -> DataFrame:
     Columns: partition, position, state(JSON)."""
     keyed = _keyed(spec, _select(spec, events))
     return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=True), EMIT_SCHEMA)
+
+
+def run_batch_emitted(spec: Projection, events: DataFrame) -> DataFrame:
+    """Replay all events and return every event the handlers produced via
+    ``emit()`` / ``link_to()`` (EventStore's emit surface; absent from the
+    reference whose goja VM binds neither, projection.go:435-450).
+
+    Same single-shuffle plan as ``run_batch``: one groupBy on the
+    partition key, fold inside applyInPandas in position order; each
+    emitted event is tagged with the ``source_position`` of the input
+    event that produced it, so output order is deterministic and
+    replay-stable across any partitioning. Requires ``enable_emit()``.
+    """
+    if not spec.emit_enabled:
+        raise RuntimeError(
+            f"projection {spec.name!r} is not emit-enabled; call .enable_emit()")
+    keyed = _keyed(spec, _select(spec, events))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("position", kind="mergesort")
+        key = pdf["__key"].iloc[0] if len(pdf) else ""
+        state: Any = None
+        out: dict[str, list] = {c: [] for c in
+                                ("stream", "event_type", "data", "metadata",
+                                 "content_type", "source_position")}
+        for row in pdf.itertuples(index=False):
+            e = _event_from_row(row)
+            e.partition = key if spec.is_partitioned else ""
+            state, _forward, emitted = spec.run_chain_collect(state, e)
+            for em in emitted:
+                out["stream"].append(em.stream)
+                out["event_type"].append(em.event_type)
+                out["data"].append(em.data)
+                out["metadata"].append(em.metadata_dict())
+                out["content_type"].append(em.content_type)
+                out["source_position"].append(int(row.position))
+        return pd.DataFrame(out)
+
+    return keyed.groupBy("__key").applyInPandas(fold, EMITTED_SCHEMA)
+
+
+def write_emitted(spec: Projection, emitted: DataFrame, log) -> int:
+    """Append ``run_batch_emitted`` output to the event log, per target
+    stream in source-position order — the durable half of ``emit()``.
+    Returns the number of events appended. Emitted volume is projection
+    output (state-change scale, not corpus scale), so the driver collect
+    here is the same single-writer commit bottleneck every append shares
+    — at 100 TB you shard this by target stream across commits."""
+    from eventstorm_spark.model import NewEvent
+
+    rows = emitted.orderBy("source_position", "stream").collect()
+    by_stream: dict[str, list] = {}
+    for i, r in enumerate(rows):
+        ev = NewEvent(
+            uuid=f"{spec.name}-emit-{r['source_position']}-{i}",
+            event_type=r["event_type"],
+            data=r["data"],
+            metadata=dict(r["metadata"] or {}),
+            content_type=r["content_type"],
+        )
+        by_stream.setdefault(r["stream"], []).append(ev)
+    for stream, evs in by_stream.items():
+        log.append(stream, evs)
+    return len(rows)
 
 
 def write_result_stream(spec: Projection, emissions: DataFrame, log) -> None:

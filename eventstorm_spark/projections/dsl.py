@@ -38,6 +38,68 @@ from typing import Any, Callable, Optional, Sequence
 INIT_FUNC = "$init"
 ANY_HANDLER = "$any"
 
+# EventStoreDB's link-event type (`$>`; body `revision@stream`). Mirrors
+# log.store.LINK_EVENT — duplicated here so the DSL module has no Spark
+# imports and stays cloudpickle-light for executor shipping.
+LINK_EVENT = "$>"
+
+
+@dataclass(frozen=True)
+class EmittedEvent:
+    """One event produced by ``emit()``/``linkTo()`` inside a handler."""
+
+    stream: str
+    event_type: str
+    data: str
+    metadata: tuple  # sorted (k, v) pairs — hashable/picklable
+    content_type: str
+
+    def metadata_dict(self) -> dict:
+        return dict(self.metadata)
+
+
+# Collector stack for emit()/linkTo(). EventStore exposes emit/linkTo as
+# globals in the projection VM (absent from the reference — goja binds only
+# options/fromAll/fromStream/fromStreams/log, projection.go:435-450); the
+# Python analogue is module-level functions that append to the collector
+# the fold pushes around each handler invocation. Spark Python workers are
+# single-threaded per process, so a plain list-of-lists is safe; the stack
+# shape keeps nested driver-side folds (unit tests) correct.
+_EMIT_STACK: list = []
+
+
+def emit(stream_id: str, event_type: str, body: Any, metadata: Optional[dict] = None) -> None:
+    """EventStore's ``emit(streamId, eventType, eventBody, metadata)``:
+    append a new JSON event to an arbitrary stream from inside a handler.
+    Only legal in a projection that called ``enable_emit()`` (EventStore's
+    ``emitEnabled`` creation flag)."""
+    if not _EMIT_STACK:
+        raise RuntimeError(
+            "emit() called outside a handler of an emit-enabled projection; "
+            "call .enable_emit() on the projection spec")
+    data = body if isinstance(body, str) else json.dumps(body, sort_keys=True)
+    _EMIT_STACK[-1].append(EmittedEvent(
+        stream=stream_id, event_type=event_type, data=data,
+        metadata=tuple(sorted((metadata or {}).items())),
+        content_type="application/json"))
+
+
+def link_to(stream_id: str, event: "ProjEvent", metadata: Optional[dict] = None) -> None:
+    """EventStore's ``linkTo(streamId, event, metadata)``: append a ``$>``
+    link event whose body points at the handled event
+    (``revision@stream``, resolvable by ``EventLog.resolve_links``)."""
+    if not _EMIT_STACK:
+        raise RuntimeError(
+            "linkTo() called outside a handler of an emit-enabled projection; "
+            "call .enable_emit() on the projection spec")
+    if event.sequenceNumber < 0:
+        raise RuntimeError("linkTo() target has no revision (sequenceNumber < 0)")
+    _EMIT_STACK[-1].append(EmittedEvent(
+        stream=stream_id, event_type=LINK_EVENT,
+        data=f"{event.sequenceNumber}@{event.streamId}",
+        metadata=tuple(sorted((metadata or {}).items())),
+        content_type="application/octet-stream"))
+
 
 @dataclass(frozen=True)
 class AggSpec:
@@ -126,7 +188,9 @@ class ProjEvent:
     read the same as their JS counterparts (``event.body``,
     ``event.eventType``, ``event.partition`` ...). ``data`` and
     ``sequenceNumber`` are unfinished in the reference (nil / -1,
-    projection.go:71-74); we reproduce those defaults.
+    projection.go:71-74); ``data`` keeps that default, but
+    ``sequenceNumber`` carries the per-stream revision when the envelope
+    provides one (EventStoreDB's actual semantics — ``linkTo`` needs it).
 
     ``body`` is parsed lazily from ``bodyRaw`` on first access — folds
     that never read the JSON body (counters, routers) skip the per-event
@@ -172,11 +236,13 @@ class ProjEvent:
 
     @classmethod
     def from_envelope(cls, *, stream: str, event_type: str, data: Optional[str],
-                      metadata: Optional[dict], content_type: Optional[str]) -> "ProjEvent":
+                      metadata: Optional[dict], content_type: Optional[str],
+                      revision: Optional[int] = None) -> "ProjEvent":
         is_json = (content_type or (metadata or {}).get("content-type")) == "application/json"
         return cls(
             isJson=is_json,
             bodyRaw=data or "",
+            sequenceNumber=-1 if revision is None else int(revision),
             metadataRaw=metadata if isinstance(metadata, dict) else {},
             eventType=event_type or "",
             streamId=stream,
@@ -224,6 +290,7 @@ class Projection:
         self.partition_column: Optional[str] = None  # fast-path key expr (SQL string)
         self.chain: list[ChainFunc] = []
         self.output = False
+        self.emit_enabled = False
         # declarative when_agg spec — set => batch replay may lower the
         # fold to a native groupBy().agg() (map-side combine, no Python)
         self.lowered_aggs: Optional[dict[str, AggSpec]] = None
@@ -341,6 +408,14 @@ class Projection:
         self.output = True
         return self
 
+    def enable_emit(self) -> "Projection":
+        """EventStore's ``emitEnabled`` creation flag: permits handlers to
+        call ``emit()``/``link_to()``. Off by default — a handler calling
+        them without this flag raises, matching EventStoreDB's faulted-
+        projection behavior."""
+        self.emit_enabled = True
+        return self
+
     def output_to(self, stream: str) -> "Projection":
         """No-op in the reference (projection.go:334-335) — kept for parity."""
         return self
@@ -359,6 +434,20 @@ class Projection:
             if not forward:
                 return state, False
         return state, forward
+
+    def run_chain_collect(self, state: Any, e: ProjEvent) -> tuple:
+        """``run_chain`` plus the events the handlers emitted — the fold
+        loops use this so ``emit()``/``link_to()`` calls are captured per
+        input event (and stay illegal outside emit-enabled projections)."""
+        if not self.emit_enabled:
+            state, forward = self.run_chain(state, e)
+            return state, forward, []
+        _EMIT_STACK.append([])
+        try:
+            state, forward = self.run_chain(state, e)
+        finally:
+            emitted = _EMIT_STACK.pop()
+        return state, forward, emitted
 
     # Driver-side single-fold runtime for unit tests (Update,
     # projection.go:399-414). Distributed execution keeps state
@@ -380,6 +469,7 @@ class FoldState:
         self.spec = spec
         self.default_state: Any = None
         self.partitions: dict[str, Any] = {}
+        self.emitted: list[EmittedEvent] = []  # emit()/linkTo() output, in fold order
 
     def set_state(self, state: Any) -> None:
         self.default_state = state
@@ -397,7 +487,8 @@ class FoldState:
         else:
             partition, state = "", self.default_state
         e.partition = partition
-        new_state, forward = spec.run_chain(state, e)
+        new_state, forward, emitted = spec.run_chain_collect(state, e)
+        self.emitted.extend(emitted)
         if spec.is_partitioned:
             self.partitions[partition] = new_state
         else:

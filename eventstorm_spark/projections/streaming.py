@@ -53,7 +53,10 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 e = _event_from_row(row)
                 e.partition = key[0] if spec.is_partitioned else ""
-                st, _forward = spec.run_chain(st, e)
+                # emit()/linkTo() output is not delivered live: continuous
+                # mode folds state only; emitted events come from a
+                # run_batch_emitted replay (idempotent via source_position)
+                st, _forward, _emitted = spec.run_chain_collect(st, e)
                 touched = True
         if touched:
             state.update((json.dumps(st, sort_keys=True, default=str),))
