@@ -439,6 +439,63 @@ def q_proj_emit_enriched(spark, sf_dir):
         "stream", "event_type", "data", "source_position")
 
 
+def q_system_by_category(spark, sf_dir):
+    """System projection $by_category: every event linked into
+    `$ce-<category>` (category = stream prefix before the first '-'),
+    with dense per-link-stream revisions. Stateless scan + one slim
+    window shuffle — no fold needed."""
+    from eventstorm_spark.projections.system import by_category
+    return by_category(es_events(spark, sf_dir))
+
+
+def q_system_by_event_type(spark, sf_dir):
+    """System projection $by_event_type: links into `$et-<type>`."""
+    from eventstorm_spark.projections.system import by_event_type
+    return by_event_type(es_events(spark, sf_dir))
+
+
+def q_system_streams(spark, sf_dir):
+    """System projection $streams: the revision-0 event of every stream
+    linked into `$streams` — the dense 0-based revision makes 'first
+    event per stream' a pushdown-able predicate, not a groupBy-min."""
+    from eventstorm_spark.projections.system import streams_index
+    return streams_index(es_events(spark, sf_dir))
+
+
+_SYSTEM_ORACLES = {
+    "system_by_category": f"""{ORACLE_CTE}
+        SELECT '$ce-' || split_part(stream, '-', 1) AS stream,
+               '$>' AS event_type,
+               CAST(revision AS VARCHAR) || '@' || stream AS data,
+               CAST(row_number() OVER (
+                   PARTITION BY split_part(stream, '-', 1)
+                   ORDER BY position) - 1 AS BIGINT) AS link_revision,
+               position AS source_position
+        FROM es_events
+        WHERE strpos(stream, '-') > 0 AND NOT starts_with(stream, '$')""",
+    "system_by_event_type": f"""{ORACLE_CTE}
+        SELECT '$et-' || event_type AS stream,
+               '$>' AS event_type,
+               CAST(revision AS VARCHAR) || '@' || stream AS data,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY position) - 1 AS BIGINT)
+                   AS link_revision,
+               position AS source_position
+        FROM es_events
+        WHERE event_type IS NOT NULL AND NOT starts_with(event_type, '$')
+          AND NOT starts_with(stream, '$')""",
+    "system_streams": f"""{ORACLE_CTE}
+        SELECT '$streams' AS stream,
+               '$>' AS event_type,
+               CAST(revision AS VARCHAR) || '@' || stream AS data,
+               CAST(row_number() OVER (ORDER BY position) - 1 AS BIGINT)
+                   AS link_revision,
+               position AS source_position
+        FROM es_events
+        WHERE revision = 0 AND NOT starts_with(stream, '$')""",
+}
+
+
 _PROJ_ORACLES = {
     "proj_count_by_stream": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS count
@@ -1100,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_transform": q_proj_transform,
         "proj_linkto_errors": q_proj_linkto_errors,
         "proj_emit_enriched": q_proj_emit_enriched,
+        "system_by_category": q_system_by_category,
+        "system_by_event_type": q_system_by_event_type,
+        "system_streams": q_system_streams,
         "tpch_q1": q_tpch_q1,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "nation_revenue": q_nation_revenue,
@@ -1140,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_READ_ORACLES)
+    out.update(_SYSTEM_ORACLES)
     out.update(_PROJ_ORACLES)
     out.update(_REL_ORACLES)
     out.update(_EXT_ORACLES)

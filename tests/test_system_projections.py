@@ -1,0 +1,87 @@
+"""System projections ($by_category, $by_event_type, $streams,
+$stream_by_category) — EventStoreDB built-ins absent from the reference;
+stateless link-index materializations over the envelope."""
+
+from __future__ import annotations
+
+import json
+
+from eventstorm_spark.model import EVENT_SCHEMA
+from eventstorm_spark.projections.system import (
+    by_category,
+    by_event_type,
+    materialize,
+    stream_by_category,
+    streams_index,
+)
+
+from tests.fixtures import envelope_rows, multi_stream_100x1, typed_100
+
+
+def test_by_event_type_links(spark):
+    out = by_event_type(typed_100(spark)).collect()
+    assert len(out) == 100
+    by_stream = {r["stream"]: r for r in out}
+    assert set(by_stream) == {f"$et-type-{i}" for i in range(100)}
+    r = by_stream["$et-type-7"]
+    assert r["event_type"] == "$>"
+    assert r["data"] == "7@test-stream"
+    assert r["link_revision"] == 0
+
+
+def test_by_category_links(spark):
+    out = (by_category(multi_stream_100x1(spark))
+           .orderBy("link_revision").collect())
+    # all streams `stream-<i>` share category `stream`
+    assert len(out) == 100
+    assert {r["stream"] for r in out} == {"$ce-stream"}
+    assert [r["link_revision"] for r in out] == list(range(100))
+    # link order follows source position
+    assert out[0]["data"] == "0@stream-0"
+    assert out[99]["data"] == "0@stream-99"
+
+
+def test_streams_index_first_event_only(spark):
+    # 100 single-event streams -> 100 entries; a 100-event stream -> 1
+    assert streams_index(multi_stream_100x1(spark)).count() == 100
+    out = streams_index(typed_100(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["stream"] == "$streams"
+    assert out[0]["data"] == "0@test-stream"
+
+
+def test_stream_by_category_one_link_per_stream(spark):
+    out = stream_by_category(multi_stream_100x1(spark)).collect()
+    assert len(out) == 100
+    assert {r["stream"] for r in out} == {"$category-stream"}
+    assert all(r["data"].startswith("0@") for r in out)
+
+
+def test_system_streams_excluded(spark):
+    rows = envelope_rows("$projections-x-result", 5) + envelope_rows("acct-1", 5, first_position=6)
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    assert by_category(df).where("data LIKE '%$%'").count() == 0
+    assert streams_index(df).count() == 1
+    assert by_event_type(df).count() == 5
+
+
+def test_uncategorizable_streams_skipped(spark):
+    df = spark.createDataFrame(envelope_rows("nodash", 3), EVENT_SCHEMA)
+    assert by_category(df).count() == 0
+    assert stream_by_category(df).count() == 0
+    assert streams_index(df).count() == 1
+
+
+def test_materialize_appends_resolvable_links(spark, tmp_path):
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("order-1", new_events(3, prefix="a"))
+    log.append("order-2", new_events(2, prefix="b"))
+    n = materialize(log.df(), log, which=["$by_category", "$streams"])
+    assert n == 5 + 2
+    ce = log.read_stream("$ce-order").orderBy("revision").collect()
+    assert len(ce) == 5
+    resolved = EventLog.resolve_links(log.read_stream("$streams"), log.df()).collect()
+    assert sorted(json.loads(r["data"])["i"] for r in resolved) == [0, 0]
