@@ -599,6 +599,44 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_late_shipment_priority(spark, sf_dir):
+    """Q4-shaped: order-priority counts for one quarter, keeping only
+    orders with at least one lineitem shipped >90 days after the order
+    date — an EXISTS (left-semi) join with a non-equi correlation on top
+    of the equi key. The semi join shuffles only (orderkey, dates);
+    payload never crosses the wire."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-04-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01")))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """Q17-shaped: yearly revenue lost to small-quantity orders of one
+    brand/size — a correlated scalar subquery (per-part 0.2*avg(qty)
+    threshold) decorrelated into a pre-aggregated broadcast join, which
+    is exactly what Catalyst's subquery decorrelation would emit."""
+    parts = (load(spark, sf_dir, "part")
+             .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") == 5))
+             .select("p_partkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    li_p = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    thresh = (li_p.groupBy("p_partkey")
+              .agg((F.avg("l_quantity") * 0.2).alias("qty_thresh")))
+    return (li_p.join(F.broadcast(thresh), "p_partkey")
+            .where(F.col("l_quantity") < F.col("qty_thresh"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
 def q_top_parts_per_brand(spark, sf_dir):
     """Top-3 parts by revenue within each brand (window top-k)."""
     part = load(spark, sf_dir, "part")
@@ -877,6 +915,21 @@ _REL_ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name""",
+    "late_shipment_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority""",
+    "small_qty_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size = 5
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     "top_parts_per_brand": """
         SELECT p_brand, p_partkey, revenue, rank FROM (
             SELECT p_brand, p_partkey, revenue,
@@ -1163,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "nation_revenue": q_nation_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "small_qty_revenue": q_small_qty_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "segment_order_stats": q_segment_order_stats,
         "events_daily_counts": q_events_daily_counts,
