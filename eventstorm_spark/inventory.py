@@ -815,7 +815,197 @@ def q_promo_revenue_ratio(spark, sf_dir):
     )
 
 
+def q_cust_order_distribution(spark, sf_dir):
+    """Q13-shaped: customer order-count histogram over a LEFT OUTER join
+    with the filter inside the join condition — customers with zero
+    (non-urgent) orders must survive with c_count = 0. Two aggregations,
+    but the second groups ~50 distinct counts: its shuffle is trivial."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_top_supplier(spark, sf_dir):
+    """Q15-shaped: revenue view + MAX-over-view equality — the classic
+    "argmax via self-aggregation" plan. The 1-row max aggregate is
+    broadcast back; nothing but (suppkey, revenue) ever shuffles."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """Q16-shaped: COUNT(DISTINCT supplier) per (brand, size) with a
+    NOT-IN exclusion list (suppliers in arrears) — the exclusion is a
+    broadcast anti join, the distinct-agg shuffles (brand,size,suppkey)
+    triplets only."""
+    part = (load(spark, sf_dir, "part")
+            .where(F.col("p_brand") != "Brand#45")
+            .select("p_partkey", "p_brand", "p_size"))
+    bad = (load(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """Q18-shaped: HAVING over a per-order aggregate, then IN-join the
+    survivors back to orders⋈customer. The surviving key set is tiny
+    (p99 of sum(qty) is ~262) — broadcast it; the fact table is never
+    shuffled on the second pass."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .where(F.col("sum_qty") > 300))
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                F.round("o_totalprice", 2).alias("o_price"), "sum_qty")
+    )
+
+
+def q_disjunctive_brand_revenue(spark, sf_dir):
+    """Q19-shaped: disjunction of conjunctive (brand, size, quantity)
+    clauses across a join — Catalyst extracts the common l_quantity/p_size
+    bounds for scan-level pushdown and evaluates the OR in codegen."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_dormant_rich_customers(spark, sf_dir):
+    """Q22-shaped: scalar subquery (global avg positive balance,
+    broadcast as a 1-row cross join) + anti join against recent orders —
+    above-average-balance customers with no order since late 1998,
+    rolled up by nation."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    recent = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= F.lit("1998-09-01"))
+              .select("o_custkey"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) of event value per
+    type — `percentile()` is an exact sort-based aggregate; the approx
+    variant (`percentile_approx`) is the 100 TB drop-in with the same
+    plan shape."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
 _REL_ORACLES = {
+    "cust_order_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) t
+        GROUP BY c_count""",
+    "top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "supplier_part_counts": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size""",
+    "large_volume_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               round(o_totalprice, 2) AS o_price, sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
+    "disjunctive_brand_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""",
+    "dormant_rich_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-09-01')
+        GROUP BY c_nationkey""",
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
     "rollup_revenue": """
         SELECT r_name, n_name,
                round(sum(o_totalprice), 2) AS total_price,
@@ -1230,6 +1420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_streams": q_set_ops_streams,
         "events_sessionization": q_events_sessionization,
         "events_rolling_avg": q_events_rolling_avg,
+        "cust_order_distribution": q_cust_order_distribution,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "large_volume_orders": q_large_volume_orders,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "value_percentiles": q_value_percentiles,
         # §2.8 extensions
         "dedup_exact": q_dedup_exact,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
