@@ -461,3 +461,71 @@ def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "te
                 F.col("a.simhash").alias("simhash_a"), F.col("b.simhash").alias("simhash_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components) — pair -> cluster -> keep-one
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
+                       id_col: str = "doc_id", id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over duplicate-candidate pairs: the missing
+    step between pairwise near-dup detection and corpus-level dedup
+    (A~B, B~C must collapse to ONE cluster, though A~C never scored).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round, each node takes the min label over itself and
+    its neighbors; fixpoint = each component labeled by its min member.
+    Each round is exactly one shuffle of the (symmetrized) edge list
+    keyed by neighbor, and one groupBy(node) min — both map-side
+    combinable. ``localCheckpoint`` truncates lineage per round so the
+    plan doesn't stack across iterations. Rounds needed = graph
+    diameter; duplicate clusters are short-diameter by construction
+    (most are cliques from a shared LSH bucket), so this converges in
+    2-4 rounds in practice; ``max_iter`` caps pathological chains.
+
+    At 100 TB the edge list is candidate-pair-scale (tiny vs corpus) and
+    carries ids only; for adversarially long chains switch the body to
+    the large-star/small-star variant (same loop skeleton, provably
+    O(log n) rounds).
+
+    Returns ``(doc_id, cluster_id)`` — for every node of ``pairs``, or
+    for every row of ``docs`` when given (non-paired docs map to
+    themselves).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("comp")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.b == labels.node)
+               .select(sym.a.alias("node"), "comp"))
+        new = (labels.union(nbr)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("comp", "old"), "node")
+                   .where(F.col("comp") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+    if docs is None:
+        return out
+    return (docs.select(id_col)
+            .join(out, id_col, "left_outer")
+            .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+
+
+def drop_near_duplicates(docs: DataFrame, pairs: DataFrame, *,
+                         id_col: str = "doc_id", id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """Keep one representative per duplicate cluster: the min-id member
+    (== the cluster label, since labels are min-propagated ids). The
+    final filter is a broadcast-friendly semi join of the corpus against
+    the (cluster-count-sized) representative set."""
+    labels = duplicate_clusters(pairs, docs, id_col=id_col, id_a=id_a, id_b=id_b)
+    keep = labels.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -1160,6 +1160,18 @@ def q_dedup_exact(spark, sf_dir):
     return exact_groups(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus-level duplicate clusters: n-gram-Jaccard pairs (>=0.8)
+    closed under transitivity by iterative min-label propagation
+    (connected components); every document mapped to its cluster's
+    min-id label, singletons to themselves. Oracle = recursive-CTE
+    transitive closure over the same pair set."""
+    from eventstorm_spark.extensions.dedup import duplicate_clusters, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return duplicate_clusters(pairs, docs)
+
+
 def q_near_dup_ngram_jaccard(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
@@ -1272,6 +1284,28 @@ sh AS (
 """
 
 _EXT_ORACLES = {
+    "dedup_clusters": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s)
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
     "dedup_exact": """
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
@@ -1429,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         # §2.8 extensions
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (approx)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,

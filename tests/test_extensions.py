@@ -126,3 +126,47 @@ def test_embedding_lsh_precision_and_recall(emb):
     assert approx <= exact
     # banded sign-LSH (r=3, b=8) at cosine>=0.4 => high (not total) recall
     assert len(approx) >= 0.6 * len(exact)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components,
+    # labeled by their min member — A~C collapses though never scored.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_singletons_from_docs(spark):
+    pairs = spark.createDataFrame([(2, 1)], ["id_a", "id_b"])
+    docs = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 12-node path is the worst case for min propagation (diameter
+    # rounds); must still reach the fixpoint within max_iter.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = dedup.duplicate_clusters(pairs).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_drop_near_duplicates_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in [1, 2, 3, 4, 10, 11, 20]],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in
+                  dedup.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 10, 20]
