@@ -99,3 +99,36 @@ def fingerprints(docs: DataFrame, *, n: int = 3, text_col: str = "text",
         F.col(id_col),
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
     )
+
+
+def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document over the whole corpus.
+
+    Corpus-level text statistics in three codegen stages: explode
+    lowercase alpha-numeric terms -> per-(doc, term) counts (one shuffle,
+    map-side combinable) -> document frequency per term (second shuffle
+    over the much smaller distinct (doc, term) set) -> idf = ln(N/df)
+    joined back and a per-doc top-k window. N is a 1-row broadcast
+    aggregate, and the df table is vocabulary-sized — broadcast at any
+    corpus scale where the vocabulary fits (hash it into buckets when it
+    doesn't). Ties break on the rounded score then term text so ranking
+    is reproducible across partitionings (and vs the SQL oracle).
+    """
+    from pyspark.sql import Window
+    terms = (docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term")))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tf_idf",
+                          F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("tf_idf").desc(), F.col("term")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "tf_idf", "rank"))

@@ -1229,6 +1229,11 @@ def q_knn_within_label(spark, sf_dir):
     return pairwise_topk_per_label(load(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_tf_idf_top_terms(spark, sf_dir):
+    from eventstorm_spark.extensions.text import tf_idf_top_terms
+    return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_quality(spark, sf_dir):
     from eventstorm_spark.extensions.text import quality_features
     return quality_features(load(spark, sf_dir, "documents"))
@@ -1348,6 +1353,22 @@ _EXT_ORACLES = {
                                  a.vec_id, b.vec_id) AS INT) AS rank
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id) t
+        WHERE rank <= 3""",
+    "tf_idf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(n_docs * 1.0 / df), 6) AS tf_idf
+            FROM tf JOIN df USING (term), n)
+        SELECT doc_id, term, tf, df, tf_idf, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf_idf DESC, term) AS INT) AS rank
+            FROM scored) t
         WHERE rank <= 3""",
     "doc_quality": r"""
         SELECT doc_id,
@@ -1473,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (approx)
         "knn_within_label": q_knn_within_label,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
