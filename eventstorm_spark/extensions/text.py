@@ -88,17 +88,16 @@ def lang_scores(docs: DataFrame, *, text_col: str = "text",
 def fingerprints(docs: DataFrame, *, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: lexicographic-min md5 hex over word n-gram
-    shingles (winnowing's min-selection, one window over the whole doc).
-    Hex-string min is engine-portable, so the oracle can verify exactly."""
-    toks = tokens(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return docs.select(
-        F.col(id_col),
-        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
-    )
+    shingles (winnowing's min-selection). Hex-string min is
+    engine-portable, so the oracle can verify exactly. Runs on the
+    codegen'd exploded-shingle path (``dedup.shingle_rows``) — a min()
+    aggregate with map-side combine, no per-element higher-order
+    functions."""
+    from eventstorm_spark.extensions.dedup import shingle_rows
+
+    rows = shingle_rows(docs, n, text_col, id_col)
+    return (rows.groupBy(F.col("id").alias(id_col))
+            .agg(F.min(F.md5("shingle")).alias("fingerprint")))
 
 
 def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
