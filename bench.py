@@ -36,11 +36,16 @@ HEADLINE = [
     "segment_order_stats",
     "events_daily_counts",
     "events_sessionization",
+    # relational widening (outer join histogram, exact percentiles)
+    "cust_order_distribution",
+    "value_percentiles",
     # §2.8 training-data-pipeline operators
     "dedup_exact",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "token_counts",
+    "tf_idf_top_terms",
 ]
 
 

@@ -115,6 +115,15 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     is reproducible across partitionings (and vs the SQL oracle).
     """
     from pyspark.sql import Window
+
+    # Fan out before the per-row regex when the source arrives in fewer
+    # partitions than cores (the driver testdata is one parquet file —
+    # without this the tokenize stage serializes into one task). At
+    # cluster scale the scan already yields maxPartitionBytes-sized
+    # splits and this branch is a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
     terms = (docs.select(
         F.col(id_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
