@@ -76,3 +76,40 @@ def test_native_agg_has_partial_aggregation(q):
     """head_revisions must map-side combine before the shuffle."""
     plan = q("head_revisions")
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_new_relational_joins_broadcast(q):
+    # Q15/Q16/Q18 shapes: the derived key sets (max-revenue row, arrears
+    # suppliers, big-order keys) must build broadcast hash joins — the
+    # fact side never shuffles for them.
+    for name in ["top_supplier", "supplier_part_counts", "large_volume_orders"]:
+        assert "BroadcastHashJoin" in q(name), name
+
+
+def test_disjunctive_predicate_stays_jvm(q):
+    # Q19 shape: the OR-of-conjuncts is evaluated in codegen after a
+    # broadcast join; no Python/BatchEvalPython stage anywhere.
+    plan = q("disjunctive_brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_percentiles_have_partial_aggregation(q):
+    # percentile() is a TypedImperativeAggregate: buffers merge, so the
+    # shuffle carries one buffer per (task, event_type), not raw rows.
+    plan = q("value_percentiles")
+    assert "partial_percentile" in plan
+
+
+def test_shingle_path_has_no_interpreted_hofs(q):
+    # the near-dup candidate path must stay in codegen: no lambda
+    # (higher-order-function) expressions and no Python stages.
+    plan = q("near_dup_ngram_jaccard")
+    assert "lambdafunction" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_tf_idf_vocab_broadcasts(q):
+    plan = q("tf_idf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
