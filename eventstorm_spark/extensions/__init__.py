@@ -11,6 +11,6 @@ shuffle-conscious: LSH banding turns O(n²) candidate generation into a
 bucket-join; verification only touches candidate pairs.
 """
 
-from eventstorm_spark.extensions import dedup, multimodal, similarity, text
+from eventstorm_spark.extensions import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline"]

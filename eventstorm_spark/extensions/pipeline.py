@@ -1,0 +1,79 @@
+"""Corpus-pipeline operators: deterministic splits and decontamination.
+
+The two bookkeeping operations every training-data pipeline needs around
+dedup/filtering: assigning each document to a train/val/test split
+*reproducibly* (same corpus + same salt => same split, regardless of
+partitioning, cluster size, or row order), and checking that no test
+document leaks into train via shared n-grams (decontamination).
+
+Both are pure JVM column expressions + joins — no UDFs, no shuffles
+beyond the ones the semantics require.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventstorm_spark.extensions.dedup import shingle_rows
+
+_U32 = float(1 << 32)
+
+
+def _unit_hash(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) per id: first 8 hex chars of
+    md5(id ':' salt) as a 32-bit integer, scaled. Engine-portable (md5
+    hex is standard everywhere, unlike xxhash64 seeds), so the oracle
+    reproduces it bit-for-bit; salt-stable so a pipeline re-run assigns
+    identical splits."""
+    h = F.substring(F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(h, 16, 10).cast("double") / F.lit(_U32)
+
+
+def assign_splits(docs: DataFrame, *,
+                  weights: Mapping[str, float] | None = None,
+                  salt: str = "v1", id_col: str = "doc_id") -> DataFrame:
+    """Add a ``split`` column by hash-bucketing each id into the weighted
+    cumulative ranges. Embarrassingly parallel (a projection — zero
+    shuffles, survives any repartitioning), and deterministic under the
+    salt: growing the corpus never reassigns an existing id, which is
+    what makes incremental pipeline re-runs safe."""
+    weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+    total = sum(weights.values())
+    u = _unit_hash(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def split_contamination(train: DataFrame, test: DataFrame, *, n: int = 5,
+                        min_common: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(train_id, test_id, n_common) for every train/test pair sharing
+    >= ``min_common`` word n-gram shingles — the decontamination report.
+
+    The join key is the shingle and the *test* side is broadcast: test
+    sets are small by construction, so the 100 TB train corpus streams
+    through a map-side hash join — no shuffle of train ever happens, and
+    the only exchange is the final candidate-pair-sized groupBy. Raise
+    ``n`` to sharpen precision (8-grams are the common contamination
+    standard); raise ``min_common`` to ignore idiomatic collisions."""
+    tr = (shingle_rows(train, n, text_col, id_col)
+          .select(F.col("id").alias("train_id"), "shingle"))
+    te = (shingle_rows(test, n, text_col, id_col)
+          .select(F.col("id").alias("test_id"), "shingle"))
+    return (
+        tr.join(F.broadcast(te), "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -1229,6 +1229,26 @@ def q_knn_within_label(spark, sf_dir):
     return pairwise_topk_per_label(load(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: md5-bucket each doc_id
+    with a salt into weighted cumulative ranges. Pure projection — zero
+    shuffles; bit-identical under any partitioning and across engines."""
+    from eventstorm_spark.extensions.pipeline import assign_splits
+    return (assign_splits(load(spark, sf_dir, "documents"))
+            .select("doc_id", "split"))
+
+
+def q_split_contamination(spark, sf_dir):
+    """Decontamination report: train/test doc pairs sharing >=1 5-gram
+    shingle, with the (small) test side broadcast so the train corpus
+    never shuffles."""
+    from eventstorm_spark.extensions.pipeline import assign_splits, split_contamination
+    labeled = assign_splits(load(spark, sf_dir, "documents"))
+    train = labeled.where(F.col("split") == "train")
+    test = labeled.where(F.col("split") == "test")
+    return split_contamination(train, test, n=5)
+
+
 def q_tf_idf_top_terms(spark, sf_dir):
     from eventstorm_spark.extensions.text import tf_idf_top_terms
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
@@ -1354,6 +1374,36 @@ _EXT_ORACLES = {
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id) t
         WHERE rank <= 3""",
+    "split_assign": """
+        SELECT doc_id,
+               CASE WHEN u < 0.98 THEN 'train'
+                    WHEN u < 0.99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                          ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+              FROM documents) t""",
+    "split_contamination": r"""
+        WITH lab AS (
+            SELECT doc_id, text,
+                   CASE WHEN u < 0.98 THEN 'train'
+                        WHEN u < 0.99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, text,
+                         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                              ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+                  FROM documents) t),
+        toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
+                 FROM lab WHERE split IN ('train', 'test')),
+        sh AS (SELECT doc_id, split, list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 4, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS shingles
+               FROM toks),
+        ex AS (SELECT doc_id, split, unnest(shingles) AS shingle FROM sh)
+        SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+        WHERE a.split = 'train' AND b.split = 'test'
+        GROUP BY 1, 2""",
     "tf_idf_top_terms": """
         WITH terms AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1494,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (approx)
         "knn_within_label": q_knn_within_label,
+        "split_assign": q_split_assign,
+        "split_contamination": q_split_contamination,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,

@@ -170,3 +170,43 @@ def test_drop_near_duplicates_keeps_min_per_cluster(spark):
     kept = sorted(r.doc_id for r in
                   dedup.drop_near_duplicates(docs, pairs).collect())
     assert kept == [1, 10, 20]
+
+
+# ---------------------------------------------------------------------------
+# pipeline: deterministic splits + decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_deterministic_and_covering(docs):
+    from eventstorm_spark.extensions.pipeline import assign_splits
+    a = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in assign_splits(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert frac_train > 0.9  # ~0.98 by weight
+
+
+def test_assign_splits_salt_changes_assignment(docs):
+    from eventstorm_spark.extensions.pipeline import assign_splits
+    a = {r.doc_id: r.split for r in assign_splits(docs, salt="v1").collect()}
+    b = {r.doc_id: r.split for r in assign_splits(docs, salt="v2").collect()}
+    assert a != b
+
+
+def test_split_contamination_finds_planted_leak(spark):
+    from eventstorm_spark.extensions.pipeline import split_contamination
+    leak = "alpha beta gamma delta epsilon zeta eta"
+    train = spark.createDataFrame(
+        [(1, f"prefix words {leak} suffix words"),
+         (2, "totally unrelated text with different tokens entirely")],
+        ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(100, f"other intro {leak} other outro"),
+         (101, "clean test document nothing shared here")],
+        ["doc_id", "text"])
+    got = split_contamination(train, test, n=5).collect()
+    assert [(r.train_id, r.test_id) for r in got] == [(1, 100)]
+    # 7-token leak -> 3 shared 5-gram shingles
+    assert got[0].n_common == 3
