@@ -140,3 +140,42 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(id_col, "term", "tf", "df", "tf_idf", "rank"))
+
+
+def repetition_features(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio, most-frequent-token share, and duplicate-bigram fraction —
+    the features repetition-based quality filters threshold on.
+
+    Two codegen aggregation trees over exploded tokens (per-(doc, token)
+    counts -> per-doc rollup, both map-side combinable) plus the distinct
+    bigram count from ``dedup.shingle_rows`` — no per-element
+    higher-order functions anywhere, so the whole thing pipelines on a
+    corpus scan."""
+    from eventstorm_spark.extensions.dedup import shingle_rows
+
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    f1 = per_tok.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_freq"),
+    )
+    bigrams = (shingle_rows(docs, 2, text_col, id_col)
+               .groupBy("id").agg(F.count(F.lit(1)).alias("n_bigrams")))
+    return (
+        f1.join(bigrams, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens", "n_distinct_tokens",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6)
+            .alias("distinct_token_ratio"),
+            F.round(F.col("top_freq") / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            F.round(1.0 - F.col("n_bigrams")
+                    / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6)
+            .alias("dup_bigram_frac"),
+        )
+    )

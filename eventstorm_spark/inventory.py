@@ -1254,6 +1254,11 @@ def q_tf_idf_top_terms(spark, sf_dir):
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_repetition_features(spark, sf_dir):
+    from eventstorm_spark.extensions.text import repetition_features
+    return repetition_features(load(spark, sf_dir, "documents"))
+
+
 def q_doc_quality(spark, sf_dir):
     from eventstorm_spark.extensions.text import quality_features
     return quality_features(load(spark, sf_dir, "documents"))
@@ -1420,6 +1425,24 @@ _EXT_ORACLES = {
                            ORDER BY tf_idf DESC, term) AS INT) AS rank
             FROM scored) t
         WHERE rank <= 3""",
+    "repetition_features": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        f1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      count(*) AS n_distinct_tokens, max(c) AS top_freq
+               FROM tc GROUP BY 1),
+        lt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        bg AS (SELECT doc_id, len(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1])))) AS n_bigrams
+               FROM lt)
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               round(n_distinct_tokens * 1.0 / n_tokens, 6) AS distinct_token_ratio,
+               round(top_freq * 1.0 / n_tokens, 6) AS top_token_frac,
+               round(1.0 - n_bigrams * 1.0 / greatest(n_tokens - 1, 1), 6) AS dup_bigram_frac
+        FROM f1 JOIN bg USING (doc_id)""",
     "doc_quality": r"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -1547,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
         "tf_idf_top_terms": q_tf_idf_top_terms,
+        "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
