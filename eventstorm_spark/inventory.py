@@ -1155,6 +1155,23 @@ _REL_ORACLES = {
 # which ARE oracle-checked here.
 # ---------------------------------------------------------------------------
 
+def q_approx_event_stats(spark, sf_dir):
+    """Sketch aggregates — the statistics path that actually runs at
+    100 TB: HyperLogLog++ distinct users (rsd 1%) and approximate
+    median value per event type. Both sketches are mergeable, so the
+    plan is a partial-aggregate tree: the shuffle carries one sketch per
+    (task, type), never raw rows. Approximate by design -> rows-only
+    driver check; accuracy is pinned against the exact twins in
+    tests/test_extensions.py."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+             F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import exact_groups
     return exact_groups(load(spark, sf_dir, "documents"))
@@ -1556,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_rich_customers": q_dormant_rich_customers,
         "value_percentiles": q_value_percentiles,
         # §2.8 extensions
+        "approx_event_stats": q_approx_event_stats,  # rows-only (sketches)
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,

@@ -210,3 +210,20 @@ def test_split_contamination_finds_planted_leak(spark):
     assert [(r.train_id, r.test_id) for r in got] == [(1, 100)]
     # 7-token leak -> 3 shared 5-gram shingles
     assert got[0].n_common == 3
+
+
+def test_approx_event_stats_accuracy(spark):
+    from eventstorm_spark.inventory import load, q_approx_event_stats
+    from tests.conftest import SF_DIR
+    ev = load(spark, SF_DIR, "events")
+    exact = {r.event_type: (r.users, r.p50) for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("users"),
+                  F.expr("percentile(value, 0.5)").alias("p50")).collect()}
+    approx = {r.event_type: (r.approx_users, r.p50_approx) for r in
+              q_approx_event_stats(spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for et, (users, p50) in exact.items():
+        au, ap = approx[et]
+        assert abs(au - users) <= max(2, 0.05 * users)   # HLL rsd 1%
+        assert abs(ap - p50) <= max(0.05 * abs(p50), 0.5)
