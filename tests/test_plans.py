@@ -113,3 +113,46 @@ def test_tf_idf_vocab_broadcasts(q):
     plan = q("tf_idf_top_terms")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# Shuffle-budget regression: ceilings per headline query (SCALE.md §9).
+# A new Exchange in any of these plans is a scale regression even if
+# values stay correct. Counts are ShuffleExchange only (broadcast
+# exchanges are the cheap path and excluded on purpose).
+_SHUFFLE_BUDGET = {
+    "read_all_from_position": 1,   # global position order -> one range exchange
+    "filter_type_regex": 1,        # ordered filtered read, same
+    "head_revisions": 1,
+    "proj_stats_by_type": 1,       # fold key exchange only
+    "proj_stats_by_type_lowered": 1,
+    "proj_count_by_stream": 1,
+    "tpch_q1": 1,
+    "tpch_q6": 1,                  # 32-row single-partition final agg
+    "top_orders_by_revenue": 1,    # fact-fact join; dims broadcast
+    "nation_revenue": 2,
+    "top_parts_per_brand": 2,
+    "segment_order_stats": 2,
+    "events_daily_counts": 1,
+    "events_sessionization": 1,    # both windows reuse one exchange
+    "cust_order_distribution": 2,
+    "value_percentiles": 1,
+    "dedup_exact": 1,
+    "dedup_embedding_cosine": 2,
+    "ann_cosine_topk": 0,
+    "token_counts": 0,
+    "split_assign": 0,             # pure projection
+    "split_contamination": 2,
+    "tf_idf_top_terms": 5,
+    "repetition_features": 3,
+}
+
+
+def test_shuffle_budget(q):
+    import re
+    over = {}
+    for name, budget in _SHUFFLE_BUDGET.items():
+        plan = q(name)
+        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
