@@ -77,3 +77,21 @@ def split_contamination(train: DataFrame, test: DataFrame, *, n: int = 5,
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def stratified_sample(docs: DataFrame, rates: Mapping[str, float], *,
+                      default_rate: float = 1.0, salt: str = "sample-v1",
+                      strata_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixture
+    operator: keep each document iff its salted unit hash falls under
+    its stratum's rate. Zero shuffles (a projection + filter), exactly
+    reproducible across runs/partitionings/engines, and — unlike
+    ``DataFrame.sample`` — stable under corpus growth: a doc's keep
+    decision never changes when other docs arrive, so mixtures can be
+    re-materialized incrementally."""
+    u = _unit_hash(F.col(id_col), salt)
+    rate: Column = F.lit(float(default_rate))
+    for name, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == name, float(r)).otherwise(rate)
+    return docs.where(u < rate)

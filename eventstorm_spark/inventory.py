@@ -1266,6 +1266,18 @@ def q_split_contamination(spark, sf_dir):
     return split_contamination(train, test, n=5)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mixture sampling: keep 50% of src0..src4, 10% of src5,
+    100% of the rest — decided per doc by salted hash, so the sample is
+    exact, reproducible, and growth-stable. Returns per-source kept
+    counts."""
+    from eventstorm_spark.extensions.pipeline import stratified_sample
+    rates = {f"src{i}": 0.5 for i in range(5)}
+    rates["src5"] = 0.1
+    kept = stratified_sample(load(spark, sf_dir, "documents"), rates)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_tf_idf_top_terms(spark, sf_dir):
     from eventstorm_spark.extensions.text import tf_idf_top_terms
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
@@ -1426,6 +1438,18 @@ _EXT_ORACLES = {
         FROM ex a JOIN ex b ON a.shingle = b.shingle
         WHERE a.split = 'train' AND b.split = 'test'
         GROUP BY 1, 2""",
+    "stratified_sample": """
+        WITH u AS (
+            SELECT source,
+                   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                        ':', 'sample-v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+            FROM documents)
+        SELECT source, count(*) AS n_kept
+        FROM u
+        WHERE u < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.5
+                       WHEN source = 'src5' THEN 0.1
+                       ELSE 1.0 END
+        GROUP BY source""",
     "tf_idf_top_terms": """
         WITH terms AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1585,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (approx)
         "knn_within_label": q_knn_within_label,
+        "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
         "tf_idf_top_terms": q_tf_idf_top_terms,

@@ -227,3 +227,15 @@ def test_approx_event_stats_accuracy(spark):
         au, ap = approx[et]
         assert abs(au - users) <= max(2, 0.05 * users)   # HLL rsd 1%
         assert abs(ap - p50) <= max(0.05 * abs(p50), 0.5)
+
+
+def test_stratified_sample_deterministic_and_growth_stable(docs):
+    from eventstorm_spark.extensions.pipeline import stratified_sample
+    rates = {"src0": 0.3}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(5), rates).collect()}
+    assert a == b
+    # growth-stable: sampling a subset makes the same per-doc decisions
+    half = docs.limit(200)
+    c = {r.doc_id for r in stratified_sample(half, rates).collect()}
+    assert c == a & {r.doc_id for r in half.collect()}
