@@ -233,3 +233,34 @@ def test_subscription_resumes_from_checkpoint(spark, log, tmp_path):
         assert sub2.revisions == list(range(10, 15))
     finally:
         sub2.stop()
+
+
+# T8 — event-time tumbling-window aggregation with a watermark: the
+# streaming plan (readStream -> withWatermark -> window groupBy) must
+# produce exactly the batch result over the same data. Watermark state
+# is bounded by the horizon, not the corpus (SCALE.md §5).
+def test_streaming_windowed_agg_matches_batch(spark):
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_DIR
+    from eventstorm_spark.inventory import load
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(SF_DIR))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (sdf.withColumn("ts", ts).withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window.start, r.event_type): r.n
+           for r in spark.sql("SELECT * FROM win_agg").collect()}
+
+    ev = load(spark, SF_DIR, "events")
+    want = {(r.window.start, r.event_type): r.n
+            for r in ev.groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) > 0
