@@ -109,9 +109,15 @@ def created_now_ticks() -> Column:
 
 
 def ticks_to_timestamp(ticks: ColumnOrName) -> Column:
-    """100-ns ticks → TIMESTAMP (microsecond precision, floor division)."""
+    """100-ns ticks → TIMESTAMP (microsecond precision, floor division).
+
+    Integer-exact: ticks beyond 2^53 (any realistic UnixNano/100 value)
+    are not double-representable, so the division goes through decimal,
+    never float — `floor(ticks/10.0)` would drift by ±1 µs once the
+    tick count stops being a multiple of 10."""
     c = _col(ticks)
-    return F.timestamp_micros(F.floor(c / F.lit(10)).cast("long"))
+    micros = F.floor(c.cast("decimal(30, 0)") / F.lit(10)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def timestamp_to_ticks(ts: ColumnOrName) -> Column:
