@@ -933,6 +933,58 @@ def q_dormant_rich_customers(spark, sf_dir):
     )
 
 
+def q_nation_trade_flows(spark, sf_dir):
+    """Q7-shaped: revenue between (supplier nation, customer nation)
+    pairs per year — two independent dimension paths hang off one fact
+    row (lineitem -> supplier -> nation; lineitem -> orders -> customer
+    -> nation). Both dimension chains broadcast; the only shuffles are
+    the lineitem⋈orders equi join and the final rollup."""
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp_n = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust_n = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        # decimal-exact sum: this rollup has enough addends per group that
+        # double summation order can flip the 2nd decimal; fixing the
+        # per-row product at 6 dp makes the sum order-independent
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                           .cast("decimal(18, 6)")), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
+def q_top_returning_customers(spark, sf_dir):
+    """Q10-shaped: top-20 customers by returned-lineitem revenue with
+    nation detail — join + agg + global top-k (TakeOrderedAndProject,
+    never a full sort)."""
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (median / p90) of event value per
     type — `percentile()` is an exact sort-based aggregate; the approx
@@ -1000,6 +1052,29 @@ _REL_ORACLES = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1998-09-01')
         GROUP BY c_nationkey""",
+    "nation_trade_flows": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3""",
+    "top_returning_customers": """
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "value_percentiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1595,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "dormant_rich_customers": q_dormant_rich_customers,
+        "nation_trade_flows": q_nation_trade_flows,
+        "top_returning_customers": q_top_returning_customers,
         "value_percentiles": q_value_percentiles,
         # §2.8 extensions
         "approx_event_stats": q_approx_event_stats,  # rows-only (sketches)
