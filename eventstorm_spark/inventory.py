@@ -80,7 +80,15 @@ def es_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                              "..", ".cache", "es_events")
-        path = _os.path.abspath(_os.path.join(base, _os.path.basename(key)))
+        # Fingerprint the source into the cache path so a regenerated
+        # events.parquet (new driver round) can never serve stale rows.
+        try:
+            st = _os.stat(_os.path.join(key, "events.parquet"))
+            fp = f"{int(st.st_mtime)}-{st.st_size}"
+        except OSError:
+            fp = "nofp"
+        path = _os.path.abspath(_os.path.join(
+            base, f"{_os.path.basename(key)}-{fp}"))
         try:
             if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
                 (
