@@ -10,6 +10,7 @@ from eventstorm_spark.projections.dsl import (
 from eventstorm_spark.projections.batch import (
     run_batch,
     run_batch_emissions,
+    run_batch_incremental,
     run_batch_emitted,
     write_emitted,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "projection",
     "run_batch",
     "run_batch_emissions",
+    "run_batch_incremental",
     "run_batch_emitted",
     "write_emitted",
     "ProjectionRegistry",

@@ -94,6 +94,11 @@ def _keyed(spec: Projection, df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(add_key, schema=out_schema)
 
 
+# Marker event type for incremental-replay state seed rows; never a real
+# event type (real positions are >= 0, seeds use -1).
+_STATE_SEED = "$state-seed"
+
+
 def _make_fold(spec: Projection, emit_all: bool):
     """Build the per-group fold closure (cloudpickle ships it whole)."""
 
@@ -104,6 +109,11 @@ def _make_fold(spec: Projection, emit_all: bool):
         out_pos: list[int] = []
         out_state: list[str] = []
         for row in pdf.itertuples(index=False):
+            if row.position < 0 and row.event_type == _STATE_SEED:
+                # incremental replay: seed row carries the prior state
+                # (sorts first — real positions are non-negative)
+                state = json.loads(row.data) if row.data is not None else None
+                continue
             e = _event_from_row(row)
             e.partition = key if spec.is_partitioned else ""
             # run_chain_collect so emit()/linkTo() stay legal in state-only
@@ -177,6 +187,72 @@ def run_batch(spec: Projection, events: DataFrame) -> DataFrame:
     if lowered is not None:
         return lowered
     return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=False), FINAL_SCHEMA)
+
+
+def run_batch_incremental(spec: Projection, events: DataFrame,
+                          prev_state: DataFrame,
+                          from_position: int) -> DataFrame:
+    """Fold only events with ``position > from_position`` on top of the
+    saved per-partition state — incremental materialization.
+
+    ``prev_state`` is a prior ``run_batch`` result (partition, state)
+    checkpointed at ``from_position``. The output is identical to a full
+    ``run_batch`` over the whole log, but the cost is O(new events) +
+    O(existing partitions): at 100 TB this is the difference between a
+    daily full replay and folding one day's tail.
+
+    Two paths, mirroring ``run_batch``:
+    - declarative ``when_agg`` folds: the new tail is aggregated natively
+      (map-side combined) and MERGED with the prior state column-wise —
+      sum/count add, min/max take least/greatest. Nothing enters Python.
+    - general folds: prior state rows are injected as seed pseudo-rows
+      (position -1, sorts first) into each group, and the fold resumes
+      from the decoded state. One shuffle, same as full replay, but only
+      the tail crosses the wire.
+
+    Partitions with no new events pass through unchanged; partitions
+    first seen in the tail start from ``$init`` as usual.
+    """
+    new = events.where(F.col("position") > from_position)
+    keyed = _keyed(spec, _select(spec, new))
+
+    if spec.lowered_aggs is not None and len(spec.chain) == 1:
+        tail = _lower_native(spec, keyed)  # (partition, state) of tail only
+        aggs = spec.lowered_aggs
+        fields = ", ".join(f"`{k}` {aggs[k].cast}" for k in sorted(aggs))
+        p = F.from_json(prev_state["state"], fields).alias("p")
+        t = F.from_json(tail["state"], fields).alias("t")
+        joined = (prev_state.select(F.col("partition"), p)
+                  .join(tail.select(F.col("partition"), t), "partition",
+                        "full_outer"))
+        merged = []
+        for k in sorted(aggs):
+            kind = aggs[k].kind
+            a, b = F.col(f"p.{k}"), F.col(f"t.{k}")
+            if kind in ("sum", "count"):
+                zero = F.lit(0).cast(aggs[k].cast)
+                m = F.coalesce(a, zero) + F.coalesce(b, zero)
+            elif kind == "min":
+                m = F.least(a, b)  # least/greatest skip nulls
+            else:  # max
+                m = F.greatest(a, b)
+            merged.append(m.alias(k))
+        state = F.to_json(F.struct(*merged), {"ignoreNullFields": "false"})
+        return joined.select("partition", state.alias("state"))
+
+    seeds = prev_state.select(
+        F.lit(None).cast("string").alias("stream"),
+        F.lit(_STATE_SEED).alias("event_type"),
+        F.col("state").alias("data"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit("application/json").alias("content_type"),
+        F.lit(-1).cast("long").alias("position"),
+        F.lit(-1).cast("long").alias("revision"),
+        F.col("partition").alias("__key"),
+    )
+    unioned = keyed.unionByName(seeds)
+    return unioned.groupBy("__key").applyInPandas(
+        _make_fold(spec, emit_all=False), FINAL_SCHEMA)
 
 
 def run_batch_emissions(spec: Projection, events: DataFrame) -> DataFrame:
