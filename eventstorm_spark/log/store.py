@@ -473,6 +473,43 @@ class EventLog:
         )
         return self.read(opts)
 
+
+    def iter_pages(self, *, page_size: int = 10_000,
+                   direction: Direction = Direction.FORWARDS,
+                   from_position: Optional[int] = None,
+                   filter: Optional[SubscriptionFilter] = None,
+                   resolve_links: bool = False):
+        """Cursor-paginated ``$all`` read: yields lists of Rows in global
+        position order, ``page_size`` at a time.
+
+        This is how an ordered scan of a 100 TB log is actually consumed
+        (SCALE.md §3): each page is an independent *bounded* read, which
+        compiles to a pushed position-range predicate + top-k
+        (TakeOrderedAndProject) over the position-range-sorted files —
+        file pruning does the seeking, no job ever global-sorts the
+        corpus, and the client holds one page of rows at a time. The
+        cursor is the last position seen; crash-resume = pass it back.
+        """
+        cursor = from_position
+        boundary = None if cursor is not None else (
+            BoundaryKind.START if direction == Direction.FORWARDS
+            else BoundaryKind.END)
+        while True:
+            rows = self.read_all(
+                direction=direction, from_position=cursor, boundary=boundary,
+                filter=filter, count=page_size,
+                resolve_links=resolve_links).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = rows[-1]["position"]
+            cursor = last + 1 if direction == Direction.FORWARDS else last - 1
+            boundary = None
+            if direction == Direction.BACKWARDS and cursor < 0:
+                return
+
     # -- maintenance ------------------------------------------------------
 
     def compact(self, num_files: int = 8) -> None:
