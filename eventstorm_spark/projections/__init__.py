@@ -7,6 +7,7 @@ from eventstorm_spark.projections.dsl import (
     link_to,
     projection,
 )
+from eventstorm_spark.projections.materialize import Materializer
 from eventstorm_spark.projections.batch import (
     run_batch,
     run_batch_emissions,
@@ -24,6 +25,7 @@ __all__ = [
     "emit",
     "link_to",
     "projection",
+    "Materializer",
     "run_batch",
     "run_batch_emissions",
     "run_batch_incremental",
