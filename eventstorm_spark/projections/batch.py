@@ -166,6 +166,14 @@ def _lower_native(spec: Projection, keyed: DataFrame):
              .cast("double").cast(a.cast))
         if a.where_type is not None:
             v = F.when(F.col("event_type") == a.where_type, v)
+        if a.kind in ("first", "last"):
+            # null ordering key excludes rows whose value is null, so
+            # first/last mean "first/last event CARRYING the field" —
+            # matching AggSpec.update, which skips absent fields
+            order = F.when(v.isNotNull(), F.col("position"))
+            fn = F.min_by if a.kind == "first" else F.max_by
+            cols.append(fn(v, order).alias(k))
+            continue
         fn = {"sum": F.sum, "min": F.min, "max": F.max}[a.kind]
         agg = fn(v)
         if a.kind == "sum":
@@ -234,8 +242,12 @@ def run_batch_incremental(spec: Projection, events: DataFrame,
                 m = F.coalesce(a, zero) + F.coalesce(b, zero)
             elif kind == "min":
                 m = F.least(a, b)  # least/greatest skip nulls
-            else:  # max
+            elif kind == "max":
                 m = F.greatest(a, b)
+            elif kind == "first":
+                m = F.coalesce(a, b)  # prior value wins if it exists
+            else:  # last
+                m = F.coalesce(b, a)  # tail value wins if it exists
             merged.append(m.alias(k))
         state = F.to_json(F.struct(*merged), {"ignoreNullFields": "false"})
         return joined.select("partition", state.alias("state"))

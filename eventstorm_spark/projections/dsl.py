@@ -138,6 +138,20 @@ class AggSpec:
                cast: str = "long") -> "AggSpec":
         return cls("max", field, where_type, cast)
 
+    @classmethod
+    def first_of(cls, field: str, *, where_type: Optional[str] = None,
+                 cast: str = "long") -> "AggSpec":
+        """Value at the FIRST matching event (position order); lowers to
+        ``min_by(value, position)``."""
+        return cls("first", field, where_type, cast)
+
+    @classmethod
+    def last_of(cls, field: str, *, where_type: Optional[str] = None,
+                cast: str = "long") -> "AggSpec":
+        """Value at the LAST matching event (position order); lowers to
+        ``max_by(value, position)``."""
+        return cls("last", field, where_type, cast)
+
     def _coerce(self, v):
         return int(v) if self.cast in ("long", "int", "bigint") else float(v)
 
@@ -159,6 +173,10 @@ class AggSpec:
             return v if acc is None else min(acc, v)
         if self.kind == "max":
             return v if acc is None else max(acc, v)
+        if self.kind == "first":
+            return acc if acc is not None else v
+        if self.kind == "last":
+            return v
         raise ValueError(f"unknown agg kind: {self.kind}")
 
 

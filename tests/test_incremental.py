@@ -40,6 +40,8 @@ def _agg_spec():
                 "i_sum": AggSpec.sum_of("i"),
                 "i_min": AggSpec.min_of("i"),
                 "i_max": AggSpec.max_of("i"),
+                "i_first": AggSpec.first_of("i"),
+                "i_last": AggSpec.last_of("i"),
             }))
 
 

@@ -113,3 +113,23 @@ def test_category_selector_end_to_end(spark):
     states = {r["partition"]: _json.loads(r["state"])
               for r in run_batch(spec, events).collect()}
     assert states == {"user-1": {"n": 5}, "user-2": {"n": 5}}
+
+
+def test_first_last_lowered_equals_general(spark):
+    events = typed_100(spark)
+    spec = (projection("fl").from_all().foreach_stream()
+            .when_agg({
+                "first_i": AggSpec.first_of("i"),
+                "last_i": AggSpec.last_of("i"),
+                "first_t5": AggSpec.first_of("i", where_type="type-5"),
+            }))
+    lowered = _collect_states(run_batch(spec, events))
+    general = _collect_states(run_batch(
+        (projection("fl2").from_all().foreach_stream()
+         .when_agg({
+             "first_i": AggSpec.first_of("i"),
+             "last_i": AggSpec.last_of("i"),
+             "first_t5": AggSpec.first_of("i", where_type="type-5"),
+         })).transform_by(lambda s: s), events))
+    assert lowered == general
+    assert len(lowered) > 0
