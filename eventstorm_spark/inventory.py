@@ -360,6 +360,26 @@ def q_proj_stats_by_type_lowered(spark, sf_dir):
     )
 
 
+def q_proj_first_last(spark, sf_dir):
+    """P2/P14 first/last aggregate kinds: per-stream first and last body
+    value in position order, lowered to min_by/max_by (null-excluding
+    ordering key) — same states the incremental merge path maintains."""
+    from eventstorm_spark.projections.dsl import AggSpec
+    spec = (
+        projection("first-last").from_all().foreach_stream()
+        .when_agg({"first_k": AggSpec.first_of("k"),
+                   "last_k": AggSpec.last_of("k"),
+                   "n": AggSpec.count()})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.first_k").cast("long").alias("first_k"),
+        F.get_json_object("state", "$.last_k").cast("long").alias("last_k"),
+        F.get_json_object("state", "$.n").cast("long").alias("n"),
+    )
+
+
 def q_proj_category_counts(spark, sf_dir):
     """P10'/F8: fromCategory selector (startswith pushdown) + lowered
     count fold per stream of the category."""
@@ -516,6 +536,12 @@ _PROJ_ORACLES = {
         SELECT event_type AS partition, count(*) AS count,
                sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
         FROM es_events GROUP BY event_type""",
+    "proj_first_last": f"""{ORACLE_CTE}
+        SELECT stream AS partition,
+               arg_min(CAST(json_extract_string(data, '$.k') AS BIGINT), position) AS first_k,
+               arg_max(CAST(json_extract_string(data, '$.k') AS BIGINT), position) AS last_k,
+               count(*) AS n
+        FROM es_events GROUP BY stream""",
     "proj_category_counts": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS n
         FROM es_events WHERE starts_with(stream, 'user-')
@@ -1647,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "proj_first_last": q_proj_first_last,
         "proj_category_counts": q_proj_category_counts,
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
