@@ -530,15 +530,21 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
     sym = sym.localCheckpoint(eager=False)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("comp")))
+    comp_type = dict(labels.dtypes)["comp"]
     for _ in range(max_iter):
+        # carry the previous label ("old") through the propagation groupBy
+        # so convergence is read off the just-materialized result — one
+        # shuffle job per round, no separate compare join
         nbr = (sym.join(labels, sym.b == labels.node)
-               .select(sym.a.alias("node"), "comp"))
-        new = (labels.union(nbr)
-               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .select(sym.a.alias("node"), "comp",
+                       F.lit(None).cast(comp_type).alias("old")))
+        new = (labels.select("node", "comp", F.col("comp").alias("old"))
+               .unionByName(nbr)
+               .groupBy("node").agg(F.min("comp").alias("comp"),
+                                    F.min("old").alias("old"))
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("comp", "old"), "node")
-                   .where(F.col("comp") != F.col("old")).count())
-        labels = new
+        changed = new.where(F.col("comp") != F.col("old")).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     out = labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
