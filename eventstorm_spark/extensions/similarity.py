@@ -235,3 +235,71 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
         .where(F.col("rank") <= k)
         .select("lbl", "id_a", "id_b", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding storage ops: normalization + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def normalize_embeddings(embeddings: DataFrame, *, vec_col: str = "embedding",
+                         out_col: str = "embedding") -> DataFrame:
+    """Unit-L2-normalize the embedding column (Arrow-batched numpy; zero
+    vectors pass through unchanged). Normalizing once at ingest turns
+    every downstream cosine into a dot product — at 100 TB that halves
+    the FLOPs of all pairwise kernels and makes sign-LSH/IVF routing
+    magnitude-independent."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def norm_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(list(m / n))
+
+    return embeddings.withColumn(out_col, norm_udf(F.col(vec_col)))
+
+
+def quantize_embeddings(embeddings: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(x / scale)``
+    with ``scale = max|x| / 127``, stored as (id, scale, qvec
+    tinyint array). 4x smaller than float32 (16x vs float64) — the
+    difference between embeddings fitting in cluster memory or not; the
+    max quantization error per coordinate is scale/2."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale: double, qvec: array<tinyint>>")
+    def quant_udf(vecs: pd.Series) -> pd.DataFrame:
+        scales, qvecs = [], []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            amax = float(np.max(np.abs(a))) if a.size else 0.0
+            scale = amax / 127.0 if amax > 0 else 1.0
+            q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+            scales.append(scale)
+            qvecs.append(q)
+        return pd.DataFrame({"scale": scales, "qvec": qvecs})
+
+    out = embeddings.withColumn("__q", quant_udf(F.col(vec_col)))
+    return out.select(id_col, F.col("__q.scale").alias("scale"),
+                      F.col("__q.qvec").alias("qvec"))
+
+
+def dequantize_embeddings(quantized: DataFrame, *, id_col: str = "vec_id",
+                          out_col: str = "embedding") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x ≈ qvec * scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def dequant_udf(qvecs: pd.Series, scales: pd.Series) -> pd.Series:
+        return pd.Series([
+            np.asarray(q, dtype=np.float64) * s
+            for q, s in zip(qvecs, scales)
+        ])
+
+    return quantized.select(
+        id_col, dequant_udf(F.col("qvec"), F.col("scale")).alias(out_col))

@@ -239,3 +239,33 @@ def test_stratified_sample_deterministic_and_growth_stable(docs):
     half = docs.limit(200)
     c = {r.doc_id for r in stratified_sample(half, rates).collect()}
     assert c == a & {r.doc_id for r in half.collect()}
+
+
+def test_normalize_embeddings_unit_norm(emb):
+    import numpy as np
+    got = similarity.normalize_embeddings(emb.limit(50)).collect()
+    for r in got:
+        n = np.linalg.norm(np.asarray(r.embedding))
+        assert abs(n - 1.0) < 1e-9
+
+
+def test_quantize_roundtrip_error_bounded(emb):
+    import numpy as np
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.limit(50).collect()}
+    q = similarity.quantize_embeddings(emb.limit(50))
+    deq = {r.vec_id: np.asarray(r.embedding)
+           for r in similarity.dequantize_embeddings(q).collect()}
+    assert set(deq) == set(orig)
+    for vid, v in orig.items():
+        scale = max(abs(v).max() / 127.0, 1e-12)
+        assert np.max(np.abs(deq[vid] - v)) <= scale / 2 + 1e-12
+    # top-k neighbours survive quantization (the point of the exercise)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r.vec_id for r in similarity.brute_force_topk(
+        emb, qv, k=10).collect()]
+    deq_df = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    approx = [r.vec_id for r in similarity.brute_force_topk(
+        deq_df, qv, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8
