@@ -179,3 +179,25 @@ def repetition_features(docs: DataFrame, *, text_col: str = "text",
             .alias("dup_bigram_frac"),
         )
     )
+
+
+# PII patterns, deliberately in the regex dialect intersection of Spark
+# (Java) and DuckDB (RE2) so the oracle can verify scrubbing exactly.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "long_digits": r"[0-9]{7,}",
+}
+
+
+def redact_pii(docs: DataFrame, *, text_col: str = "text",
+               out_col: str | None = None,
+               patterns: dict[str, str] | None = None) -> DataFrame:
+    """Scrub PII-shaped spans (emails, URLs, long digit runs) from the
+    text column, replacing each with ``<TYPE>`` — the standard corpus
+    scrubbing pass. Chained ``regexp_replace`` column expressions: pure
+    codegen, no UDF, embarrassingly parallel on the corpus scan."""
+    out = F.col(text_col)
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return docs.withColumn(out_col or text_col, out)

@@ -1392,6 +1392,24 @@ def q_tf_idf_top_terms(spark, sf_dir):
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing over the corpus. The synthetic docs contain no PII,
+    so deterministic spans (an email, a URL, a long number derived from
+    doc_id) are injected first — the oracle injects identically, and the
+    scrubbed output must match byte-for-byte."""
+    from eventstorm_spark.extensions.text import redact_pii
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or https://ex.com/d/"), F.col("doc_id"),
+            F.lit(" ref 12345678"), F.col("doc_id"),
+        ).alias("text"))
+    return (redact_pii(docs)
+            .select("doc_id", F.md5("text").alias("scrubbed_md5"),
+                    F.length("text").alias("n_chars")))
+
+
 def q_repetition_features(spark, sf_dir):
     from eventstorm_spark.extensions.text import repetition_features
     return repetition_features(load(spark, sf_dir, "documents"))
@@ -1575,6 +1593,22 @@ _EXT_ORACLES = {
                            ORDER BY tf_idf DESC, term) AS INT) AS rank
             FROM scored) t
         WHERE rank <= 3""",
+    "redact_pii": r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com or https://ex.com/d/', CAST(doc_id AS VARCHAR),
+                          ' ref 12345678', CAST(doc_id AS VARCHAR)) AS text
+            FROM documents),
+        scrubbed AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[0-9]{7,}', '<LONG_DIGITS>', 'g') AS text
+            FROM injected)
+        SELECT doc_id, md5(text) AS scrubbed_md5, length(text) AS n_chars
+        FROM scrubbed""",
     "repetition_features": r"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -1725,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
         "tf_idf_top_terms": q_tf_idf_top_terms,
+        "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
