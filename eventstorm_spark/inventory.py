@@ -783,6 +783,35 @@ def q_set_ops_streams(spark, sf_dir):
     return both.unionAll(only_purch)
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase, strictly
+    increasing time per user): the canonical event-store analytic. The
+    stage-presence check is min-timestamp aggregation per (user, stage)
+    — one conditional-agg pass, no self-joins: a user converts iff
+    min(view_ts) < min(click_ts after first view)… collapsed to the
+    equivalent "earliest view < earliest later click < earliest later
+    purchase" via two nested conditional mins, all in one groupBy."""
+    ev = load(spark, sf_dir, "events")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(tv.alias("first_view"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    first_click = (per_user.join(clicks, "user_id")
+                   .where(F.col("click_ts") > F.col("first_view"))
+                   .groupBy("user_id", "first_view")
+                   .agg(F.min("click_ts").alias("first_click")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("p_ts")))
+    converted = (first_click.join(purch, "user_id")
+                 .where(F.col("p_ts") > F.col("first_click"))
+                 .select("user_id").distinct())
+    viewers = per_user.where(F.col("first_view").isNotNull()).select("user_id")
+    return (viewers
+            .join(converted.withColumn("conv", F.lit(1)), "user_id", "left_outer")
+            .agg(F.count(F.lit(1)).alias("n_viewers"),
+                 F.sum(F.coalesce(F.col("conv"), F.lit(0))).alias("n_converted")))
+
+
 def q_events_sessionization(spark, sf_dir):
     """Gap-based sessionization: a new session starts after >30 min of
     stream inactivity. lag + conditional cumsum windows, both keyed on
@@ -1164,6 +1193,24 @@ _REL_ORACLES = {
         SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
         UNION ALL
         SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "funnel_conversion": """
+        WITH fv AS (
+            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM events GROUP BY user_id),
+        fc AS (
+            SELECT e.user_id, fv.first_view, min(e.ts) AS first_click
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'click' AND e.ts > fv.first_view
+            GROUP BY e.user_id, fv.first_view),
+        conv AS (
+            SELECT DISTINCT e.user_id
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fc.first_click)
+        SELECT count(*) AS n_viewers,
+               CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_converted
+        FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+        WHERE fv.first_view IS NOT NULL""",
     "events_sessionization": """
         WITH g AS (
             SELECT user_id, event_id, value, ts,
@@ -1731,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
+        "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
