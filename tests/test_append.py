@@ -121,3 +121,35 @@ def test_cold_log_recovers_state(spark, log):
     assert cold.tail_position() == 5
     res = cold.append("s", new_events(1, prefix="z"), ExpectedRevision.at(4))
     assert res.first_position == 6
+
+
+def test_concurrent_appends_keep_positions_gapless(spark, tmp_path):
+    # the single-writer lock must serialize interleaved appenders:
+    # positions stay dense/monotonic, per-stream revisions stay dense.
+    import threading
+
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "clog"))
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(3):
+                log.append(f"w-{i}", new_events(4, prefix=f"w{i}-{j}"))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    rows = log.df().select("stream", "position", "revision").collect()
+    positions = sorted(r.position for r in rows)
+    assert positions == list(range(1, 49))  # dense, no gaps, no dupes
+    for i in range(4):
+        revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
+        assert revs == list(range(12))
