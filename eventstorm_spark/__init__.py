@@ -46,8 +46,12 @@ from eventstorm_spark.log.normalize import normalize_events
 from eventstorm_spark.model import BoundaryKind, FilterKind, NewEvent
 from eventstorm_spark.projections.dsl import AggSpec, Projection, projection
 from eventstorm_spark.projections.registry import ProjectionRegistry
+from eventstorm_spark.projections.materialize import Materializer
+from eventstorm_spark import sinks
 
 __all__ = [
+    "Materializer",
+    "sinks",
     "get_spark",
     "EVENT_SCHEMA",
     "Direction",
