@@ -783,6 +783,25 @@ def q_set_ops_streams(spark, sf_dir):
     return both.unionAll(only_purch)
 
 
+def q_events_anomalies(spark, sf_dir):
+    """Per-type z-score outliers: events whose value deviates > 2 sigma
+    from their type's mean. Two-pass shape: tiny per-type stats aggregate
+    broadcast back over the stream — the standard anomaly sweep."""
+    ev = load(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    # z rounded before the threshold: mu/sigma carry last-ulp noise from
+    # partial-aggregation order, and an event exactly at the boundary
+    # must not flip between partitionings (or vs the oracle)
+    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .where(z > 2)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_outliers"),
+                 F.round(F.max(z), 4).alias("max_z")))
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Ordered-sequence funnel (view -> click -> purchase, strictly
     increasing time per user): the canonical event-store analytic. The
@@ -1193,6 +1212,15 @@ _REL_ORACLES = {
         SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
         UNION ALL
         SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "events_anomalies": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_outliers,
+               round(max(round(abs(e.value - s.mu) / s.sigma, 6)), 4) AS max_z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE round(abs(e.value - s.mu) / s.sigma, 6) > 2
+        GROUP BY e.event_type""",
     "funnel_conversion": """
         WITH fv AS (
             SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
@@ -1778,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
+        "events_anomalies": q_events_anomalies,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
         "events_rolling_avg": q_events_rolling_avg,
