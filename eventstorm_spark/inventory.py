@@ -783,6 +783,28 @@ def q_set_ops_streams(spark, sf_dir):
     return both.unionAll(only_purch)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    per week-offset of later activity. The cohort table is user-sized
+    and broadcast back over the (fact-sized) distinct activity weeks —
+    one min-agg, one distinct, one broadcast join, one rollup."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = (ev.groupBy("user_id")
+              .agg(F.min(wk).alias("cohort_week")))
+    activity = (ev.select("user_id", wk.alias("act_week")).distinct())
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+            "user_id")
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_events_anomalies(spark, sf_dir):
     """Per-type z-score outliers: events whose value deviates > 2 sigma
     from their type's mean. Two-pass shape: tiny per-type stats aggregate
@@ -1212,6 +1234,18 @@ _REL_ORACLES = {
         SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
         UNION ALL
         SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "cohort_retention": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events)
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cohort_week, act_week) / 7 AS INT) AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2""",
     "events_anomalies": """
         WITH stats AS (
             SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
@@ -1806,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
+        "cohort_retention": q_cohort_retention,
         "events_anomalies": q_events_anomalies,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
