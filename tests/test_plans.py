@@ -156,3 +156,11 @@ def test_shuffle_budget(q):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_event_analytics_broadcast_shapes(q):
+    # funnel/cohort/anomalies: the derived per-user/per-type tables are
+    # broadcast; the events fact never shuffles for those joins.
+    for name in ["funnel_conversion", "cohort_retention", "events_anomalies"]:
+        assert "BroadcastHashJoin" in q(name), name
+        assert "BatchEvalPython" not in q(name), name
