@@ -11,6 +11,7 @@ shuffle-conscious: LSH banding turns O(n²) candidate generation into a
 bucket-join; verification only touches candidate pairs.
 """
 
-from eventstorm_spark.extensions import dedup, multimodal, pipeline, similarity, text
+from eventstorm_spark.extensions import (dedup, multimodal, pipeline,
+                                         similarity, temporal, text)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline", "temporal"]

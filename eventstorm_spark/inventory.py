@@ -783,6 +783,28 @@ def q_set_ops_streams(spark, sf_dir):
     return both.unionAll(only_purch)
 
 
+def q_asof_last_view(spark, sf_dir):
+    """As-of join (backward, inclusive): each purchase matched to the
+    user's most recent view at-or-before it. Implemented as the
+    union + ordered-window fill (one shuffle, zero row explosion) —
+    oracle is DuckDB's native ASOF JOIN. Right side deduplicated to one
+    view per (user, ts) so ties are deterministic in both engines."""
+    from eventstorm_spark.extensions.temporal import as_of_join
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts",
+                         F.round("value", 2).alias("purchase_value")))
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 2).alias("view_value")))
+    out = as_of_join(purchases, views, on="user_id",
+                     right_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        F.unix_micros(F.col("asof_ts")).alias("view_ts_us"),
+        F.col("asof_view_value").alias("view_value"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-seen week, counted
     per week-offset of later activity. The cohort table is user-sized
@@ -1234,6 +1256,18 @@ _REL_ORACLES = {
         SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
         UNION ALL
         SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "asof_last_view": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase'),
+        views AS (
+            SELECT user_id, ts, round(max(value), 2) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id, p.purchase_value,
+               epoch_us(v.ts) AS view_ts_us,
+               v.view_value
+        FROM purchases p ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "cohort_retention": """
         WITH cohort AS (
             SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
@@ -1840,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
+        "asof_last_view": q_asof_last_view,
         "cohort_retention": q_cohort_retention,
         "events_anomalies": q_events_anomalies,
         "funnel_conversion": q_funnel_conversion,
