@@ -783,6 +783,36 @@ def q_set_ops_streams(spark, sf_dir):
     return both.unionAll(only_purch)
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: hourly aggregates from the
+    raw stream, daily aggregates FROM the hourly level (sum-of-sums,
+    count-of-counts, max-of-maxes — only mergeable aggregates, so each
+    level is a pure re-aggregation of the one below; derived metrics
+    like avg stay out of the stored levels — compute them at read time
+    as sum/count, because a non-mergeable column would make the ladder
+    lossy, and a rounded ratio is engine-tie-fragile). The oracle
+    computes daily straight from raw events: equality proves the
+    hierarchy is lossless. At 100 TB this is
+    the continuous-aggregate ladder — each level's input is the (much
+    smaller) level below, and Materializer.refresh keeps them
+    incremental."""
+    ev = load(spark, sf_dir, "events")
+    # decimal-exact sums: re-aggregation must be bit-equal to the direct
+    # aggregate regardless of summation order
+    vdec = F.col("value").cast("decimal(18, 6)")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.sum(vdec).alias("sum_v"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.max("value").alias("max_v")))
+    daily = (hourly.groupBy(F.date_format(F.date_trunc("day", "h"),
+                                          "yyyy-MM-dd").alias("day"),
+                            "event_type")
+             .agg(F.round(F.sum("sum_v"), 2).cast("double").alias("sum_v"),
+                  F.sum("n").alias("n"),
+                  F.round(F.max("max_v"), 2).alias("max_v")))
+    return daily.select("day", "event_type", "sum_v", "n", "max_v")
+
+
 def q_asof_last_view(spark, sf_dir):
     """As-of join (backward, inclusive): each purchase matched to the
     user's most recent view at-or-before it. Implemented as the
@@ -1256,6 +1286,13 @@ _REL_ORACLES = {
         SELECT stream, 'both' AS tag FROM (SELECT stream FROM purch INTERSECT SELECT stream FROM click)
         UNION ALL
         SELECT stream, 'purchase_only' AS tag FROM (SELECT stream FROM purch EXCEPT SELECT stream FROM click)""",
+    "hypertable_rollup": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(round(sum(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_v,
+               count(*) AS n,
+               round(max(value), 2) AS max_v
+        FROM events GROUP BY 1, 2""",
     "asof_last_view": """
         WITH purchases AS (
             SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
@@ -1874,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
+        "hypertable_rollup": q_hypertable_rollup,
         "asof_last_view": q_asof_last_view,
         "cohort_retention": q_cohort_retention,
         "events_anomalies": q_events_anomalies,
