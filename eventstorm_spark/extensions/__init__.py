@@ -12,6 +12,8 @@ bucket-join; verification only touches candidate pairs.
 """
 
 from eventstorm_spark.extensions import (dedup, multimodal, pipeline,
-                                         similarity, temporal, text)
+                                         similarity, sketches, temporal,
+                                         text)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline", "temporal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline",
+           "temporal", "sketches"]

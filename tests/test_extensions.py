@@ -269,3 +269,40 @@ def test_quantize_roundtrip_error_bounded(emb):
     approx = [r.vec_id for r in similarity.brute_force_topk(
         deq_df, qv, k=10).collect()]
     assert len(set(exact) & set(approx)) >= 8
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_bounds_and_merge(spark):
+    from eventstorm_spark.extensions import sketches
+    from eventstorm_spark.inventory import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    n_total = ev.count()
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sk = sketches.cms_build(ev, "event_type", width=256, depth=5)
+    assert sk.count() <= 256 * 5  # sketch size independent of stream
+    est = {r.value: r.estimate for r in
+           sketches.cms_estimate(sk, list(exact), width=256, depth=5).collect()}
+    for k, true_n in exact.items():
+        assert est[k] >= true_n                       # never undercounts
+        assert est[k] <= true_n + (3 / 256) * n_total  # CMS bound (e=3)
+    # absent key estimates near zero (only collisions)
+    miss = sketches.cms_estimate(sk, ["no-such-type"], width=256, depth=5).collect()
+    assert miss[0].estimate <= (3 / 256) * n_total
+
+    # merge = union + sum: sketch(a) + sketch(b) == sketch(a union b)
+    half1 = ev.where(F.col("user_id") % 2 == 0)
+    half2 = ev.where(F.col("user_id") % 2 == 1)
+    merged = (sketches.cms_build(half1, "event_type", width=256, depth=5)
+              .unionByName(sketches.cms_build(half2, "event_type", width=256, depth=5))
+              .groupBy("row", "bucket").agg(F.sum("count").alias("count")))
+    est2 = {r.value: r.estimate for r in
+            sketches.cms_estimate(merged, list(exact), width=256, depth=5).collect()}
+    assert est2 == est
