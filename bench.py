@@ -39,6 +39,10 @@ HEADLINE = [
     # relational widening (outer join histogram, exact percentiles)
     "cust_order_distribution",
     "value_percentiles",
+    # temporal / event analytics (custom operators)
+    "asof_last_view",
+    "hypertable_rollup",
+    "funnel_conversion",
     # §2.8 training-data-pipeline operators
     "dedup_exact",
     "dedup_clusters",
