@@ -508,7 +508,8 @@ def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "te
 
 def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
                        id_col: str = "doc_id", id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 25,
+                       driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over duplicate-candidate pairs: the missing
     step between pairwise near-dup detection and corpus-level dedup
     (A~B, B~C must collapse to ONE cluster, though A~C never scored).
@@ -534,6 +535,47 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
     themselves).
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.localCheckpoint(eager=False)
+
+    # Candidate-pair edge lists are tiny relative to the corpus (that is
+    # the point of LSH/blocking), so below the threshold the components
+    # are solved driver-side with union-find on the id-only edges — the
+    # same data volume a broadcast would ship, replacing ~2 Spark jobs
+    # per propagation round with one collect. The distributed loop below
+    # remains the path for genuinely huge edge sets.
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for ea, eb in edges.collect():
+            parent.setdefault(ea, ea)
+            parent.setdefault(eb, eb)
+            ra, rb = find(ea), find(eb)
+            if ra != rb:  # min-id root keeps labels = min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        id_type = dict(pairs.dtypes)[id_a]
+        out = spark.createDataFrame(
+            mapping or [(None, None)],
+            f"{id_col} {id_type}, cluster_id {id_type}")
+        if mapping == []:
+            out = out.where(F.col(id_col).isNotNull())
+        if docs is None:
+            return out
+        return (docs.select(id_col)
+                .join(F.broadcast(out), id_col, "left_outer")
+                .select(id_col,
+                        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)
     labels = (sym.select(F.col("a").alias("node")).distinct()

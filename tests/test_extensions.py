@@ -133,21 +133,25 @@ def test_embedding_lsh_precision_and_recall(emb):
 # ---------------------------------------------------------------------------
 
 
-def test_duplicate_clusters_transitive_chain(spark):
+@pytest.mark.parametrize("thresh", [0, 1_000_000])  # distributed / driver path
+def test_duplicate_clusters_transitive_chain(spark, thresh):
     # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components,
     # labeled by their min member — A~C collapses though never scored.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
     got = {r.doc_id: r.cluster_id
-           for r in dedup.duplicate_clusters(pairs).collect()}
+           for r in dedup.duplicate_clusters(
+               pairs, driver_threshold=thresh).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_duplicate_clusters_singletons_from_docs(spark):
+@pytest.mark.parametrize("thresh", [0, 1_000_000])
+def test_duplicate_clusters_singletons_from_docs(spark, thresh):
     pairs = spark.createDataFrame([(2, 1)], ["id_a", "id_b"])
     docs = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
     got = {r.doc_id: r.cluster_id
-           for r in dedup.duplicate_clusters(pairs, docs).collect()}
+           for r in dedup.duplicate_clusters(
+               pairs, docs, driver_threshold=thresh).collect()}
     assert got == {1: 1, 2: 1, 3: 3}
 
 
@@ -156,7 +160,7 @@ def test_duplicate_clusters_long_chain_converges(spark):
     # rounds); must still reach the fixpoint within max_iter.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
-    got = dedup.duplicate_clusters(pairs).collect()
+    got = dedup.duplicate_clusters(pairs, driver_threshold=0).collect()
     assert {r.cluster_id for r in got} == {0}
     assert len(got) == 13
 
