@@ -129,6 +129,10 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("term")))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join; without a
+    # materialization Spark recomputes the whole tokenize+count branch
+    # twice (no cross-branch exchange reuse) — 3-4x slower at sf0.1
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(F.broadcast(df_), "term")
