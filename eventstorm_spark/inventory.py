@@ -1478,6 +1478,18 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, docs)
 
 
+def q_dedup_kept_by_source(spark, sf_dir):
+    """The full dedup pipeline end-to-end: jaccard pairs -> connected
+    components -> keep the min-id representative per cluster -> kept-doc
+    counts per source. Oracle replays the same pipeline in SQL (recursive
+    CTE closure)."""
+    from eventstorm_spark.extensions.dedup import drop_near_duplicates, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    kept = drop_near_duplicates(docs, pairs)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_near_dup_ngram_jaccard(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
@@ -1672,6 +1684,30 @@ _EXT_ORACLES = {
                  FROM reach GROUP BY s)
         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    "dedup_kept_by_source": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s)
+        SELECT source, count(*) AS n_kept
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        GROUP BY source""",
     "dedup_exact": """
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
@@ -1931,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_event_stats": q_approx_event_stats,  # rows-only (sketches)
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (approx)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
