@@ -113,7 +113,18 @@ class Subscription:
         self.confirmed = True
 
     def process_available(self) -> None:
-        self._query.processAllAvailable()
+        """Drain everything currently committed. The file source judges
+        "available" by its most recent directory listing, so a file
+        committed immediately before this call can miss that listing
+        (seen under heavy host load); drain until a listing round
+        delivers nothing new."""
+        prev = -1
+        for _ in range(5):
+            self._query.processAllAvailable()
+            n = len(self.delivered.events)
+            if n == prev:
+                return
+            prev = n
 
     def stop(self) -> None:
         self._query.stop()
