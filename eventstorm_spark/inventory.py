@@ -1121,6 +1121,30 @@ def q_nation_trade_flows(spark, sf_dir):
     )
 
 
+def q_nation_profit_by_year(spark, sf_dir):
+    """Q9-shaped: profit rollup by supplier nation x year for parts whose
+    name matches a substring (LIKE '%red%' — a non-sargable dimension
+    predicate evaluated on the broadcast build side, never against the
+    fact)."""
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    part = (load(spark, sf_dir, "part")
+            .where(F.col("p_name").contains("red")).select("p_partkey"))
+    li = load(spark, sf_dir, "lineitem")
+    supp_n = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .select("s_suppkey", "n_name"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("l_extendedprice"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit.cast("decimal(18, 6)")), 2)
+             .cast("double").alias("sum_profit"))
+    )
+
+
 def q_top_returning_customers(spark, sf_dir):
     """Q10-shaped: top-20 customers by returned-lineitem revenue with
     nation detail — join + agg + global top-k (TakeOrderedAndProject,
@@ -1221,6 +1245,17 @@ _REL_ORACLES = {
         JOIN nation cn ON c_nationkey = cn.n_nationkey
         WHERE sn.n_name <> cn.n_name
         GROUP BY 1, 2, 3""",
+    "nation_profit_by_year": """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    - 0.6 * l_extendedprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2""",
     "top_returning_customers": """
         SELECT c_custkey, c_name, n_name, c_acctbal,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1961,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "dormant_rich_customers": q_dormant_rich_customers,
         "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
         "top_returning_customers": q_top_returning_customers,
         "value_percentiles": q_value_percentiles,
         # §2.8 extensions
