@@ -118,8 +118,15 @@ class Subscription:
         committed immediately before this call can miss that listing
         (seen under heavy host load); drain until a listing round
         delivers nothing new."""
+        import time as _time
+
         prev = -1
-        for _ in range(5):
+        for i in range(6):
+            if i:
+                # give the 200 ms trigger a fresh listing cycle between
+                # rounds — back-to-back processAllAvailable calls can
+                # both observe the same stale listing under host load
+                _time.sleep(0.25)
             self._query.processAllAvailable()
             n = len(self.delivered.events)
             if n == prev:
