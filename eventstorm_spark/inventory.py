@@ -1558,6 +1558,18 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row[0]["embedding"]]
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column, computed as a plain
+    (label, dimension) aggregation after posexplode — vector averaging
+    with no UDF and map-side combine; the shape IVF training (k-means E
+    step) uses at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("centroid_x"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from eventstorm_spark.extensions.similarity import brute_force_topk
     emb = load(spark, sf_dir, "embeddings")
@@ -1767,6 +1779,14 @@ _EXT_ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""",
+    "embedding_centroids": """
+        SELECT label, CAST(t.i - 1 AS INT) AS dim,
+               round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 6)
+                   AS centroid_x,
+               count(*) AS n
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY 1, 2""",
     "ann_cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -2009,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,   # rows-only (approx)
         "simhash_candidates": q_simhash_candidates,     # rows-only (approx)
+        "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (approx)
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (approx)
