@@ -7,6 +7,8 @@ exact SQL twin for the DuckDB oracle (see inventory).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,3 +207,28 @@ def redact_pii(docs: DataFrame, *, text_col: str = "text",
     for name, pat in (patterns or PII_PATTERNS).items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return docs.withColumn(out_col or text_col, out)
+
+
+def normalize_text(docs: DataFrame, *, text_col: str = "text",
+                   out_col: str | None = None,
+                   form: str = "NFC") -> DataFrame:
+    """Canonical text cleaning: Unicode normalization (NFC by default),
+    casefold, and whitespace collapse — the pass that runs before any
+    hashing/shingling so visually-identical strings dedupe together.
+
+    Unicode normalization has no Spark built-in, so this is an
+    Arrow-batched pandas UDF (stdlib ``unicodedata``); the casefold and
+    whitespace steps ride in the same batch pass."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm_udf(texts: pd.Series) -> pd.Series:
+        import re
+        ws = re.compile(r"\s+")
+        return texts.map(
+            lambda t: None if t is None else
+            ws.sub(" ", unicodedata.normalize(form, t).casefold()).strip())
+
+    return docs.withColumn(out_col or text_col, norm_udf(F.col(text_col)))

@@ -1631,6 +1631,20 @@ def q_tf_idf_top_terms(spark, sf_dir):
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_normalized_dedup_keys(spark, sf_dir):
+    """Text normalization (NFC + casefold + whitespace collapse) feeding
+    exact-dedup keys: digest groups over the CLEANED text. On the ASCII
+    driver corpus the oracle twin is lower+ws-collapse; the unicode
+    semantics (composed/decomposed unification, casefold-vs-lower) are
+    pinned separately in test_extensions."""
+    from eventstorm_spark.extensions.text import normalize_text
+    docs = normalize_text(load(spark, sf_dir, "documents"))
+    return (docs.select(F.md5("text").alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing over the corpus. The synthetic docs contain no PII,
     so deterministic spans (an email, a URL, a long number derived from
@@ -1864,6 +1878,11 @@ _EXT_ORACLES = {
                            ORDER BY tf_idf DESC, term) AS INT) AS rank
             FROM scored) t
         WHERE rank <= 3""",
+    "normalized_dedup_keys": r"""
+        SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g'))) AS digest,
+               min(doc_id) AS canonical_id, count(*) AS n_docs
+        FROM documents GROUP BY 1""",
     "redact_pii": r"""
         WITH injected AS (
             SELECT doc_id,
@@ -2038,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
         "tf_idf_top_terms": q_tf_idf_top_terms,
+        "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,

@@ -310,3 +310,15 @@ def test_cms_bounds_and_merge(spark):
     est2 = {r.value: r.estimate for r in
             sketches.cms_estimate(merged, list(exact), width=256, depth=5).collect()}
     assert est2 == est
+
+
+def test_normalize_text_unicode_semantics(spark):
+    from eventstorm_spark.extensions.text import normalize_text
+    # é composed vs decomposed, ligature case, whitespace runs
+    rows = [(1, "Café  DELUXE"), (2, "Café\tdeluxe"),
+            (3, "STRASSE ß"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == got[2] == "café deluxe"  # NFC unifies, ws collapses
+    assert got[3] == "strasse ss"                   # casefold, not lower
+    assert got[4] is None
