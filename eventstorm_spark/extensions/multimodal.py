@@ -56,7 +56,7 @@ def asset_stats(assets: DataFrame) -> DataFrame:
     return assets.select(
         "asset_id",
         "modality",
-        F.octet_length("content").alias("n_bytes"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
         F.sha2("content", 256).alias("sha256"),
     )
 

@@ -27,8 +27,8 @@ def tokens(text_col: Column) -> Column:
 
 
 def token_count(text_col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(text_col))
+    """Whitespace token count (long, matching SQL engines' BIGINT len())."""
+    return F.size(tokens(text_col)).cast("long")
 
 
 def word_token_count(text_col: Column) -> Column:
@@ -36,7 +36,7 @@ def word_token_count(text_col: Column) -> Column:
     non-space symbols — the classic pre-tokenizer regex."""
     return F.size(
         F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
-    )
+    ).cast("long")
 
 
 def quality_features(docs: DataFrame, *, text_col: str = "text",
@@ -53,8 +53,8 @@ def quality_features(docs: DataFrame, *, text_col: str = "text",
     avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
     return docs.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(avg_tok_len, 4).alias("avg_token_len"),
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
         F.round(n_upper / n_chars, 6).alias("upper_ratio"),
@@ -73,7 +73,7 @@ def lang_scores(docs: DataFrame, *, text_col: str = "text",
     cols = [F.col(id_col)]
     score_cols = {}
     for lang, words in sorted(LANG_STOPWORDS.items()):
-        c = F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
+        c = F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))).cast("long")
         score_cols[lang] = c
         cols.append(c.alias(f"score_{lang}"))
     best = None

@@ -530,11 +530,13 @@ _PROJ_ORACLES = {
         FROM es_events GROUP BY stream""",
     "proj_stats_by_type": f"""{ORACLE_CTE}
         SELECT event_type AS partition, count(*) AS count,
-               sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
+               CAST(sum(CAST(json_extract_string(data, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum
         FROM es_events GROUP BY event_type""",
     "proj_stats_by_type_lowered": f"""{ORACLE_CTE}
         SELECT event_type AS partition, count(*) AS count,
-               sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS k_sum
+               CAST(sum(CAST(json_extract_string(data, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum
         FROM es_events GROUP BY event_type""",
     "proj_first_last": f"""{ORACLE_CTE}
         SELECT stream AS partition,
@@ -1298,10 +1300,10 @@ _REL_ORACLES = {
           AND l_quantity < 24""",
     "returnflag_priority": """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_returnflag""",
     "orders_with_returns": """
@@ -1389,8 +1391,8 @@ _REL_ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
             SELECT user_id, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_no
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
             FROM g)
         SELECT user_id, session_no, count(*) AS n_events,
                round(sum(value), 2) AS session_value
@@ -1660,7 +1662,7 @@ def q_redact_pii(spark, sf_dir):
         ).alias("text"))
     return (redact_pii(docs)
             .select("doc_id", F.md5("text").alias("scrubbed_md5"),
-                    F.length("text").alias("n_chars")))
+                    F.length("text").cast("long").alias("n_chars")))
 
 
 def q_repetition_features(spark, sf_dir):
@@ -1979,57 +1981,19 @@ _EXT_ORACLES = {
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operator inventory. ORDER MATTERS: the correctness driver evaluates
+    a 50-entry prefix of this dict, so entries without prior driver
+    evidence (new this round, or fixed after a red row) must sit inside
+    the window; entries already green in CORRECTNESS_r01.json rotate to
+    the tail. Keep this comment when reordering."""
     q = {
-        "read_stream_forward": q_read_stream_forward,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
-        "read_all_from_position": q_read_all_from_position,
-        "read_all_backward": q_read_all_backward,
-        "read_all_first_event": q_read_all_first_event,
-        "read_all_last_event": q_read_all_last_event,
-        "filter_stream_prefix": q_filter_stream_prefix,
-        "filter_type_regex": q_filter_type_regex,
-        "head_revisions": q_head_revisions,
-        "scalar_envelope": q_scalar_envelope,
-        "scalar_struct_uuid": q_scalar_struct_uuid,
-        "proj_count_by_stream": q_proj_count_by_stream,
+        # -- fixed after round-1 hash_match failures (oracle HUGEINT cast) --
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "proj_first_last": q_proj_first_last,
-        "proj_category_counts": q_proj_category_counts,
-        "proj_filtered_emissions": q_proj_filtered_emissions,
-        "proj_transform": q_proj_transform,
-        "proj_linkto_errors": q_proj_linkto_errors,
-        "proj_emit_enriched": q_proj_emit_enriched,
-        "system_by_category": q_system_by_category,
-        "system_by_event_type": q_system_by_event_type,
-        "system_streams": q_system_streams,
-        "tpch_q1": q_tpch_q1,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
-        "late_shipment_priority": q_late_shipment_priority,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
-        "events_daily_counts": q_events_daily_counts,
-        "tpch_q6": q_tpch_q6,
-        "rollup_revenue": q_rollup_revenue,
-        "promo_revenue_ratio": q_promo_revenue_ratio,
         "returnflag_priority": q_returnflag_priority,
-        "orders_with_returns": q_orders_with_returns,
-        "customers_without_orders": q_customers_without_orders,
-        "set_ops_streams": q_set_ops_streams,
-        "hypertable_rollup": q_hypertable_rollup,
-        "asof_last_view": q_asof_last_view,
-        "cohort_retention": q_cohort_retention,
-        "events_anomalies": q_events_anomalies,
-        "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
-        "events_rolling_avg": q_events_rolling_avg,
-        "cust_order_distribution": q_cust_order_distribution,
-        "top_supplier": q_top_supplier,
+        # -- never driver-verified in round 1 (positions 51-86) --
+        # late relational shapes
         "supplier_part_counts": q_supplier_part_counts,
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
@@ -2067,6 +2031,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_asset_stats": q_multimodal_asset_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # -- new round-2 entries land HERE (inside the 50-entry window) --
+        # -- representative round-1-green goldens (fill to 50) --
+        "read_stream_forward": q_read_stream_forward,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "tpch_q1": q_tpch_q1,
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
+        "system_streams": q_system_streams,
+        # ---- driver window ends around here (50 entries) ----
+        # -- round-1-green (CORRECTNESS_r01.json), rotated out of window --
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "read_all_from_position": q_read_all_from_position,
+        "read_all_backward": q_read_all_backward,
+        "read_all_first_event": q_read_all_first_event,
+        "read_all_last_event": q_read_all_last_event,
+        "filter_stream_prefix": q_filter_stream_prefix,
+        "filter_type_regex": q_filter_type_regex,
+        "head_revisions": q_head_revisions,
+        "scalar_envelope": q_scalar_envelope,
+        "scalar_struct_uuid": q_scalar_struct_uuid,
+        "proj_first_last": q_proj_first_last,
+        "proj_category_counts": q_proj_category_counts,
+        "proj_filtered_emissions": q_proj_filtered_emissions,
+        "proj_transform": q_proj_transform,
+        "proj_linkto_errors": q_proj_linkto_errors,
+        "proj_emit_enriched": q_proj_emit_enriched,
+        "system_by_category": q_system_by_category,
+        "system_by_event_type": q_system_by_event_type,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "events_daily_counts": q_events_daily_counts,
+        "tpch_q6": q_tpch_q6,
+        "rollup_revenue": q_rollup_revenue,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "orders_with_returns": q_orders_with_returns,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops_streams": q_set_ops_streams,
+        "hypertable_rollup": q_hypertable_rollup,
+        "cohort_retention": q_cohort_retention,
+        "events_anomalies": q_events_anomalies,
+        "events_rolling_avg": q_events_rolling_avg,
+        "cust_order_distribution": q_cust_order_distribution,
+        "top_supplier": q_top_supplier,
     }
     return q
 
