@@ -57,9 +57,12 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
     """
     reps = exact_groups(docs, text_col, id_col).select(
         "digest", F.col("canonical_id").alias(id_col))
+    # eqNullSafe: null-text docs hash to a NULL digest; exact_groups puts
+    # them all in one NULL-digest class, and a plain == join would drop
+    # every one of them instead of keeping the representative.
     return docs.join(
         reps.withColumnRenamed(id_col, "__keep_id"),
-        (F.md5(F.col(text_col)) == F.col("digest"))
+        F.md5(F.col(text_col)).eqNullSafe(F.col("digest"))
         & (F.col(id_col) == F.col("__keep_id")),
         "left_semi",
     )

@@ -162,6 +162,7 @@ class PersistentSubscription:
             if p in self._in_flight:
                 del self._in_flight[p]
                 self._completed.add(p)
+                self._retry_counts.pop(p, None)
         self._advance()
         self._save()
 
@@ -174,6 +175,7 @@ class PersistentSubscription:
                 continue
             if action == "Skip":
                 self._completed.add(p)
+                self._retry_counts.pop(p, None)
             elif action == "Park":
                 self._parked[p] = d.retries
             else:  # Retry (Stop treated as Retry for delivery bookkeeping)
@@ -207,8 +209,12 @@ class PersistentSubscription:
             self._completed.discard(p)
             self._checkpoint = p
         # acked replays live below the checkpoint — drop them so the
-        # completed set stays O(out-of-order acks), not O(history)
+        # completed set stays O(out-of-order acks), not O(history); same
+        # pruning for retry counts, which otherwise pin every position
+        # that was ever retried and keep the state O(history)
         self._completed = {p for p in self._completed if p > self._checkpoint}
+        self._retry_counts = {p: n for p, n in self._retry_counts.items()
+                              if p > self._checkpoint}
 
     # -- introspection / persistence --------------------------------------
 
