@@ -28,7 +28,7 @@ __all__ = [
     "is_json",
     "regex_match", "build_prefix_regex", "filter_column", "filter_sql",
     "created_now_ticks", "ticks_to_timestamp", "timestamp_to_ticks",
-    "created_str",
+    "wallclock_micros", "created_str",
     "uuid_string", "uuid_from_int64s",
 ]
 
@@ -120,8 +120,20 @@ def ticks_to_timestamp(ticks: ColumnOrName) -> Column:
     return F.timestamp_micros(micros)
 
 
+def wallclock_micros(ts: ColumnOrName) -> Column:
+    """Epoch microseconds of a timestamp column, TIMESTAMP_NTZ-safe.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type Spark infers for
+    tz-less parquet timestamps, e.g. the driver testdata). NTZ wall
+    clocks are interpreted as UTC — exactly DuckDB's ``epoch_us`` over
+    naive parquet timestamps — via ``to_utc_timestamp(ts, 'UTC')``,
+    which accepts both timestamp types and is session-timezone
+    independent for NTZ input."""
+    return F.unix_micros(F.to_utc_timestamp(_col(ts), "UTC"))
+
+
 def timestamp_to_ticks(ts: ColumnOrName) -> Column:
-    return (F.unix_micros(_col(ts)) * F.lit(10)).cast("long")
+    return (wallclock_micros(ts) * F.lit(10)).cast("long")
 
 
 def created_str(ticks: ColumnOrName) -> Column:

@@ -28,9 +28,11 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "es_ticks_to_timestamp": (
         "(ticks BIGINT)", "TIMESTAMP",
         "timestamp_micros(CAST(floor(CAST(ticks AS DECIMAL(30, 0)) / 10) AS BIGINT))"),
+    # NTZ-safe: to_utc_timestamp accepts TIMESTAMP and TIMESTAMP_NTZ and
+    # pins NTZ wall clocks to UTC regardless of session timezone
     "es_timestamp_to_ticks": (
         "(ts TIMESTAMP)", "BIGINT",
-        "unix_micros(ts) * 10"),
+        "unix_micros(to_utc_timestamp(ts, 'UTC')) * 10"),
     "es_now_ticks": (
         "()", "BIGINT",
         "unix_micros(current_timestamp()) * 10"),

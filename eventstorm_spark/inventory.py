@@ -27,6 +27,7 @@ from eventstorm_spark.model import (
     StreamOptions,
     SubscriptionFilter,
 )
+from eventstorm_spark.functions.scalars import wallclock_micros
 from eventstorm_spark.projections.batch import run_batch, run_batch_emissions
 from eventstorm_spark.projections.dsl import projection
 
@@ -40,10 +41,10 @@ _TABLES = [
 ]
 
 
-# Driver parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 reads only
-# via nanosAsLong; these columns are converted back to (micro) timestamps
-# with exact integer division — matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
-# truncation, so oracle twins see identical values.
+# Older driver rounds wrote INT64 TIMESTAMP(NANOS) parquet, which Spark 4
+# reads only via nanosAsLong; current rounds write timestamp[us] (read as
+# TIMESTAMP_NTZ), for which the conversion below is a no-op. Both layouts
+# end up at microsecond wall clocks matching DuckDB's view of the file.
 _TS_NANO_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
 
 
@@ -833,7 +834,7 @@ def q_asof_last_view(spark, sf_dir):
                      right_cols=["view_value"])
     return out.select(
         "event_id", "user_id", "purchase_value",
-        F.unix_micros(F.col("asof_ts")).alias("view_ts_us"),
+        wallclock_micros("asof_ts").alias("view_ts_us"),
         F.col("asof_view_value").alias("view_value"))
 
 
@@ -914,7 +915,7 @@ def q_events_sessionization(spark, sf_dir):
     (Catalyst reuses the exchange)."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = wallclock_micros("ts") - wallclock_micros(F.lag("ts").over(w))
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = (
         ev.withColumn("new_sess", is_new)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from eventstorm_spark.functions.scalars import wallclock_micros
 from eventstorm_spark.model import META_CONTENT_TYPE, META_CREATED, META_TYPE
 
 
@@ -28,7 +29,8 @@ def normalize_events(raw: DataFrame) -> DataFrame:
     """events.parquet feed -> envelope DataFrame (EVENT_SCHEMA order)."""
     w_all = W.orderBy("ts", "event_id")
     w_stream = W.partitionBy("stream").orderBy("ts", "event_id")
-    created = (F.unix_micros(F.col("ts")) * F.lit(10)).cast("long")
+    # NTZ-safe: the driver parquet stores ts as timestamp[us] without tz
+    created = (wallclock_micros("ts") * F.lit(10)).cast("long")
     return (
         raw.withColumn("stream", F.concat(F.lit("user-"), F.col("user_id").cast("string")))
         .withColumn("uuid", F.concat(F.lit("evt-"), F.col("event_id").cast("string")))

@@ -244,13 +244,14 @@ def test_streaming_windowed_agg_matches_batch(spark):
     from tests.conftest import SF_DIR
     from eventstorm_spark.inventory import load
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
     sdf = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(SF_DIR))
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    agg = (sdf.withColumn("ts", ts).withWatermark("ts", "1 hour")
+    # ts is TIMESTAMP_NTZ (tz-less parquet); watermarks require TIMESTAMP,
+    # so pin the wall clock to UTC on both the stream and the batch side
+    sdf = sdf.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    agg = (sdf.withWatermark("ts", "1 hour")
            .groupBy(F.window("ts", "1 day"), "event_type")
            .agg(F.count(F.lit(1)).alias("n")))
     q = (agg.writeStream.format("memory").queryName("win_agg")
@@ -259,7 +260,8 @@ def test_streaming_windowed_agg_matches_batch(spark):
     got = {(r.window.start, r.event_type): r.n
            for r in spark.sql("SELECT * FROM win_agg").collect()}
 
-    ev = load(spark, SF_DIR, "events")
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "ts", F.to_utc_timestamp("ts", "UTC"))
     want = {(r.window.start, r.event_type): r.n
             for r in ev.groupBy(F.window("ts", "1 day"), "event_type")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
