@@ -182,11 +182,30 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 
+def portable_hash60(col) -> "F.Column":
+    """60-bit hash computable identically by Spark and DuckDB:
+    the first 15 hex chars of md5, parsed base-16.
+
+    Spark: ``conv(substring(md5(x),1,15),16,10)::long``; DuckDB:
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``. Always
+    non-negative (< 2^60). Used by the ``portable=True`` mode of the
+    MinHash/SimHash operators so an external SQL engine can replay the
+    *exact* candidate sets for verification — xxhash64 stays the default
+    (md5 costs ~2-3x more per call, which matters on corpus-scale
+    shingle explosions, and portability is only needed by the oracle
+    gate)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       portable: bool = False) -> DataFrame:
     """id + array<long> MinHash signature.
 
     hash_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+    With ``portable=True``, hash_i(s) = portable_hash60(i || ':' || s)
+    instead, so the full signature is reproducible in any engine with
+    md5 — same plan shape, same banding math.
 
     Shape matters here: explode the shingles and compute the H hashes as
     ordinary projected columns feeding H ``min()`` aggregates. That keeps
@@ -198,38 +217,52 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
     corpus doesn't serialize the hashing into one task.
     """
     ex = shingle_rows(docs, n, text_col, id_col).withColumnRenamed("shingle", "s")
-    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    if portable:
+        mins = [
+            F.min(portable_hash60(
+                F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
     agged = ex.groupBy("id").agg(*mins)
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     return agged.select("id", sig.alias("signature"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
+def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
+                           string_buckets: bool = False) -> DataFrame:
     """Band the signature, bucket-join per band -> distinct candidate pairs.
 
     rows_per_band = len(signature)/bands. Pair probability ≈
     1-(1-j^r)^b — with 64 hashes / 16 bands (r=4), j=0.8 pairs are
     caught w.p. ~0.9986.
+
+    The bucket key is xxhash64 of the band slice (8-byte shuffle rows);
+    ``string_buckets=True`` keeps the raw comma-joined slice as the key
+    instead — wider rows, but reproducible verbatim by any SQL engine
+    (the portable verification mode).
     """
+    slice_str = lambda b: F.concat_ws(  # noqa: E731 — band slice as csv
+        ",",
+        F.transform(
+            F.slice(
+                F.col("signature"),
+                b * (F.size("signature") / bands).cast("int") + 1,
+                (F.size("signature") / bands).cast("int"),
+            ),
+            lambda x: x.cast("string"),
+        ),
+    )
+    bucket_expr = (
+        (lambda b: slice_str(b)) if string_buckets
+        else (lambda b: F.xxhash64(slice_str(b)))
+    )
     banded = signatures.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size("signature") / bands).cast("int") + 1,
-                                (F.size("signature") / bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_expr)
         ).alias("band", "bucket"),
     )
     a = banded.alias("a")
@@ -245,12 +278,17 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFra
 
 def minhash_near_duplicates(docs: DataFrame, *, num_hashes: int = 64, bands: int = 16,
                             n: int = 3, threshold: float = 0.8,
-                            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                            text_col: str = "text", id_col: str = "doc_id",
+                            portable: bool = False) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
-    exact-Jaccard verification of candidates only."""
+    exact-Jaccard verification of candidates only. ``portable=True``
+    switches both stages to md5-derived hashing so the whole candidate
+    set (not just the verified output) is replayable in plain SQL —
+    the driver's oracle gate runs that replay."""
     sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                              text_col=text_col, id_col=id_col)
-    cands = minhash_lsh_candidates(sigs, bands=bands)
+                              text_col=text_col, id_col=id_col,
+                              portable=portable)
+    cands = minhash_lsh_candidates(sigs, bands=bands, string_buckets=portable)
     # Verification only touches candidate docs: semi-join the corpus down
     # to the (tiny) candidate id set before building shingle arrays, so
     # the interpreted-HOF array builder runs on O(candidates) rows.
@@ -353,6 +391,7 @@ def embedding_cosine_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
 
 def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
                               num_planes: int = 36, bands: int = 6, seed: int = 42,
+                              planes: list[list[float]] | None = None,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id") -> DataFrame:
     """Scale path: banded random-hyperplane LSH candidates -> exact cosine
@@ -374,7 +413,10 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
     from eventstorm_spark.extensions.similarity import _hyperplanes
 
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = np.asarray(_hyperplanes(dim, num_planes, seed), dtype=np.float64)
+    if planes is None:
+        planes = _hyperplanes(dim, num_planes, seed)
+    num_planes = len(planes)
+    planes = np.asarray(planes, dtype=np.float64)
     r = num_planes // bands
     weights = (1 << np.arange(r)).astype(np.int64)
 
@@ -445,20 +487,26 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
 
 
 def simhash(docs: DataFrame, *, bits: int = 64, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash fingerprint per document, fully JVM-side.
 
     explode tokens -> xxhash64 -> 64 vectorized ±1-vote SUM aggregates
     (one per bit, columnar, codegen'd) -> fingerprint assembled from the
     vote signs. One shuffle on the doc id; no higher-order-function
     lambdas in the hot path.
+
+    ``portable=True`` hashes tokens with :func:`portable_hash60` (and
+    callers should set ``bits=60``) so the fingerprints are replayable
+    by the SQL oracle; the vote/assembly machinery is shared.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     par = docs.sparkSession.sparkContext.defaultParallelism
+    tok_hash = (portable_hash60(F.col("tok")) if portable
+                else F.xxhash64("tok"))
     ex = (
         docs.repartition(par, id_col)
         .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", tok_hash.alias("h"))
     )
     votes = [
         F.sum(
@@ -477,11 +525,17 @@ def simhash(docs: DataFrame, *, bits: int = 64, text_col: str = "text",
 
 
 def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """Near-dup candidate pairs whose SimHash agrees on >=1 of the 4
-    16-bit bands (classic SimHash blocking)."""
-    fp = simhash(docs, text_col=text_col, id_col=id_col)
-    bands = 64 // band_bits
+    16-bit bands (classic SimHash blocking). ``portable=True`` uses the
+    md5-derived 60-bit fingerprint (4 x 15-bit bands) so the oracle can
+    replay the candidate set."""
+    nbits = 60 if portable else 64
+    if portable and band_bits == 16:
+        band_bits = 15
+    fp = simhash(docs, bits=nbits, text_col=text_col, id_col=id_col,
+                 portable=portable)
+    bands = nbits // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "id", "simhash",

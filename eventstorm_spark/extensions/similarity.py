@@ -93,6 +93,25 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
 
+def _portable_planes(dim: int, num_planes: int) -> list[list[float]]:
+    """Hyperplanes derivable in plain SQL: coordinate (p, d) is the
+    60-bit md5 hash of ``"p:d"`` scaled to [-1, 1) —
+    ``hash60("p:d") / 2^59 - 1.0``. Uniform rather than gaussian
+    coordinates, which sign-LSH tolerates (only the direction
+    distribution matters, and the bias is mild at dim >= 8); the payoff
+    is that an external engine (the DuckDB oracle) can regenerate the
+    identical planes and therefore the identical buckets. The division
+    and subtraction are exact-input IEEE-double ops, so Python, the JVM
+    and DuckDB all produce bit-identical coordinates."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) / 2.0 ** 59 - 1.0
+         for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Bit-packed sign signature: bit_i = (v . h_i) >= 0."""
     emb = _as_double_array(vec_col)
@@ -109,6 +128,7 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
              *, num_planes: int = 6, hamming: int = 2, seed: int = 42,
+             planes: list[list[float]] | None = None,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: multiprobe LSH — scan only rows whose bucket is
     within ``hamming`` bit flips of the query's bucket, then exact cosine.
@@ -122,7 +142,9 @@ def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     from itertools import combinations
 
     dim = len(query_vec)
-    planes = _hyperplanes(dim, num_planes, seed)
+    if planes is None:
+        planes = _hyperplanes(dim, num_planes, seed)
+    num_planes = len(planes)
     qsig = 0
     for i, h in enumerate(planes):
         if sum(q * x for q, x in zip(query_vec, h)) >= 0:

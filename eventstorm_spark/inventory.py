@@ -1487,15 +1487,31 @@ def q_approx_event_stats(spark, sf_dir):
     100 TB: HyperLogLog++ distinct users (rsd 1%) and approximate
     median value per event type. Both sketches are mergeable, so the
     plan is a partial-aggregate tree: the shuffle carries one sketch per
-    (task, type), never raw rows. Approximate by design -> rows-only
-    driver check; accuracy is pinned against the exact twins in
-    tests/test_extensions.py."""
+    (task, type), never raw rows.
+
+    Oracle-checkable form: the sketch estimates themselves are
+    approximate by design, so alongside the exact scalars we emit
+    *bounded-error verdicts* — the HLL estimate within 5% of the exact
+    distinct count (5 sigma at rsd=0.01), and the approximate median
+    inside the exact p45..p55 rank band. The oracle computes the exact
+    scalars and asserts the verdicts are 1, which the driver then
+    hash-checks — pinning sketch accuracy without pretending a sketch
+    is exact."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-             F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-             F.count(F.lit(1)).alias("n"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__au"),
+        F.percentile_approx("value", 0.5, 10000).alias("__p50a"),
+        F.percentile("value", F.lit(0.45)).alias("__p45"),
+        F.percentile("value", F.lit(0.55)).alias("__p55"),
+    )
+    return agg.select(
+        "event_type", "n", "exact_users",
+        (F.abs(F.col("__au") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).cast("int").alias("hll_ok"),
+        ((F.col("__p50a") >= F.col("__p45"))
+         & (F.col("__p50a") <= F.col("__p55"))).cast("int").alias("p50_ok"),
     )
 
 
@@ -1534,8 +1550,14 @@ def q_near_dup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline in portable-hash mode: md5-derived
+    60-bit hashes and verbatim band-slice buckets, so the DuckDB oracle
+    regenerates the identical signatures, bands, candidate pairs and
+    Jaccard verification — a full hash-check of the approximate path,
+    not a rows-only count."""
     from eventstorm_spark.extensions.dedup import minhash_near_duplicates
-    return minhash_near_duplicates(load(spark, sf_dir, "documents"), threshold=0.8)
+    return minhash_near_duplicates(load(spark, sf_dir, "documents"),
+                                   threshold=0.8, portable=True)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -1544,15 +1566,25 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup with portable planes: plane
+    coordinates are md5-derived (exact IEEE doubles both engines can
+    regenerate), so the oracle replays buckets, candidates and the
+    cosine verification for a full value hash-check."""
     from eventstorm_spark.extensions.dedup import embedding_near_duplicates
+    from eventstorm_spark.extensions.similarity import _portable_planes
     return embedding_near_duplicates(
         load(spark, sf_dir, "embeddings"),
-        threshold=0.4, num_planes=24, bands=8)
+        threshold=0.4, num_planes=24, bands=8,
+        planes=_portable_planes(64, 24))
 
 
 def q_simhash_candidates(spark, sf_dir):
+    """SimHash banding in portable mode: 60-bit md5 token hashes,
+    4 x 15-bit bands — the oracle recomputes the fingerprints and the
+    candidate pair set exactly."""
     from eventstorm_spark.extensions.dedup import simhash_buckets
-    return simhash_buckets(load(spark, sf_dir, "documents")).select("id_a", "id_b")
+    return (simhash_buckets(load(spark, sf_dir, "documents"), portable=True)
+            .select("id_a", "id_b"))
 
 
 def _query_vec(spark, sf_dir):
@@ -1581,12 +1613,21 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    from eventstorm_spark.extensions.similarity import lsh_topk
+    """Multiprobe sign-LSH top-k with portable planes. The multiprobe
+    bucket enumeration (Hamming <= 2 flips of the query signature) is
+    equivalent to filtering on bit_count(sig XOR qsig) <= 2, which is
+    how the oracle replays the prune before the exact re-rank."""
+    from eventstorm_spark.extensions.similarity import _portable_planes, lsh_topk
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+    return lsh_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir),
+                    k=10, planes=_portable_planes(64, 6))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-k: deterministic centroids (16 lowest-id vectors), argmax
+    cosine cell assignment, probe the 4 cells nearest the query. Every
+    step is deterministic, so the oracle replays the cell routing and
+    the in-cell exact search for a full hash-check."""
     from eventstorm_spark.extensions.similarity import ivf_topk
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
@@ -1796,6 +1837,169 @@ _EXT_ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""",
+    # -- portable-hash replays of the approximate operators. hash60(x) =
+    #    CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) is the DuckDB
+    #    twin of eventstorm_spark.extensions.dedup.portable_hash60.
+    "approx_event_stats": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS exact_users,
+               1 AS hll_ok, 1 AS p50_ok
+        FROM events GROUP BY event_type""",
+    "dedup_minhash_lsh": _SHINGLE_CTE + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        hashes AS (
+            SELECT doc_id, i,
+                   min(CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
+                       ':', shingle)), 1, 15)) AS BIGINT)) AS h
+            FROM ex CROSS JOIN range(64) r(i)
+            GROUP BY doc_id, i),
+        sigs AS (
+            SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig
+            FROM hashes GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, b,
+                   array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bucket
+            FROM sigs CROSS JOIN range(16) r(b)),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.b = b.b AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        common AS (
+            SELECT c.id_a, c.id_b, count(*) AS c
+            FROM cands c
+            JOIN ex a ON a.doc_id = c.id_a
+            JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8""",
+    "simhash_candidates": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM t),
+        votes AS (
+            SELECT doc_id, i,
+                   sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN range(60) r(i)
+            GROUP BY doc_id, i),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS BIGINT) AS sh
+            FROM votes GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, b,
+                   (sh >> CAST(b * 15 AS INT)) & 32767 AS bucket
+            FROM fp CROSS JOIN range(4) r(b))
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM banded a
+        JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+                      AND a.doc_id < b2.doc_id""",
+    "dedup_embedding_lsh": """
+        WITH planes AS (
+            SELECT p,
+                   list(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                        ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)
+                        / 576460752303423488.0 - 1.0 ORDER BY d) AS plane
+            FROM range(24) tp(p) CROSS JOIN range(64) td(d)
+            GROUP BY p),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bits AS (
+            SELECT vec_id, p,
+                   CASE WHEN list_dot_product(v, plane) >= 0
+                        THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+            FROM vecs CROSS JOIN planes),
+        buckets AS (
+            SELECT vec_id, p // 3 AS band,
+                   CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 3 AS INT)))
+                        + ((p // 3) << 40) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id, p // 3),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va.v, vb.v), 6) AS cosine_sim
+        FROM cands
+        JOIN vecs va ON id_a = va.vec_id
+        JOIN vecs vb ON id_b = vb.vec_id
+        WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.4""",
+    "ann_lsh_topk": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+        planes AS (
+            SELECT p,
+                   list(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                        ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)
+                        / 576460752303423488.0 - 1.0 ORDER BY d) AS plane
+            FROM range(6) tp(p) CROSS JOIN range(64) td(d)
+            GROUP BY p),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <> 0),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(v, plane) >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM base CROSS JOIN planes GROUP BY vec_id),
+        qsig AS (
+            SELECT CAST(sum(CASE WHEN list_dot_product(qv, plane) >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                            ELSE 0 END) AS BIGINT) AS qs
+            FROM q CROSS JOIN planes)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v, q.qv), 6) AS cosine_sim
+        FROM base b
+        JOIN sigs s ON b.vec_id = s.vec_id
+        CROSS JOIN qsig CROSS JOIN q
+        WHERE bit_count(xor(s.sig, qsig.qs)) <= 2
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 10""",
+    "ann_ivf_topk": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <> 0),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+        cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+                   v AS cv
+            FROM base ORDER BY vec_id LIMIT 16),
+        cells AS (
+            SELECT vec_id, cidx,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cidx) AS rn
+            FROM base CROSS JOIN cents),
+        assign AS (SELECT vec_id, cidx AS cell FROM cells WHERE rn = 1),
+        probe AS (
+            SELECT cidx FROM cents CROSS JOIN q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cidx LIMIT 4)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v, q.qv), 6) AS cosine_sim
+        FROM base b
+        JOIN assign a ON b.vec_id = a.vec_id
+        CROSS JOIN q
+        WHERE a.cell IN (SELECT cidx FROM probe)
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 10""",
     "embedding_centroids": """
         SELECT label, CAST(t.i - 1 AS INT) AS dim,
                round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 6)

