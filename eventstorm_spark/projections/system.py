@@ -94,13 +94,33 @@ def stream_by_category(events: DataFrame, separator: str = SEPARATOR) -> DataFra
     return _links(src, F.concat(F.lit("$category-"), cat))
 
 
-def materialize(events: DataFrame, log, which=None) -> int:
+def materialize(events: DataFrame, log, which=None, *,
+                num_partitions: int | None = None) -> int:
     """Append the system-projection link streams to the log (the durable
-    form EventStoreDB maintains continuously). Idempotence comes from the
-    deterministic link uuids; at 100 TB you run each projection as its
-    own job and write per link stream."""
-    from eventstorm_spark.model import NewEvent
+    form EventStoreDB maintains continuously).
 
+    Fully distributed — link rows never pass through the driver. Per
+    projection the plan is:
+
+    1. dense per-link-stream revisions from the ``_links`` window,
+       offset by the link stream's existing head revision (joined from
+       the log, so re-materializing onto a log with prior link streams
+       continues their numbering);
+    2. gapless global positions via a **range-partitioned two-pass
+       offset add**: the link rows are range-partitioned and sorted on
+       (stream, link_revision) and pinned with ``localCheckpoint`` (so
+       both passes see identical partitioning), only the P per-partition
+       *counts* come back to the driver, and each row's position is
+       ``tail + prefix_offset(partition) + row_number_in_partition``;
+    3. one distributed Parquet append of the assembled envelope.
+
+    Driver-side state is O(partitions), not O(events). The commit is
+    serialized under the log's single-writer lock like every append.
+    Link uuids are deterministic (``name-stream-link_revision``) so a
+    re-run is detectable; unlike ``EventLog.append`` this bulk path does
+    not duplicate-check — rebuild into a fresh/scavenged log or dedupe
+    on uuid when re-materializing.
+    """
     builders = {
         "$by_category": by_category,
         "$by_event_type": by_event_type,
@@ -109,17 +129,78 @@ def materialize(events: DataFrame, log, which=None) -> int:
     }
     total = 0
     for name in (which or builders):
-        rows = (builders[name](events)
-                .orderBy("stream", "link_revision").collect())
-        by_stream: dict[str, list] = {}
-        for r in rows:
-            by_stream.setdefault(r["stream"], []).append(NewEvent(
-                uuid=f"{name}-{r['stream']}-{r['link_revision']}",
-                event_type=LINK_EVENT,
-                data=r["data"],
-                content_type="application/octet-stream",
-            ))
-        for stream, evs in by_stream.items():
-            log.append(stream, evs)
-            total += len(evs)
+        total += _append_links(log, name, builders[name](events),
+                               num_partitions=num_partitions)
     return total
+
+
+def _append_links(log, name: str, links: DataFrame, *,
+                  num_partitions: int | None = None) -> int:
+    """Distributed bulk append of one projection's link rows (see
+    :func:`materialize`). Returns the number of rows written."""
+    from eventstorm_spark.log.store import _now_ticks
+    from eventstorm_spark.model import (
+        META_CONTENT_TYPE, META_CREATED, META_TYPE,
+    )
+
+    spark = links.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    with log._lock:
+        # (1) continue revision numbering from existing link-stream heads.
+        # Link streams all live under the '$' prefix, so the head scan
+        # prunes to system rows; AQE broadcasts the (stream-count-sized)
+        # head table into the join.
+        heads = (log.df().where(F.col("stream").startswith("$"))
+                 .groupBy("stream").agg(F.max("revision").alias("__head")))
+        linked = (links.join(heads, "stream", "left")
+                  .withColumn(
+                      "revision",
+                      (F.coalesce(F.col("__head") + 1, F.lit(0))
+                       + F.col("link_revision")).cast("long")))
+
+        # (2) two-pass gapless position assignment. localCheckpoint pins
+        # the (sampled) range partitioning so the counts pass and the
+        # rank pass see the same partition ids.
+        part = (linked.repartitionByRange(n_parts, "stream", "link_revision")
+                .sortWithinPartitions("stream", "link_revision")
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
+        counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        if not counts:
+            return 0
+        offsets: dict[int, int] = {}
+        run = 0
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = run
+            run += r["c"]
+        n = run
+        off_map = F.create_map(
+            *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)])
+
+        base_pos = log.tail_position()
+        ticks = _now_ticks()
+        w = W.partitionBy("__pid").orderBy("stream", "link_revision")
+        rank = (F.row_number().over(w) - 1).cast("long") + off_map[F.col("__pid")]
+
+        env = part.select(
+            F.col("stream"),
+            F.concat(F.lit(name + "-"), F.col("stream"), F.lit("-"),
+                     F.col("link_revision").cast("string")).alias("uuid"),
+            F.col("data"),
+            F.create_map(
+                F.lit(META_TYPE), F.lit(LINK_EVENT),
+                F.lit(META_CONTENT_TYPE), F.lit("application/octet-stream"),
+                F.lit(META_CREATED), F.lit(str(ticks)),
+            ).alias("metadata"),
+            F.lit(None).cast("binary").alias("custom_metadata"),
+            F.col("revision"),
+            (F.lit(base_pos) + 1 + rank).cast("long").alias("position"),
+            F.lit(LINK_EVENT).alias("event_type"),
+            F.lit("application/octet-stream").alias("content_type"),
+            F.lit(ticks).alias("created"),
+        )
+        env.write.mode("append").parquet(log.path)
+        log._tail_position = base_pos + n
+        log._revisions.clear()  # read-through cache; heads changed for link streams
+        return n

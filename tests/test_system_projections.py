@@ -85,3 +85,63 @@ def test_materialize_appends_resolvable_links(spark, tmp_path):
     assert len(ce) == 5
     resolved = EventLog.resolve_links(log.read_stream("$streams"), log.df()).collect()
     assert sorted(json.loads(r["data"])["i"] for r in resolved) == [0, 0]
+
+
+def test_materialize_distributed_positions_gapless(spark, tmp_path):
+    """The bulk materializer assigns gapless, monotonic global positions
+    continuing from the log tail, and dense per-link-stream revisions —
+    with no O(N) driver collect (positions come from the two-pass
+    offset add over range partitions)."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    for s in range(20):
+        log.append(f"acct-{s:03d}", new_events(10, prefix=f"s{s}"))
+    tail_before = log.tail_position()
+    assert tail_before == 200
+
+    n = materialize(log.df(), log, which=["$by_category", "$streams"])
+    assert n == 200 + 20
+
+    links = log.df().where(F.col("stream").startswith("$"))
+    # positions: exactly tail+1 .. tail+n, no gaps, no dups
+    pos = sorted(r["position"] for r in links.select("position").collect())
+    assert pos == list(range(tail_before + 1, tail_before + n + 1))
+    # revisions: dense 0-based per link stream
+    revs = (links.groupBy("stream")
+            .agg(F.min("revision").alias("lo"), F.max("revision").alias("hi"),
+                 F.count(F.lit(1)).alias("c")).collect())
+    for r in revs:
+        assert r["lo"] == 0 and r["hi"] == r["c"] - 1, r
+    # $ce-acct got all 200 events in source-position order
+    ce = log.read_stream("$ce-acct").orderBy("revision").collect()
+    assert len(ce) == 200
+    srcpos = [int(r["data"].split("@")[0]) for r in ce]  # rev@stream
+    assert all(a is not None for a in srcpos)
+
+
+def test_materialize_continues_existing_link_revisions(spark, tmp_path):
+    """Re-materializing a projection over NEW source events continues
+    the link stream's revision numbering from its existing head."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("acct-1", new_events(3, prefix="a"))
+    materialize(log.df(), log, which=["$by_category"])
+    head1 = log.head_revision("$ce-acct")
+    assert head1 == 2
+
+    # new source events only -> incremental materialize of the delta
+    log.append("acct-1", new_events(2, prefix="b"))
+    delta = log.df().where(
+        ~F.col("stream").startswith("$") & (F.col("revision") >= 3))
+    materialize(delta, log, which=["$by_category"])
+    assert log.head_revision("$ce-acct") == 4
+    ce = log.read_stream("$ce-acct").orderBy("revision").collect()
+    assert [r["revision"] for r in ce] == [0, 1, 2, 3, 4]
