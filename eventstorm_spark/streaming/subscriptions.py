@@ -143,3 +143,105 @@ class Subscription:
     @property
     def revisions(self) -> list:
         return [r["revision"] for r in self.delivered.events]
+
+
+class SinkSubscription:
+    """Sink-mode delivery: each micro-batch is appended to a results
+    table instead of a driver buffer — the scale path for catch-up over
+    a log that does not fit in driver memory (the in-memory
+    ``Subscription`` mirrors the reference's per-row gRPC pump,
+    streams.go:287-309, and remains the test-harness/client surface).
+
+    Delivery contract (matches the pump semantics):
+
+    - every delivered row carries a gapless 1-based ``delivery_seq``
+      assigned in global position order, so a consumer reading the sink
+      ``ORDER BY delivery_seq`` replays the exact order the reference
+      would have pushed;
+    - rows where ``delivery_seq % checkpoint_every == 0`` are flagged
+      ``checkpoint = true`` — the T4 checkpoint marker (checkpointMod=32,
+      grpc_server.go:136-155) carried on the row whose position the
+      marker would quote;
+    - the only driver-side state is the running delivered count (a
+      scalar), recovered from ``max(delivery_seq)`` already in the sink
+      on restart, so a resumed subscription (same Spark checkpoint dir)
+      continues the sequence without redelivery.
+
+    The within-batch ordering window is batch-sized, and batches are
+    bounded by source backpressure (``maxFilesPerTrigger``) — ordering
+    is inherently sequential in any delivery protocol; backpressure is
+    what keeps the sort bounded, exactly as the reference's buffered
+    channel bounds its pump.
+    """
+
+    def __init__(self, sub_df: DataFrame, sink_path: str, *,
+                 checkpoint_every: int = CHECKPOINT_EVERY,
+                 checkpoint_dir: Optional[str] = None):
+        from pyspark.sql import Window as W
+
+        self.sink_path = sink_path
+        self._spark = sub_df.sparkSession
+        self._delivered = self._existing_count()
+
+        every = checkpoint_every
+
+        def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            cnt = batch_df.count()
+            if cnt == 0:
+                return
+            base = self._delivered
+            seq = (F.row_number().over(W.orderBy("position"))
+                   .cast("long") + F.lit(base))
+            out = (batch_df.withColumn("delivery_seq", seq)
+                   .withColumn("checkpoint",
+                               F.col("delivery_seq") % every == 0))
+            out.write.mode("append").parquet(self.sink_path)
+            self._delivered = base + cnt
+
+        writer = (
+            sub_df.writeStream.outputMode("append")
+            .foreachBatch(on_batch)
+            .trigger(processingTime="200 milliseconds")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._query = writer.start()
+
+    def _existing_count(self) -> int:
+        try:
+            row = (self._spark.read.parquet(self.sink_path)
+                   .agg(F.max("delivery_seq").alias("m")).collect()[0])
+            return int(row["m"]) if row["m"] is not None else 0
+        except Exception:
+            return 0
+
+    def process_available(self) -> None:
+        """Drain everything currently committed (same listing-staleness
+        guard as ``Subscription.process_available``)."""
+        import time as _time
+
+        prev = -1
+        for i in range(6):
+            if i:
+                _time.sleep(0.25)
+            self._query.processAllAvailable()
+            if self._delivered == prev:
+                return
+            prev = self._delivered
+
+    def result(self) -> DataFrame:
+        """The delivered table (envelope + delivery_seq + checkpoint),
+        unordered — consumers ``orderBy('delivery_seq')`` to replay."""
+        try:
+            return self._spark.read.parquet(self.sink_path)
+        except Exception:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                EVENT_SCHEMA.fields
+                + [T.StructField("delivery_seq", T.LongType(), False),
+                   T.StructField("checkpoint", T.BooleanType(), False)])
+            return self._spark.createDataFrame([], schema)
+
+    def stop(self) -> None:
+        self._query.stop()

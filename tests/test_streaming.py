@@ -266,3 +266,60 @@ def test_streaming_windowed_agg_matches_batch(spark):
             for r in ev.groupBy(F.window("ts", "1 day"), "event_type")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_sink_subscription_full_catchup_order_and_checkpoints(spark, log, tmp_path):
+    """Sink-mode delivery (no driver buffer): the results table replayed
+    ORDER BY delivery_seq is byte-identical to the in-memory pump's
+    order, with checkpoint flags exactly every 32 events (T4)."""
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    for i in range(4):
+        log.append(f"sink-{i}", _events(20, start=20 * i))
+    sink = str(tmp_path / "delivery")
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        sub.process_available()
+
+        # live phase continues the sequence
+        log.append("sink-0", _events(20, start=100))
+        sub.process_available()
+
+        rows = sub.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 101))
+        # byte-identical to the position-ordered log (the pump's order)
+        expected = log.read_all().orderBy("position").collect()
+        assert [(r["stream"], r["uuid"], r["data"], r["revision"], r["position"])
+                for r in rows] == \
+               [(r["stream"], r["uuid"], r["data"], r["revision"], r["position"])
+                for r in expected]
+        # checkpoint markers at every 32nd delivery
+        assert [r["delivery_seq"] for r in rows if r["checkpoint"]] == [32, 64, 96]
+    finally:
+        sub.stop()
+
+
+def test_sink_subscription_resumes_sequence(spark, log, tmp_path):
+    """A restarted sink subscription (same Spark checkpoint) continues
+    delivery_seq from the sink without redelivering."""
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    log.append("r-1", _events(10))
+    sink = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub.process_available()
+    finally:
+        sub.stop()
+
+    log.append("r-1", _events(5, start=10))
+    sub2 = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub2.process_available()
+        rows = sub2.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 16))
+        assert [r["revision"] for r in rows] == list(range(15))
+    finally:
+        sub2.stop()
