@@ -563,10 +563,80 @@ def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "te
 # ---------------------------------------------------------------------------
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects its larger neighbors to
+    min(Γ(u) ∪ {u}). Emitted edges (v, m) have v > u >= m, so no self
+    loops; one groupBy(min) + one join, both map-side combinable."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("__mn"))
+    m = F.least(F.col("a"), F.col("__mn"))
+    return (sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high->low; every node u connects
+    its smaller neighbors (and itself) to its minimum neighbor."""
+    o = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("__mn"))
+    part1 = (o.join(mins, "u")
+             .where(F.col("v") != F.col("__mn"))
+             .select(F.col("v").alias("a"), F.col("__mn").alias("b")))
+    part2 = mins.select(F.col("u").alias("a"), F.col("__mn").alias("b"))
+    return part1.union(part2).where(F.col("a") != F.col("b")).distinct()
+
+
+def star_components(edges: DataFrame, *, id_a: str = "id_a",
+                    id_b: str = "id_b",
+                    max_iter: int = 40) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): provably O(log n) rounds on ANY graph — the upgrade
+    over plain min-label propagation, whose round count is the graph
+    diameter and degrades on adversarially long chains.
+
+    Each round is two groupBy-min + join stages over the (shrinking)
+    edge list; ``localCheckpoint`` truncates lineage per round and the
+    fixpoint test is a two-scalar checksum aggregate (count + summed
+    edge hash), not a driver collect. Returns ``(labels, rounds)``
+    where labels is (node, comp) with comp = the component's min id and
+    ``rounds`` counts the graph-mutating rounds (the final
+    checksum-equal confirmation pass is not counted — it changes
+    nothing; a 10k-node path converges in ~14 ≈ log2(n) rounds).
+    """
+    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    prev = None
+    rounds = 0
+    for i in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: an int64 sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64(F.least("a", "b"), F.greatest("a", "b"))
+                  .cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        rounds = i
+        prev = cur
+    # at fixpoint every edge points at its component min (star form)
+    lbl = e.groupBy("a").agg(F.min("b").alias("comp"))
+    centers = e.select(F.col("b").alias("a"), F.col("b").alias("comp")).distinct()
+    labels = (lbl.unionByName(centers)
+              .groupBy("a").agg(F.min("comp").alias("comp")))
+    return labels, rounds
+
+
 def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
                        id_col: str = "doc_id", id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 25,
-                       driver_threshold: int = 1_000_000) -> DataFrame:
+                       driver_threshold: int = 1_000_000,
+                       algorithm: str = "auto") -> DataFrame:
     """Connected components over duplicate-candidate pairs: the missing
     step between pairwise near-dup detection and corpus-level dedup
     (A~B, B~C must collapse to ONE cluster, though A~C never scored).
@@ -583,14 +653,27 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
     2-4 rounds in practice; ``max_iter`` caps pathological chains.
 
     At 100 TB the edge list is candidate-pair-scale (tiny vs corpus) and
-    carries ids only; for adversarially long chains switch the body to
-    the large-star/small-star variant (same loop skeleton, provably
-    O(log n) rounds).
+    carries ids only; ``algorithm="star"`` switches to the
+    large-star/small-star variant (:func:`star_components`) whose round
+    count is O(log n) regardless of graph diameter — the pick for
+    adversarially long chains. ``"auto"`` (default) keeps the tiered
+    driver-union-find / min-label-propagation behavior.
 
     Returns ``(doc_id, cluster_id)`` — for every node of ``pairs``, or
     for every row of ``docs`` when given (non-paired docs map to
     themselves).
     """
+    if algorithm == "star":
+        labels, _ = star_components(pairs, id_a=id_a, id_b=id_b)
+        out = labels.select(F.col("a").alias(id_col),
+                            F.col("comp").alias("cluster_id"))
+        if docs is None:
+            return out
+        return (docs.select(id_col)
+                .join(out, id_col, "left_outer")
+                .select(id_col,
+                        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.localCheckpoint(eager=False)
 

@@ -323,3 +323,36 @@ def test_normalize_text_unicode_semantics(spark):
     assert got[1] == got[2] == "café deluxe"  # NFC unifies, ws collapses
     assert got[3] == "strasse ss"                   # casefold, not lower
     assert got[4] is None
+
+
+def test_star_components_path_graph_converges_logarithmically(spark):
+    """10k-node path graph — the adversarial case for min-label
+    propagation (diameter = n). Large-star/small-star must converge in
+    O(log n) rounds (< 15 for n=10k) with every node labeled 0."""
+    from eventstorm_spark.extensions.dedup import star_components
+
+    edges = spark.range(9_999).selectExpr("id AS id_a", "id + 1 AS id_b")
+    labels, rounds = star_components(edges)
+    assert rounds < 15, f"took {rounds} rounds"
+    got = labels.collect()
+    assert len(got) == 10_000
+    assert {r["comp"] for r in got} == {0}
+
+
+def test_star_components_match_union_find_tier(spark):
+    """Same labels as the default (union-find) tier on a multi-component
+    graph with chains, cliques and singleton-adjacent shapes."""
+    from eventstorm_spark.extensions.dedup import duplicate_clusters
+
+    raw = (
+        [(i, i + 1) for i in range(0, 40)]          # one long chain 0..40
+        + [(100, 101), (101, 102), (100, 102)]       # triangle
+        + [(200, 205), (205, 203), (203, 201)]       # zigzag
+        + [(300, 301)]                               # pair
+    )
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    uf = {r["doc_id"]: r["cluster_id"]
+          for r in duplicate_clusters(pairs).collect()}
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, algorithm="star").collect()}
+    assert star == uf
