@@ -121,15 +121,22 @@ def ticks_to_timestamp(ticks: ColumnOrName) -> Column:
 
 
 def wallclock_micros(ts: ColumnOrName) -> Column:
-    """Epoch microseconds of a timestamp column, TIMESTAMP_NTZ-safe.
+    """Wall-clock microseconds of a timestamp column, TIMESTAMP_NTZ-safe.
 
     ``unix_micros`` rejects TIMESTAMP_NTZ (the type Spark infers for
-    tz-less parquet timestamps, e.g. the driver testdata). NTZ wall
-    clocks are interpreted as UTC — exactly DuckDB's ``epoch_us`` over
-    naive parquet timestamps — via ``to_utc_timestamp(ts, 'UTC')``,
-    which accepts both timestamp types and is session-timezone
-    independent for NTZ input."""
-    return F.unix_micros(F.to_utc_timestamp(_col(ts), "UTC"))
+    tz-less parquet timestamps, e.g. the driver testdata). The form
+    ``unix_micros(from_utc_timestamp(ts, current_timezone()))`` cancels
+    the implicit session-timezone cast an NTZ argument receives, so an
+    NTZ wall clock yields its literal micros-as-UTC — DuckDB's
+    ``epoch_us`` over naive parquet timestamps — under ANY session
+    timezone (verified empirically; the earlier
+    ``to_utc_timestamp(ts,'UTC')`` wrap was an instant-identity that
+    only matched because sessions pin UTC). For a TIMESTAMP (instant)
+    argument the result is the session-rendered wall clock, which
+    equals the UTC instant micros whenever the session timezone is UTC
+    (guaranteed by ``get_spark``; non-UTC sessions get wall-clock
+    semantics, exact up to DST-ambiguous local times)."""
+    return F.unix_micros(F.from_utc_timestamp(_col(ts), F.current_timezone()))
 
 
 def timestamp_to_ticks(ts: ColumnOrName) -> Column:

@@ -28,11 +28,14 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "es_ticks_to_timestamp": (
         "(ticks BIGINT)", "TIMESTAMP",
         "timestamp_micros(CAST(floor(CAST(ticks AS DECIMAL(30, 0)) / 10) AS BIGINT))"),
-    # NTZ-safe: to_utc_timestamp accepts TIMESTAMP and TIMESTAMP_NTZ and
-    # pins NTZ wall clocks to UTC regardless of session timezone
+    # NTZ-safe: the TIMESTAMP parameter means NTZ arguments are
+    # session-tz cast at the call boundary; from_utc_timestamp with the
+    # session timezone cancels that cast, so NTZ wall clocks map to
+    # their literal UTC micros under any session timezone (mirrors
+    # scalars.wallclock_micros)
     "es_timestamp_to_ticks": (
         "(ts TIMESTAMP)", "BIGINT",
-        "unix_micros(to_utc_timestamp(ts, 'UTC')) * 10"),
+        "unix_micros(from_utc_timestamp(ts, current_timezone())) * 10"),
     "es_now_ticks": (
         "()", "BIGINT",
         "unix_micros(current_timestamp()) * 10"),

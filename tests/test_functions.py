@@ -135,3 +135,30 @@ def test_scalars_are_codegen_side(spark):
         regex_match(F.col("data"), "k"),
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_wallclock_micros_ntz_session_timezone_independent(spark):
+    """An NTZ wall clock must map to its literal UTC micros under ANY
+    session timezone (the driver uses a plain session whose timezone we
+    do not control); previously this silently shifted outside UTC."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.functions.scalars import wallclock_micros
+
+    want = 1717243200000000  # 2024-06-01T12:00:00Z
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ["UTC", "America/Los_Angeles", "Asia/Tokyo"]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.sql("SELECT TIMESTAMP_NTZ '2024-06-01 12:00:00' AS ts")
+            got = df.select(wallclock_micros("ts").alias("v")).collect()[0].v
+            assert got == want, tz
+            # and the SQL UDF twin (TIMESTAMP param -> boundary cast)
+            from eventstorm_spark.functions.sql_udfs import register_sql_functions
+            register_sql_functions(spark)
+            got2 = spark.sql(
+                "SELECT es_timestamp_to_ticks(TIMESTAMP_NTZ '2024-06-01 12:00:00') AS v"
+            ).collect()[0].v
+            assert got2 == want * 10, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)

@@ -248,8 +248,12 @@ def test_streaming_windowed_agg_matches_batch(spark):
     sdf = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(SF_DIR))
-    # ts is TIMESTAMP_NTZ (tz-less parquet); watermarks require TIMESTAMP,
-    # so pin the wall clock to UTC on both the stream and the batch side
+    # ts is TIMESTAMP_NTZ (tz-less parquet); watermarks require TIMESTAMP.
+    # to_utc_timestamp(ts,'UTC') is an instant-identity — the NTZ wall
+    # clock is assigned its instant by the implicit session-timezone
+    # cast, which the test session pins to UTC (get_spark); both the
+    # stream and batch sides apply the same conversion, so the
+    # comparison is self-consistent either way.
     sdf = sdf.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     agg = (sdf.withWatermark("ts", "1 hour")
            .groupBy(F.window("ts", "1 day"), "event_type")
