@@ -27,7 +27,10 @@ HEADLINE = [
     "head_revisions",
     "proj_stats_by_type",
     "proj_stats_by_type_lowered",
-    "proj_count_by_stream",
+    # when_agg-lowered variant headlines; the Python-fold twin
+    # (proj_count_by_stream) stays in queries() pricing the
+    # arbitrary-handler path, like the stats_by_type pair above
+    "proj_count_by_stream_lowered",
     "tpch_q1",
     "tpch_q6",
     "top_orders_by_revenue",

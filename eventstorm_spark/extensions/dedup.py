@@ -146,7 +146,12 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
     with jaccard >= threshold. The join key is the shingle, so disjoint
     documents never meet — this is blocking, not O(n²).
     """
-    ex = shingle_rows(docs, n, text_col, id_col)
+    # Materialize the shingle rows once: they feed the size aggregate AND
+    # both sides of the self-join, and without pinning, Spark recomputes
+    # the tokenize/explode/window lineage three times. localCheckpoint
+    # stores them on executors (never the driver) and the join reuses
+    # the exchange.
+    ex = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Length prefilter (set-similarity join): J(A,B) <= min/max of the
     # set sizes, so pairs with a size ratio below the threshold can

@@ -319,6 +319,25 @@ def q_proj_count_by_stream(spark, sf_dir):
     )
 
 
+def q_proj_count_by_stream_lowered(spark, sf_dir):
+    """P2'+P4 declarative twin of proj_count_by_stream: the same
+    foreachStream count fold declared as when_agg, which run_batch
+    lowers to a native groupBy().agg() (map-side partial aggregation,
+    zero Python in the executor path). Same oracle as the general
+    fold — this is the headline-bench variant; the Python-fold twin
+    prices the arbitrary-handler path."""
+    from eventstorm_spark.projections.dsl import AggSpec
+    spec = (
+        projection("count-by-stream-lowered").from_all().foreach_stream()
+        .when_agg({"count": AggSpec.count()})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return states.select(
+        F.col("partition"),
+        F.get_json_object("state", "$.count").cast("long").alias("count"),
+    )
+
+
 def _k_sum_handler(state, e):
     state["count"] += 1
     k = (e.body or {}).get("k")
@@ -527,6 +546,9 @@ _SYSTEM_ORACLES = {
 
 _PROJ_ORACLES = {
     "proj_count_by_stream": f"""{ORACLE_CTE}
+        SELECT stream AS partition, count(*) AS count
+        FROM es_events GROUP BY stream""",
+    "proj_count_by_stream_lowered": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS count
         FROM es_events GROUP BY stream""",
     "proj_stats_by_type": f"""{ORACLE_CTE}
@@ -2239,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # -- new in round 4 --
+        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         # -- representative round-3-green goldens (fill to 50) --
         "read_stream_forward": q_read_stream_forward,
         "tpch_q1": q_tpch_q1,
