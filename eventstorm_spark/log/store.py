@@ -89,16 +89,75 @@ LINK_EVENT = "$>"
 
 
 class EventLog:
-    """A named event log over a Parquet directory."""
+    """A named event log over a Parquet directory.
 
-    def __init__(self, spark: SparkSession, path: str):
+    Commit protocol: in-process appends serialize on a lock; ACROSS
+    processes the append is an optimistic commit — before writing, the
+    writer atomically reserves the batch's first position by creating
+    ``_commits/<position>`` (``open(..., 'x')``, the filesystem's
+    compare-and-swap). A second writer that raced to the same tail
+    loses the create, refreshes its tail/revision caches, re-runs the
+    expected-revision check against the new head, and retries at the
+    advanced position — exactly Delta Lake's optimistic-commit conflict
+    check re-expressed on a plain directory (this container has no
+    delta-spark; fronting the log with a Delta table replaces
+    ``_commits/`` with the Delta transaction log and nothing else
+    changes). A writer that dies between reservation and data write
+    leaves an orphan marker; contenders reclaim it after
+    ``commit_grace_secs`` (position gaplessness is preserved — the
+    orphan's position is reused, never skipped). ``commit_protocol=
+    "none"`` turns the marker exchange off for single-writer jobs where
+    the extra file create per append is measurable.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 commit_protocol: str = "marker",
+                 commit_grace_secs: float = 60.0):
         self.spark = spark
         self.path = path
         self._lock = threading.Lock()
+        self._commit_protocol = commit_protocol
+        self._commit_grace = commit_grace_secs
         self._tail_position: Optional[int] = None  # lazily discovered
         self._revisions: dict[str, int] = {}  # stream -> head revision cache
         # stream -> (kind, before_position, last_revision); None = not loaded
         self._deletions: Optional[dict[str, tuple]] = None
+
+    # -- optimistic commit markers ---------------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def _reserve(self, position: int, stream: str, count: int) -> Optional[str]:
+        """Atomically claim ``position`` as the next append's first
+        position. Returns the marker path, or None when another writer
+        holds a live claim (caller refreshes and retries)."""
+        if self._commit_protocol != "marker":
+            return None
+        import json as _json
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        marker = os.path.join(self._commits_dir(), f"{position:020d}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Claim exists. Committed (data landed) -> caller re-reads the
+            # tail and moves on. Orphaned (no data, stale) -> reclaim.
+            try:
+                age = time.time() - os.stat(marker).st_mtime
+            except OSError:
+                return None  # racing cleanup; retry
+            self._tail_position = None  # fresh read: orphan vs committed
+            if age > self._commit_grace and self.tail_position() < position:
+                try:
+                    os.unlink(marker)
+                except OSError:
+                    pass
+            return None
+        with os.fdopen(fd, "w") as f:
+            f.write(_json.dumps(
+                {"stream": stream, "first_position": position, "count": count}))
+        return marker
 
     # -- table access -----------------------------------------------------
 
@@ -185,48 +244,73 @@ class EventLog:
             raise StreamDeletedError(stream)
         for ev in events:
             self._validate(ev)
+        seen: set[str] = set()
+        for ev in events:
+            if ev.uuid in seen:
+                raise ConflictError(f"duplicate uuid in batch: {ev.uuid}")
+            seen.add(ev.uuid)
         with self._lock:
-            current = self.head_revision(stream)
-            # Soft-deleted stream: revision numbering continues from the
-            # pre-delete head even after scavenge reclaimed the rows
-            # (EventStoreDB recreation semantics).
-            if kind == "deleted":
-                _, _, last_rev = self._load_deletions()[stream]
-                if current is None or current < last_rev:
-                    current = last_rev if last_rev >= 0 else None
-            self._check_revision(expected, current, stream)
-            if check_duplicates and current is not None:
-                uuids = [e.uuid for e in events]
-                dup = (
-                    self.df().where((F.col("stream") == stream) & F.col("uuid").isin(uuids))
-                    .limit(1).count()
-                )
-                if dup:
-                    raise ConflictError(f"duplicate uuid in stream {stream!r}")
-            seen: set[str] = set()
-            for ev in events:
-                if ev.uuid in seen:
-                    raise ConflictError(f"duplicate uuid in batch: {ev.uuid}")
-                seen.add(ev.uuid)
-
-            base_rev = -1 if current is None else current
-            base_pos = self.tail_position()
-            ticks = _now_ticks()
-            rows = []
-            for i, ev in enumerate(events):
-                meta = dict(ev.metadata)
-                meta[META_TYPE] = ev.event_type
-                meta[META_CONTENT_TYPE] = ev.content_type
-                meta[META_CREATED] = str(ticks)
-                rows.append(
-                    (
-                        stream, ev.uuid, ev.data, meta, ev.custom_metadata,
-                        base_rev + 1 + i, base_pos + 1 + i,
-                        ev.event_type, ev.content_type, ticks,
+            attempts = 0
+            while True:
+                current = self.head_revision(stream)
+                # Soft-deleted stream: revision numbering continues from
+                # the pre-delete head even after scavenge reclaimed the
+                # rows (EventStoreDB recreation semantics).
+                if kind == "deleted":
+                    _, _, last_rev = self._load_deletions()[stream]
+                    if current is None or current < last_rev:
+                        current = last_rev if last_rev >= 0 else None
+                self._check_revision(expected, current, stream)
+                if check_duplicates and current is not None:
+                    uuids = [e.uuid for e in events]
+                    dup = (
+                        self.df().where((F.col("stream") == stream)
+                                        & F.col("uuid").isin(uuids))
+                        .limit(1).count()
                     )
-                )
-            batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
-            batch.write.mode("append").parquet(self.path)
+                    if dup:
+                        raise ConflictError(f"duplicate uuid in stream {stream!r}")
+                base_rev = -1 if current is None else current
+                base_pos = self.tail_position()
+                marker = self._reserve(base_pos + 1, stream, len(events))
+                if marker is not None or self._commit_protocol != "marker":
+                    break
+                # lost the optimistic race: another process committed (or
+                # holds a live claim). Refresh tail + head caches and
+                # re-validate the CAS against the advanced log.
+                attempts += 1
+                if attempts > 200:
+                    raise ConflictError(
+                        f"commit contention on {self.path!r} (position "
+                        f"{base_pos + 1} claimed and not released)")
+                time.sleep(0.05)
+                self._tail_position = None
+                self._revisions.pop(stream, None)
+            try:
+                ticks = _now_ticks()
+                rows = []
+                for i, ev in enumerate(events):
+                    meta = dict(ev.metadata)
+                    meta[META_TYPE] = ev.event_type
+                    meta[META_CONTENT_TYPE] = ev.content_type
+                    meta[META_CREATED] = str(ticks)
+                    rows.append(
+                        (
+                            stream, ev.uuid, ev.data, meta, ev.custom_metadata,
+                            base_rev + 1 + i, base_pos + 1 + i,
+                            ev.event_type, ev.content_type, ticks,
+                        )
+                    )
+                batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+                batch.write.mode("append").parquet(self.path)
+            except BaseException:
+                # failed commit releases its claim; the log is untouched
+                if marker is not None:
+                    try:
+                        os.unlink(marker)
+                    except OSError:
+                        pass
+                raise
             self._revisions[stream] = base_rev + len(events)
             self._tail_position = base_pos + len(events)
             return AppendResult(

@@ -178,7 +178,25 @@ def _append_links(log, name: str, links: DataFrame, *,
         off_map = F.create_map(
             *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)])
 
+        # same optimistic claim as EventLog.append: reserve the batch's
+        # first position so a racing writer in another process cannot
+        # collide with the bulk append
+        marker = None
+        attempts = 0
         base_pos = log.tail_position()
+        while log._commit_protocol == "marker":
+            marker = log._reserve(base_pos + 1, name, n)
+            if marker is not None:
+                break
+            attempts += 1
+            if attempts > 200:
+                raise RuntimeError(
+                    f"commit contention materializing {name} at position "
+                    f"{base_pos + 1}")
+            import time as _time
+            _time.sleep(0.05)
+            log._tail_position = None
+            base_pos = log.tail_position()
         ticks = _now_ticks()
         w = W.partitionBy("__pid").orderBy("stream", "link_revision")
         rank = (F.row_number().over(w) - 1).cast("long") + off_map[F.col("__pid")]
@@ -200,7 +218,16 @@ def _append_links(log, name: str, links: DataFrame, *,
             F.lit("application/octet-stream").alias("content_type"),
             F.lit(ticks).alias("created"),
         )
-        env.write.mode("append").parquet(log.path)
+        try:
+            env.write.mode("append").parquet(log.path)
+        except BaseException:
+            if marker is not None:
+                import os as _os
+                try:
+                    _os.unlink(marker)
+                except OSError:
+                    pass
+            raise
         log._tail_position = base_pos + n
         log._revisions.clear()  # read-through cache; heads changed for link streams
         return n

@@ -153,3 +153,67 @@ def test_concurrent_appends_keep_positions_gapless(spark, tmp_path):
     for i in range(4):
         revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
         assert revs == list(range(12))
+
+
+# -- optimistic commit protocol (cross-process CAS; Delta-style) ----------
+
+
+def test_two_writers_never_collide_on_positions(spark, tmp_path):
+    """Two EventLog instances on the same path (the two-process shape:
+    separate locks, separate caches) must serialize through the commit
+    markers: the loser re-reads the advanced tail and lands after the
+    winner — positions stay unique and gapless."""
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    a = EventLog(spark, path)
+    b = EventLog(spark, path)
+    b.tail_position()  # cache tail=0 in B before A commits
+    a.append("s-a", new_events(3, prefix="a"))
+    res_b = b.append("s-b", new_events(2, prefix="b"))  # stale cache -> retry
+    assert res_b.first_position == 4
+    pos = sorted(r["position"] for r in a.df().select("position").collect())
+    assert pos == [1, 2, 3, 4, 5]
+
+
+def test_stale_cas_fails_after_optimistic_retry(spark, tmp_path):
+    """A writer whose expected revision was satisfied when it started
+    but is stale by commit time must get WrongExpectedRevisionError
+    from the re-validation, not corrupt the stream."""
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    a = EventLog(spark, path)
+    b = EventLog(spark, path)
+    a.append("s", new_events(1, prefix="init"))
+    b.head_revision("s")  # B caches head=0
+    b.tail_position()
+    a.append("s", new_events(1, prefix="a2"))  # advances head to 1
+    with pytest.raises(WrongExpectedRevisionError):
+        b.append("s", new_events(1, prefix="b"),
+                 ExpectedRevision.at(0))
+    # stream untouched by the failed append
+    assert a.head_revision("s") == 1
+
+
+def test_orphan_commit_marker_is_reclaimed(spark, tmp_path):
+    """A marker left by a crashed writer (no data behind it) is
+    reclaimed after the grace period and its position is reused —
+    the log stays gapless."""
+    import os
+    import time as _time
+
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    log = EventLog(spark, path)
+    log.append("s", new_events(1, prefix="x"))
+    # fake a crashed writer's claim on position 2, aged past the grace
+    cdir = os.path.join(path, "_commits")
+    orphan = os.path.join(cdir, f"{2:020d}")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    old = _time.time() - 3600
+    os.utime(orphan, (old, old))
+    res = log.append("s", new_events(1, prefix="y"))
+    assert res.first_position == 2
