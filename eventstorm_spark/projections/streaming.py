@@ -10,9 +10,20 @@ order, and the updated state is emitted downstream (to a memory sink or
 
 Note on ``reorderEvents``/``processingLag`` (T7): the reference parses
 these options but never enforces them (projection.go:48-53 has no
-consumer). We guarantee intra-batch position order by sorting inside the
-fold; cross-batch order follows commit order of the single-writer log,
-so fold ≡ sequential replay without extra buffering.
+consumer). Default mode guarantees intra-batch position order by sorting
+inside the fold; cross-batch order follows commit order of the
+single-writer log, so fold ≡ sequential replay without extra buffering.
+With ``options({"reorderEvents": True, "processingLag": ms})`` the fold
+additionally reorders ACROSS micro-batches: events are buffered in the
+state store and released in position order once the per-key created-time
+high-watermark has advanced ``ms`` past them (the event-time watermark
+contract) — so disorder arriving within the lag folds exactly like a
+batch replay. As with Spark's own windowed aggregations, the trailing
+in-window events release when the watermark advances (newer events
+arrive), not on wall-clock idleness — a processing-time timeout was
+measured and rejected: pending state timeouts keep the engine planning
+micro-batches forever, so AvailableNow/processAllAvailable never
+settle.
 """
 
 from __future__ import annotations
@@ -40,6 +51,9 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
     Start it with ``.writeStream`` (memory sink for tests, foreachBatch →
     ``EventLog.append`` for result-stream parity).
     """
+    lag_ms = spec.opts.processing_lag if spec.opts.reorder_events else 0
+    if lag_ms > 0:
+        return _run_streaming_reordered(spec, events_stream, lag_ms)
     keyed = _keyed(spec, _select(spec, events_stream))
 
     def fold(key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
@@ -61,6 +75,95 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
         if touched:
             state.update((json.dumps(st, sort_keys=True, default=str),))
             yield pd.DataFrame({"partition": [key[0]], "state": [json.dumps(st, sort_keys=True, default=str)]})
+
+    return keyed.groupBy("__key").applyInPandasWithState(
+        fold,
+        STREAM_OUT_SCHEMA,
+        STREAM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _run_streaming_reordered(spec: Projection, events_stream: DataFrame,
+                             lag_ms: int) -> DataFrame:
+    """T7 enforced: the reorderEvents/processingLag fold.
+
+    Each key's state wraps ``{st, buf, hwm}``: incoming events land in
+    ``buf``; once the created-tick high-watermark ``hwm`` has advanced
+    ``lag_ms`` past an event it is *released* — released events fold in
+    position order, so any disorder confined to the lag window replays
+    exactly like the batch fold (the reference's "delay processing up to
+    processingLag to reorder by prepare position", projection.go:48-53).
+    Events still inside the window stay buffered until the watermark
+    advances past them. State carries only the in-window slice, so the
+    buffer is bounded by lag x arrival rate, not the corpus.
+
+    Requires a column-backed key (``partition_by(column=...)``,
+    ``foreach_stream`` or unpartitioned) — Python-callable keys would
+    put an interpreted UDF on the hot path of every buffered row.
+    """
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.projections.batch import _FOLD_COLUMNS
+    from eventstorm_spark.projections.dsl import ProjEvent
+
+    base = _select(spec, events_stream).select(*_FOLD_COLUMNS, "created")
+    if not spec.is_partitioned:
+        keyed = base.withColumn("__key", F.lit(""))
+    elif spec.partition_column:
+        keyed = base.withColumn(
+            "__key", F.expr(spec.partition_column).cast("string"))
+    else:
+        raise NotImplementedError(
+            "processingLag requires a column-backed partition key "
+            "(partition_by(column=...), foreach_stream, or unpartitioned)")
+
+    lag_ticks = lag_ms * 10_000  # 100-ns ticks per ms
+
+    def fold(key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            wrapper: Any = json.loads(state.get[0])
+        else:
+            wrapper = {"st": None, "buf": [], "hwm": 0}
+        buf = wrapper["buf"]
+        hwm = int(wrapper["hwm"])
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                created = int(row.created) if row.created is not None else 0
+                buf.append({
+                    "stream": row.stream, "event_type": row.event_type,
+                    "data": row.data,
+                    "metadata": dict(row.metadata)
+                    if isinstance(row.metadata, dict) else {},
+                    "content_type": row.content_type,
+                    "position": int(row.position),
+                    "revision": int(row.revision), "created": created,
+                })
+                hwm = max(hwm, created)
+        horizon = hwm - lag_ticks
+        ready = [e for e in buf if e["created"] <= horizon]
+        buf = [e for e in buf if e["created"] > horizon]
+        ready.sort(key=lambda e: e["position"])
+        st = wrapper["st"]
+        touched = False
+        for ed in ready:
+            e = ProjEvent.from_envelope(
+                stream=ed["stream"], event_type=ed["event_type"],
+                data=ed["data"], metadata=ed["metadata"],
+                content_type=ed["content_type"], revision=ed["revision"],
+            )
+            e.partition = key[0] if spec.is_partitioned else ""
+            st, _forward, _emitted = spec.run_chain_collect(st, e)
+            touched = True
+        state.update((json.dumps(
+            {"st": st, "buf": buf, "hwm": hwm},
+            sort_keys=True, default=str),))
+        if touched:
+            yield pd.DataFrame({
+                "partition": [key[0]],
+                "state": [json.dumps(st, sort_keys=True, default=str)],
+            })
 
     return keyed.groupBy("__key").applyInPandasWithState(
         fold,

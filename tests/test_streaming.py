@@ -327,3 +327,119 @@ def test_sink_subscription_resumes_sequence(spark, log, tmp_path):
         assert [r["revision"] for r in rows] == list(range(15))
     finally:
         sub2.stop()
+
+
+def _env_rows(positions, t0, tick_step=10_000_000, created_at=None):
+    """Envelope tuples with created ticks derived from position (or
+    pinned via created_at)."""
+    rows = []
+    for p in positions:
+        created = created_at if created_at is not None else t0 + p * tick_step
+        rows.append((
+            "s-1", f"u-{p}", json.dumps({"p": p}), {"type": "evt"},
+            None, p - 1, p, "evt", "application/json", created,
+        ))
+    return rows
+
+
+def test_processing_lag_reorders_across_batches(spark, tmp_path):
+    """T7 enforced: with reorderEvents+processingLag, disorder spanning
+    two micro-batches folds in position order — identical to the batch
+    replay — once the created-time high-watermark passes the lag."""
+    from eventstorm_spark.model import EVENT_SCHEMA
+    from eventstorm_spark.projections.dsl import projection
+    from eventstorm_spark.projections.batch import run_batch
+    from eventstorm_spark.projections.streaming import run_streaming
+
+    path = str(tmp_path / "log")
+    t0 = 17_000_000_000_000_000  # arbitrary tick base
+
+    def see(state, e):
+        state["seen"].append(e.body["p"])
+
+    def make_spec():
+        return (
+            projection("lagged").from_all()
+            .options({"reorderEvents": True, "processingLag": 60_000})
+            .when({"$init": lambda: {"seen": []}, "$any": see})
+        )
+
+    # batch 1 delivers positions 4,5 BEFORE 1,2,3 ever land
+    spark.createDataFrame(_env_rows([4, 5], t0), EVENT_SCHEMA) \
+        .write.mode("append").parquet(path)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = (run_streaming(make_spec(), sdf)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("lagged").trigger(processingTime="200 milliseconds").start())
+    try:
+        q.processAllAvailable()
+        # late batch with the EARLIER positions
+        spark.createDataFrame(_env_rows([1, 2, 3], t0), EVENT_SCHEMA) \
+            .write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # everything is inside the lag window: nothing folded yet
+        assert spark.sql("SELECT * FROM lagged").count() == 0
+
+        # a closer event far past the lag releases 1..5 (stays buffered
+        # itself)
+        spark.createDataFrame(
+            _env_rows([6], t0, created_at=t0 + 864_000_000_000),
+            EVENT_SCHEMA).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM lagged").collect()
+        latest = {}
+        for r in rows:
+            latest[r["partition"]] = r["state"]
+        assert latest[""] == '{"seen": [1, 2, 3, 4, 5]}'
+    finally:
+        q.stop()
+
+    # ≡ batch replay of the released prefix
+    released = spark.createDataFrame(
+        _env_rows([1, 2, 3, 4, 5], t0), EVENT_SCHEMA)
+    spec = (projection("lagged-batch").from_all()
+            .when({"$init": lambda: {"seen": []}, "$any": see}))
+    batch = {r["partition"]: r["state"]
+             for r in run_batch(spec, released).collect()}
+    assert batch[""] == '{"seen": [1, 2, 3, 4, 5]}'
+
+
+def test_processing_lag_tail_releases_on_watermark_advance(spark, tmp_path):
+    """The buffered tail releases when newer events advance the
+    watermark past it (the windowed-aggregation contract) — folding in
+    position order even when the releasing batch itself is in-order."""
+    from eventstorm_spark.model import EVENT_SCHEMA
+    from eventstorm_spark.projections.dsl import projection
+    from eventstorm_spark.projections.streaming import run_streaming
+
+    path = str(tmp_path / "log")
+    t0 = 17_000_000_000_000_000
+
+    def see(state, e):
+        state["seen"].append(e.body["p"])
+
+    spec = (projection("lagged-wm").from_all()
+            .options({"reorderEvents": True, "processingLag": 2_000})
+            .when({"$init": lambda: {"seen": []}, "$any": see}))
+
+    # 2,1 disordered; created 10ms apart -> inside the 2s lag together
+    spark.createDataFrame(
+        _env_rows([2, 1], t0, tick_step=100_000), EVENT_SCHEMA) \
+        .write.mode("append").parquet(path)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = (run_streaming(spec, sdf)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("lagged_wm").trigger(processingTime="200 milliseconds").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM lagged_wm").count() == 0  # in-window
+
+        # position 3 created 10s later advances the watermark past 1,2
+        spark.createDataFrame(
+            _env_rows([3], t0, created_at=t0 + 100_000_000), EVENT_SCHEMA) \
+            .write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM lagged_wm").collect()
+        assert rows and rows[-1]["state"] == '{"seen": [1, 2]}'
+    finally:
+        q.stop()
