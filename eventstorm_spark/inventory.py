@@ -1554,6 +1554,18 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, docs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Duplicate clusters via large-star/small-star connected components
+    (O(log n) rounds on any graph — the adversarial-chain-safe tier of
+    duplicate_clusters). Labels are identical to the union-find /
+    min-label-propagation tiers, so it shares dedup_clusters' oracle:
+    a recursive-CTE transitive closure over the same pair set."""
+    from eventstorm_spark.extensions.dedup import duplicate_clusters, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return duplicate_clusters(pairs, docs, algorithm="star")
+
+
 def q_dedup_kept_by_source(spark, sf_dir):
     """The full dedup pipeline end-to-end: jaccard pairs -> connected
     components -> keep the min-id representative per cluster -> kept-doc
@@ -1839,6 +1851,8 @@ _EXT_ORACLES = {
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
         FROM documents GROUP BY md5(text)""",
+    # star CC produces the same labels as the union-find tier; reuse the
+    # recursive-closure oracle verbatim (bound below after dict literal)
     "near_dup_ngram_jaccard": _SHINGLE_CTE + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         common AS (
@@ -2202,6 +2216,8 @@ _EXT_ORACLES = {
               FROM documents WHERE CAST(doc_id % 3 AS INT) = 2) t""",
 }
 
+_EXT_ORACLES["dedup_clusters_star"] = _EXT_ORACLES["dedup_clusters"]
+
 
 # ---------------------------------------------------------------------------
 # assembly
@@ -2263,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # -- new in round 4 --
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
+        "dedup_clusters_star": q_dedup_clusters_star,
         # -- representative round-3-green goldens (fill to 50) --
         "read_stream_forward": q_read_stream_forward,
         "tpch_q1": q_tpch_q1,
