@@ -232,3 +232,63 @@ def normalize_text(docs: DataFrame, *, text_col: str = "text",
             ws.sub(" ", unicodedata.normalize(form, t).casefold()).strip())
 
     return docs.withColumn(out_col or text_col, norm_udf(F.col(text_col)))
+
+
+def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    LM — the classic cheap quality/outlier signal for training-data
+    filtering (garbage, boilerplate and wrong-language text score low).
+
+    Two map-side-combinable aggregations over one tokenize pass: term
+    frequencies (vocabulary-sized, broadcast back) and the corpus token
+    total (1-row broadcast); the per-doc score is then a groupBy(avg)
+    over the exploded terms. All ratios are exact int64/int64 double
+    divisions, so the score is bit-reproducible across engines (the
+    DuckDB oracle recomputes it identically). Docs with no alphanumeric
+    tokens drop out (no LM support).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    terms = terms.localCheckpoint(eager=False)  # feeds freq, total AND scoring
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    return (terms.join(F.broadcast(freq), "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("tf") / F.col("n_total"))), 6)
+                 .alias("avg_logprob")))
+
+
+def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: token/type counts, type-token
+    ratio, and the hapax-legomena share (fraction of vocabulary seen
+    exactly once — the Zipf-tail health check that collapses when a
+    corpus is template spam or dedup has failed).
+
+    One tokenize pass -> term-frequency aggregation -> a single-row
+    reduction over the vocabulary table; everything map-side
+    combinable, output is one row regardless of corpus size.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    terms = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    return freq.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("long")
+        .alias("hapax_count"),
+        F.round(F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)), 6).alias("hapax_fraction"),
+    )

@@ -1771,6 +1771,21 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM quality score per document (mean token
+    log-probability) — low scores flag garbage/boilerplate/off-language
+    text for training-data filtering."""
+    from eventstorm_spark.extensions.text import unigram_logprob
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: token/type counts, type-token
+    ratio, hapax share — the Zipf-tail health check for a corpus."""
+    from eventstorm_spark.extensions.text import vocab_stats
+    return vocab_stats(load(spark, sf_dir, "documents"))
+
+
 def q_multimodal_asset_stats(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import asset_stats, synth_assets
     return asset_stats(synth_assets(load(spark, sf_dir, "documents")))
@@ -2218,6 +2233,32 @@ _EXT_ORACLES = {
 
 _EXT_ORACLES["dedup_clusters_star"] = _EXT_ORACLES["dedup_clusters"]
 
+_EXT_ORACLES["doc_unigram_logprob"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(tf * 1.0 / n_total)), 6) AS avg_logprob
+    FROM t JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id"""
+
+_EXT_ORACLES["vocab_stats"] = """
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term)
+    SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) * 1.0 / sum(tf), 6) AS type_token_ratio,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS hapax_fraction
+    FROM freq"""
+
 
 # ---------------------------------------------------------------------------
 # assembly
@@ -2280,6 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "vocab_stats": q_vocab_stats,
         # -- representative round-3-green goldens (fill to 50) --
         "read_stream_forward": q_read_stream_forward,
         "tpch_q1": q_tpch_q1,
