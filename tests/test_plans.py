@@ -164,3 +164,31 @@ def test_event_analytics_broadcast_shapes(q):
     for name in ["funnel_conversion", "cohort_retention", "events_anomalies"]:
         assert "BroadcastHashJoin" in q(name), name
         assert "BatchEvalPython" not in q(name), name
+
+
+def test_unigram_logprob_broadcasts_and_stays_jvm(q):
+    # vocabulary + corpus-total must broadcast; no Python stages
+    plan = q("doc_unigram_logprob")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_stats_has_partial_aggregation(q):
+    # tokenize -> vocab agg must combine map-side before the exchange
+    plan = q("vocab_stats")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_portable_minhash_stays_codegen(q):
+    # the portable (md5) hashing must not fall out of codegen into
+    # interpreted HOFs or Python on the corpus-scale signature path
+    plan = q("dedup_minhash_lsh")
+    assert "BatchEvalPython" not in plan
+
+
+def test_star_components_stays_jvm(q):
+    # the star-CC rounds (groupBy-min + join per star) and the final
+    # docs join must never leave the JVM
+    plan = q("dedup_clusters_star")
+    assert "BatchEvalPython" not in plan
