@@ -180,22 +180,96 @@ def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, *, k: int = 16, iters: int = 5,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Distributed spherical k-means training for IVF cell routing.
+
+    Lloyd iterations expressed as DataFrame ops — nothing corpus-sized
+    ever reaches the driver:
+
+    - **E step** (assignment): one Arrow-batched GEMM per batch against
+      the broadcast centroid matrix (argmax cosine — the same kernel
+      ``ivf_topk`` routes with);
+    - **M step** (update): ``posexplode`` to (cell, dim, x) rows and a
+      map-side-combinable avg — the ``embedding_centroids`` shape — then
+      re-normalized driver-side (k x dim floats, the only collect).
+
+    Init is deterministic: the k vectors with the smallest
+    ``portable_hash60(id)`` — a seedless pseudo-random spread, so
+    training is reproducible across runs and partitionings (up to
+    floating-point summation order in the avg, which only matters for
+    near-tied assignments). Empty cells keep their previous centroid.
+    At 100 TB you train on a sampled slice (k-means needs only a
+    representative sample) and route the full corpus with the result.
+    """
+    from eventstorm_spark.extensions.dedup import portable_hash60
+
+    seeds = (embeddings
+             .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                     portable_hash60(F.col(id_col).cast("string")).alias("__h"))
+             .orderBy("__h", "__id").limit(k).collect())
+    cents = np.array([np.asarray(r["__v"], dtype=np.float64) for r in seeds])
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = cents / np.where(norms == 0, 1.0, norms)
+
+    from pyspark.sql.functions import pandas_udf
+
+    vecs = embeddings.select(F.col(id_col).alias("__id"),
+                             _as_double_array(F.col(vec_col)).alias("__v"))
+    vecs = vecs.localCheckpoint(eager=False)  # reused every iteration
+
+    for _ in range(iters):
+        cm = cents  # capture for the UDF closure
+
+        @pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(n == 0, 1.0, n)
+            return pd.Series(np.argmax(m @ cm.T, axis=1).astype("int32"))
+
+        assigned = vecs.withColumn("__cell", assign(F.col("__v")))
+        means = (assigned
+                 .select("__cell", F.posexplode("__v").alias("__dim", "__x"))
+                 .groupBy("__cell", "__dim").agg(F.avg("__x").alias("__m"))
+                 .collect())
+        new = cents.copy()
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cell.setdefault(r["__cell"], {})[r["__dim"]] = r["__m"]
+        for c, dims in per_cell.items():
+            v = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[c] = v / n
+        cents = new
+    return cents.tolist()
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
              *, n_centroids: int = 16, n_probe: int = 4,
+             centroids: list[list[float]] | None = None,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style approximate top-k: partition the corpus by
     nearest-of-C sampled centroids, probe only the ``n_probe`` cells
     nearest the query, exact-search inside them.
 
-    Centroids are the C lowest-id vectors (deterministic, no training
-    step; swap in k-means centroids for production). Cell assignment is
-    a JVM expression (argmax over C cosine columns — no shuffle, no
-    UDF); at scale the assignment is precomputed once as a partition
-    column, making the probe a partition-pruned scan.
+    Default centroids are the C lowest-id vectors (deterministic, no
+    training step — which keeps the driver query oracle-expressible);
+    pass ``centroids=kmeans_centroids(...)`` for trained routing. Cell
+    assignment is an Arrow-batched GEMM; at scale the assignment is
+    precomputed once as a partition column, making the probe a
+    partition-pruned scan.
     """
-    cent_rows = (embeddings.orderBy(id_col).limit(n_centroids)
-                 .select(id_col, vec_col).collect())
-    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        cent_rows = (embeddings.orderBy(id_col).limit(n_centroids)
+                     .select(id_col, vec_col).collect())
+        cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
 
     def _cos_py(a, b):
         d = sum(x * y for x, y in zip(a, b))

@@ -356,3 +356,44 @@ def test_star_components_match_union_find_tier(spark):
     star = {r["doc_id"]: r["cluster_id"]
             for r in duplicate_clusters(pairs, algorithm="star").collect()}
     assert star == uf
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark, emb):
+    """Trained spherical k-means centroids must (a) be deterministic
+    across partitionings, (b) reduce within-cluster scatter versus the
+    untrained seeds, and (c) route ivf_topk at least as well as the
+    untrained lowest-id centroids."""
+    import numpy as np
+
+    from eventstorm_spark.extensions.similarity import (
+        brute_force_topk, ivf_topk, kmeans_centroids)
+
+    qv = _query_vec(spark, SF_DIR)
+    sub = emb.where(F.col("vec_id") != 0)
+
+    c1 = kmeans_centroids(sub, k=16, iters=4)
+    c2 = kmeans_centroids(sub.repartition(7), k=16, iters=4)
+    a1, a2 = np.array(c1), np.array(c2)
+    assert a1.shape == (16, 64)
+    # determinism up to FP summation order in the distributed avg
+    assert np.allclose(a1, a2, atol=1e-9)
+
+    # scatter: mean max-cosine to a centroid should improve vs seeds
+    vecs = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in sub.select("embedding").collect()])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def mean_best_cos(cents):
+        c = np.array(cents)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float(np.max(vecs @ c.T, axis=1).mean())
+
+    seeds = kmeans_centroids(sub, k=16, iters=0)
+    assert mean_best_cos(c1) >= mean_best_cos(seeds) - 1e-9
+
+    exact = [r["vec_id"] for r in brute_force_topk(sub, qv, k=10).collect()]
+    trained = [r["vec_id"] for r in
+               ivf_topk(sub, qv, k=10, centroids=c1).collect()]
+    untrained = [r["vec_id"] for r in ivf_topk(sub, qv, k=10).collect()]
+    assert len(set(trained) & set(exact)) >= len(set(untrained) & set(exact)) - 2
+    assert len(set(trained) & set(exact)) >= 3
