@@ -750,6 +750,115 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
             .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
 
 
+def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
+                             num_hashes: int = 64, bands: int = 16,
+                             threshold: float = 0.8,
+                             retention_secs: float = 600.0,
+                             event_time_col: str = "ts",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: emits verified
+    pairs ``(id_a, id_b, jaccard, band)`` where the later-arriving doc
+    is a near-duplicate of one seen within the retention window — the
+    online twin of ``minhash_near_duplicates`` for ingest-time dedup.
+
+    Shape: shingles, the MinHash signature and the band buckets are
+    computed per row (row-local expressions — no extra stateful
+    aggregation on the stream; the per-element HOF cost is bounded by
+    micro-batch volume, unlike a corpus scan); rows are exploded to one
+    per band and keyed by ``(band, bucket)``. Each key's state holds
+    the (id, shingle-set, event-time) of docs seen within
+    ``retention_secs``; a new arrival is verified with exact Jaccard
+    against its bucket's state docs, emitting a pair per hit. State is
+    evicted by event time against the key's high-watermark, so memory
+    is retention x per-bucket arrival rate — never the corpus.
+
+    A pair colliding in several bands is emitted once per band (the
+    ``band`` column lets consumers ``dropDuplicates([id_a, id_b])``
+    downstream); deduplicating inside would chain a second stateful
+    operator onto the query, which buys nothing at candidate-pair
+    volumes.
+    """
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    r = num_hashes // bands
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, i))),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(F.col("__sig"), b * r + 1, r),
+                lambda x: x.cast("string")))),
+    )
+    banded = (
+        docs_stream
+        .select(F.col(id_col).alias("__id"),
+                F.col(event_time_col).cast("double").alias("__ts"),
+                shingles.alias("__sh"))
+        .withColumn("__sig", sig)
+        .select("__id", "__ts", "__sh",
+                F.posexplode(buckets).alias("__band", "__bucket"))
+        .withColumn("__key", F.concat_ws(":", "__band", "__bucket"))
+    )
+
+    out_schema = "id_a long, id_b long, jaccard double, band int"
+    state_schema = "state string"
+
+    def fold(key, pdf_iter, state: GroupState):
+        entries = _json.loads(state.get[0]) if state.exists else []
+        hwm = max((e["ts"] for e in entries), default=float("-inf"))
+        rows = []
+        for pdf in pdf_iter:
+            # itertuples renames leading-underscore columns; index by name
+            for did, ts, sh, band in zip(pdf["__id"], pdf["__ts"],
+                                         pdf["__sh"], pdf["__band"]):
+                rows.append((int(did), float(ts), list(sh), int(band)))
+        rows.sort(key=lambda t: (t[1], t[0]))  # arrival = event-time order
+        out_a, out_b, out_j, out_band = [], [], [], []
+        for did, ts, sh, band in rows:
+            hwm = max(hwm, ts)
+            # evict BEFORE comparing: a doc must not pair with entries
+            # its own arrival just pushed outside the retention window
+            entries = [e for e in entries if e["ts"] >= hwm - retention_secs]
+            sset = set(sh)
+            for e in entries:
+                if e["id"] == did:
+                    continue
+                oset = set(e["sh"])
+                common = len(sset & oset)
+                union = len(sset) + len(oset) - common
+                j = round(common / union, 6) if union else 0.0
+                if j >= threshold:
+                    lo, hi = sorted((e["id"], did))
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(j)
+                    out_band.append(band)
+            entries.append({"id": did, "ts": ts, "sh": sh})
+        entries = [e for e in entries if e["ts"] >= hwm - retention_secs]
+        state.update((_json.dumps(entries, sort_keys=True),))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "jaccard": out_j, "band": out_band})
+
+    return banded.groupBy("__key").applyInPandasWithState(
+        fold, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def drop_near_duplicates(docs: DataFrame, pairs: DataFrame, *,
                          id_col: str = "doc_id", id_a: str = "id_a",
                          id_b: str = "id_b") -> DataFrame:

@@ -443,3 +443,51 @@ def test_processing_lag_tail_releases_on_watermark_advance(spark, tmp_path):
         assert rows and rows[-1]["state"] == '{"seen": [1, 2]}'
     finally:
         q.stop()
+
+
+def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
+    """Online MinHash-LSH dedup: a later near-duplicate pairs with docs
+    seen within the retention window; arrivals past the window evict
+    old state and pair with nothing."""
+    from eventstorm_spark.extensions.dedup import streaming_near_dup_pairs
+
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, ts double, text string"
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"   # j ~= 0.88
+    other = " ".join(f"x{i}" for i in range(50))
+
+    spark.createDataFrame(
+        [(1, 100.0, base), (2, 101.0, near), (3, 102.0, other)], schema
+    ).write.mode("append").parquet(path)
+
+    sdf = spark.readStream.schema(schema).parquet(path)
+    pairs = streaming_near_dup_pairs(sdf, threshold=0.8, retention_secs=600.0)
+    q = (pairs.writeStream.outputMode("update").format("memory")
+         .queryName("near_pairs").trigger(processingTime="200 milliseconds")
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM near_pairs").collect()}
+        assert got == {(1, 2)}
+
+        # a second batch: doc 4 near-dups 1 and 2, inside retention
+        spark.createDataFrame(
+            [(4, 150.0, base + " tail")], schema
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM near_pairs").collect()}
+        assert (1, 4) in got and (2, 4) in got
+
+        # far-future arrival: eviction means no pair despite similarity
+        spark.createDataFrame(
+            [(5, 10_000.0, base)], schema
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM near_pairs").collect()}
+        assert not any(5 in p for p in got), got
+    finally:
+        q.stop()
