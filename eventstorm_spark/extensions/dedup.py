@@ -208,9 +208,11 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
     """id + array<long> MinHash signature.
 
     hash_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
-    With ``portable=True``, hash_i(s) = portable_hash60(i || ':' || s)
-    instead, so the full signature is reproducible in any engine with
-    md5 — same plan shape, same banding math.
+    With ``portable=True``, the hash family is Kirsch-Mitzenmacher
+    double hashing over md5 halves — h_i(s) = (h1(s) + i*h2(s)) mod
+    2^60 with h1/h2 the two 60-bit hex slices of one md5 — so the full
+    signature is reproducible in any engine with md5 and exact 128-bit
+    integer arithmetic; same plan shape, same banding math.
 
     Shape matters here: explode the shingles and compute the H hashes as
     ordinary projected columns feeding H ``min()`` aggregates. That keeps
@@ -223,9 +225,20 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
     """
     ex = shingle_rows(docs, n, text_col, id_col).withColumnRenamed("shingle", "s")
     if portable:
+        # Kirsch-Mitzenmacher double hashing: ONE md5 per shingle,
+        # h_i = (h1 + i*h2) & (2^60-1) with h1 = 60-bit and h2 = 52-bit
+        # hex slices — 64x fewer md5 calls than hashing per-i, and the
+        # arithmetic stays in overflow-free int64 (i < 2^7, h2 < 2^52,
+        # so h1 + i*h2 < 2^61): pure codegen'd long ops both engines
+        # reproduce bit-for-bit.
+        dig = F.md5(F.col("s"))
+        h1 = F.conv(F.substring(dig, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(dig, 16, 13), 16, 10).cast("long")
+        ex = ex.select("id", h1.alias("__h1"), h2.alias("__h2"))
+        mask = (1 << 60) - 1
         mins = [
-            F.min(portable_hash60(
-                F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+            F.min((F.col("__h1") + F.lit(i) * F.col("__h2"))
+                  .bitwiseAND(F.lit(mask))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:

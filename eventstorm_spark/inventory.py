@@ -1898,11 +1898,17 @@ _EXT_ORACLES = {
         FROM events GROUP BY event_type""",
     "dedup_minhash_lsh": _SHINGLE_CTE + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        hx AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15))
+                        AS BIGINT) AS h1,
+                   CAST(concat('0x', substr(md5(shingle), 16, 13))
+                        AS BIGINT) AS h2
+            FROM ex),
         hashes AS (
             SELECT doc_id, i,
-                   min(CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
-                       ':', shingle)), 1, 15)) AS BIGINT)) AS h
-            FROM ex CROSS JOIN range(64) r(i)
+                   min((h1 + i * h2) & 1152921504606846975) AS h
+            FROM hx CROSS JOIN range(64) r(i)
             GROUP BY doc_id, i),
         sigs AS (
             SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig
