@@ -250,7 +250,8 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
 
 
 def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
-                           string_buckets: bool = False) -> DataFrame:
+                           string_buckets: bool = False,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, bucket-join per band -> distinct candidate pairs.
 
     rows_per_band = len(signature)/bands. Pair probability ≈
@@ -261,6 +262,15 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
     ``string_buckets=True`` keeps the raw comma-joined slice as the key
     instead — wider rows, but reproducible verbatim by any SQL engine
     (the portable verification mode).
+
+    ``max_bucket_size`` is the skew guard for corpus scale: a hot
+    bucket of k members (a stop-shingle band, template spam) expands to
+    k²/2 pair rows in the self-join; buckets above the cap are dropped
+    before the join (semi-join on the small under-cap bucket list),
+    bounding the quadratic term. Members of a dropped bucket still pair
+    through their other bands, so recall degrades gracefully rather
+    than the join exploding. Off by default — the driver-verified
+    queries run uncapped so the oracle replays exactly.
     """
     slice_str = lambda b: F.concat_ws(  # noqa: E731 — band slice as csv
         ",",
@@ -283,6 +293,7 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_expr)
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -292,6 +303,19 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than the cap before a bucket
+    self-join (see ``minhash_lsh_candidates``). One map-side-combinable
+    count + a semi-join against the under-cap key list."""
+    if max_bucket_size is None:
+        return banded
+    ok = (banded.groupBy("band", "bucket")
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .where(F.col("__n") <= max_bucket_size)
+          .select("band", "bucket"))
+    return banded.join(ok, ["band", "bucket"], "left_semi")
 
 
 def minhash_near_duplicates(docs: DataFrame, *, num_hashes: int = 64, bands: int = 16,
@@ -543,11 +567,13 @@ def simhash(docs: DataFrame, *, bits: int = 64, text_col: str = "text",
 
 
 def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "text",
-                    id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+                    id_col: str = "doc_id", portable: bool = False,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidate pairs whose SimHash agrees on >=1 of the 4
     16-bit bands (classic SimHash blocking). ``portable=True`` uses the
     md5-derived 60-bit fingerprint (4 x 15-bit bands) so the oracle can
-    replay the candidate set."""
+    replay the candidate set. ``max_bucket_size`` bounds hot-bucket
+    quadratic blowup exactly as in ``minhash_lsh_candidates``."""
     nbits = 60 if portable else 64
     if portable and band_bits == 16:
         band_bits = 15
@@ -564,6 +590,7 @@ def simhash_buckets(docs: DataFrame, *, band_bits: int = 16, text_col: str = "te
             ])
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -397,3 +397,25 @@ def test_kmeans_centroids_improve_ivf_recall(spark, emb):
     untrained = [r["vec_id"] for r in ivf_topk(sub, qv, k=10).collect()]
     assert len(set(trained) & set(exact)) >= len(set(untrained) & set(exact)) - 2
     assert len(set(trained) & set(exact)) >= 3
+
+
+def test_bucket_cap_bounds_hot_bucket_blowup(spark):
+    """A hot LSH bucket (20 identical docs = 190 pair rows per band)
+    is dropped by the cap while normal near-dup pairs still flow."""
+    from eventstorm_spark.extensions.dedup import (
+        minhash_lsh_candidates, minhash_signatures)
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    rows = [(i, "spam template text repeated verbatim " * 3) for i in range(20)]
+    rows += [(100, base), (101, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    uncapped = minhash_lsh_candidates(sigs)
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=10)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    got_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got_uncapped and (100, 101) in got_capped
+    assert any(a < 20 and b < 20 for a, b in got_uncapped)   # clique present
+    assert not any(a < 20 and b < 20 for a, b in got_capped)  # clique capped
