@@ -434,6 +434,7 @@ def embedding_cosine_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
 def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
                               num_planes: int = 36, bands: int = 6, seed: int = 42,
                               planes: list[list[float]] | None = None,
+                              max_bucket_size: int | None = None,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id") -> DataFrame:
     """Scale path: banded random-hyperplane LSH candidates -> exact cosine
@@ -484,6 +485,7 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
         F.col(id_col).alias("id"),
         F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket_size)  # hot-bucket skew guard
     a = banded.alias("a")
     b = banded.alias("b")
     pair_ids = (
