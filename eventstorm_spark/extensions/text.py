@@ -292,3 +292,34 @@ def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.round(F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
                 / F.count(F.lit(1)), 6).alias("hapax_fraction"),
     )
+
+
+def repeated_passages(docs: DataFrame, *, seg_tokens: int = 10,
+                      min_docs: int = 2, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-passage detection: split every document
+    into consecutive ``seg_tokens``-token segments and flag segments
+    appearing in >= ``min_docs`` distinct documents — the segment-level
+    approximation of exact-substring dedup used to strip boilerplate
+    and templated passages from training corpora.
+
+    Plan: one tokenize -> segment explode (row-local array slicing, no
+    window) -> segment-frequency aggregation (map-side combinable,
+    vocabulary-of-passages-sized) joined back broadcast. Exact and
+    engine-reproducible, so the oracle replays it verbatim.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice(F.col("__t"),
+                                           j * seg_tokens + 1, seg_tokens)),
+    )
+    ex = (docs.select(F.col(id_col), toks.alias("__t"))
+          .select(id_col, F.posexplode(segs).alias("seg_no", "segment")))
+    ex = ex.localCheckpoint(eager=False)  # feeds counts AND the join back
+    freq = (ex.groupBy("segment")
+            .agg(F.countDistinct(id_col).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+    return (ex.join(F.broadcast(freq), "segment")
+            .select(id_col, "seg_no", "segment", "n_docs"))

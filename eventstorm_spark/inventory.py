@@ -1786,6 +1786,13 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(load(spark, sf_dir, "documents"))
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Cross-document repeated 10-token segments (boilerplate/templated
+    passage detection — segment-level exact-substring dedup)."""
+    from eventstorm_spark.extensions.text import repeated_passages
+    return repeated_passages(load(spark, sf_dir, "documents"))
+
+
 def q_multimodal_asset_stats(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import asset_stats, synth_assets
     return asset_stats(synth_assets(load(spark, sf_dir, "documents")))
@@ -2251,6 +2258,22 @@ _EXT_ORACLES["doc_unigram_logprob"] = """
     FROM t JOIN freq USING (term) CROSS JOIN tot
     GROUP BY doc_id"""
 
+_EXT_ORACLES["repeated_passages"] = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+    segs AS (
+        SELECT doc_id, CAST(j AS INT) AS seg_no,
+               array_to_string(t[j * 10 + 1 : j * 10 + 10], ' ') AS segment
+        FROM toks,
+             unnest(generate_series(
+                 0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) u(j)),
+    freq AS (
+        SELECT segment, count(DISTINCT doc_id) AS n_docs
+        FROM segs GROUP BY segment HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, s.seg_no, s.segment, f.n_docs
+    FROM segs s JOIN freq f USING (segment)"""
+
 _EXT_ORACLES["vocab_stats"] = """
     WITH t AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -2329,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "vocab_stats": q_vocab_stats,
+        "repeated_passages": q_repeated_passages,
         # -- representative round-3-green goldens (fill to 50) --
         "read_stream_forward": q_read_stream_forward,
         "tpch_q1": q_tpch_q1,
