@@ -111,10 +111,14 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     map-side combinable) -> document frequency per term (second shuffle
     over the much smaller distinct (doc, term) set) -> idf = ln(N/df)
     joined back and a per-doc top-k window. N is a 1-row broadcast
-    aggregate, and the df table is vocabulary-sized — broadcast at any
-    corpus scale where the vocabulary fits (hash it into buckets when it
-    doesn't). Ties break on the rounded score then term text so ranking
-    is reproducible across partitionings (and vs the SQL oracle).
+    aggregate (provably bounded, hint kept). The df table is
+    vocabulary-sized and therefore UNBOUNDED on a web corpus — the join
+    carries no forced broadcast hint: Catalyst broadcasts it when its
+    runtime/estimated size is under ``autoBroadcastJoinThreshold`` (AQE
+    converts the shuffle join at runtime when small) and otherwise
+    degrades to a shuffle hash join instead of an executor OOM. Ties
+    break on the rounded score then term text so ranking is reproducible
+    across partitionings (and vs the SQL oracle).
     """
     from pyspark.sql import Window
 
@@ -137,7 +141,9 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (tf.join(F.broadcast(df_), "term")
+    # No broadcast hint on df_: vocabulary-sized, unbounded at corpus
+    # scale — size-gated by autoBroadcastJoinThreshold / AQE instead.
+    scored = (tf.join(df_, "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("tf_idf",
                           F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
@@ -241,9 +247,11 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
     filtering (garbage, boilerplate and wrong-language text score low).
 
     Two map-side-combinable aggregations over one tokenize pass: term
-    frequencies (vocabulary-sized, broadcast back) and the corpus token
-    total (1-row broadcast); the per-doc score is then a groupBy(avg)
-    over the exploded terms. All ratios are exact int64/int64 double
+    frequencies (vocabulary-sized — joined back WITHOUT a forced
+    broadcast hint so an unbounded 100 TB vocabulary degrades to a
+    shuffle join instead of OOM; AQE still broadcasts it when small)
+    and the corpus token total (1-row, provably bounded, broadcast);
+    the per-doc score is then a groupBy(avg) over the exploded terms. All ratios are exact int64/int64 double
     divisions, so the score is bit-reproducible across engines (the
     DuckDB oracle recomputes it identically). Docs with no alphanumeric
     tokens drop out (no LM support).
@@ -258,7 +266,9 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
     terms = terms.localCheckpoint(eager=False)  # feeds freq, total AND scoring
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = terms.agg(F.count(F.lit(1)).alias("n_total"))
-    return (terms.join(F.broadcast(freq), "term")
+    # freq is vocabulary-sized: no forced broadcast (size-gated by
+    # Catalyst/AQE); total is 1 row — hint kept.
+    return (terms.join(freq, "term")
             .crossJoin(F.broadcast(total))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -304,8 +314,12 @@ def repeated_passages(docs: DataFrame, *, seg_tokens: int = 10,
     and templated passages from training corpora.
 
     Plan: one tokenize -> segment explode (row-local array slicing, no
-    window) -> segment-frequency aggregation (map-side combinable,
-    vocabulary-of-passages-sized) joined back broadcast. Exact and
+    window) -> segment-frequency aggregation (map-side combinable)
+    joined back. The repeated-segment table is
+    vocabulary-of-passages-sized — on the boilerplate-heavy crawls this
+    operator targets it is unbounded, so the join carries no forced
+    broadcast hint: Catalyst/AQE broadcast it only while it fits under
+    ``autoBroadcastJoinThreshold`` and otherwise shuffle-join. Exact and
     engine-reproducible, so the oracle replays it verbatim.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -321,5 +335,6 @@ def repeated_passages(docs: DataFrame, *, seg_tokens: int = 10,
     freq = (ex.groupBy("segment")
             .agg(F.countDistinct(id_col).alias("n_docs"))
             .where(F.col("n_docs") >= min_docs))
-    return (ex.join(F.broadcast(freq), "segment")
+    # No forced broadcast on freq (unbounded repeated-segment table).
+    return (ex.join(freq, "segment")
             .select(id_col, "seg_no", "segment", "n_docs"))

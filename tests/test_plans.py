@@ -110,9 +110,33 @@ def test_shingle_path_has_no_interpreted_hofs(q):
 
 
 def test_tf_idf_vocab_broadcasts(q):
+    # at small scale the vocabulary fits under autoBroadcastJoinThreshold
+    # and Catalyst picks broadcast on its own (no forced hint — see
+    # test_text_vocab_join_has_shuffle_fallback for the unbounded case)
     plan = q("tf_idf_top_terms")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_text_vocab_join_has_shuffle_fallback(spark, sf_dir):
+    """The vocabulary / repeated-segment joins must NOT be forced
+    broadcasts: with the broadcast threshold disabled the plan has to
+    degrade to a shuffle join (the 100 TB unbounded-vocabulary path)
+    instead of OOMing on a hinted broadcast. Only the provably-1-row
+    corpus-total aggregates may keep an explicit hint."""
+    from eventstorm_spark import inventory
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ["tf_idf_top_terms", "doc_unigram_logprob",
+                     "repeated_passages"]:
+            plan = plan_of(inventory.queries()[name](spark, sf_dir))
+            # the equi-join on term/segment fell back to a shuffle join
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), name
+            assert "BroadcastHashJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 # Shuffle-budget regression: ceilings per headline query (SCALE.md §9).
