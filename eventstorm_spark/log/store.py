@@ -99,15 +99,37 @@ class EventLog:
     loses the create, refreshes its tail/revision caches, re-runs the
     expected-revision check against the new head, and retries at the
     advanced position — exactly Delta Lake's optimistic-commit conflict
-    check re-expressed on a plain directory (this container has no
-    delta-spark; fronting the log with a Delta table replaces
-    ``_commits/`` with the Delta transaction log and nothing else
-    changes). A writer that dies between reservation and data write
-    leaves an orphan marker; contenders reclaim it after
-    ``commit_grace_secs`` (position gaplessness is preserved — the
-    orphan's position is reused, never skipped). ``commit_protocol=
-    "none"`` turns the marker exchange off for single-writer jobs where
-    the extra file create per append is measurable.
+    check re-expressed on a plain directory (with delta-spark installed,
+    ``format="delta"`` replaces ``_commits/`` with the Delta transaction
+    log — see ``delta.py``; the protocol below targets a real
+    rename-atomic filesystem, HDFS/POSIX).
+
+    The commit is FENCED (not a bare grace-period lease):
+
+    - each marker carries a unique owner token; the batch is written to
+      ``_staging/<token>`` first, a heartbeat thread refreshes the
+      marker mtime during the (possibly slow) write, and ownership is
+      re-verified — token compared — *after* the write, immediately
+      before the staged files are renamed into the log. A writer whose
+      claim was stolen during a pause longer than ``commit_grace_secs``
+      aborts cleanly (staging discarded, retried at the advanced tail)
+      instead of publishing duplicate positions.
+    - reclaiming a stale marker is an atomic ``rename`` to a unique
+      trash name: only one contender can win the steal, closing the
+      stat→unlink race where two contenders could otherwise reclaim the
+      same marker twice and delete a freshly re-created claim.
+    - committed markers are garbage-collected behind a monotonic
+      high-watermark file (``_commits/_watermark``, flock-guarded
+      read-modify-write, always published *before* markers at or below
+      it are removed). A claimer whose position is at or below the
+      watermark had a stale tail cache and releases its ghost claim.
+      On the first marker-mode append to a pre-existing log with no
+      watermark the current tail is backfilled, so stale caches are
+      fenced even for logs created before this protocol.
+
+    ``commit_protocol="none"`` turns the marker exchange off for
+    single-writer jobs where the extra file create per append is
+    measurable.
     """
 
     def __init__(self, spark: SparkSession, path: str, *,
@@ -122,13 +144,97 @@ class EventLog:
         self._revisions: dict[str, int] = {}  # stream -> head revision cache
         # stream -> (kind, before_position, last_revision); None = not loaded
         self._deletions: Optional[dict[str, tuple]] = None
+        self._watermark_checked = False
 
     # -- optimistic commit markers ---------------------------------------
 
     def _commits_dir(self) -> str:
         return os.path.join(self.path, "_commits")
 
-    def _reserve(self, position: int, stream: str, count: int) -> Optional[str]:
+    def _watermark_path(self) -> str:
+        return os.path.join(self._commits_dir(), "_watermark")
+
+    def _read_watermark(self) -> int:
+        """Highest position known committed (lower bound — monotonic)."""
+        try:
+            with open(self._watermark_path()) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _advance_watermark(self, position: int) -> int:
+        """Monotonically raise the watermark to >= ``position``.
+
+        flock-guarded read-modify-write + atomic rename publish: two
+        writers can never regress it, and a reader sees either the old
+        or the new value — both valid lower bounds. Callers MUST publish
+        the new watermark before deleting any marker at or below it.
+        """
+        import fcntl
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        lock_path = os.path.join(self._commits_dir(), "_watermark.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = self._read_watermark()
+            new = max(cur, position)
+            if new > cur:
+                tmp = self._watermark_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(new))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._watermark_path())
+            return new
+
+    def _ensure_watermark(self) -> None:
+        """Backfill the watermark on a pre-existing markerless log.
+
+        A log created before marker mode (or with protocol "none") has
+        no commit evidence at all; without this, a writer with a stale
+        cached tail could reserve a mid-log position unopposed. One
+        fresh tail read on the first marker-mode append closes it.
+        """
+        if self._watermark_checked or self._commit_protocol != "marker":
+            return
+        if not os.path.exists(self._watermark_path()):
+            self._tail_position = None
+            tail = self.tail_position()
+            if tail > 0:
+                self._advance_watermark(tail)
+        self._watermark_checked = True
+
+    def _gc_markers(self, watermark: int) -> None:
+        """Remove committed markers at or below the published watermark
+        (bounded ``_commits/`` growth; the watermark file itself carries
+        the commit evidence from here on)."""
+        try:
+            names = os.listdir(self._commits_dir())
+        except OSError:
+            return
+        for name in names:
+            if not name.isdigit():
+                continue
+            if int(name) <= watermark:
+                try:
+                    os.unlink(os.path.join(self._commits_dir(), name))
+                except OSError:
+                    pass
+
+    def _marker_owned(self, marker: str, token: str) -> bool:
+        """Fence check: does the marker at this path still carry our
+        token? False means the claim was stolen (grace expired during a
+        pause) and the commit must abort."""
+        import json as _json
+
+        try:
+            with open(marker) as f:
+                return _json.load(f).get("token") == token
+        except (OSError, ValueError):
+            return False
+
+    def _reserve(self, position: int, stream: str, count: int,
+                 token: str) -> Optional[str]:
         """Atomically claim ``position`` as the next append's first
         position. Returns the marker path, or None when another writer
         holds a live claim (caller refreshes and retries)."""
@@ -142,22 +248,103 @@ class EventLog:
             fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             # Claim exists. Committed (data landed) -> caller re-reads the
-            # tail and moves on. Orphaned (no data, stale) -> reclaim.
+            # tail and moves on. Orphaned (no data, stale) -> reclaim via
+            # atomic rename so only ONE contender can win the steal (a
+            # bare stat+unlink lets a second contender delete a marker
+            # that was already reclaimed and freshly re-created).
             try:
                 age = time.time() - os.stat(marker).st_mtime
             except OSError:
                 return None  # racing cleanup; retry
             self._tail_position = None  # fresh read: orphan vs committed
             if age > self._commit_grace and self.tail_position() < position:
+                trash = f"{marker}.reclaimed-{token}"
                 try:
-                    os.unlink(marker)
+                    os.rename(marker, trash)
+                except OSError:
+                    return None  # another contender won the steal
+                try:
+                    os.unlink(trash)
                 except OSError:
                     pass
             return None
         with os.fdopen(fd, "w") as f:
             f.write(_json.dumps(
-                {"stream": stream, "first_position": position, "count": count}))
+                {"stream": stream, "first_position": position,
+                 "count": count, "token": token}))
+            f.flush()
+            os.fsync(f.fileno())
+        # Act-then-check stale-cache fence: the watermark is published
+        # BEFORE committed markers are GC'd, so a claim at or below it
+        # means our cached tail was stale — release the ghost claim.
+        if position <= self._read_watermark():
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
+            self._tail_position = None
+            return None
         return marker
+
+    def _release(self, marker: Optional[str], token: str) -> None:
+        """Release our claim — only if the marker still carries our
+        token (never delete a claim stolen and re-issued to another
+        writer)."""
+        if marker is None:
+            return
+        if self._marker_owned(marker, token):
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
+
+    def _heartbeat(self, marker: str, stop: threading.Event) -> None:
+        """Refresh the marker mtime while the data write runs, so a
+        healthy-but-slow writer's lease never goes stale under
+        contenders' ``commit_grace_secs`` clocks."""
+        interval = min(max(self._commit_grace / 4.0, 0.05), 15.0)
+        while not stop.wait(interval):
+            try:
+                os.utime(marker, None)
+            except OSError:
+                return  # marker gone (stolen); the fence check will abort
+
+    def _fenced_write(self, batch: DataFrame, marker: str, token: str) -> bool:
+        """Fenced publish of a batch under an owned marker: stage the
+        (possibly slow) parquet write outside the log, heartbeat the
+        lease meanwhile, re-verify ownership, then publish via fast
+        same-filesystem renames. Returns False when the fence tripped
+        (claim stolen mid-write — staging discarded, log untouched);
+        raises after releasing the claim on a failed write."""
+        import glob as _glob
+        import shutil as _shutil
+
+        staging = os.path.join(self.path, "_staging", token)
+        stop = threading.Event()
+        hb = threading.Thread(target=self._heartbeat,
+                              args=(marker, stop), daemon=True)
+        hb.start()
+        try:
+            batch.write.mode("overwrite").parquet(staging)
+            if not self._marker_owned(marker, token):
+                return False  # fence tripped; finally-block cleans up
+            os.makedirs(self.path, exist_ok=True)
+            for part in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
+                os.rename(part,
+                          os.path.join(self.path, os.path.basename(part)))
+            return True
+        except BaseException:
+            # failed commit releases its claim; the log is untouched
+            self._release(marker, token)
+            raise
+        finally:
+            stop.set()
+            hb.join(timeout=5.0)
+            _shutil.rmtree(staging, ignore_errors=True)
+            try:  # remove _staging/ itself when empty
+                os.rmdir(os.path.join(self.path, "_staging"))
+            except OSError:
+                pass
 
     # -- table access -----------------------------------------------------
 
@@ -249,7 +436,10 @@ class EventLog:
             if ev.uuid in seen:
                 raise ConflictError(f"duplicate uuid in batch: {ev.uuid}")
             seen.add(ev.uuid)
+        import uuid as _uuid
+
         with self._lock:
+            self._ensure_watermark()
             attempts = 0
             while True:
                 current = self.head_revision(stream)
@@ -272,53 +462,75 @@ class EventLog:
                         raise ConflictError(f"duplicate uuid in stream {stream!r}")
                 base_rev = -1 if current is None else current
                 base_pos = self.tail_position()
-                marker = self._reserve(base_pos + 1, stream, len(events))
-                if marker is not None or self._commit_protocol != "marker":
-                    break
-                # lost the optimistic race: another process committed (or
-                # holds a live claim). Refresh tail + head caches and
-                # re-validate the CAS against the advanced log.
+                token = _uuid.uuid4().hex
+                marker = self._reserve(base_pos + 1, stream, len(events), token)
+                if marker is None and self._commit_protocol == "marker":
+                    # lost the optimistic race: another process committed
+                    # (or holds a live claim). Refresh tail + head caches
+                    # and re-validate the CAS against the advanced log.
+                    attempts += 1
+                    if attempts > 200:
+                        raise ConflictError(
+                            f"commit contention on {self.path!r} (position "
+                            f"{base_pos + 1} claimed and not released)")
+                    time.sleep(0.05)
+                    self._tail_position = None
+                    self._revisions.pop(stream, None)
+                    continue
+                result = self._commit_batch(
+                    stream, events, base_pos, base_rev, marker, token)
+                if result is not None:
+                    return result
+                # fence tripped: our claim was stolen during the data
+                # write (a pause beyond commit_grace_secs). Nothing was
+                # published — refresh and retry the whole CAS.
                 attempts += 1
                 if attempts > 200:
                     raise ConflictError(
-                        f"commit contention on {self.path!r} (position "
-                        f"{base_pos + 1} claimed and not released)")
-                time.sleep(0.05)
+                        f"commit contention on {self.path!r} (claim at "
+                        f"position {base_pos + 1} repeatedly stolen)")
                 self._tail_position = None
                 self._revisions.pop(stream, None)
-            try:
-                ticks = _now_ticks()
-                rows = []
-                for i, ev in enumerate(events):
-                    meta = dict(ev.metadata)
-                    meta[META_TYPE] = ev.event_type
-                    meta[META_CONTENT_TYPE] = ev.content_type
-                    meta[META_CREATED] = str(ticks)
-                    rows.append(
-                        (
-                            stream, ev.uuid, ev.data, meta, ev.custom_metadata,
-                            base_rev + 1 + i, base_pos + 1 + i,
-                            ev.event_type, ev.content_type, ticks,
-                        )
-                    )
-                batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
-                batch.write.mode("append").parquet(self.path)
-            except BaseException:
-                # failed commit releases its claim; the log is untouched
-                if marker is not None:
-                    try:
-                        os.unlink(marker)
-                    except OSError:
-                        pass
-                raise
-            self._revisions[stream] = base_rev + len(events)
-            self._tail_position = base_pos + len(events)
-            return AppendResult(
-                stream=stream,
-                first_position=base_pos + 1,
-                last_revision=base_rev + len(events),
-                count=len(events),
+
+    def _commit_batch(self, stream: str, events: Sequence[NewEvent],
+                      base_pos: int, base_rev: int,
+                      marker: Optional[str], token: str) -> Optional[AppendResult]:
+        """Write the batch and publish it. Returns None when the fence
+        tripped (claim stolen mid-write; nothing published)."""
+        ticks = _now_ticks()
+        rows = []
+        for i, ev in enumerate(events):
+            meta = dict(ev.metadata)
+            meta[META_TYPE] = ev.event_type
+            meta[META_CONTENT_TYPE] = ev.content_type
+            meta[META_CREATED] = str(ticks)
+            rows.append(
+                (
+                    stream, ev.uuid, ev.data, meta, ev.custom_metadata,
+                    base_rev + 1 + i, base_pos + 1 + i,
+                    ev.event_type, ev.content_type, ticks,
+                )
             )
+        batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        if marker is None:
+            # protocol "none": single-writer fast path, direct append
+            batch.write.mode("append").parquet(self.path)
+        else:
+            if not self._fenced_write(batch, marker, token):
+                return None  # fence tripped; nothing published
+            # published: advertise the watermark FIRST, then GC markers
+            # at or below it (ours included — the watermark now carries
+            # the commit evidence).
+            wm = self._advance_watermark(base_pos + len(events))
+            self._gc_markers(wm)
+        self._revisions[stream] = base_rev + len(events)
+        self._tail_position = base_pos + len(events)
+        return AppendResult(
+            stream=stream,
+            first_position=base_pos + 1,
+            last_revision=base_rev + len(events),
+            count=len(events),
+        )
 
     # -- deletion (S9 — stubs in the reference, grpc_server.go:271-281) ---
 

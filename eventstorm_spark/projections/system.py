@@ -143,91 +143,101 @@ def _append_links(log, name: str, links: DataFrame, *,
         META_CONTENT_TYPE, META_CREATED, META_TYPE,
     )
 
+    import uuid as _uuid
+
     spark = links.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
     with log._lock:
-        # (1) continue revision numbering from existing link-stream heads.
-        # Link streams all live under the '$' prefix, so the head scan
-        # prunes to system rows; AQE broadcasts the (stream-count-sized)
-        # head table into the join.
-        heads = (log.df().where(F.col("stream").startswith("$"))
-                 .groupBy("stream").agg(F.max("revision").alias("__head")))
-        linked = (links.join(heads, "stream", "left")
-                  .withColumn(
-                      "revision",
-                      (F.coalesce(F.col("__head") + 1, F.lit(0))
-                       + F.col("link_revision")).cast("long")))
-
-        # (2) two-pass gapless position assignment. localCheckpoint pins
-        # the (sampled) range partitioning so the counts pass and the
-        # rank pass see the same partition ids.
-        part = (linked.repartitionByRange(n_parts, "stream", "link_revision")
-                .sortWithinPartitions("stream", "link_revision")
-                .withColumn("__pid", F.spark_partition_id())
-                .localCheckpoint(eager=True))
-        counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-        if not counts:
-            return 0
-        offsets: dict[int, int] = {}
-        run = 0
-        for r in sorted(counts, key=lambda r: r["__pid"]):
-            offsets[r["__pid"]] = run
-            run += r["c"]
-        n = run
-        off_map = F.create_map(
-            *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)])
-
-        # same optimistic claim as EventLog.append: reserve the batch's
-        # first position so a racing writer in another process cannot
-        # collide with the bulk append
-        marker = None
+        log._ensure_watermark()
         attempts = 0
-        base_pos = log.tail_position()
-        while log._commit_protocol == "marker":
-            marker = log._reserve(base_pos + 1, name, n)
-            if marker is not None:
+        while True:
+            # Claim FIRST (same optimistic commit as EventLog.append),
+            # then derive everything — revision continuation included —
+            # UNDER the claim: a concurrent cross-process append can no
+            # longer advance the link-stream heads between the heads
+            # join and the write, so (stream, revision) stays unique.
+            base_pos = log.tail_position()
+            token = _uuid.uuid4().hex
+            marker = log._reserve(base_pos + 1, name, -1, token)
+            if marker is None and log._commit_protocol == "marker":
+                attempts += 1
+                if attempts > 200:
+                    raise RuntimeError(
+                        f"commit contention materializing {name} at position "
+                        f"{base_pos + 1}")
+                import time as _time
+                _time.sleep(0.05)
+                log._tail_position = None
+                continue
+
+            # (1) continue revision numbering from existing link-stream
+            # heads. Link streams all live under the '$' prefix, so the
+            # head scan prunes to system rows; AQE broadcasts the
+            # (stream-count-sized) head table into the join.
+            heads = (log.df().where(F.col("stream").startswith("$"))
+                     .groupBy("stream").agg(F.max("revision").alias("__head")))
+            linked = (links.join(heads, "stream", "left")
+                      .withColumn(
+                          "revision",
+                          (F.coalesce(F.col("__head") + 1, F.lit(0))
+                           + F.col("link_revision")).cast("long")))
+
+            # (2) two-pass gapless position assignment. localCheckpoint
+            # pins the (sampled) range partitioning so the counts pass
+            # and the rank pass see the same partition ids.
+            part = (linked.repartitionByRange(n_parts, "stream", "link_revision")
+                    .sortWithinPartitions("stream", "link_revision")
+                    .withColumn("__pid", F.spark_partition_id())
+                    .localCheckpoint(eager=True))
+            counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+            if not counts:
+                log._release(marker, token)
+                return 0
+            offsets: dict[int, int] = {}
+            run = 0
+            for r in sorted(counts, key=lambda r: r["__pid"]):
+                offsets[r["__pid"]] = run
+                run += r["c"]
+            n = run
+            off_map = F.create_map(
+                *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)])
+
+            ticks = _now_ticks()
+            w = W.partitionBy("__pid").orderBy("stream", "link_revision")
+            rank = (F.row_number().over(w) - 1).cast("long") + off_map[F.col("__pid")]
+
+            env = part.select(
+                F.col("stream"),
+                F.concat(F.lit(name + "-"), F.col("stream"), F.lit("-"),
+                         F.col("link_revision").cast("string")).alias("uuid"),
+                F.col("data"),
+                F.create_map(
+                    F.lit(META_TYPE), F.lit(LINK_EVENT),
+                    F.lit(META_CONTENT_TYPE), F.lit("application/octet-stream"),
+                    F.lit(META_CREATED), F.lit(str(ticks)),
+                ).alias("metadata"),
+                F.lit(None).cast("binary").alias("custom_metadata"),
+                F.col("revision"),
+                (F.lit(base_pos) + 1 + rank).cast("long").alias("position"),
+                F.lit(LINK_EVENT).alias("event_type"),
+                F.lit("application/octet-stream").alias("content_type"),
+                F.lit(ticks).alias("created"),
+            )
+            if marker is None:  # protocol "none": direct append
+                env.write.mode("append").parquet(log.path)
                 break
+            if log._fenced_write(env, marker, token):
+                wm = log._advance_watermark(base_pos + n)
+                log._gc_markers(wm)
+                break
+            # fence tripped mid-write: refresh and redo the whole derivation
             attempts += 1
             if attempts > 200:
                 raise RuntimeError(
-                    f"commit contention materializing {name} at position "
-                    f"{base_pos + 1}")
-            import time as _time
-            _time.sleep(0.05)
+                    f"commit contention materializing {name} (claim at "
+                    f"position {base_pos + 1} repeatedly stolen)")
             log._tail_position = None
-            base_pos = log.tail_position()
-        ticks = _now_ticks()
-        w = W.partitionBy("__pid").orderBy("stream", "link_revision")
-        rank = (F.row_number().over(w) - 1).cast("long") + off_map[F.col("__pid")]
-
-        env = part.select(
-            F.col("stream"),
-            F.concat(F.lit(name + "-"), F.col("stream"), F.lit("-"),
-                     F.col("link_revision").cast("string")).alias("uuid"),
-            F.col("data"),
-            F.create_map(
-                F.lit(META_TYPE), F.lit(LINK_EVENT),
-                F.lit(META_CONTENT_TYPE), F.lit("application/octet-stream"),
-                F.lit(META_CREATED), F.lit(str(ticks)),
-            ).alias("metadata"),
-            F.lit(None).cast("binary").alias("custom_metadata"),
-            F.col("revision"),
-            (F.lit(base_pos) + 1 + rank).cast("long").alias("position"),
-            F.lit(LINK_EVENT).alias("event_type"),
-            F.lit("application/octet-stream").alias("content_type"),
-            F.lit(ticks).alias("created"),
-        )
-        try:
-            env.write.mode("append").parquet(log.path)
-        except BaseException:
-            if marker is not None:
-                import os as _os
-                try:
-                    _os.unlink(marker)
-                except OSError:
-                    pass
-            raise
         log._tail_position = base_pos + n
         log._revisions.clear()  # read-through cache; heads changed for link streams
         return n

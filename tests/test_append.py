@@ -217,3 +217,113 @@ def test_orphan_commit_marker_is_reclaimed(spark, tmp_path):
     os.utime(orphan, (old, old))
     res = log.append("s", new_events(1, prefix="y"))
     assert res.first_position == 2
+
+
+def test_stolen_claim_fence_aborts_commit(spark, tmp_path):
+    """The ADVICE scenario: a writer pauses past the grace period
+    between reservation and data write; a contender steals the claim
+    and commits. The paused writer's fence must trip — its commit
+    publishes NOTHING (no duplicate positions), and its retry lands
+    after the thief."""
+    import time as _time
+
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    a = EventLog(spark, path, commit_grace_secs=0.1)
+    b = EventLog(spark, path, commit_grace_secs=0.1)
+    a._ensure_watermark()
+    token_a = "deadbeef"
+    marker = a._reserve(1, "s", 1, token_a)
+    assert marker is not None
+    _time.sleep(0.3)  # a's "pause" — no heartbeat is running yet
+    res_b = b.append("s", new_events(1, prefix="b"))  # steals + commits
+    assert res_b.first_position == 1
+    # a wakes up and tries to publish under its stolen claim
+    out = a._commit_batch("s", list(new_events(1, prefix="a")), 0, -1,
+                          marker, token_a)
+    assert out is None  # fence tripped, nothing published
+    rows = a.df().select("position").collect()
+    assert sorted(r.position for r in rows) == [1]  # only b's event
+    # the public retry path lands after the thief
+    a._tail_position = None
+    a._revisions.clear()
+    res_a = a.append("s", new_events(1, prefix="a2"))
+    assert res_a.first_position == 2
+
+
+def test_heartbeat_keeps_slow_writer_alive(spark, tmp_path):
+    """A slow-but-alive writer's lease is refreshed by the heartbeat, so
+    a contender must NOT reclaim it even after the grace period."""
+    import os
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "log")
+    a = EventLog(spark, path, commit_grace_secs=0.2)
+    a._ensure_watermark()
+    marker = a._reserve(1, "s", 1, "tok-a")
+    stop = threading.Event()
+    hb = threading.Thread(target=a._heartbeat, args=(marker, stop), daemon=True)
+    hb.start()
+    try:
+        _time.sleep(0.5)  # well past the grace period
+        b = EventLog(spark, path, commit_grace_secs=0.2)
+        assert b._reserve(1, "s", 1, "tok-b") is None  # live claim holds
+        assert a._marker_owned(marker, "tok-a")
+    finally:
+        stop.set()
+        hb.join(timeout=5.0)
+
+
+def test_committed_markers_are_garbage_collected(spark, tmp_path):
+    """_commits/ must not grow one file per append: committed markers
+    are compacted into the high-watermark file."""
+    import os
+
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    log = EventLog(spark, path)
+    for i in range(5):
+        log.append("s", new_events(2, prefix=f"b{i}"))
+    cdir = os.path.join(path, "_commits")
+    leftovers = [n for n in os.listdir(cdir) if n.isdigit()]
+    assert leftovers == []  # all markers GC'd behind the watermark
+    assert log._read_watermark() == 10
+    assert not os.path.exists(os.path.join(path, "_staging"))
+
+
+def test_watermark_fences_stale_cache_after_marker_gc(spark, tmp_path):
+    """With committed markers GC'd, a writer with a stale cached tail
+    claims a mid-log position unopposed by any marker — the watermark
+    check must catch it and retry at the real tail."""
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    log = EventLog(spark, path)
+    log.append("s", new_events(3, prefix="x"))  # tail=3, markers GC'd
+    log._tail_position = 0  # poison: simulate a stale cross-process cache
+    res = log.append("s2", new_events(1, prefix="y"))
+    assert res.first_position == 4  # not a duplicate of 1
+    rows = log.df().select("position").collect()
+    assert sorted(r.position for r in rows) == [1, 2, 3, 4]
+
+
+def test_markerless_preexisting_log_backfills_watermark(spark, tmp_path):
+    """A log created before marker mode (no _commits/ evidence at all)
+    gets its watermark backfilled from the table on the first
+    marker-mode append, so stale-cache fast paths stay fenced."""
+    import os
+
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    legacy = EventLog(spark, path, commit_protocol="none")
+    legacy.append("s", new_events(3, prefix="old"))
+    assert not os.path.exists(os.path.join(path, "_commits"))
+    modern = EventLog(spark, path)  # marker mode
+    res = modern.append("s", new_events(1, prefix="new"),
+                        ExpectedRevision.at(2))
+    assert res.first_position == 4
+    assert modern._read_watermark() == 4
