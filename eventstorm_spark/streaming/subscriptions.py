@@ -165,7 +165,17 @@ class SinkSubscription:
     - the only driver-side state is the running delivered count (a
       scalar), recovered from ``max(delivery_seq)`` already in the sink
       on restart, so a resumed subscription (same Spark checkpoint dir)
-      continues the sequence without redelivery.
+      continues the sequence without redelivery;
+    - delivery is EXACTLY-ONCE in the sink: foreachBatch itself is
+      at-least-once (a crash after the data write but before the
+      streaming checkpoint commits replays the batch), so each epoch
+      writes to its own ``epoch=<id>`` partition directory with
+      overwrite. A replayed epoch overwrites its earlier output with
+      byte-identical rows — the original ``delivery_seq`` base is
+      recovered from the partition itself (``min(delivery_seq) - 1``)
+      rather than re-assigned, so no event ever appears twice under two
+      sequence numbers. (File-source batches are deterministic replays
+      of the offset log, so the row set per epoch is stable.)
 
     The within-batch ordering window is batch-sized, and batches are
     bounded by source backpressure (``maxFilesPerTrigger``) — ordering
@@ -177,6 +187,8 @@ class SinkSubscription:
     def __init__(self, sub_df: DataFrame, sink_path: str, *,
                  checkpoint_every: int = CHECKPOINT_EVERY,
                  checkpoint_dir: Optional[str] = None):
+        import os as _os
+
         from pyspark.sql import Window as W
 
         self.sink_path = sink_path
@@ -189,14 +201,28 @@ class SinkSubscription:
             cnt = batch_df.count()
             if cnt == 0:
                 return
+            edir = _os.path.join(self.sink_path, f"epoch={epoch_id}")
             base = self._delivered
+            if _os.path.exists(edir):
+                # Replay of an epoch whose data already landed (crash
+                # between the sink write and the streaming checkpoint
+                # commit): reuse its original sequence base so the
+                # overwrite is byte-identical, not a redelivery under
+                # fresh sequence numbers.
+                try:
+                    row = (self._spark.read.parquet(edir)
+                           .agg(F.min("delivery_seq").alias("m")).collect()[0])
+                    if row["m"] is not None:
+                        base = int(row["m"]) - 1
+                except Exception:
+                    pass  # torn partial write: overwrite at current base
             seq = (F.row_number().over(W.orderBy("position"))
                    .cast("long") + F.lit(base))
             out = (batch_df.withColumn("delivery_seq", seq)
                    .withColumn("checkpoint",
                                F.col("delivery_seq") % every == 0))
-            out.write.mode("append").parquet(self.sink_path)
-            self._delivered = base + cnt
+            out.write.mode("overwrite").parquet(edir)
+            self._delivered = max(self._delivered, base + cnt)
 
         writer = (
             sub_df.writeStream.outputMode("append")
@@ -233,7 +259,7 @@ class SinkSubscription:
         """The delivered table (envelope + delivery_seq + checkpoint),
         unordered — consumers ``orderBy('delivery_seq')`` to replay."""
         try:
-            return self._spark.read.parquet(self.sink_path)
+            return self._spark.read.parquet(self.sink_path).drop("epoch")
         except Exception:
             from pyspark.sql import types as T
 

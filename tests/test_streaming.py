@@ -329,6 +329,49 @@ def test_sink_subscription_resumes_sequence(spark, log, tmp_path):
         sub2.stop()
 
 
+def test_sink_subscription_replayed_epoch_is_idempotent(spark, log, tmp_path):
+    """foreachBatch is at-least-once: a crash after the sink write but
+    before the streaming checkpoint commit replays the epoch on restart.
+    The replay must overwrite its own epoch partition with byte-identical
+    rows — never append the same events again under fresh delivery_seq
+    values. Simulated by deleting the last checkpoint commit file, which
+    makes Spark genuinely re-run that epoch."""
+    import os
+
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    log.append("i-1", _events(10))
+    sink = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub.process_available()
+    finally:
+        sub.stop()
+
+    # "crash" between data write and checkpoint commit: drop the last
+    # commit marker so the restarted query replays that epoch
+    commits = os.path.join(ckpt, "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")  # checksum-fs sidecar
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    sub2 = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub2.process_available()
+        log.append("i-1", _events(5, start=10))  # live continues after replay
+        sub2.process_available()
+        rows = sub2.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 16))
+        assert [r["revision"] for r in rows] == list(range(15))
+        # no event delivered twice under different sequence numbers
+        assert len({r["uuid"] for r in rows}) == 15
+    finally:
+        sub2.stop()
+
+
 def _env_rows(positions, t0, tick_step=10_000_000, created_at=None):
     """Envelope tuples with created ticks derived from position (or
     pinned via created_at)."""
