@@ -796,12 +796,13 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
                              num_hashes: int = 64, bands: int = 16,
                              threshold: float = 0.8,
                              retention_secs: float = 600.0,
+                             max_entries_per_bucket: int = 256,
                              event_time_col: str = "ts",
                              text_col: str = "text",
                              id_col: str = "doc_id") -> DataFrame:
-    """Streaming MinHash-LSH near-duplicate detection: emits verified
-    pairs ``(id_a, id_b, jaccard, band)`` where the later-arriving doc
-    is a near-duplicate of one seen within the retention window — the
+    """Streaming MinHash-LSH near-duplicate detection: emits pairs
+    ``(id_a, id_b, jaccard_est, band)`` where the later-arriving doc is
+    a near-duplicate of one seen within the retention window — the
     online twin of ``minhash_near_duplicates`` for ingest-time dedup.
 
     Shape: shingles, the MinHash signature and the band buckets are
@@ -809,11 +810,26 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
     aggregation on the stream; the per-element HOF cost is bounded by
     micro-batch volume, unlike a corpus scan); rows are exploded to one
     per band and keyed by ``(band, bucket)``. Each key's state holds
-    the (id, shingle-set, event-time) of docs seen within
-    ``retention_secs``; a new arrival is verified with exact Jaccard
-    against its bucket's state docs, emitting a pair per hit. State is
-    evicted by event time against the key's high-watermark, so memory
-    is retention x per-bucket arrival rate — never the corpus.
+    the (id, signature, event-time) of docs seen within
+    ``retention_secs``; a new arrival is scored against its bucket's
+    state docs with the signature-estimated Jaccard (matching MinHash
+    components / ``num_hashes`` — the standard unbiased estimator),
+    emitting a pair per hit. Exact verification, when needed, is a
+    downstream batch join of the emitted pairs against the document
+    table — keeping full shingle sets in streaming state would make
+    state rows O(document length); the signature bounds each entry at
+    O(num_hashes) regardless of how long documents are.
+
+    State is bounded on BOTH axes: entries are evicted by event time
+    against the key's high-watermark (memory is retention x per-bucket
+    arrival rate — never the corpus), and a hot bucket (template spam
+    hashing identical bands) is capped at ``max_entries_per_bucket``
+    most-recent entries, mirroring the batch path's ``_cap_buckets``
+    skew guard — recall for capped buckets degrades gracefully through
+    the other bands.
+
+    Document ids pass through with their input type (long, string, ...)
+    — the output id columns adopt ``id_col``'s dataType.
 
     A pair colliding in several bands is emitted once per band (the
     ``band`` column lets consumers ``dropDuplicates([id_a, id_b])``
@@ -851,12 +867,13 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
                 F.col(event_time_col).cast("double").alias("__ts"),
                 shingles.alias("__sh"))
         .withColumn("__sig", sig)
-        .select("__id", "__ts", "__sh",
+        .select("__id", "__ts", "__sig",
                 F.posexplode(buckets).alias("__band", "__bucket"))
         .withColumn("__key", F.concat_ws(":", "__band", "__bucket"))
     )
 
-    out_schema = "id_a long, id_b long, jaccard double, band int"
+    id_type = docs_stream.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard_est double, band int"
     state_schema = "state string"
 
     def fold(key, pdf_iter, state: GroupState):
@@ -865,36 +882,39 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
         rows = []
         for pdf in pdf_iter:
             # itertuples renames leading-underscore columns; index by name
-            for did, ts, sh, band in zip(pdf["__id"], pdf["__ts"],
-                                         pdf["__sh"], pdf["__band"]):
-                rows.append((int(did), float(ts), list(sh), int(band)))
-        rows.sort(key=lambda t: (t[1], t[0]))  # arrival = event-time order
+            for did, ts, sg, band in zip(pdf["__id"], pdf["__ts"],
+                                         pdf["__sig"], pdf["__band"]):
+                # numpy scalars -> plain Python so state JSON-serializes
+                did = did.item() if hasattr(did, "item") else did
+                rows.append((did, float(ts), [int(x) for x in sg], int(band)))
+        rows.sort(key=lambda t: (t[1], str(t[0])))  # arrival = event-time order
         out_a, out_b, out_j, out_band = [], [], [], []
-        for did, ts, sh, band in rows:
+        for did, ts, sg, band in rows:
             hwm = max(hwm, ts)
             # evict BEFORE comparing: a doc must not pair with entries
             # its own arrival just pushed outside the retention window
             entries = [e for e in entries if e["ts"] >= hwm - retention_secs]
-            sset = set(sh)
             for e in entries:
                 if e["id"] == did:
                     continue
-                oset = set(e["sh"])
-                common = len(sset & oset)
-                union = len(sset) + len(oset) - common
-                j = round(common / union, 6) if union else 0.0
+                match = sum(1 for a, b in zip(sg, e["sig"]) if a == b)
+                j = round(match / num_hashes, 6)
                 if j >= threshold:
                     lo, hi = sorted((e["id"], did))
                     out_a.append(lo)
                     out_b.append(hi)
                     out_j.append(j)
                     out_band.append(band)
-            entries.append({"id": did, "ts": ts, "sh": sh})
+            entries.append({"id": did, "ts": ts, "sig": sg})
+            if len(entries) > max_entries_per_bucket:
+                # hot-bucket skew cap: keep the most recent entries
+                entries.sort(key=lambda e: (e["ts"], str(e["id"])))
+                entries = entries[-max_entries_per_bucket:]
         entries = [e for e in entries if e["ts"] >= hwm - retention_secs]
         state.update((_json.dumps(entries, sort_keys=True),))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                                "jaccard": out_j, "band": out_band})
+                                "jaccard_est": out_j, "band": out_band})
 
     return banded.groupBy("__key").applyInPandasWithState(
         fold, out_schema, state_schema, "update",

@@ -534,3 +534,87 @@ def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
         assert not any(5 in p for p in got), got
     finally:
         q.stop()
+
+
+def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
+    """Crash/restart recovery: the per-bucket signature state lives in
+    the state store, so a restarted query (same checkpoint) pairs new
+    arrivals against documents ingested before the restart — no missed
+    pairs, no re-emitted ones. Also pins string document ids: the output
+    id columns adopt the input id type (regression for the hardcoded
+    'long' schema)."""
+    from eventstorm_spark.extensions.dedup import streaming_near_dup_pairs
+
+    path = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "pairs")
+    schema = "doc_id string, ts double, text string"
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+
+    spark.createDataFrame([("doc-a", 100.0, base)], schema) \
+        .write.mode("append").parquet(path)
+
+    def start():
+        sdf = spark.readStream.schema(schema).parquet(path)
+        pairs = streaming_near_dup_pairs(sdf, threshold=0.8,
+                                         retention_secs=600.0)
+        return (pairs.writeStream.outputMode("update")
+                .foreachBatch(lambda b, e: b.write.mode("append").parquet(sink))
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds").start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart; the near-duplicate arrives only after the restart
+    spark.createDataFrame([("doc-b", 101.0, near)], schema) \
+        .write.mode("append").parquet(path)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        rows = spark.read.parquet(sink).collect()
+        got = {(r.id_a, r.id_b) for r in rows}
+        assert got == {("doc-a", "doc-b")}  # state recovered across restart
+        # no (band-level) duplicate emissions from the restart
+        banded = [(r.id_a, r.id_b, r.band) for r in rows]
+        assert len(banded) == len(set(banded))
+    finally:
+        q2.stop()
+
+
+def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
+    """Template-spam guard: a bucket never retains more than
+    max_entries_per_bucket entries, so a new arrival pairs with at most
+    the cap's worth of (most recent) entries instead of every identical
+    doc ever seen — state stays bounded under adversarial skew."""
+    from eventstorm_spark.extensions.dedup import streaming_near_dup_pairs
+
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, ts double, text string"
+    text = " ".join(f"w{i}" for i in range(50))
+
+    spark.createDataFrame(
+        [(i, 100.0 + i, text) for i in range(1, 5)], schema
+    ).write.mode("append").parquet(path)
+
+    sdf = spark.readStream.schema(schema).parquet(path)
+    pairs = streaming_near_dup_pairs(sdf, threshold=0.8, retention_secs=600.0,
+                                     max_entries_per_bucket=2)
+    q = (pairs.writeStream.outputMode("update").format("memory")
+         .queryName("capped_pairs").trigger(processingTime="200 milliseconds")
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(9, 110.0, text)], schema) \
+            .write.mode("append").parquet(path)
+        q.processAllAvailable()
+        partners = {r.id_a for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM capped_pairs WHERE id_b = 9"
+        ).collect()}
+        assert partners == {3, 4}  # only the cap's most recent entries
+    finally:
+        q.stop()
