@@ -4,6 +4,17 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is executed end-to-end
 (plan + execute + materialize to a noop sink, so the measurement includes
 the full physical pipeline but not driver-side row transfer).
+
+Methodology (round 5): each query runs once UNTIMED then once TIMED —
+steady-state measurement. A single cold run mostly prices whole-stage
+codegen compilation + JIT warmup of that plan's generated classes (a
+per-plan constant, measured 2-3x on the cheap read queries: e.g.
+read_all_from_position 1.15 s cold vs 0.35-0.44 s every run after),
+which amortizes to nothing over a 100 TB job but dominated sub-second
+queries at sf0.1 and made round-over-round numbers depend on query
+ORDER (the r3->r4 read_all_from_position "regression" was exactly
+this: a window rotation changed which query paid the first-plan
+compile). Steady-state prices the physical pipeline itself.
 """
 
 from __future__ import annotations
@@ -77,6 +88,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        materialize(qs[name](spark, sf_dir))  # untimed: codegen/JIT warm
         t0 = time.perf_counter()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
