@@ -2300,10 +2300,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 4: these 36 were last driver-verified in round 1, against
-        #    the OLD (int64-nanos) testdata layout; rotate them into the
-        #    window so they get fresh driver evidence on timestamp[us] data.
+        # -- round 5 rotation: the 41 queries NOT in the round-4 window
+        #    (latest driver evidence r1-r3) lead, so CORRECTNESS_r05 ∪ r04
+        #    covers the full 91-query inventory. r1/r2-evidence entries
+        #    (text/pipeline/multimodal families) come first.
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "normalized_dedup_keys": q_normalized_dedup_keys,
+        "redact_pii": q_redact_pii,
+        "repetition_features": q_repetition_features,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "multimodal_asset_stats": q_multimodal_asset_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "stratified_sample": q_stratified_sample,
+        "split_assign": q_split_assign,
+        "split_contamination": q_split_contamination,
+        "dedup_exact": q_dedup_exact,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "embedding_centroids": q_embedding_centroids,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_within_label": q_knn_within_label,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "system_streams": q_system_streams,
+        "events_sessionization": q_events_sessionization,
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
+        "value_percentiles": q_value_percentiles,
+        "returnflag_priority": q_returnflag_priority,
+        "supplier_part_counts": q_supplier_part_counts,
+        "large_volume_orders": q_large_volume_orders,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "top_returning_customers": q_top_returning_customers,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        # -- fills to 50: r4-green entries whose operators changed this
+        #    round (text vocabulary-join size gating) get re-verified,
+        #    plus representative family coverage.
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "repeated_passages": q_repeated_passages,
+        "vocab_stats": q_vocab_stats,
         "read_all_from_position": q_read_all_from_position,
+        "tpch_q1": q_tpch_q1,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "system_by_category": q_system_by_category,
+        "proj_emit_enriched": q_proj_emit_enriched,
+        # ---- driver window ends here (50 entries) ----
+        # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,
         "read_all_last_event": q_read_all_last_event,
@@ -2317,8 +2372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
         "proj_linkto_errors": q_proj_linkto_errors,
-        "proj_emit_enriched": q_proj_emit_enriched,
-        "system_by_category": q_system_by_category,
         "system_by_event_type": q_system_by_event_type,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "nation_revenue": q_nation_revenue,
@@ -2339,67 +2392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "top_supplier": q_top_supplier,
-        # -- round 4: the 6 approx operators, now with oracle-checkable
-        #    verification outputs (containment/recall vs the exact twin) --
         "approx_event_stats": q_approx_event_stats,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_candidates": q_simhash_candidates,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # -- new in round 4 --
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "vocab_stats": q_vocab_stats,
-        "repeated_passages": q_repeated_passages,
-        # -- representative round-3-green goldens (fill to 50) --
         "read_stream_forward": q_read_stream_forward,
-        "tpch_q1": q_tpch_q1,
         "dedup_clusters": q_dedup_clusters,
-        "system_streams": q_system_streams,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "events_sessionization": q_events_sessionization,
-        # ---- driver window ends around here (50 entries) ----
-        # -- round-3-green (CORRECTNESS_r03.json), rotated out of window --
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "returnflag_priority": q_returnflag_priority,
-        "supplier_part_counts": q_supplier_part_counts,
-        "large_volume_orders": q_large_volume_orders,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "top_returning_customers": q_top_returning_customers,
-        "value_percentiles": q_value_percentiles,
-        "dedup_exact": q_dedup_exact,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "embedding_centroids": q_embedding_centroids,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_within_label": q_knn_within_label,
-        "stratified_sample": q_stratified_sample,
-        "split_assign": q_split_assign,
-        "split_contamination": q_split_contamination,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        "normalized_dedup_keys": q_normalized_dedup_keys,
-        "redact_pii": q_redact_pii,
-        "repetition_features": q_repetition_features,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "multimodal_asset_stats": q_multimodal_asset_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
     }
     return q
 
