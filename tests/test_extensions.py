@@ -95,13 +95,88 @@ def test_multimodal_decode_batch_shape(spark, docs):
         assert r["rows_in_batch"] >= 1
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
+def test_multimodal_real_decode_unknown_format_is_stubbed(spark, docs):
+    # synth_assets payloads are raw utf-8 text (no RIFF/P6 magic): real
+    # mode must refuse them — only formats with a stdlib codec decode
     assets = multimodal.synth_assets(docs.limit(5))
     feats = multimodal.decode_and_featurize(assets, fake=False)
     with pytest.raises(Exception) as exc_info:
         feats.collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError)
+
+
+def test_wav_roundtrip_exact():
+    samples = [0, 100, -100, 32767, -32768, 7]
+    payload = multimodal.encode_wav_pcm16(samples, 16000)
+    w = multimodal.decode_wav_pcm16(payload)
+    assert w["sample_rate"] == 16000
+    assert w["n_channels"] == 1
+    assert w["n_samples"] == len(samples)
+    assert w["sum_abs"] == sum(abs(s) for s in samples)
+    assert w["max_abs"] == 32768
+
+
+def test_wav_decoder_walks_chunks_with_padding():
+    # a LIST chunk with odd size before fmt/data: the walker must skip
+    # it honoring 2-byte alignment, and find fmt even after data
+    import struct
+
+    samples = [1, -2, 3]
+    data = struct.pack("<3h", *samples)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    odd = b"junk!"  # 5 bytes -> needs 1 pad byte
+    body = (b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data
+            + b"fmt " + fmt)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    w = multimodal.decode_wav_pcm16(payload)
+    assert (w["sample_rate"], w["n_samples"], w["sum_abs"]) == (8000, 3, 6)
+
+
+def test_wav_decoder_rejects_non_riff():
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(b"OggS garbage")
+
+
+def test_ppm_roundtrip_with_comments():
+    rgb = bytes(range(12))  # 2x2 RGB
+    payload = multimodal.encode_ppm(2, 2, rgb)
+    # inject a comment line into the header (netpbm allows them)
+    payload = payload.replace(b"P6\n", b"P6\n# synthetic\n", 1)
+    p = multimodal.decode_ppm(payload)
+    assert (p["width"], p["height"], p["n_pixels"]) == (2, 2, 4)
+    assert p["sum_r"] == 0 + 3 + 6 + 9
+    assert p["sum_g"] == 1 + 4 + 7 + 10
+    assert p["sum_b"] == 2 + 5 + 8 + 11
+
+
+def test_real_decode_features_wav_and_ppm(spark):
+    wav = multimodal.encode_wav_pcm16([10, -20, 30, -40], 8000)
+    ppm = multimodal.encode_ppm(1, 2, bytes([10, 20, 30, 40, 50, 60]))
+    assets = spark.createDataFrame(
+        [(1, "audio", wav, None), (2, "image", ppm, None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r["features"] for r in
+            multimodal.decode_and_featurize(assets, fake=False).collect()}
+    assert rows[1][:4] == [8000.0, 1.0, 16.0, 4.0]
+    assert rows[1][5] == (10 + 20 + 30 + 40) / 4  # mean_abs
+    assert rows[2][:4] == [1.0, 2.0, 3.0, 2.0]
+    assert rows[2][4:7] == [(10 + 40) / 2, (20 + 50) / 2, (30 + 60) / 2]
+
+
+def test_decode_audio_meta_matches_synth(spark, docs):
+    out = multimodal.decode_audio_meta(
+        multimodal.synth_wav_assets(docs.limit(10))).collect()
+    assert len(out) == 10
+    for r in out:
+        did = r["asset_id"]
+        n = 100 + did % 50
+        rate = 8000 + (did % 4) * 4000
+        vals = [abs(((did * 131 + i * 997) % 65536) - 32768) for i in range(n)]
+        assert r["sample_rate"] == rate and r["n_samples"] == n
+        assert r["max_abs"] == max(vals)
+        assert r["mean_abs"] == round(sum(vals) / n, 6)
 
 
 def test_frame_sample_only_videos(spark, docs):
