@@ -619,20 +619,22 @@ class EventLog:
             cond = c if cond is None else (cond | c)
         if cond is None:
             return 0
-        df = self.df()
-        kept = df.where(~cond)
-        removed = df.count() - kept.count()
-        if removed == 0:
-            return 0
-        tmp = self.path.rstrip("/") + ".scavenge"
-        (kept.repartitionByRange(num_files, "position")
-         .sortWithinPartitions("position")
-         .write.mode("overwrite").parquet(tmp))
-        back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
-        back.write.mode("overwrite").parquet(self.path)
-        self._revisions.clear()
-        self._tail_position = None
-        return removed
+        with self._lock:
+            df = self.df()
+            kept = df.where(~cond)
+            removed = df.count() - kept.count()
+            if removed == 0:
+                return 0
+            tmp = self.path.rstrip("/") + ".scavenge"
+            (kept.repartitionByRange(num_files, "position")
+             .sortWithinPartitions("position")
+             .write.mode("overwrite").parquet(tmp))
+            back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
+            back.write.mode("overwrite").parquet(self.path)
+            self._revisions.clear()
+            self._tail_position = None
+            self._restore_watermark_after_rewrite()
+            return removed
 
     # -- links ------------------------------------------------------------
 
@@ -813,11 +815,30 @@ class EventLog:
 
         Small-file hygiene for the many-small-appends pattern; the cluster
         equivalent is Delta OPTIMIZE / file compaction with Z-order on
-        (stream, position).
+        (stream, position). ``repartitionByRange`` on position makes the
+        output files position-DISJOINT — the property that lets readers
+        prune whole files from (min, max) footer statistics (SCALE.md §1).
+
+        Run under the writer lock; the directory overwrite also wipes
+        ``_commits/``, so the watermark is re-backfilled from the fresh
+        tail afterwards (commit evidence survives compaction). Like every
+        rewrite, this assumes no concurrent writer in another process.
         """
-        df = self.df().repartitionByRange(num_files, "position").sortWithinPartitions("position")
-        tmp = self.path.rstrip("/") + ".compact"
-        df.write.mode("overwrite").parquet(tmp)
-        back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
-        back.write.mode("overwrite").parquet(self.path)
-        self._tail_position = None
+        with self._lock:
+            df = (self.df().repartitionByRange(num_files, "position")
+                  .sortWithinPartitions("position"))
+            tmp = self.path.rstrip("/") + ".compact"
+            df.write.mode("overwrite").parquet(tmp)
+            back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
+            back.write.mode("overwrite").parquet(self.path)
+            self._tail_position = None
+            self._restore_watermark_after_rewrite()
+
+    def _restore_watermark_after_rewrite(self) -> None:
+        """A directory-overwrite rewrite (compact/scavenge) destroys
+        ``_commits/`` and with it the watermark; re-backfill it from the
+        freshly-read tail so stale-cache fences keep working."""
+        if self._commit_protocol != "marker":
+            return
+        self._watermark_checked = False
+        self._ensure_watermark()

@@ -194,14 +194,26 @@ class SinkSubscription:
         self.sink_path = sink_path
         self._spark = sub_df.sparkSession
         self._delivered = self._existing_count()
+        # Resume fence against rewritten source files: a compaction /
+        # scavenge rewrites the log into NEW files, which the file
+        # source (tracking files by path) re-lists as unseen — without
+        # this, a restarted subscription would redeliver the entire
+        # compacted history. Positions are globally monotonic, so rows
+        # at or below the sink's max delivered position are replays of
+        # already-delivered events, not new data. (Epoch replays bypass
+        # the fence — they must reproduce their rows byte-identically.)
+        self._resume_position = self._existing_max_position()
 
         every = checkpoint_every
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            edir = _os.path.join(self.sink_path, f"epoch={epoch_id}")
+            if not _os.path.exists(edir) and self._resume_position > 0:
+                batch_df = batch_df.where(
+                    F.col("position") > self._resume_position)
             cnt = batch_df.count()
             if cnt == 0:
                 return
-            edir = _os.path.join(self.sink_path, f"epoch={epoch_id}")
             base = self._delivered
             if _os.path.exists(edir):
                 # Replay of an epoch whose data already landed (crash
@@ -237,6 +249,14 @@ class SinkSubscription:
         try:
             row = (self._spark.read.parquet(self.sink_path)
                    .agg(F.max("delivery_seq").alias("m")).collect()[0])
+            return int(row["m"]) if row["m"] is not None else 0
+        except Exception:
+            return 0
+
+    def _existing_max_position(self) -> int:
+        try:
+            row = (self._spark.read.parquet(self.sink_path)
+                   .agg(F.max("position").alias("m")).collect()[0])
             return int(row["m"]) if row["m"] is not None else 0
         except Exception:
             return 0

@@ -310,6 +310,42 @@ def test_watermark_fences_stale_cache_after_marker_gc(spark, tmp_path):
     assert sorted(r.position for r in rows) == [1, 2, 3, 4]
 
 
+def test_compaction_files_position_disjoint_and_watermark_survives(spark, tmp_path):
+    """compact() must produce position-DISJOINT files (the file-footer
+    pruning contract, SCALE.md §1) and re-backfill the watermark that
+    the directory overwrite wipes, so post-compaction appends stay
+    fenced and land at the right tail."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "log")
+    log = EventLog(spark, path)
+    for i in range(6):
+        log.append(f"s-{i % 2}", new_events(5, prefix=f"c{i}"))
+    log.compact(num_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        row = (spark.read.parquet(f)
+               .agg(F.min("position").alias("lo"), F.max("position").alias("hi"))
+               .collect()[0])
+        if row["lo"] is not None:
+            ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    assert len(ranges) >= 2  # actually split across files
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: footer stats prune whole files
+    assert ranges[0][0] == 1 and ranges[-1][1] == 30
+
+    # watermark re-backfilled after the _commits/ wipe; appends fenced
+    assert log._read_watermark() == 30
+    res = log.append("s-0", new_events(1, prefix="post"))
+    assert res.first_position == 31
+
+
 def test_markerless_preexisting_log_backfills_watermark(spark, tmp_path):
     """A log created before marker mode (no _commits/ evidence at all)
     gets its watermark backfilled from the table on the first

@@ -536,6 +536,37 @@ def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
         q.stop()
 
 
+def test_sink_subscription_survives_compaction(spark, log, tmp_path):
+    """Compaction rewrites the log into NEW files; a file-source
+    checkpoint tracks files by path, so a restarted subscription
+    re-lists the whole compacted history as unseen. The position-based
+    resume fence must drop those replays: only events appended after
+    the last delivered position are delivered, exactly once."""
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    log.append("c-1", _events(10))
+    sink = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub.process_available()
+    finally:
+        sub.stop()
+
+    log.compact(num_files=2)          # rewrites every file
+    log.append("c-1", _events(5, start=10))
+
+    sub2 = SinkSubscription(subscribe_all(spark, log.path), sink, checkpoint_dir=ckpt)
+    try:
+        sub2.process_available()
+        rows = sub2.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 16))
+        assert [r["revision"] for r in rows] == list(range(15))
+        assert len({r["uuid"] for r in rows}) == 15  # no redelivery
+    finally:
+        sub2.stop()
+
+
 def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
     """Crash/restart recovery: the per-bucket signature state lives in
     the state store, so a restarted query (same checkpoint) pairs new
