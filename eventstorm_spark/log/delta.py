@@ -1,0 +1,129 @@
+"""Delta Lake backing for the EventLog (``format="delta"``).
+
+The parquet-directory log re-establishes transactionality with the
+``_commits/`` marker protocol (see ``store.py``); a Delta table gets the
+same guarantees from the Delta transaction log itself, which is the
+production-credible form of the append path on a cluster:
+
+- **Atomic visibility**: a Delta commit lands whole — readers never see
+  a torn batch, so the staged-rename publish is unnecessary.
+- **Conflict detection replaces the marker CAS**: the append is a
+  ``MERGE`` keyed on ``position`` (insert-when-not-matched). Two writers
+  racing to the same tail read overlapping data under Delta's
+  serializable conflict check, so one commit aborts with a concurrency
+  exception — exactly the "lost the optimistic race" signal the marker
+  protocol produces — and the loser refreshes its tail/head caches,
+  re-validates the expected-revision CAS, and retries at the advanced
+  position. A post-commit verification read (our uuids at our
+  positions) backstops the race signal.
+- **No watermark/GC bookkeeping**: the transaction log IS the durable
+  commit evidence; stale-cache writers are fenced by the merge key.
+
+delta-spark is not installed in this container, so everything here is
+import-gated: ``DELTA_AVAILABLE`` is False and the EventLog refuses
+``format="delta"`` with a clear error; ``tests/test_delta_log.py``
+skips. On a cluster with delta-spark, build the session with::
+
+    from delta import configure_spark_with_delta_pip
+    builder = (SparkSession.builder
+               .config("spark.sql.extensions",
+                       "io.delta.sql.DeltaSparkSessionExtension")
+               .config("spark.sql.catalog.spark_catalog",
+                       "org.apache.spark.sql.delta.catalog.DeltaCatalog"))
+    spark = configure_spark_with_delta_pip(builder).getOrCreate()
+
+Reference parity note: the reference gets these invariants from one
+Postgres (``internal/backend/backend.go:37-61``); Delta's optimistic
+commit is the storage-layer equivalent at object-store scale.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable  # noqa: F401
+
+    DELTA_AVAILABLE = True
+except ImportError:
+    DeltaTable = None  # type: ignore[assignment]
+    DELTA_AVAILABLE = False
+
+# Delta's concurrency failures arrive as these exception class names
+# (io.delta.exceptions.*); matched by name so this module imports
+# without the JVM-side classes present.
+_CONFLICT_MARKERS = (
+    "ConcurrentAppendException",
+    "ConcurrentWriteException",
+    "ConcurrentTransactionException",
+    "ProtocolChangedException",
+    "MetadataChangedException",
+    "ConcurrentDeleteReadException",
+    "ConcurrentDeleteDeleteException",
+)
+
+
+def require_delta() -> None:
+    if not DELTA_AVAILABLE:
+        raise ImportError(
+            "format='delta' requires the delta-spark package (not installed "
+            "in this environment); use the default parquet format, whose "
+            "_commits/ marker protocol provides the same guarantees on a "
+            "plain filesystem")
+
+
+def is_conflict(exc: BaseException) -> bool:
+    """True when an exception is Delta's optimistic-commit conflict —
+    the cross-process 'lost the race' signal (the marker protocol's
+    ``_reserve`` returning None)."""
+    s = f"{type(exc).__name__}: {exc}"
+    return any(m in s for m in _CONFLICT_MARKERS)
+
+
+def read_log(spark: "SparkSession", path: str) -> "DataFrame":
+    """The Delta-backed envelope table (empty-safe)."""
+    from eventstorm_spark.model import EVENT_SCHEMA
+
+    require_delta()
+    if DeltaTable.isDeltaTable(spark, path):
+        return spark.read.format("delta").load(path)
+    return spark.createDataFrame([], EVENT_SCHEMA)
+
+
+def append_batch(spark: "SparkSession", path: str, batch: "DataFrame") -> bool:
+    """Commit one append batch. Returns True on success, False when the
+    optimistic commit lost a race (caller refreshes caches, re-runs the
+    expected-revision CAS, and retries at the advanced tail) — the
+    Delta twin of ``EventLog._commit_batch``'s fence signal.
+    """
+    require_delta()
+    if not DeltaTable.isDeltaTable(spark, path):
+        # First commit creates the table; a racing creator surfaces as
+        # a conflict/already-exists error -> treat as lost race.
+        try:
+            (batch.write.format("delta").mode("error").save(path))
+            return True
+        except Exception as exc:  # noqa: BLE001 - classified below
+            if is_conflict(exc) or "already exists" in str(exc).lower():
+                return False
+            raise
+    tgt = DeltaTable.forPath(spark, path)
+    try:
+        (tgt.alias("t")
+         .merge(batch.alias("s"), "t.position = s.position")
+         .whenNotMatchedInsertAll()
+         .execute())
+    except Exception as exc:  # noqa: BLE001 - classified below
+        if is_conflict(exc):
+            return False
+        raise
+    # Backstop: the merge inserts nothing for positions that already
+    # exist; verify OUR rows landed (uuid check distinguishes our batch
+    # from a winner's rows at the same positions).
+    uuids = [r["uuid"] for r in batch.select("uuid").collect()]
+    log_df = spark.read.format("delta").load(path)
+    placed = log_df.where(log_df["uuid"].isin(uuids)).count()
+    return placed == len(uuids)

@@ -133,10 +133,20 @@ class EventLog:
     """
 
     def __init__(self, spark: SparkSession, path: str, *,
+                 format: str = "parquet",
                  commit_protocol: str = "marker",
                  commit_grace_secs: float = 60.0):
+        if format not in ("parquet", "delta"):
+            raise ValueError(f"unsupported log format: {format!r}")
+        if format == "delta":
+            from eventstorm_spark.log.delta import require_delta
+            require_delta()
+            # the Delta transaction log replaces the marker exchange
+            # wholesale (see delta.py); no watermark/marker bookkeeping
+            commit_protocol = "delta"
         self.spark = spark
         self.path = path
+        self.format = format
         self._lock = threading.Lock()
         self._commit_protocol = commit_protocol
         self._commit_grace = commit_grace_secs
@@ -350,6 +360,9 @@ class EventLog:
 
     def df(self) -> DataFrame:
         """The envelope table as a DataFrame (schema-stable even if empty)."""
+        if self.format == "delta":
+            from eventstorm_spark.log.delta import read_log
+            return read_log(self.spark, self.path)
         if self.path.startswith("/") or "://" not in self.path:
             import glob
             if not glob.glob(os.path.join(self.path, "*.parquet")):
@@ -512,7 +525,11 @@ class EventLog:
                 )
             )
         batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
-        if marker is None:
+        if self.format == "delta":
+            from eventstorm_spark.log import delta as _delta
+            if not _delta.append_batch(self.spark, self.path, batch):
+                return None  # lost the Delta optimistic commit; retry CAS
+        elif marker is None:
             # protocol "none": single-writer fast path, direct append
             batch.write.mode("append").parquet(self.path)
         else:
@@ -610,6 +627,11 @@ class EventLog:
         rows are unchanged, so readers and subscriptions are unaffected.
         Returns the number of rows removed.
         """
+        if self.format == "delta":
+            raise NotImplementedError(
+                "scavenge on a Delta-backed log maps to Delta DELETE + "
+                "OPTIMIZE; use those (the parquet path's rewrite would "
+                "bypass the transaction log)")
         dels = self._load_deletions()
         cond = None
         for s, (kind, before, _) in dels.items():
@@ -824,6 +846,11 @@ class EventLog:
         tail afterwards (commit evidence survives compaction). Like every
         rewrite, this assumes no concurrent writer in another process.
         """
+        if self.format == "delta":
+            raise NotImplementedError(
+                "compact on a Delta-backed log maps to Delta OPTIMIZE; "
+                "use it (the parquet path's rewrite would bypass the "
+                "transaction log)")
         with self._lock:
             df = (self.df().repartitionByRange(num_files, "position")
                   .sortWithinPartitions("position"))

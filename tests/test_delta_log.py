@@ -1,0 +1,114 @@
+"""EventLog on Delta (``format="delta"``) — the CAS + contention suite
+from test_append, re-run against the Delta transaction log instead of
+the ``_commits/`` marker protocol.
+
+delta-spark is not installed in this container, so the functional tests
+skip; they are the acceptance suite for a deployment that has it. The
+availability-gating behavior itself is always tested.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstorm_spark.errors import WrongExpectedRevisionError
+from eventstorm_spark.log.delta import DELTA_AVAILABLE, is_conflict
+from eventstorm_spark.log.store import EventLog
+from eventstorm_spark.model import ExpectedRevision
+
+needs_delta = pytest.mark.skipif(
+    not DELTA_AVAILABLE, reason="delta-spark not installed")
+
+
+def test_delta_format_refused_without_delta_spark(spark, tmp_path):
+    if DELTA_AVAILABLE:  # pragma: no cover - container has no delta
+        pytest.skip("delta-spark installed; gating not applicable")
+    with pytest.raises(ImportError, match="delta-spark"):
+        EventLog(spark, str(tmp_path / "dlog"), format="delta")
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported log format"):
+        EventLog(spark, str(tmp_path / "xlog"), format="orc")
+
+
+def test_conflict_classifier_matches_delta_exceptions():
+    class ConcurrentAppendException(Exception):
+        pass
+
+    assert is_conflict(ConcurrentAppendException("files were added"))
+    assert is_conflict(RuntimeError(
+        "io.delta.exceptions.ConcurrentWriteException: txn conflict"))
+    assert not is_conflict(RuntimeError("plain failure"))
+
+
+@needs_delta
+def test_delta_append_assigns_dense_revisions_and_positions(spark, tmp_path):
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "dlog"), format="delta")
+    log.append("s", new_events(3))
+    res = log.append("s", new_events(2, prefix="b"))
+    assert res.first_position == 4 and res.last_revision == 4
+    rows = log.df().orderBy("position").collect()
+    assert [r.position for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.revision for r in rows] == [0, 1, 2, 3, 4]
+
+
+@needs_delta
+def test_delta_expected_revision_cas(spark, tmp_path):
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "dlog"), format="delta")
+    log.append("s", new_events(1))
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append("s", new_events(1, prefix="x"), ExpectedRevision.at(5))
+    log.append("s", new_events(1, prefix="y"), ExpectedRevision.at(0))
+
+
+@needs_delta
+def test_delta_two_writers_never_collide_on_positions(spark, tmp_path):
+    """Two EventLog instances (two-process shape: separate caches) must
+    serialize through Delta's optimistic commit: the loser's merge
+    conflicts or inserts nothing, it refreshes and lands after the
+    winner."""
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "dlog")
+    a = EventLog(spark, path, format="delta")
+    b = EventLog(spark, path, format="delta")
+    b.tail_position()  # cache tail=0 in B before A commits
+    a.append("s-a", new_events(3, prefix="a"))
+    res_b = b.append("s-b", new_events(2, prefix="b"))
+    assert res_b.first_position == 4
+    pos = sorted(r["position"] for r in a.df().select("position").collect())
+    assert pos == [1, 2, 3, 4, 5]
+
+
+@needs_delta
+def test_delta_concurrent_appends_keep_positions_gapless(spark, tmp_path):
+    import threading
+
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "dlog"), format="delta")
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(3):
+                log.append(f"w-{i}", new_events(4, prefix=f"w{i}-{j}"))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    rows = log.df().select("stream", "position", "revision").collect()
+    assert sorted(r.position for r in rows) == list(range(1, 49))
+    for i in range(4):
+        revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
+        assert revs == list(range(12))
