@@ -259,6 +259,65 @@ def synth_wav_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_ppm_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized PPM corpus: per document, a P6 raster
+    whose dimensions and pixel bytes are fixed integer functions of the
+    doc id — the image twin of ``synth_wav_assets`` (oracle for
+    ``multimodal_ppm_decode``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def ppm_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            w = 4 + did % 5
+            h = 3 + did % 3
+            rgb = bytes((did * 7 + k * 13) % 256 for k in range(w * h * 3))
+            return encode_ppm(w, h, rgb)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        ppm_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("image/x-portable-pixmap"))
+        .alias("meta"),
+    )
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """Typed real-decode pass for PPM payloads: byte-parse each P6
+    header + raster (mapInPandas) into exact-integer columns; the
+    per-channel means derive as SQL expressions (same rounding contract
+    as ``decode_audio_meta``)."""
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                p = decode_ppm(payload)
+                recs.append((int(aid), p["width"], p["height"],
+                             p["sum_r"], p["sum_g"], p["sum_b"]))
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    parsed = assets.select("asset_id", "content").mapInPandas(run, out_schema)
+    npx = F.col("width") * F.col("height")
+    return parsed.select(
+        "asset_id", "width", "height", npx.alias("n_pixels"),
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )
+
+
 def decode_audio_meta(assets: DataFrame) -> DataFrame:
     """Typed real-decode pass for WAV payloads: parse each RIFF payload
     (mapInPandas, Arrow batches) into exact-integer columns, then derive

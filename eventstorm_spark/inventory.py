@@ -1812,6 +1812,18 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return frame_sample(synth_assets(load(spark, sf_dir, "documents")))
 
 
+def q_multimodal_ppm_decode(spark, sf_dir):
+    """REAL codec path (image twin of wav_decode): synthesize P6 PPM
+    rasters per document, byte-parse them back (netpbm header scan +
+    channel sums) and emit decoded image stats; the oracle replays the
+    pixel recurrence."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_ppm_assets,
+    )
+    return decode_image_meta(
+        synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_wav_decode(spark, sf_dir):
     """REAL codec path: synthesize deterministic PCM16 WAV payloads per
     document, byte-parse them back (RIFF chunk walk, stdlib struct) and
@@ -2276,6 +2288,27 @@ _EXT_ORACLES = {
         FROM v
         GROUP BY doc_id, rate, n
         ORDER BY asset_id""",
+    # Replays the synth_ppm_assets pixel recurrence; channel k of pixel
+    # px sits at raster byte 3*px + k.
+    "multimodal_ppm_decode": """
+        WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+                   FROM documents),
+        s AS (SELECT doc_id, w, h,
+                     unnest(generate_series(0, w * h - 1)) AS px
+              FROM p),
+        v AS (SELECT doc_id, w, h,
+                     (doc_id * 7 + (3 * px) * 13) % 256 AS r,
+                     (doc_id * 7 + (3 * px + 1) * 13) % 256 AS g,
+                     (doc_id * 7 + (3 * px + 2) * 13) % 256 AS b
+              FROM s)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(sum(r) * 1.0 / (w * h), 6) AS mean_r,
+               round(sum(g) * 1.0 / (w * h), 6) AS mean_g,
+               round(sum(b) * 1.0 / (w * h), 6) AS mean_b
+        FROM v
+        GROUP BY doc_id, w, h
+        ORDER BY asset_id""",
 }
 
 _EXT_ORACLES["dedup_clusters_star"] = _EXT_ORACLES["dedup_clusters"]
@@ -2349,8 +2382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_asset_stats": q_multimodal_asset_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        # new in round 5: REAL codec decode (RIFF/WAV byte parse)
+        # new in round 5: REAL codec decode (RIFF/WAV + PPM byte parse)
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
@@ -2391,9 +2425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "system_by_category": q_system_by_category,
         # ---- driver window ends here (50 entries) ----
         # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
+        "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,

@@ -165,6 +165,19 @@ def test_real_decode_features_wav_and_ppm(spark):
     assert rows[2][4:7] == [(10 + 40) / 2, (20 + 50) / 2, (30 + 60) / 2]
 
 
+def test_decode_image_meta_matches_synth(spark, docs):
+    out = multimodal.decode_image_meta(
+        multimodal.synth_ppm_assets(docs.limit(8))).collect()
+    assert len(out) == 8
+    for r in out:
+        did = r["asset_id"]
+        w, h = 4 + did % 5, 3 + did % 3
+        rgb = [(did * 7 + k * 13) % 256 for k in range(w * h * 3)]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_r"] == round(sum(rgb[0::3]) / (w * h), 6)
+        assert r["mean_b"] == round(sum(rgb[2::3]) / (w * h), 6)
+
+
 def test_decode_audio_meta_matches_synth(spark, docs):
     out = multimodal.decode_audio_meta(
         multimodal.synth_wav_assets(docs.limit(10))).collect()
