@@ -216,3 +216,27 @@ def test_star_components_stays_jvm(q):
     # docs join must never leave the JVM
     plan = q("dedup_clusters_star")
     assert "BatchEvalPython" not in plan
+
+
+def test_codec_decode_plans_are_scan_plus_udf(q):
+    # real-codec decode: one Arrow-batched python stage over the scan,
+    # at most the final order's range exchange — no joins, no extra
+    # shuffles (the decode parallelizes embarrassingly at corpus scale)
+    import re
+    for name in ["multimodal_wav_decode", "multimodal_ppm_decode"]:
+        plan = q(name)
+        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+        assert n <= 1, (name, n)
+        assert "Join" not in plan, name
+
+
+def test_shingle_join_keys_are_hashed(q):
+    # the candidate self-join must exchange 8-byte hash keys, not
+    # shingle strings (the shuffle-bytes contract of hash_join=True).
+    # The hashing itself hides behind the localCheckpoint scan, so
+    # assert the join key TYPE: shingle#NL is a long, shingle#N would
+    # be the string key.
+    import re
+    plan = q("near_dup_ngram_jaccard")
+    join_line = next(l for l in plan.splitlines() if "HashJoin [shingle#" in l)
+    assert re.search(r"\[shingle#\d+L\]", join_line), join_line
