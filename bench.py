@@ -64,6 +64,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_counts",
     "tf_idf_top_terms",
+    # round 5: size-gated vocabulary joins (watch the un-forced
+    # broadcast perf) + the real-codec Arrow decode path
+    "doc_unigram_logprob",
+    "repeated_passages",
+    "multimodal_wav_decode",
 ]
 
 
