@@ -505,6 +505,164 @@ class EventLog:
                 self._tail_position = None
                 self._revisions.pop(stream, None)
 
+    def append_multi(
+        self,
+        requests: Sequence[tuple[str, Sequence[NewEvent], ExpectedRevision]],
+        *, check_duplicates: bool = True,
+    ) -> list[AppendResult]:
+        """Atomic multi-stream append — the engine-level form of the
+        reference's declared-but-stubbed BatchAppend RPC
+        (``streams.proto:204-307``, handler stub
+        ``grpc_server.go:271-281``).
+
+        Every request is ``(stream, events, expected_revision)``. All
+        validations and expected-revision checks run first against the
+        current heads; if ANY fails, NOTHING is written (the whole batch
+        is one transaction). On success the batch commits as ONE fenced
+        parquet append covering every stream: positions are assigned
+        densely across requests in order, per-stream revisions stay
+        dense (a stream appearing twice in the batch continues its own
+        numbering), and throughput scales with total batch size — N
+        streams cost one commit, not N (SCALE.md §2).
+        """
+        if not requests:
+            raise ValueError("append_multi requires at least one request")
+        import uuid as _uuid
+
+        for stream, events, _ in requests:
+            if not events:
+                raise ValueError(f"empty event list for stream {stream!r}")
+            kind, _, _ = self._deletion_state(stream)
+            if kind == "tombstoned":
+                raise StreamDeletedError(stream)
+            for ev in events:
+                self._validate(ev)
+        seen: set[tuple] = set()
+        for stream, events, _ in requests:
+            for ev in events:
+                key = (stream, ev.uuid)
+                if key in seen:
+                    raise ConflictError(
+                        f"duplicate uuid in batch for stream {stream!r}: {ev.uuid}")
+                seen.add(key)
+
+        with self._lock:
+            self._ensure_watermark()
+            attempts = 0
+            while True:
+                # CAS every stream against its live head BEFORE writing
+                # anything; batch-internal continuation for repeated
+                # streams (second request sees the first's revisions).
+                heads: dict[str, int] = {}
+                failed = None
+                for stream, events, expected in requests:
+                    if stream not in heads:
+                        cur = self.head_revision(stream)
+                        kind, _, _ = self._deletion_state(stream)
+                        if kind == "deleted":
+                            _, _, last_rev = self._load_deletions()[stream]
+                            if cur is None or cur < last_rev:
+                                cur = last_rev if last_rev >= 0 else None
+                        heads[stream] = -1 if cur is None else cur
+                        cur_for_check = cur
+                    else:
+                        cur_for_check = heads[stream] if heads[stream] >= 0 else None
+                    try:
+                        self._check_revision(expected, cur_for_check, stream)
+                    except WrongExpectedRevisionError as exc:
+                        failed = exc
+                        break
+                    if check_duplicates and cur_for_check is not None:
+                        uuids = [e.uuid for e in events]
+                        if (self.df().where((F.col("stream") == stream)
+                                            & F.col("uuid").isin(uuids))
+                                .limit(1).count()):
+                            raise ConflictError(
+                                f"duplicate uuid in stream {stream!r}")
+                    heads[stream] += len(events)
+                if failed is not None:
+                    raise failed  # atomic rejection: nothing written
+
+                base_pos = self.tail_position()
+                total = sum(len(events) for _, events, _ in requests)
+                token = _uuid.uuid4().hex
+                marker = self._reserve(base_pos + 1, "$multi", total, token)
+                if marker is None and self._commit_protocol == "marker":
+                    attempts += 1
+                    if attempts > 200:
+                        raise ConflictError(
+                            f"commit contention on {self.path!r} (position "
+                            f"{base_pos + 1} claimed and not released)")
+                    time.sleep(0.05)
+                    self._tail_position = None
+                    self._revisions.clear()
+                    continue
+
+                ticks = _now_ticks()
+                rows: list = []
+                results: list[AppendResult] = []
+                revs: dict[str, int] = {}
+                pos = base_pos
+                for stream, events, _ in requests:
+                    if stream not in revs:
+                        cur = self.head_revision(stream)
+                        kind, _, _ = self._deletion_state(stream)
+                        if kind == "deleted":
+                            _, _, last_rev = self._load_deletions()[stream]
+                            if cur is None or cur < last_rev:
+                                cur = last_rev if last_rev >= 0 else None
+                        revs[stream] = -1 if cur is None else cur
+                    first_position = pos + 1
+                    for ev in events:
+                        meta = dict(ev.metadata)
+                        meta[META_TYPE] = ev.event_type
+                        meta[META_CONTENT_TYPE] = ev.content_type
+                        meta[META_CREATED] = str(ticks)
+                        revs[stream] += 1
+                        pos += 1
+                        rows.append((stream, ev.uuid, ev.data, meta,
+                                     ev.custom_metadata, revs[stream], pos,
+                                     ev.event_type, ev.content_type, ticks))
+                    results.append(AppendResult(
+                        stream=stream, first_position=first_position,
+                        last_revision=revs[stream], count=len(events)))
+
+                if self._publish_rows(rows, base_pos, total, marker, token):
+                    self._revisions.update(revs)
+                    self._tail_position = base_pos + total
+                    return results
+                # lost race / fence tripped: refresh and redo the CAS
+                attempts += 1
+                if attempts > 200:
+                    raise ConflictError(
+                        f"commit contention on {self.path!r} (claim at "
+                        f"position {base_pos + 1} repeatedly stolen)")
+                self._tail_position = None
+                self._revisions.clear()
+
+    def _publish_rows(self, rows: list, base_pos: int, n: int,
+                      marker: Optional[str], token: str) -> bool:
+        """Publish assembled envelope rows through the format's commit
+        path (Delta optimistic merge / direct append / fenced staged
+        write + watermark). False = lost race or fence tripped; nothing
+        published, caller retries its CAS."""
+        batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        if self.format == "delta":
+            from eventstorm_spark.log import delta as _delta
+            return _delta.append_batch(self.spark, self.path, batch)
+        if marker is None:
+            # protocol "none": single-writer fast path, direct append
+            batch.write.mode("append").parquet(self.path)
+            return True
+        if not self._fenced_write(batch, marker, token):
+            return False
+        # published: advertise the watermark FIRST, then GC markers at
+        # or below it (ours included — the watermark now carries the
+        # commit evidence).
+        wm = self._advance_watermark(base_pos + n)
+        self._gc_markers(wm)
+        return True
+
     def _commit_batch(self, stream: str, events: Sequence[NewEvent],
                       base_pos: int, base_rev: int,
                       marker: Optional[str], token: str) -> Optional[AppendResult]:
@@ -524,22 +682,8 @@ class EventLog:
                     ev.event_type, ev.content_type, ticks,
                 )
             )
-        batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
-        if self.format == "delta":
-            from eventstorm_spark.log import delta as _delta
-            if not _delta.append_batch(self.spark, self.path, batch):
-                return None  # lost the Delta optimistic commit; retry CAS
-        elif marker is None:
-            # protocol "none": single-writer fast path, direct append
-            batch.write.mode("append").parquet(self.path)
-        else:
-            if not self._fenced_write(batch, marker, token):
-                return None  # fence tripped; nothing published
-            # published: advertise the watermark FIRST, then GC markers
-            # at or below it (ours included — the watermark now carries
-            # the commit evidence).
-            wm = self._advance_watermark(base_pos + len(events))
-            self._gc_markers(wm)
+        if not self._publish_rows(rows, base_pos, len(events), marker, token):
+            return None  # lost race / fence tripped; nothing published
         self._revisions[stream] = base_rev + len(events)
         self._tail_position = base_pos + len(events)
         return AppendResult(

@@ -310,6 +310,64 @@ def test_watermark_fences_stale_cache_after_marker_gc(spark, tmp_path):
     assert sorted(r.position for r in rows) == [1, 2, 3, 4]
 
 
+def test_append_multi_atomic_across_streams(spark, tmp_path):
+    """BatchAppend semantics (proto-declared, stubbed in the reference):
+    one commit covers several streams — positions dense across the
+    batch in request order, per-stream revisions dense with
+    batch-internal continuation for a repeated stream."""
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    res = log.append_multi([
+        ("m-a", new_events(2, prefix="a"), ExpectedRevision.any()),
+        ("m-b", new_events(3, prefix="b"), ExpectedRevision.no_stream()),
+        ("m-a", new_events(1, prefix="a2"), ExpectedRevision.any()),
+    ])
+    assert [(r.stream, r.first_position, r.last_revision, r.count) for r in res] == [
+        ("m-a", 1, 1, 2), ("m-b", 3, 2, 3), ("m-a", 6, 2, 1)]
+    rows = log.df().orderBy("position").collect()
+    assert [r.position for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [r.revision for r in rows if r.stream == "m-a"] == [0, 1, 2]
+    assert [r.revision for r in rows if r.stream == "m-b"] == [0, 1, 2]
+    # markers GC'd, watermark advanced over the whole batch
+    assert log._read_watermark() == 6
+    # a follow-up single append continues cleanly
+    assert log.append("m-b", new_events(1, prefix="b2"),
+                      ExpectedRevision.at(2)).first_position == 7
+
+
+def test_append_multi_rejects_whole_batch_on_one_bad_cas(spark, tmp_path):
+    """One failing expected-revision check rejects the ENTIRE batch —
+    no partial writes."""
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("m-a", new_events(2, prefix="seed"))
+    with pytest.raises(WrongExpectedRevisionError):
+        log.append_multi([
+            ("m-b", new_events(2, prefix="ok"), ExpectedRevision.any()),
+            ("m-a", new_events(1, prefix="bad"), ExpectedRevision.at(9)),
+        ])
+    rows = log.df().collect()
+    assert len(rows) == 2  # only the seed events
+    assert {r.stream for r in rows} == {"m-a"}
+    # and no orphan claim blocks the next writer
+    assert log.append("m-b", new_events(1, prefix="x")).first_position == 3
+
+
+def test_append_multi_duplicate_uuid_in_batch(spark, tmp_path):
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    evs = new_events(1, prefix="dup")
+    with pytest.raises(ConflictError):
+        log.append_multi([
+            ("m-a", evs, ExpectedRevision.any()),
+            ("m-a", evs, ExpectedRevision.any()),
+        ])
+    assert log.df().count() == 0
+
+
 def test_compaction_files_position_disjoint_and_watermark_survives(spark, tmp_path):
     """compact() must produce position-DISJOINT files (the file-footer
     pruning contract, SCALE.md §1) and re-backfill the watermark that
