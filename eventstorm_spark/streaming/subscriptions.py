@@ -85,7 +85,15 @@ class Subscription:
         offset log persists the resume position, so a new Subscription on
         the same dir continues after the last delivered file without
         redelivery — the engine's form of the reference's
-        ``lastPositionOrRevision`` tracking (T3) surviving restarts."""
+        ``lastPositionOrRevision`` tracking (T3) surviving restarts.
+
+        Caveat: the resume offsets track source FILES; a log compaction
+        rewrites history into new files, which a resumed buffer-mode
+        subscription would re-receive. ``SinkSubscription`` fences this
+        with its sink's max delivered position; for buffer mode either
+        re-subscribe from a position (``subscribe_all(from_position=…)``)
+        after compacting, or use the sink mode — the buffer surface is
+        the in-memory test/client harness, not the scale path."""
         Subscription._seq += 1
         self.id = f"sub-{Subscription._seq}"
         self.delivered = Delivered()

@@ -310,6 +310,40 @@ def test_watermark_fences_stale_cache_after_marker_gc(spark, tmp_path):
     assert sorted(r.position for r in rows) == [1, 2, 3, 4]
 
 
+def test_watermark_advance_is_monotonic_under_contention(spark, tmp_path):
+    """The flock'd read-modify-write must never regress the watermark,
+    whatever interleaving concurrent advancers produce — a regression
+    below a GC'd marker would reopen the stale-cache hole."""
+    import threading
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    values = list(range(1, 101))
+    errors = []
+
+    def worker(chunk):
+        try:
+            for v in chunk:
+                log._advance_watermark(v)
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    import random
+    rng = random.Random(7)
+    chunks = [values[i::4] for i in range(4)]
+    for c in chunks:
+        rng.shuffle(c)
+    threads = [threading.Thread(target=worker, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert log._read_watermark() == 100
+    # advancing to a lower value never regresses
+    assert log._advance_watermark(5) == 100
+    assert log._read_watermark() == 100
+
+
 def test_append_multi_atomic_across_streams(spark, tmp_path):
     """BatchAppend semantics (proto-declared, stubbed in the reference):
     one commit covers several streams — positions dense across the
