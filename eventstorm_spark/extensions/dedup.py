@@ -196,6 +196,50 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
     )
 
 
+def ngram_containment_pairs(docs: DataFrame, *, n: int = 3,
+                            threshold: float = 0.8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            hash_join: bool = True) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity: ``C = common / min(|A|, |B|)``
+    — the fraction of the smaller document's shingles found in the
+    other. This is the doc-inside-doc detector (boilerplate wrappers,
+    quoted articles, page templates around real content) that Jaccard
+    structurally misses: a 100-shingle doc embedded verbatim in a
+    5000-shingle page has J ≈ 0.02 but C = 1.0.
+
+    Same blocked self-join shape as :func:`ngram_jaccard_pairs` — but
+    deliberately WITHOUT the size-ratio prefilter, because unequal sizes
+    are exactly the pairs this metric exists for. The candidate volume
+    is still bounded by shared shingles (disjoint docs never meet); at
+    corpus scale, stop-shingle skew is handled upstream by the same
+    normalization/cap guards as the Jaccard path.
+    """
+    ex = shingle_rows(docs, n, text_col, id_col)
+    if hash_join:
+        ex = ex.select("id", F.xxhash64("shingle").alias("shingle"))
+    ex = ex.localCheckpoint(eager=False)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1583,6 +1583,16 @@ def q_near_dup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_near_dup_containment(spark, sf_dir):
+    """Doc-inside-doc detection: containment = common / min(|A|, |B|)
+    catches a small document embedded in a larger one (C = 1.0) where
+    Jaccard ~ |small|/|big| misses it entirely. Threshold 0.5 on the
+    driver corpus surfaces the partially-overlapping variants."""
+    from eventstorm_spark.extensions.dedup import ngram_containment_pairs
+    return ngram_containment_pairs(load(spark, sf_dir, "documents"),
+                                   threshold=0.5)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pipeline in portable-hash mode: md5-derived
     60-bit hashes and verbatim band-slice buckets, so the DuckDB oracle
@@ -1913,6 +1923,19 @@ _EXT_ORACLES = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""",
+    "near_dup_containment": _SHINGLE_CTE + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        SELECT id_a, id_b,
+               round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / least(sa.n, sb.n) >= 0.5""",
     "dedup_embedding_cosine": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2391,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        # new in round 5: containment metric (doc-inside-doc dedup)
+        "near_dup_containment": q_near_dup_containment,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2422,11 +2447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "vocab_stats": q_vocab_stats,
         "read_all_from_position": q_read_all_from_position,
-        "tpch_q1": q_tpch_q1,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---- driver window ends here (50 entries) ----
         # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
+        "tpch_q1": q_tpch_q1,
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
         "read_all_backward": q_read_all_backward,

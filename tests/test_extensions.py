@@ -84,6 +84,25 @@ def test_ivf_topk_recall(spark, emb):
     assert len(set(ivf) & set(exact)) >= 3  # n_probe=4/16 cells
 
 
+def test_containment_catches_doc_inside_doc(spark):
+    """A small doc embedded verbatim in a much larger one: Jaccard
+    misses it (ratio ~ small/big), containment flags it at 1.0."""
+    small = " ".join(f"w{i}" for i in range(20))
+    big = " ".join(f"x{i}" for i in range(300)) + " " + small
+    other = " ".join(f"y{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string")
+
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in dedup.ngram_containment_pairs(docs, threshold=0.8).collect()}
+    assert cont.get((1, 2)) == 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+    jac = {(r.id_a, r.id_b) for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac  # the pair Jaccard structurally misses
+
+
 def test_multimodal_decode_batch_shape(spark, docs):
     assets = multimodal.synth_assets(docs.limit(50))
     feats = multimodal.decode_and_featurize(assets, fake=True, batch_note_col=True)
