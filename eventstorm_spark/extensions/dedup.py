@@ -199,7 +199,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
 def ngram_containment_pairs(docs: DataFrame, *, n: int = 3,
                             threshold: float = 0.8,
                             text_col: str = "text", id_col: str = "doc_id",
-                            hash_join: bool = True) -> DataFrame:
+                            hash_join: bool = True,
+                            max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram CONTAINMENT similarity: ``C = common / min(|A|, |B|)``
     — the fraction of the smaller document's shingles found in the
     other. This is the doc-inside-doc detector (boilerplate wrappers,
@@ -210,17 +211,29 @@ def ngram_containment_pairs(docs: DataFrame, *, n: int = 3,
     Same blocked self-join shape as :func:`ngram_jaccard_pairs` — but
     deliberately WITHOUT the size-ratio prefilter, because unequal sizes
     are exactly the pairs this metric exists for. The candidate volume
-    is still bounded by shared shingles (disjoint docs never meet); at
-    corpus scale, stop-shingle skew is handled upstream by the same
-    normalization/cap guards as the Jaccard path.
+    is still bounded by shared shingles (disjoint docs never meet).
+    Unlike the Jaccard path, no prefilter can prune the stop-shingle
+    fan-out here; set ``max_shingle_df`` at corpus scale to drop
+    shingles shared by more than that many documents before the join —
+    the standard stop-shingle cut, which biases containment DOWN by at
+    most (dropped shingles)/min-size and is how this stays bucketed
+    rather than quadratic on boilerplate-heavy crawls. The default
+    (None) is exact.
     """
     ex = shingle_rows(docs, n, text_col, id_col)
     if hash_join:
         ex = ex.select("id", F.xxhash64("shingle").alias("shingle"))
     ex = ex.localCheckpoint(eager=False)
+    # denominators use the FULL shingle sets even when the join is
+    # stop-shingle-pruned, so pruning only ever lowers the score
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    exj = ex
+    if max_shingle_df is not None:
+        keep = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_shingle_df).select("shingle"))
+        exj = ex.join(keep, "shingle", "left_semi")
+    a = exj.alias("a")
+    b = exj.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))

@@ -103,6 +103,31 @@ def test_containment_catches_doc_inside_doc(spark):
     assert (1, 2) not in jac  # the pair Jaccard structurally misses
 
 
+def test_containment_stop_shingle_cut_biases_down_only(spark):
+    """max_shingle_df drops corpus-ubiquitous shingles from the join;
+    scores use full-set denominators, so pruning only lowers scores —
+    a fully-embedded pair whose shingles are all ubiquitous drops out,
+    a pair with rare shingles keeps its exact score."""
+    boiler = "the same footer on every page repeated here"
+    rare = " ".join(f"r{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler + " extra trailing words here now"),
+         (3, boiler + " unrelated suffix tokens beyond the base"),
+         (4, rare), (5, rare + " tail")],
+        "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.containment for r in
+             dedup.ngram_containment_pairs(docs, threshold=0.5).collect()}
+    cut = {(r.id_a, r.id_b): r.containment for r in
+           dedup.ngram_containment_pairs(docs, threshold=0.5,
+                                         max_shingle_df=2).collect()}
+    assert (4, 5) in exact and cut.get((4, 5)) == exact[(4, 5)]  # rare kept exact
+    for k, v in cut.items():
+        assert v <= exact.get(k, 1.0) + 1e-9  # never biased up
+    # boiler shingles appear in docs 1,2,3 (df=3 > 2) -> their pairs
+    # lose those shingles' contribution
+    assert cut.get((1, 2), 0.0) < exact[(1, 2)]
+
+
 def test_multimodal_decode_batch_shape(spark, docs):
     assets = multimodal.synth_assets(docs.limit(50))
     feats = multimodal.decode_and_featurize(assets, fake=True, batch_note_col=True)
