@@ -276,6 +276,46 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
                  .alias("avg_logprob")))
 
 
+def bigram_logprob(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus MLE
+    bigram LM — the step up from :func:`unigram_logprob` that scores
+    word ORDER, not just word choice (scrambled or template-stitched
+    text keeps its unigram score but craters here; the CCNet-style
+    LM-filter signal).
+
+    p(w2|w1) = c(w1 w2) / c(w1 ·) over raw bigram occurrences (contexts
+    counted as bigram starts, so every observed bigram has support —
+    pure MLE, no smoothing, bit-reproducible for the SQL oracle). One
+    tokenize -> bigram explode feeds both count tables (map-side
+    combinable) and the scoring join; the count tables are
+    vocabulary-sized and joined back WITHOUT forced broadcast hints
+    (size-gated, round-5 policy). Docs with fewer than 2 tokens drop
+    out (no bigrams).
+    """
+    from pyspark.sql import Window as _W
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    terms = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("pos", "w1"))
+    w = _W.partitionBy(id_col).orderBy("pos")
+    big = (terms.withColumn("w2", F.lead("w1").over(w))
+           .where(F.col("w2").isNotNull())
+           .select(id_col, "w1", "w2"))
+    big = big.localCheckpoint(eager=False)  # feeds c1, c2 AND scoring
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (big.join(c2, ["w1", "w2"]).join(c1, "w1")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6)
+                 .alias("avg_bigram_logprob")))
+
+
 def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary statistics: token/type counts, type-token
     ratio, and the hapax-legomena share (fraction of vocabulary seen

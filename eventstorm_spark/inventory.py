@@ -1781,6 +1781,14 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Corpus-bigram-LM quality score per document — scores word ORDER
+    (scrambled/template-stitched text keeps its unigram score but
+    craters here), the CCNet-style LM filter signal."""
+    from eventstorm_spark.extensions.text import bigram_logprob
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def q_doc_unigram_logprob(spark, sf_dir):
     """Corpus-unigram-LM quality score per document (mean token
     log-probability) — low scores flag garbage/boilerplate/off-language
@@ -2348,6 +2356,22 @@ _EXT_ORACLES["doc_unigram_logprob"] = """
     FROM t JOIN freq USING (term) CROSS JOIN tot
     GROUP BY doc_id"""
 
+_EXT_ORACLES["doc_bigram_logprob"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents),
+    b0 AS (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t),
+    b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(c2 * 1.0 / c1)), 6) AS avg_bigram_logprob
+    FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id"""
+
 _EXT_ORACLES["repeated_passages"] = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2444,13 +2468,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    round (text vocabulary-join size gating) get re-verified,
         #    plus representative family coverage.
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        # new in round 5: bigram-LM (word-order) quality score
+        "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
         "vocab_stats": q_vocab_stats,
         "read_all_from_position": q_read_all_from_position,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_lsh_topk": q_ann_lsh_topk,
         # ---- driver window ends here (50 entries) ----
         # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
+        "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,

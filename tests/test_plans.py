@@ -197,6 +197,14 @@ def test_unigram_logprob_broadcasts_and_stays_jvm(q):
     assert "BatchEvalPython" not in plan
 
 
+def test_bigram_logprob_stays_jvm_with_partial_agg(q):
+    # bigram LM: pure codegen (posexplode + lead window + two count
+    # tables joined back size-gated); map-side combine on the counts
+    plan = q("doc_bigram_logprob")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_vocab_stats_has_partial_aggregation(q):
     # tokenize -> vocab agg must combine map-side before the exchange
     plan = q("vocab_stats")
