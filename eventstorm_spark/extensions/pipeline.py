@@ -79,6 +79,48 @@ def split_contamination(train: DataFrame, test: DataFrame, *, n: int = 5,
     )
 
 
+def quality_bucket_sample(docs_scored: DataFrame, rates: list[float], *,
+                          score_col: str = "avg_logprob",
+                          salt: str = "quality-v1",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware mixture sampling: cut the corpus into
+    ``len(rates)`` quality buckets by score quantiles and keep each
+    document with its bucket's probability — the standard move for
+    upweighting high-quality text in a training mix while retaining a
+    deterministic slice of the tail.
+
+    Scale shape: bucket boundaries come from ONE tiny exact-percentile
+    aggregate (map-side-combinable buffers, a 1-row broadcast back), so
+    the corpus itself never shuffles or globally sorts — bucket
+    assignment and the salted keep-decision are row-local expressions.
+    The keep decision is the same salted unit hash as
+    :func:`stratified_sample`: reproducible across engines, partitions
+    and corpus growth. Cutoffs are rounded to 6 decimals so an external
+    SQL oracle computes identical bucket edges.
+
+    Returns the scored frame with ``quality_bucket`` (1 = lowest
+    quality) and ``kept`` columns; filter on ``kept`` for the sample.
+    """
+    n = len(rates)
+    if n < 2:
+        raise ValueError("need at least 2 buckets")
+    ps = [i / n for i in range(1, n)]
+    cuts = docs_scored.agg(*[
+        F.round(F.expr(f"percentile({score_col}, {p})"), 6).alias(f"__q{i}")
+        for i, p in enumerate(ps)])
+    bucket = F.lit(1)
+    for i in range(n - 1):
+        bucket = bucket + (F.col(score_col) > F.col(f"__q{i}")).cast("int")
+    rate: Column = F.lit(float(rates[-1]))
+    for i in range(n - 1, 0, -1):
+        rate = F.when(bucket == i, float(rates[i - 1])).otherwise(rate)
+    u = _unit_hash(F.col(id_col), salt)
+    return (docs_scored.crossJoin(F.broadcast(cuts))
+            .withColumn("quality_bucket", bucket)
+            .withColumn("kept", u < rate)
+            .drop(*[f"__q{i}" for i in range(n - 1)]))
+
+
 def stratified_sample(docs: DataFrame, rates: Mapping[str, float], *,
                       default_rate: float = 1.0, salt: str = "sample-v1",
                       strata_col: str = "source",

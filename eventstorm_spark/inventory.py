@@ -1781,6 +1781,22 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_quality_bucket_sample(spark, sf_dir):
+    """Quality-aware mixture sampling: unigram-LM scores -> 4 quantile
+    buckets -> per-bucket keep rates (0.1/0.5/0.9/1.0). Output is the
+    per-bucket (n_docs, n_kept) contingency — verifying the quantile
+    edges, bucket assignment AND the salted keep decisions at once."""
+    from eventstorm_spark.extensions.pipeline import quality_bucket_sample
+    from eventstorm_spark.extensions.text import unigram_logprob
+
+    scored = unigram_logprob(load(spark, sf_dir, "documents"))
+    out = quality_bucket_sample(scored, [0.1, 0.5, 0.9, 1.0])
+    return (out.groupBy("quality_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"))
+            .orderBy("quality_bucket"))
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2356,6 +2372,40 @@ _EXT_ORACLES["doc_unigram_logprob"] = """
     FROM t JOIN freq USING (term) CROSS JOIN tot
     GROUP BY doc_id"""
 
+_EXT_ORACLES["quality_bucket_sample"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM t),
+    scored AS (
+        SELECT doc_id, round(avg(ln(tf * 1.0 / n_total)), 6) AS s
+        FROM t JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY doc_id),
+    c AS (SELECT round(quantile_cont(s, 0.25), 6) AS q0,
+                 round(quantile_cont(s, 0.50), 6) AS q1,
+                 round(quantile_cont(s, 0.75), 6) AS q2
+          FROM scored),
+    b AS (
+        SELECT doc_id,
+               1 + CAST(s > q0 AS INT) + CAST(s > q1 AS INT)
+                 + CAST(s > q2 AS INT) AS quality_bucket,
+               CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                    ':', 'quality-v1')), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+        FROM scored CROSS JOIN c)
+    SELECT quality_bucket,
+           count(*) AS n_docs,
+           CAST(sum(CASE quality_bucket
+                    WHEN 1 THEN CAST(u < 0.1 AS INT)
+                    WHEN 2 THEN CAST(u < 0.5 AS INT)
+                    WHEN 3 THEN CAST(u < 0.9 AS INT)
+                    ELSE CAST(u < 1.0 AS INT) END) AS BIGINT) AS n_kept
+    FROM b
+    GROUP BY quality_bucket
+    ORDER BY quality_bucket"""
+
 _EXT_ORACLES["doc_bigram_logprob"] = """
     WITH t AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
@@ -2435,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
         "split_contamination": q_split_contamination,
+        # new in round 5: quality-bucketed mixture sampling
+        "quality_bucket_sample": q_quality_bucket_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
@@ -2473,9 +2525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "vocab_stats": q_vocab_stats,
         "read_all_from_position": q_read_all_from_position,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- driver window ends here (50 entries) ----
         # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "system_by_category": q_system_by_category,

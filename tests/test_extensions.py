@@ -84,6 +84,32 @@ def test_ivf_topk_recall(spark, emb):
     assert len(set(ivf) & set(exact)) >= 3  # n_probe=4/16 cells
 
 
+def test_quality_bucket_sample_deterministic_and_monotone(spark, docs):
+    from eventstorm_spark.extensions.pipeline import quality_bucket_sample
+    from eventstorm_spark.extensions.text import unigram_logprob
+
+    scored = unigram_logprob(docs)
+    out = quality_bucket_sample(scored, [0.0, 0.25, 0.75, 1.0])
+    rows = out.collect()
+    n = scored.count()
+    assert len(rows) == n  # projection: every doc labeled, none dropped
+    by_bucket: dict = {}
+    for r in rows:
+        d = by_bucket.setdefault(r["quality_bucket"], [0, 0])
+        d[0] += 1
+        d[1] += int(r["kept"])
+    assert set(by_bucket) == {1, 2, 3, 4}
+    assert by_bucket[1][1] == 0          # rate 0.0 keeps nothing
+    assert by_bucket[4][1] == by_bucket[4][0]  # rate 1.0 keeps all
+    # equal-frequency cut: buckets within rounding of n/4
+    for b in by_bucket.values():
+        assert abs(b[0] - n / 4) <= max(2, 0.1 * n)
+    # deterministic: rerun produces identical keep decisions
+    again = {(r["doc_id"], r["kept"]) for r in
+             quality_bucket_sample(scored, [0.0, 0.25, 0.75, 1.0]).collect()}
+    assert again == {(r["doc_id"], r["kept"]) for r in rows}
+
+
 def test_containment_catches_doc_inside_doc(spark):
     """A small doc embedded verbatim in a much larger one: Jaccard
     misses it (ratio ~ small/big), containment flags it at 1.0."""
