@@ -596,6 +596,87 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
     return cands.mapInPandas(verify, "id_a long, id_b long, cosine_sim double")
 
 
+def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 16,
+                   tau: float = 0.4, centroids: list[list[float]] | None = None,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space, pick one representative per cluster, and drop every other
+    member whose cosine to the representative is >= ``tau`` — semantic
+    near-duplicate removal that catches paraphrases exact/MinHash dedup
+    misses.
+
+    Clustering reuses the IVF routing kernel (``similarity.ivf_topk``):
+    cells are argmax-cosine against ``n_centroids`` deterministic
+    centroids (the lowest-id vectors by default — oracle-replayable;
+    pass ``centroids=kmeans_centroids(...)`` for trained cells at
+    scale). The representative is the min-id member of each cell (the
+    paper keeps one low-loss exemplar; min-id is the deterministic
+    stand-in).
+
+    Scale shape: cell assignment is one Arrow-batched GEMM projection
+    over the scan; the representative table is exactly ``n_centroids``
+    rows (provably bounded — broadcast), so the corpus never shuffles
+    except the one tiny groupBy(min). Per-row verdicts mean the output
+    is corpus-sized but slim. Returns (id, cell, cos_to_rep, dropped);
+    filter ``dropped = 0`` for the surviving corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        cent_rows = (embeddings.orderBy(id_col).limit(n_centroids)
+                     .select(id_col, vec_col).collect())
+        cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    cm = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1, keepdims=True)
+    cm = cm / np.where(cn == 0, 1.0, cn)
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(n == 0, 1.0, n)
+        return pd.Series(np.argmax(m @ cm.T, axis=1).astype("int32"))
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.array([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.array([np.asarray(v, dtype=np.float64) for v in b])
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = np.where((na == 0) | (nb == 0), 1.0, na * nb)
+        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb) / denom, 6))
+
+    assigned = (embeddings
+                .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+                .withColumn("cell", cell_udf(F.col("__v"))))
+    assigned = assigned.localCheckpoint(eager=False)  # feeds reps AND join
+    # One min_by aggregate yields (cell, rep_id, rep_vec) directly — no
+    # self-join back for the representative's vector. The table has
+    # exactly one row per non-empty cell: forced broadcast is safe
+    # (bounded by n_centroids).
+    rep_vecs = (assigned.groupBy(F.col("cell").alias("__rc"))
+                .agg(F.min("id").alias("rep_id"),
+                     F.min_by("__v", "id").alias("__rv")))
+    out = (assigned.join(F.broadcast(rep_vecs),
+                         F.col("cell") == F.col("__rc"))
+           .withColumn("cos_to_rep", pair_cos(F.col("__v"), F.col("__rv"))))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("cell"),
+        F.col("cos_to_rep"),
+        ((F.col("id") != F.col("rep_id"))
+         & (F.col("cos_to_rep") >= tau)).cast("int").alias("dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -121,6 +121,42 @@ def quality_bucket_sample(docs_scored: DataFrame, rates: list[float], *,
             .drop(*[f"__q{i}" for i in range(n - 1)]))
 
 
+def temperature_mixture(docs: DataFrame, *, alpha: float = 0.3,
+                        group_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R sampling rule):
+    a group's sampling probability is its corpus token share raised to
+    ``alpha`` and renormalized — ``alpha`` < 1 upweights small
+    domains/languages so the head domains don't drown them, ``alpha=1``
+    is natural sampling, ``alpha=0`` uniform.
+
+    Scale shape: one map-side-combinable (group, token-count) aggregate
+    over the corpus scan; the group table is bounded by group
+    cardinality (languages/domains — tens, not millions), so the share
+    and renormalization passes are two 1-row broadcast aggregates over
+    a tiny frame. Shares and probabilities round to 6 decimals so the
+    SQL oracle reproduces them exactly.
+    """
+    from eventstorm_spark.extensions.text import token_count
+
+    g = (docs.select(F.col(group_col).alias("grp"),
+                     token_count(F.col(text_col)).alias("__n"))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("__n").alias("n_tokens")))
+    total = g.agg(F.sum("n_tokens").alias("__t"))
+    shared = (g.crossJoin(F.broadcast(total))
+              .withColumn("__share", F.col("n_tokens") / F.col("__t")))
+    z = shared.agg(F.sum(F.pow("__share", F.lit(alpha))).alias("__z"))
+    return (shared.crossJoin(F.broadcast(z))
+            .select(
+                F.col("grp").alias(group_col),
+                "n_docs", "n_tokens",
+                F.round("__share", 6).alias("corpus_share"),
+                F.round(F.pow("__share", F.lit(alpha)) / F.col("__z"), 6)
+                .alias("sample_prob")))
+
+
 def stratified_sample(docs: DataFrame, rates: Mapping[str, float], *,
                       default_rate: float = 1.0, salt: str = "sample-v1",
                       strata_col: str = "source",

@@ -344,6 +344,109 @@ def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_rules(docs: DataFrame, *, min_words: int = 10, max_words: int = 100_000,
+             min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
+             min_stopwords: int = 2, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style heuristic document filter: the rule bundle the
+    public web-corpus pipelines apply before any model-based scoring
+    (C4: brace / "lorem ipsum" / "javascript" rejects; Gopher: word
+    count, mean word length, >= 2 stop words; plus the pathological
+    unbroken-token reject).
+
+    Emits the per-rule evidence, a ``kept`` flag and the FIRST failing
+    rule as ``reject_reason`` (rules checked in the documented order),
+    so the filter is auditable — pipelines log the reject histogram, not
+    just the survivor set. Every rule is a row-local codegen expression
+    (regex counts + a distinct stopword intersect; the mean word length
+    is total non-whitespace chars / word count, avoiding a per-element
+    higher-order function on the corpus path) — embarrassingly parallel,
+    exact, and reproduced verbatim by the SQL oracle.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / n_words, 6)
+    n_stop = F.size(F.array_intersect(
+        toks, F.array([F.lit(w) for w in LANG_STOPWORDS["en"]]))).cast("long")
+    has_long_word = t.rlike(r"\S{21,}")
+    has_brace = t.contains("{") | t.contains("}")
+    low = F.lower(t)
+    has_lorem = low.contains("lorem ipsum")
+    has_js = low.contains("javascript")
+    reason = (
+        F.when(n_words < min_words, "too_few_words")
+        .when(n_words > max_words, "too_many_words")
+        .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+              "word_length")
+        .when(has_long_word, "long_word")
+        .when(n_stop < min_stopwords, "stopwords")
+        .when(has_brace, "brace")
+        .when(has_lorem, "lorem_ipsum")
+        .when(has_js, "javascript"))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        has_long_word.cast("int").alias("has_long_word"),
+        (has_brace | has_lorem | has_js).cast("int").alias("has_blocklisted"),
+        reason.isNull().cast("int").alias("kept"),
+        reason.alias("reject_reason"),
+    )
+
+
+def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
+                 lang_col: str = "lang", text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its tokens are under a *target*
+    unigram LM (here: the ``target_lang`` slice of the corpus) than
+    under the corpus LM. Resampling the corpus proportional to
+    ``exp(weight)`` shifts the mixture toward the target domain — the
+    standard cheap domain-adaptation move for pretraining data.
+
+    weight(doc) = mean over tokens of
+    ``ln(p_target(w) / p_corpus(w))`` with add-1 smoothing over the
+    shared corpus vocabulary (``p(w) = (tf + 1) / (N + V)``), so tokens
+    unseen in the target stay finite and the score is exactly
+    reproducible by the SQL oracle.
+
+    One tokenize pass feeds both LM count tables and the scoring join
+    (map-side combinable aggregates). Both frequency tables are
+    vocabulary-sized — joined back WITHOUT forced broadcast hints
+    (size-gated by Catalyst/AQE, round-5 policy); the totals row is a
+    provably-1-row broadcast.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    terms = docs.select(
+        F.col(id_col), F.col(lang_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    terms = terms.localCheckpoint(eager=False)  # feeds both LMs AND scoring
+    freq_c = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf_c"))
+    freq_t = (terms.where(F.col(lang_col) == target_lang)
+              .groupBy("term").agg(F.count(F.lit(1)).alias("tf_t")))
+    totals = terms.agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("term").alias("v"),
+        F.sum((F.col(lang_col) == target_lang).cast("long")).alias("n_t"))
+    logratio = F.log(
+        ((F.col("tf_t") + 1) / (F.col("n_t") + F.col("v")))
+        / ((F.col("tf_c") + 1) / (F.col("n_c") + F.col("v"))))
+    return (terms.join(freq_c, "term")
+            .join(freq_t, "term", "left")
+            .na.fill({"tf_t": 0})
+            .crossJoin(F.broadcast(totals))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(logratio), 6).alias("dsir_logratio")))
+
+
 def repeated_passages(docs: DataFrame, *, seg_tokens: int = 10,
                       min_docs: int = 2, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

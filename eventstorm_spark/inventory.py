@@ -1797,6 +1797,44 @@ def q_quality_bucket_sample(spark, sf_dir):
             .orderBy("quality_bucket"))
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """mT5/XLM-R temperature-scaled sampling probabilities per language:
+    token share ^ 0.3, renormalized — the standard fix for head
+    languages drowning the tail in a multilingual mix."""
+    from eventstorm_spark.extensions.pipeline import temperature_mixture
+    return temperature_mixture(load(spark, sf_dir, "documents"))
+
+
+def q_c4_quality_filter(spark, sf_dir):
+    """C4/Gopher heuristic rule filter with per-rule evidence and the
+    first failing rule as the auditable reject reason."""
+    from eventstorm_spark.extensions.text import c4_rules
+    return c4_rules(load(spark, sf_dir, "documents"))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: mean log(p_target/p_corpus) per doc
+    under add-1-smoothed unigram LMs, target = the English slice."""
+    from eventstorm_spark.extensions.text import dsir_weights
+    return dsir_weights(load(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: the doc x 512-token-sequence overlap
+    table from a distributed two-phase global token cumsum (no
+    single-partition exchange — pinned by test_plans)."""
+    from eventstorm_spark.extensions.packing import pack_token_spans
+    return pack_token_spans(load(spark, sf_dir, "documents"), seq_len=512)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding table: deterministic IVF cells,
+    min-id representative per cell, drop members at cosine >= 0.4 to
+    their representative."""
+    from eventstorm_spark.extensions.dedup import semantic_dedup
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2438,6 +2476,125 @@ _EXT_ORACLES["repeated_passages"] = r"""
     SELECT s.doc_id, s.seg_no, s.segment, f.n_docs
     FROM segs s JOIN freq f USING (segment)"""
 
+_EXT_ORACLES["temperature_mixture"] = r"""
+    WITH g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang),
+    s AS (
+        SELECT lang, n_docs, n_tokens,
+               n_tokens * 1.0 / sum(n_tokens) OVER () AS share
+        FROM g)
+    SELECT lang, n_docs, n_tokens,
+           round(share, 6) AS corpus_share,
+           round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6)
+               AS sample_prob
+    FROM s"""
+
+_EXT_ORACLES["c4_quality_filter"] = r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS mean_word_len,
+               CAST(len(list_intersect(string_split_regex(trim(text), '\s+'),
+                    ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+                   AS n_stopwords,
+               regexp_matches(text, '\S{21,}') AS lw,
+               contains(text, '{') OR contains(text, '}') AS hb,
+               contains(lower(text), 'lorem ipsum') AS hl,
+               contains(lower(text), 'javascript') AS hj
+        FROM documents),
+    r AS (
+        SELECT *,
+               CASE WHEN n_words < 10 THEN 'too_few_words'
+                    WHEN n_words > 100000 THEN 'too_many_words'
+                    WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_length'
+                    WHEN lw THEN 'long_word'
+                    WHEN n_stopwords < 2 THEN 'stopwords'
+                    WHEN hb THEN 'brace'
+                    WHEN hl THEN 'lorem_ipsum'
+                    WHEN hj THEN 'javascript' END AS reject_reason
+        FROM f)
+    SELECT doc_id, n_words, mean_word_len, n_stopwords,
+           CAST(lw AS INT) AS has_long_word,
+           CAST(hb OR hl OR hj AS INT) AS has_blocklisted,
+           CAST(reject_reason IS NULL AS INT) AS kept,
+           reject_reason
+    FROM r"""
+
+_EXT_ORACLES["dsir_weights"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    fc AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_c FROM t GROUP BY term),
+    ft AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_t
+           FROM t WHERE lang = 'en' GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_c,
+                   CAST(count(DISTINCT term) AS BIGINT) AS v,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_t
+            FROM t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(((coalesce(tf_t, 0) + 1) * 1.0 / (n_t + v))
+                        / ((tf_c + 1) * 1.0 / (n_c + v)))), 6) AS dsir_logratio
+    FROM t
+    JOIN fc USING (term)
+    LEFT JOIN ft USING (term)
+    CROSS JOIN tot
+    GROUP BY doc_id"""
+
+_EXT_ORACLES["pack_sequences"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                   AS n
+        FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS BIGINT) AS s
+        FROM t WHERE n > 0),
+    x AS (
+        SELECT doc_id, n, s,
+               unnest(generate_series(s // 512, (s + n - 1) // 512)) AS seq_id
+        FROM c)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS off_in_doc,
+           CAST(least(s + n, (seq_id + 1) * 512)
+                - greatest(s, seq_id * 512) AS BIGINT) AS n_toks
+    FROM x"""
+
+_EXT_ORACLES["semantic_dedup"] = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+               v AS cv
+        FROM base ORDER BY vec_id LIMIT 16),
+    cells AS (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cidx) AS rn
+        FROM base CROSS JOIN cents),
+    assign AS (SELECT vec_id, cidx AS cell FROM cells WHERE rn = 1),
+    reps AS (SELECT cell, min(vec_id) AS rep_id FROM assign GROUP BY cell)
+    SELECT a.vec_id, a.cell,
+           round(list_cosine_similarity(bv.v, rv.v), 6) AS cos_to_rep,
+           CAST(a.vec_id <> r.rep_id
+                AND round(list_cosine_similarity(bv.v, rv.v), 6) >= 0.4
+                AS INT) AS dropped
+    FROM assign a
+    JOIN reps r ON a.cell = r.cell
+    JOIN base bv ON a.vec_id = bv.vec_id
+    JOIN base rv ON r.rep_id = rv.vec_id"""
+
 _EXT_ORACLES["vocab_stats"] = """
     WITH t AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -2487,12 +2644,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         # new in round 5: quality-bucketed mixture sampling
         "quality_bucket_sample": q_quality_bucket_sample,
+        # new in round 5: temperature-scaled mixture, C4 rule filter,
+        # DSIR importance weights, sequence packing
+        "temperature_mixture": q_temperature_mixture,
+        "c4_quality_filter": q_c4_quality_filter,
+        "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
         # new in round 5: containment metric (doc-inside-doc dedup)
         "near_dup_containment": q_near_dup_containment,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # new in round 5: SemDeDup semantic near-duplicate removal
+        "semantic_dedup": q_semantic_dedup,
         "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_within_label": q_knn_within_label,
@@ -2512,10 +2677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": q_nation_trade_flows,
         "nation_profit_by_year": q_nation_profit_by_year,
         "top_returning_customers": q_top_returning_customers,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
         # -- fills to 50: r4-green entries whose operators changed this
         #    round (text vocabulary-join size gating) get re-verified,
         #    plus representative family coverage.
@@ -2523,9 +2684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: bigram-LM (word-order) quality score
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
-        "vocab_stats": q_vocab_stats,
         "read_all_from_position": q_read_all_from_position,
         # ---- driver window ends here (50 entries) ----
+        # -- rotated out for the 5 new round-5 queries: read_stream_*
+        #    carry green r3 driver rows + the local parity gate;
+        #    vocab_stats is green in CORRECTNESS_r04 --
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "vocab_stats": q_vocab_stats,
         # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,

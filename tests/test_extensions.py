@@ -577,3 +577,111 @@ def test_bucket_cap_bounds_hot_bucket_blowup(spark):
     assert (100, 101) in got_uncapped and (100, 101) in got_capped
     assert any(a < 20 and b < 20 for a, b in got_uncapped)   # clique present
     assert not any(a < 20 and b < 20 for a, b in got_capped)  # clique capped
+
+
+# ---------------------------------------------------------------------------
+# round 5: packing, C4 rules, DSIR, SemDeDup, temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_pack_token_spans_partitions_every_token_exactly_once(docs):
+    """Packing is a partition of the global token range: per-doc slices
+    reassemble the document, per-sequence totals are exactly seq_len
+    (except the final ragged sequence), and slices are contiguous."""
+    from eventstorm_spark.extensions.packing import pack_token_spans
+    from eventstorm_spark.extensions.text import tokens  # noqa: F401
+
+    spans = pack_token_spans(docs, seq_len=128).collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id",
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as long) as n",
+        ).collect() if r["n"] > 0
+    }
+    per_doc: dict[int, list] = {}
+    per_seq: dict[int, int] = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+    assert set(per_doc) == set(toks)
+    for did, rows in per_doc.items():
+        rows.sort(key=lambda r: r["off_in_doc"])
+        assert sum(r["n_toks"] for r in rows) == toks[did]
+        off = 0
+        for r in rows:
+            assert r["off_in_doc"] == off  # contiguous slices
+            off += r["n_toks"]
+    last = max(per_seq)
+    for sid, total in per_seq.items():
+        assert total == 128 or sid == last
+    # identical result under a different partitioning (global order is
+    # id order, not partition order)
+    spans2 = pack_token_spans(docs.repartition(7), seq_len=128).collect()
+    key = lambda r: (r["seq_id"], r["doc_id"], r["off_in_doc"], r["n_toks"])  # noqa: E731
+    assert sorted(map(key, spans2)) == sorted(map(key, spans))
+
+
+def test_c4_rules_reject_reasons(spark):
+    from eventstorm_spark.extensions.text import c4_rules
+
+    good = "the quick brown fox jumps of over a lazy dog to and in it is " * 2
+    rows = [
+        (1, good),
+        (2, "short text"),                              # too_few_words
+        (3, good + " {code}"),                          # brace
+        (4, good + " lorem ipsum dolor"),               # lorem_ipsum
+        (5, good + " enable JavaScript now"),           # javascript
+        (6, good + " " + "x" * 30),                     # long_word
+        (7, "uno dos tres quatro cinco seis siete ocho nueve diez once"),  # stopwords
+    ]
+    out = {r["doc_id"]: r for r in
+           c4_rules(spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1]["kept"] == 1 and out[1]["reject_reason"] is None
+    assert out[2]["reject_reason"] == "too_few_words"
+    assert out[3]["reject_reason"] == "brace"
+    assert out[4]["reject_reason"] == "lorem_ipsum"
+    assert out[5]["reject_reason"] == "javascript"
+    assert out[6]["reject_reason"] == "long_word"
+    assert out[7]["reject_reason"] == "stopwords"
+    assert all(r["kept"] == 0 for d, r in out.items() if d != 1)
+
+
+def test_dsir_weights_upweight_target_language(docs):
+    """Target = the English slice: English docs must score higher on
+    average than every other language (that's the resampling signal)."""
+    from eventstorm_spark.extensions.text import dsir_weights
+
+    w = dsir_weights(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    means = {r["lang"]: r["m"] for r in
+             w.groupBy("lang").agg(F.avg("dsir_logratio").alias("m")).collect()}
+    assert all(means["en"] > m for lang, m in means.items() if lang != "en")
+
+
+def test_semantic_dedup_invariants(emb):
+    from eventstorm_spark.extensions.dedup import semantic_dedup
+
+    rows = semantic_dedup(emb, tau=0.4).collect()
+    assert len(rows) == emb.count()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        rep = min(m["vec_id"] for m in members)
+        for m in members:
+            if m["vec_id"] == rep:
+                assert m["dropped"] == 0          # the representative survives
+                assert abs(m["cos_to_rep"] - 1.0) < 1e-6
+            else:
+                assert m["dropped"] == (1 if m["cos_to_rep"] >= 0.4 else 0)
+
+
+def test_temperature_mixture_flattens_shares(docs):
+    from eventstorm_spark.extensions.pipeline import temperature_mixture
+
+    rows = temperature_mixture(docs, alpha=0.3).collect()
+    assert abs(sum(r["sample_prob"] for r in rows) - 1.0) < 1e-4
+    lo = min(rows, key=lambda r: r["corpus_share"])
+    hi = max(rows, key=lambda r: r["corpus_share"])
+    assert lo["sample_prob"] > lo["corpus_share"]   # tail upweighted
+    assert hi["sample_prob"] < hi["corpus_share"]   # head downweighted

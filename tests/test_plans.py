@@ -248,3 +248,30 @@ def test_shingle_join_keys_are_hashed(q):
     plan = q("near_dup_ngram_jaccard")
     join_line = next(l for l in plan.splitlines() if "HashJoin [shingle#" in l)
     assert re.search(r"\[shingle#\d+L\]", join_line), join_line
+
+
+def test_pack_sequences_avoids_single_partition_cumsum(q):
+    """The global token cumsum must be the two-phase distributed form
+    (range partition + per-partition window + broadcast offsets), never
+    a no-partition-key window — that plan funnels the whole corpus
+    through one task."""
+    plan = q("pack_sequences")
+    assert "SinglePartition" not in plan
+
+
+def test_semantic_dedup_broadcasts_representatives(q):
+    """The per-cell representative table is bounded by n_centroids: it
+    must broadcast, and the corpus side must not shuffle for the join."""
+    plan = q("semantic_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_vocab_joins_are_not_forced_broadcasts(spark, sf_dir):
+    """Both LM frequency tables are vocabulary-sized: the logical plan
+    must carry no forced broadcast hint on them (size-gating policy —
+    Catalyst/AQE may still choose broadcast at runtime when small)."""
+    df = inventory.queries()["dsir_weights"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one hinted broadcast: the provably-1-row totals frame
+    assert logical.count("ResolvedHint") <= 1
