@@ -638,7 +638,15 @@ def q_top_orders_by_revenue(spark, sf_dir):
 
 
 def q_nation_revenue(spark, sf_dir):
-    """Q5-shaped: region⋈nation⋈customer⋈orders⋈lineitem revenue rollup."""
+    """Q5-shaped: region⋈nation⋈customer⋈orders⋈lineitem revenue rollup.
+
+    Lineitem revenue is pre-aggregated per orderkey BELOW the join
+    (map-side combinable, and its shuffle key IS the join key, so the
+    exchange is reused): the order⋈lineitem join then moves one row per
+    order instead of the full ~4:1 lineitem fanout, and the distinct
+    order count degenerates to a plain count — no two-phase
+    countDistinct expand. Same rewrite Catalyst cannot do automatically
+    (aggregate pushdown through a join changes the plan shape)."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -648,13 +656,16 @@ def q_nation_revenue(spark, sf_dir):
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    li_per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("__rev")))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"),
-             F.countDistinct("o_orderkey").alias("n_orders"))
+        .agg(F.round(F.sum("__rev"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
     )
 
 
