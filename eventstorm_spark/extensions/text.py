@@ -344,6 +344,89 @@ def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_top_docs(docs: DataFrame, query_terms: list[str], *, k: int = 20,
+                  k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term query — the
+    lexical-search complement to the embedding ANN tier (and the scorer
+    behind "find documents about X" corpus audits).
+
+    score(d) = sum over query terms of
+    ``idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    the Robertson/Sparck-Jones idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Scale shape: one tokenize pass feeds document lengths and the
+    query-term postings; the per-term df/idf table is bounded by the
+    QUERY size (a handful of rows — broadcast), the corpus-wide N/avgdl
+    aggregate is 1 row (broadcast), and the only corpus-sized exchange
+    is the (doc, dl) join with the postings, co-keyed on the doc id.
+    Scores round to 6 decimals and rank ties break on id, so the SQL
+    oracle reproduces the ranking exactly."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    terms = terms.localCheckpoint(eager=False)  # feeds dl, stats AND postings
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (terms.where(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df_ is bounded by len(query_terms): forced broadcast is safe.
+    scored = (tf.join(F.broadcast(df_), "term")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(
+                  (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1))
+              .withColumn("part", F.col("idf") * F.col("tf") * (k1 + 1)
+                          / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("part"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k))
+
+
+def passage_scrub(docs: DataFrame, *, seg_tokens: int = 10, min_docs: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicated-passage REMOVAL (the scrubbing counterpart of
+    :func:`repeated_passages`, which only detects): a ``seg_tokens``-token
+    segment appearing in >= ``min_docs`` distinct documents is kept only
+    in its first-occurrence document (min id) and removed everywhere
+    else — the C4 "three-sentence span" dedup rule in segment form.
+    Returns per-document scrub accounting (segments seen, segments
+    removed, tokens surviving).
+
+    Same plan skeleton as ``repeated_passages``: tokenize -> segment
+    explode (row-local) -> segment-frequency aggregate joined back
+    WITHOUT a forced broadcast (the repeated-segment table is unbounded
+    on boilerplate-heavy crawls — size-gated by Catalyst/AQE), then one
+    per-doc rollup. Deterministic keep rule => exact oracle replay."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice(F.col("__t"),
+                                           j * seg_tokens + 1, seg_tokens)),
+    )
+    ex = (docs.select(F.col(id_col), toks.alias("__t"))
+          .select(id_col, F.posexplode(segs).alias("seg_no", "segment")))
+    ex = ex.localCheckpoint(eager=False)  # feeds the freq agg AND the join
+    freq = (ex.groupBy("segment")
+            .agg(F.countDistinct(id_col).alias("__n"),
+                 F.min(id_col).alias("__first")))
+    kept = (F.col("__n") < min_docs) | (F.col(id_col) == F.col("__first"))
+    return (ex.join(freq, "segment")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum((~kept).cast("long")).alias("n_removed"),
+                 F.sum(F.when(kept, F.size(F.split(F.col("segment"), " ")))
+                       .otherwise(0).cast("long")).alias("n_tokens_after")))
+
+
 def c4_rules(docs: DataFrame, *, min_words: int = 10, max_words: int = 100_000,
              min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
              min_stopwords: int = 2, text_col: str = "text",

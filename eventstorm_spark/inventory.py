@@ -1846,6 +1846,32 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
 
 
+def q_bm25_top_docs(spark, sf_dir):
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term
+    query; ranking on the rounded score with id tie-breaks."""
+    from eventstorm_spark.extensions.text import bm25_top_docs
+    return bm25_top_docs(load(spark, sf_dir, "documents"),
+                         ["spark", "merge", "window"], k=20)
+
+
+def q_passage_scrub(spark, sf_dir):
+    """Duplicated-passage removal accounting: 10-token segments seen in
+    >=2 docs survive only in their min-id first occurrence."""
+    from eventstorm_spark.extensions.text import passage_scrub
+    return passage_scrub(load(spark, sf_dir, "documents"))
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k: 8 subspaces x 16 deterministic codes
+    (lowest-id normalized vectors), encode to 8 bytes/vector, score via
+    the query's LUT only — the memory-bound ANN tier. Every step is
+    deterministic, so the oracle replays codebooks, encoding and ADC."""
+    from eventstorm_spark.extensions.similarity import pq_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(emb.where(F.col("vec_id") != 0),
+                   _query_vec(spark, sf_dir), k=10)
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2487,6 +2513,86 @@ _EXT_ORACLES["repeated_passages"] = r"""
     SELECT s.doc_id, s.seg_no, s.segment, f.n_docs
     FROM segs s JOIN freq f USING (segment)"""
 
+_EXT_ORACLES["bm25_top_docs"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('spark', 'merge', 'window')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+               AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20"""
+
+_EXT_ORACLES["passage_scrub"] = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+    segs AS (
+        SELECT doc_id, CAST(j AS INT) AS seg_no,
+               array_to_string(t[j * 10 + 1 : j * 10 + 10], ' ') AS segment
+        FROM toks,
+             unnest(generate_series(
+                 0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) u(j)),
+    freq AS (
+        SELECT segment, count(DISTINCT doc_id) AS n, min(doc_id) AS first
+        FROM segs GROUP BY segment)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN n >= 2 AND doc_id <> first
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN n < 2 OR doc_id = first
+                         THEN len(string_split(segment, ' '))
+                         ELSE 0 END) AS BIGINT) AS n_tokens_after
+    FROM segs JOIN freq USING (segment)
+    GROUP BY doc_id"""
+
+_EXT_ORACLES["ann_pq_topk"] = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+        FROM embeddings WHERE vec_id <> 0),
+    nrm AS (
+        SELECT vec_id,
+               list_transform(raw,
+                   x -> x / sqrt(list_dot_product(raw, raw))) AS v
+        FROM base),
+    q AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))) AS qv
+        FROM embeddings WHERE vec_id = 0),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v
+        FROM nrm ORDER BY vec_id LIMIT 16),
+    cbsub AS (
+        SELECT j, CAST(s AS INT) AS s, v[s * 8 + 1 : s * 8 + 8] AS cv
+        FROM cb CROSS JOIN range(8) t(s)),
+    enc AS (
+        SELECT n.vec_id, c.s, c.j,
+               row_number() OVER (PARTITION BY n.vec_id, c.s
+                   ORDER BY list_distance(n.v[c.s * 8 + 1 : c.s * 8 + 8],
+                                          c.cv), c.j) AS rn
+        FROM nrm n CROSS JOIN cbsub c),
+    codes AS (SELECT vec_id, s, j FROM enc WHERE rn = 1),
+    lut AS (
+        SELECT s, j, list_dot_product(qv[s * 8 + 1 : s * 8 + 8], cv) AS dp
+        FROM cbsub CROSS JOIN q)
+    SELECT vec_id, round(sum(dp), 6) AS adc_sim
+    FROM codes JOIN lut USING (s, j)
+    GROUP BY vec_id
+    ORDER BY adc_sim DESC, vec_id
+    LIMIT 10"""
+
 _EXT_ORACLES["temperature_mixture"] = r"""
     WITH g AS (
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2661,14 +2767,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_filter": q_c4_quality_filter,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
+        # new in round 5: BM25 retrieval + duplicated-passage removal
+        "bm25_top_docs": q_bm25_top_docs,
+        "passage_scrub": q_passage_scrub,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
         # new in round 5: containment metric (doc-inside-doc dedup)
         "near_dup_containment": q_near_dup_containment,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # new in round 5: SemDeDup semantic near-duplicate removal
+        # new in round 5: SemDeDup semantic near-duplicate removal +
+        # PQ/ADC approximate nearest neighbor
         "semantic_dedup": q_semantic_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_within_label": q_knn_within_label,
@@ -2677,8 +2788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
         "system_streams": q_system_streams,
         "events_sessionization": q_events_sessionization,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
         "value_percentiles": q_value_percentiles,
         "returnflag_priority": q_returnflag_priority,
         "supplier_part_counts": q_supplier_part_counts,
@@ -2697,9 +2806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "read_all_from_position": q_read_all_from_position,
         # ---- driver window ends here (50 entries) ----
-        # -- rotated out for the 5 new round-5 queries: read_stream_*
-        #    carry green r3 driver rows + the local parity gate;
-        #    vocab_stats is green in CORRECTNESS_r04 --
+        # -- rotated out for the 8 new round-5 queries: read_stream_*,
+        #    asof_last_view and funnel_conversion carry green r3 driver
+        #    rows + the local parity gate (the latter two also stay in
+        #    the bench headline); vocab_stats is green in
+        #    CORRECTNESS_r04 --
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,

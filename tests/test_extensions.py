@@ -685,3 +685,68 @@ def test_temperature_mixture_flattens_shares(docs):
     hi = max(rows, key=lambda r: r["corpus_share"])
     assert lo["sample_prob"] > lo["corpus_share"]   # tail upweighted
     assert hi["sample_prob"] < hi["corpus_share"]   # head downweighted
+
+
+def test_pq_topk_recall_and_compression(spark, emb):
+    """PQ/ADC: codes are M tinyints (the 32x compression claim), the
+    ranking is partition-independent, and recall@10 against the exact
+    top-10 is non-trivial even with untrained 16-entry codebooks."""
+    from eventstorm_spark.extensions.similarity import (
+        brute_force_topk, pq_codebooks, pq_encode, pq_topk)
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where(F.col("vec_id") != 0)
+    cb = pq_codebooks(base)
+    assert cb.shape == (8, 16, 8)
+    codes = pq_encode(base, cb).collect()
+    assert all(len(r["pq_codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["pq_codes"])
+
+    exact = [r["vec_id"] for r in brute_force_topk(base, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in pq_topk(base, qv, k=10).collect()]
+    approx2 = [r["vec_id"] for r in
+               pq_topk(base.repartition(7), qv, k=10).collect()]
+    assert approx == approx2  # deterministic under repartitioning
+    assert len(set(approx) & set(exact)) >= 2
+
+
+def test_bm25_scores_docs_with_query_terms(docs):
+    from eventstorm_spark.extensions.text import bm25_top_docs
+
+    top = bm25_top_docs(docs, ["spark", "merge", "window"], k=20).collect()
+    assert len(top) == 20
+    assert all(top[i]["bm25"] >= top[i + 1]["bm25"] for i in range(19))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in top:
+        assert any(t in texts[r["doc_id"]] for t in ("spark", "merge", "window"))
+
+
+def test_passage_scrub_removes_cross_doc_segments(docs):
+    """Scrub accounting: totals reconcile with token counts, removals
+    happen exactly where repeated_passages flags a non-first doc, and
+    first-occurrence docs keep everything."""
+    from eventstorm_spark.extensions.text import passage_scrub, repeated_passages
+
+    out = {r["doc_id"]: r for r in passage_scrub(docs).collect()}
+    toks = {r["doc_id"]: r["n"] for r in docs.selectExpr(
+        "doc_id", "cast(size(split(trim(text), '\\\\s+')) as long) as n").collect()}
+    assert set(out) == set(toks)
+    for did, r in out.items():
+        assert r["n_segments"] == -(-toks[did] // 10)
+        assert 0 <= r["n_removed"] <= r["n_segments"]
+        assert r["n_tokens_after"] <= toks[did]
+        if r["n_removed"] == 0:
+            assert r["n_tokens_after"] == toks[did]
+    rep = repeated_passages(docs).collect()
+    first_by_seg: dict[str, int] = {}
+    for r in rep:
+        first_by_seg[r["segment"]] = min(
+            first_by_seg.get(r["segment"], r["doc_id"]), r["doc_id"])
+    expected_removed: dict[int, int] = {}
+    for r in rep:
+        if r["doc_id"] != first_by_seg[r["segment"]]:
+            expected_removed[r["doc_id"]] = expected_removed.get(r["doc_id"], 0) + 1
+    assert sum(expected_removed.values()) > 0  # planted near-dups exist
+    for did, n in expected_removed.items():
+        assert out[did]["n_removed"] == n
