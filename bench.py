@@ -69,6 +69,12 @@ HEADLINE = [
     "doc_unigram_logprob",
     "repeated_passages",
     "multimodal_wav_decode",
+    # round 5: training-mix toolkit (two-phase packing cumsum, LM-ratio
+    # weights, SemDeDup broadcast verdicts, BM25 postings join)
+    "pack_sequences",
+    "dsir_weights",
+    "semantic_dedup",
+    "bm25_top_docs",
 ]
 
 
