@@ -365,14 +365,30 @@ def bm25_top_docs(docs: DataFrame, query_terms: list[str], *, k: int = 20,
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par // 2:
         docs = docs.repartition(par)
-    terms = docs.select(
+    # Document length needs no explode: it is a row-local token COUNT,
+    # so the dl branch (and the corpus-wide stats reduction over it)
+    # never shuffles token rows — only the query-term postings do.
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .cast("long").alias("dl")).where(F.col("dl") > 0)  # match explode stats
+    dl = dl.localCheckpoint(eager=False)  # feeds stats AND the postings join
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    # Scan-level prune before the explode: documents without any query
+    # term contribute nothing to the postings, so a cheap rlike drops
+    # them before token fan-out — for selective queries on a web corpus
+    # this is the difference between exploding every document and
+    # exploding only candidates. The explode+isin after it is exact.
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in query_terms)
+    candidates = docs.where(
+        F.lower(F.col(text_col)).rlike(f"(^|[^a-z0-9])({alt})([^a-z0-9]|$)"))
+    terms = candidates.select(
         F.col(id_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("term"))
-    terms = terms.localCheckpoint(eager=False)  # feeds dl, stats AND postings
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
     tf = (terms.where(F.col("term").isin(list(query_terms)))
           .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
