@@ -144,9 +144,14 @@ def temperature_mixture(docs: DataFrame, *, alpha: float = 0.3,
          .groupBy("grp")
          .agg(F.count(F.lit(1)).alias("n_docs"),
               F.sum("__n").alias("n_tokens")))
+    # g is group-cardinality-sized; pin it so the corpus scan + group
+    # aggregate run ONCE (it feeds the total, the normalizer and the
+    # output — unpinned, Spark recomputes the scan per consumer).
+    g = g.localCheckpoint(eager=False)
     total = g.agg(F.sum("n_tokens").alias("__t"))
     shared = (g.crossJoin(F.broadcast(total))
               .withColumn("__share", F.col("n_tokens") / F.col("__t")))
+    shared = shared.localCheckpoint(eager=False)  # feeds z AND the output
     z = shared.agg(F.sum(F.pow("__share", F.lit(alpha))).alias("__z"))
     return (shared.crossJoin(F.broadcast(z))
             .select(

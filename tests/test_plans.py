@@ -168,6 +168,15 @@ _SHUFFLE_BUDGET = {
     "split_contamination": 2,
     "tf_idf_top_terms": 5,
     "repetition_features": 3,
+    # round-5 training-mix paths
+    "pack_sequences": 1,           # the one range exchange of the cumsum
+    "c4_quality_filter": 0,        # row-local rules, pure projection
+    "temperature_mixture": 1,      # one corpus group aggregate
+    "semantic_dedup": 1,           # rep min_by agg; verdict join broadcasts
+    "dsir_weights": 5,             # two LM aggs + totals + scoring join + rollup
+    "bm25_top_docs": 5,            # postings agg + df + stats + dl join + topk
+    "passage_scrub": 3,            # segment freq + join back + per-doc rollup
+    "ann_pq_topk": 0,              # encode + ADC are projections; topk is TakeOrdered
 }
 
 
