@@ -1872,6 +1872,36 @@ def q_ann_pq_topk(spark, sf_dir):
                    _query_vec(spark, sf_dir), k=10)
 
 
+def q_training_mix_pipeline(spark, sf_dir):
+    """End-to-end training-mix assembly as ONE composed plan: C4/Gopher
+    rule filter -> exact dedup (min-id keeps per normalized digest) ->
+    pack survivors into 256-token sequences. Output is the per-stage
+    funnel accounting (1 row) — the pipeline-shape capstone the same
+    way dedup_kept_by_source is for the dedup family."""
+    from eventstorm_spark.extensions.packing import pack_token_spans
+    from eventstorm_spark.extensions.text import c4_rules
+
+    docs = load(spark, sf_dir, "documents")
+    kept_ids = (c4_rules(docs).where(F.col("kept") == 1)
+                .select("doc_id"))
+    survivors = docs.join(kept_ids, "doc_id")
+    # exact dedup among survivors: min doc_id per md5 digest keeps
+    canon = (survivors.groupBy(F.md5("text").alias("__d"))
+             .agg(F.min("doc_id").alias("doc_id")))
+    deduped = survivors.join(canon.select("doc_id"), "doc_id")
+    spans = pack_token_spans(deduped, seq_len=256)
+    stats = spans.agg(
+        F.countDistinct("doc_id").alias("n_docs_packed"),
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("n_toks").alias("n_tokens"))
+    counts = (docs.agg(F.count(F.lit(1)).alias("n_input"))
+              .crossJoin(kept_ids.agg(F.count(F.lit(1)).alias("n_after_rules")))
+              .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_after_dedup"))))
+    return counts.crossJoin(stats).select(
+        "n_input", "n_after_rules", "n_after_dedup",
+        "n_docs_packed", "n_sequences", "n_tokens")
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2513,6 +2543,53 @@ _EXT_ORACLES["repeated_passages"] = r"""
     SELECT s.doc_id, s.seg_no, s.segment, f.n_docs
     FROM segs s JOIN freq f USING (segment)"""
 
+_EXT_ORACLES["training_mix_pipeline"] = r"""
+    WITH r AS (
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS mwl,
+               len(list_intersect(string_split_regex(trim(text), '\s+'),
+                   ['the','a','of','and','to','in','is','it'])) AS n_stop,
+               regexp_matches(text, '\S{21,}') AS lw,
+               contains(text, '{') OR contains(text, '}') AS hb,
+               contains(lower(text), 'lorem ipsum') AS hl,
+               contains(lower(text), 'javascript') AS hj
+        FROM documents),
+    kept AS (
+        SELECT doc_id, text FROM r
+        WHERE n_words >= 10 AND n_words <= 100000
+          AND mwl >= 2.0 AND mwl <= 12.0 AND NOT lw AND n_stop >= 2
+          AND NOT hb AND NOT hl AND NOT hj),
+    canon AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    ded AS (
+        SELECT k.doc_id, k.text FROM kept k JOIN canon c USING (doc_id)),
+    t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                   AS n
+        FROM ded),
+    c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS BIGINT) AS s
+        FROM t WHERE n > 0),
+    x AS (
+        SELECT doc_id, n, s,
+               unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+        FROM c)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after_rules,
+           (SELECT CAST(count(*) AS BIGINT) FROM ded) AS n_after_dedup,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_packed,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+           CAST(sum(least(s + n, (seq_id + 1) * 256)
+                    - greatest(s, seq_id * 256)) AS BIGINT) AS n_tokens
+    FROM x"""
+
 _EXT_ORACLES["bm25_top_docs"] = """
     WITH t AS (
         SELECT doc_id,
@@ -2767,9 +2844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_filter": q_c4_quality_filter,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
-        # new in round 5: BM25 retrieval + duplicated-passage removal
+        # new in round 5: BM25 retrieval + duplicated-passage removal +
+        # the composed filter->dedup->pack capstone
         "bm25_top_docs": q_bm25_top_docs,
         "passage_scrub": q_passage_scrub,
+        "training_mix_pipeline": q_training_mix_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
@@ -2787,7 +2866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
         "system_streams": q_system_streams,
-        "events_sessionization": q_events_sessionization,
         "value_percentiles": q_value_percentiles,
         "returnflag_priority": q_returnflag_priority,
         "supplier_part_counts": q_supplier_part_counts,
@@ -2813,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    CORRECTNESS_r04 --
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
+        "events_sessionization": q_events_sessionization,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,

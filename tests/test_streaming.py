@@ -649,3 +649,29 @@ def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
         assert partners == {3, 4}  # only the cap's most recent entries
     finally:
         q.stop()
+
+
+def test_streaming_c4_quality_gate_matches_batch(spark):
+    """The corpus quality operators are row-local projections, so they
+    compose with Structured Streaming unchanged — the streaming-ingest
+    quality gate (filter at crawl time, not in a later batch pass).
+    Stream-side c4_rules must equal the batch run row-for-row."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_DIR
+    from eventstorm_spark.extensions.text import c4_rules
+
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(SF_DIR))
+    gated = c4_rules(sdf).where(F.col("kept") == 1)
+    q = (gated.writeStream.format("memory").queryName("c4_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_words"], r["n_stopwords"])
+           for r in spark.sql("SELECT * FROM c4_gate").collect()}
+
+    batch = c4_rules(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    want = {r["doc_id"]: (r["n_words"], r["n_stopwords"])
+            for r in batch.where(F.col("kept") == 1).collect()}
+    assert got == want and len(got) > 0
