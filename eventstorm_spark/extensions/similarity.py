@@ -333,6 +333,67 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
     )
 
 
+def write_ivf_index(embeddings: DataFrame, path: str, *,
+                    centroids: list[list[float]] | None = None,
+                    n_centroids: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[list[float]]:
+    """Materialize the corpus as an IVF-partitioned parquet table:
+    cell assignment (argmax cosine against the centroids) becomes a
+    PARTITION COLUMN, so serving a query is a partition-pruned scan of
+    the n_probe nearest cells — no per-row cell filter, the files for
+    unprobed cells are never opened. This is the at-rest form of
+    ``ivf_topk`` for 100 TB serving; returns the centroids used (store
+    them with the index). Default centroids are the deterministic
+    lowest-id vectors; pass ``kmeans_centroids(...)`` output for
+    trained cells."""
+    if centroids is None:
+        rows = (embeddings.orderBy(id_col).limit(n_centroids)
+                .select(vec_col).collect())
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    cm = np.asarray(centroids, dtype=np.float64)
+    nn = np.linalg.norm(cm, axis=1, keepdims=True)
+    cmn = cm / np.where(nn == 0, 1.0, nn)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(n == 0, 1.0, n)
+        return pd.Series(np.argmax(m @ cmn.T, axis=1).astype("int32"))
+
+    (embeddings.withColumn("cell", cell_udf(F.col(vec_col)))
+     .write.partitionBy("cell").mode("overwrite").parquet(path))
+    return [list(map(float, c)) for c in centroids]
+
+
+def ivf_index_topk(spark, path: str, centroids: list[list[float]],
+                   query_vec: Sequence[float], k: int = 10, *,
+                   n_probe: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Serve a top-k query from a :func:`write_ivf_index` table: route
+    the query to its ``n_probe`` nearest cells driver-side (k x dim
+    work), then exact-search ONLY those partitions — the ``cell IN
+    (...)`` predicate is a partition filter, so unprobed cells cost
+    zero I/O (plan-pinned by ``tests/test_plans.py``)."""
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
+    pruned = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    return (cosine_scores(pruned, query_vec, vec_col=vec_col, id_col=id_col)
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
 # ---------------------------------------------------------------------------
 # product quantization (IVF-PQ's compression tier)
 # ---------------------------------------------------------------------------

@@ -750,3 +750,26 @@ def test_passage_scrub_removes_cross_doc_segments(docs):
     assert sum(expected_removed.values()) > 0  # planted near-dups exist
     for did, n in expected_removed.items():
         assert out[did]["n_removed"] == n
+
+
+def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
+    """write_ivf_index + ivf_index_topk: results equal the in-memory
+    ivf_topk routing, and the probe predicate lands in PartitionFilters
+    (unprobed cells cost zero I/O — the at-rest 100 TB serving shape)."""
+    from eventstorm_spark.extensions.similarity import (
+        ivf_index_topk, ivf_topk, write_ivf_index)
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(base, path)
+
+    served = ivf_index_topk(spark, path, cents, qv, k=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in served.collect()]
+    want = [(r["vec_id"], r["cosine_sim"])
+            for r in ivf_topk(base, qv, k=10).collect()]
+    assert got == want and len(got) == 10
