@@ -75,6 +75,7 @@ HEADLINE = [
     "dsir_weights",
     "semantic_dedup",
     "bm25_top_docs",
+    "training_mix_pipeline",
 ]
 
 
