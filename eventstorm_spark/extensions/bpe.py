@@ -1,0 +1,118 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+merge table for a byte-pair-encoding vocabulary from the corpus — the
+tokenizer-fitting step of an LLM data pipeline, next to the token
+*counting* the text operators already do.
+
+Scale shape — the part worth getting right:
+
+- BPE trains on the **word frequency table**, not the corpus: one
+  corpus-sized tokenize/count shuffle up front, then every merge
+  iteration touches only the vocabulary-sized (word, freq, symbols)
+  frame. On a 100 TB crawl the vocab table is millions of rows — an
+  aggregate per iteration, never a corpus rescan.
+- Each iteration is ONE distributed pair-count aggregate (explode the
+  adjacent-symbol pairs, sum word frequencies, map-side combinable)
+  plus a driver-side top-1 (a 1-row collect — the argmax merge is
+  inherently sequential, this is the only serialization point, same as
+  every published BPE trainer).
+- The merge applies as two chained single-space string replaces on the
+  sentinel-spaced symbol string (`" t h e </w> "`): pass 1 merges
+  left-to-right occurrences, pass 2 catches the alternating overlaps
+  pass 1's consumed spaces skipped — exactly greedy left-to-right BPE,
+  with no per-row Python. Both passes are engine-portable string
+  `replace`, which is how the SQL oracle replays training bit-for-bit.
+
+Determinism: ties in pair counts break on the pair string ascending, so
+the learned merge table is unique given the corpus — reproducible
+across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_MARK = "</w>"
+
+
+def word_frequencies(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercase alphanumeric tokens — the ONLY
+    corpus-sized pass of BPE training."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    return (docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _initial_symbols() -> F.Column:
+    """Sentinel-spaced character split: 'the' -> ' t h e </w> '."""
+    return F.concat(F.lit(" "),
+                    F.concat_ws(" ", F.expr("regexp_extract_all(word, '.', 0)")),
+                    F.lit(" " + END_MARK + " "))
+
+
+def _pairs_col() -> F.Column:
+    """Adjacent symbol pairs of the current symbol string, as
+    'a b' strings. A higher-order transform — acceptable here because
+    it runs on the vocabulary-sized frame, never the corpus."""
+    arr = F.split(F.trim(F.col("syms")), " ")
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda j: F.concat(F.element_at(arr, j), F.lit(" "),
+                               F.element_at(arr, j + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_bpe(docs: DataFrame, *, num_merges: int = 8,
+              text_col: str = "text") -> tuple[list[tuple], DataFrame]:
+    """Learn ``num_merges`` BPE merges. Returns (merge table rows
+    [(step, pair, merged, count)], the final (word, freq, syms) frame
+    for downstream tokenization/fertility stats)."""
+    wf = (word_frequencies(docs, text_col=text_col)
+          .withColumn("syms", _initial_symbols())
+          .localCheckpoint(eager=True))  # reused every iteration
+    merges: list[tuple] = []
+    for step in range(1, num_merges + 1):
+        cnt = (wf.select("freq", F.explode(_pairs_col()).alias("pair"))
+               .groupBy("pair").agg(F.sum("freq").alias("c")))
+        top = cnt.orderBy(F.col("c").desc(), F.col("pair")).limit(1).collect()
+        if not top:
+            break
+        pair, c = top[0]["pair"], int(top[0]["c"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, c))
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        wf = (wf.withColumn("syms",
+                            F.replace(F.replace("syms", pat, rep), pat, rep))
+              .localCheckpoint(eager=True))  # don't stack replace plans
+    return merges, wf
+
+
+def bpe_merge_table(docs: DataFrame, *, num_merges: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """The learned merge table as a DataFrame (step, pair, merged,
+    count) — the query/oracle surface of :func:`train_bpe`."""
+    merges, _ = train_bpe(docs, num_merges=num_merges, text_col=text_col)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, count long")
+
+
+def bpe_fertility(docs: DataFrame, *, num_merges: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """Tokenizer quality probe: corpus fertility (BPE tokens per word)
+    under the learned vocabulary — 1 row: words, bpe tokens, fertility.
+    Computed from the final symbols frame: tokens per word = symbol
+    count, weighted by word frequency."""
+    _, wf = train_bpe(docs, num_merges=num_merges, text_col=text_col)
+    n_syms = F.size(F.split(F.trim("syms"), " ")).cast("long")
+    return (wf.select("freq", n_syms.alias("n_syms"))
+            .agg(F.sum("freq").alias("n_words"),
+                 F.sum(F.col("freq") * F.col("n_syms")).alias("n_bpe_tokens"),
+                 F.round(F.sum(F.col("freq") * F.col("n_syms"))
+                         / F.sum("freq"), 6).alias("fertility")))

@@ -1902,6 +1902,22 @@ def q_training_mix_pipeline(spark, sf_dir):
         "n_docs_packed", "n_sequences", "n_tokens")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: the first 8 learned merges
+    (pair counts over the word-frequency table; ties break on the pair
+    string, so the merge table is unique). The oracle replays training
+    step-by-step with chained portable string replaces."""
+    from eventstorm_spark.extensions.bpe import bpe_merge_table
+    return bpe_merge_table(load(spark, sf_dir, "documents"), num_merges=8)
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Corpus fertility (BPE symbols per word, end-marker included)
+    under the 8-merge vocabulary — the tokenizer-quality probe."""
+    from eventstorm_spark.extensions.bpe import bpe_fertility
+    return bpe_fertility(load(spark, sf_dir, "documents"), num_merges=8)
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2543,6 +2559,66 @@ _EXT_ORACLES["repeated_passages"] = r"""
     SELECT s.doc_id, s.seg_no, s.segment, f.n_docs
     FROM segs s JOIN freq f USING (segment)"""
 
+def _bpe_oracle_ctes(k: int) -> str:
+    """Chained-CTE replay of BPE training: step i counts adjacent
+    symbol pairs of w{i-1} (weighted by word freq), picks the
+    (count DESC, pair ASC) winner, and applies the same two-pass
+    sentinel-space replace the engine uses. Generated programmatically
+    so the merge depth stays a parameter."""
+    parts = [r"""
+    WITH w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                   || ' </w> ' AS syms
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS word
+              FROM documents) t
+        GROUP BY word)"""]
+    # every CTE is MATERIALIZED: t{i} is referenced four times and w{i}
+    # twice — inlined, the chain re-evaluates exponentially (4^k).
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+        SELECT arr[j] || ' ' || arr[j + 1] AS pair,
+               CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT freq, string_split(trim(syms), ' ') AS arr FROM w{p}) s,
+             unnest(generate_series(1, len(arr) - 1)) u(j)
+        GROUP BY 1),
+    t{i} AS MATERIALIZED (SELECT pair, c FROM c{i} ORDER BY c DESC, pair LIMIT 1),
+    w{i} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(replace(syms,
+                   ' ' || (SELECT pair FROM t{i}) || ' ',
+                   ' ' || (SELECT replace(pair, ' ', '') FROM t{i}) || ' '),
+                   ' ' || (SELECT pair FROM t{i}) || ' ',
+                   ' ' || (SELECT replace(pair, ' ', '') FROM t{i}) || ' ')
+                   AS syms
+        FROM w{p})""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(k: int = 8) -> str:
+    selects = [
+        f"""SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged,
+               c AS "count" FROM t{i}"""
+        for i in range(1, k + 1)]
+    return _bpe_oracle_ctes(k) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+def _bpe_fertility_oracle(k: int = 8) -> str:
+    return _bpe_oracle_ctes(k) + f"""
+    SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * len(string_split(trim(syms), ' '))) AS BIGINT)
+               AS n_bpe_tokens,
+           round(sum(freq * len(string_split(trim(syms), ' '))) * 1.0
+                 / sum(freq), 6) AS fertility
+    FROM w{k}"""
+
+
+_EXT_ORACLES["bpe_merges"] = _bpe_merges_oracle(8)
+_EXT_ORACLES["bpe_fertility"] = _bpe_fertility_oracle(8)
+
 _EXT_ORACLES["training_mix_pipeline"] = r"""
     WITH r AS (
         SELECT doc_id, text,
@@ -2849,6 +2925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "passage_scrub": q_passage_scrub,
         "training_mix_pipeline": q_training_mix_pipeline,
+        # new in round 5: distributed BPE tokenizer training
+        "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
@@ -2865,8 +2944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "system_streams": q_system_streams,
-        "value_percentiles": q_value_percentiles,
         "returnflag_priority": q_returnflag_priority,
         "supplier_part_counts": q_supplier_part_counts,
         "large_volume_orders": q_large_volume_orders,
@@ -2892,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
+        "system_streams": q_system_streams,
+        "value_percentiles": q_value_percentiles,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,

@@ -773,3 +773,41 @@ def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     want = [(r["vec_id"], r["cosine_sim"])
             for r in ivf_topk(base, qv, k=10).collect()]
     assert got == want and len(got) == 10
+
+
+def test_bpe_training_known_merges_and_tiebreak(spark):
+    """Hand-checkable corpus: 'aaab aaab aab'. Step 1 merges (a,a)
+    count 5; step 2 merges (b,</w>) count 3; step 3 is a 2-2 tie
+    between ('a b</w>') and ('aa a') — the pair-string tie-break must
+    pick 'a b</w>'."""
+    from eventstorm_spark.extensions.bpe import bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aab")], "doc_id long, text string")
+    rows = bpe_merge_table(docs, num_merges=3).collect()
+    got = [(r["step"], r["pair"], r["merged"], r["count"]) for r in rows]
+    assert got == [
+        (1, "a a", "aa", 5),
+        (2, "b </w>", "b</w>", 3),
+        (3, "a b</w>", "ab</w>", 2),
+    ]
+
+
+def test_bpe_training_partitioning_independent(docs):
+    from eventstorm_spark.extensions.bpe import bpe_merge_table
+
+    a = [tuple(r) for r in bpe_merge_table(docs, num_merges=6).collect()]
+    b = [tuple(r) for r in
+         bpe_merge_table(docs.repartition(7), num_merges=6).collect()]
+    assert a == b and len(a) == 6
+
+
+def test_bpe_fertility_decreases_with_merges(docs):
+    """More merges => fewer symbols per word (training compresses)."""
+    from eventstorm_spark.extensions.bpe import bpe_fertility
+
+    f2 = bpe_fertility(docs, num_merges=2).collect()[0]
+    f8 = bpe_fertility(docs, num_merges=8).collect()[0]
+    assert f2["n_words"] == f8["n_words"]
+    assert f8["fertility"] < f2["fertility"]
+    assert f8["fertility"] >= 1.0
