@@ -103,6 +103,29 @@ def bpe_merge_table(docs: DataFrame, *, num_merges: int = 8,
         merges, "step int, pair string, merged string, count long")
 
 
+def bpe_token_counts(docs: DataFrame, *, num_merges: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus under the learned vocabulary: per-document
+    BPE token counts. Serving is a JOIN — the trained (word -> symbol
+    count) table IS the tokenizer for in-vocabulary text, so applying
+    BPE to the corpus costs one word explode plus a vocabulary-sized
+    lookup join (size-gated, no forced broadcast), not a per-row merge
+    loop. Returns (id, n_words, n_bpe_tokens)."""
+    _, wf = train_bpe(docs, num_merges=num_merges, text_col=text_col)
+    lut = wf.select(
+        "word",
+        F.size(F.split(F.trim("syms"), " ")).cast("long").alias("__n"))
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("word"))
+    return (words.join(lut, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("__n").alias("n_bpe_tokens")))
+
+
 def bpe_fertility(docs: DataFrame, *, num_merges: int = 8,
                   text_col: str = "text") -> DataFrame:
     """Tokenizer quality probe: corpus fertility (BPE tokens per word)

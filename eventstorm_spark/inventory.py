@@ -1918,6 +1918,13 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility(load(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the trained 8-merge BPE vocab —
+    tokenizer serving as a vocabulary lookup join."""
+    from eventstorm_spark.extensions.bpe import bpe_token_counts
+    return bpe_token_counts(load(spark, sf_dir, "documents"), num_merges=8)
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2616,8 +2623,21 @@ def _bpe_fertility_oracle(k: int = 8) -> str:
     FROM w{k}"""
 
 
+def _bpe_token_counts_oracle(k: int = 8) -> str:
+    return _bpe_oracle_ctes(k) + f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(trim(syms), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents) d
+    JOIN w{k} USING (word)
+    GROUP BY doc_id"""
+
+
 _EXT_ORACLES["bpe_merges"] = _bpe_merges_oracle(8)
 _EXT_ORACLES["bpe_fertility"] = _bpe_fertility_oracle(8)
+_EXT_ORACLES["bpe_token_counts"] = _bpe_token_counts_oracle(8)
 
 _EXT_ORACLES["training_mix_pipeline"] = r"""
     WITH r AS (
@@ -2925,9 +2945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "passage_scrub": q_passage_scrub,
         "training_mix_pipeline": q_training_mix_pipeline,
-        # new in round 5: distributed BPE tokenizer training
+        # new in round 5: distributed BPE tokenizer training + serving
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
+        "bpe_token_counts": q_bpe_token_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_kept_by_source": q_dedup_kept_by_source,
         "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
@@ -2944,7 +2965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "returnflag_priority": q_returnflag_priority,
         "supplier_part_counts": q_supplier_part_counts,
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
@@ -2971,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "system_streams": q_system_streams,
         "value_percentiles": q_value_percentiles,
+        "returnflag_priority": q_returnflag_priority,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,
