@@ -76,6 +76,7 @@ HEADLINE = [
     "semantic_dedup",
     "bm25_top_docs",
     "training_mix_pipeline",
+    "bpe_merges",
 ]
 
 

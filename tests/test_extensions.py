@@ -811,3 +811,17 @@ def test_bpe_fertility_decreases_with_merges(docs):
     assert f2["n_words"] == f8["n_words"]
     assert f8["fertility"] < f2["fertility"]
     assert f8["fertility"] >= 1.0
+
+
+def test_bpe_driver_and_distributed_paths_agree(docs):
+    """The hybrid fast path (vocab collected, Python merge loop) and
+    the fully distributed loop must learn the identical merge table
+    and identical final symbol strings."""
+    from eventstorm_spark.extensions.bpe import train_bpe
+
+    m_drv, wf_drv = train_bpe(docs, num_merges=6)
+    m_dist, wf_dist = train_bpe(docs, num_merges=6, driver_max_vocab=0)
+    assert m_drv == m_dist
+    a = {r["word"]: r["syms"] for r in wf_drv.collect()}
+    b = {r["word"]: r["syms"] for r in wf_dist.collect()}
+    assert a == b
