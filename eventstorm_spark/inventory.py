@@ -1925,6 +1925,33 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(load(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@10 audit of every approximate ANN tier (multiprobe LSH,
+    IVF, PQ/ADC) against the exact brute-force top-10 — the measurement
+    every ANN deployment ships with. Pure DataFrame composition: each
+    method's id set joins the exact set, counts become recalls. The
+    oracle reassembles the SAME report from the per-method oracle SQL
+    (each method's CTE is the exact text of its own driver oracle)."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    methods = {
+        "ivf": q_ann_ivf_topk(spark, sf_dir),
+        "lsh": q_ann_lsh_topk(spark, sf_dir),
+        "pq": q_ann_pq_topk(spark, sf_dir),
+    }
+    parts = []
+    for name in sorted(methods):
+        hits = (methods[name].select("vec_id").join(bf, "vec_id")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .select(F.lit(name).alias("method"),
+                        F.col("hits").cast("long"),
+                        F.round(F.col("hits") / 10.0, 6).alias("recall_at_10")))
+        parts.append(hits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def q_doc_bigram_logprob(spark, sf_dir):
     """Corpus-bigram-LM quality score per document — scores word ORDER
     (scrambled/template-stitched text keeps its unigram score but
@@ -2900,6 +2927,27 @@ _EXT_ORACLES["vocab_stats"] = """
     FROM freq"""
 
 
+def _ann_recall_oracle() -> str:
+    """Recall report oracle assembled from the per-method ANN oracles:
+    each method CTE is the verbatim text of that method's own driver
+    oracle, so the report can never drift from the per-method checks."""
+    bf = _EXT_ORACLES["ann_cosine_topk"]
+    blocks = {"ivf": _EXT_ORACLES["ann_ivf_topk"],
+              "lsh": _EXT_ORACLES["ann_lsh_topk"],
+              "pq": _EXT_ORACLES["ann_pq_topk"]}
+    ctes = [f"bf AS ({bf})"] + [
+        f"m_{n} AS ({blocks[n]})" for n in sorted(blocks)]
+    sels = [
+        f"""SELECT '{n}' AS method, CAST(count(*) AS BIGINT) AS hits,
+               round(count(*) / 10.0, 6) AS recall_at_10
+           FROM m_{n} JOIN bf USING (vec_id)"""
+        for n in sorted(blocks)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+_EXT_ORACLES["ann_recall_report"] = _ann_recall_oracle()
+
+
 # ---------------------------------------------------------------------------
 # assembly
 # ---------------------------------------------------------------------------
@@ -2959,13 +3007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ/ADC approximate nearest neighbor
         "semantic_dedup": q_semantic_dedup,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
         "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_within_label": q_knn_within_label,
         "proj_count_by_stream": q_proj_count_by_stream,
         "proj_stats_by_type": q_proj_stats_by_type,
         "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "supplier_part_counts": q_supplier_part_counts,
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "dormant_rich_customers": q_dormant_rich_customers,
@@ -2992,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "system_streams": q_system_streams,
         "value_percentiles": q_value_percentiles,
         "returnflag_priority": q_returnflag_priority,
+        "supplier_part_counts": q_supplier_part_counts,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,
