@@ -181,19 +181,24 @@ def lsh_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
 
 
 def kmeans_centroids(embeddings: DataFrame, *, k: int = 16, iters: int = 5,
-                     vec_col: str = "embedding",
+                     metric: str = "cosine", vec_col: str = "embedding",
                      id_col: str = "vec_id") -> list[list[float]]:
-    """Distributed spherical k-means training for IVF cell routing.
+    """Distributed k-means training — spherical (``metric="cosine"``,
+    the IVF cell-routing default) or plain Euclidean (``metric="l2"``,
+    what PQ codebooks need: centroids must preserve subvector
+    magnitudes, so neither inputs nor centroids are normalized).
 
     Lloyd iterations expressed as DataFrame ops — nothing corpus-sized
     ever reaches the driver:
 
     - **E step** (assignment): one Arrow-batched GEMM per batch against
       the broadcast centroid matrix (argmax cosine — the same kernel
-      ``ivf_topk`` routes with);
+      ``ivf_topk`` routes with — or argmin L2 via the dot-product
+      expansion ``argmax(x·c - |c|²/2)``);
     - **M step** (update): ``posexplode`` to (cell, dim, x) rows and a
       map-side-combinable avg — the ``embedding_centroids`` shape — then
-      re-normalized driver-side (k x dim floats, the only collect).
+      (cosine only) re-normalized driver-side (k x dim floats, the only
+      collect).
 
     Init is deterministic: the k vectors with the smallest
     ``portable_hash60(id)`` — a seedless pseudo-random spread, so
@@ -205,13 +210,17 @@ def kmeans_centroids(embeddings: DataFrame, *, k: int = 16, iters: int = 5,
     """
     from eventstorm_spark.extensions.dedup import portable_hash60
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    spherical = metric == "cosine"
     seeds = (embeddings
              .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                      portable_hash60(F.col(id_col).cast("string")).alias("__h"))
              .orderBy("__h", "__id").limit(k).collect())
     cents = np.array([np.asarray(r["__v"], dtype=np.float64) for r in seeds])
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    cents = cents / np.where(norms == 0, 1.0, norms)
+    if spherical:
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        cents = cents / np.where(norms == 0, 1.0, norms)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -227,9 +236,15 @@ def kmeans_centroids(embeddings: DataFrame, *, k: int = 16, iters: int = 5,
             if len(vs) == 0:
                 return pd.Series([], dtype="int32")
             m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            m = m / np.where(n == 0, 1.0, n)
-            return pd.Series(np.argmax(m @ cm.T, axis=1).astype("int32"))
+            if spherical:
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                m = m / np.where(n == 0, 1.0, n)
+                scores = m @ cm.T
+            else:
+                # argmin ||x-c||² == argmax (x·c - |c|²/2); x² is
+                # row-constant and drops out
+                scores = m @ cm.T - 0.5 * (cm * cm).sum(axis=1)[None, :]
+            return pd.Series(np.argmax(scores, axis=1).astype("int32"))
 
         assigned = vecs.withColumn("__cell", assign(F.col("__v")))
         means = (assigned
@@ -242,9 +257,12 @@ def kmeans_centroids(embeddings: DataFrame, *, k: int = 16, iters: int = 5,
             per_cell.setdefault(r["__cell"], {})[r["__dim"]] = r["__m"]
         for c, dims in per_cell.items():
             v = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
-            n = np.linalg.norm(v)
-            if n > 0:
-                new[c] = v / n
+            if spherical:
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[c] = v / n
+            else:
+                new[c] = v
         cents = new
     return cents.tolist()
 
@@ -417,6 +435,30 @@ def pq_codebooks(embeddings: DataFrame, *, num_subspaces: int = 8,
     sub = dim // num_subspaces
     return np.stack([m[:, s * sub:(s + 1) * sub]
                      for s in range(num_subspaces)])  # (M, K, sub)
+
+
+def pq_codebooks_trained(embeddings: DataFrame, *, num_subspaces: int = 8,
+                         num_codes: int = 16, iters: int = 4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> np.ndarray:
+    """Trained PQ codebooks: per-subspace Euclidean k-means over the
+    L2-normalized corpus's subvectors (the standard PQ fit — L2, not
+    spherical, because codebook entries must preserve subvector
+    magnitude for ADC dot products to approximate the full dot).
+    Deterministic init (portable-hash spread), so training reproduces
+    across runs; at 100 TB fit on a sample. Returns (M, K, dim/M)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // num_subspaces
+    emb_n = normalize_embeddings(embeddings, vec_col=vec_col, out_col="__nv")
+    emb_n = emb_n.localCheckpoint(eager=False)  # reused per subspace
+    books = []
+    for s in range(num_subspaces):
+        frame = emb_n.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice("__nv", s * sub + 1, sub).alias("embedding"))
+        books.append(kmeans_centroids(frame, k=num_codes, iters=iters,
+                                      metric="l2"))
+    return np.asarray(books)
 
 
 def pq_encode(embeddings: DataFrame, codebooks: np.ndarray, *,
