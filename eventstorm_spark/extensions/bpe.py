@@ -17,10 +17,16 @@ Scale shape — the part worth getting right:
   every published BPE trainer).
 - The merge applies as two chained single-space string replaces on the
   sentinel-spaced symbol string (`" t h e </w> "`): pass 1 merges
-  left-to-right occurrences, pass 2 catches the alternating overlaps
-  pass 1's consumed spaces skipped — exactly greedy left-to-right BPE,
-  with no per-row Python. Both passes are engine-portable string
-  `replace`, which is how the SQL oracle replays training bit-for-bit.
+  left-to-right non-overlapping occurrences, pass 2 catches the
+  alternating overlaps pass 1's consumed spaces skipped. NOTE: this is
+  deliberately the *two-pass-replace* merge rule, NOT textbook greedy
+  left-to-right BPE — for runs of >=5 identical symbols the two differ
+  (``a a a a a`` -> ``aa a aa`` here vs greedy's ``aa aa a``). The rule
+  is chosen because it is expressible as engine-portable string
+  `replace` with no per-row Python, so the distributed path, the driver
+  fast path (:func:`_train_driver` replicates the replace semantics
+  token-exactly), and the SQL oracle all apply the IDENTICAL rule and
+  the learned merge table is bit-for-bit reproducible across all three.
 
 Determinism: ties in pair counts break on the pair string ascending, so
 the learned merge table is unique given the corpus — reproducible
@@ -83,9 +89,11 @@ def train_bpe(docs: DataFrame, *, num_merges: int = 8,
     equal what one distributed iteration would shuffle anyway). Above
     the threshold the loop stays fully distributed: per iteration one
     map-side-combinable pair-count aggregate + a 1-row argmax collect.
-    Both paths implement identical greedy left-to-right semantics and
-    the same (count DESC, pair ASC) tie-break — equivalence is pinned
-    by test and by the step-replay SQL oracle."""
+    Both paths implement the identical two-pass-replace merge rule (see
+    module docstring) and the same (count DESC, pair ASC) tie-break —
+    equivalence is pinned by test (including runs of 5+ identical
+    symbols, where two-pass-replace and textbook greedy diverge) and by
+    the step-replay SQL oracle."""
     wf = (word_frequencies(docs, text_col=text_col)
           .withColumn("syms", _initial_symbols())
           .localCheckpoint(eager=True))  # reused every iteration
@@ -116,10 +124,33 @@ def train_bpe(docs: DataFrame, *, num_merges: int = 8,
     return merges, wf
 
 
+def _replace_pass(syms: list, a: str, b: str, merged: str) -> list:
+    """One non-overlapping left-to-right ``replace(' a b ', ' m ')``
+    pass, expressed on the token list. The string replace consumes the
+    trailing space of the match — which is the *leading* space of the
+    next token — so after a merge the immediately following token can
+    never start a match in the same pass: emit it verbatim and resume
+    scanning one past it. Token-exact twin of the engine/oracle string
+    semantics (verified against str.replace, Spark ``F.replace`` and
+    DuckDB ``replace`` for runs of 2..9 identical symbols)."""
+    out, j, n = [], 0, len(syms)
+    while j < n:
+        if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+            out.append(merged)
+            j += 2
+            if j < n:  # leading space consumed: cannot start a match
+                out.append(syms[j])
+                j += 1
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
 def _train_driver(rows: list, num_merges: int) -> list[tuple]:
     """Driver-side merge loop over [(word, freq, symbol_list)] — the
-    same greedy left-to-right merge and tie-break as the distributed
-    path; mutates the symbol lists in place."""
+    same two-pass-replace merge rule and tie-break as the distributed
+    path and the SQL oracle; mutates the symbol lists in place."""
     merges: list[tuple] = []
     for step in range(1, num_merges + 1):
         counts: dict[tuple, int] = {}
@@ -135,14 +166,8 @@ def _train_driver(rows: list, num_merges: int) -> list[tuple]:
         merged = a + b
         merges.append((step, f"{a} {b}", merged, c))
         for i, (w, freq, syms) in enumerate(rows):
-            j, out = 0, []
-            while j < len(syms):
-                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
-                    out.append(merged)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
+            out = _replace_pass(_replace_pass(syms, a, b, merged),
+                                a, b, merged)
             rows[i] = (w, freq, out)
     return merges
 

@@ -813,18 +813,93 @@ def test_bpe_fertility_decreases_with_merges(docs):
     assert f8["fertility"] >= 1.0
 
 
-def test_bpe_driver_and_distributed_paths_agree(docs):
+def test_bpe_driver_and_distributed_paths_agree(spark, docs):
     """The hybrid fast path (vocab collected, Python merge loop) and
     the fully distributed loop must learn the identical merge table
-    and identical final symbol strings."""
+    and identical final symbol strings. The corpus deliberately
+    includes runs of >=5 identical symbols ('aaaaa', '11111', 'zzzzzzz')
+    — the inputs where the engine's two-pass-replace merge rule diverges
+    from textbook greedy left-to-right BPE, so a driver loop that
+    implemented greedy instead of replicating the replace semantics
+    fails here at merge step 2."""
     from eventstorm_spark.extensions.bpe import train_bpe
 
-    m_drv, wf_drv = train_bpe(docs, num_merges=6)
-    m_dist, wf_dist = train_bpe(docs, num_merges=6, driver_max_vocab=0)
+    runs = spark.createDataFrame(
+        [(9_000_001, "aaaaa aaaaa aaaaa aaaaa aaaaa aaaaa"),
+         (9_000_002, "11111 11111 11111 zzzzzzz zzzzzzz"),
+         (9_000_003, "aaaaaaaaa bbbb aaaa")],
+        "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(runs)
+    m_drv, wf_drv = train_bpe(corpus, num_merges=6)
+    m_dist, wf_dist = train_bpe(corpus, num_merges=6, driver_max_vocab=0)
     assert m_drv == m_dist
     a = {r["word"]: r["syms"] for r in wf_drv.collect()}
     b = {r["word"]: r["syms"] for r in wf_dist.collect()}
     assert a == b
+
+
+def test_bpe_two_pass_replace_rule_on_identical_runs(spark):
+    """Pin the documented two-pass-replace merge rule on the canonical
+    diverging input: corpus 'aaaaa aaaaa'. Step 1 merges (a,a); under
+    two-pass replace 'a a a a a </w>' -> 'aa a aa </w>' (textbook
+    greedy would give 'aa aa a </w>'), so step 2's 3-way count-2 tie
+    resolves to pair 'a aa' — greedy's post-step-1 state would instead
+    tie-break to 'a </w>'. Both execution paths must agree with the
+    DuckDB oracle replay of the same rule."""
+    import duckdb
+    from eventstorm_spark.extensions.bpe import train_bpe
+
+    corpus = spark.createDataFrame(
+        [(1, "aaaaa aaaaa")], "id long, text string")
+    for driver_max_vocab in (200_000, 0):
+        m, wf = train_bpe(corpus, num_merges=2,
+                          driver_max_vocab=driver_max_vocab)
+        assert m[0][1:] == ("a a", "aa", 8)
+        assert m[1][1:] == ("a aa", "aaa", 2)
+        syms = {r["word"]: r["syms"] for r in wf.collect()}
+        assert syms["aaaaa"] == " aa aaa </w> "
+    # oracle agreement on the same corpus: replay the two-step training
+    oracle = duckdb.sql("""
+        WITH w0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                   ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                       || ' </w> ' AS syms
+            FROM (SELECT unnest(regexp_extract_all(lower('aaaaa aaaaa'),
+                                                   '[a-z0-9]+')) AS word) t
+            GROUP BY word),
+        c1 AS MATERIALIZED (
+            SELECT arr[j] || ' ' || arr[j + 1] AS pair,
+                   CAST(sum(freq) AS BIGINT) AS c
+            FROM (SELECT freq, string_split(trim(syms), ' ') AS arr
+                  FROM w0) s,
+                 unnest(generate_series(1, len(arr) - 1)) u(j)
+            GROUP BY 1),
+        t1 AS MATERIALIZED (
+            SELECT pair, c FROM c1 ORDER BY c DESC, pair LIMIT 1),
+        w1 AS MATERIALIZED (
+            SELECT word, freq,
+                   replace(replace(syms,
+                       ' ' || (SELECT pair FROM t1) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' '),
+                       ' ' || (SELECT pair FROM t1) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM t1) || ' ')
+                       AS syms
+            FROM w0),
+        c2 AS MATERIALIZED (
+            SELECT arr[j] || ' ' || arr[j + 1] AS pair,
+                   CAST(sum(freq) AS BIGINT) AS c
+            FROM (SELECT freq, string_split(trim(syms), ' ') AS arr
+                  FROM w1) s,
+                 unnest(generate_series(1, len(arr) - 1)) u(j)
+            GROUP BY 1),
+        t2 AS MATERIALIZED (
+            SELECT pair, c FROM c2 ORDER BY c DESC, pair LIMIT 1)
+        SELECT 1 AS step, pair, c FROM t1
+        UNION ALL SELECT 2, pair, c FROM t2 ORDER BY step
+    """).fetchall()
+    m_eng, _ = train_bpe(corpus, num_merges=2, driver_max_vocab=0)
+    assert [(s, p, c) for s, p, _, c in m_eng] == \
+        [(s, p, c) for s, p, c in oracle]
 
 
 def test_pq_trained_codebooks_cut_quantization_error(spark, emb):
