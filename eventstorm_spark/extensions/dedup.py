@@ -171,8 +171,12 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
     # set sizes, so pairs with a size ratio below the threshold can
     # never qualify. Checking it inside the shingle join prunes the
     # quadratic expansion (63% fewer pair-rows at sf0.1) before the
-    # count shuffle ever sees them.
-    exs = ex.join(F.broadcast(sizes), "id")
+    # count shuffle ever sees them. `sizes` has one row per DOCUMENT —
+    # unbounded at corpus scale — so no forced broadcast: the join key
+    # `id` is the partitioning the shingle window already produced, and
+    # Catalyst/AQE still picks broadcast when the corpus is small
+    # (size-gating policy, same as the containment twin below).
+    exs = ex.join(sizes, "id")
     a = exs.alias("a")
     b = exs.alias("b")
     common = (
@@ -403,12 +407,14 @@ def minhash_near_duplicates(docs: DataFrame, *, num_hashes: int = 64, bands: int
                               portable=portable)
     cands = minhash_lsh_candidates(sigs, bands=bands, string_buckets=portable)
     # Verification only touches candidate docs: semi-join the corpus down
-    # to the (tiny) candidate id set before building shingle arrays, so
-    # the interpreted-HOF array builder runs on O(candidates) rows.
+    # to the candidate id set before building shingle arrays, so the
+    # interpreted-HOF array builder runs on O(candidates) rows. No forced
+    # broadcast on the id set — on duplicate-saturated crawls candidates
+    # are a corpus-scale fraction; AQE still broadcasts when it is small.
     cand_ids = (cands.select(F.col("id_a").alias("cid"))
                 .union(cands.select(F.col("id_b").alias("cid"))).distinct())
     cand_docs = docs.join(
-        F.broadcast(cand_ids), docs[id_col] == cand_ids.cid, "left_semi")
+        cand_ids, docs[id_col] == cand_ids.cid, "left_semi")
     sh = with_shingles(cand_docs, n, text_col, id_col)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -547,11 +553,13 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
         return pd.Series(list(buckets.tolist()))
 
     # Candidate pairs stay SLIM (two ids): the banded self-join and the
-    # dedup shuffle move 16-byte rows, not embedding payloads. Vectors are
-    # re-attached afterwards via a broadcast of the (id, vec) projection —
-    # at dedup-realistic thresholds (>=0.9) the candidate set is sparse
-    # and the broadcast side is the bottleneck only if the corpus itself
-    # fits nowhere, in which case shuffle-join the slim pairs instead.
+    # dedup shuffle move 16-byte rows, not embedding payloads. Vectors
+    # are re-attached afterwards — but only for candidate ids: the
+    # (id, vec) projection is first SEMI-JOINED down to the candidate id
+    # set, so the attach joins touch O(candidates) vectors, never the
+    # full corpus-sized vector table. No forced broadcast anywhere in
+    # the attach: AQE chooses broadcast when the pruned table is small
+    # and degrades to a shuffle join on dup-heavy corpora.
     banded = embeddings.select(
         F.col(id_col).alias("id"),
         F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
@@ -566,13 +574,17 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = embeddings.select(F.col(id_col).alias("__vid"),
-                             F.col(vec_col).alias("__v"))
+    cand_ids = (pair_ids.select(F.col("id_a").alias("cid"))
+                .union(pair_ids.select(F.col("id_b").alias("cid")))
+                .distinct())
+    vecs = (embeddings.select(F.col(id_col).alias("__vid"),
+                              F.col(vec_col).alias("__v"))
+            .join(cand_ids, F.col("__vid") == F.col("cid"), "left_semi"))
     cands = (
         pair_ids
-        .join(F.broadcast(vecs), F.col("id_a") == F.col("__vid"))
+        .join(vecs, F.col("id_a") == F.col("__vid"))
         .select("id_a", "id_b", F.col("__v").alias("va"))
-        .join(F.broadcast(vecs), F.col("id_b") == F.col("__vid"))
+        .join(vecs, F.col("id_b") == F.col("__vid"))
         .select("id_a", "id_b", "va", F.col("__v").alias("vb"))
     )
 

@@ -276,6 +276,56 @@ def test_semantic_dedup_broadcasts_representatives(q):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_family_has_no_forced_broadcasts(spark, sf_dir):
+    """No dedup-tier join may carry a forced broadcast hint on a table
+    whose cardinality scales with the corpus: the per-document sizes
+    frame in ngram_jaccard_pairs, the candidate-id set in
+    minhash_near_duplicates, and the vector-attach joins in
+    embedding_near_duplicates are all corpus-fraction-sized on
+    dup-heavy crawls. Size-gating policy: zero ResolvedHints in the
+    optimized logical plan — Catalyst/AQE still picks broadcast at
+    runtime when the side is genuinely small."""
+    for name in ["near_dup_ngram_jaccard", "dedup_minhash_lsh",
+                 "dedup_embedding_lsh", "near_dup_containment"]:
+        df = inventory.queries()[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical, name
+
+
+def test_embedding_lsh_attach_joins_are_candidate_pruned(spark, sf_dir):
+    """The vector re-attach in embedding_near_duplicates must semi-join
+    the embedding table down to candidate ids before the equi-joins —
+    the full-corpus vector table must never be a join build side. With
+    the broadcast threshold disabled the attach degrades to shuffle
+    joins (never OOMs an executor on a hinted corpus broadcast), and a
+    LeftSemi prune is present in the plan."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = inventory.queries()["dedup_embedding_lsh"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" not in plan
+        assert "LeftSemi" in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_jaccard_sizes_join_has_shuffle_fallback(spark, sf_dir):
+    """ngram_jaccard_pairs' per-document sizes join must degrade to a
+    shuffle join when broadcast is impossible — the 100 TB path — not
+    carry a forced hint that OOMs on a billion-document corpus."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = inventory.queries()["near_dup_ngram_jaccard"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dsir_vocab_joins_are_not_forced_broadcasts(spark, sf_dir):
     """Both LM frequency tables are vocabulary-sized: the logical plan
     must carry no forced broadcast hint on them (size-gating policy —
