@@ -622,13 +622,15 @@ def q_tpch_q1(spark, sf_dir):
 
 def q_top_orders_by_revenue(spark, sf_dir):
     """Q3-shaped: customer⋈orders⋈lineitem, top-10 revenue orders for one
-    market segment. Broadcast the dimension side."""
+    market segment. The filtered customer side is sf-scaled, so no
+    forced hint — AQE broadcasts it while it fits and falls back to a
+    shuffle join at the scale where a broadcast would OOM."""
     cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
@@ -661,8 +663,10 @@ def q_nation_revenue(spark, sf_dir):
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("__rev")))
     return (
+        # dims is customer-scaled (nation/region broadcasts above are
+        # fixed 25/5-row tables and keep their hints): no forced hint
         li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(F.round(F.sum("__rev"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
@@ -699,10 +703,10 @@ def q_small_qty_revenue(spark, sf_dir):
              .select("p_partkey"))
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
-    li_p = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    li_p = li.join(parts, li.l_partkey == parts.p_partkey)
     thresh = (li_p.groupBy("p_partkey")
               .agg((F.avg("l_quantity") * 0.2).alias("qty_thresh")))
-    return (li_p.join(F.broadcast(thresh), "p_partkey")
+    return (li_p.join(thresh, "p_partkey")
             .where(F.col("l_quantity") < F.col("qty_thresh"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
 
@@ -712,7 +716,7 @@ def q_top_parts_per_brand(spark, sf_dir):
     part = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
@@ -729,7 +733,7 @@ def q_segment_order_stats(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -882,7 +886,7 @@ def q_cohort_retention(spark, sf_dir):
               .agg(F.min(wk).alias("cohort_week")))
     activity = (ev.select("user_id", wk.alias("act_week")).distinct())
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .select(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
             (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
@@ -986,7 +990,7 @@ def q_rollup_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .rollup("r_name", "n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
              F.count(F.lit(1)).alias("n_orders"))
@@ -1001,7 +1005,7 @@ def q_promo_revenue_ratio(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
              F.count(F.lit(1)).alias("n_rows"))
     )
@@ -1038,7 +1042,7 @@ def q_top_supplier(spark, sf_dir):
     supp = load(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1055,8 +1059,8 @@ def q_supplier_part_counts(spark, sf_dir):
            .where(F.col("s_acctbal") < 0).select("s_suppkey"))
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1074,8 +1078,10 @@ def q_large_volume_orders(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # both sides scale with sf (big ~ filtered orders, cust ~
+        # customers): hint-free, AQE picks broadcast while they fit
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
                 F.round("o_totalprice", 2).alias("o_price"), "sum_qty")
@@ -1089,7 +1095,7 @@ def q_disjunctive_brand_revenue(spark, sf_dir):
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     clause = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -1143,8 +1149,8 @@ def q_nation_trade_flows(spark, sf_dir):
     pair = F.col("supp_nation") != F.col("cust_nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
@@ -1172,8 +1178,8 @@ def q_nation_profit_by_year(spark, sf_dir):
     profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.lit(0.6) * F.col("l_extendedprice"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(profit.cast("decimal(18, 6)")), 2)
@@ -1191,7 +1197,7 @@ def q_top_returning_customers(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)

@@ -60,8 +60,24 @@ def test_q6_scan_prunes_columns(q):
 
 
 def test_dimension_joins_broadcast(q):
+    # no forced hint — Catalyst's size-stat threshold (or AQE at
+    # runtime) picks broadcast at this sf; at 100 TB the same plan
+    # degrades to a shuffle join instead of OOMing
     plan = q("top_orders_by_revenue")
     assert "BroadcastHashJoin" in plan
+
+
+def test_inventory_broadcast_hints_only_on_bounded_tables():
+    """Forced broadcast hints are allowed ONLY on tables whose
+    cardinality does not scale with sf: nation (25 rows), region (5),
+    per-event-type aggregates, and provably-1-row frames. Everything
+    customer/part/supplier/corpus-scaled must be hint-free so AQE can
+    degrade to shuffle joins at scale."""
+    import inspect
+    import re
+    src = inspect.getsource(inventory)
+    hinted = set(re.findall(r"F\.broadcast\((\w+)", src))
+    assert hinted <= {"nation", "region", "stats", "max_rev", "avg_bal"}, hinted
 
 
 def test_read_path_pushes_to_parquet_and_stays_jvm(q):
