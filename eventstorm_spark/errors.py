@@ -54,3 +54,11 @@ class StreamDeletedError(EventStormError):
     def __init__(self, stream: str):
         super().__init__(f"stream is tombstoned: {stream!r}")
         self.stream = stream
+
+
+class ProjectionEmitOverflowError(EventStormError):
+    """A continuous projection produced more state updates in one
+    micro-batch than ``max_updates_per_batch`` allows — the driver-side
+    collect that routes updates through the single-writer append would
+    otherwise grow unbounded (SCALE.md §5). Raise the cap or
+    materialize to a table sink instead of a result stream."""

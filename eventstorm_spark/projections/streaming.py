@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from eventstorm_spark.errors import ProjectionEmitOverflowError
 from eventstorm_spark.projections.batch import _event_from_row, _keyed, _select
 from eventstorm_spark.projections.dsl import Projection
 
@@ -175,7 +176,8 @@ def _run_streaming_reordered(spec: Projection, events_stream: DataFrame,
 
 
 def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None,
-                     trigger_ms: int = 200):
+                     trigger_ms: int = 200,
+                     max_updates_per_batch: int = 100_000):
     """Run a projection continuously against an EventLog, emitting every
     state update into its result stream (S8 live — the wiring the
     reference holds but never connects, SURVEY §3.3).
@@ -185,6 +187,19 @@ def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None
     append path, so result streams are themselves subscribable and
     CAS-protected like any other stream. Returns the StreamingQuery;
     call ``processAllAvailable()`` for deterministic replay in tests.
+
+    Scale guard (SCALE.md §5): the per-batch state updates are collected
+    to the driver to route through the single-writer append — bounded by
+    *updated keys per micro-batch*, not corpus size, which matches the
+    reference's semantics for typical projections. A projection with
+    millions of DISTINCT partitions updating in one batch would flood
+    driver memory, so the collect is capped at ``max_updates_per_batch``
+    rows and raises ``ProjectionEmitOverflowError`` beyond it (the batch
+    is not partially applied; the checkpoint replays it after the cap is
+    raised). For million-key projections, materialize through
+    ``projections.materialize`` / a SinkSubscription table instead of a
+    result *stream* — a result stream is totally ordered through the
+    single writer by design, so its throughput ceiling is inherent.
     """
     from pyspark.sql import functions as F
 
@@ -196,7 +211,15 @@ def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None
     updates = run_streaming(spec, src)
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
+        # limit(cap+1) bounds driver memory even when the guard trips
+        rows = batch_df.limit(max_updates_per_batch + 1).collect()
+        if len(rows) > max_updates_per_batch:
+            raise ProjectionEmitOverflowError(
+                f"projection '{spec.name}' produced more than "
+                f"{max_updates_per_batch} state updates in one micro-batch; "
+                "raise max_updates_per_batch or materialize via "
+                "projections.materialize / a SinkSubscription table "
+                "instead of a result stream")
         events = [
             NewEvent(
                 uuid=f"{spec.name}-{r['partition']}-{epoch_id}-{i}",

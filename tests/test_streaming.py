@@ -180,6 +180,38 @@ def test_streaming_exact_dedup_suppresses_replayed_events(spark, log):
         q.stop()
 
 
+def test_continuous_projection_emission_cap(spark, log):
+    """SCALE.md §5 guard: the per-batch driver collect that routes
+    state updates through the single-writer append is capped — a batch
+    updating more partitions than max_updates_per_batch fails loudly
+    (ProjectionEmitOverflowError surfaced via the streaming query)
+    instead of silently flooding driver memory, and the same cap left
+    at its default passes untouched."""
+    import pyspark.errors
+
+    from eventstorm_spark.projections.streaming import start_continuous
+
+    spec = (
+        projection("cap-count").from_all().foreach_stream()
+        .when({"$init": lambda: {"n": 0},
+               "$any": lambda s, e: s.__setitem__("n", s["n"] + 1)})
+        .output_state()
+    )
+    # 5 distinct streams -> 5 state updates in the first micro-batch
+    for i in range(5):
+        log.append(f"cap-{i}", _events(1, start=100 + i))
+    q = start_continuous(spec, log, max_updates_per_batch=3)
+    try:
+        with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException,
+                           match="ProjectionEmitOverflowError|state updates"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # nothing partially applied: the guard fired before any append
+    with pytest.raises(Exception):
+        log.read_stream(spec.result_stream()).collect()
+
+
 def test_continuous_projection_emits_result_stream(spark, log):
     """S8 live: state updates append to $projections-{name}-result as
     subscribable events through the normal single-writer path."""
