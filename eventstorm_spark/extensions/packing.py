@@ -85,9 +85,14 @@ def pack_token_spans(docs: DataFrame, *, seq_len: int = 512,
     shuffle.
 
     Deterministic given the corpus and ``seq_len`` (packing order is id
-    order), so an external SQL engine reproduces it bit-for-bit — and a
-    grown corpus only appends: existing (seq_id, doc) rows never change,
-    which is what makes incremental repacking safe.
+    order), so an external SQL engine reproduces it bit-for-bit. A
+    grown corpus only appends — existing (seq_id, doc) rows never
+    change — PROVIDED new documents arrive with ids greater than every
+    existing id (monotone ingest ids): packing order is id order, so a
+    smaller or interleaved id shifts every downstream start offset and
+    rewrites rows. Key ingestion on a monotone id (or pack on an
+    explicit ingest-order column) when relying on incremental
+    repacking.
     """
     spans = global_token_offsets(docs, text_col=text_col, id_col=id_col,
                                  num_partitions=num_partitions)

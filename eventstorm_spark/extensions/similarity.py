@@ -417,6 +417,20 @@ def ivf_index_topk(spark, path: str, centroids: list[list[float]],
 # ---------------------------------------------------------------------------
 
 
+def _check_subspace_divisibility(dim: int, num_subspaces: int) -> None:
+    """PQ slices assume ``dim == num_subspaces * (dim // num_subspaces)``;
+    a non-divisible dim would silently DROP the trailing
+    ``dim % num_subspaces`` dimensions from both encoding and ADC
+    scoring — refuse instead of truncating."""
+    if num_subspaces <= 0 or dim % num_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by num_subspaces "
+            f"{num_subspaces}; the trailing {dim % num_subspaces} "
+            "dimensions would be silently dropped from PQ encoding and "
+            "ADC scoring — pick a divisor of the dimension (or pad the "
+            "vectors)")
+
+
 def pq_codebooks(embeddings: DataFrame, *, num_subspaces: int = 8,
                  num_codes: int = 16, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> np.ndarray:
@@ -432,6 +446,7 @@ def pq_codebooks(embeddings: DataFrame, *, num_subspaces: int = 8,
     n = np.linalg.norm(m, axis=1, keepdims=True)
     m = m / np.where(n == 0, 1.0, n)
     dim = m.shape[1]
+    _check_subspace_divisibility(dim, num_subspaces)
     sub = dim // num_subspaces
     return np.stack([m[:, s * sub:(s + 1) * sub]
                      for s in range(num_subspaces)])  # (M, K, sub)
@@ -448,6 +463,7 @@ def pq_codebooks_trained(embeddings: DataFrame, *, num_subspaces: int = 8,
     Deterministic init (portable-hash spread), so training reproduces
     across runs; at 100 TB fit on a sample. Returns (M, K, dim/M)."""
     dim = len(embeddings.select(vec_col).first()[0])
+    _check_subspace_divisibility(dim, num_subspaces)
     sub = dim // num_subspaces
     emb_n = normalize_embeddings(embeddings, vec_col=vec_col, out_col="__nv")
     emb_n = emb_n.localCheckpoint(eager=False)  # reused per subspace
@@ -480,6 +496,11 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray, *,
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.shape[1] != n_sub * sub:
+            raise ValueError(
+                f"embedding dim {m.shape[1]} does not match codebook "
+                f"shape {n_sub}x{sub}: {m.shape[1] - n_sub * sub} trailing "
+                "dimensions would be silently dropped")
         nn = np.linalg.norm(m, axis=1, keepdims=True)
         m = m / np.where(nn == 0, 1.0, nn)
         codes = np.empty((len(m), n_sub), dtype=np.int8)
@@ -530,12 +551,74 @@ def pq_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
             *, num_subspaces: int = 8, num_codes: int = 16,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Encode + ADC in one call (the query form; production stores
-    ``pq_encode`` output once and serves many queries from it)."""
+    ``pq_encode`` output once and serves many queries from it —
+    :func:`write_pq_index` / :func:`pq_index_topk`)."""
     cb = pq_codebooks(embeddings, num_subspaces=num_subspaces,
                       num_codes=num_codes, vec_col=vec_col, id_col=id_col)
     return pq_adc_topk(pq_encode(embeddings, cb, vec_col=vec_col,
                                  id_col=id_col),
                        cb, query_vec, k, id_col=id_col)
+
+
+def write_pq_index(embeddings: DataFrame, path: str, *,
+                   codebooks: np.ndarray | None = None,
+                   num_subspaces: int = 8, num_codes: int = 16,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> np.ndarray:
+    """Materialize the corpus as an at-rest PQ index — the storage twin
+    of :func:`write_ivf_index` for the compression tier. Two parquet
+    outputs under ``path``:
+
+    - ``codes/``      — (id, pq_codes array<tinyint>): M bytes per
+      vector, the ONLY corpus-sized table a query ever scans.
+    - ``codebooks/``  — (subspace, code, center array<double>): M×K
+      rows, the codebooks needed to rebuild the ADC lookup table.
+
+    Serving (:func:`pq_index_topk`) then never touches raw vectors:
+    the scan reads M-byte codes instead of 4·dim floats (~32× less I/O
+    at M=8, dim=64), which is what makes billion-scale ANN scans
+    feasible. Pass ``pq_codebooks_trained(...)`` output for trained
+    codebooks; default is the deterministic lowest-id construction.
+    Returns the codebooks used (also persisted alongside the codes)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, num_subspaces=num_subspaces,
+                                 num_codes=num_codes, vec_col=vec_col,
+                                 id_col=id_col)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    (pq_encode(embeddings, cb, vec_col=vec_col, id_col=id_col)
+     .write.mode("overwrite").parquet(f"{path}/codes"))
+    spark = embeddings.sparkSession
+    cb_rows = [(s, c, [float(x) for x in cb[s, c]])
+               for s in range(cb.shape[0]) for c in range(cb.shape[1])]
+    (spark.createDataFrame(
+        cb_rows, "subspace int, code int, center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
+    return cb
+
+
+def read_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Rebuild the (M, K, sub) codebook array from a
+    :func:`write_pq_index` table — M×K rows, a driver-side read."""
+    rows = (spark.read.parquet(f"{path}/codebooks")
+            .orderBy("subspace", "code").collect())
+    n_sub = 1 + max(r["subspace"] for r in rows)
+    n_code = 1 + max(r["code"] for r in rows)
+    cb = np.empty((n_sub, n_code, len(rows[0]["center"])), dtype=np.float64)
+    for r in rows:
+        cb[r["subspace"], r["code"]] = r["center"]
+    return cb
+
+
+def pq_index_topk(spark, path: str, query_vec: Sequence[float],
+                  k: int = 10, *, id_col: str = "vec_id") -> DataFrame:
+    """Serve a top-k query from a :func:`write_pq_index` table: load
+    the M×K codebooks driver-side, build the query's ADC lookup table,
+    and scan ONLY the codes parquet — no raw-vector column exists in
+    the scanned table, so the per-row I/O is M bytes (plan-pinned by
+    ``tests/test_extensions.py``: the scan schema is id + pq_codes)."""
+    cb = read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_adc_topk(codes, cb, query_vec, k, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -775,6 +775,49 @@ def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     assert got == want and len(got) == 10
 
 
+def test_pq_index_serving_parity_and_codes_only_scan(spark, emb, tmp_path):
+    """write_pq_index + pq_index_topk: identical results to the
+    query-time pq_topk (same deterministic codebooks round-tripped
+    through the codebooks parquet), and the serving scan reads ONLY
+    the M-byte codes table — no raw embedding column anywhere in the
+    plan, which is the 32x I/O cut that makes the tier worth storing."""
+    from eventstorm_spark.extensions.similarity import (
+        pq_index_topk, pq_topk, write_pq_index)
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "pq_index")
+    write_pq_index(base, path)
+
+    served = pq_index_topk(spark, path, qv, k=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "pq_codes" in scan and "embedding" not in scan
+
+    got = [(r["vec_id"], r["adc_sim"]) for r in served.collect()]
+    want = [(r["vec_id"], r["adc_sim"])
+            for r in pq_topk(base, qv, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_pq_rejects_non_divisible_subspaces(spark, emb):
+    """dim % num_subspaces != 0 must raise, not silently truncate the
+    trailing dimensions out of encoding and ADC scoring."""
+    from eventstorm_spark.extensions.similarity import (
+        pq_codebooks, pq_codebooks_trained)
+
+    base = emb.where(F.col("vec_id") != 0)
+    dim = len(base.select("embedding").first()[0])
+    bad = dim - 1 if dim > 1 else 3
+    while dim % bad == 0:  # find a genuine non-divisor
+        bad -= 1
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(base, num_subspaces=bad)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_trained(base, num_subspaces=bad, iters=1)
+
+
 def test_bpe_training_known_merges_and_tiebreak(spark):
     """Hand-checkable corpus: 'aaab aaab aab'. Step 1 merges (a,a)
     count 5; step 2 merges (b,</w>) count 3; step 3 is a 2-2 tie
