@@ -6,20 +6,23 @@ here it is generalized to image/audio/video assets. The Spark-side
 plumbing (schema, partitioning, Arrow batch shape through mapInPandas)
 is real and tested.
 
-Real mode (round 5): pure-stdlib codecs for the two classic
-self-describing formats — RIFF/WAV PCM16 (``decode_wav_pcm16``) and
-binary PPM P6 (``decode_ppm``) — so ``decode_and_featurize(fake=False)``
-exercises a genuine byte-parse path end-to-end. Formats beyond those
-(JPEG, MP3, ...) still raise ``NotImplementedError``: their codec
-libraries are not in this container, and the honest stub marks exactly
-where they plug in. Fake mode (deterministic sha256-derived features)
-remains for tests that only exercise the plumbing.
+Real mode: pure-stdlib codecs for three self-describing formats —
+RIFF/WAV PCM16 (``decode_wav_pcm16``), binary PPM P6 (``decode_ppm``),
+and, round 6, compressed PNG (``decode_png``: chunk walk + CRC check +
+zlib inflate + all five scanline defilters) — so
+``decode_and_featurize(fake=False)`` exercises genuine byte-parse AND
+decompression paths end-to-end. Formats beyond those (JPEG, MP3, ...)
+still raise ``NotImplementedError``: their codec libraries are not in
+this container, and the honest stub marks exactly where they plug in.
+Fake mode (deterministic sha256-derived features) remains for tests
+that only exercise the plumbing.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -176,6 +179,142 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, rgb: bytes, *,
+               row_filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer — 8-bit RGB (color type 2), non-interlaced,
+    stdlib only (zlib deflate + crc32). ``row_filters`` picks each
+    scanline's filter type (0..4; default all-None): the synth corpus
+    cycles through every type so the decoder's five defilter paths are
+    all exercised under the oracle gate, not just the trivial one."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = width * 3
+    if row_filters is None:
+        row_filters = [0] * height
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride:(y + 1) * stride]
+        ft = row_filters[y]
+        out.append(ft)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) % 256
+            elif ft == 2:
+                f = (x - b) % 256
+            elif ft == 3:
+                f = (x - (a + b) // 2) % 256
+            elif ft == 4:
+                f = (x - _paeth(a, b, c)) % 256
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            out.append(f)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG payload with the stdlib only: chunk walk with CRC
+    verification, zlib inflate of the concatenated IDAT stream, and
+    scanline defiltering for all five filter types (None/Sub/Up/
+    Average/Paeth — RFC 2083 §6). Supports 8-bit RGB non-interlaced,
+    the shape :func:`encode_png` writes; other color types raise
+    NotImplementedError. Returns the same exact-integer stat dict as
+    :func:`decode_ppm`, so the two image codecs share a decode-meta
+    pass and oracle shape."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth}, color type={color})")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decompressed scanline size mismatch")
+    rgb = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for i in range(stride):
+            # in-place: `a`/`c` read already-reconstructed bytes
+            a = line[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] + a) % 256
+            elif ft == 2:
+                v = (line[i] + b) % 256
+            elif ft == 3:
+                v = (line[i] + (a + b) // 2) % 256
+            elif ft == 4:
+                v = (line[i] + _paeth(a, b, c)) % 256
+            else:
+                raise ValueError(f"bad filter byte {ft}")
+            line[i] = v
+        rgb += line
+        prior = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": sum(rgb[0::3]),
+        "sum_g": sum(rgb[1::3]),
+        "sum_b": sum(rgb[2::3]),
+    }
+
+
 def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Sniff the payload magic and decode with the matching stdlib
     codec; unknown formats raise NotImplementedError (their libraries
@@ -186,8 +325,8 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         feats = [float(w["sample_rate"]), float(w["n_channels"]), 16.0,
                  float(w["n_samples"]), w["n_samples"] / w["sample_rate"],
                  w["sum_abs"] / n, float(w["max_abs"])]
-    elif payload and payload[:2] == b"P6":
-        p = decode_ppm(payload)
+    elif payload and (payload[:2] == b"P6" or payload[:8] == PNG_SIG):
+        p = decode_ppm(payload) if payload[:2] == b"P6" else decode_png(payload)
         npx = max(p["n_pixels"], 1)
         feats = [float(p["width"]), float(p["height"]), 3.0,
                  float(p["n_pixels"]), p["sum_r"] / npx, p["sum_g"] / npx,
@@ -285,11 +424,43 @@ def synth_ppm_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_png_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized PNG corpus: per document, an 8-bit RGB
+    raster whose dimensions and pixel bytes are fixed integer functions
+    of the doc id (the compressed-format twin of ``synth_ppm_assets``,
+    oracle for ``multimodal_png_decode``). Each image's scanlines cycle
+    through all five PNG filter types starting at ``doc_id % 5``, so
+    the oracle gate exercises every defilter path — the decoded pixels
+    are filter-invariant, which is exactly what lets a SQL oracle
+    replay the stats without modeling the compression."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def png_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            w = 3 + did % 6
+            h = 2 + did % 4
+            rgb = bytes((did * 11 + k * 17) % 256 for k in range(w * h * 3))
+            return encode_png(w, h, rgb,
+                              row_filters=[(did + y) % 5 for y in range(h)])
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        png_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("image/png")).alias("meta"),
+    )
+
+
 def decode_image_meta(assets: DataFrame) -> DataFrame:
-    """Typed real-decode pass for PPM payloads: byte-parse each P6
-    header + raster (mapInPandas) into exact-integer columns; the
-    per-channel means derive as SQL expressions (same rounding contract
-    as ``decode_audio_meta``)."""
+    """Typed real-decode pass for image payloads — sniffs each
+    payload's magic and dispatches to the matching stdlib codec (P6
+    PPM byte-scan or PNG chunk-walk + inflate + defilter); both return
+    the same exact-integer stat dict, byte-parsed inside mapInPandas.
+    The per-channel means derive as SQL expressions (same rounding
+    contract as ``decode_audio_meta``)."""
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("width", T.LongType(), False),
@@ -303,7 +474,8 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                p = decode_ppm(payload)
+                p = (decode_png(payload) if bytes(payload[:8]) == PNG_SIG
+                     else decode_ppm(payload))
                 recs.append((int(aid), p["width"], p["height"],
                              p["sum_r"], p["sum_g"], p["sum_b"]))
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])

@@ -2019,6 +2019,21 @@ def q_multimodal_ppm_decode(spark, sf_dir):
         synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    """REAL compressed-codec path: synthesize PNG rasters per document
+    (zlib deflate, scanlines cycling through all 5 PNG filter types),
+    decode them back with the stdlib-only chunk-walk + CRC + inflate +
+    defilter parser, and emit decoded image stats. The oracle replays
+    the pixel recurrence directly — decoded pixels are
+    filter/compression-invariant, so any defilter or inflate bug shows
+    up as a value mismatch without the oracle modeling compression."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_png_assets,
+    )
+    return decode_image_meta(
+        synth_png_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_wav_decode(spark, sf_dir):
     """REAL codec path: synthesize deterministic PCM16 WAV payloads per
     document, byte-parse them back (RIFF chunk walk, stdlib struct) and
@@ -2496,6 +2511,29 @@ _EXT_ORACLES = {
         FROM v
         GROUP BY doc_id, rate, n
         ORDER BY asset_id""",
+    # Replays the synth_png_assets pixel recurrence. The oracle never
+    # models deflate or scanline filters: decoded pixels are
+    # filter/compression-invariant, so the recurrence IS the decoded
+    # raster — any engine-side inflate/defilter bug mismatches here.
+    "multimodal_png_decode": """
+        WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+                   FROM documents),
+        s AS (SELECT doc_id, w, h,
+                     unnest(generate_series(0, w * h - 1)) AS px
+              FROM p),
+        v AS (SELECT doc_id, w, h,
+                     (doc_id * 11 + (3 * px) * 17) % 256 AS r,
+                     (doc_id * 11 + (3 * px + 1) * 17) % 256 AS g,
+                     (doc_id * 11 + (3 * px + 2) * 17) % 256 AS b
+              FROM s)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(sum(r) * 1.0 / (w * h), 6) AS mean_r,
+               round(sum(g) * 1.0 / (w * h), 6) AS mean_g,
+               round(sum(b) * 1.0 / (w * h), 6) AS mean_b
+        FROM v
+        GROUP BY doc_id, w, h
+        ORDER BY asset_id""",
     # Replays the synth_ppm_assets pixel recurrence; channel k of pixel
     # px sits at raster byte 3*px + k.
     "multimodal_ppm_decode": """
@@ -2965,81 +3003,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 5 rotation: the 41 queries NOT in the round-4 window
-        #    (latest driver evidence r1-r3) lead, so CORRECTNESS_r05 ∪ r04
-        #    covers the full 91-query inventory. r1/r2-evidence entries
-        #    (text/pipeline/multimodal families) come first.
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        "normalized_dedup_keys": q_normalized_dedup_keys,
-        "redact_pii": q_redact_pii,
-        "repetition_features": q_repetition_features,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "multimodal_asset_stats": q_multimodal_asset_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        # new in round 5: REAL codec decode (RIFF/WAV + PPM byte parse)
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_ppm_decode": q_multimodal_ppm_decode,
-        "stratified_sample": q_stratified_sample,
-        "split_assign": q_split_assign,
-        "split_contamination": q_split_contamination,
-        # new in round 5: quality-bucketed mixture sampling
-        "quality_bucket_sample": q_quality_bucket_sample,
-        # new in round 5: temperature-scaled mixture, C4 rule filter,
-        # DSIR importance weights, sequence packing
-        "temperature_mixture": q_temperature_mixture,
-        "c4_quality_filter": q_c4_quality_filter,
-        "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
-        # new in round 5: BM25 retrieval + duplicated-passage removal +
-        # the composed filter->dedup->pack capstone
-        "bm25_top_docs": q_bm25_top_docs,
-        "passage_scrub": q_passage_scrub,
-        "training_mix_pipeline": q_training_mix_pipeline,
-        # new in round 5: distributed BPE tokenizer training + serving
-        "bpe_merges": q_bpe_merges,
-        "bpe_fertility": q_bpe_fertility,
-        "bpe_token_counts": q_bpe_token_counts,
-        "dedup_exact": q_dedup_exact,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        # new in round 5: containment metric (doc-inside-doc dedup)
-        "near_dup_containment": q_near_dup_containment,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # new in round 5: SemDeDup semantic near-duplicate removal +
-        # PQ/ADC approximate nearest neighbor
-        "semantic_dedup": q_semantic_dedup,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_recall_report": q_ann_recall_report,
-        "embedding_centroids": q_embedding_centroids,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_within_label": q_knn_within_label,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "large_volume_orders": q_large_volume_orders,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "top_returning_customers": q_top_returning_customers,
-        # -- fills to 50: r4-green entries whose operators changed this
-        #    round (text vocabulary-join size gating) get re-verified,
-        #    plus representative family coverage.
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        # new in round 5: bigram-LM (word-order) quality score
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "repeated_passages": q_repeated_passages,
-        "read_all_from_position": q_read_all_from_position,
-        # ---- driver window ends here (50 entries) ----
-        # -- rotated out for the 8 new round-5 queries: read_stream_*,
-        #    asof_last_view and funnel_conversion carry green r3 driver
-        #    rows + the local parity gate (the latter two also stay in
-        #    the bench headline); vocab_stats is green in
-        #    CORRECTNESS_r04 --
+        # -- round 6 rotation: (a) the 11 queries whose latest driver
+        #    evidence is r3 (asof/funnel/sessionization/system_streams/
+        #    percentiles/returnflag/supplier_part_counts/read_stream_*),
+        #    (b) the new PNG codec query, (c) every query whose operator
+        #    changed this round (BPE merge-rule fix; dedup broadcast
+        #    removal; relational de-hinting), (d) fills with the oldest
+        #    remaining (r4) evidence. CORRECTNESS_r06 ∪ r05 then covers
+        #    every entry with r4+ driver evidence.
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
@@ -3051,9 +3022,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_stream_backward": q_read_stream_backward,
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
-        "vocab_stats": q_vocab_stats,
-        # -- round-4-green (CORRECTNESS_r04.json), rotated out of window --
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
+        "bpe_token_counts": q_bpe_token_counts,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "near_dup_containment": q_near_dup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "cohort_retention": q_cohort_retention,
+        "rollup_revenue": q_rollup_revenue,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "top_supplier": q_top_supplier,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "top_returning_customers": q_top_returning_customers,
+        "vocab_stats": q_vocab_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "system_by_category": q_system_by_category,
@@ -3067,38 +3061,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_envelope": q_scalar_envelope,
         "scalar_struct_uuid": q_scalar_struct_uuid,
         "proj_first_last": q_proj_first_last,
+        # ---- driver window ends here (50 entries) ----
+        # -- r4/r5-green, rotated out of the window --
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "normalized_dedup_keys": q_normalized_dedup_keys,
+        "redact_pii": q_redact_pii,
+        "repetition_features": q_repetition_features,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "multimodal_asset_stats": q_multimodal_asset_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "stratified_sample": q_stratified_sample,
+        "split_assign": q_split_assign,
+        "split_contamination": q_split_contamination,
+        "quality_bucket_sample": q_quality_bucket_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "c4_quality_filter": q_c4_quality_filter,
+        "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
+        "bm25_top_docs": q_bm25_top_docs,
+        "passage_scrub": q_passage_scrub,
+        "training_mix_pipeline": q_training_mix_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "embedding_centroids": q_embedding_centroids,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_within_label": q_knn_within_label,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "repeated_passages": q_repeated_passages,
+        "read_all_from_position": q_read_all_from_position,
         "proj_category_counts": q_proj_category_counts,
         "proj_filtered_emissions": q_proj_filtered_emissions,
         "proj_transform": q_proj_transform,
         "proj_linkto_errors": q_proj_linkto_errors,
         "system_by_event_type": q_system_by_event_type,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
         "late_shipment_priority": q_late_shipment_priority,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
-        "rollup_revenue": q_rollup_revenue,
-        "promo_revenue_ratio": q_promo_revenue_ratio,
         "orders_with_returns": q_orders_with_returns,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
         "hypertable_rollup": q_hypertable_rollup,
-        "cohort_retention": q_cohort_retention,
         "events_anomalies": q_events_anomalies,
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
-        "top_supplier": q_top_supplier,
         "approx_event_stats": q_approx_event_stats,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "read_stream_forward": q_read_stream_forward,
-        "dedup_clusters": q_dedup_clusters,
     }
     return q
 

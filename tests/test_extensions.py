@@ -775,6 +775,49 @@ def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     assert got == want and len(got) == 10
 
 
+def test_png_codec_round_trip_all_filter_types():
+    """encode_png/decode_png: exact pixel-stat recovery for scanlines
+    filtered with every PNG filter type (None/Sub/Up/Average/Paeth),
+    plus CRC and format guards."""
+    from eventstorm_spark.extensions.multimodal import decode_png, encode_png
+
+    for did in range(10):
+        w, h = 3 + did % 6, 2 + did % 4
+        rgb = bytes((did * 11 + k * 17) % 256 for k in range(w * h * 3))
+        payload = encode_png(
+            w, h, rgb, row_filters=[(did + y) % 5 for y in range(h)])
+        d = decode_png(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["sum_r"] == sum(rgb[0::3])
+        assert d["sum_g"] == sum(rgb[1::3])
+        assert d["sum_b"] == sum(rgb[2::3])
+    corrupt = bytearray(encode_png(3, 2, bytes(18)))
+    corrupt[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_png_decode_meta_distributed(spark, docs):
+    """The synth-PNG corpus decodes distributedly (mapInPandas) to the
+    exact per-id recurrence stats — deflate + defilter round-trip
+    through the engine, not just driver-side."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_png_assets)
+
+    sample = docs.limit(20)
+    out = {r["asset_id"]: r for r in
+           decode_image_meta(synth_png_assets(sample)).collect()}
+    for r in sample.select("doc_id").collect():
+        did = r["doc_id"]
+        w, h = 3 + did % 6, 2 + did % 4
+        rgb = [(did * 11 + k * 17) % 256 for k in range(w * h * 3)]
+        row = out[did]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["mean_r"] == round(sum(rgb[0::3]) / (w * h), 6)
+
+
 def test_pq_index_serving_parity_and_codes_only_scan(spark, emb, tmp_path):
     """write_pq_index + pq_index_topk: identical results to the
     query-time pq_topk (same deterministic codebooks round-tripped
