@@ -19,10 +19,16 @@ production-credible form of the append path on a cluster:
 - **No watermark/GC bookkeeping**: the transaction log IS the durable
   commit evidence; stale-cache writers are fenced by the merge key.
 
-delta-spark is not installed in this container, so everything here is
-import-gated: ``DELTA_AVAILABLE`` is False and the EventLog refuses
-``format="delta"`` with a clear error; ``tests/test_delta_log.py``
-skips. On a cluster with delta-spark, build the session with::
+Backend dispatch: when delta-spark is importable it is ALWAYS used.
+Without it, ``format="delta"`` falls back to the local transaction-log
+shim (``deltashim.py``) — the same read/commit interface with the same
+serializable optimistic-commit semantics, implemented over a plain
+POSIX filesystem (O_EXCL version files) — with a loud ``UserWarning``
+so a production deployment cannot silently run on the shim. The
+``tests/test_delta_log.py`` acceptance suite (dense revisions, CAS,
+two-writer races, threaded gapless positions) therefore executes
+against whichever backend the environment has; ``backend()`` reports
+which. On a cluster with delta-spark, build the session with::
 
     from delta import configure_spark_with_delta_pip
     builder = (SparkSession.builder
@@ -66,13 +72,32 @@ _CONFLICT_MARKERS = (
 )
 
 
+def backend() -> str:
+    """Which transaction-log backend ``format="delta"`` runs on:
+    ``"delta"`` (delta-spark installed) or ``"shim"`` (the local
+    O_EXCL-versioned fallback in ``deltashim.py``)."""
+    return "delta" if DELTA_AVAILABLE else "shim"
+
+
+_warned_shim = False
+
+
 def require_delta() -> None:
-    if not DELTA_AVAILABLE:
-        raise ImportError(
-            "format='delta' requires the delta-spark package (not installed "
-            "in this environment); use the default parquet format, whose "
-            "_commits/ marker protocol provides the same guarantees on a "
-            "plain filesystem")
+    """Resolve the backend. Without delta-spark the local shim is used
+    and a UserWarning fires once per process — the shim is a faithful
+    single-filesystem miniature (see ``deltashim.py``) but not an
+    object-store-capable transaction log."""
+    global _warned_shim
+    if not DELTA_AVAILABLE and not _warned_shim:
+        import warnings
+
+        warnings.warn(
+            "delta-spark is not installed: format='delta' is running on "
+            "the local transaction-log shim (POSIX O_EXCL commits — "
+            "single filesystem only). Install delta-spark for cluster/"
+            "object-store deployments.",
+            UserWarning, stacklevel=3)
+        _warned_shim = True
 
 
 def is_conflict(exc: BaseException) -> bool:
@@ -88,6 +113,10 @@ def read_log(spark: "SparkSession", path: str) -> "DataFrame":
     from eventstorm_spark.model import EVENT_SCHEMA
 
     require_delta()
+    if not DELTA_AVAILABLE:
+        from eventstorm_spark.log import deltashim
+
+        return deltashim.read_log(spark, path)
     if DeltaTable.isDeltaTable(spark, path):
         return spark.read.format("delta").load(path)
     return spark.createDataFrame([], EVENT_SCHEMA)
@@ -100,6 +129,10 @@ def append_batch(spark: "SparkSession", path: str, batch: "DataFrame") -> bool:
     Delta twin of ``EventLog._commit_batch``'s fence signal.
     """
     require_delta()
+    if not DELTA_AVAILABLE:
+        from eventstorm_spark.log import deltashim
+
+        return deltashim.append_batch(spark, path, batch)
     if not DeltaTable.isDeltaTable(spark, path):
         # First commit creates the table; a racing creator surfaces as
         # a conflict/already-exists error -> treat as lost race.

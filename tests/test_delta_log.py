@@ -2,9 +2,11 @@
 from test_append, re-run against the Delta transaction log instead of
 the ``_commits/`` marker protocol.
 
-delta-spark is not installed in this container, so the functional tests
-skip; they are the acceptance suite for a deployment that has it. The
-availability-gating behavior itself is always tested.
+Backend: with delta-spark installed the suite runs on real Delta; in
+this container it runs on the local transaction-log shim
+(``log/deltashim.py`` — same serializable optimistic-commit semantics
+over O_EXCL version files), so the ``format="delta"`` store branch
+executes either way. ``delta.backend()`` reports which backend ran.
 """
 
 from __future__ import annotations
@@ -12,19 +14,29 @@ from __future__ import annotations
 import pytest
 
 from eventstorm_spark.errors import WrongExpectedRevisionError
-from eventstorm_spark.log.delta import DELTA_AVAILABLE, is_conflict
+from eventstorm_spark.log.delta import DELTA_AVAILABLE, backend, is_conflict
 from eventstorm_spark.log.store import EventLog
 from eventstorm_spark.model import ExpectedRevision
 
-needs_delta = pytest.mark.skipif(
-    not DELTA_AVAILABLE, reason="delta-spark not installed")
+def needs_delta(fn):  # suite runs on either backend (delta or shim)
+    return fn
 
 
-def test_delta_format_refused_without_delta_spark(spark, tmp_path):
+def test_delta_falls_back_to_shim_with_warning(spark, tmp_path):
     if DELTA_AVAILABLE:  # pragma: no cover - container has no delta
-        pytest.skip("delta-spark installed; gating not applicable")
-    with pytest.raises(ImportError, match="delta-spark"):
-        EventLog(spark, str(tmp_path / "dlog"), format="delta")
+        pytest.skip("delta-spark installed; shim fallback not applicable")
+    import warnings
+
+    import eventstorm_spark.log.delta as dmod
+    from tests.fixtures import new_events
+
+    assert backend() == "shim"
+    dmod._warned_shim = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        log = EventLog(spark, str(tmp_path / "dlog"), format="delta")
+        log.append("s", new_events(1))
+    assert any("transaction-log shim" in str(w.message) for w in caught)
 
 
 def test_unknown_format_rejected(spark, tmp_path):
