@@ -69,6 +69,8 @@ HEADLINE = [
     "doc_unigram_logprob",
     "repeated_passages",
     "multimodal_wav_decode",
+    # round 6: compressed-codec decode (zlib inflate + defilter)
+    "multimodal_png_decode",
     # round 5: training-mix toolkit (two-phase packing cumsum, LM-ratio
     # weights, SemDeDup broadcast verdicts, BM25 postings join)
     "pack_sequences",

@@ -596,6 +596,105 @@ def write_pq_index(embeddings: DataFrame, path: str, *,
     return cb
 
 
+def write_ivfpq_index(embeddings: DataFrame, path: str, *,
+                      centroids: list[list[float]] | None = None,
+                      n_centroids: int = 16,
+                      codebooks: np.ndarray | None = None,
+                      num_subspaces: int = 8, num_codes: int = 16,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> tuple[list, np.ndarray]:
+    """The combined billion-scale layout: IVF cells as a PARTITION
+    column over PQ codes. Serving prunes to ``n_probe`` cell partitions
+    (unprobed cells cost zero I/O, like :func:`write_ivf_index`) and
+    scans M-byte codes instead of raw vectors inside them (like
+    :func:`write_pq_index`) — I/O shrinks multiplicatively:
+    (probed fraction) × (M / 4·dim). Under ``path``:
+
+    - ``codes/cell=N/``  — (id, pq_codes), partitioned by IVF cell
+    - ``centroids/``     — (cell, center) routing table
+    - ``codebooks/``     — (subspace, code, center) ADC codebooks
+
+    Returns (centroids, codebooks); both are also persisted so serving
+    needs only the path."""
+    if centroids is None:
+        rows = (embeddings.orderBy(id_col).limit(n_centroids)
+                .select(vec_col).collect())
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, num_subspaces=num_subspaces,
+                                 num_codes=num_codes, vec_col=vec_col,
+                                 id_col=id_col)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cm = np.asarray(centroids, dtype=np.float64)
+    nn = np.linalg.norm(cm, axis=1, keepdims=True)
+    cmn = cm / np.where(nn == 0, 1.0, nn)
+    n_sub, _, sub = cb.shape
+
+    from pyspark.sql.functions import pandas_udf
+
+    # one Arrow pass computes BOTH the cell id and the PQ codes — the
+    # corpus is scanned once and never shuffled (partitionBy writes
+    # route rows by the computed column)
+    @pandas_udf("struct<cell:int, pq_codes:array<tinyint>>")
+    def cell_and_codes(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "pq_codes": pd.Series([], dtype=object)})
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(n == 0, 1.0, n)
+        cells = np.argmax(m @ cmn.T, axis=1).astype("int32")
+        codes = np.empty((len(m), n_sub), dtype=np.int8)
+        for s in range(n_sub):
+            seg = m[:, s * sub:(s + 1) * sub]
+            d2 = (((seg[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2))
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cells, "pq_codes": list(codes)})
+
+    enc = embeddings.select(
+        F.col(id_col), cell_and_codes(F.col(vec_col)).alias("__cc"))
+    (enc.select(id_col, F.col("__cc.cell").alias("cell"),
+                F.col("__cc.pq_codes").alias("pq_codes"))
+     .write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes"))
+    spark = embeddings.sparkSession
+    (spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    cb_rows = [(s, c, [float(x) for x in cb[s, c]])
+               for s in range(cb.shape[0]) for c in range(cb.shape[1])]
+    (spark.createDataFrame(
+        cb_rows, "subspace int, code int, center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
+    return [list(map(float, c)) for c in centroids], cb
+
+
+def ivfpq_index_topk(spark, path: str, query_vec: Sequence[float],
+                     k: int = 10, *, n_probe: int = 4,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Serve a top-k query from a :func:`write_ivfpq_index` table:
+    route to the ``n_probe`` nearest cells driver-side (k×dim work),
+    then ADC-score ONLY those partitions' codes — the ``cell IN (...)``
+    predicate is a partition filter and the scanned columns are id +
+    M-byte codes, never raw vectors."""
+    cents = (spark.read.parquet(f"{path}/centroids")
+             .orderBy("cell").collect())
+    centroids = [r["center"] for r in cents]
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
+    cb = read_pq_codebooks(spark, path)
+    codes = (spark.read.parquet(f"{path}/codes")
+             .where(F.col("cell").isin(probe)))
+    return pq_adc_topk(codes, cb, query_vec, k, id_col=id_col)
+
+
 def read_pq_codebooks(spark, path: str) -> np.ndarray:
     """Rebuild the (M, K, sub) codebook array from a
     :func:`write_pq_index` table — M×K rows, a driver-side read."""

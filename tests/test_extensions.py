@@ -844,6 +844,45 @@ def test_pq_index_serving_parity_and_codes_only_scan(spark, emb, tmp_path):
     assert got == want and len(got) == 10
 
 
+def test_ivfpq_index_prunes_partitions_and_scans_codes_only(spark, emb, tmp_path):
+    """write_ivfpq_index + ivfpq_index_topk: the serving plan carries
+    the cell partition filter AND scans only id + M-byte codes, and the
+    results equal ADC over exactly the probed cells' members (computed
+    via the in-memory encode path on the same codebooks)."""
+    from eventstorm_spark.extensions.similarity import (
+        ivfpq_index_topk, pq_adc_topk, pq_encode, write_ivfpq_index)
+    from eventstorm_spark.inventory import _query_vec
+    import math as _math
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq")
+    cents, cb = write_ivfpq_index(base, path)
+
+    served = ivfpq_index_topk(spark, path, qv, k=10, n_probe=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "pq_codes" in scan and "embedding" not in scan
+
+    # reference: ADC over the probed cells' members, in-memory route
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (-cos(qv, cents[i]), i))[:4]
+    member_rows = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(probe)).select("vec_id")
+    members = base.join(member_rows, "vec_id", "left_semi")
+    want = [(r["vec_id"], r["adc_sim"]) for r in
+            pq_adc_topk(pq_encode(members, cb), cb, qv, k=10).collect()]
+    got = [(r["vec_id"], r["adc_sim"]) for r in served.collect()]
+    assert got == want and len(got) == 10
+
+
 def test_pq_rejects_non_divisible_subspaces(spark, emb):
     """dim % num_subspaces != 0 must raise, not silently truncate the
     trailing dimensions out of encoding and ADC scoring."""
