@@ -11,9 +11,9 @@ shuffle-conscious: LSH banding turns O(n²) candidate generation into a
 bucket-join; verification only touches candidate pairs.
 """
 
-from eventstorm_spark.extensions import (bpe, dedup, multimodal, packing,
-                                         pipeline, similarity, sketches,
-                                         temporal, text)
+from eventstorm_spark.extensions import (bpe, curation, dedup, multimodal,
+                                         packing, pipeline, similarity,
+                                         sketches, temporal, text)
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "pipeline",
-           "temporal", "sketches", "packing", "bpe"]
+           "temporal", "sketches", "packing", "bpe", "curation"]

@@ -1,0 +1,281 @@
+"""Corpus curation & reporting operators for large-scale training data.
+
+The bookkeeping layer AROUND the transform operators (dedup/filter/
+pack): sharding a corpus into balanced output files, auditing padding
+efficiency of a packing configuration, deduplicating a NEW crawl
+snapshot against the existing at-rest corpus, and the dataset-card
+reports (vocabulary coverage, per-source composition, per-column
+profile) that every 100 TB pipeline publishes next to the data.
+
+Scale shape shared by everything here: per-document decisions are pure
+JVM column expressions (salted md5 unit hashes — engine-portable, so
+the DuckDB oracle replays them bit-for-bit; growth-stable, so re-runs
+never reassign existing docs), and the only shuffles are aggregations
+whose group cardinality is bounded (shards, buckets, sources, columns)
+or vocabulary-sized — never corpus-sized joins, never driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventstorm_spark.extensions.pipeline import _unit_hash
+from eventstorm_spark.extensions.text import token_count
+
+
+# ---------------------------------------------------------------------------
+# sharding
+# ---------------------------------------------------------------------------
+
+def assign_shards(docs: DataFrame, *, n_shards: int = 16,
+                  salt: str = "shard-v1", id_col: str = "doc_id") -> DataFrame:
+    """Add a ``shard`` column: floor(unit_hash(id) * n_shards).
+
+    The writer-side partitioner for training shards. A pure projection —
+    zero shuffles — and deterministic under the salt: a document's shard
+    never changes as the corpus grows, so incremental re-materialization
+    only appends to shards, and any engine (the DuckDB oracle included)
+    reproduces the routing bit-for-bit. Balanced to the law of large
+    numbers: each shard gets ~1/n of the corpus regardless of id gaps,
+    unlike ``doc_id % n`` which inherits upstream id skew.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    u = _unit_hash(F.col(id_col), salt)
+    return docs.withColumn(
+        "shard", F.floor(u * F.lit(float(n_shards))).cast("int"))
+
+
+def shard_manifest(docs: DataFrame, *, n_shards: int = 16,
+                   salt: str = "shard-v1", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest: (shard, n_docs, n_tokens, min_id, max_id).
+
+    The dataset-card table published next to sharded training data so
+    loaders can plan epochs without scanning payloads. One map-side-
+    combinable aggregate over the corpus scan; output is n_shards rows.
+    """
+    return (assign_shards(docs, n_shards=n_shards, salt=salt, id_col=id_col)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id")))
+
+
+def write_training_shards(docs: DataFrame, path: str, *, n_shards: int = 16,
+                          salt: str = "shard-v1", id_col: str = "doc_id") -> None:
+    """Materialize the corpus as ``path/shard=K/*.parquet``.
+
+    ``partitionBy("shard")`` makes the shard a partition column, so a
+    loader reading one shard is a partition-pruned scan (no file listing
+    of the other shards' data). ``repartition("shard")`` first so each
+    shard is written by the task that owns it — one file per shard
+    instead of n_tasks x n_shards small files, the classic 100 TB
+    small-files trap.
+    """
+    sharded = assign_shards(docs, n_shards=n_shards, salt=salt, id_col=id_col)
+    (sharded.repartition(n_shards, "shard")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# padding-efficiency audit
+# ---------------------------------------------------------------------------
+
+def length_bucket_report(docs: DataFrame, *, text_col: str = "text",
+                         min_bucket: int = 16,
+                         max_bucket: int = 4096) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching.
+
+    Buckets documents by whitespace-token length into power-of-two
+    buckets (the dynamic-batching standard): bucket = the smallest
+    power of two >= the doc's token count, clamped to
+    [min_bucket, max_bucket]. For each bucket reports how many docs and
+    real tokens it holds, the padded token total if every doc is padded
+    to the bucket edge, and the resulting efficiency — the number a
+    pipeline tunes bucket edges against before paying for a training
+    run. Row-local bucket math + one bounded aggregate (<= 9 buckets
+    here); the corpus never shuffles on anything wider than the bucket
+    id. Bucket edges are explicit integer comparisons, not
+    ``ceil(log2(n))`` — exact-power-of-two inputs make the float log
+    ambiguous across engines, and the oracle must replay the bucketing
+    bit-for-bit.
+    """
+    if min_bucket < 1 or max_bucket < min_bucket:
+        raise ValueError("need 1 <= min_bucket <= max_bucket")
+    edges = []
+    e = min_bucket
+    while e < max_bucket:
+        edges.append(e)
+        e *= 2
+    n = token_count(F.col(text_col))
+    bucket: Column = F.lit(max_bucket).cast("long")
+    for edge in reversed(edges):
+        bucket = F.when(n <= edge, F.lit(edge).cast("long")).otherwise(bucket)
+    return (docs.select(bucket.alias("bucket"), n.alias("__n"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n").alias("n_tokens"))
+            .withColumn("n_padded", F.col("n_docs") * F.col("bucket"))
+            .withColumn("efficiency",
+                        F.round(F.col("n_tokens") / F.col("n_padded"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame, *,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep only the new-snapshot docs whose exact text digest does NOT
+    already appear in the at-rest corpus, then drop intra-batch exact
+    dups (keeping the min id) — the incremental-ingest dedup every
+    recurring crawl needs.
+
+    Scale shape: both sides reduce to (digest) keys before the
+    left-anti join, so the join ships 16-byte digests, not payloads; the
+    corpus side is pre-aggregated to distinct digests (map-side
+    combine). At 100 TB the anti-join is a digest-keyed shuffle of the
+    (much smaller) new batch against the corpus digest set — or, when
+    the batch is small, AQE broadcasts the batch side of the join
+    automatically. No hint is forced: both sides scale with data size.
+    """
+    new_keyed = new_docs.withColumn("__digest", F.md5(F.col(text_col)))
+    corpus_digests = (corpus.select(F.md5(F.col(text_col)).alias("__digest"))
+                      .distinct())
+    novel = new_keyed.join(corpus_digests, "__digest", "left_anti")
+    # intra-batch exact dedup: canonical = min id per digest.
+    canon = (novel.groupBy("__digest")
+             .agg(F.min(id_col).alias("__keep_id")))
+    return (novel.join(canon,
+                       (novel["__digest"] == canon["__digest"])
+                       & (novel[id_col] == canon["__keep_id"]))
+            .drop("__digest", "__keep_id"))
+
+
+def snapshot_novelty_report(new_docs: DataFrame, corpus: DataFrame, *,
+                            text_col: str = "text",
+                            group_col: str = "source",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-group novelty accounting for an incremental ingest:
+    (group, n_new, n_novel, novelty_rate) where n_novel counts docs
+    surviving :func:`dedup_against_corpus`. The go/no-go signal for
+    whether a recrawl is worth processing."""
+    kept = (dedup_against_corpus(new_docs, corpus,
+                                 text_col=text_col, id_col=id_col)
+            .select(F.col(group_col).alias("__g"))
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("n_novel")))
+    base = (new_docs.select(F.col(group_col).alias("__g"))
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("n_new")))
+    return (base.join(kept, "__g", "left")
+            .select(F.col("__g").alias(group_col),
+                    "n_new",
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
+            .withColumn("novelty_rate",
+                        F.round(F.col("n_novel") / F.col("n_new"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# dataset-card reports
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
+                   text_col: str = "text") -> DataFrame:
+    """Cumulative corpus coverage of the top-K vocabulary terms, the
+    Zipf head/tail report: for each K in ``ks``, the fraction of all
+    token occurrences covered by the K most frequent terms (frequency
+    ties broken by term, so ranking is total and engine-portable).
+
+    Scale shape: one corpus-scan term-count aggregate (map-side
+    combine) produces a VOCABULARY-sized table; the rank + running-sum
+    window runs over that table, not the corpus. Natural-language
+    vocabularies are millions of rows — a single-partition window over
+    millions of (term, count) pairs is the accepted cost of an exact
+    Zipf report (sub-second); for larger vocabs, pre-filter with a
+    min-count cut first.
+    """
+    ks = sorted(ks or [10, 100, 1000])
+    from pyspark.sql import Window
+
+    terms = (docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                         .alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    total = terms.agg(F.sum("n").alias("__t"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = (terms
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("cum_n", F.sum("n").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .where(F.col("rank").isin([int(k) for k in ks])))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select(F.col("rank").cast("long").alias("top_k"),
+                    F.col("cum_n").alias("n_covered"),
+                    F.round(F.col("cum_n") / F.col("__t"), 6)
+                    .alias("coverage"))
+            .orderBy("top_k"))
+
+
+def source_composition(docs: DataFrame, *, text_col: str = "text",
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-source dataset-card row: docs, tokens, token share, exact-dup
+    rate (1 - distinct digests / docs), and mean doc length. One
+    map-side-combinable aggregate over the corpus scan (distinct digest
+    counting rides the same groupBy via count(distinct md5)); output is
+    source-cardinality rows."""
+    n_tok = token_count(F.col(text_col))
+    per = (docs
+           .select(F.col(group_col).alias("__g"),
+                   n_tok.alias("__n"),
+                   F.md5(F.col(text_col)).alias("__d"))
+           .groupBy("__g")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__n").alias("n_tokens"),
+                F.countDistinct("__d").alias("__nd")))
+    total = per.agg(F.sum("n_tokens").alias("__t"))
+    return (per.crossJoin(F.broadcast(total))
+            .select(F.col("__g").alias(group_col),
+                    "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("__t"), 6)
+                    .alias("token_share"),
+                    F.round(1 - F.col("__nd") / F.col("n_docs"), 6)
+                    .alias("exact_dup_rate"),
+                    F.round(F.col("n_tokens") / F.col("n_docs"), 4)
+                    .alias("mean_tokens")))
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Generic per-column profile: (col_name, n_rows, n_nulls,
+    null_frac, n_distinct, min_str, max_str) — the data-quality gate run
+    before a corpus enters the training mix.
+
+    Everything is computed in ONE aggregate pass over the scan (all
+    columns' counters ride the same map-side-combinable buffer), then
+    reshaped driver-free with ``stack`` into a row per column. min/max
+    are cast to string so heterogeneous column types share one schema —
+    the standard profile-table shape.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __rows_{c}, __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}"
+        for c in cols)
+    return (one.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
+        .withColumn("null_frac",
+                    F.round(F.col("n_nulls") / F.col("n_rows"), 6))
+        .select("col_name", "n_rows", "n_nulls", "null_frac",
+                "n_distinct", "min_str", "max_str"))

@@ -2047,6 +2047,94 @@ def q_multimodal_wav_decode(spark, sf_dir):
         synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Balanced training-shard routing + manifest: each doc maps to
+    floor(saltedMd5Unit(doc_id) * 16) — a pure projection, growth-stable
+    (a doc's shard never changes as the corpus grows) and engine-portable
+    (the oracle replays the md5 routing bit-for-bit). The manifest is one
+    map-side-combinable aggregate producing n_shards rows: the
+    dataset-card table a loader plans epochs from without scanning
+    payloads."""
+    from eventstorm_spark.extensions.curation import shard_manifest
+    return shard_manifest(load(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_length_bucket_report(spark, sf_dir):
+    """Padding-efficiency audit for length-bucketed batching: docs
+    bucket to the smallest power-of-two >= their token count (explicit
+    integer edges, no float log2 — exact powers of two are
+    engine-ambiguous under log), then one bounded aggregate reports per
+    bucket the real vs padded token totals and the efficiency a pipeline
+    tunes bucket edges against before paying for a training run."""
+    from eventstorm_spark.extensions.curation import length_bucket_report
+    return length_bucket_report(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-snapshot incremental dedup: a synthetic 'new crawl' batch —
+    the src18/src19 docs (novel), recrawled copies of every src0 doc
+    (stale: text already at rest), and a verbatim re-upload of the novel
+    half under shifted ids (intra-batch dups) — anti-joined by text
+    digest against the at-rest corpus, then intra-batch deduped keeping
+    the min id. Only 16-byte digests ever ship through the joins; no
+    broadcast hints (both sides scale with data). Expected survivors:
+    exactly the 50 original src18/src19 rows."""
+    from eventstorm_spark.extensions.curation import dedup_against_corpus
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(~F.col("source").isin("src18", "src19"))
+    fresh = docs.where(F.col("source").isin("src18", "src19"))
+    stale = (docs.where(F.col("source") == "src0")
+             .withColumn("doc_id", F.col("doc_id") + 100000)
+             .withColumn("source", F.lit("recrawl")))
+    intra = fresh.withColumn("doc_id", F.col("doc_id") + 200000)
+    new_batch = fresh.unionByName(stale).unionByName(intra)
+    kept = dedup_against_corpus(new_batch, corpus)
+    return kept.select("doc_id", "source", F.md5("text").alias("digest"))
+
+
+def q_snapshot_novelty(spark, sf_dir):
+    """Per-source novelty accounting for the same synthetic ingest as
+    dedup_incremental: (source, n_new, n_novel, novelty_rate) — the
+    go/no-go signal for whether a recrawl is worth processing. The
+    recrawl group must come out 0% novel and the fresh sources 100%."""
+    from eventstorm_spark.extensions.curation import snapshot_novelty_report
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(~F.col("source").isin("src18", "src19"))
+    fresh = docs.where(F.col("source").isin("src18", "src19"))
+    stale = (docs.where(F.col("source") == "src0")
+             .withColumn("doc_id", F.col("doc_id") + 100000)
+             .withColumn("source", F.lit("recrawl")))
+    intra = fresh.withColumn("doc_id", F.col("doc_id") + 200000)
+    new_batch = fresh.unionByName(stale).unionByName(intra)
+    return snapshot_novelty_report(new_batch, corpus)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf head/tail report: corpus coverage of the top-K vocabulary
+    terms (K in 5/10/20), ties broken by term so the ranking is total
+    and engine-portable. The window runs over the VOCABULARY-sized term
+    table, never the corpus."""
+    from eventstorm_spark.extensions.curation import vocab_coverage
+    return vocab_coverage(load(spark, sf_dir, "documents"), ks=[5, 10, 20])
+
+
+def q_source_composition(spark, sf_dir):
+    """Per-source dataset-card row: docs, tokens, token share, exact-dup
+    rate, mean length — one map-side-combinable aggregate over the scan,
+    output bounded by source cardinality."""
+    from eventstorm_spark.extensions.curation import source_composition
+    return source_composition(load(spark, sf_dir, "documents"))
+
+
+def q_dataset_profile(spark, sf_dir):
+    """Generic per-column profile of the documents table (null fraction,
+    distinct count, min/max as strings) — computed in ONE aggregate pass
+    whose counters all ride the same map-side buffer, then reshaped
+    driver-free with stack() into a row per column."""
+    from eventstorm_spark.extensions.curation import profile_table
+    return profile_table(load(spark, sf_dir, "documents"))
+
+
 _SHINGLE_CTE = r"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -2991,6 +3079,121 @@ def _ann_recall_oracle() -> str:
 
 _EXT_ORACLES["ann_recall_report"] = _ann_recall_oracle()
 
+_EXT_ORACLES["shard_manifest"] = r"""
+    WITH s AS (
+        SELECT doc_id, text,
+               CAST(floor(CAST(concat('0x', substr(md5(concat(
+                    CAST(doc_id AS VARCHAR), ':', 'shard-v1')), 1, 8))
+                    AS BIGINT) / 4294967296.0 * 16) AS INT) AS shard
+        FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM s GROUP BY shard"""
+
+_EXT_ORACLES["length_bucket_report"] = r"""
+    WITH t AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n
+        FROM documents),
+    b AS (
+        SELECT n, CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                            WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                            WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                            WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                            ELSE 4096 END AS BIGINT) AS bucket
+        FROM t)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS n_padded,
+           round(CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 6)
+               AS efficiency
+    FROM b GROUP BY bucket"""
+
+_INGEST_CTE = """
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents
+        WHERE source NOT IN ('src18', 'src19')),
+    newb AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE source IN ('src18', 'src19')
+        UNION ALL
+        SELECT doc_id + 100000, 'recrawl', text FROM documents
+        WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents
+        WHERE source IN ('src18', 'src19')),
+    novel AS (
+        SELECT * FROM newb
+        WHERE md5(text) NOT IN (SELECT digest FROM corpus)),
+    canon AS (
+        SELECT md5(text) AS d, min(doc_id) AS keep_id
+        FROM novel GROUP BY 1)
+"""
+
+_EXT_ORACLES["dedup_incremental"] = _INGEST_CTE + """
+    SELECT n.doc_id, n.source, md5(n.text) AS digest
+    FROM novel n JOIN canon c ON md5(n.text) = c.d AND n.doc_id = c.keep_id"""
+
+_EXT_ORACLES["snapshot_novelty"] = _INGEST_CTE + """,
+    kept AS (
+        SELECT n.source, count(*) AS n_novel
+        FROM novel n JOIN canon c ON md5(n.text) = c.d AND n.doc_id = c.keep_id
+        GROUP BY 1),
+    base AS (SELECT source, count(*) AS n_new FROM newb GROUP BY 1)
+    SELECT b.source, CAST(b.n_new AS BIGINT) AS n_new,
+           CAST(coalesce(k.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(coalesce(k.n_novel, 0) AS DOUBLE) / b.n_new, 6)
+               AS novelty_rate
+    FROM base b LEFT JOIN kept k ON b.source = k.source"""
+
+_EXT_ORACLES["vocab_coverage"] = r"""
+    WITH t AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM freq),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+               CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        FROM freq)
+    SELECT CAST(rank AS BIGINT) AS top_k, cum_n AS n_covered,
+           round(CAST(cum_n AS DOUBLE) / t, 6) AS coverage
+    FROM ranked, tot WHERE rank IN (5, 10, 20)"""
+
+_EXT_ORACLES["source_composition"] = r"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
+               count(DISTINCT md5(text)) AS nd
+        FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS t FROM per)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+           round(1 - CAST(nd AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens
+    FROM per, tot"""
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    parts = [f"""
+        SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               round(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS null_frac,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               min(CAST({c} AS VARCHAR)) AS min_str,
+               max(CAST({c} AS VARCHAR)) AS max_str
+        FROM documents""" for c in cols]
+    return "\nUNION ALL\n".join(parts)
+
+
+_EXT_ORACLES["dataset_profile"] = _profile_oracle(
+    ["doc_id", "text", "lang", "source", "n_chars"])
+
 
 # ---------------------------------------------------------------------------
 # assembly
@@ -3006,11 +3209,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6 rotation: (a) the 11 queries whose latest driver
         #    evidence is r3 (asof/funnel/sessionization/system_streams/
         #    percentiles/returnflag/supplier_part_counts/read_stream_*),
-        #    (b) the new PNG codec query, (c) every query whose operator
-        #    changed this round (BPE merge-rule fix; dedup broadcast
-        #    removal; relational de-hinting), (d) fills with the oldest
-        #    remaining (r4) evidence. CORRECTNESS_r06 ∪ r05 then covers
-        #    every entry with r4+ driver evidence.
+        #    (b) the new r6 queries (PNG codec + the curation suite:
+        #    shard manifest, length buckets, incremental dedup, novelty,
+        #    vocab coverage, source composition, dataset profile),
+        #    (c) every query whose operator changed this round (BPE
+        #    merge-rule fix; dedup broadcast removal; relational
+        #    de-hinting), (d) fills with the oldest remaining (r4)
+        #    evidence. CORRECTNESS_r06 ∪ r05 then covers every entry
+        #    with r4+ driver evidence.
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
@@ -3023,6 +3229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "shard_manifest": q_shard_manifest,
+        "length_bucket_report": q_length_bucket_report,
+        "dedup_incremental": q_dedup_incremental,
+        "snapshot_novelty": q_snapshot_novelty,
+        "vocab_coverage": q_vocab_coverage,
+        "source_composition": q_source_composition,
+        "dataset_profile": q_dataset_profile,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3052,17 +3265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
+        "head_revisions": q_head_revisions,
+        "proj_first_last": q_proj_first_last,
+        # ---- driver window ends here (50 entries) ----
+        # -- r4/r5-green, rotated out of the window --
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,
         "read_all_last_event": q_read_all_last_event,
         "filter_stream_prefix": q_filter_stream_prefix,
         "filter_type_regex": q_filter_type_regex,
-        "head_revisions": q_head_revisions,
         "scalar_envelope": q_scalar_envelope,
         "scalar_struct_uuid": q_scalar_struct_uuid,
-        "proj_first_last": q_proj_first_last,
-        # ---- driver window ends here (50 entries) ----
-        # -- r4/r5-green, rotated out of the window --
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,

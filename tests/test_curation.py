@@ -1,0 +1,154 @@
+"""Unit tests for the corpus-curation operators (curation.py): shard
+routing/writing, padding-efficiency buckets, incremental cross-snapshot
+dedup, and the dataset-card reports. The driver-facing query forms are
+additionally oracle-checked in test_oracle_parity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from eventstorm_spark.extensions.curation import (
+    assign_shards,
+    dedup_against_corpus,
+    length_bucket_report,
+    profile_table,
+    shard_manifest,
+    snapshot_novelty_report,
+    source_composition,
+    vocab_coverage,
+    write_training_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_assign_shards_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark, [(i, f"t {i}", "s") for i in range(200)])
+    a = dict(assign_shards(docs, n_shards=8).select("doc_id", "shard").collect())
+    b = dict(assign_shards(docs.repartition(13), n_shards=8)
+             .select("doc_id", "shard").collect())
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+    # growth stability: adding docs never reassigns existing ids
+    grown = _docs(spark, [(i, f"t {i}", "s") for i in range(400)])
+    g = dict(assign_shards(grown, n_shards=8).select("doc_id", "shard").collect())
+    assert all(g[i] == a[i] for i in a)
+
+
+def test_assign_shards_balanced(spark):
+    docs = _docs(spark, [(i * 1000, "t", "s") for i in range(2000)])
+    counts = (assign_shards(docs, n_shards=4).groupBy("shard").count()
+              .collect())
+    assert len(counts) == 4
+    for r in counts:
+        assert 350 < r["count"] < 650  # ~500 each under salted hashing
+
+
+def test_shard_manifest_totals(spark):
+    docs = _docs(spark, [(i, "a b c", "s") for i in range(100)])
+    m = shard_manifest(docs, n_shards=4).collect()
+    assert sum(r.n_docs for r in m) == 100
+    assert sum(r.n_tokens for r in m) == 300
+    assert min(r.min_id for r in m) == 0
+    assert max(r.max_id for r in m) == 99
+
+
+def test_write_training_shards_layout_and_pruning(spark, tmp_path):
+    docs = _docs(spark, [(i, f"t {i}", "s") for i in range(100)])
+    path = os.path.join(str(tmp_path), "shards")
+    write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    one = back.where(F.col("shard") == 2)
+    # partition pruning: only shard=2 files are read
+    files = one.select(F.input_file_name()).distinct().collect()
+    assert files and all("shard=2" in r[0] for r in files)
+    # one file per shard, not n_tasks x n_shards
+    part_files = [f for f in os.listdir(os.path.join(path, "shard=2"))
+                  if f.endswith(".parquet")]
+    assert len(part_files) == 1
+
+
+def test_length_bucket_edges(spark):
+    rows = [(1, " ".join(["w"] * n), "s")
+            for i, n in enumerate([1, 16, 17, 32, 33, 5000])]
+    docs = spark.createDataFrame(
+        [(i,) + r[1:] for i, r in enumerate(rows)],
+        "doc_id long, text string, source string")
+    rep = {r.bucket: (r.n_docs, r.n_tokens, r.n_padded, r.efficiency)
+           for r in length_bucket_report(docs).collect()}
+    assert rep[16][0] == 2          # n=1 and n=16
+    assert rep[32][0] == 2          # 17 and 32
+    assert rep[64][0] == 1          # 33
+    assert rep[4096][0] == 1        # 5000 clamps to max bucket
+    assert rep[16] == (2, 17, 32, round(17 / 32, 6))
+
+
+def test_dedup_against_corpus_cross_and_intra(spark):
+    corpus = _docs(spark, [(0, "old text", "a"), (1, "shared text", "a")])
+    new = _docs(spark, [
+        (10, "brand new", "b"),
+        (11, "shared text", "b"),   # already at rest -> dropped
+        (12, "brand new", "b"),     # intra-batch dup of 10 -> dropped
+        (13, "also new", "b"),
+    ])
+    kept = sorted(r.doc_id for r in dedup_against_corpus(new, corpus).collect())
+    assert kept == [10, 13]
+    # column set preserved (no helper columns leak)
+    out = dedup_against_corpus(new, corpus)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+
+
+def test_snapshot_novelty_report(spark):
+    corpus = _docs(spark, [(0, "old a", "x"), (1, "old b", "x")])
+    new = _docs(spark, [
+        (10, "old a", "recrawl"), (11, "old b", "recrawl"),
+        (12, "fresh 1", "fresh"), (13, "fresh 2", "fresh"),
+    ])
+    rep = {r.source: (r.n_new, r.n_novel, r.novelty_rate)
+           for r in snapshot_novelty_report(new, corpus).collect()}
+    assert rep["recrawl"] == (2, 0, 0.0)
+    assert rep["fresh"] == (2, 2, 1.0)
+
+
+def test_vocab_coverage_monotone(spark):
+    docs = _docs(spark, [
+        (0, "a a a b b c d e f g", "s"),
+        (1, "a b c c d h i j k l", "s"),
+    ])
+    rows = vocab_coverage(docs, ks=[1, 3, 5]).orderBy("top_k").collect()
+    assert [r.top_k for r in rows] == [1, 3, 5]
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov)
+    assert all(0 < c <= 1 for c in cov)
+    # top-1 is 'a' (4 of 20 tokens)
+    assert rows[0].n_covered == 4
+    assert rows[0].coverage == 0.2
+
+
+def test_source_composition(spark):
+    docs = _docs(spark, [
+        (0, "x y", "a"), (1, "x y", "a"),       # exact dup pair
+        (2, "p q r s", "b"),
+    ])
+    rep = {r.source: r for r in source_composition(docs).collect()}
+    assert rep["a"].n_docs == 2 and rep["a"].n_tokens == 4
+    assert rep["a"].exact_dup_rate == 0.5
+    assert rep["b"].exact_dup_rate == 0.0
+    assert rep["a"].token_share == 0.5
+    assert rep["b"].mean_tokens == 4.0
+
+
+def test_profile_table_nulls_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, name string")
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 3 and prof["id"].n_nulls == 0
+    assert prof["name"].n_nulls == 1
+    assert prof["name"].null_frac == round(1 / 3, 6)
+    assert prof["name"].n_distinct == 2  # nulls excluded, like SQL
+    assert prof["id"].min_str == "1" and prof["id"].max_str == "3"

@@ -350,3 +350,57 @@ def test_dsir_vocab_joins_are_not_forced_broadcasts(spark, sf_dir):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     # exactly one hinted broadcast: the provably-1-row totals frame
     assert logical.count("ResolvedHint") <= 1
+
+
+def test_shard_routing_is_pure_projection(spark, sf_dir):
+    """assign_shards must add zero exchanges: the routing is a row-local
+    md5 expression, and the manifest's only shuffle is the bounded
+    groupBy(shard) with a partial aggregate below it."""
+    from eventstorm_spark.extensions.curation import assign_shards
+    docs = inventory.load(spark, sf_dir, "documents")
+    plan = plan_of(assign_shards(docs, n_shards=16))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    mplan = plan_of(inventory.queries()["shard_manifest"](spark, sf_dir))
+    assert mplan.count("Exchange") == 1
+    assert mplan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_length_buckets_stay_jvm_with_partial_agg(q):
+    plan = q("length_bucket_report")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_dedup_ships_digests_not_payloads(spark, sf_dir):
+    """dedup_against_corpus: the corpus side of the anti-join must be
+    pre-aggregated to distinct digests (partial agg below the exchange)
+    and no join may carry a forced hint — both sides scale with data,
+    so with broadcast disabled the whole plan degrades to shuffle joins
+    instead of OOMing."""
+    df = inventory.queries()["dedup_incremental"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(inventory.queries()["dedup_incremental"](spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+        assert "LeftAnti" in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dataset_profile_is_single_pass(q):
+    """profile_table computes every column's counters in ONE aggregate
+    over one scan — a per-column scan loop would read the table N times."""
+    plan = q("dataset_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_composition_has_partial_aggregation(q):
+    plan = q("source_composition")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
