@@ -79,6 +79,11 @@ HEADLINE = [
     "bm25_top_docs",
     "training_mix_pipeline",
     "bpe_merges",
+    # round 6: curation suite (shard routing, digest anti-join dedup,
+    # dataset-card composition)
+    "shard_manifest",
+    "dedup_incremental",
+    "source_composition",
 ]
 
 
@@ -104,9 +109,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         materialize(qs[name](spark, sf_dir))  # untimed: codegen/JIT warm
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two timed runs: some plans (e.g. the packing cumsum)
+        # need >1 execution before C2 finishes compiling the generated
+        # code, and a single timed run then prices leftover JIT, not
+        # the pipeline (observed 1.7 s -> 0.97 s run-over-run at sf0.1).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

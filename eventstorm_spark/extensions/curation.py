@@ -156,6 +156,38 @@ def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame, *,
             .drop("__digest", "__keep_id"))
 
 
+def streaming_dedup_against_corpus(stream_docs: DataFrame, corpus: DataFrame, *,
+                                   text_col: str = "text",
+                                   event_time_col: str = "ts",
+                                   watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming ingest deduped against the at-rest corpus AND itself:
+    the continuous form of :func:`dedup_against_corpus` for a live crawl
+    feed.
+
+    Two layers, both state-bounded:
+
+    1. *Stream-static left-anti join* on the text digest drops docs
+       whose content is already at rest. The static side is re-read per
+       micro-batch (stream-static join semantics), so a corpus that
+       grows between batches is honored without restarting the query —
+       and it is stateless: nothing accumulates in the state store.
+    2. ``dropDuplicatesWithinWatermark`` on the digest suppresses
+       intra-stream duplicates, with state bounded by the watermark —
+       the only viable contract on an unbounded feed. Duplicates
+       arriving later than the delay are out of contract; route them to
+       the batch :func:`dedup_against_corpus` backfill.
+
+    At 100 TB the anti-join ships 16-byte digests (the corpus side is
+    pre-aggregated to distinct digests), exactly like the batch form.
+    """
+    digests = (corpus.select(F.md5(F.col(text_col)).alias("__digest"))
+               .distinct())
+    keyed = stream_docs.withColumn("__digest", F.md5(F.col(text_col)))
+    novel = keyed.join(digests, "__digest", "left_anti")
+    wm = novel.withWatermark(event_time_col, watermark_delay)
+    return wm.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
+
+
 def snapshot_novelty_report(new_docs: DataFrame, corpus: DataFrame, *,
                             text_col: str = "text",
                             group_col: str = "source",

@@ -152,3 +152,51 @@ def test_profile_table_nulls_and_bounds(spark):
     assert prof["name"].null_frac == round(1 / 3, 6)
     assert prof["name"].n_distinct == 2  # nulls excluded, like SQL
     assert prof["id"].min_str == "1" and prof["id"].max_str == "3"
+
+
+def test_streaming_dedup_against_corpus(spark, tmp_path):
+    """Continuous incremental dedup: docs already at rest are dropped by
+    the stream-static digest anti-join; intra-stream replays are
+    suppressed by the watermarked dedup; novel docs pass exactly once."""
+    import datetime
+
+    from eventstorm_spark.extensions.curation import streaming_dedup_against_corpus
+
+    t0 = datetime.datetime(2024, 1, 1)
+    corpus = spark.createDataFrame(
+        [(0, "at rest a", "x"), (1, "at rest b", "x")],
+        "doc_id long, text string, source string")
+    schema = "doc_id long, ts timestamp, text string"
+    stream_dir = os.path.join(str(tmp_path), "feed")
+    os.makedirs(stream_dir)
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(stream_dir)
+
+    feed([(10, t0, "at rest a"),      # already in corpus -> dropped
+          (11, t0, "fresh one"),      # novel
+          (12, t0, "fresh one")],     # intra-batch dup -> suppressed
+         "b1")
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    out = streaming_dedup_against_corpus(src, corpus)
+
+    seen = []
+
+    def on_batch(bdf, _epoch):
+        seen.extend((r.doc_id, r.text) for r in bdf.collect())
+
+    q = out.writeStream.outputMode("append").foreachBatch(on_batch).start()
+    try:
+        q.processAllAvailable()
+        assert sorted(t for _, t in seen) == ["fresh one"]
+        # later micro-batch: replay of stream content + corpus content,
+        # plus one genuinely new doc
+        feed([(20, t0, "fresh one"),      # cross-batch replay -> suppressed
+              (21, t0, "at rest b"),      # at rest -> dropped
+              (22, t0, "fresh two")],     # novel
+             "b2")
+        q.processAllAvailable()
+        assert sorted(t for _, t in seen) == ["fresh one", "fresh two"]
+    finally:
+        q.stop()
