@@ -147,12 +147,15 @@ def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame, *,
     corpus_digests = (corpus.select(F.md5(F.col(text_col)).alias("__digest"))
                       .distinct())
     novel = new_keyed.join(corpus_digests, "__digest", "left_anti")
-    # intra-batch exact dedup: canonical = min id per digest.
+    # intra-batch exact dedup: canonical = min id per digest. The join
+    # is keyed on the digest ALONE (the id equality is a post-filter),
+    # so every exchange in the tail — anti-join, groupBy, join-back —
+    # shares the digest partitioning and Spark reuses one shuffle of
+    # the batch instead of re-exchanging on a composite key.
     canon = (novel.groupBy("__digest")
              .agg(F.min(id_col).alias("__keep_id")))
-    return (novel.join(canon,
-                       (novel["__digest"] == canon["__digest"])
-                       & (novel[id_col] == canon["__keep_id"]))
+    return (novel.join(canon, "__digest")
+            .where(F.col(id_col) == F.col("__keep_id"))
             .drop("__digest", "__keep_id"))
 
 

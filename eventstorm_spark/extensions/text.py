@@ -443,6 +443,38 @@ def passage_scrub(docs: DataFrame, *, seg_tokens: int = 10, min_docs: int = 2,
                        .otherwise(0).cast("long")).alias("n_tokens_after")))
 
 
+def c4_reject_reason(t: Column, *, min_words: int = 10,
+                     max_words: int = 100_000,
+                     min_mean_word_len: float = 2.0,
+                     max_mean_word_len: float = 12.0,
+                     min_stopwords: int = 2) -> Column:
+    """The C4/Gopher reject-reason expression alone (NULL = kept) — a
+    row-local codegen Column, so a pipeline can filter the corpus with
+    ``docs.where(c4_reject_reason(col).isNull())`` in the SAME scan
+    instead of computing :func:`c4_rules` (which projects away the text)
+    and joining the corpus back by id — a corpus-wide shuffle the
+    filter semantics never needed."""
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / n_words, 6)
+    n_stop = F.size(F.array_intersect(
+        toks, F.array([F.lit(w) for w in LANG_STOPWORDS["en"]]))).cast("long")
+    has_long_word = t.rlike(r"\S{21,}")
+    has_brace = t.contains("{") | t.contains("}")
+    low = F.lower(t)
+    return (
+        F.when(n_words < min_words, "too_few_words")
+        .when(n_words > max_words, "too_many_words")
+        .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+              "word_length")
+        .when(has_long_word, "long_word")
+        .when(n_stop < min_stopwords, "stopwords")
+        .when(has_brace, "brace")
+        .when(low.contains("lorem ipsum"), "lorem_ipsum")
+        .when(low.contains("javascript"), "javascript"))
+
+
 def c4_rules(docs: DataFrame, *, min_words: int = 10, max_words: int = 100_000,
              min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
              min_stopwords: int = 2, text_col: str = "text",
@@ -474,16 +506,10 @@ def c4_rules(docs: DataFrame, *, min_words: int = 10, max_words: int = 100_000,
     low = F.lower(t)
     has_lorem = low.contains("lorem ipsum")
     has_js = low.contains("javascript")
-    reason = (
-        F.when(n_words < min_words, "too_few_words")
-        .when(n_words > max_words, "too_many_words")
-        .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
-              "word_length")
-        .when(has_long_word, "long_word")
-        .when(n_stop < min_stopwords, "stopwords")
-        .when(has_brace, "brace")
-        .when(has_lorem, "lorem_ipsum")
-        .when(has_js, "javascript"))
+    reason = c4_reject_reason(
+        t, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len, min_stopwords=min_stopwords)
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

@@ -1888,6 +1888,15 @@ def q_training_mix_pipeline(spark, sf_dir):
     from eventstorm_spark.extensions.text import c4_rules
 
     docs = load(spark, sf_dir, "documents")
+    # The filter runs as c4_rules (ids only) + join-back rather than an
+    # inline where(c4_reject_reason(...)): the funnel consumes the
+    # survivor set from several plan branches, and the join form
+    # evaluates the expensive rule expressions (regex + stopword
+    # intersect) ONCE per doc instead of once per branch — measured
+    # ~1.4x faster end-to-end at sf0.1. At scale the id joins ride one
+    # corpus exchange (the second join reuses the first's partitioning);
+    # both join sides scale together, so no hints (AQE broadcasts the
+    # id sets while they fit).
     kept_ids = (c4_rules(docs).where(F.col("kept") == 1)
                 .select("doc_id"))
     survivors = docs.join(kept_ids, "doc_id")

@@ -193,6 +193,14 @@ _SHUFFLE_BUDGET = {
     "bm25_top_docs": 5,            # postings agg + df + stats + dl join + topk
     "passage_scrub": 3,            # segment freq + join back + per-doc rollup
     "ann_pq_topk": 0,              # encode + ADC are projections; topk is TakeOrdered
+    # round-6 curation suite
+    "shard_manifest": 1,           # bounded groupBy(shard) only
+    "length_bucket_report": 1,     # bounded groupBy(bucket) only
+    "dedup_incremental": 7,        # 3-branch synthetic union x (anti + canon)
+    "snapshot_novelty": 9,
+    "vocab_coverage": 4,           # term agg + vocab-sized window + totals
+    "source_composition": 4,       # group agg (w/ distinct) + totals
+    "dataset_profile": 2,          # one scan-wide agg + stack reshape
 }
 
 
