@@ -159,6 +159,49 @@ def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame, *,
             .drop("__digest", "__keep_id"))
 
 
+def write_digest_index(corpus: DataFrame, path: str, *,
+                       text_col: str = "text", n_buckets: int = 64) -> None:
+    """Persist the corpus's distinct content digests as a narrow at-rest
+    index for incremental dedup.
+
+    At 100 TB, re-hashing the full corpus text on every ingest is the
+    dominant cost of :func:`dedup_against_corpus`; the index reduces the
+    corpus side to a 16-byte-per-distinct-document parquet scan that
+    never touches payloads again. Digests are hash-partitioned into
+    ``bucket = pmod(xxhash64(digest), n_buckets)`` partition directories,
+    so (a) appending a new snapshot's digests only writes the buckets it
+    lands in and (b) a loader can co-partition both anti-join sides on
+    the same bucket column. Same pattern as ``similarity.write_ivf_index``:
+    the partition column does the pruning, the rows stay minimal.
+    """
+    digests = (corpus.select(F.md5(F.col(text_col)).alias("digest"))
+               .distinct()
+               .withColumn("bucket",
+                           F.pmod(F.xxhash64("digest"),
+                                  F.lit(n_buckets)).cast("int")))
+    (digests.repartition(n_buckets, "bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def dedup_against_digest_index(new_docs: DataFrame, spark, index_path: str, *,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """:func:`dedup_against_corpus` against a persisted
+    :func:`write_digest_index` instead of the raw corpus: the anti-join's
+    at-rest side is a digest-only scan (16 bytes/doc, no payloads), which
+    is the shape a recurring ingest actually runs. Semantically identical
+    to the corpus form — pinned by tests."""
+    idx = spark.read.parquet(index_path).select("digest")
+    new_keyed = new_docs.withColumn("__digest", F.md5(F.col(text_col)))
+    novel = new_keyed.join(
+        idx.withColumnRenamed("digest", "__digest"), "__digest", "left_anti")
+    canon = (novel.groupBy("__digest")
+             .agg(F.min(id_col).alias("__keep_id")))
+    return (novel.join(canon, "__digest")
+            .where(F.col(id_col) == F.col("__keep_id"))
+            .drop("__digest", "__keep_id"))
+
+
 def streaming_dedup_against_corpus(stream_docs: DataFrame, corpus: DataFrame, *,
                                    text_col: str = "text",
                                    event_time_col: str = "ts",

@@ -200,3 +200,35 @@ def test_streaming_dedup_against_corpus(spark, tmp_path):
         assert sorted(t for _, t in seen) == ["fresh one", "fresh two"]
     finally:
         q.stop()
+
+
+def test_digest_index_parity_with_corpus_form(spark, tmp_path):
+    """dedup_against_digest_index over a persisted index must return
+    exactly what dedup_against_corpus returns over the raw corpus, and
+    the index itself must be digest-only (no payloads at rest)."""
+    from eventstorm_spark.extensions.curation import (
+        dedup_against_corpus,
+        dedup_against_digest_index,
+        write_digest_index,
+    )
+
+    corpus = _docs(spark, [(i, f"text number {i % 7}", "a") for i in range(20)])
+    new = _docs(spark, [
+        (100, "text number 3", "b"),    # at rest -> dropped
+        (101, "novel alpha", "b"),
+        (102, "novel alpha", "b"),      # intra-batch dup -> dropped
+        (103, "novel beta", "b"),
+    ])
+    path = os.path.join(str(tmp_path), "digests")
+    write_digest_index(corpus, path, n_buckets=4)
+
+    via_corpus = sorted(r.doc_id for r in dedup_against_corpus(new, corpus).collect())
+    via_index = sorted(
+        r.doc_id
+        for r in dedup_against_digest_index(new, spark, path).collect())
+    assert via_index == via_corpus == [101, 103]
+
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"digest", "bucket"}
+    # one distinct digest per distinct text, deduplicated at rest
+    assert idx.count() == 7
