@@ -261,7 +261,7 @@ def snapshot_novelty_report(new_docs: DataFrame, corpus: DataFrame, *,
 # ---------------------------------------------------------------------------
 
 def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", min_count: int = 1) -> DataFrame:
     """Cumulative corpus coverage of the top-K vocabulary terms, the
     Zipf head/tail report: for each K in ``ks``, the fraction of all
     token occurrences covered by the K most frequent terms (frequency
@@ -272,8 +272,13 @@ def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
     window runs over that table, not the corpus. Natural-language
     vocabularies are millions of rows — a single-partition window over
     millions of (term, count) pairs is the accepted cost of an exact
-    Zipf report (sub-second); for larger vocabs, pre-filter with a
-    min-count cut first.
+    Zipf report (sub-second); for web-scale vocabs (100M+ types,
+    dominated by hapax noise), set ``min_count`` > 1: the cut shrinks
+    the windowed table by orders of magnitude while leaving every
+    head rank the report can name untouched (a term below min_count
+    can never be in the top K for any K the cut table still covers) —
+    the denominator stays the FULL token total, so coverage numbers
+    are unchanged.
     """
     ks = sorted(ks or [10, 100, 1000])
     from pyspark.sql import Window
@@ -282,6 +287,8 @@ def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
                          .alias("term"))
              .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
     total = terms.agg(F.sum("n").alias("__t"))
+    if min_count > 1:
+        terms = terms.where(F.col("n") >= min_count)
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     ranked = (terms
               .withColumn("rank", F.row_number().over(w))

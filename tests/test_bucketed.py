@@ -65,3 +65,25 @@ def test_stream_keyed_self_join_has_zero_shuffle_exchanges(spark, bucketed):
         assert joined.count() == 120
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_projection_fold_over_bucketed_log_has_zero_exchanges(spark, bucketed):
+    """The batch projection fold (groupBy(stream).applyInPandas) over
+    the bucketed copy needs no exchange: the bucketed scan already
+    satisfies the fold's ClusteredDistribution on the stream key."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _, t = bucketed
+    out_schema = T.StructType([
+        T.StructField("stream", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"stream": [key[0]], "n": [len(pdf)]})
+
+    folded = t.groupBy("stream").applyInPandas(fold, out_schema)
+    assert _shuffles(folded) == 0
+    assert {(r["stream"], r["n"]) for r in folded.collect()} \
+        == {(f"user-{s}", 20) for s in range(6)}

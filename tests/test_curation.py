@@ -232,3 +232,18 @@ def test_digest_index_parity_with_corpus_form(spark, tmp_path):
     assert set(idx.columns) == {"digest", "bucket"}
     # one distinct digest per distinct text, deduplicated at rest
     assert idx.count() == 7
+
+
+def test_vocab_coverage_min_count_preserves_head(spark):
+    """The min_count cut must leave head ranks and coverage untouched:
+    the denominator is the full token total and every term above the
+    cut keeps its rank."""
+    docs = _docs(spark, [
+        (0, "a a a a b b b c c d", "s"),
+        (1, "a b c d e f g h i j", "s"),
+    ])
+    full = {r.top_k: (r.n_covered, r.coverage)
+            for r in vocab_coverage(docs, ks=[1, 3]).collect()}
+    cut = {r.top_k: (r.n_covered, r.coverage)
+           for r in vocab_coverage(docs, ks=[1, 3], min_count=2).collect()}
+    assert cut == full
