@@ -539,11 +539,13 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
     unseen in the target stay finite and the score is exactly
     reproducible by the SQL oracle.
 
-    One tokenize pass feeds both LM count tables and the scoring join
-    (map-side combinable aggregates). Both frequency tables are
-    vocabulary-sized — joined back WITHOUT forced broadcast hints
-    (size-gated by Catalyst/AQE, round-5 policy); the totals row is a
-    provably-1-row broadcast.
+    One tokenize pass feeds the LM count table and the scoring join
+    (map-side combinable aggregates). Both LMs ride ONE vocabulary
+    aggregate — the target count is a conditional sum in the same
+    groupBy, not a second shuffle-and-join of the term table. The
+    merged frequency table is vocabulary-sized and joined back WITHOUT
+    a forced broadcast hint (size-gated by Catalyst/AQE, round-5
+    policy); the totals row is a provably-1-row broadcast.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par // 2:
@@ -552,10 +554,10 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
         F.col(id_col), F.col(lang_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("term"))
-    terms = terms.localCheckpoint(eager=False)  # feeds both LMs AND scoring
-    freq_c = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf_c"))
-    freq_t = (terms.where(F.col(lang_col) == target_lang)
-              .groupBy("term").agg(F.count(F.lit(1)).alias("tf_t")))
+    terms = terms.localCheckpoint(eager=False)  # feeds the LM AND scoring
+    freq = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_c"),
+        F.sum((F.col(lang_col) == target_lang).cast("long")).alias("tf_t"))
     totals = terms.agg(
         F.count(F.lit(1)).alias("n_c"),
         F.countDistinct("term").alias("v"),
@@ -563,9 +565,7 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
     logratio = F.log(
         ((F.col("tf_t") + 1) / (F.col("n_t") + F.col("v")))
         / ((F.col("tf_c") + 1) / (F.col("n_c") + F.col("v"))))
-    return (terms.join(freq_c, "term")
-            .join(freq_t, "term", "left")
-            .na.fill({"tf_t": 0})
+    return (terms.join(freq, "term")
             .crossJoin(F.broadcast(totals))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
