@@ -17,6 +17,8 @@ or vocabulary-sized — never corpus-sized joins, never driver collects.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -200,6 +202,84 @@ def dedup_against_digest_index(new_docs: DataFrame, spark, index_path: str, *,
     return (novel.join(canon, "__digest")
             .where(F.col(id_col) == F.col("__keep_id"))
             .drop("__digest", "__keep_id"))
+
+
+def write_minhash_index(corpus: DataFrame, path: str, *,
+                        num_hashes: int = 64, bands: int = 16, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Persist the corpus's MinHash state as an at-rest NEAR-dup index:
+    ``path/signatures`` (id + the H-long signature — H*8 bytes/doc) and
+    ``path/buckets`` (banded LSH bucket keys, partitioned by band).
+
+    The near-dup twin of :func:`write_digest_index`: a recurring ingest
+    checks a new snapshot for near-duplicates by joining its banded
+    buckets against the stored buckets and verifying candidates on the
+    stored SIGNATURES — the corpus text is never re-shingled or even
+    read. Banding uses the same ``dedup.band_buckets`` expression as the
+    in-corpus candidate join, so at-rest and in-memory bucketing can
+    never drift.
+    """
+    from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
+
+    sigs = minhash_signatures(corpus, num_hashes=num_hashes, n=n,
+                              text_col=text_col, id_col=id_col)
+    sigs = sigs.localCheckpoint(eager=False)  # feeds both writes
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    (band_buckets(sigs, bands=bands)
+     .repartition("band")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(path, "buckets")))
+
+
+def near_dup_against_index(new_docs: DataFrame, spark, index_path: str, *,
+                           num_hashes: int = 64, bands: int = 16, n: int = 3,
+                           threshold: float = 0.8, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs (new_id, corpus_id, est_jaccard) between a
+    new snapshot and a :func:`write_minhash_index` corpus index.
+
+    The new batch is shingled/hashed once; candidates come from the
+    banded bucket join against the stored buckets (band+bucket keyed —
+    only colliding bands ever meet), and verification is the MinHash
+    estimate itself: the fraction of agreeing signature positions, read
+    from the STORED corpus signatures. Scale shape: signatures are
+    semi-joined down to candidate ids before the attach (the
+    verify-candidates-only policy), the estimate's zip_with/filter
+    higher-order functions run on candidate-sized rows only, and
+    nothing here re-reads corpus text.
+    """
+    from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
+
+    sigs_new = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
+                                  text_col=text_col, id_col=id_col)
+    sigs_new = sigs_new.localCheckpoint(eager=False)  # banding + verify
+    banded_new = band_buckets(sigs_new, bands=bands)
+    buckets = spark.read.parquet(os.path.join(index_path, "buckets")) \
+        .withColumnRenamed("id", "corpus_id")
+    cand = (banded_new.withColumnRenamed("id", "new_id")
+            .join(buckets, ["band", "bucket"])
+            .select("new_id", "corpus_id").distinct())
+    sigs_old = spark.read.parquet(os.path.join(index_path, "signatures"))
+    # verify-candidates-only: prune both signature tables to candidate
+    # ids before attaching (never join a corpus-sized build side)
+    old_pruned = sigs_old.join(
+        cand.select(F.col("corpus_id").alias("id")).distinct(),
+        "id", "left_semi").withColumnRenamed("signature", "__sig_old")
+    new_pruned = sigs_new.join(
+        cand.select(F.col("new_id").alias("id")).distinct(),
+        "id", "left_semi").withColumnRenamed("signature", "__sig_new")
+    agree = F.size(F.filter(
+        F.zip_with("__sig_new", "__sig_old",
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    return (cand
+            .join(new_pruned.withColumnRenamed("id", "new_id"), "new_id")
+            .join(old_pruned.withColumnRenamed("id", "corpus_id"), "corpus_id")
+            .withColumn("est_jaccard",
+                        F.round(agree / F.lit(float(num_hashes)), 6))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("new_id", "corpus_id", "est_jaccard"))
 
 
 def streaming_dedup_against_corpus(stream_docs: DataFrame, corpus: DataFrame, *,

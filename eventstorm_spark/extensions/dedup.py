@@ -324,6 +324,38 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64, n: int = 3,
     return agged.select("id", sig.alias("signature"))
 
 
+def band_buckets(signatures: DataFrame, *, bands: int = 16,
+                 string_buckets: bool = False) -> DataFrame:
+    """(id, band, bucket) rows — the banded LSH bucket keys of each
+    signature. Shared by the in-corpus candidate join
+    (:func:`minhash_lsh_candidates`) and the at-rest MinHash index
+    (``curation.write_minhash_index``), so both surfaces bucket
+    identically by construction. Bucket key = xxhash64 of the band's
+    comma-joined slice (8-byte rows); ``string_buckets=True`` keeps the
+    raw slice for engine-portable replay."""
+    slice_str = lambda b: F.concat_ws(  # noqa: E731 — band slice as csv
+        ",",
+        F.transform(
+            F.slice(
+                F.col("signature"),
+                b * (F.size("signature") / bands).cast("int") + 1,
+                (F.size("signature") / bands).cast("int"),
+            ),
+            lambda x: x.cast("string"),
+        ),
+    )
+    bucket_expr = (
+        (lambda b: slice_str(b)) if string_buckets
+        else (lambda b: F.xxhash64(slice_str(b)))
+    )
+    return signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_expr)
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
                            string_buckets: bool = False,
                            max_bucket_size: int | None = None) -> DataFrame:
@@ -347,27 +379,8 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int = 16,
     than the join exploding. Off by default — the driver-verified
     queries run uncapped so the oracle replays exactly.
     """
-    slice_str = lambda b: F.concat_ws(  # noqa: E731 — band slice as csv
-        ",",
-        F.transform(
-            F.slice(
-                F.col("signature"),
-                b * (F.size("signature") / bands).cast("int") + 1,
-                (F.size("signature") / bands).cast("int"),
-            ),
-            lambda x: x.cast("string"),
-        ),
-    )
-    bucket_expr = (
-        (lambda b: slice_str(b)) if string_buckets
-        else (lambda b: F.xxhash64(slice_str(b)))
-    )
-    banded = signatures.select(
-        "id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_expr)
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(signatures, bands=bands,
+                          string_buckets=string_buckets)
     banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")

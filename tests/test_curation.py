@@ -247,3 +247,43 @@ def test_vocab_coverage_min_count_preserves_head(spark):
     cut = {r.top_k: (r.n_covered, r.coverage)
            for r in vocab_coverage(docs, ks=[1, 3], min_count=2).collect()}
     assert cut == full
+
+
+def test_minhash_index_near_dup_detection(spark, tmp_path):
+    """near_dup_against_index finds near-dups of at-rest docs from the
+    persisted signatures alone: verbatim copies score est_jaccard 1.0,
+    a lightly-edited copy (true jaccard ~0.71) crosses a 0.6
+    threshold, novel docs
+    produce no pair — and corpus text is never read back."""
+    from eventstorm_spark.extensions.curation import (
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = _docs(spark, [
+        (0, base, "a"),
+        (1, "totally different words entirely here now okay then", "a"),
+    ])
+    path = os.path.join(str(tmp_path), "mh_index")
+    write_minhash_index(corpus, path, num_hashes=64, bands=16)
+
+    edited = base.replace("epsilon", "EPSILON")  # 1-token edit
+    new = _docs(spark, [
+        (100, base, "b"),          # verbatim near-dup of 0
+        (101, edited, "b"),        # near-dup of 0
+        (102, "совершенно novel content nothing shared at all", "b"),
+    ])
+    pairs = {(r.new_id, r.corpus_id): r.est_jaccard
+             for r in near_dup_against_index(
+                 new, spark, path, threshold=0.6).collect()}
+    assert pairs[(100, 0)] == 1.0
+    assert (101, 0) in pairs and 0.6 <= pairs[(101, 0)] < 1.0
+    assert all(nid != 102 for nid, _ in pairs)
+
+    # the index at rest is signatures + buckets only, no text column
+    sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    assert set(sigs.columns) == {"id", "signature"}
+    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    assert set(buckets.columns) == {"id", "band", "bucket"}
