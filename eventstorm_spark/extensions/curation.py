@@ -204,6 +204,62 @@ def dedup_against_digest_index(new_docs: DataFrame, spark, index_path: str, *,
             .drop("__digest", "__keep_id"))
 
 
+def minhash_cross_pairs(new_docs: DataFrame, corpus: DataFrame, *,
+                        num_hashes: int = 64, bands: int = 16, n: int = 3,
+                        threshold: float = 0.8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        portable: bool = False) -> DataFrame:
+    """Near-duplicate pairs (new_id, corpus_id, jaccard) BETWEEN two
+    collections — the batch cross-snapshot near-dup check, exact-verified.
+
+    Same two-stage shape as ``dedup.minhash_near_duplicates``, but the
+    banded bucket join runs ACROSS the collections (new × corpus, never
+    new × new or corpus × corpus), so the candidate volume is bounded by
+    genuine cross-snapshot collisions. Verification computes the exact
+    shingle Jaccard on candidate docs only, semi-join-pruned on both
+    sides; ``portable=True`` switches all hashing to the md5 family so a
+    SQL oracle replays the exact candidate set. For recurring ingests
+    where the corpus side should not be re-shingled at all, use the
+    at-rest :func:`write_minhash_index` + :func:`near_dup_against_index`
+    instead (estimate-verified from stored signatures).
+    """
+    from eventstorm_spark.extensions.dedup import (
+        band_buckets, minhash_signatures, with_shingles,
+    )
+
+    sigs_new = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
+                                  text_col=text_col, id_col=id_col,
+                                  portable=portable)
+    sigs_old = minhash_signatures(corpus, num_hashes=num_hashes, n=n,
+                                  text_col=text_col, id_col=id_col,
+                                  portable=portable)
+    b_new = (band_buckets(sigs_new, bands=bands, string_buckets=portable)
+             .withColumnRenamed("id", "new_id"))
+    b_old = (band_buckets(sigs_old, bands=bands, string_buckets=portable)
+             .withColumnRenamed("id", "corpus_id"))
+    cands = (b_new.join(b_old, ["band", "bucket"])
+             .select("new_id", "corpus_id").distinct())
+    new_cand = new_docs.join(
+        cands.select(F.col("new_id").alias("cid")).distinct(),
+        new_docs[id_col] == F.col("cid"), "left_semi")
+    old_cand = corpus.join(
+        cands.select(F.col("corpus_id").alias("cid")).distinct(),
+        corpus[id_col] == F.col("cid"), "left_semi")
+    sh_new = (with_shingles(new_cand, n, text_col, id_col)
+              .select(F.col("id").alias("new_id"),
+                      F.col("shingles").alias("sh_a")))
+    sh_old = (with_shingles(old_cand, n, text_col, id_col)
+              .select(F.col("id").alias("corpus_id"),
+                      F.col("shingles").alias("sh_b")))
+    return (cands.join(sh_new, "new_id").join(sh_old, "corpus_id")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard", F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard"))
+
+
 def write_minhash_index(corpus: DataFrame, path: str, *,
                         num_hashes: int = 64, bands: int = 16, n: int = 3,
                         text_col: str = "text",

@@ -2135,6 +2135,28 @@ def q_source_composition(spark, sf_dir):
     return source_composition(load(spark, sf_dir, "documents"))
 
 
+def q_near_dup_incremental(spark, sf_dir):
+    """Cross-snapshot NEAR-dup check: a synthetic recrawl batch — every
+    src0 doc with a 3-token tail appended under a shifted id (jaccard
+    ~0.9 vs its original) plus the src19 docs (novel vs the rest) —
+    banded-MinHash joined ACROSS collections against the src19-free
+    corpus, candidates verified by exact shingle Jaccard. Portable md5
+    hashing end-to-end, so the oracle replays signatures, banding,
+    candidates AND the verification bit-for-bit."""
+    from eventstorm_spark.extensions.curation import minhash_cross_pairs
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src19")
+    new_batch = (
+        docs.where(F.col("source") == "src0")
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" recrawl marker tail"))
+                .alias("text"))
+        .unionByName(docs.where(F.col("source") == "src19")
+                     .select("doc_id", "text")))
+    return minhash_cross_pairs(new_batch, corpus, threshold=0.8,
+                               portable=True)
+
+
 def q_dataset_profile(spark, sf_dir):
     """Generic per-column profile of the documents table (null fraction,
     distinct count, min/max as strings) — computed in ONE aggregate pass
@@ -3203,6 +3225,73 @@ def _profile_oracle(cols: list[str]) -> str:
 _EXT_ORACLES["dataset_profile"] = _profile_oracle(
     ["doc_id", "text", "lang", "source", "n_chars"])
 
+_EXT_ORACLES["near_dup_incremental"] = r"""
+    WITH newdocs AS (
+        SELECT doc_id + 100000 AS doc_id,
+               concat(text, ' recrawl marker tail') AS text
+        FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE source = 'src19'),
+    olddocs AS (
+        SELECT doc_id, text FROM documents WHERE source <> 'src19'),
+    tn AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM newdocs),
+    shn AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+            FROM tn),
+    to_ AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM olddocs),
+    sho AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+            FROM to_),
+    exn AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+    exo AS (SELECT doc_id, unnest(shingles) AS shingle FROM sho),
+    hxn AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15))
+                        AS BIGINT) AS h1,
+                   CAST(concat('0x', substr(md5(shingle), 16, 13))
+                        AS BIGINT) AS h2
+            FROM exn),
+    hxo AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15))
+                        AS BIGINT) AS h1,
+                   CAST(concat('0x', substr(md5(shingle), 16, 13))
+                        AS BIGINT) AS h2
+            FROM exo),
+    hn AS (SELECT doc_id, i, min((h1 + i * h2) & 1152921504606846975) AS h
+           FROM hxn CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+    ho AS (SELECT doc_id, i, min((h1 + i * h2) & 1152921504606846975) AS h
+           FROM hxo CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+    sgn AS (SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig
+            FROM hn GROUP BY doc_id),
+    sgo AS (SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig
+            FROM ho GROUP BY doc_id),
+    bn AS (SELECT doc_id, b,
+                  array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bucket
+           FROM sgn CROSS JOIN range(16) r(b)),
+    bo AS (SELECT doc_id, b,
+                  array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bucket
+           FROM sgo CROSS JOIN range(16) r(b)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM bn a JOIN bo c ON a.b = c.b AND a.bucket = c.bucket),
+    szn AS (SELECT doc_id, len(shingles) AS n FROM shn),
+    szo AS (SELECT doc_id, len(shingles) AS n FROM sho),
+    common AS (
+        SELECT c.new_id, c.corpus_id, count(*) AS c
+        FROM cands c
+        JOIN exn a ON a.doc_id = c.new_id
+        JOIN exo b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+        GROUP BY c.new_id, c.corpus_id)
+    SELECT new_id, corpus_id,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN szn sa ON new_id = sa.doc_id
+    JOIN szo sb ON corpus_id = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8"""
+
 
 # ---------------------------------------------------------------------------
 # assembly
@@ -3245,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "source_composition": q_source_composition,
         "dataset_profile": q_dataset_profile,
+        "near_dup_incremental": q_near_dup_incremental,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3275,9 +3365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
         "head_revisions": q_head_revisions,
-        "proj_first_last": q_proj_first_last,
         # ---- driver window ends here (50 entries) ----
         # -- r4/r5-green, rotated out of the window --
+        "proj_first_last": q_proj_first_last,
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,
         "read_all_last_event": q_read_all_last_event,

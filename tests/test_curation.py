@@ -287,3 +287,23 @@ def test_minhash_index_near_dup_detection(spark, tmp_path):
     assert set(sigs.columns) == {"id", "signature"}
     buckets = spark.read.parquet(os.path.join(path, "buckets"))
     assert set(buckets.columns) == {"id", "band", "bucket"}
+
+
+def test_minhash_cross_pairs_between_collections(spark):
+    """Cross-collection near-dup: a doc similar to a corpus doc pairs
+    with it; in-collection duplicates never pair (new x new and
+    corpus x corpus are excluded by construction)."""
+    from eventstorm_spark.extensions.curation import minhash_cross_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = _docs(spark, [(0, base, "a"), (1, base, "a")])  # corpus-internal dup
+    new = _docs(spark, [
+        (100, base + " tail", "b"),
+        (101, base + " tail", "b"),   # new-internal dup
+        (102, "nothing shared with anything at all here folks", "b"),
+    ])
+    pairs = {(r.new_id, r.corpus_id): r.jaccard
+             for r in minhash_cross_pairs(new, corpus, threshold=0.8).collect()}
+    assert set(pairs) == {(100, 0), (100, 1), (101, 0), (101, 1)}
+    assert all(0.8 <= j < 1.0 for j in pairs.values())
