@@ -310,7 +310,8 @@ def test_dedup_family_has_no_forced_broadcasts(spark, sf_dir):
     optimized logical plan — Catalyst/AQE still picks broadcast at
     runtime when the side is genuinely small."""
     for name in ["near_dup_ngram_jaccard", "dedup_minhash_lsh",
-                 "dedup_embedding_lsh", "near_dup_containment"]:
+                 "dedup_embedding_lsh", "near_dup_containment",
+                 "near_dup_incremental"]:
         df = inventory.queries()[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" not in logical, name
