@@ -1187,6 +1187,79 @@ def q_nation_profit_by_year(spark, sf_dir):
     )
 
 
+def q_regional_supplier_volume(spark, sf_dir):
+    """Q5-shaped: revenue per nation inside one region, counted only
+    where the supplier and the customer share the nation — the classic
+    6-table join (lineitem, orders, customer, supplier, nation, region).
+    Both dimension chains ride broadcast joins off the fixed-cardinality
+    nation/region tables; customer joins hint-free (sf-scaled; Catalyst/
+    AQE broadcasts while it fits); the only corpus-scale exchange is
+    lineitem⋈orders."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp_in = (supp.join(F.broadcast(nation),
+                         supp.s_nationkey == nation.n_nationkey)
+               .join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey)
+               .where(F.col("r_name") == "ASIA")
+               .select("s_suppkey", "n_name",
+                       F.col("s_nationkey").alias("__snk")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_in, li.l_suppkey == supp_in.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == F.col("__snk")))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18, 6)")), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """Q8-shaped: NATION_2's share of supplier revenue in ASIA's
+    customer market per order year. Numerator and denominator ride ONE
+    pass as a conditional sum — no second scan, no self-join; dimension
+    chains broadcast off nation/region."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust_in = (cust.join(F.broadcast(nation),
+                         cust.c_nationkey == nation.n_nationkey)
+               .join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey)
+               .where(F.col("r_name") == "ASIA")
+               .select("c_custkey"))
+    supp_n = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18, 6)")
+    target = F.when(F.col("supp_nation") == "NATION_2", rev) \
+        .otherwise(F.lit(0).cast("decimal(18, 6)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in, orders.o_custkey == cust_in.c_custkey, "left_semi")
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        # ratio of two decimal-exact sums, divided as doubles — decimal
+        # division scale rules differ across engines, double division
+        # does not
+        .agg(F.round(F.sum(target), 2).cast("double").alias("__n"),
+             F.round(F.sum(rev), 2).cast("double").alias("__d"))
+        .select("o_year",
+                F.round(F.col("__n") / F.col("__d"), 6).alias("mkt_share"))
+    )
+
+
 def q_top_returning_customers(spark, sf_dir):
     """Q10-shaped: top-20 customers by returned-lineitem revenue with
     nation detail — join + agg + global top-k (TakeOrderedAndProject,
@@ -1298,6 +1371,36 @@ _REL_ORACLES = {
         JOIN nation ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%red%'
         GROUP BY 1, 2""",
+    "regional_supplier_volume": """
+        SELECT n_name AS nation,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1""",
+    "market_share": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(CAST(round(sum(CASE WHEN sn.n_name = 'NATION_2'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18, 6))
+                         ELSE CAST(0 AS DECIMAL(18, 6)) END), 2) AS DOUBLE)
+                   / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18, 6))), 2) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        GROUP BY 1""",
     "top_returning_customers": """
         SELECT c_custkey, c_name, n_name, c_acctbal,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3358,15 +3461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "nation_trade_flows": q_nation_trade_flows,
         "nation_profit_by_year": q_nation_profit_by_year,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "market_share": q_market_share,
         "top_returning_customers": q_top_returning_customers,
         "vocab_stats": q_vocab_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
-        "system_by_category": q_system_by_category,
-        "proj_emit_enriched": q_proj_emit_enriched,
         "head_revisions": q_head_revisions,
         # ---- driver window ends here (50 entries) ----
         # -- r4/r5-green, rotated out of the window --
+        "system_by_category": q_system_by_category,
+        "proj_emit_enriched": q_proj_emit_enriched,
         "proj_first_last": q_proj_first_last,
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,

@@ -413,3 +413,13 @@ def test_source_composition_has_partial_aggregation(q):
     plan = q("source_composition")
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_q5_q8_shapes_broadcast_dimensions(q):
+    """Q5/Q8 analogues: every dimension chain (nation/region/supplier
+    subsets) builds broadcast hash joins; no Python stages; only the
+    fact-fact lineitem⋈orders join may shuffle."""
+    for name in ["regional_supplier_volume", "market_share"]:
+        plan = q(name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
