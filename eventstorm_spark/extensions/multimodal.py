@@ -25,6 +25,7 @@ import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -140,10 +141,10 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse a binary PPM (P6) payload: header token scan (whitespace +
-    ``#`` comments per the netpbm spec), then per-channel byte sums over
-    the raster. Exact-integer stats, like the WAV decoder."""
+def _ppm_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload to (width, height, rgb raster):
+    header token scan (whitespace + ``#`` comments per the netpbm
+    spec), then the raw raster bytes."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     tokens: list[int] = []
@@ -169,14 +170,24 @@ def decode_ppm(payload: bytes) -> dict:
     raster = payload[pos:pos + width * height * 3]
     if len(raster) != width * height * 3:
         raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
+def _rgb_stats(width: int, height: int, rgb: bytes) -> dict:
     return {
         "width": width,
         "height": height,
         "n_pixels": width * height,
-        "sum_r": sum(raster[0::3]),
-        "sum_g": sum(raster[1::3]),
-        "sum_b": sum(raster[2::3]),
+        "sum_r": sum(rgb[0::3]),
+        "sum_g": sum(rgb[1::3]),
+        "sum_b": sum(rgb[2::3]),
     }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) payload and return exact-integer
+    per-channel stats, like the WAV decoder."""
+    return _rgb_stats(*_ppm_rgb(payload))
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -241,15 +252,13 @@ def encode_png(width: int, height: int, rgb: bytes, *,
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse a PNG payload with the stdlib only: chunk walk with CRC
-    verification, zlib inflate of the concatenated IDAT stream, and
-    scanline defiltering for all five filter types (None/Sub/Up/
-    Average/Paeth — RFC 2083 §6). Supports 8-bit RGB non-interlaced,
-    the shape :func:`encode_png` writes; other color types raise
-    NotImplementedError. Returns the same exact-integer stat dict as
-    :func:`decode_ppm`, so the two image codecs share a decode-meta
-    pass and oracle shape."""
+def _png_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG payload to (width, height, rgb raster) with the
+    stdlib only: chunk walk with CRC verification, zlib inflate of the
+    concatenated IDAT stream, and scanline defiltering for all five
+    filter types (None/Sub/Up/Average/Paeth — RFC 2083 §6). Supports
+    8-bit RGB non-interlaced, the shape :func:`encode_png` writes;
+    other color types raise NotImplementedError."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -305,14 +314,28 @@ def decode_png(payload: bytes) -> dict:
             line[i] = v
         rgb += line
         prior = bytes(line)
-    return {
-        "width": width,
-        "height": height,
-        "n_pixels": width * height,
-        "sum_r": sum(rgb[0::3]),
-        "sum_g": sum(rgb[1::3]),
-        "sum_b": sum(rgb[2::3]),
-    }
+    return width, height, bytes(rgb)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a PNG payload (see :func:`_png_rgb`) and return the same
+    exact-integer stat dict as :func:`decode_ppm`, so the two image
+    codecs share a decode-meta pass and oracle shape."""
+    return _rgb_stats(*_png_rgb(payload))
+
+
+def resize_rgb_nearest(width: int, height: int, rgb: bytes,
+                       new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor RGB resample: src index = (dst_index * src_dim)
+    // dst_dim — the deterministic integer mapping, identical on every
+    engine/platform (no float rounding). Vectorized as two numpy fancy
+    index gathers."""
+    if new_width < 1 or new_height < 1:
+        raise ValueError("target dimensions must be >= 1")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    iy = (np.arange(new_height) * height) // new_height
+    ix = (np.arange(new_width) * width) // new_width
+    return arr[iy][:, ix].tobytes()
 
 
 def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -532,3 +555,55 @@ def frame_sample(assets: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
         assets.where(F.col("modality") == "video")
         .select("asset_id", F.posexplode(offsets).alias("frame_no", "byte_offset"))
     )
+
+
+def resize_images(assets: DataFrame, *, width: int, height: int,
+                  out_format: str = "ppm") -> DataFrame:
+    """Resize every image payload to (width, height) with deterministic
+    nearest-neighbor resampling — the thumbnail/normalize pass a
+    multimodal training pipeline runs before feature extraction.
+
+    Arrow-batched ``mapInPandas``: each batch sniffs the payload magic
+    (PPM P6 or PNG — the formats the stdlib codecs decode), resamples
+    via two numpy index gathers (:func:`resize_rgb_nearest`), and
+    re-encodes as PPM (default, zero-cost) or PNG. Returns
+    (asset_id, src_width, src_height, width, height, payload, sum_r/g/b
+    of the RESIZED raster) — the stats make the resample verifiable
+    without re-decoding. Unknown formats raise NotImplementedError like
+    the rest of real mode. Embarrassingly parallel; payload-local; no
+    shuffle."""
+    if out_format not in ("ppm", "png"):
+        raise ValueError("out_format must be 'ppm' or 'png'")
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), False),
+        T.StructField("src_height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ])
+    encode = encode_ppm if out_format == "ppm" else encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                payload = bytes(payload)
+                if payload[:2] == b"P6":
+                    sw, sh, rgb = _ppm_rgb(payload)
+                elif payload[:8] == PNG_SIG:
+                    sw, sh, rgb = _png_rgb(payload)
+                else:
+                    raise NotImplementedError(
+                        "no stdlib raster codec for payload magic "
+                        f"{payload[:4]!r}")
+                out = resize_rgb_nearest(sw, sh, rgb, width, height)
+                recs.append((int(aid), sw, sh, width, height,
+                             encode(width, height, out),
+                             sum(out[0::3]), sum(out[1::3]), sum(out[2::3])))
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    return assets.select("asset_id", "content").mapInPandas(run, out_schema)

@@ -307,3 +307,43 @@ def test_minhash_cross_pairs_between_collections(spark):
              for r in minhash_cross_pairs(new, corpus, threshold=0.8).collect()}
     assert set(pairs) == {(100, 0), (100, 1), (101, 0), (101, 1)}
     assert all(0.8 <= j < 1.0 for j in pairs.values())
+
+
+def test_resize_images_nearest_exact(spark):
+    """Nearest-neighbor resize: exact integer index mapping, verified
+    pixel-for-pixel on upsample (2x2 -> 4x4) and downsample (4x4 -> 2x2),
+    through the Spark mapInPandas path, for both PPM and PNG inputs."""
+    from eventstorm_spark.extensions.multimodal import (
+        _ppm_rgb,
+        encode_png,
+        encode_ppm,
+        resize_images,
+        resize_rgb_nearest,
+    )
+
+    # 2x2: R G / B W
+    px = {"R": b"\xff\x00\x00", "G": b"\x00\xff\x00",
+          "B": b"\x00\x00\xff", "W": b"\xff\xff\xff"}
+    rgb2 = px["R"] + px["G"] + px["B"] + px["W"]
+    up = resize_rgb_nearest(2, 2, rgb2, 4, 4)
+    rows = [up[i * 12:(i + 1) * 12] for i in range(4)]
+    assert rows[0] == px["R"] * 2 + px["G"] * 2
+    assert rows[3] == px["B"] * 2 + px["W"] * 2
+    # downsample picks source pixels (0,0),(0,2),(2,0),(2,2)
+    rgb4 = b"".join(bytes([i] * 3) for i in range(16))  # 4x4 gray ramp
+    down = resize_rgb_nearest(4, 4, rgb4, 2, 2)
+    assert list(down[0::3]) == [0, 2, 8, 10]
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(2, 2, rgb2)), None),
+         (2, "image", bytearray(encode_png(2, 2, rgb2)), None)],
+        "asset_id long, modality string, content binary, meta map<string,string>")
+    out = {r.asset_id: r for r in
+           resize_images(assets, width=4, height=4).collect()}
+    for aid in (1, 2):
+        r = out[aid]
+        assert (r.src_width, r.src_height, r.width, r.height) == (2, 2, 4, 4)
+        w, h, raster = _ppm_rgb(bytes(r.payload))
+        assert (w, h) == (4, 4) and raster == up
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            sum(up[0::3]), sum(up[1::3]), sum(up[2::3]))
