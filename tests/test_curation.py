@@ -347,3 +347,23 @@ def test_resize_images_nearest_exact(spark):
         assert (w, h) == (4, 4) and raster == up
         assert (r.sum_r, r.sum_g, r.sum_b) == (
             sum(up[0::3]), sum(up[1::3]), sum(up[2::3]))
+
+
+def test_resize_identity_and_roundtrip_properties():
+    """Pure-function properties (no Spark): resizing to the same size is
+    the identity; upsampling by an integer factor then downsampling back
+    returns the original raster (nearest-neighbor with the floor index
+    map is exact on integer multiples)."""
+    import random
+
+    from eventstorm_spark.extensions.multimodal import resize_rgb_nearest
+
+    rng = random.Random(42)
+    for _ in range(20):
+        w, h = rng.randint(1, 12), rng.randint(1, 12)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert resize_rgb_nearest(w, h, rgb, w, h) == rgb
+        for f in (2, 3):
+            up = resize_rgb_nearest(w, h, rgb, w * f, h * f)
+            back = resize_rgb_nearest(w * f, h * f, up, w, h)
+            assert back == rgb, (w, h, f)
