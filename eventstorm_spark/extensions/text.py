@@ -102,6 +102,101 @@ def fingerprints(docs: DataFrame, *, n: int = 3, text_col: str = "text",
             .agg(F.min(F.md5("shingle")).alias("fingerprint")))
 
 
+def positional_shingle_hashes(docs: DataFrame, *, n: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              portable: bool = False) -> DataFrame:
+    """(doc_id, pos, h, n_sh): the hash of the word n-gram starting at
+    every token position, in document order — the positional twin of
+    ``dedup.shingle_rows`` (which dedupes and drops positions). Same
+    plan skeleton: posexplode + lead() window per document, everything
+    codegen'd; the one exchange is the per-document window hash
+    partition. Docs shorter than ``n`` tokens yield their single
+    truncated shingle at pos 0. ``portable=True`` hashes with the
+    md5-derived 60-bit family so a SQL oracle replays exactly."""
+    from pyspark.sql import Window as _W
+
+    from eventstorm_spark.extensions.dedup import portable_hash60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(toks).alias("pos", "t0"))
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    full = tok.select("doc_id", "pos", "t0", *leads)
+    last = f"t{n - 1}"
+    sh = (full.where(F.col(last).isNotNull() | (F.col("pos") == 0))
+          .select("doc_id", "pos",
+                  F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("sh")))
+    h = portable_hash60(F.col("sh")) if portable else F.xxhash64("sh")
+    cnt = F.count(F.lit(1)).over(_W.partitionBy("doc_id"))
+    return sh.select("doc_id", "pos", h.alias("h"), cnt.alias("n_sh"))
+
+
+def winnow_fingerprints(docs: DataFrame, *, n: int = 3, window: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        portable: bool = False) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, MOSS): select each sliding
+    window's minimum shingle hash as a LOCAL fingerprint —
+    (doc_id, pos, fingerprint) rows. Guarantee: any shared token run of
+    length >= window + n - 1 between two documents produces at least
+    one shared fingerprint, which is what makes this the
+    substring-level complement of global MinHash (which only sees
+    whole-document similarity).
+
+    A position p is selected iff its hash is the minimum of SOME full
+    window containing p (all argmin positions on ties — deterministic
+    and engine-portable, unlike rightmost-tie winnowing which needs
+    argmin-over-frame semantics engines disagree on). Expressed as two
+    window passes over the SAME per-document partitioning (no second
+    exchange): the trailing full-window min m[e], then a forward max of
+    m over the windows ending at [p, p+window-1] — since m[e] <= h[p]
+    for every window containing p, ``h[p] == max(m[e])`` holds exactly
+    when p is some window's argmin. Docs with fewer shingles than the
+    window form one whole-doc window. Fingerprint density ~2/(window+1)
+    of positions."""
+    from pyspark.sql import Window as _W
+
+    ph = positional_shingle_hashes(docs, n=n, text_col=text_col,
+                                   id_col=id_col, portable=portable)
+    by_pos = _W.partitionBy("doc_id").orderBy("pos")
+    m = F.min("h").over(by_pos.rowsBetween(-(window - 1), 0))
+    m_full = F.when(F.col("pos") >= window - 1, m)  # only full windows
+    with_m = ph.withColumn("__m", m_full)
+    mmax = F.max("__m").over(by_pos.rowsBetween(0, window - 1))
+    gmin = F.min("h").over(_W.partitionBy("doc_id"))
+    return (with_m
+            .withColumn("__mmax", mmax)
+            .withColumn("__gmin", gmin)
+            .where(F.when(F.col("n_sh") >= window,
+                          F.col("h") == F.col("__mmax"))
+                   .otherwise(F.col("h") == F.col("__gmin")))
+            .select("doc_id", "pos", F.col("h").alias("fingerprint"))
+            .distinct())
+
+
+def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
+                   min_shared: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   portable: bool = False) -> DataFrame:
+    """Local-overlap report: document pairs sharing >= ``min_shared``
+    distinct winnowing fingerprints, with the shared count — the
+    plagiarism/quotation detector. Blocked self-join on the fingerprint
+    (disjoint docs never meet), distinct fingerprints per doc first so
+    repeated passages inside one doc don't inflate counts."""
+    fp = (winnow_fingerprints(docs, n=n, window=window, text_col=text_col,
+                              id_col=id_col, portable=portable)
+          .select("doc_id", "fingerprint").distinct())
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
 def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Top-k TF-IDF terms per document over the whole corpus.

@@ -2238,6 +2238,26 @@ def q_source_composition(spark, sf_dir):
     return source_composition(load(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing local fingerprints (MOSS): per-document rolling-min
+    selection over positional 3-gram hashes, window 4 — guarantees any
+    shared token run >= 6 tokens yields a shared fingerprint. Portable
+    md5 hashing; one exchange total (the per-doc window partition, which
+    the rolling min reuses)."""
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+    return winnow_fingerprints(load(spark, sf_dir, "documents"),
+                               portable=True)
+
+
+def q_winnow_matches(spark, sf_dir):
+    """Substring-level overlap report: doc pairs sharing >= 2 distinct
+    winnowing fingerprints — the local-match complement of the global
+    MinHash near-dup queries. Blocked self-join on the fingerprint."""
+    from eventstorm_spark.extensions.text import winnow_matches
+    return winnow_matches(load(spark, sf_dir, "documents"),
+                          min_shared=2, portable=True)
+
+
 def q_near_dup_incremental(spark, sf_dir):
     """Cross-snapshot NEAR-dup check: a synthetic recrawl batch — every
     src0 doc with a 3-token tail appended under a shifted id (jaccard
@@ -3328,6 +3348,55 @@ def _profile_oracle(cols: list[str]) -> str:
 _EXT_ORACLES["dataset_profile"] = _profile_oracle(
     ["doc_id", "text", "lang", "source", "n_chars"])
 
+_WINNOW_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+    ps AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> struct_pack(
+                       pos := i - 1,
+                       h := CAST(concat('0x', substr(md5(
+                            concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15))
+                            AS BIGINT)))) AS s,
+               greatest(len(t) - 2, 1) AS n_sh
+        FROM toks),
+    flat AS (SELECT doc_id, CAST(s.pos AS INT) AS pos, s.h AS h, n_sh
+             FROM ps),
+    wm AS (
+        SELECT doc_id, pos, h, n_sh,
+               CASE WHEN pos >= 3 THEN
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               END AS m,
+               min(h) OVER (PARTITION BY doc_id) AS gmin
+        FROM flat),
+    sel AS (
+        SELECT doc_id, pos, h, n_sh, gmin,
+               max(m) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS mmax
+        FROM wm),
+    fp AS (
+        SELECT DISTINCT doc_id, pos, h AS fingerprint
+        FROM sel
+        WHERE CASE WHEN n_sh >= 4 THEN h = mmax ELSE h = gmin END)
+"""
+
+_EXT_ORACLES["winnow_fingerprints"] = _WINNOW_CTE + """
+    SELECT doc_id, pos, fingerprint FROM fp"""
+
+_EXT_ORACLES["winnow_matches"] = _WINNOW_CTE + """,
+    d AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.fingerprint = b.fingerprint
+                     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
+
 _EXT_ORACLES["near_dup_incremental"] = r"""
     WITH newdocs AS (
         SELECT doc_id + 100000 AS doc_id,
@@ -3438,6 +3507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_composition": q_source_composition,
         "dataset_profile": q_dataset_profile,
         "near_dup_incremental": q_near_dup_incremental,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_matches": q_winnow_matches,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3464,12 +3535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": q_regional_supplier_volume,
         "market_share": q_market_share,
         "top_returning_customers": q_top_returning_customers,
-        "vocab_stats": q_vocab_stats,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "head_revisions": q_head_revisions,
         # ---- driver window ends here (50 entries) ----
         # -- r4/r5-green, rotated out of the window --
+        "vocab_stats": q_vocab_stats,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
         "proj_first_last": q_proj_first_last,

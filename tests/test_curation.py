@@ -367,3 +367,73 @@ def test_resize_identity_and_roundtrip_properties():
             up = resize_rgb_nearest(w, h, rgb, w * f, h * f)
             back = resize_rgb_nearest(w * f, h * f, up, w, h)
             assert back == rgb, (w, h, f)
+
+
+def test_winnowing_guarantee_and_locality(spark):
+    """Winnowing's core guarantee: two documents sharing a token run of
+    length >= window + n - 1 (= 6 here) share at least one fingerprint;
+    documents with no shared 3-gram share none."""
+    from eventstorm_spark.extensions.text import winnow_fingerprints, winnow_matches
+
+    shared = "one two three four five six"   # 6-token shared run
+    docs = _docs(spark, [
+        (0, f"alpha beta {shared} gamma delta", "s"),
+        (1, f"zeta {shared} eta theta iota kappa", "s"),
+        (2, "nothing here overlaps with those at all", "s"),
+    ])
+    fp = winnow_fingerprints(docs, n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    pairs = {(r.id_a, r.id_b) for r in
+             winnow_matches(docs, n=3, window=4, min_shared=1).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_winnowing_matches_reference_implementation(spark):
+    """The two-window-pass SQL formulation must select EXACTLY the set
+    {argmin positions of every full window} (all argmins on ties) that
+    a direct per-window scan selects — randomized docs, plus the
+    guarantee that every full window contains a selected position."""
+    import random
+
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+    from eventstorm_spark.extensions.dedup import portable_hash60  # noqa: F401
+
+    rng = random.Random(7)
+    W, N = 4, 3
+    vocab = [f"w{i}" for i in range(6)]  # small vocab -> hash ties likely
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))), "s")
+            for i in range(40)]
+    docs = _docs(spark, rows)
+    got = {}
+    for r in winnow_fingerprints(docs, n=N, window=W).collect():
+        got.setdefault(r.doc_id, set()).add(r.pos)
+
+    import pyspark.sql.functions as F
+    from eventstorm_spark.extensions.text import positional_shingle_hashes
+    ph = positional_shingle_hashes(docs, n=N)
+    by_doc = {}
+    for r in ph.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.h))
+    for doc_id, hs in by_doc.items():
+        hs.sort()
+        h = [x for _, x in hs]
+        n = len(h)
+        want = set()
+        if n < W:
+            mn = min(h)
+            want = {p for p in range(n) if h[p] == mn}
+        else:
+            for e in range(W - 1, n):
+                wnd = h[e - W + 1:e + 1]
+                mn = min(wnd)
+                for off, v in enumerate(wnd):
+                    if v == mn:
+                        want.add(e - W + 1 + off)
+                # guarantee: the selected set intersects every window
+                assert any(p in got.get(doc_id, set())
+                           for p in range(e - W + 1, e + 1)), (doc_id, e)
+        assert got.get(doc_id, set()) == want, doc_id
