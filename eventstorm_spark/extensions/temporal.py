@@ -69,3 +69,39 @@ def range_join(left: DataFrame, right: DataFrame, *, on: str,
         r, (left[on] == r[f"__r_{on}"])
         & (left[left_ts] >= r[lower]) & (left[left_ts] <= r[upper]))
     return out.drop(f"__r_{on}")
+
+
+def sessionize(events: DataFrame, *, gap: str = "30 minutes",
+               key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window``: one
+    session per maximal run of events with inter-event gaps below
+    ``gap``, per key. Returns (key, session_start, session_end,
+    n_events) where session_end = last event time + gap (Spark's
+    session_window close semantics).
+
+    The point of the native form over the lag+cumsum formulation (the
+    ``events_sessionization`` query): the SAME expression runs in
+    Structured Streaming — with a watermark, sessions merge across
+    micro-batches in the state store and emit on close (append mode) —
+    so batch backfills and the live pipeline cannot drift. Batch plan:
+    one exchange on the key, sessions assembled by the session-window
+    aggregation's merging buffers.
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (events.groupBy(sw.alias("session"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key_col,
+                    F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "n_events"))
+
+
+def streaming_sessionize(events_stream: DataFrame, *, gap: str = "30 minutes",
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         watermark_delay: str = "1 minute") -> DataFrame:
+    """The streaming twin of :func:`sessionize`: watermark + native
+    session_window. State is bounded by the watermark — a session's
+    state is dropped once the watermark passes its close — and closed
+    sessions emit exactly once in append mode."""
+    wm = events_stream.withWatermark(ts_col, watermark_delay)
+    return sessionize(wm, gap=gap, key_col=key_col, ts_col=ts_col)

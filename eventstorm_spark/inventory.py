@@ -966,6 +966,19 @@ def q_events_sessionization(spark, sf_dir):
     )
 
 
+def q_events_session_native(spark, sf_dir):
+    """Native session_window sessionization — the same 30-min-gap
+    semantics as events_sessionization, but via Spark's session-window
+    aggregation, which runs IDENTICALLY under Structured Streaming
+    (watermark + append mode; see temporal.streaming_sessionize), so
+    batch backfill and live pipeline cannot drift. Oracle replays with
+    the lag+cumsum formulation — equality of the two is itself the
+    check that the native operator implements the documented gap
+    semantics."""
+    from eventstorm_spark.extensions.temporal import sessionize
+    return sessionize(load(spark, sf_dir, "events"), gap="30 minutes")
+
+
 def q_events_rolling_avg(spark, sf_dir):
     """Rolling window frame: 4-event moving average of `value` per
     stream, ordered by time."""
@@ -1539,6 +1552,23 @@ _REL_ORACLES = {
             FROM g)
         SELECT user_id, session_no, count(*) AS n_events,
                round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_no""",
+    "events_session_native": """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM g)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_no""",
     "events_rolling_avg": """
         SELECT event_id, user_id,
@@ -3509,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_incremental": q_near_dup_incremental,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_matches": q_winnow_matches,
+        "events_session_native": q_events_session_native,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3535,10 +3566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": q_regional_supplier_volume,
         "market_share": q_market_share,
         "top_returning_customers": q_top_returning_customers,
-        "tpch_q1": q_tpch_q1,
         "head_revisions": q_head_revisions,
         # ---- driver window ends here (50 entries) ----
         # -- r4/r5-green, rotated out of the window --
+        "tpch_q1": q_tpch_q1,
         "vocab_stats": q_vocab_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "system_by_category": q_system_by_category,

@@ -437,3 +437,52 @@ def test_winnowing_matches_reference_implementation(spark):
                 assert any(p in got.get(doc_id, set())
                            for p in range(e - W + 1, e + 1)), (doc_id, e)
         assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
+    """Native session-window sessionization under Structured Streaming:
+    events split across micro-batches merge into one session in the
+    state store; sessions emit once closed by the watermark, with the
+    same (start, end=last+gap, count) the batch form computes."""
+    import datetime
+
+    from eventstorm_spark.extensions.temporal import sessionize, streaming_sessionize
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    schema = "user_id long, ts timestamp"
+    feed = os.path.join(str(tmp_path), "events")
+    os.makedirs(feed)
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+
+    # session A: events at 0 and 10 min (split across two batches);
+    # then a distant event at 120 min closes it past the watermark
+    push([(1, ts(0))])
+    src = spark.readStream.schema(schema).parquet(feed)
+    out = streaming_sessionize(src, gap="30 minutes", key_col="user_id",
+                               ts_col="ts", watermark_delay="1 minute")
+    seen = []
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: seen.extend(b.collect())).start())
+    try:
+        q.processAllAvailable()
+        push([(1, ts(10))])          # merges into the open session
+        q.processAllAvailable()
+        assert seen == []            # session still open — nothing emitted
+        push([(1, ts(120))])         # watermark advances past the close
+        q.processAllAvailable()
+        assert [(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in seen] == [(1, ts(0), ts(40), 2)]
+    finally:
+        q.stop()
+    # batch twin over the full feed agrees on the closed session
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events)
+             for r in sessionize(spark.read.parquet(feed),
+                                 gap="30 minutes").collect()}
+    assert (1, ts(0), ts(40), 2) in batch
