@@ -282,8 +282,14 @@ def write_minhash_index(corpus: DataFrame, path: str, *,
                               text_col=text_col, id_col=id_col)
     sigs = sigs.localCheckpoint(eager=False)  # feeds both writes
     sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    # repartition by (band, bucket), not band alone: band cardinality is
+    # the band count (16ish), which would cap the write at 16 tasks — a
+    # bottleneck on a corpus-scale index. Hashing the bucket in keeps
+    # full writer parallelism; each band directory gets one file per
+    # task that holds rows of that band, bounded by the shuffle
+    # parallelism rather than n_tasks x bands.
     (band_buckets(sigs, bands=bands)
-     .repartition("band")
+     .repartition("band", "bucket")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))
 
