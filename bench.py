@@ -80,10 +80,13 @@ HEADLINE = [
     "training_mix_pipeline",
     "bpe_merges",
     # round 6: curation suite (shard routing, digest anti-join dedup,
-    # dataset-card composition)
+    # dataset-card composition), winnowing local fingerprints, native
+    # session windows
     "shard_manifest",
     "dedup_incremental",
     "source_composition",
+    "winnow_matches",
+    "events_session_native",
 ]
 
 
