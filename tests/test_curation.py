@@ -486,3 +486,42 @@ def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
              for r in sessionize(spark.read.parquet(feed),
                                  gap="30 minutes").collect()}
     assert (1, ts(0), ts(40), 2) in batch
+
+
+def test_decontaminate_and_epoch_plan_and_curriculum(spark):
+    """Unit behavior of the three mix-planning closers: decontaminate
+    drops exactly the overlapping train docs; epoch_plan conserves the
+    token budget and upweights small sources; curriculum_order stages
+    partition the corpus with deterministic within-stage keys."""
+    from eventstorm_spark.extensions.pipeline import (
+        curriculum_order,
+        decontaminate,
+        epoch_plan,
+    )
+
+    train = _docs(spark, [
+        (0, "one two three four five six seven", "a"),
+        (1, "totally clean text nothing shared at all", "a"),
+    ])
+    test = _docs(spark, [(100, "zz one two three four five qq", "t")])
+    kept = sorted(r.doc_id for r in decontaminate(train, test, n=5).collect())
+    assert kept == [1]
+
+    docs = _docs(spark, [(0, "a " * 90, "big"), (1, "b " * 10, "small")])
+    plan = {r.source: r for r in
+            epoch_plan(docs, alpha=0.5, token_budget=1000).collect()}
+    assert abs(plan["big"].target_tokens + plan["small"].target_tokens
+               - 1000) < 0.05  # budget conserved
+    assert plan["small"].epochs > plan["big"].epochs  # small upweighted
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "doc_id long, avg_logprob double")
+    cur = curriculum_order(scored, n_stages=4)
+    stages = {r.doc_id: r.stage for r in cur.collect()}
+    assert set(stages.values()) == {1, 2, 3, 4}
+    assert stages[0] == 1 and stages[39] == 4
+    # deterministic: same keys on re-run
+    again = {r.doc_id: r.order_key for r in
+             curriculum_order(scored, n_stages=4).collect()}
+    first = {r.doc_id: r.order_key for r in cur.collect()}
+    assert again == first
