@@ -701,3 +701,35 @@ def repeated_passages(docs: DataFrame, *, seg_tokens: int = 10,
     # No forced broadcast on freq (unbounded repeated-segment table).
     return (ex.join(freq, "segment")
             .select(id_col, "seg_no", "segment", "n_docs"))
+
+
+def linear_quality_score(docs: DataFrame, *, weights: dict | None = None,
+                         bias: float = 0.0, threshold: float = 0.5,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality filtering: a linear classifier (the
+    fasttext-style quality-filter deployment shape) over the
+    :func:`quality_features` signals — score = sigmoid(w.x + b),
+    keep = score >= threshold.
+
+    The weights are a deployment input (trained offline); the operator
+    is the SCORING PLAN: a pure row-local codegen expression over one
+    corpus scan — no UDF, no shuffle, embarrassingly parallel, exactly
+    what "run the quality model over 100 TB" compiles to when the model
+    is linear. Feature values are the rounded quality_features columns,
+    so the score is engine-reproducible to the rounding precision.
+    Returns (doc_id, quality_score, kept).
+    """
+    weights = weights if weights is not None else {
+        "n_tokens": 0.02, "avg_token_len": -0.3,
+        "punct_ratio": -4.0, "upper_ratio": -2.0,
+        "stopword_distinct_ratio": 3.0,
+    }
+    feats = quality_features(docs, text_col=text_col, id_col=id_col)
+    z = F.lit(float(bias))
+    for col, w in sorted(weights.items()):
+        z = z + F.lit(float(w)) * F.col(col)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (feats.select(id_col, score.alias("quality_score"))
+            .withColumn("kept", (F.col("quality_score")
+                                 >= F.lit(float(threshold))).cast("int")))

@@ -2268,6 +2268,17 @@ def q_source_composition(spark, sf_dir):
     return source_composition(load(spark, sf_dir, "documents"))
 
 
+def q_model_quality_score(spark, sf_dir):
+    """Model-based quality filtering deployment shape: a linear
+    classifier (fixed weights — the trained artifact is an input, the
+    operator is the scoring plan) over the quality_features signals,
+    sigmoid score + threshold keep flag. Pure row-local codegen on one
+    scan; the oracle recomputes feature -> dot product -> sigmoid
+    exactly (features are pre-rounded, taming libm exp divergence)."""
+    from eventstorm_spark.extensions.text import linear_quality_score
+    return linear_quality_score(load(spark, sf_dir, "documents"))
+
+
 def q_decontaminated_counts(spark, sf_dir):
     """The decontamination REMOVAL step the split_contamination report
     feeds: per-source train counts before/after dropping every train doc
@@ -3421,6 +3432,33 @@ def _profile_oracle(cols: list[str]) -> str:
 _EXT_ORACLES["dataset_profile"] = _profile_oracle(
     ["doc_id", "text", "lang", "source", "n_chars"])
 
+_EXT_ORACLES["model_quality_score"] = r"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))
+                     * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+                   AS avg_token_len,
+               round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                     / length(text), 6) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+                     / length(text), 6) AS upper_ratio,
+               round(len(list_intersect(string_split_regex(trim(text), '\s+'),
+                     ['the','a','of','and','to','in','is','it'])) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS stopword_distinct_ratio
+        FROM documents),
+    z AS (
+        SELECT doc_id,
+               0.0 + (-0.3) * avg_token_len + 0.02 * n_tokens
+                   + (-4.0) * punct_ratio
+                   + 3.0 * stopword_distinct_ratio
+                   + (-2.0) * upper_ratio AS zz
+        FROM f)
+    SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS quality_score,
+           CAST(round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS INT) AS kept
+    FROM z"""
+
 _EXT_ORACLES["decontaminated_counts"] = r"""
     WITH lab AS (
         SELECT doc_id, text, source,
@@ -3649,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_counts": q_decontaminated_counts,
         "epoch_plan": q_epoch_plan,
         "curriculum_order": q_curriculum_order,
+        "model_quality_score": q_model_quality_score,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3672,12 +3711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": q_regional_supplier_volume,
         "market_share": q_market_share,
         "top_returning_customers": q_top_returning_customers,
-        "head_revisions": q_head_revisions,
         # ---- driver window ends here (50 entries) ----
         # -- r4/r5-green, rotated out of the window (the de-hinted
         #    relational queries below changed PLANS only; broadcast
         #    hints are value-neutral, so their r4 value evidence
         #    stands) --
+        "head_revisions": q_head_revisions,
         "cohort_retention": q_cohort_retention,
         "rollup_revenue": q_rollup_revenue,
         "promo_revenue_ratio": q_promo_revenue_ratio,
