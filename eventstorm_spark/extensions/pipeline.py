@@ -256,3 +256,29 @@ def curriculum_order(docs_scored: DataFrame, *, n_stages: int = 4,
             .withColumn("stage", stage)
             .withColumn("order_key", F.round(u, 9))
             .drop(*[f"__q{i}" for i in range(n - 1)]))
+
+
+def apply_epoch_plan(docs: DataFrame, plan: DataFrame, *,
+                     salt: str = "epochs-v1", group_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Materialize an :func:`epoch_plan`: each document appears
+    ``floor(epochs)`` times plus one more copy with probability
+    ``frac(epochs)``, decided by the salted unit hash — so the
+    materialized mixture hits the planned token targets in expectation
+    with a deterministic, growth-stable, engine-reproducible choice of
+    which docs carry the fractional epoch.
+
+    Scale shape: the plan table is group-cardinality-sized (AQE
+    broadcasts it); replication is a row-local ``explode(sequence)``
+    whose output volume IS the planned corpus size — the one cost that
+    cannot be avoided, paid with zero shuffles. A ``copy`` column
+    (1..n) keeps replicated rows distinguishable downstream."""
+    j = docs.join(plan.select(group_col, "epochs"), group_col)
+    base = F.floor("epochs").cast("int")
+    frac = F.col("epochs") - F.floor("epochs")
+    u = _unit_hash(F.col(id_col), salt)
+    n_copies = base + (u < frac).cast("int")
+    return (j.withColumn("__n", n_copies)
+            .where(F.col("__n") > 0)
+            .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+            .drop("__n", "epochs"))

@@ -2268,6 +2268,21 @@ def q_source_composition(spark, sf_dir):
     return source_composition(load(spark, sf_dir, "documents"))
 
 
+def q_epoch_materialized_counts(spark, sf_dir):
+    """epoch_plan applied: per-source docs/tokens AFTER materializing
+    the repetition factors (floor copies + salted fractional copy).
+    Verifies the full plan -> materialize loop: the oracle recomputes
+    the plan, the per-doc copy counts and the rolled-up output sizes."""
+    from eventstorm_spark.extensions.pipeline import apply_epoch_plan, epoch_plan
+    from eventstorm_spark.extensions.text import token_count
+    docs = load(spark, sf_dir, "documents")
+    plan = epoch_plan(docs, alpha=0.5, token_budget=1_000_000)
+    out = apply_epoch_plan(docs, plan)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs_out"),
+                 F.sum(token_count(F.col("text"))).alias("n_tokens_out")))
+
+
 def q_model_quality_score(spark, sf_dir):
     """Model-based quality filtering deployment shape: a linear
     classifier (fixed weights — the trained artifact is an input, the
@@ -3432,6 +3447,33 @@ def _profile_oracle(cols: list[str]) -> str:
 _EXT_ORACLES["dataset_profile"] = _profile_oracle(
     ["doc_id", "text", "lang", "source", "n_chars"])
 
+_EXT_ORACLES["epoch_materialized_counts"] = r"""
+    WITH g AS (
+        SELECT source, sum(len(string_split_regex(trim(text), '\s+')))
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    t AS (SELECT sum(n_tokens) AS tt FROM g),
+    s AS (SELECT source, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / tt AS share FROM g, t),
+    z AS (SELECT sum(pow(share, 0.5)) AS zz FROM s),
+    p AS (SELECT source,
+                 round(pow(share, 0.5) / zz * 1000000 / n_tokens, 6)
+                     AS epochs
+          FROM s, z),
+    d AS (SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS nt
+          FROM documents),
+    e AS (SELECT d.source, d.nt,
+                 CAST(floor(p.epochs) AS INT)
+                 + CAST((CAST(concat('0x', substr(md5(concat(
+                       CAST(d.doc_id AS VARCHAR), ':', 'epochs-v1')), 1, 8))
+                       AS BIGINT) / 4294967296.0)
+                       < (p.epochs - floor(p.epochs)) AS INT) AS n_copies
+          FROM d JOIN p USING (source))
+    SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_docs_out,
+           CAST(sum(n_copies * nt) AS BIGINT) AS n_tokens_out
+    FROM e WHERE n_copies > 0 GROUP BY source"""
+
 _EXT_ORACLES["model_quality_score"] = r"""
     WITH f AS (
         SELECT doc_id,
@@ -3688,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "curriculum_order": q_curriculum_order,
         "model_quality_score": q_model_quality_score,
+        "epoch_materialized_counts": q_epoch_materialized_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3710,8 +3753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit_by_year": q_nation_profit_by_year,
         "regional_supplier_volume": q_regional_supplier_volume,
         "market_share": q_market_share,
-        "top_returning_customers": q_top_returning_customers,
         # ---- driver window ends here (50 entries) ----
+        "top_returning_customers": q_top_returning_customers,
         # -- r4/r5-green, rotated out of the window (the de-hinted
         #    relational queries below changed PLANS only; broadcast
         #    hints are value-neutral, so their r4 value evidence
