@@ -506,3 +506,32 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                     F.round(F.col("n_nulls") / F.col("n_rows"), 6))
         .select("col_name", "n_rows", "n_nulls", "null_frac",
                 "n_distinct", "min_str", "max_str"))
+
+
+def write_packed_shards(docs: DataFrame, path: str, *, seq_len: int = 512,
+                        n_shards: int = 16, salt: str = "packed-v1",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """The end-to-end training-data writer: pack the corpus into
+    fixed-length sequences (``packing.pack_token_spans``), route each
+    SEQUENCE to a shard by salted hash of its seq_id, and materialize
+    as ``path/shard=K/*.parquet`` — the layout a data loader streams.
+
+    Sharding by sequence (not by document) keeps every shard's row
+    count balanced regardless of document length skew, and a sequence's
+    slices stay together because the shard is a function of seq_id.
+    Same writer discipline as :func:`write_training_shards`:
+    repartition BY the shard column first so each shard is written by
+    its owner task — one file per shard, not n_tasks x n_shards.
+    The manifest a loader plans from is one bounded aggregate away
+    (`groupBy("shard")`) over the written table.
+    """
+    from eventstorm_spark.extensions.packing import pack_token_spans
+
+    spans = pack_token_spans(docs, seq_len=seq_len, text_col=text_col,
+                             id_col=id_col)
+    u = _unit_hash(F.col("seq_id"), salt)
+    sharded = spans.withColumn(
+        "shard", F.floor(u * F.lit(float(n_shards))).cast("int"))
+    (sharded.repartition(n_shards, "shard")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -525,3 +525,30 @@ def test_decontaminate_and_epoch_plan_and_curriculum(spark):
              curriculum_order(scored, n_stages=4).collect()}
     first = {r.doc_id: r.order_key for r in cur.collect()}
     assert again == first
+
+
+def test_write_packed_shards_layout_and_integrity(spark, tmp_path):
+    """Packed-shard writer: every (seq_id, doc) slice lands in exactly
+    one shard, a sequence's slices share a shard, token totals are
+    conserved, and each shard directory holds one file."""
+    from eventstorm_spark.extensions.curation import write_packed_shards
+    from eventstorm_spark.extensions.packing import pack_token_spans
+
+    docs = _docs(spark, [(i, " ".join(["w"] * (5 + i % 7)), "s")
+                         for i in range(60)])
+    path = os.path.join(str(tmp_path), "packed")
+    write_packed_shards(docs, path, seq_len=16, n_shards=4)
+    back = spark.read.parquet(path)
+    spans = pack_token_spans(docs, seq_len=16)
+    assert back.count() == spans.count()
+    assert (back.agg(F.sum("n_toks")).first()[0]
+            == spans.agg(F.sum("n_toks")).first()[0])
+    # a sequence never splits across shards
+    assert (back.groupBy("seq_id")
+            .agg(F.countDistinct("shard").alias("n"))
+            .where(F.col("n") > 1).count()) == 0
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, d
