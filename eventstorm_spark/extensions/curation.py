@@ -535,3 +535,42 @@ def write_packed_shards(docs: DataFrame, path: str, *, seq_len: int = 512,
         "shard", F.floor(u * F.lit(float(n_shards))).cast("int"))
     (sharded.repartition(n_shards, "shard")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def append_digest_index(new_docs: DataFrame, path: str, *,
+                        text_col: str = "text", n_buckets: int = 64) -> None:
+    """Incremental maintenance of a :func:`write_digest_index`: append
+    the new snapshot's distinct digests into their hash buckets —
+    typically called with the SURVIVORS of
+    :func:`dedup_against_digest_index` after an ingest, so the next
+    ingest sees them at rest. Parquet append into the bucket partition
+    dirs; digests already present are harmless (the anti-join is
+    membership, not counting), so maintenance needs no read-modify-write
+    of the existing index."""
+    digests = (new_docs.select(F.md5(F.col(text_col)).alias("digest"))
+               .distinct()
+               .withColumn("bucket",
+                           F.pmod(F.xxhash64("digest"),
+                                  F.lit(n_buckets)).cast("int")))
+    (digests.repartition(n_buckets, "bucket")
+     .write.mode("append").partitionBy("bucket").parquet(path))
+
+
+def append_minhash_index(new_docs: DataFrame, path: str, *,
+                         num_hashes: int = 64, bands: int = 16, n: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Incremental maintenance of a :func:`write_minhash_index`: append
+    the new docs' signatures and banded buckets. Ids must be new (the
+    index stores one signature per id); call with the post-dedup
+    survivors of an ingest. Append-only — no read-modify-write."""
+    from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
+
+    sigs = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
+                              text_col=text_col, id_col=id_col)
+    sigs = sigs.localCheckpoint(eager=False)
+    sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
+    (band_buckets(sigs, bands=bands)
+     .repartition("band", "bucket")
+     .write.mode("append").partitionBy("band")
+     .parquet(os.path.join(path, "buckets")))

@@ -552,3 +552,45 @@ def test_write_packed_shards_layout_and_integrity(spark, tmp_path):
             files = [f for f in os.listdir(os.path.join(path, d))
                      if f.endswith(".parquet")]
             assert len(files) == 1, d
+
+
+def test_index_append_lifecycle(spark, tmp_path):
+    """Recurring-ingest lifecycle: build the digest index, dedup batch 1
+    against it, append the survivors, and batch 2 containing batch-1
+    texts is then deduped against the GROWN index. Same for the MinHash
+    index: an appended doc is found as a near-dup by the next check."""
+    from eventstorm_spark.extensions.curation import (
+        append_digest_index,
+        append_minhash_index,
+        dedup_against_digest_index,
+        near_dup_against_index,
+        write_digest_index,
+        write_minhash_index,
+    )
+
+    corpus = _docs(spark, [(0, "original at rest", "a")])
+    dpath = os.path.join(str(tmp_path), "digests")
+    write_digest_index(corpus, dpath, n_buckets=4)
+
+    b1 = _docs(spark, [(10, "batch one novel", "b"), (11, "original at rest", "b")])
+    kept1 = dedup_against_digest_index(b1, spark, dpath)
+    assert sorted(r.doc_id for r in kept1.collect()) == [10]
+    append_digest_index(kept1, dpath, n_buckets=4)
+
+    b2 = _docs(spark, [(20, "batch one novel", "c"),   # now at rest via append
+                       (21, "batch two novel", "c")])
+    kept2 = dedup_against_digest_index(b2, spark, dpath)
+    assert sorted(r.doc_id for r in kept2.collect()) == [21]
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mpath = os.path.join(str(tmp_path), "mh")
+    write_minhash_index(_docs(spark, [(0, "unrelated filler words here", "a")]),
+                        mpath, num_hashes=64, bands=16)
+    append_minhash_index(_docs(spark, [(5, base, "a")]), mpath,
+                         num_hashes=64, bands=16)
+    probe = _docs(spark, [(100, base + " tail", "b")])
+    pairs = {(r.new_id, r.corpus_id)
+             for r in near_dup_against_index(probe, spark, mpath,
+                                             threshold=0.8).collect()}
+    assert pairs == {(100, 5)}
