@@ -594,3 +594,26 @@ def test_index_append_lifecycle(spark, tmp_path):
              for r in near_dup_against_index(probe, spark, mpath,
                                              threshold=0.8).collect()}
     assert pairs == {(100, 5)}
+
+
+def test_epoch_materialization_hits_budget(spark, sf_dir):
+    """Semantic check on the plan -> materialize loop: the realized
+    token total lands near the planned budget (deviation is only the
+    fractional-copy sampling noise), and dedup_against_corpus is
+    idempotent (running the survivors through again drops nothing)."""
+    from eventstorm_spark.extensions.curation import dedup_against_corpus
+    from eventstorm_spark.extensions.pipeline import apply_epoch_plan, epoch_plan
+    from eventstorm_spark.extensions.text import token_count
+    from eventstorm_spark.inventory import load
+
+    docs = load(spark, sf_dir, "documents")
+    budget = 200_000
+    plan = epoch_plan(docs, alpha=0.5, token_budget=budget)
+    out = apply_epoch_plan(docs, plan)
+    total = out.agg(F.sum(token_count(F.col("text")))).first()[0]
+    assert abs(total - budget) / budget < 0.05, total
+
+    corpus = docs.limit(20)
+    survivors = dedup_against_corpus(docs, corpus)
+    again = dedup_against_corpus(survivors, corpus)
+    assert again.count() == survivors.count()
