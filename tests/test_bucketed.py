@@ -80,7 +80,7 @@ def test_projection_fold_over_bucketed_log_has_zero_exchanges(spark, bucketed):
         T.StructField("n", T.LongType()),
     ])
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"stream": [key[0]], "n": [len(pdf)]})
 
     folded = t.groupBy("stream").applyInPandas(fold, out_schema)
