@@ -201,6 +201,11 @@ _SHUFFLE_BUDGET = {
     "vocab_coverage": 4,           # term agg + vocab-sized window + totals
     "source_composition": 4,       # group agg (w/ distinct) + totals
     "dataset_profile": 2,          # one scan-wide agg + stack reshape
+    "model_quality_score": 0,      # pure codegen scoring plan, one scan
+    "winnow_fingerprints": 1,      # one per-doc window exchange (both passes reuse it)
+    "events_session_native": 1,    # session-window agg key exchange
+    "epoch_plan": 1,               # one bounded group aggregate
+    "epoch_materialized_counts": 2,
 }
 
 
@@ -423,3 +428,22 @@ def test_q5_q8_shapes_broadcast_dimensions(q):
         plan = q(name)
         assert "BroadcastHashJoin" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_model_quality_score_is_pure_scoring_plan(q):
+    """The linear quality scorer must compile to a single scan with zero
+    exchanges and zero Python stages — the shape 'run the model over
+    100 TB' requires when the model is linear."""
+    plan = q("model_quality_score")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_winnow_passes_share_one_exchange(q):
+    """Both winnowing window passes (trailing min, forward max) and the
+    whole-doc count must reuse the single per-document hash exchange."""
+    import re
+    plan = q("winnow_fingerprints")
+    assert len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)) == 1
+    assert "BatchEvalPython" not in plan
