@@ -103,7 +103,11 @@ def length_bucket_report(docs: DataFrame, *, text_col: str = "text",
     id. Bucket edges are explicit integer comparisons, not
     ``ceil(log2(n))`` — exact-power-of-two inputs make the float log
     ambiguous across engines, and the oracle must replay the bucketing
-    bit-for-bit.
+    bit-for-bit. Docs longer than ``max_bucket`` are clamped into the
+    max bucket; their padded size is counted as ``greatest(bucket, n)``
+    per doc (a clamped doc occupies its own length, it is truncated or
+    windowed downstream, never negatively padded), so efficiency stays
+    a true padding ratio in [.., 1] even for the clamp bucket.
     """
     if min_bucket < 1 or max_bucket < min_bucket:
         raise ValueError("need 1 <= min_bucket <= max_bucket")
@@ -119,8 +123,9 @@ def length_bucket_report(docs: DataFrame, *, text_col: str = "text",
     return (docs.select(bucket.alias("bucket"), n.alias("__n"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("__n").alias("n_tokens"))
-            .withColumn("n_padded", F.col("n_docs") * F.col("bucket"))
+                 F.sum("__n").alias("n_tokens"),
+                 F.sum(F.greatest(F.col("bucket"), F.col("__n")))
+                 .alias("n_padded"))
             .withColumn("efficiency",
                         F.round(F.col("n_tokens") / F.col("n_padded"), 6)))
 
@@ -161,6 +166,48 @@ def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame, *,
             .drop("__digest", "__keep_id"))
 
 
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """Persist an index's construction parameters as ``path/_meta`` (a
+    1-row text file written through Spark, so it lands on whatever
+    filesystem the index itself lives on). Probing or appending with
+    different parameters than the index was built with silently yields
+    wrong buckets/estimates — the meta file turns that into a hard
+    error at read time."""
+    import json
+
+    (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
+                           "value string")
+     .coalesce(1).write.mode("overwrite")
+     .text(os.path.join(path, "_meta")))
+
+
+def _read_index_meta(spark, path: str) -> dict | None:
+    """Load ``path/_meta``; None for a pre-meta index (validation is
+    then skipped for backward compatibility)."""
+    import json
+
+    try:
+        rows = spark.read.text(os.path.join(path, "_meta")).collect()
+    except Exception:
+        return None
+    return json.loads(rows[0][0]) if rows else None
+
+
+def _check_index_meta(spark, path: str, expect: dict, kind: str) -> None:
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        return
+    bad = {k: (meta.get(k), v) for k, v in expect.items()
+           if meta.get(k) != v}
+    if bad:
+        detail = ", ".join(f"{k}: index={old!r} caller={new!r}"
+                           for k, (old, new) in sorted(bad.items()))
+        raise ValueError(
+            f"{kind} index at {path} was built with different parameters "
+            f"than the caller passed ({detail}); probe/append with the "
+            "index's parameters or rebuild the index")
+
+
 def write_digest_index(corpus: DataFrame, path: str, *,
                        text_col: str = "text", n_buckets: int = 64) -> None:
     """Persist the corpus's distinct content digests as a narrow at-rest
@@ -183,6 +230,8 @@ def write_digest_index(corpus: DataFrame, path: str, *,
                                   F.lit(n_buckets)).cast("int")))
     (digests.repartition(n_buckets, "bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "digest", "n_buckets": n_buckets})
 
 
 def dedup_against_digest_index(new_docs: DataFrame, spark, index_path: str, *,
@@ -292,6 +341,9 @@ def write_minhash_index(corpus: DataFrame, path: str, *,
      .repartition("band", "bucket")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "minhash", "num_hashes": num_hashes,
+                       "bands": bands, "n": n})
 
 
 def near_dup_against_index(new_docs: DataFrame, spark, index_path: str, *,
@@ -309,10 +361,17 @@ def near_dup_against_index(new_docs: DataFrame, spark, index_path: str, *,
     semi-joined down to candidate ids before the attach (the
     verify-candidates-only policy), the estimate's zip_with/filter
     higher-order functions run on candidate-sized rows only, and
-    nothing here re-reads corpus text.
+    nothing here re-reads corpus text. The (num_hashes, bands, n)
+    parameters are validated against the index's ``_meta`` file: a
+    mismatch silently yields wrong buckets and an underestimated
+    est_jaccard (position-wise agreement over signatures of different
+    families reads as disagreement), so it is a hard error instead.
     """
     from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
 
+    _check_index_meta(spark, index_path,
+                      {"kind": "minhash", "num_hashes": num_hashes,
+                       "bands": bands, "n": n}, "minhash")
     sigs_new = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
                                   text_col=text_col, id_col=id_col)
     sigs_new = sigs_new.localCheckpoint(eager=False)  # banding + verify
@@ -411,36 +470,79 @@ def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
 
     Scale shape: one corpus-scan term-count aggregate (map-side
     combine) produces a VOCABULARY-sized table; the rank + running-sum
-    window runs over that table, not the corpus. Natural-language
-    vocabularies are millions of rows — a single-partition window over
-    millions of (term, count) pairs is the accepted cost of an exact
-    Zipf report (sub-second); for web-scale vocabs (100M+ types,
-    dominated by hapax noise), set ``min_count`` > 1: the cut shrinks
-    the windowed table by orders of magnitude while leaving every
-    head rank the report can name untouched (a term below min_count
-    can never be in the top K for any K the cut table still covers) —
-    the denominator stays the FULL token total, so coverage numbers
-    are unchanged.
+    then runs over that table, not the corpus — and it is the two-phase
+    distributed cumsum (the ``packing.global_token_offsets`` idiom),
+    NOT an unpartitioned window: range-partition the vocabulary by
+    (count desc, term), rank/cumsum *within* each partition, collect
+    only the O(partitions) per-partition (row count, token sum) totals
+    and add the running offsets back as a broadcast literal map. No
+    ``Exchange SinglePartition`` anywhere (pinned by
+    ``tests/test_plans.py``), so a 100M-type web vocabulary ranks in
+    parallel. ``min_count`` > 1 additionally shrinks the ranked table
+    by cutting the hapax tail while leaving every head rank untouched
+    (a term below min_count can never be in the top K for any K the cut
+    table still covers) — the denominator stays the FULL token total,
+    so coverage numbers are unchanged.
     """
     ks = sorted(ks or [10, 100, 1000])
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
     terms = (docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                          .alias("term"))
              .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
-    total = terms.agg(F.sum("n").alias("__t"))
+    full_total: int | None = None
     if min_count > 1:
+        # the coverage denominator is the FULL token total, so take it
+        # before the cut; checkpoint first so the total pass and the
+        # ranking pass share one tokenize of the corpus.
+        terms = terms.localCheckpoint(eager=True)
+        full_total = terms.agg(F.sum("n")).collect()[0][0] or 0
         terms = terms.where(F.col("n") >= min_count)
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    ranked = (terms
-              .withColumn("rank", F.row_number().over(w))
-              .withColumn("cum_n", F.sum("n").over(
-                  w.rowsBetween(Window.unboundedPreceding, 0)))
+    # Phase 1: range-partition so partition k holds ranks strictly below
+    # partition k+1's; localCheckpoint pins the sampled boundaries so the
+    # totals pass and the rank pass see the same partitioning.
+    part = (terms.repartitionByRange(n_parts, F.desc("n"), F.asc("term"))
+            .sortWithinPartitions(F.desc("n"), F.asc("term"))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    totals = part.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n").alias("t")).collect()
+    rank_off: dict[int, int] = {}
+    cum_off: dict[int, int] = {}
+    rrun = crun = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        rank_off[r["__pid"]] = rrun
+        cum_off[r["__pid"]] = crun
+        rrun += r["c"]
+        crun += r["t"]
+    if full_total is None:
+        full_total = crun  # no cut: the partition sums ARE the total
+    if not rank_off:
+        return part.select(F.lit(0).cast("long").alias("top_k"),
+                           F.lit(0).cast("long").alias("n_covered"),
+                           F.lit(0.0).alias("coverage")).where(F.lit(False))
+    rmap = F.create_map(
+        *[F.lit(v) for pid, off in rank_off.items() for v in (pid, off)])
+    cmap = F.create_map(
+        *[F.lit(v) for pid, off in cum_off.items() for v in (pid, off)])
+    # Phase 2: per-partition rank/cumsum + the broadcast offsets. The
+    # denominator is a literal (O(partitions) driver state, like the
+    # offsets), so no 1-row aggregate branch re-scans the corpus.
+    w = Window.partitionBy("__pid").orderBy(F.desc("n"), F.asc("term"))
+    ranked = (part
+              .withColumn("rank", (F.row_number().over(w)
+                                   + rmap[F.col("__pid")]).cast("long"))
+              .withColumn("cum_n", (F.sum("n").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))
+                  + cmap[F.col("__pid")]).cast("long"))
               .where(F.col("rank").isin([int(k) for k in ks])))
-    return (ranked.crossJoin(F.broadcast(total))
-            .select(F.col("rank").cast("long").alias("top_k"),
+    return (ranked
+            .select(F.col("rank").alias("top_k"),
                     F.col("cum_n").alias("n_covered"),
-                    F.round(F.col("cum_n") / F.col("__t"), 6)
+                    F.round(F.col("cum_n") / F.lit(int(full_total)), 6)
                     .alias("coverage"))
             .orderBy("top_k"))
 
@@ -483,22 +585,28 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     columns' counters ride the same map-side-combinable buffer), then
     reshaped driver-free with ``stack`` into a row per column. min/max
     are cast to string so heterogeneous column types share one schema —
-    the standard profile-table shape.
+    the standard profile-table shape. Source column names are addressed
+    with ``F.col`` and never interpolated into SQL text; the internal
+    counter aliases referenced by the ``stack()`` expression are indexed
+    (``__min_0``), not name-derived, so a column named ``a b``, ``x'y``
+    or ``count,`` profiles fine (its display name rides through as an
+    escaped string literal only).
     """
     cols = columns or df.columns
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__rows_{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{i}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{i}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __rows_{c}, __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}"
-        for c in cols)
+        "'{}', __rows_{i}, __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}"
+        .format(c.replace("\\", "\\\\").replace("'", "\\'"), i=i)
+        for i, c in enumerate(cols))
     return (one.select(F.expr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
@@ -546,7 +654,11 @@ def append_digest_index(new_docs: DataFrame, path: str, *,
     ingest sees them at rest. Parquet append into the bucket partition
     dirs; digests already present are harmless (the anti-join is
     membership, not counting), so maintenance needs no read-modify-write
-    of the existing index."""
+    of the existing index. The bucket count is validated against the
+    index's ``_meta`` — appending with a different ``n_buckets`` would
+    route digests to the wrong partition dirs."""
+    _check_index_meta(new_docs.sparkSession, path,
+                      {"kind": "digest", "n_buckets": n_buckets}, "digest")
     digests = (new_docs.select(F.md5(F.col(text_col)).alias("digest"))
                .distinct()
                .withColumn("bucket",
@@ -563,9 +675,15 @@ def append_minhash_index(new_docs: DataFrame, path: str, *,
     """Incremental maintenance of a :func:`write_minhash_index`: append
     the new docs' signatures and banded buckets. Ids must be new (the
     index stores one signature per id); call with the post-dedup
-    survivors of an ingest. Append-only — no read-modify-write."""
+    survivors of an ingest. Append-only — no read-modify-write. The
+    (num_hashes, bands, n) parameters are validated against the index's
+    ``_meta``: appending signatures from a different hash family would
+    silently corrupt every future estimate."""
     from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
 
+    _check_index_meta(new_docs.sparkSession, path,
+                      {"kind": "minhash", "num_hashes": num_hashes,
+                       "bands": bands, "n": n}, "minhash")
     sigs = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
                               text_col=text_col, id_col=id_col)
     sigs = sigs.localCheckpoint(eager=False)

@@ -569,7 +569,10 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
     re-encodes as PPM (default, zero-cost) or PNG. Returns
     (asset_id, src_width, src_height, width, height, payload, sum_r/g/b
     of the RESIZED raster) — the stats make the resample verifiable
-    without re-decoding. Unknown formats raise NotImplementedError like
+    without re-decoding. Non-image rows are filtered out up front (like
+    :func:`frame_sample` does for video) so a mixed assets table never
+    feeds a WAV payload to the raster sniffer; an IMAGE payload in a
+    format without a stdlib codec still raises NotImplementedError like
     the rest of real mode. Embarrassingly parallel; payload-local; no
     shuffle."""
     if out_format not in ("ppm", "png"):
@@ -606,4 +609,6 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
                              sum(out[0::3]), sum(out[1::3]), sum(out[2::3])))
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
 
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "image")
     return assets.select("asset_id", "content").mapInPandas(run, out_schema)

@@ -2238,7 +2238,9 @@ def q_snapshot_novelty(spark, sf_dir):
     """Per-source novelty accounting for the same synthetic ingest as
     dedup_incremental: (source, n_new, n_novel, novelty_rate) — the
     go/no-go signal for whether a recrawl is worth processing. The
-    recrawl group must come out 0% novel and the fresh sources 100%."""
+    recrawl group must come out 0% novel and the fresh sources 50%:
+    each original src18/src19 doc survives while its shifted-id
+    intra-batch copy (same source label) dedupes against it."""
     from eventstorm_spark.extensions.curation import snapshot_novelty_report
     docs = load(spark, sf_dir, "documents")
     corpus = docs.where(~F.col("source").isin("src18", "src19"))
@@ -2254,8 +2256,10 @@ def q_snapshot_novelty(spark, sf_dir):
 def q_vocab_coverage(spark, sf_dir):
     """Zipf head/tail report: corpus coverage of the top-K vocabulary
     terms (K in 5/10/20), ties broken by term so the ranking is total
-    and engine-portable. The window runs over the VOCABULARY-sized term
-    table, never the corpus."""
+    and engine-portable. The rank/cumsum runs over the VOCABULARY-sized
+    term table (never the corpus) as a two-phase distributed cumsum —
+    range-partitioned, per-partition windows plus broadcast offsets, no
+    Exchange SinglePartition (plan-pinned)."""
     from eventstorm_spark.extensions.curation import vocab_coverage
     return vocab_coverage(load(spark, sf_dir, "documents"), ks=[5, 10, 20])
 
@@ -3358,8 +3362,8 @@ _EXT_ORACLES["length_bucket_report"] = r"""
         FROM t)
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS n_tokens,
-           CAST(count(*) * bucket AS BIGINT) AS n_padded,
-           round(CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 6)
+           CAST(sum(greatest(bucket, n)) AS BIGINT) AS n_padded,
+           round(CAST(sum(n) AS DOUBLE) / sum(greatest(bucket, n)), 6)
                AS efficiency
     FROM b GROUP BY bucket"""
 

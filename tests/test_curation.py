@@ -84,8 +84,9 @@ def test_length_bucket_edges(spark):
     assert rep[16][0] == 2          # n=1 and n=16
     assert rep[32][0] == 2          # 17 and 32
     assert rep[64][0] == 1          # 33
-    assert rep[4096][0] == 1        # 5000 clamps to max bucket
     assert rep[16] == (2, 17, 32, round(17 / 32, 6))
+    # clamped doc pads to its own length, so efficiency stays <= 1
+    assert rep[4096] == (1, 5000, 5000, 1.0)
 
 
 def test_dedup_against_corpus_cross_and_intra(spark):
@@ -594,6 +595,63 @@ def test_index_append_lifecycle(spark, tmp_path):
              for r in near_dup_against_index(probe, spark, mpath,
                                              threshold=0.8).collect()}
     assert pairs == {(100, 5)}
+
+
+def test_index_meta_rejects_mismatched_parameters(spark, tmp_path):
+    """Probing or appending an at-rest index with different construction
+    parameters than it was built with is a hard error (the _meta file),
+    not a silent wrong-bucket / underestimated-jaccard result."""
+    import pytest
+
+    from eventstorm_spark.extensions.curation import (
+        append_digest_index,
+        append_minhash_index,
+        near_dup_against_index,
+        write_digest_index,
+        write_minhash_index,
+    )
+
+    corpus = _docs(spark, [(0, "some at rest text", "a")])
+    dpath = os.path.join(str(tmp_path), "digests")
+    write_digest_index(corpus, dpath, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        append_digest_index(corpus, dpath, n_buckets=8)
+
+    mpath = os.path.join(str(tmp_path), "mh")
+    write_minhash_index(corpus, mpath, num_hashes=64, bands=16)
+    probe = _docs(spark, [(1, "probe text here", "b")])
+    with pytest.raises(ValueError, match="num_hashes"):
+        near_dup_against_index(probe, spark, mpath, num_hashes=32, bands=16)
+    with pytest.raises(ValueError, match="bands"):
+        append_minhash_index(probe, mpath, num_hashes=64, bands=8)
+    # matching parameters still work after the failed attempts
+    append_minhash_index(probe, mpath, num_hashes=64, bands=16)
+
+
+def test_profile_table_special_column_names(spark):
+    """Column names with spaces, quotes and commas profile fine — names
+    ride through as escaped literals, the counters are indexed."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)],
+        ["a b", "it's, tricky"])
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["a b"].n_nulls == 0 and prof["a b"].n_distinct == 2
+    assert prof["it's, tricky"].n_nulls == 1
+
+
+def test_resize_images_skips_non_image_assets(spark):
+    """A mixed assets table (image + wav) resizes the images and ignores
+    the rest instead of failing the job on a WAV payload."""
+    from eventstorm_spark.extensions.multimodal import encode_ppm, resize_images
+
+    rgb = b"\xff\x00\x00" * 4
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(2, 2, rgb))),
+         (2, "audio", bytearray(b"RIFFxxxxWAVE")),
+         (3, "video", bytearray(b"\x00\x01\x02\x03"))],
+        "asset_id long, modality string, content binary")
+    out = resize_images(assets, width=4, height=4).collect()
+    assert [r.asset_id for r in out] == [1]
 
 
 def test_epoch_materialization_hits_budget(spark, sf_dir):

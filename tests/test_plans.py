@@ -198,7 +198,9 @@ _SHUFFLE_BUDGET = {
     "length_bucket_report": 1,     # bounded groupBy(bucket) only
     "dedup_incremental": 7,        # 3-branch synthetic union x (anti + canon)
     "snapshot_novelty": 9,
-    "vocab_coverage": 4,           # term agg + vocab-sized window + totals
+    "vocab_coverage": 2,           # __pid window re-key + final order (term
+                                   # agg + range phase hide behind the
+                                   # two-phase cumsum's localCheckpoint)
     "source_composition": 4,       # group agg (w/ distinct) + totals
     "dataset_profile": 2,          # one scan-wide agg + stack reshape
     "model_quality_score": 0,      # pure codegen scoring plan, one scan
@@ -294,6 +296,15 @@ def test_pack_sequences_avoids_single_partition_cumsum(q):
     a no-partition-key window — that plan funnels the whole corpus
     through one task."""
     plan = q("pack_sequences")
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_coverage_avoids_single_partition_window(q):
+    """The vocabulary rank/cumsum must be the two-phase distributed form
+    (range partition + per-partition windows + broadcast offsets), never
+    an unpartitioned ORDER BY window — that plan funnels the whole
+    vocabulary through one task."""
+    plan = q("vocab_coverage")
     assert "SinglePartition" not in plan
 
 
