@@ -335,6 +335,105 @@ def normalize_text(docs: DataFrame, *, text_col: str = "text",
     return docs.withColumn(out_col or text_col, norm_udf(F.col(text_col)))
 
 
+HTML_STRIP_TAGS = ("script", "style", "noscript", "template", "title",
+                   "nav", "header", "footer", "aside", "iframe", "svg")
+
+HTML_BLOCK_TAGS = frozenset((
+    "p", "div", "br", "hr", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "ul", "ol", "dl", "dt", "dd", "tr", "td", "th", "table",
+    "thead", "tbody", "section", "article", "main", "blockquote",
+    "pre", "form", "figure", "figcaption", "address", "details",
+    "summary"))
+
+
+def extract_html_text(html: str | None,
+                      strip_tags: tuple[str, ...] = HTML_STRIP_TAGS) -> str | None:
+    """Extract the visible text of one HTML document (stdlib
+    ``html.parser`` — no external deps): drop everything inside
+    boilerplate containers (``strip_tags``: script/style/nav/header/
+    footer/... — the chrome around the content), drop comments, decode
+    character references (named and numeric), treat block-level tags as
+    whitespace boundaries so ``<p>a</p><p>b</p>`` never fuses into
+    ``ab``, and collapse all whitespace runs to single spaces. The
+    plain-Python core of :func:`html_to_text`, exposed separately so
+    tests and oracles can call it row-at-a-time.
+
+    Tolerant of real-web malformation the way ``html.parser`` is:
+    unclosed inline tags, attribute junk and stray ``>`` don't abort
+    parsing (script/style are CDATA elements, so JS containing ``<`` or
+    ``"<div>"`` strings is consumed raw until the closing tag). An
+    unclosed *strip-tag container* drops the remainder of the document
+    (the parser has no tree to auto-close against) — the standard
+    failure mode of stream-based extraction; boilerplate tags are
+    reliably closed on real pages.
+    """
+    if html is None:
+        return None
+    import re as _re
+    from html.parser import HTMLParser
+
+    strip = frozenset(strip_tags)
+
+    class _Extractor(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.depth = 0
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):  # noqa: D401
+            if tag in strip:
+                self.depth += 1
+            elif tag in HTML_BLOCK_TAGS:
+                self.parts.append(" ")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag not in strip and tag in HTML_BLOCK_TAGS:
+                self.parts.append(" ")
+
+        def handle_endtag(self, tag):
+            if tag in strip:
+                self.depth = max(0, self.depth - 1)
+            elif tag in HTML_BLOCK_TAGS:
+                self.parts.append(" ")
+
+        def handle_data(self, data):
+            if self.depth == 0:
+                self.parts.append(data)
+
+    p = _Extractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # keep whatever was extracted before the parse error
+    return _re.sub(r"\s+", " ", "".join(p.parts)).strip()
+
+
+def html_to_text(docs: DataFrame, *, text_col: str = "html",
+                 out_col: str = "text",
+                 strip_tags: tuple[str, ...] = HTML_STRIP_TAGS) -> DataFrame:
+    """HTML-to-text extraction — the FIRST stage of a web-crawl training
+    pipeline (raw page -> clean text), upstream of everything from
+    :func:`c4_rules` onward, which assumes clean text.
+
+    Per-document and payload-local, so it runs as one Arrow-batched
+    ``pandas_udf`` over the corpus scan — embarrassingly parallel, zero
+    shuffles, and the scan's column pruning/pushdown is untouched (same
+    plumbing as the multimodal codecs). Semantics live in
+    :func:`extract_html_text`; see there for the boilerplate-strip /
+    block-boundary / entity rules.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    tags = tuple(strip_tags)
+
+    @pandas_udf("string")
+    def extract_udf(pages: pd.Series) -> pd.Series:
+        return pages.map(lambda h: extract_html_text(h, tags))
+
+    return docs.withColumn(out_col, extract_udf(F.col(text_col)))
+
+
 def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document mean token log-probability under the corpus unigram

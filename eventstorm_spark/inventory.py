@@ -1962,6 +1962,59 @@ def q_c4_quality_filter(spark, sf_dir):
     return c4_rules(load(spark, sf_dir, "documents"))
 
 
+def _wrapped_html(docs):
+    """Deterministically wrap each document's text in a realistic web
+    page: head chrome (title/style/script — the script contains ``<``
+    and a ``"<div>"`` string, exercising CDATA handling), nav
+    boilerplate, an HTML comment containing tags, an ``<h1>`` with a
+    named entity, the body text HTML-escaped inside ``<p>``, and a
+    footer. Extraction must strip ALL chrome, decode the entities, and
+    recover exactly 'Document {id} & friends' + the original text —
+    which is what makes the result SQL-oracle-checkable without an HTML
+    parser on the oracle side."""
+    esc = F.col("text")
+    for pat, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.regexp_replace(esc, pat, rep)
+    html = F.concat(
+        F.lit('<html><head><title>Chrome Title</title>'
+              '<style>body { color: red; }</style>'
+              '<script>if (1 < 2) { var x = "<div>"; }</script></head>'
+              '<body><nav><a href="/">Home</a> | <a href="/about">About</a>'
+              '</nav><!-- <p>hidden comment</p> --><h1>Document '),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</h1><p>'),
+        esc,
+        F.lit('</p><footer>&copy; 2020 Example Corp</footer></body></html>'))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML-to-text extraction (the first stage of every web-crawl
+    pipeline): each document's text is wrapped in a full synthetic page
+    (head chrome, script with CDATA hazards, nav/footer boilerplate,
+    comments, entities) and the extractor must recover the visible text
+    exactly. Arrow-batched stdlib html.parser over the scan — one pass,
+    zero shuffles."""
+    from eventstorm_spark.extensions.text import html_to_text
+    page = _wrapped_html(load(spark, sf_dir, "documents"))
+    return (html_to_text(page, text_col="html", out_col="text")
+            .select("doc_id", "text"))
+
+
+def q_html_c4_funnel(spark, sf_dir):
+    """Composition funnel: raw HTML -> extract visible text -> C4/Gopher
+    reject-reason histogram — the first two stages of a real web
+    pipeline chained in ONE plan (the filter runs on the extractor's
+    output column in the same scan; no join, no rewrite)."""
+    from eventstorm_spark.extensions.text import c4_reject_reason, html_to_text
+    page = _wrapped_html(load(spark, sf_dir, "documents"))
+    extracted = html_to_text(page, text_col="html", out_col="text")
+    verdict = F.coalesce(c4_reject_reason(F.col("text")), F.lit("kept"))
+    return (extracted.select(verdict.alias("verdict"))
+            .groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("verdict"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: mean log(p_target/p_corpus) per doc
     under add-1-smoothed unigram LMs, target = the English slice."""
@@ -3233,6 +3286,60 @@ _EXT_ORACLES["c4_quality_filter"] = r"""
            reject_reason
     FROM r"""
 
+"""The html_extract oracle replays the EXPECTED extraction output, not
+the parser: the wrapper in _wrapped_html is built so the visible text
+is exactly 'Document {id} & friends ' + the original text (chrome
+stripped, entities decoded, block tags -> whitespace, runs collapsed).
+The oracle reconstructs that from the raw column — an HTML parser in
+SQL is neither needed nor possible, and the construction means any
+extractor bug (leaked chrome, undecoded entity, fused blocks, dropped
+content) breaks the hash."""
+_EXT_ORACLES["html_extract"] = r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               concat('Document ', CAST(doc_id AS VARCHAR),
+                      ' & friends ', text),
+               '\s+', ' ', 'g')) AS text
+    FROM documents"""
+
+_EXT_ORACLES["html_c4_funnel"] = r"""
+    WITH ex AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   concat('Document ', CAST(doc_id AS VARCHAR),
+                          ' & friends ', text),
+                   '\s+', ' ', 'g')) AS text
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS mean_word_len,
+               CAST(len(list_intersect(string_split_regex(trim(text), '\s+'),
+                    ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+                   AS n_stopwords,
+               regexp_matches(text, '\S{21,}') AS lw,
+               contains(text, '{') OR contains(text, '}') AS hb,
+               contains(lower(text), 'lorem ipsum') AS hl,
+               contains(lower(text), 'javascript') AS hj
+        FROM ex),
+    r AS (
+        SELECT coalesce(
+               CASE WHEN n_words < 10 THEN 'too_few_words'
+                    WHEN n_words > 100000 THEN 'too_many_words'
+                    WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_length'
+                    WHEN lw THEN 'long_word'
+                    WHEN n_stopwords < 2 THEN 'stopwords'
+                    WHEN hb THEN 'brace'
+                    WHEN hl THEN 'lorem_ipsum'
+                    WHEN hj THEN 'javascript' END, 'kept') AS verdict
+        FROM f)
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY verdict ORDER BY verdict"""
+
 _EXT_ORACLES["dsir_weights"] = """
     WITH t AS (
         SELECT doc_id, lang,
@@ -3707,6 +3814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    de-hinting), (d) fills with the oldest remaining (r4)
         #    evidence. CORRECTNESS_r06 ∪ r05 then covers every entry
         #    with r4+ driver evidence.
+        "html_extract": q_html_extract,
+        "html_c4_funnel": q_html_c4_funnel,
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,

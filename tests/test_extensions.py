@@ -647,6 +647,56 @@ def test_c4_rules_reject_reasons(spark):
     assert all(r["kept"] == 0 for d, r in out.items() if d != 1)
 
 
+def test_extract_html_text_golden():
+    """Pure-function goldens for the HTML extractor: boilerplate strip,
+    CDATA script hazards, entities, comments, block boundaries, inline
+    fusion, malformation tolerance."""
+    from eventstorm_spark.extensions.text import extract_html_text as ex
+
+    # chrome stripped, blocks separated, inline tags fuse
+    page = ("<html><head><title>T</title><style>p { x: 1 }</style></head>"
+            "<body><nav><a href='/'>Home</a></nav>"
+            "<h1>Head</h1><p>one <b>bo</b>ld</p><p>two</p>"
+            "<ul><li>a</li><li>b</li></ul>"
+            "<footer>foot</footer></body></html>")
+    assert ex(page) == "Head one bold two a b"
+    # script is CDATA: '<' and '"<div>"' inside JS never leak or abort
+    assert ex('<script>if (1 < 2) { var x = "<div>"; }</script>ok') == "ok"
+    # comments (even containing tags) are dropped
+    assert ex("a<!-- <p>hidden</p> -->b") == "ab"
+    # entities: named, decimal, hex; &amp;lt; double-escape decodes once
+    assert ex("<p>x &amp; y &#60;z&#x3E; &amp;lt;</p>") == "x & y <z> &lt;"
+    # <br> and self-closing blocks are boundaries
+    assert ex("one<br>two<hr/>three") == "one two three"
+    # nested strip containers; unclosed inline tag tolerated
+    assert ex("<header><nav>chrome</nav>more chrome</header>x<b>y") == "xy"
+    # whitespace runs collapse, edges trim
+    assert ex("<p>  a\n\t b  </p> ") == "a b"
+    # custom strip list
+    assert ex("<nav>keep me</nav>", strip_tags=("script",)) == "keep me"
+    assert ex(None) is None
+    assert ex("") == ""
+
+
+def test_html_to_text_spark_path_and_plan(spark):
+    """The Spark form extracts through ONE Arrow-batched python stage
+    over the scan — no shuffle, no row-at-a-time Python."""
+    from eventstorm_spark.extensions.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<body><h1>A</h1><p>b &amp; c</p><footer>f</footer></body>"),
+         (2, None)],
+        "doc_id long, html string")
+    out = {r.doc_id: r.text for r in
+           html_to_text(df, text_col="html", out_col="text").collect()}
+    assert out[1] == "A b & c"
+    assert out[2] is None
+    plan = (html_to_text(df, text_col="html")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
 def test_dsir_weights_upweight_target_language(docs):
     """Target = the English slice: English docs must score higher on
     average than every other language (that's the resampling signal)."""
