@@ -197,6 +197,149 @@ def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
             .where(F.col("n_shared") >= min_shared))
 
 
+def positional_shingles(docs: DataFrame, *, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, sh): every FULL word n-gram with its 0-based token
+    position — the string-carrying twin of
+    :func:`positional_shingle_hashes` for paths that must be exact (no
+    hash collisions), e.g. span recovery. Built row-locally (slice over
+    the token array, then posexplode) — zero shuffles, unlike the
+    lead()-window form; docs shorter than ``n`` tokens yield nothing
+    (they cannot contain a full shingle)."""
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"))
+            .where(F.size("__t") >= n))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)))
+    return base.select("doc_id", F.posexplode(grams).alias("pos", "sh"))
+
+
+def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
+                          min_len_tokens: int | None = None,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          portable: bool = False) -> DataFrame:
+    """ExactSubstr span recovery (the Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" dedup rung above winnowing):
+    every maximal shared token run of length >= ``min_len_tokens``
+    between two documents, as (id_a, id_b, start_a, start_b, len_tokens)
+    with 0-based token offsets — :func:`winnow_matches` says *that* two
+    docs overlap; this says exactly *where* and *how much*.
+
+    Three stages, all candidate-bounded:
+
+    1. Candidate pairs from winnowing with ``min_shared=1``. The winnow
+       guarantee (any shared run >= window + n - 1 tokens produces a
+       shared fingerprint) makes the result EXACT, not approximate,
+       provided ``min_len_tokens >= window + n - 1`` (the default): a
+       pair with a qualifying run is always a candidate, and stage 3
+       verifies on real strings, so false candidates drop out.
+    2. Full positional shingles for candidate DOCS only (semi-join, then
+       a row-local explode — the corpus never shingles for this).
+       Matching joins pairs -> a-side shingles on id, then the b side on
+       (id_b, shingle string): co-keyed per pair, exact string equality,
+       never a global shingle self-join.
+    3. Diagonal islands: matched positions with equal ``pos_a - pos_b``
+       and consecutive ``pos_a`` form one maximal run (gaps-and-islands:
+       ``pos_a - row_number()`` per (pair, diagonal)); a run of L
+       matched shingles is L + n - 1 shared tokens. Runs shorter than
+       ``min_len_tokens`` are dropped.
+
+    Repeated text yields one span per alignment (diagonal) — the
+    faithful report for scrubbing. Deterministic and engine-portable
+    (``portable`` only switches the candidate-stage hashing; the span
+    values never depend on it), so a SQL oracle replays spans exactly
+    — and needs no winnow replay at all, by the stage-1 argument.
+    """
+    from pyspark.sql import Window as _W
+
+    min_len = min_len_tokens if min_len_tokens is not None else window + n - 1
+    if min_len < window + n - 1:
+        raise ValueError(
+            f"min_len_tokens must be >= window + n - 1 = {window + n - 1} "
+            "(below that the winnow candidate stage can miss pairs and "
+            "the result would be approximate)")
+    pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
+                            text_col=text_col, id_col=id_col,
+                            portable=portable)
+             .select("id_a", "id_b"))
+    ids = (pairs.select(F.col("id_a").alias("cid"))
+           .unionByName(pairs.select(F.col("id_b").alias("cid")))
+           .distinct())
+    cand = docs.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh = positional_shingles(cand, n=n, text_col=text_col, id_col=id_col)
+    a_side = pairs.join(
+        sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("pos").alias("pos_a"), "sh"),
+        "id_a")
+    m = a_side.join(
+        sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("pos").alias("pos_b"), "sh"),
+        ["id_b", "sh"])
+    diag = F.col("pos_a") - F.col("pos_b")
+    runs = (m.withColumn("diag", diag)
+            .withColumn("grp", F.col("pos_a") - F.row_number().over(
+                _W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")))
+            .groupBy("id_a", "id_b", "diag", "grp")
+            .agg(F.min("pos_a").cast("long").alias("start_a"),
+                 F.min("pos_b").cast("long").alias("start_b"),
+                 (F.count(F.lit(1)) + (n - 1)).cast("long")
+                 .alias("len_tokens")))
+    return (runs.where(F.col("len_tokens") >= min_len)
+            .select("id_a", "id_b", "start_a", "start_b", "len_tokens"))
+
+
+def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
+                          min_len_tokens: int | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          portable: bool = False) -> DataFrame:
+    """Span-level dedup accounting: merge each document's
+    :func:`exact_substring_spans` intervals (keep-first rule — a span is
+    removed from the LARGER-id doc of every pair, so content survives
+    exactly in its lowest-id carrier) and report per document
+    (doc_id, n_tokens, n_spans, n_tokens_removed, n_tokens_after) over
+    the WHOLE corpus (docs with no spans report zeros) — the
+    span-scrub rung that completes the dedup ladder
+    (exact -> MinHash-global -> winnow-local -> span-scrub).
+
+    Overlapping/adjacent spans merge first (gaps-and-islands over a
+    per-doc running max of interval ends), so a token is never counted
+    removed twice. All interval work is per-victim-doc — span-count
+    sized, corpus never shuffles beyond the token-count scan."""
+    from pyspark.sql import Window as _W
+
+    spans = exact_substring_spans(docs, n=n, window=window,
+                                  min_len_tokens=min_len_tokens,
+                                  text_col=text_col, id_col=id_col,
+                                  portable=portable)
+    iv = spans.select(F.col("id_b").alias("doc_id"),
+                      F.col("start_b").alias("s"),
+                      (F.col("start_b") + F.col("len_tokens")).alias("e"))
+    w = _W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(_W.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(_W.unboundedPreceding, 0))
+    merged = (iv.withColumn("grp", grp)
+              .groupBy("doc_id", "grp")
+              .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_tokens_removed"))
+    all_docs = docs.select(F.col(id_col).alias("doc_id"),
+                           token_count(F.col(text_col)).alias("n_tokens"))
+    return (all_docs.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+                    .alias("n_tokens_removed"),
+                    (F.col("n_tokens")
+                     - F.coalesce("n_tokens_removed", F.lit(0)))
+                    .cast("long").alias("n_tokens_after")))
+
+
 def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Top-k TF-IDF terms per document over the whole corpus.

@@ -2414,6 +2414,31 @@ def q_winnow_matches(spark, sf_dir):
                           min_shared=2, portable=True)
 
 
+def q_exact_substring_spans(spark, sf_dir):
+    """ExactSubstr span recovery (Lee et al. dedup ladder, top rung):
+    every maximal shared token run >= 6 tokens between two documents,
+    with exact 0-based offsets in both docs. Winnow candidates bound the
+    work; diagonal gaps-and-islands over string-verified shingle matches
+    recover the spans, so the report is exact — the oracle replays spans
+    directly from an all-pairs shingle join (equivalent by the winnow
+    guarantee: any >= 6-token run always yields a candidate pair)."""
+    from eventstorm_spark.extensions.text import exact_substring_spans
+    return (exact_substring_spans(load(spark, sf_dir, "documents"),
+                                  portable=True)
+            .orderBy("id_a", "id_b", "start_a", "start_b"))
+
+
+def q_exact_substring_scrub(spark, sf_dir):
+    """Span-scrub accounting: merge each doc's shared-span intervals
+    (keep-first rule: spans are removed from the larger-id doc) and
+    report per-document token counts before/after — the scrubbing
+    counterpart of exact_substring_spans, over the whole corpus."""
+    from eventstorm_spark.extensions.text import exact_substring_scrub
+    return (exact_substring_scrub(load(spark, sf_dir, "documents"),
+                                  portable=True)
+            .orderBy("doc_id"))
+
+
 def q_near_dup_incremental(spark, sf_dir):
     """Cross-snapshot NEAR-dup check: a synthetic recrawl batch — every
     src0 doc with a 3-token tail appended under a shifted id (jaccard
@@ -3724,6 +3749,81 @@ _EXT_ORACLES["winnow_matches"] = _WINNOW_CTE + """,
     GROUP BY 1, 2
     HAVING count(*) >= 2"""
 
+"""ExactSubstr oracle: spans come from an all-pairs full-shingle join +
+diagonal gaps-and-islands (pos_a - pos_b constant, pos_a consecutive).
+No winnow replay needed — the Spark side's winnow candidate stage is
+exact for runs >= 6 tokens (= window + n - 1), so both sides compute the
+same set. `+ 2` below is n - 1 for the 3-token shingles."""
+_EXACTSUBSTR_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+    ps0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> struct_pack(
+                       pos := i - 1,
+                       sh := concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        FROM toks WHERE len(t) >= 3),
+    ps AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.sh AS sh FROM ps0),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM ps a JOIN ps b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    isl AS (
+        SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY id_a, id_b, pos_a - pos_b
+                   ORDER BY pos_a) AS grp
+        FROM m),
+    runs AS (
+        SELECT id_a, id_b,
+               CAST(min(pos_a) AS BIGINT) AS start_a,
+               CAST(min(pos_b) AS BIGINT) AS start_b,
+               CAST(count(*) + 2 AS BIGINT) AS len_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp),
+    spans AS (SELECT * FROM runs WHERE len_tokens >= 6)
+"""
+
+_EXT_ORACLES["exact_substring_spans"] = _EXACTSUBSTR_CTE + """
+    SELECT id_a, id_b, start_a, start_b, len_tokens
+    FROM spans ORDER BY id_a, id_b, start_a, start_b"""
+
+_EXT_ORACLES["exact_substring_scrub"] = _EXACTSUBSTR_CTE + r""",
+    iv AS (SELECT id_b AS doc_id, start_b AS s,
+                  start_b + len_tokens AS e
+           FROM spans),
+    g AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM iv),
+    g2 AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS grp
+        FROM g),
+    mg AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+           FROM g2 GROUP BY doc_id, grp),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s) AS BIGINT) AS n_tokens_removed
+           FROM mg GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+               AS n_tokens,
+           coalesce(pd.n_spans, 0) AS n_spans,
+           coalesce(pd.n_tokens_removed, 0) AS n_tokens_removed,
+           CAST(len(string_split_regex(trim(d.text), '\s+'))
+                - coalesce(pd.n_tokens_removed, 0) AS BIGINT)
+               AS n_tokens_after
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    ORDER BY d.doc_id"""
+
 _EXT_ORACLES["near_dup_incremental"] = r"""
     WITH newdocs AS (
         SELECT doc_id + 100000 AS doc_id,
@@ -3816,6 +3916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    with r4+ driver evidence.
         "html_extract": q_html_extract,
         "html_c4_funnel": q_html_c4_funnel,
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,

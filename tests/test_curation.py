@@ -440,6 +440,76 @@ def test_winnowing_matches_reference_implementation(spark):
         assert got.get(doc_id, set()) == want, doc_id
 
 
+def test_exact_substring_spans_golden(spark):
+    """Span recovery goldens: exact offsets/lengths, repeated-block
+    alignments (one span per diagonal), non-overlapping docs silent,
+    and sub-threshold runs (< 6 tokens) dropped."""
+    from eventstorm_spark.extensions.text import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(spark, [
+        (1, "u1 u2 " + shared + " v1 v2", "s"),
+        (2, "w1 " + shared + " w2 w3 w4", "s"),
+        (3, "no overlap with anything here at all folks okay", "s"),
+        (4, shared + " " + shared, "s"),      # doubled block
+        (5, "x1 alpha beta gamma x2 x3 x4 x5 x6 x7", "s"),  # 3-token run only
+    ])
+    spans = {(r.id_a, r.id_b, r.start_a, r.start_b): r.len_tokens
+             for r in exact_substring_spans(docs).collect()}
+    assert spans == {
+        (1, 2, 2, 1): 8,
+        (1, 4, 2, 0): 8, (1, 4, 2, 8): 8,   # both alignments of the double
+        (2, 4, 1, 0): 8, (2, 4, 1, 8): 8,
+    }  # doc5's 3-token overlap is below the 6-token floor; doc3 silent
+
+
+def test_exact_substring_scrub_merges_overlaps(spark):
+    """Scrub accounting: keep-first (larger id loses), overlapping spans
+    from different pairs merge so tokens are never double-counted, and
+    span-free docs report zeros."""
+    from eventstorm_spark.extensions.text import exact_substring_scrub
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [
+        (1, "u1 u2 " + shared + " v1 v2", "s"),
+        (2, "w1 " + shared + " w2 w3 w4", "s"),
+        (3, "no overlap with anything here at all folks okay", "s"),
+        (4, shared + " " + shared, "s"),
+    ])
+    out = {r.doc_id: (r.n_tokens, r.n_spans, r.n_tokens_removed,
+                      r.n_tokens_after)
+           for r in exact_substring_scrub(docs).collect()}
+    assert out[1] == (12, 0, 0, 12)      # min id keeps everything
+    assert out[2] == (12, 1, 8, 4)
+    assert out[3] == (9, 0, 0, 9)
+    # doc4: [0,8) and [8,16) from two pairs merge into ONE [0,16) span
+    assert out[4] == (16, 1, 16, 0)
+
+
+def test_exact_substring_scrub_parity_with_passage_scrub(spark):
+    """On segment-aligned inputs (the duplicated content is exactly one
+    10-token segment, at 10-token-aligned offsets, all other tokens
+    globally unique) span-scrub and the segment-based passage_scrub
+    remove the same tokens from the same docs."""
+    from eventstorm_spark.extensions.text import (
+        exact_substring_scrub,
+        passage_scrub,
+    )
+
+    seg = " ".join(f"dup{i}" for i in range(10))
+    docs = _docs(spark, [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + seg, "s"),
+        (2, seg + " " + " ".join(f"b{i}" for i in range(10)), "s"),
+        (3, " ".join(f"c{i}" for i in range(20)), "s"),
+    ])
+    spanside = {r.doc_id: r.n_tokens_after
+                for r in exact_substring_scrub(docs).collect()}
+    segside = {r.doc_id: r.n_tokens_after
+               for r in passage_scrub(docs, seg_tokens=10,
+                                      min_docs=2, id_col="doc_id").collect()}
+    assert spanside == segside == {1: 20, 2: 10, 3: 20}
+
+
 def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
     """Native session-window sessionization under Structured Streaming:
     events split across micro-batches merge into one session in the
