@@ -178,15 +178,34 @@ def winnow_fingerprints(docs: DataFrame, *, n: int = 3, window: int = 4,
 def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
                    min_shared: int = 2, text_col: str = "text",
                    id_col: str = "doc_id",
+                   max_fingerprint_df: int | None = None,
                    portable: bool = False) -> DataFrame:
     """Local-overlap report: document pairs sharing >= ``min_shared``
     distinct winnowing fingerprints, with the shared count — the
     plagiarism/quotation detector. Blocked self-join on the fingerprint
     (disjoint docs never meet), distinct fingerprints per doc first so
-    repeated passages inside one doc don't inflate counts."""
+    repeated passages inside one doc don't inflate counts.
+
+    ``max_fingerprint_df`` is the skew guard for corpus scale, the
+    winnowing twin of ``dedup.minhash_lsh_candidates(max_bucket_size=)``:
+    a boilerplate fingerprint (license header, template nav) carried by
+    k documents expands to k²/2 pair rows in the self-join. With a cap,
+    fingerprints whose document frequency exceeds it are dropped before
+    the join (map-side-combinable df count + semi-join on the under-cap
+    list), bounding the quadratic term. Pairs that share ONLY dropped
+    fingerprints are missed — recall degrades gracefully instead of the
+    join exploding, and genuinely overlapping pairs keep pairing through
+    their rarer fingerprints. Off by default so the driver-verified
+    oracle replays exactly."""
     fp = (winnow_fingerprints(docs, n=n, window=window, text_col=text_col,
                               id_col=id_col, portable=portable)
           .select("doc_id", "fingerprint").distinct())
+    if max_fingerprint_df is not None:
+        ok = (fp.groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") <= max_fingerprint_df)
+              .select("fingerprint"))
+        fp = fp.join(ok, "fingerprint", "left_semi")
     a = fp.alias("a")
     b = fp.alias("b")
     return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
@@ -219,6 +238,7 @@ def positional_shingles(docs: DataFrame, *, n: int = 3,
 def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                           min_len_tokens: int | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
+                          max_fingerprint_df: int | None = None,
                           portable: bool = False) -> DataFrame:
     """ExactSubstr span recovery (the Lee et al. "Deduplicating Training
     Data Makes Language Models Better" dedup rung above winnowing):
@@ -251,6 +271,14 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
     (``portable`` only switches the candidate-stage hashing; the span
     values never depend on it), so a SQL oracle replays spans exactly
     — and needs no winnow replay at all, by the stage-1 argument.
+
+    ``max_fingerprint_df`` threads into the stage-1 candidate join (see
+    :func:`winnow_matches`); the ``min_shared=1`` candidate stage
+    otherwise inherits the hot-fingerprint k²/2 blowup wholesale. With a
+    cap the EXACTNESS guarantee weakens to: a pair is found iff some
+    qualifying run contains an under-cap fingerprint — boilerplate runs
+    shared by > cap documents stop generating pairs, which at corpus
+    scale is usually the point. Off by default (oracle replays exactly).
     """
     from pyspark.sql import Window as _W
 
@@ -262,6 +290,7 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
             "the result would be approximate)")
     pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
                             text_col=text_col, id_col=id_col,
+                            max_fingerprint_df=max_fingerprint_df,
                             portable=portable)
              .select("id_a", "id_b"))
     ids = (pairs.select(F.col("id_a").alias("cid"))
@@ -294,6 +323,7 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
                           min_len_tokens: int | None = None,
                           text_col: str = "text",
                           id_col: str = "doc_id",
+                          max_fingerprint_df: int | None = None,
                           portable: bool = False) -> DataFrame:
     """Span-level dedup accounting: merge each document's
     :func:`exact_substring_spans` intervals (keep-first rule — a span is
@@ -313,6 +343,7 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
     spans = exact_substring_spans(docs, n=n, window=window,
                                   min_len_tokens=min_len_tokens,
                                   text_col=text_col, id_col=id_col,
+                                  max_fingerprint_df=max_fingerprint_df,
                                   portable=portable)
     iv = spans.select(F.col("id_b").alias("doc_id"),
                       F.col("start_b").alias("s"),

@@ -3903,77 +3903,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 6 rotation: (a) the 11 queries whose latest driver
-        #    evidence is r3 (asof/funnel/sessionization/system_streams/
-        #    percentiles/returnflag/supplier_part_counts/read_stream_*),
-        #    (b) the new r6 queries (PNG codec + the curation suite:
-        #    shard manifest, length buckets, incremental dedup, novelty,
-        #    vocab coverage, source composition, dataset profile),
-        #    (c) every query whose operator changed this round (BPE
-        #    merge-rule fix; dedup broadcast removal; relational
-        #    de-hinting), (d) fills with the oldest remaining (r4)
-        #    evidence. CORRECTNESS_r06 ∪ r05 then covers every entry
-        #    with r4+ driver evidence.
-        "html_extract": q_html_extract,
-        "html_c4_funnel": q_html_c4_funnel,
-        "exact_substring_spans": q_exact_substring_spans,
-        "exact_substring_scrub": q_exact_substring_scrub,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
-        "events_sessionization": q_events_sessionization,
-        "system_streams": q_system_streams,
-        "value_percentiles": q_value_percentiles,
-        "returnflag_priority": q_returnflag_priority,
-        "supplier_part_counts": q_supplier_part_counts,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "shard_manifest": q_shard_manifest,
-        "length_bucket_report": q_length_bucket_report,
-        "dedup_incremental": q_dedup_incremental,
-        "snapshot_novelty": q_snapshot_novelty,
-        "vocab_coverage": q_vocab_coverage,
-        "source_composition": q_source_composition,
-        "dataset_profile": q_dataset_profile,
-        "near_dup_incremental": q_near_dup_incremental,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- round 8 rotation: evidence refresh. (a) the two winnowing
+        #    queries whose operator gains an optional skew cap this round
+        #    (off by default; value-neutral, but the code path changed),
+        #    (b) all 38 queries whose latest driver evidence is r4,
+        #    (c) 10 of the 40 r5-evidence queries. The remaining 30
+        #    r5-evidence queries sit immediately after the boundary,
+        #    ordered first for the r9 window; r6/r7-green entries tail.
         "winnow_matches": q_winnow_matches,
-        "events_session_native": q_events_session_native,
-        "decontaminated_counts": q_decontaminated_counts,
-        "epoch_plan": q_epoch_plan,
-        "curriculum_order": q_curriculum_order,
-        "model_quality_score": q_model_quality_score,
-        "epoch_materialized_counts": q_epoch_materialized_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_fertility": q_bpe_fertility,
-        "bpe_token_counts": q_bpe_token_counts,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "near_dup_containment": q_near_dup_containment,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
-        "top_supplier": q_top_supplier,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "market_share": q_market_share,
-        # ---- driver window ends here (50 entries) ----
-        "top_returning_customers": q_top_returning_customers,
-        # -- r4/r5-green, rotated out of the window (the de-hinted
-        #    relational queries below changed PLANS only; broadcast
-        #    hints are value-neutral, so their r4 value evidence
-        #    stands) --
+        "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
         "cohort_retention": q_cohort_retention,
         "rollup_revenue": q_rollup_revenue,
@@ -3991,6 +3929,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_type_regex": q_filter_type_regex,
         "scalar_envelope": q_scalar_envelope,
         "scalar_struct_uuid": q_scalar_struct_uuid,
+        "read_all_from_position": q_read_all_from_position,
+        "proj_category_counts": q_proj_category_counts,
+        "proj_filtered_emissions": q_proj_filtered_emissions,
+        "proj_transform": q_proj_transform,
+        "proj_linkto_errors": q_proj_linkto_errors,
+        "system_by_event_type": q_system_by_event_type,
+        "late_shipment_priority": q_late_shipment_priority,
+        "events_daily_counts": q_events_daily_counts,
+        "tpch_q6": q_tpch_q6,
+        "orders_with_returns": q_orders_with_returns,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops_streams": q_set_ops_streams,
+        "hypertable_rollup": q_hypertable_rollup,
+        "events_anomalies": q_events_anomalies,
+        "events_rolling_avg": q_events_rolling_avg,
+        "cust_order_distribution": q_cust_order_distribution,
+        "approx_event_stats": q_approx_event_stats,
+        "simhash_candidates": q_simhash_candidates,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
+        "read_stream_forward": q_read_stream_forward,
+        "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,
@@ -4000,6 +3960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "token_counts": q_token_counts,
         "multimodal_asset_stats": q_multimodal_asset_stats,
+        # ---- driver window ends here (50 entries) ----
+        # -- r5 evidence, first in line for the r9 rotation --
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_wav_decode": q_multimodal_wav_decode,
@@ -4030,27 +3992,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
-        "read_all_from_position": q_read_all_from_position,
-        "proj_category_counts": q_proj_category_counts,
-        "proj_filtered_emissions": q_proj_filtered_emissions,
-        "proj_transform": q_proj_transform,
-        "proj_linkto_errors": q_proj_linkto_errors,
-        "system_by_event_type": q_system_by_event_type,
-        "late_shipment_priority": q_late_shipment_priority,
-        "events_daily_counts": q_events_daily_counts,
-        "tpch_q6": q_tpch_q6,
-        "orders_with_returns": q_orders_with_returns,
-        "customers_without_orders": q_customers_without_orders,
-        "set_ops_streams": q_set_ops_streams,
-        "hypertable_rollup": q_hypertable_rollup,
-        "events_anomalies": q_events_anomalies,
-        "events_rolling_avg": q_events_rolling_avg,
-        "cust_order_distribution": q_cust_order_distribution,
-        "approx_event_stats": q_approx_event_stats,
-        "simhash_candidates": q_simhash_candidates,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
-        "read_stream_forward": q_read_stream_forward,
+        # -- r6/r7-green --
+        "html_extract": q_html_extract,
+        "html_c4_funnel": q_html_c4_funnel,
+        "exact_substring_scrub": q_exact_substring_scrub,
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
+        "events_sessionization": q_events_sessionization,
+        "system_streams": q_system_streams,
+        "value_percentiles": q_value_percentiles,
+        "returnflag_priority": q_returnflag_priority,
+        "supplier_part_counts": q_supplier_part_counts,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "shard_manifest": q_shard_manifest,
+        "length_bucket_report": q_length_bucket_report,
+        "dedup_incremental": q_dedup_incremental,
+        "snapshot_novelty": q_snapshot_novelty,
+        "vocab_coverage": q_vocab_coverage,
+        "source_composition": q_source_composition,
+        "dataset_profile": q_dataset_profile,
+        "near_dup_incremental": q_near_dup_incremental,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "events_session_native": q_events_session_native,
+        "decontaminated_counts": q_decontaminated_counts,
+        "epoch_plan": q_epoch_plan,
+        "curriculum_order": q_curriculum_order,
+        "model_quality_score": q_model_quality_score,
+        "epoch_materialized_counts": q_epoch_materialized_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
+        "bpe_token_counts": q_bpe_token_counts,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "near_dup_containment": q_near_dup_containment,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "top_supplier": q_top_supplier,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "market_share": q_market_share,
     }
     return q
 

@@ -745,3 +745,48 @@ def test_epoch_materialization_hits_budget(spark, sf_dir):
     survivors = dedup_against_corpus(docs, corpus)
     again = dedup_against_corpus(survivors, corpus)
     assert again.count() == survivors.count()
+
+
+def test_winnow_hot_fingerprint_cap_graceful(spark):
+    """max_fingerprint_df skew guard: (a) capped pairs are a subset of
+    uncapped, (b) pairs whose only shared text is a hot boilerplate
+    passage (carried by every doc, df > cap) disappear, (c) pairs that
+    ALSO share a rare passage survive — recall degrades gracefully to
+    the under-cap fingerprints. Randomized corpora so the property
+    holds beyond one golden layout; exact_substring_spans inherits the
+    cap through its candidate stage."""
+    import random
+
+    from eventstorm_spark.extensions.text import (exact_substring_spans,
+                                                  winnow_matches)
+
+    rng = random.Random(11)
+    boiler = "common license header text appears in every single document"
+    rare = "rare shared passage only these two docs carry onward"
+    rows = []
+    for i in range(12):
+        filler = " ".join(f"f{i}x{j}" for j in range(rng.randint(4, 9)))
+        rows.append((i, f"{filler} {boiler} tail{i}", "s"))
+    # docs 0 and 1 additionally share the rare run
+    rows[0] = (0, rows[0][1] + " " + rare, "s")
+    rows[1] = (1, rows[1][1] + " " + rare, "s")
+    docs = _docs(spark, rows)
+
+    def pairs(**kw):
+        return {(r.id_a, r.id_b) for r in
+                winnow_matches(docs, n=3, window=4, min_shared=1,
+                               **kw).collect()}
+
+    uncapped = pairs()
+    capped = pairs(max_fingerprint_df=4)
+    assert capped <= uncapped
+    assert (0, 1) in uncapped and len(uncapped) == 66  # all 12C2 via boiler
+    assert capped == {(0, 1)}, capped  # boiler df=12 > 4; rare df=2 survives
+
+    spans_capped = exact_substring_spans(
+        docs, n=3, window=4, max_fingerprint_df=4).collect()
+    assert {(r.id_a, r.id_b) for r in spans_capped} == {(0, 1)}
+    # the recovered span for the surviving pair still includes the rare
+    # run at full length (span recovery is exact once a pair is a
+    # candidate — the cap only prunes candidate PAIRS, never positions)
+    assert any(r.len_tokens >= 9 for r in spans_capped), spans_capped
