@@ -183,19 +183,38 @@ def _write_index_meta(spark, path: str, meta: dict) -> None:
 
 def _read_index_meta(spark, path: str) -> dict | None:
     """Load ``path/_meta``; None for a pre-meta index (validation is
-    then skipped for backward compatibility)."""
+    then skipped for backward compatibility). Only a missing path maps
+    to None — any other read failure (permissions, corrupt file)
+    propagates, because silently skipping validation there would make a
+    transient filesystem error indistinguishable from a legacy index."""
     import json
+
+    from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.text(os.path.join(path, "_meta")).collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     return json.loads(rows[0][0]) if rows else None
 
 
 def _check_index_meta(spark, path: str, expect: dict, kind: str) -> None:
     meta = _read_index_meta(spark, path)
     if meta is None:
+        # Legacy pre-meta index, or a build that failed between the data
+        # write and the meta write (the digest index writes data into
+        # ``path`` itself, so its meta cannot be written first — a
+        # partial build must be re-run). Warn rather than fail: the
+        # caller may hold a healthy legacy index.
+        import warnings
+
+        warnings.warn(
+            f"{kind} index at {path} has no _meta file; parameter "
+            "validation skipped (legacy index, or a partial build — "
+            "rebuild if the index writer did not complete)",
+            stacklevel=3)
         return
     bad = {k: (meta.get(k), v) for k, v in expect.items()
            if meta.get(k) != v}
@@ -327,6 +346,13 @@ def write_minhash_index(corpus: DataFrame, path: str, *,
     """
     from eventstorm_spark.extensions.dedup import band_buckets, minhash_signatures
 
+    # Meta first: the data lives in subdirectories, so writing the meta
+    # up front can't be clobbered by the data writes — and a failure
+    # mid-build leaves an index whose data reads fail loudly instead of
+    # a valid-looking index that silently skips parameter validation.
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "minhash", "num_hashes": num_hashes,
+                       "bands": bands, "n": n})
     sigs = minhash_signatures(corpus, num_hashes=num_hashes, n=n,
                               text_col=text_col, id_col=id_col)
     sigs = sigs.localCheckpoint(eager=False)  # feeds both writes
@@ -341,9 +367,6 @@ def write_minhash_index(corpus: DataFrame, path: str, *,
      .repartition("band", "bucket")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))
-    _write_index_meta(corpus.sparkSession, path,
-                      {"kind": "minhash", "num_hashes": num_hashes,
-                       "bands": bands, "n": n})
 
 
 def near_dup_against_index(new_docs: DataFrame, spark, index_path: str, *,
@@ -401,6 +424,124 @@ def near_dup_against_index(new_docs: DataFrame, spark, index_path: str, *,
                         F.round(agree / F.lit(float(num_hashes)), 6))
             .where(F.col("est_jaccard") >= threshold)
             .select("new_id", "corpus_id", "est_jaccard"))
+
+
+def write_winnow_index(corpus: DataFrame, path: str, *,
+                       n: int = 3, window: int = 4, n_buckets: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> None:
+    """Persist the corpus's winnowing fingerprints as an at-rest
+    SUBSTRING-overlap index: distinct (doc_id, fingerprint) rows,
+    hash-partitioned into ``bucket = pmod(xxhash64(fingerprint),
+    n_buckets)`` partition directories.
+
+    The substring-level rung of the at-rest index ladder (digest index =
+    exact, MinHash index = whole-doc near-dup, this = shared-passage):
+    a recurring ingest checks new documents for copied runs by joining
+    their fingerprints against the stored ones —
+    :func:`overlap_against_index` — without ever re-tokenizing or
+    re-fingerprinting the corpus. Winnowing is per-document local
+    (``text.winnow_fingerprints``), so at-rest fingerprints are
+    byte-identical to what an in-memory :func:`text.winnow_matches` over
+    the union would compute — which is what makes exact parity testable.
+    Fingerprint density ~2/(window+1) of corpus tokens bounds the index
+    size; rows are (id, 8-byte hash). The bucket partition column gives
+    appends bucket-dir locality and lets a loader co-partition probe
+    joins; (n, window) land in ``_meta`` because fingerprints from a
+    different shingle size or window silently never collide.
+    """
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+
+    # Meta first — data lives in path/fingerprints, so the meta write
+    # can't be clobbered; a mid-build failure fails loudly on data read.
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "winnow", "n": n, "window": window,
+                       "n_buckets": n_buckets})
+    fp = (winnow_fingerprints(corpus, n=n, window=window,
+                              text_col=text_col, id_col=id_col)
+          .select("doc_id", "fingerprint").distinct()
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("fingerprint"),
+                             F.lit(n_buckets)).cast("int")))
+    (fp.repartition(n_buckets, "bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "fingerprints")))
+
+
+def overlap_against_index(new_docs: DataFrame, spark, index_path: str, *,
+                          n: int = 3, window: int = 4, min_shared: int = 2,
+                          max_fingerprint_df: int | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Substring-overlap pairs (new_id, corpus_id, n_shared) between a
+    new snapshot and a :func:`write_winnow_index` corpus index — the
+    cross-snapshot form of :func:`text.winnow_matches`, with the corpus
+    side read as stored fingerprints (the corpus text is never
+    re-tokenized).
+
+    The new batch fingerprints once; the join is blocked on the
+    fingerprint value, so disjoint documents never meet. The winnowing
+    guarantee carries over verbatim: any token run of length >=
+    window + n - 1 shared between a new doc and a corpus doc produces
+    at least one shared fingerprint, so no qualifying overlap is ever
+    missed. ``max_fingerprint_df`` is the same hot-fingerprint skew
+    guard as :func:`text.winnow_matches`, applied to the COMBINED
+    document frequency (stored + new) so a boilerplate passage saturated
+    on either side is capped; parameters validate against ``_meta``
+    (mismatched (n, window) fingerprints silently never collide, so a
+    mismatch is a hard error, not an empty result)."""
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+
+    _check_index_meta(spark, index_path,
+                      {"kind": "winnow", "n": n, "window": window},
+                      "winnow")
+    fp_new = (winnow_fingerprints(new_docs, n=n, window=window,
+                                  text_col=text_col, id_col=id_col)
+              .select(F.col("doc_id").alias("new_id"), "fingerprint")
+              .distinct())
+    fp_old = (spark.read.parquet(os.path.join(index_path, "fingerprints"))
+              .select(F.col("doc_id").alias("corpus_id"), "fingerprint"))
+    if max_fingerprint_df is not None:
+        df_all = (fp_old.select("fingerprint")
+                  .unionByName(fp_new.select("fingerprint"))
+                  .groupBy("fingerprint")
+                  .agg(F.count(F.lit(1)).alias("__df"))
+                  .where(F.col("__df") <= max_fingerprint_df)
+                  .select("fingerprint"))
+        fp_old = fp_old.join(df_all, "fingerprint", "left_semi")
+        fp_new = fp_new.join(df_all, "fingerprint", "left_semi")
+    return (fp_new.join(fp_old, "fingerprint")
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def append_winnow_index(new_docs: DataFrame, path: str, *,
+                        n: int = 3, window: int = 4, n_buckets: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Incremental maintenance of a :func:`write_winnow_index`: append
+    the new docs' distinct fingerprints into their hash-bucket partition
+    dirs — typically the post-scrub survivors of an ingest, so the next
+    ingest's :func:`overlap_against_index` sees them at rest. Ids must
+    be new (the index stores per-id fingerprint sets); append-only, no
+    read-modify-write. (n, window, n_buckets) validate against ``_meta``
+    — a different family would route to wrong buckets and never
+    collide with stored fingerprints."""
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+
+    _check_index_meta(new_docs.sparkSession, path,
+                      {"kind": "winnow", "n": n, "window": window,
+                       "n_buckets": n_buckets}, "winnow")
+    fp = (winnow_fingerprints(new_docs, n=n, window=window,
+                              text_col=text_col, id_col=id_col)
+          .select("doc_id", "fingerprint").distinct()
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("fingerprint"),
+                             F.lit(n_buckets)).cast("int")))
+    (fp.repartition(n_buckets, "bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(path, "fingerprints")))
 
 
 def streaming_dedup_against_corpus(stream_docs: DataFrame, corpus: DataFrame, *,

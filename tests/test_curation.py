@@ -790,3 +790,66 @@ def test_winnow_hot_fingerprint_cap_graceful(spark):
     # run at full length (span recovery is exact once a pair is a
     # candidate — the cap only prunes candidate PAIRS, never positions)
     assert any(r.len_tokens >= 9 for r in spans_capped), spans_capped
+
+
+def test_winnow_index_lifecycle_and_parity(spark, tmp_path):
+    """At-rest winnowing index: build -> probe -> append -> probe, with
+    EXACT parity against the in-memory winnow_matches over the union
+    (winnowing is per-document local, so at-rest fingerprints are
+    byte-identical to freshly computed ones). Appended docs are found by
+    the next probe; _meta rejects mismatched (n, window); the stored
+    fingerprint rows are 8-byte hashes only (no text at rest)."""
+    import pytest
+
+    from eventstorm_spark.extensions.curation import (
+        append_winnow_index,
+        overlap_against_index,
+        write_winnow_index,
+    )
+    from eventstorm_spark.extensions.text import winnow_matches
+
+    shared = "one two three four five six seven"  # 7-token run (>= 6)
+    corpus = _docs(spark, [
+        (0, f"c0 filler {shared} more c0 words", "a"),
+        (1, "c1 totally unrelated text content here", "a"),
+    ])
+    path = os.path.join(str(tmp_path), "winnow")
+    write_winnow_index(corpus, path, n=3, window=4, n_buckets=4)
+
+    probe1 = _docs(spark, [
+        (100, f"p0 {shared} trailing words p0", "b"),
+        (101, "nothing in common with the corpus at all", "b"),
+    ])
+    got = {(r.new_id, r.corpus_id, r.n_shared)
+           for r in overlap_against_index(probe1, spark, path, n=3,
+                                          window=4, min_shared=1).collect()}
+    # exact parity: cross pairs of winnow_matches over corpus ∪ probe
+    # (ids disjoint; id_a < id_b puts corpus first)
+    union = corpus.unionByName(probe1)
+    want = {(r.id_b, r.id_a, r.n_shared)
+            for r in winnow_matches(union, n=3, window=4,
+                                    min_shared=1).collect()
+            if r.id_a < 100 <= r.id_b}
+    assert got == want and {(a, b) for a, b, _ in got} == {(100, 0)}
+
+    # append probe1 survivors; a doc copying probe1's text is now caught
+    append_winnow_index(probe1, path, n=3, window=4, n_buckets=4)
+    probe2 = _docs(spark, [(200, f"fresh {shared} copy again", "c")])
+    got2 = {(r.new_id, r.corpus_id)
+            for r in overlap_against_index(probe2, spark, path, n=3,
+                                           window=4, min_shared=1).collect()}
+    assert got2 == {(200, 0), (200, 100)}
+
+    # at rest: only (doc_id, fingerprint, bucket-partition), never text
+    stored = spark.read.parquet(os.path.join(path, "fingerprints"))
+    assert sorted(stored.columns) == ["bucket", "doc_id", "fingerprint"]
+
+    with pytest.raises(ValueError, match="window"):
+        overlap_against_index(probe2, spark, path, n=3, window=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        append_winnow_index(probe2, path, n=3, window=4, n_buckets=8)
+
+    # hot-fingerprint cap applies across stored+new df
+    capped = overlap_against_index(probe2, spark, path, n=3, window=4,
+                                   min_shared=1, max_fingerprint_df=1)
+    assert capped.count() == 0  # shared run's df >= 3 > 1 -> pruned
