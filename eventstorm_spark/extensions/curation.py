@@ -624,6 +624,13 @@ def vocab_coverage(docs: DataFrame, ks: list[int] | None = None, *,
     (a term below min_count can never be in the top K for any K the cut
     table still covers) — the denominator stays the FULL token total,
     so coverage numbers are unchanged.
+
+    EAGER: the two-phase cumsum collects the per-partition totals (and
+    with ``min_count`` > 1, the pre-cut token total) at CALL time —
+    this function runs Spark jobs when invoked and the returned frame
+    is pinned to the input as of that moment. Don't compose it into a
+    plan expected to stay lazy or to re-execute on fresh data; call it
+    again for a new snapshot.
     """
     ks = sorted(ks or [10, 100, 1000])
     from pyspark.sql import Window

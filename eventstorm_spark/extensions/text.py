@@ -520,15 +520,76 @@ HTML_BLOCK_TAGS = frozenset((
     "summary"))
 
 
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _HtmlExtractor(_HTMLParser):
+    """Stream extractor behind :func:`extract_html_text`. Strip-tag
+    containers (nav/header/footer/...) are all block-level elements, so
+    they emit the same whitespace boundary as ``HTML_BLOCK_TAGS`` —
+    without it, visible text on either side of a stripped element fuses
+    into one token (``a<nav>x</nav>b`` -> ``ab``), corrupting token
+    stats downstream."""
+
+    def __init__(self, strip: frozenset) -> None:
+        super().__init__(convert_charrefs=True)
+        self._strip = strip
+        self.depth = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D401
+        if tag in self._strip:
+            self.depth += 1
+            self.parts.append(" ")
+        elif tag in HTML_BLOCK_TAGS:
+            self.parts.append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in self._strip or tag in HTML_BLOCK_TAGS:
+            self.parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in self._strip:
+            self.depth = max(0, self.depth - 1)
+            self.parts.append(" ")
+        elif tag in HTML_BLOCK_TAGS:
+            self.parts.append(" ")
+
+    def handle_data(self, data):
+        if self.depth == 0:
+            self.parts.append(data)
+
+
+def _extract_html_checked(html: str | None,
+                          strip_tags: tuple[str, ...]) -> tuple:
+    """(text, error) core: text is whatever was extracted; error is True
+    when the parser raised mid-document, i.e. the text may be a
+    TRUNCATED extraction rather than a complete one."""
+    if html is None:
+        return None, False
+    import re as _re
+
+    p = _HtmlExtractor(frozenset(strip_tags))
+    err = False
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        err = True  # keep what was extracted, but say so
+    return _re.sub(r"\s+", " ", "".join(p.parts)).strip(), err
+
+
 def extract_html_text(html: str | None,
-                      strip_tags: tuple[str, ...] = HTML_STRIP_TAGS) -> str | None:
+                      strip_tags: tuple[str, ...] = HTML_STRIP_TAGS,
+                      *, errors: str = "keep") -> str | None:
     """Extract the visible text of one HTML document (stdlib
     ``html.parser`` — no external deps): drop everything inside
     boilerplate containers (``strip_tags``: script/style/nav/header/
     footer/... — the chrome around the content), drop comments, decode
-    character references (named and numeric), treat block-level tags as
-    whitespace boundaries so ``<p>a</p><p>b</p>`` never fuses into
-    ``ab``, and collapse all whitespace runs to single spaces. The
+    character references (named and numeric), treat block-level tags —
+    including the stripped containers themselves — as whitespace
+    boundaries so ``<p>a</p><p>b</p>`` and ``a<nav>x</nav>b`` never
+    fuse, and collapse all whitespace runs to single spaces. The
     plain-Python core of :func:`html_to_text`, exposed separately so
     tests and oracles can call it row-at-a-time.
 
@@ -540,52 +601,23 @@ def extract_html_text(html: str | None,
     (the parser has no tree to auto-close against) — the standard
     failure mode of stream-based extraction; boilerplate tags are
     reliably closed on real pages.
+
+    If the parser RAISES mid-document, the extraction is truncated
+    rather than complete: ``errors="keep"`` (default) returns the
+    partial text, ``errors="none"`` returns None so truncated docs can
+    be filtered; :func:`html_to_text` can surface the flag as a column
+    (``error_col=``) for auditing.
     """
-    if html is None:
+    text, err = _extract_html_checked(html, strip_tags)
+    if err and errors == "none":
         return None
-    import re as _re
-    from html.parser import HTMLParser
-
-    strip = frozenset(strip_tags)
-
-    class _Extractor(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.depth = 0
-            self.parts: list[str] = []
-
-        def handle_starttag(self, tag, attrs):  # noqa: D401
-            if tag in strip:
-                self.depth += 1
-            elif tag in HTML_BLOCK_TAGS:
-                self.parts.append(" ")
-
-        def handle_startendtag(self, tag, attrs):
-            if tag not in strip and tag in HTML_BLOCK_TAGS:
-                self.parts.append(" ")
-
-        def handle_endtag(self, tag):
-            if tag in strip:
-                self.depth = max(0, self.depth - 1)
-            elif tag in HTML_BLOCK_TAGS:
-                self.parts.append(" ")
-
-        def handle_data(self, data):
-            if self.depth == 0:
-                self.parts.append(data)
-
-    p = _Extractor()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass  # keep whatever was extracted before the parse error
-    return _re.sub(r"\s+", " ", "".join(p.parts)).strip()
+    return text
 
 
 def html_to_text(docs: DataFrame, *, text_col: str = "html",
                  out_col: str = "text",
-                 strip_tags: tuple[str, ...] = HTML_STRIP_TAGS) -> DataFrame:
+                 strip_tags: tuple[str, ...] = HTML_STRIP_TAGS,
+                 error_col: str | None = None) -> DataFrame:
     """HTML-to-text extraction — the FIRST stage of a web-crawl training
     pipeline (raw page -> clean text), upstream of everything from
     :func:`c4_rules` onward, which assumes clean text.
@@ -596,16 +628,35 @@ def html_to_text(docs: DataFrame, *, text_col: str = "html",
     plumbing as the multimodal codecs). Semantics live in
     :func:`extract_html_text`; see there for the boilerplate-strip /
     block-boundary / entity rules.
+
+    ``error_col`` (optional) adds a boolean column that is True when the
+    parser raised mid-document — the extraction is then TRUNCATED, not
+    complete, and a training pipeline can filter or audit those rows
+    instead of treating partial text as a full page. Still one Arrow
+    stage (a struct-returning ``pandas_udf`` whose fields are split out
+    by Catalyst).
     """
     from pyspark.sql.functions import pandas_udf
 
     tags = tuple(strip_tags)
 
-    @pandas_udf("string")
-    def extract_udf(pages: pd.Series) -> pd.Series:
-        return pages.map(lambda h: extract_html_text(h, tags))
+    if error_col is None:
+        @pandas_udf("string")
+        def extract_udf(pages: pd.Series) -> pd.Series:
+            return pages.map(lambda h: extract_html_text(h, tags))
 
-    return docs.withColumn(out_col, extract_udf(F.col(text_col)))
+        return docs.withColumn(out_col, extract_udf(F.col(text_col)))
+
+    @pandas_udf("struct<text: string, error: boolean>")
+    def extract_checked_udf(pages: pd.Series) -> pd.DataFrame:
+        pairs = [_extract_html_checked(h, tags) for h in pages]
+        return pd.DataFrame(pairs, columns=["text", "error"])
+
+    tmp = "__html_extract"
+    return (docs.withColumn(tmp, extract_checked_udf(F.col(text_col)))
+            .withColumn(out_col, F.col(f"{tmp}.text"))
+            .withColumn(error_col, F.col(f"{tmp}.error"))
+            .drop(tmp))
 
 
 def unigram_logprob(docs: DataFrame, *, text_col: str = "text",

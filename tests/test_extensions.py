@@ -670,6 +670,9 @@ def test_extract_html_text_golden():
     assert ex("one<br>two<hr/>three") == "one two three"
     # nested strip containers; unclosed inline tag tolerated
     assert ex("<header><nav>chrome</nav>more chrome</header>x<b>y") == "xy"
+    # strip containers are block boundaries: text around them never fuses
+    assert ex("a<nav>x</nav>b") == "a b"
+    assert ex("a<iframe/>b") == "a b"
     # whitespace runs collapse, edges trim
     assert ex("<p>  a\n\t b  </p> ") == "a b"
     # custom strip list
@@ -695,6 +698,51 @@ def test_html_to_text_spark_path_and_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan
+
+
+def test_html_extract_error_surface(spark, monkeypatch):
+    """A parser that raises mid-document yields a TRUNCATED extraction;
+    that state is surfaceable — errors='none' returns None from the
+    pure function, and html_to_text(error_col=...) flags the row while
+    staying a single no-shuffle Arrow stage."""
+    import eventstorm_spark.extensions.text as T
+
+    real_feed = T._HtmlExtractor.feed
+
+    def exploding_feed(self, data):
+        if "BOOM" in data:
+            # parse the prefix, then die mid-document
+            real_feed(self, data.split("BOOM")[0])
+            raise RuntimeError("parser blew up")
+        return real_feed(self, data)
+
+    monkeypatch.setattr(T._HtmlExtractor, "feed", exploding_feed)
+    assert T.extract_html_text("<p>pre</p>BOOM<p>post</p>") == "pre"
+    assert T.extract_html_text("<p>pre</p>BOOM<p>post</p>",
+                               errors="none") is None
+    assert T.extract_html_text("<p>fine</p>", errors="none") == "fine"
+
+    df = spark.createDataFrame(
+        [(1, "<p>good page</p>"), (2, "<p>cut</p>BOOM<p>lost</p>"),
+         (3, None)],
+        "doc_id long, html string")
+    out = {r.doc_id: (r.text, r.bad) for r in
+           T.html_to_text(df, text_col="html", out_col="text",
+                          error_col="bad").collect()}
+    # executors re-import the real module, so the monkeypatch does not
+    # reach them — drive the same UDF body locally instead
+    pairs = [T._extract_html_checked(h, T.HTML_STRIP_TAGS)
+             for h in ["<p>good page</p>", "<p>cut</p>BOOM<p>lost</p>", None]]
+    assert pairs[0] == ("good page", False)
+    assert pairs[1] == ("cut", True)
+    assert pairs[2] == (None, False)
+    # Spark path: schema + non-error rows behave (real parser never
+    # raises on these, so bad=False everywhere here)
+    assert out[1] == ("good page", False)
+    assert out[3] == (None, False)
+    plan = (T.html_to_text(df, text_col="html", error_col="bad")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
 
 
 def test_dsir_weights_upweight_target_language(docs):
