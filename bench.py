@@ -112,16 +112,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         materialize(qs[name](spark, sf_dir))  # untimed: codegen/JIT warm
-        # min of two timed runs: some plans (e.g. the packing cumsum)
-        # need >1 execution before C2 finishes compiling the generated
-        # code, and a single timed run then prices leftover JIT, not
-        # the pipeline (observed 1.7 s -> 0.97 s run-over-run at sf0.1).
-        best = float("inf")
-        for _ in range(2):
+        # median of three timed runs (round 8): a single steady-state
+        # sample still carried enough scheduler/GC noise at sub-second
+        # magnitudes to produce phantom round-over-round x2 swings
+        # (r6->r7 funnel_conversion 0.29 s -> 0.59 s with no code
+        # change). The median discards one slow outlier (GC pause,
+        # compaction) AND one fast fluke, where min-of-N only guards
+        # the former; the first run after the warmup also still prices
+        # leftover C2 compilation on some plans (observed 1.7 s ->
+        # 0.97 s run-over-run on the packing cumsum at sf0.1), which
+        # the median likewise rejects.
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -255,6 +255,163 @@ class PersistentSubscription:
         self._replay_queue = list(doc.get("replay_queue") or [])
 
 
+class SinkPersistentSubscription(PersistentSubscription):
+    """Sink-mode dispatch — the scale path for persistent subscriptions,
+    mirroring ``subscriptions.SinkSubscription``: each ``dispatch()``
+    computes the batch's consumer assignment ENGINE-side and appends the
+    full envelope rows to a parquet delivery table partitioned by
+    consumer; event payloads never pass through the driver (the
+    in-memory ``fetch()`` collects whole rows and remains the
+    test-harness/client surface). The driver keeps only the group's
+    O(in-flight + parked) bookkeeping, updated from an id-level metadata
+    collect bounded by ``max_count``.
+
+    Delivery contract:
+
+    - the sink gains ``consumer`` (partition column — a consumer's
+      reader is a partition-pruned scan of its own directory),
+      ``attempt`` (retry count at dispatch time, so a redelivery is
+      distinguishable from its first attempt), ``batch_id`` (monotonic
+      per dispatch, recovered from the sink on restart) and
+      ``batch_seq`` (1-based order within the batch); a consumer
+      processes ``ORDER BY batch_id, batch_seq``, which replays the
+      exact order the driver dispatcher would have pushed (replayed
+      parked events first, then the cursor in position order);
+    - assignment strategies are expressed as columns: RoundRobin is
+      ``consumers[(rr_next + batch_seq - 1) % k]`` (continues the
+      driver's rotation counter), Pinned hashes the stream id with
+      ``xxhash64`` (deterministic across runs, unlike Python's salted
+      ``hash`` in the in-memory path), DispatchToSingle is a literal;
+    - ack/nack/park/replay/checkpoint semantics are INHERITED unchanged
+      — they operate on positions, which is exactly the metadata the
+      dispatch collect brings back;
+    - the batch is materialized once (``localCheckpoint``) before the
+      sink write and the metadata collect, so the two cannot diverge
+      under concurrent appends.
+
+    The in-batch ``row_number`` runs on a single partition — fine
+    because the candidate frame is bounded by ``max_count + |skip|``
+    rows by construction (the same boundedness argument as the ordinary
+    sink subscription's per-batch sort).
+    """
+
+    def __init__(self, log, group: str, stream: Optional[str] = None, *,
+                 sink_path: str, start_from: int = 0,
+                 max_retry_count: int = 3,
+                 consumer_strategy: str = ROUND_ROBIN,
+                 state_dir: Optional[str] = None):
+        super().__init__(log, group, stream, start_from=start_from,
+                         max_retry_count=max_retry_count,
+                         consumer_strategy=consumer_strategy,
+                         state_dir=state_dir)
+        self.sink_path = sink_path
+        self._spark = log.spark
+        try:
+            row = (self._spark.read.parquet(sink_path)
+                   .agg(F.max("batch_id").alias("m")).collect()[0]
+)
+            self._batch_seq = int(row["m"]) if row["m"] is not None else 0
+        except Exception:
+            self._batch_seq = 0
+
+    def dispatch(self, max_count: int = 32) -> int:
+        """Assign and deliver the next batch into the sink table.
+        Returns the number of events dispatched. The driver never sees
+        payloads — only the (position, consumer) id pairs it needs for
+        in-flight bookkeeping."""
+        from pyspark.sql import Window as W
+
+        if not self._consumers:
+            raise EventStormError("no consumers connected")
+        slots = max_count - len(self._in_flight)
+        if slots <= 0:
+            return 0
+        pos_field = "revision" if self.stream is not None else "position"
+        skip = set(self._in_flight) | self._completed | set(self._parked)
+
+        frames = []
+        if self._replay_queue:
+            take = [int(p) for p in self._replay_queue[:max_count]]
+            base = self.log.df()
+            if self.stream is not None:
+                base = base.where(F.col("stream") == self.stream)
+            frames.append(base.where(F.col(pos_field).isin(take))
+                          .withColumn("__prio", F.lit(0)))
+        if self.stream is not None:
+            cur = self.log.read_stream(self.stream,
+                                       from_revision=self._checkpoint + 1,
+                                       count=max_count + len(skip))
+        else:
+            cur = self.log.read_all(from_position=self._checkpoint + 1,
+                                    count=max_count + len(skip))
+        frames.append(cur.withColumn("__prio", F.lit(1)))
+        cand = frames[0]
+        for f in frames[1:]:
+            cand = cand.unionByName(f)
+        if skip:
+            cand = cand.where(
+                ~F.col(pos_field).isin([int(p) for p in sorted(skip)]))
+
+        cand = (cand.withColumn(
+                    "batch_seq",
+                    F.row_number().over(W.orderBy("__prio", pos_field)))
+                .where(F.col("batch_seq") <= slots).drop("__prio"))
+
+        k = len(self._consumers)
+        arr = F.array(*[F.lit(c) for c in self._consumers])
+        if self.strategy == PINNED:
+            cons = F.element_at(
+                arr, (F.pmod(F.xxhash64(F.col("stream")), F.lit(k)) + 1)
+                .cast("int"))
+        elif self.strategy == DISPATCH_TO_SINGLE:
+            cons = F.lit(self._consumers[0])
+        else:  # RoundRobin, continuing the driver's rotation counter
+            cons = F.element_at(
+                arr, (F.pmod(F.lit(self._rr_next) + F.col("batch_seq") - 1,
+                             F.lit(k)) + 1).cast("int"))
+        if self._retry_counts:
+            rmap = F.create_map(*[F.lit(v) for p, n in
+                                  self._retry_counts.items()
+                                  for v in (int(p), int(n))])
+            attempt = F.coalesce(rmap[F.col(pos_field)], F.lit(0))
+        else:
+            attempt = F.lit(0)
+
+        self._batch_seq += 1
+        out = (cand.withColumn("consumer", cons)
+               .withColumn("attempt", attempt.cast("int"))
+               .withColumn("batch_id", F.lit(self._batch_seq)))
+        # one materialization feeds the sink write AND the metadata
+        # collect — they cannot diverge under concurrent appends
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("append").partitionBy("consumer").parquet(self.sink_path)
+
+        meta = out.select(pos_field, "consumer").collect()  # bounded: <= max_count id pairs
+        dispatched = set()
+        for r in meta:
+            p = int(r[pos_field])
+            dispatched.add(p)
+            self._in_flight[p] = _Delivery(
+                p, r["consumer"], retries=self._retry_counts.get(p, 0))
+        if self.strategy == ROUND_ROBIN:
+            self._rr_next += len(meta)
+        if self._replay_queue:
+            self._replay_queue = [p for p in self._replay_queue
+                                  if p not in dispatched]
+        self._save()
+        return len(meta)
+
+    def deliveries(self, consumer: Optional[str] = None):
+        """The delivery table (envelope + consumer/attempt/batch_id/
+        batch_seq). With ``consumer``, the scan is partition-pruned to
+        that consumer's directory; process ``ORDER BY batch_id,
+        batch_seq``."""
+        df = self._spark.read.parquet(self.sink_path)
+        if consumer is not None:
+            df = df.where(F.col("consumer") == consumer)
+        return df
+
+
 class PersistentSubscriptions:
     """The Create/Delete/List/GetInfo service surface
     (persistent.proto:8-16) over a dict of groups."""

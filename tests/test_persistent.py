@@ -142,3 +142,141 @@ def test_service_surface(log, tmp_path):
     assert svc.get_info("g1", "s").stream == "s"
     svc.delete("g1", "s")
     assert {i.group for i in svc.list()} == {"g2"}
+
+
+def test_sink_dispatch_competing_consumers(log, tmp_path):
+    """Sink-mode dispatch: payloads land in a consumer-partitioned
+    parquet table (never through the driver), delivery is disjoint and
+    complete, replay order is (batch_id, batch_seq), and a consumer's
+    read is partition-pruned to its own directory."""
+    from eventstorm_spark.streaming.persistent import SinkPersistentSubscription
+
+    sink = str(tmp_path / "sink")
+    sub = SinkPersistentSubscription(log, "g", "s", sink_path=sink)
+    sub.connect("c1")
+    sub.connect("c2")
+    assert sub.dispatch(max_count=10) == 10
+
+    rows = sub.deliveries().collect()
+    assert len(rows) == 10
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.consumer, set()).add(r.revision)
+    assert by_c["c1"] | by_c["c2"] == set(range(10))
+    assert not (by_c["c1"] & by_c["c2"])
+    assert len(by_c["c1"]) == 5 and len(by_c["c2"]) == 5
+    assert all(r.attempt == 0 and r.batch_id == 1 for r in rows)
+    # round-robin order: revision 0 -> c1, 1 -> c2, ...
+    assert by_c["c1"] == {0, 2, 4, 6, 8}
+
+    plan = (sub.deliveries("c1")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PartitionFilters" in plan and "consumer" in plan.split(
+        "PartitionFilters")[1][:120]
+
+    # in-flight caps further dispatch until acks free slots
+    assert sub.dispatch(max_count=10) == 0
+    sub.ack(list(range(10)))
+    assert sub.info().last_checkpoint == 9
+
+
+def test_sink_dispatch_retry_park_replay(log, tmp_path):
+    """Ack/nack/park semantics ride unchanged over the sink: a retry
+    redelivers with attempt+1 in a later batch, exceeding
+    max_retry_count parks, and replay_parked redelivers through the
+    sink ahead of the cursor."""
+    from eventstorm_spark.streaming.persistent import SinkPersistentSubscription
+
+    sink = str(tmp_path / "sink")
+    sub = SinkPersistentSubscription(log, "g", "s", sink_path=sink,
+                                     max_retry_count=1)
+    sub.connect("c1")
+    sub.dispatch(max_count=1)
+    sub.nack([0], "Retry")
+    sub.dispatch(max_count=1)           # redelivery, attempt=1
+    d = (sub.deliveries("c1").orderBy("batch_id").collect())
+    assert [(r.revision, r.attempt, r.batch_id) for r in d] == [
+        (0, 0, 1), (0, 1, 2)]
+    sub.nack([0], "Retry")              # exceeds max_retry_count -> park
+    assert sub.info().parked == 1
+    n = sub.dispatch(max_count=1)       # cursor moves on past parked 0
+    assert n == 1
+    nxt = sub.deliveries("c1").where("batch_id = 3").collect()
+    assert [r.revision for r in nxt] == [1]
+    sub.ack([1])
+
+    assert sub.replay_parked() == 1
+    sub.dispatch(max_count=2)           # replayed 0 first, then cursor 2
+    batch4 = (sub.deliveries("c1").where("batch_id = 4")
+              .orderBy("batch_seq").collect())
+    assert [r.revision for r in batch4] == [0, 2]
+    assert batch4[0].attempt == 0       # fresh retry budget after replay
+    sub.ack([0, 2])
+    assert sub.info().last_checkpoint == 2 and sub.info().parked == 0
+
+
+def test_sink_dispatch_parity_with_memory_fetch(log, tmp_path):
+    """The sink dispatcher and the in-memory fetch() assign identically
+    under RoundRobin with the same ack/nack script — same consumer per
+    revision, same checkpoint trajectory (the sink form is the same
+    dispatcher with the payload path moved off the driver)."""
+    from eventstorm_spark.streaming.persistent import (
+        PersistentSubscription,
+        SinkPersistentSubscription,
+    )
+
+    mem = PersistentSubscription(log, "gm", "s")
+    snk = SinkPersistentSubscription(log, "gs", "s",
+                                     sink_path=str(tmp_path / "sink"))
+    for s in (mem, snk):
+        s.connect("c1")
+        s.connect("c2")
+
+    mem_batch = mem.fetch(max_count=6)
+    snk.dispatch(max_count=6)
+    mem_assign = {r["revision"]: c for c, rows in mem_batch.items()
+                  for r in rows}
+    snk_assign = {r.revision: r.consumer
+                  for r in snk.deliveries().where("batch_id = 1").collect()}
+    assert mem_assign == snk_assign
+
+    script = [([0, 1], "ack"), ([2], "Park"), ([3], "Retry"),
+              ([4, 5], "Skip")]
+    for positions, action in script:
+        for s in (mem, snk):
+            if action == "ack":
+                s.ack(positions)
+            else:
+                s.nack(positions, action)
+    assert mem.info().last_checkpoint == snk.info().last_checkpoint
+    assert mem.info().parked == snk.info().parked
+
+    mem2 = mem.fetch(max_count=4)
+    snk.dispatch(max_count=4)
+    mem_assign2 = {r["revision"]: c for c, rows in mem2.items() for r in rows}
+    snk_assign2 = {r.revision: r.consumer
+                   for r in snk.deliveries().where("batch_id = 2").collect()}
+    assert mem_assign2 == snk_assign2  # includes the retry of 3 + cursor
+
+
+def test_sink_dispatch_restart_recovers_batch_counter(log, tmp_path):
+    """A restarted sink dispatcher (same state_dir + sink) continues
+    batch_id monotonically and never redelivers in-flight-free acked
+    events."""
+    from eventstorm_spark.streaming.persistent import SinkPersistentSubscription
+
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    sub = SinkPersistentSubscription(log, "g", "s", sink_path=sink,
+                                     state_dir=state)
+    sub.connect("c1")
+    sub.dispatch(max_count=4)
+    sub.ack([0, 1, 2, 3])
+
+    sub2 = SinkPersistentSubscription(log, "g", "s", sink_path=sink,
+                                      state_dir=state)
+    sub2.connect("c1")
+    sub2.dispatch(max_count=4)
+    d = sub2.deliveries("c1").orderBy("batch_id", "batch_seq").collect()
+    assert [r.batch_id for r in d] == [1, 1, 1, 1, 2, 2, 2, 2]
+    assert [r.revision for r in d] == [0, 1, 2, 3, 4, 5, 6, 7]
