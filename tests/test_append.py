@@ -5,6 +5,8 @@ conflicts), plus validation (streams.go:191-203)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from eventstorm_spark.errors import (
@@ -455,3 +457,43 @@ def test_markerless_preexisting_log_backfills_watermark(spark, tmp_path):
                         ExpectedRevision.at(2))
     assert res.first_position == 4
     assert modern._read_watermark() == 4
+
+
+def test_multiprocess_two_writer_race(spark, tmp_path):
+    """Two REAL OS processes (own interpreters, own JVMs, own EventLog
+    instances) append concurrently to one log path: positions must stay
+    gapless with a single winner per CAS — proving the on-disk commit
+    markers serialize writers without any help from the GIL (the
+    threaded twin above shares one process; this one shares only the
+    filesystem)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_append_worker.py")
+    log_path = str(tmp_path / "mplog")
+    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    n_batches = 3
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, log_path, str(i), outs[i], str(n_batches)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+    results = [json.load(open(o)) for o in outs]
+
+    # exactly one CAS winner across processes
+    assert sorted(r["cas"] for r in results) == ["lost", "won"]
+    # every batch landed and no two batches share a first position
+    firsts = [p for r in results for p in r["positions"]]
+    assert len(firsts) == 2 * n_batches and len(set(firsts)) == len(firsts)
+
+    rows = (EventLog(spark, log_path).df()
+            .select("stream", "position", "revision").collect())
+    total = 2 * n_batches * 3 + 1  # both writers' events + the CAS event
+    positions = sorted(r.position for r in rows)
+    assert positions == list(range(1, total + 1))  # dense, unique, gapless
+    for i in range(2):
+        revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
+        assert revs == list(range(n_batches * 3))  # per-stream dense
+    assert sum(1 for r in rows if r.stream == "cas") == 1
