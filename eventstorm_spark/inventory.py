@@ -1144,6 +1144,137 @@ def q_dormant_rich_customers(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """Q2-shaped: groupwise-min correlated subquery, decorrelated — for
+    every small part (p_size <= 10), the EUROPE supplier(s) achieving
+    the minimum observed unit price (min over lineitems of
+    extendedprice/quantity). The correlated `= (SELECT min ...)` becomes
+    a per-part min aggregate joined back on (part, cost); dims
+    (nation⋈region, part) broadcast, so the only corpus shuffles are
+    the (part, supp) unit-price agg and the per-part min regroup —
+    both map-side combinable."""
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    li = load(spark, sf_dir, "lineitem")
+    # nation/region are fixed-cardinality -> explicit broadcast; the
+    # supplier and part joins ride hint-free (sf-scaled; AQE broadcasts
+    # while they fit, degrades to shuffle joins instead of OOM)
+    eu = (supp.join(F.broadcast(
+              nation.join(region, nation.n_regionkey == region.r_regionkey)),
+              supp.s_nationkey == nation.n_nationkey)
+          .select("s_suppkey", "s_name", "n_name"))
+    unit = (li.join(part.select("p_partkey", "p_brand"),
+                    li.l_partkey == F.col("p_partkey"))
+            .groupBy("p_partkey", "p_brand", "l_suppkey")
+            .agg(F.min(F.round(F.col("l_extendedprice")
+                               / F.col("l_quantity"), 2))
+                 .alias("unit_cost")))
+    # unit_eu feeds BOTH the per-part min and the equality join back —
+    # checkpoint so the corpus agg isn't computed twice (the
+    # branch-materialization idiom, SCALE.md section 8)
+    unit_eu = (unit.join(eu, unit.l_suppkey == eu.s_suppkey)
+               .localCheckpoint(eager=False))
+    best = (unit_eu.groupBy(F.col("p_partkey").alias("__pk"))
+            .agg(F.min("unit_cost").alias("best_cost")))
+    return (unit_eu.join(best, (unit_eu.p_partkey == best.__pk)
+                         & (unit_eu.unit_cost == best.best_cost))
+            .select("p_partkey", "p_brand", "s_name", "n_name",
+                    "unit_cost"))
+
+
+def q_nation_part_share(spark, sf_dir):
+    """Q11-shaped: HAVING against a scalar aggregate of the SAME
+    aggregate — parts whose NATION_7-supplied revenue exceeds 0.1% of
+    the nation's total. The scalar subquery is a 1-row broadcast cross
+    join over the per-part value table (never the corpus); the value
+    table itself is one supplier-pruned agg."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = (load(spark, sf_dir, "nation")
+              .where(F.col("n_name") == "NATION_7"))
+    li = load(spark, sf_dir, "lineitem")
+    n_supp = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .select("s_suppkey"))
+    v = (li.join(F.broadcast(n_supp), li.l_suppkey == F.col("s_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 2)
+              .alias("value")))
+    thresh = v.agg(F.round(F.sum("value") * 0.001, 2).alias("__t"))
+    return (v.crossJoin(F.broadcast(thresh))
+            .where(F.col("value") > F.col("__t"))
+            .select("l_partkey", "value"))
+
+
+def q_bulk_part_suppliers(spark, sf_dir):
+    """Q20-shaped: nested semi-join chain — suppliers who, for some
+    contested part (>= 2 suppliers shipped it in 1995), shipped MORE
+    than half that part's total 1995 quantity, with how many such parts
+    each dominates. Both aggregation levels are map-side combinable;
+    the per-part totals join back on the part key (the partitioning the
+    first agg already produced), and the supplier dim attaches
+    broadcast at the end. Quantities are integer-valued, so the
+    half-of-total comparison is exact in any engine."""
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1995-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-01-01"))))
+    q = (li.groupBy("l_partkey", "l_suppkey")
+         .agg(F.sum("l_quantity").alias("qty"))
+         .localCheckpoint(eager=False))  # feeds tot AND the join back
+    tot = (q.groupBy(F.col("l_partkey").alias("__pk"))
+           .agg(F.sum("qty").alias("total_qty"),
+                F.count(F.lit(1)).alias("n_supp")))
+    hot = (q.join(tot, q.l_partkey == tot.__pk)
+           .where((F.col("n_supp") >= 2)
+                  & (F.col("qty") > 0.5 * F.col("total_qty")))
+           .groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("n_parts")))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    dim = (supp.join(F.broadcast(nation),
+                     supp.s_nationkey == nation.n_nationkey)
+           .select("s_suppkey", "s_name", "n_name"))
+    return (hot.join(F.broadcast(dim), hot.l_suppkey == dim.s_suppkey)
+            .select("s_suppkey", "s_name", "n_name", "n_parts"))
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """Q21-shaped: EXISTS + NOT-EXISTS double correlation, decorrelated
+    into window aggregates — for finished ('F') multi-supplier orders,
+    the supplier who was STRICTLY last to ship (no tie), counted per
+    supplier. The per-(order, supplier) max-ship agg rides one
+    exchange; the three order-level facts (supplier count, order max,
+    tie count) come from windows over that same exchange's
+    partitioning, so EXISTS/NOT-EXISTS cost no extra shuffle."""
+    from pyspark.sql import Window as _W
+
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey"))
+    li = load(spark, sf_dir, "lineitem")
+    ms = (li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("l_shipdate").alias("last_ship")))
+    w = _W.partitionBy("l_orderkey")
+    ranked = (ms.withColumn("n_supp", F.count(F.lit(1)).over(w))
+              .withColumn("order_last", F.max("last_ship").over(w)))
+    winners = (ranked.withColumn(
+                   "n_at_last",
+                   F.sum(F.when(F.col("last_ship") == F.col("order_last"),
+                                1).otherwise(0)).over(w))
+               .where((F.col("n_supp") >= 2)
+                      & (F.col("last_ship") == F.col("order_last"))
+                      & (F.col("n_at_last") == 1)))
+    supp = load(spark, sf_dir, "supplier")
+    return (winners.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "numwait"))
+
+
 def q_nation_trade_flows(spark, sf_dir):
     """Q7-shaped: revenue between (supplier nation, customer nation)
     pairs per year — two independent dimension paths hang off one fact
@@ -1454,6 +1585,78 @@ _REL_ORACLES = {
           AND l_shipdate < TIMESTAMP '1995-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24""",
+    "min_cost_supplier": """
+        WITH eu AS (
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        u AS (
+            SELECT p_partkey, p_brand, l_suppkey,
+                   min(round(l_extendedprice / l_quantity, 2)) AS unit_cost
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 10
+            GROUP BY p_partkey, p_brand, l_suppkey),
+        ue AS (
+            SELECT u.*, s_name, n_name
+            FROM u JOIN eu ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_brand, s_name, n_name, unit_cost
+        FROM ue
+        WHERE unit_cost = (SELECT min(unit_cost) FROM ue u2
+                           WHERE u2.p_partkey = ue.p_partkey)""",
+    "nation_part_share": """
+        WITH v AS (
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY l_partkey)
+        SELECT l_partkey, value
+        FROM v
+        WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)""",
+    "bulk_part_suppliers": """
+        WITH q AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_partkey, l_suppkey),
+        tot AS (
+            SELECT l_partkey, sum(qty) AS total_qty, count(*) AS n_supp
+            FROM q GROUP BY l_partkey),
+        hot AS (
+            SELECT q.l_suppkey, count(*) AS n_parts
+            FROM q JOIN tot USING (l_partkey)
+            WHERE tot.n_supp >= 2 AND q.qty > 0.5 * tot.total_qty
+            GROUP BY q.l_suppkey)
+        SELECT s_suppkey, s_name, n_name, n_parts
+        FROM hot
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey""",
+    "waiting_suppliers": """
+        WITH ms AS (
+            SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+            GROUP BY l_orderkey, l_suppkey),
+        ranked AS (
+            SELECT *,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                   max(last_ship) OVER (PARTITION BY l_orderkey) AS order_last
+            FROM ms),
+        tied AS (
+            SELECT *,
+                   sum(CASE WHEN last_ship = order_last THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY l_orderkey) AS n_at_last
+            FROM ranked)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM tied JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND last_ship = order_last AND n_at_last = 1
+        GROUP BY s_suppkey, s_name""",
     "returnflag_priority": """
         SELECT l_returnflag,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -3903,13 +4106,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 8 rotation: evidence refresh. (a) the two winnowing
-        #    queries whose operator gains an optional skew cap this round
-        #    (off by default; value-neutral, but the code path changed),
-        #    (b) all 38 queries whose latest driver evidence is r4,
-        #    (c) 10 of the 40 r5-evidence queries. The remaining 30
+        # -- round 8 rotation: evidence refresh. (a) the four NEW
+        #    relational queries (Q2/Q11/Q20/Q21 shapes — no prior
+        #    evidence), (b) the two winnowing queries whose operator
+        #    changed this round (skew cap + value-first span join),
+        #    (c) all 38 queries whose latest driver evidence is r4,
+        #    (d) 6 of the 40 r5-evidence queries. The remaining 34
         #    r5-evidence queries sit immediately after the boundary,
         #    ordered first for the r9 window; r6/r7-green entries tail.
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_part_share": q_nation_part_share,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -3956,12 +4164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,
+        # ---- driver window ends here (50 entries) ----
+        # -- r5 evidence, first in line for the r9 rotation --
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "token_counts": q_token_counts,
         "multimodal_asset_stats": q_multimodal_asset_stats,
-        # ---- driver window ends here (50 entries) ----
-        # -- r5 evidence, first in line for the r9 rotation --
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_wav_decode": q_multimodal_wav_decode,
