@@ -87,6 +87,10 @@ HEADLINE = [
     "source_composition",
     "winnow_matches",
     "events_session_native",
+    # round 8: the optimized exact-substring span recovery (value-first
+    # shingle match) + the composed web-crawl funnel
+    "exact_substring_spans",
+    "html_c4_funnel",
 ]
 
 

@@ -2617,6 +2617,32 @@ def q_winnow_matches(spark, sf_dir):
                           min_shared=2, portable=True)
 
 
+def q_winnow_cross_matches(spark, sf_dir):
+    """Cross-snapshot substring overlap: the 'new' half's winnowing
+    fingerprints (sources src10+) joined against the 'corpus' half's
+    (src0-src9) — the in-memory expression twin of the at-rest winnow
+    index lifecycle (`curation.write_winnow_index` /
+    `overlap_against_index`), value-anchored here so the driver
+    hash-checks the shared winnowing expression on a cross-collection
+    join (the index form is exact-parity-pinned against this expression
+    in tests). Winnowing is per-document local, so splitting the corpus
+    changes nothing about each side's fingerprints."""
+    from eventstorm_spark.extensions.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    is_corpus = F.col("source").rlike("^src[0-9]$")
+    fo = (winnow_fingerprints(docs.where(is_corpus), portable=True)
+          .select(F.col("doc_id").alias("corpus_id"), "fingerprint")
+          .distinct())
+    fn = (winnow_fingerprints(docs.where(~is_corpus), portable=True)
+          .select(F.col("doc_id").alias("new_id"), "fingerprint")
+          .distinct())
+    return (fn.join(fo, "fingerprint")
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= 2))
+
+
 def q_exact_substring_spans(spark, sf_dir):
     """ExactSubstr span recovery (Lee et al. dedup ladder, top rung):
     every maximal shared token run >= 6 tokens between two documents,
@@ -3952,6 +3978,17 @@ _EXT_ORACLES["winnow_matches"] = _WINNOW_CTE + """,
     GROUP BY 1, 2
     HAVING count(*) >= 2"""
 
+_EXT_ORACLES["winnow_cross_matches"] = _WINNOW_CTE + """,
+    d AS (SELECT DISTINCT f.doc_id, f.fingerprint,
+                 regexp_matches(doc.source, '^src[0-9]$') AS is_corpus
+          FROM fp f JOIN documents doc ON f.doc_id = doc.doc_id)
+    SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.fingerprint = b.fingerprint
+    WHERE a.is_corpus AND NOT b.is_corpus
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
+
 """ExactSubstr oracle: spans come from an all-pairs full-shingle join +
 diagonal gaps-and-islands (pos_a - pos_b constant, pos_a consecutive).
 No winnow replay needed — the Spark side's winnow candidate stage is
@@ -4118,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_part_share": q_nation_part_share,
         "bulk_part_suppliers": q_bulk_part_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
+        "winnow_cross_matches": q_winnow_cross_matches,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4163,9 +4201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
-        "doc_quality": q_doc_quality,
         # ---- driver window ends here (50 entries) ----
         # -- r5 evidence, first in line for the r9 rotation --
+        "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "token_counts": q_token_counts,
