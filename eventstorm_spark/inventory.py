@@ -1197,7 +1197,7 @@ def q_nation_part_share(spark, sf_dir):
     n_supp = (supp.join(F.broadcast(nation),
                         supp.s_nationkey == nation.n_nationkey)
               .select("s_suppkey"))
-    v = (li.join(F.broadcast(n_supp), li.l_suppkey == F.col("s_suppkey"))
+    v = (li.join(n_supp, li.l_suppkey == F.col("s_suppkey"))
          .groupBy("l_partkey")
          .agg(F.round(F.sum(F.col("l_extendedprice")
                             * (1 - F.col("l_discount"))), 2)
@@ -1215,7 +1215,7 @@ def q_bulk_part_suppliers(spark, sf_dir):
     each dominates. Both aggregation levels are map-side combinable;
     the per-part totals join back on the part key (the partitioning the
     first agg already produced), and the supplier dim attaches
-    broadcast at the end. Quantities are integer-valued, so the
+    hint-free at the end (AQE broadcasts it while it fits). Quantities are integer-valued, so the
     half-of-total comparison is exact in any engine."""
     li = (load(spark, sf_dir, "lineitem")
           .where((F.col("l_shipdate") >= F.lit("1995-01-01"))
@@ -1236,7 +1236,7 @@ def q_bulk_part_suppliers(spark, sf_dir):
     dim = (supp.join(F.broadcast(nation),
                      supp.s_nationkey == nation.n_nationkey)
            .select("s_suppkey", "s_name", "n_name"))
-    return (hot.join(F.broadcast(dim), hot.l_suppkey == dim.s_suppkey)
+    return (hot.join(dim, hot.l_suppkey == dim.s_suppkey)
             .select("s_suppkey", "s_name", "n_name", "n_parts"))
 
 
@@ -1270,7 +1270,7 @@ def q_waiting_suppliers(spark, sf_dir):
     supp = load(spark, sf_dir, "supplier")
     return (winners.groupBy("l_suppkey")
             .agg(F.count(F.lit(1)).alias("numwait"))
-            .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+            .join(supp.select("s_suppkey", "s_name"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "numwait"))
 

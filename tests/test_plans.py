@@ -77,7 +77,9 @@ def test_inventory_broadcast_hints_only_on_bounded_tables():
     import re
     src = inspect.getsource(inventory)
     hinted = set(re.findall(r"F\.broadcast\((\w+)", src))
-    assert hinted <= {"nation", "region", "stats", "max_rev", "avg_bal"}, hinted
+    # thresh = nation_part_share's 1-row scalar-aggregate frame
+    assert hinted <= {"nation", "region", "stats", "max_rev", "avg_bal",
+                      "thresh"}, hinted
 
 
 def test_read_path_pushes_to_parquet_and_stays_jvm(q):
