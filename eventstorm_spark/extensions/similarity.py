@@ -786,3 +786,41 @@ def dequantize_embeddings(quantized: DataFrame, *, id_col: str = "vec_id",
 
     return quantized.select(
         id_col, dequant_udf(F.col("qvec"), F.col("scale")).alias(out_col))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], *, rrf_k: int = 60,
+             out_k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    ranked candidate lists — the standard way to combine lexical (BM25)
+    and dense (cosine ANN) retrieval without score calibration, since
+    only RANKS enter the fused score: ``sum over lists of
+    1 / (rrf_k + rank)``.
+
+    Each input frame must have exactly two columns (id, score) and be a
+    BOUNDED top-k candidate list (the output of ``bm25_top_docs``,
+    ``*_topk``, ...). Ranks are assigned by (score desc, id) — ties
+    deterministic — with an unpartitioned window, which is fine
+    precisely because the inputs are k-bounded: fusion operates on
+    candidate lists, never corpora. Ids missing from a list contribute
+    nothing for it (the RRF convention). Returns
+    (id, rrf_score, n_lists) — n_lists says how many retrievers
+    surfaced the id, the usual confidence signal."""
+    from functools import reduce
+
+    from pyspark.sql import Window as _W
+
+    contribs = []
+    for r in rankings:
+        id_c, score_c = r.columns
+        rank = F.row_number().over(
+            _W.orderBy(F.col(score_c).desc(), F.col(id_c)))
+        contribs.append(
+            r.select(F.col(id_c).alias("id"), rank.alias("__rank"))
+            .select("id", (1.0 / (F.lit(rrf_k) + F.col("__rank")))
+                    .alias("__c")))
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    return (u.groupBy("id")
+            .agg(F.round(F.sum("__c"), 6).alias("rrf_score"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.col("rrf_score").desc(), "id")
+            .limit(out_k))

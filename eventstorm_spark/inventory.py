@@ -2249,6 +2249,26 @@ def q_bm25_top_docs(spark, sf_dir):
                          ["spark", "merge", "window"], k=20)
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: BM25
+    top-20 for a fixed 3-term query fused with cosine top-20 for the
+    query embedding (vec_id 0, ids aligned with doc_id) —
+    ``similarity.rrf_fuse``. Only RANKS enter the fused score, so no
+    cross-retriever score calibration; both inputs are k-bounded
+    candidate lists, so the fusion windows never touch a corpus."""
+    from eventstorm_spark.extensions.similarity import brute_force_topk, rrf_fuse
+    from eventstorm_spark.extensions.text import bm25_top_docs
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm = bm25_top_docs(docs, ["spark", "merge", "window"], k=20)
+    ann = brute_force_topk(emb.where(F.col("vec_id") != 0),
+                           _query_vec(spark, sf_dir), k=20)
+    return (rrf_fuse([bm.select("doc_id", "bm25"),
+                      ann.select("vec_id", "cosine_sim")], out_k=10)
+            .select(F.col("id").alias("doc_id"), "rrf_score", "n_lists"))
+
+
 def q_passage_scrub(spark, sf_dir):
     """Duplicated-passage removal accounting: 10-token segments seen in
     >=2 docs survive only in their min-id first occurrence."""
@@ -3430,6 +3450,50 @@ _EXT_ORACLES["bm25_top_docs"] = """
     ORDER BY bm25 DESC, doc_id
     LIMIT 20"""
 
+_EXT_ORACLES["hybrid_retrieval"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('spark', 'merge', 'window')
+           GROUP BY doc_id, term),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                   AS bm25
+        FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    ann AS (
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv),
+                     6) AS cosine_sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cosine_sim DESC, vec_id LIMIT 20),
+    ranked AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm
+        UNION ALL
+        SELECT vec_id AS id,
+               row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS r
+        FROM ann)
+    SELECT id AS doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM ranked
+    GROUP BY id
+    ORDER BY rrf_score DESC, id
+    LIMIT 10"""
+
 _EXT_ORACLES["passage_scrub"] = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -4156,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_part_suppliers": q_bulk_part_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "winnow_cross_matches": q_winnow_cross_matches,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4200,9 +4265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,
-        "repetition_features": q_repetition_features,
         # ---- driver window ends here (50 entries) ----
         # -- r5 evidence, first in line for the r9 rotation --
+        "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

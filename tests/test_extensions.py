@@ -1160,3 +1160,31 @@ def test_pq_trained_codebooks_cut_quantization_error(spark, emb):
 
     cbt2 = pq_codebooks_trained(base.repartition(5), iters=4)
     assert np.allclose(cbt, cbt2, atol=1e-9)  # deterministic training
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: rank-only (score magnitudes irrelevant), ids missing
+    from one list contribute only their present lists' terms, ties in
+    score rank deterministically by id, n_lists counts the retrievers
+    that surfaced the id."""
+    from eventstorm_spark.extensions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 100.0), (2, 50.0), (3, 10.0)],
+                              "doc_id long, s double")
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)],
+                              "doc_id long, s double")
+    out = {r.id: (r.rrf_score, r.n_lists)
+           for r in rrf_fuse([a, b], rrf_k=60, out_k=10).collect()}
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2)   # rank 2 in a, 1 in b
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[4] == (round(1 / 62, 6), 1)
+    assert out[3] == (round(1 / 63, 6), 1)
+    # scaling scores never changes the fusion (rank-only)
+    a10 = a.select("doc_id", (F.col("s") * 10).alias("s"))
+    out2 = {r.id: (r.rrf_score, r.n_lists)
+            for r in rrf_fuse([a10, b], rrf_k=60, out_k=10).collect()}
+    assert out2 == out
+    # score ties break by id: (5, 1.0) ranks before (6, 1.0)
+    t = spark.createDataFrame([(6, 1.0), (5, 1.0)], "doc_id long, s double")
+    ranks = {r.id: r.rrf_score for r in rrf_fuse([t], rrf_k=60).collect()}
+    assert ranks[5] > ranks[6]
