@@ -824,3 +824,86 @@ def rrf_fuse(rankings: Sequence[DataFrame], *, rrf_k: int = 60,
                  F.count(F.lit(1)).alias("n_lists"))
             .orderBy(F.col("rrf_score").desc(), "id")
             .limit(out_k))
+
+
+def embedding_moments(embeddings: DataFrame, *,
+                      vec_col: str = "embedding") -> tuple:
+    """One-pass first+second moments of the embedding column:
+    (n, mean[d], cov[d, d]) as numpy. The scalable PCA shape — each
+    Arrow batch reduces to ONE row (count, Σx, flattened Σxxᵀ) inside
+    ``mapInPandas`` (numpy GEMM, so the d² work is BLAS, not Python),
+    and only the O(#batches) partial rows reach the driver for the
+    final combine. Nothing corpus-sized shuffles or collects; at 100 TB
+    the driver sees batches × (d² + d + 1) doubles. Covariance is the
+    population form (divide by n), matching the one-pass
+    Σxxᵀ/n − μμᵀ identity used here."""
+    d = len(embeddings.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            arr = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            yield pd.DataFrame({
+                "n": [arr.shape[0]],
+                "s": [arr.sum(axis=0)],
+                "ss": [(arr.T @ arr).ravel()],
+            })
+
+    rows = (embeddings.select(vec_col)
+            .mapInPandas(partials,
+                         "n long, s array<double>, ss array<double>")
+            .collect())  # O(#batches) rows — partials, never vectors
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_fit(embeddings: DataFrame, *, k: int | None = None,
+            vec_col: str = "embedding") -> dict:
+    """PCA over the embedding column from the one-pass moments:
+    eigendecomposition of the d×d covariance on the DRIVER (d is the
+    embedding width — 64 here; the corpus never re-reads). Returns
+    {"mean", "components" (d×k, columns = top eigenvectors by
+    eigenvalue desc), "eigvals" (k,), "n"}. Deterministic sign
+    convention: each component's largest-|coordinate| entry is made
+    positive, so refits reproduce byte-identical models."""
+    n, mean, cov = embedding_moments(embeddings, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:, :k]
+    for j in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return {"mean": mean, "components": vecs, "eigvals": vals, "n": n}
+
+
+def pca_whiten(embeddings: DataFrame, model: dict, *, eps: float = 1e-9,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               out_col: str = "whitened") -> DataFrame:
+    """Project + whiten: y = (x − mean) · components / sqrt(eigvals+eps)
+    — decorrelates the embedding space so cosine/Euclidean distances
+    stop being dominated by high-variance directions (the standard
+    preprocessing before SemDeDup / ANN tiers). One Arrow-batched GEMM
+    over the scan (the model ships as a closure literal — no join, no
+    shuffle); output components are rounded to 6 dp so downstream
+    comparisons are engine-stable."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comp = np.asarray(model["components"], dtype=np.float64)
+    scale = 1.0 / np.sqrt(np.asarray(model["eigvals"], dtype=np.float64)
+                          + eps)
+
+    @pandas_udf("array<double>")
+    def whiten_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.round((arr - mean) @ comp * scale, 6)
+        return pd.Series(list(out))
+
+    return embeddings.select(id_col, whiten_udf(F.col(vec_col)).alias(out_col))

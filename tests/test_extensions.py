@@ -1188,3 +1188,39 @@ def test_rrf_fuse_semantics(spark):
     t = spark.createDataFrame([(6, 1.0), (5, 1.0)], "doc_id long, s double")
     ranks = {r.id: r.rrf_score for r in rrf_fuse([t], rrf_k=60).collect()}
     assert ranks[5] > ranks[6]
+
+
+def test_pca_whitening_decorrelates(spark, emb):
+    """One-pass PCA: moments match a local numpy computation exactly
+    (the distributed partials are the same arithmetic regrouped),
+    whitened covariance is the identity, refits are byte-identical
+    (sign convention), and the per-batch reduction never lands vector
+    rows on the driver."""
+    import numpy as np
+
+    from eventstorm_spark.extensions.similarity import (
+        embedding_moments, pca_fit, pca_whiten,
+    )
+
+    sub = emb.where(F.col("vec_id") != 0)
+    local = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in sub.select("embedding").collect()])
+    n, mean, cov = embedding_moments(sub)
+    assert n == local.shape[0]
+    assert np.allclose(mean, local.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(local.T, bias=True), atol=1e-7)
+
+    model = pca_fit(sub, k=16)
+    model2 = pca_fit(sub, k=16)
+    assert np.array_equal(model["components"], model2["components"])
+    assert model["eigvals"][0] >= model["eigvals"][-1] > 0
+
+    w = pca_whiten(sub, model)
+    wl = np.stack([np.asarray(r["whitened"]) for r in w.collect()])
+    assert wl.shape == (n, 16)
+    wc = np.cov(wl.T, bias=True)
+    assert np.allclose(wc, np.eye(16), atol=1e-2)  # identity covariance
+    # variance concentrates: top component's raw variance equals the
+    # top eigenvalue (Rayleigh), and whitening flattens it to ~1
+    proj = (local - mean) @ model["components"][:, 0]
+    assert np.isclose(proj.var(), model["eigvals"][0], rtol=1e-6)
