@@ -88,7 +88,11 @@ HEADLINE = [
     "winnow_matches",
     "events_session_native",
     # round 8: the optimized exact-substring span recovery (value-first
-    # shingle match) + the composed web-crawl funnel
+    # shingle match) + the composed web-crawl funnel. NOTE for
+    # round-over-round comparison: these two add ~5-6 s of NEW coverage
+    # to the total (exact_substring_spans alone is ~5 s at sf0.1 — an
+    # all-pairs-candidate corpus, see SCALE.md section 10); compare
+    # per-query times, not the total, across r7/r8.
     "exact_substring_spans",
     "html_c4_funnel",
 ]

@@ -1224,3 +1224,93 @@ def test_pca_whitening_decorrelates(spark, emb):
     # top eigenvalue (Rayleigh), and whitening flattens it to ~1
     proj = (local - mean) @ model["components"][:, 0]
     assert np.isclose(proj.var(), model["eigvals"][0], rtol=1e-6)
+
+
+def test_ivfpq_residual_encoding_cuts_error_and_serves(spark, emb, tmp_path):
+    """Residual IVF-PQ on CLUSTERED data (the case the tier exists
+    for — real embedding corpora cluster; the sf embeddings table is
+    uniform-random, where residuals provably cannot shrink): (a)
+    reconstruction error of centroid+codebook decode is far lower than
+    raw-vector IVF-PQ at the same (M, K) budget; (b) serving stays
+    partition-pruned and codes-only; (c) served scores equal the
+    in-memory q*c + LUT computation; (d) a non-residual index is
+    refused by the meta guard; (e) residual_frame round-trips."""
+    import numpy as np
+    import pytest as _pytest
+
+    from eventstorm_spark.extensions.similarity import (
+        ivfpq_residual_index_topk, read_pq_codebooks, residual_frame,
+        write_ivfpq_index, write_ivfpq_residual_index,
+    )
+
+    rng = np.random.default_rng(3)
+    n_clusters, per, dim = 8, 40, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.15 * rng.normal(size=(per, dim))
+        vecs.append(pts)
+        ids.extend(range(c * per + 1, c * per + per + 1))
+    X = np.concatenate(vecs)
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+        "vec_id long, embedding array<float>")
+    qv = [float(x) for x in (centers[0] + 0.1 * rng.normal(size=dim))]
+    cents = [[float(x) for x in c] for c in centers]
+
+    rpath = str(tmp_path / "ivfpq_res")
+    ppath = str(tmp_path / "ivfpq_plain")
+    _, rcb = write_ivfpq_residual_index(base, rpath, centroids=cents)
+    _, pcb = write_ivfpq_index(base, ppath, centroids=cents)
+
+    cm = np.asarray(cents, dtype=np.float64)
+    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    truth = {int(i): v / np.linalg.norm(v) for i, v in zip(ids, X)}
+
+    def recon_err(path, cb, residual):
+        rows = spark.read.parquet(f"{path}/codes").collect()
+        n_sub, _, sub = cb.shape
+        errs = []
+        for r in rows:
+            dec = np.concatenate([cb[s][r["pq_codes"][s]]
+                                  for s in range(n_sub)])
+            if residual:
+                dec = dec + cmn[r["cell"]]
+            errs.append(np.sum((dec - truth[r["vec_id"]]) ** 2))
+        return float(np.mean(errs))
+
+    e_res = recon_err(rpath, rcb, residual=True)
+    e_plain = recon_err(ppath, pcb, residual=False)
+    assert e_res < e_plain * 0.5, (e_res, e_plain)
+
+    served = ivfpq_residual_index_topk(spark, rpath, qv, k=10, n_probe=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "pq_codes" in scan and "embedding" not in scan
+
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    sims = cmn @ q
+    probe = sorted(range(len(cm)), key=lambda i: (-sims[i], i))[:4]
+    cb2 = read_pq_codebooks(spark, rpath)
+    n_sub, _, sub = cb2.shape
+    lut = np.stack([cb2[s] @ q[s * sub:(s + 1) * sub] for s in range(n_sub)])
+    want = []
+    for r in spark.read.parquet(f"{rpath}/codes").where(
+            F.col("cell").isin(probe)).collect():
+        score = float(lut[np.arange(n_sub), np.asarray(r["pq_codes"])].sum()
+                      + sims[r["cell"]])
+        want.append((r["vec_id"], round(score, 6)))
+    want = [x for x in sorted(want, key=lambda t: (-t[1], t[0]))][:10]
+    got = [(r["vec_id"], r["adc_sim"]) for r in served.collect()]
+    assert got == want
+
+    with _pytest.raises(ValueError, match="not a residual"):
+        ivfpq_residual_index_topk(spark, ppath, qv)
+
+    rf = residual_frame(base.limit(20), cents)
+    for r in rf.collect():
+        back = np.asarray(r["residual"]) + cmn[r["cell"]]
+        assert np.allclose(back, truth[r["vec_id"]], atol=1e-6)
