@@ -576,6 +576,39 @@ def streaming_dedup_against_corpus(stream_docs: DataFrame, corpus: DataFrame, *,
     return wm.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, *,
+                text_col: str = "text",
+                group_col: str = "source") -> DataFrame:
+    """Content-level diff between two corpus snapshots:
+    (group, status, n_digests) where status ∈ added | removed | common,
+    computed over DISTINCT content digests per side (one digest = one
+    piece of content regardless of how many rows carry it). The
+    snapshot-to-snapshot accounting a recurring ingest publishes next
+    to :func:`snapshot_novelty_report` (which answers "is this crawl
+    worth processing"; this answers "what changed").
+
+    Scale shape: each side reduces to a 16-byte digest + group row
+    (min(group) on the rare digest carried by two groups — a total,
+    engine-portable attribution rule), the full-outer join is
+    digest-keyed, payloads never shuffle. Attribution: added/common
+    digests report the NEW side's group, removed the OLD side's."""
+    def side(df, alias):
+        return (df.select(F.md5(F.col(text_col)).alias("digest"),
+                          F.col(group_col).alias("__g"))
+                .groupBy("digest").agg(F.min("__g").alias(alias)))
+
+    o = side(old, "__g_old")
+    n = side(new, "__g_new")
+    j = o.join(n, "digest", "full_outer")
+    status = (F.when(F.col("__g_old").isNull(), "added")
+              .when(F.col("__g_new").isNull(), "removed")
+              .otherwise("common"))
+    return (j.select(F.coalesce("__g_new", "__g_old").alias(group_col),
+                     status.alias("status"))
+            .groupBy(group_col, "status")
+            .agg(F.count(F.lit(1)).alias("n_digests")))
+
+
 def snapshot_novelty_report(new_docs: DataFrame, corpus: DataFrame, *,
                             text_col: str = "text",
                             group_col: str = "source",

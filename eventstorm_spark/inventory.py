@@ -2510,6 +2510,35 @@ def q_dedup_incremental(spark, sf_dir):
     return kept.select("doc_id", "source", F.md5("text").alias("digest"))
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Content-level snapshot diff: old = docs with doc_id % 7 != 0,
+    new = docs with doc_id % 5 != 0 — heavy overlap plus disjoint
+    slices on both sides, so every status (added/removed/common) is
+    exercised per source. Digest-keyed full-outer join; payloads never
+    shuffle."""
+    from eventstorm_spark.extensions.curation import corpus_diff
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0)
+    return corpus_diff(old, new)
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram: (size, n_clusters) over the
+    connected components of the n-gram-Jaccard pair graph — the
+    dedup-audit summary (how much of the corpus is singletons vs
+    2-clusters vs bigger). Shares dedup_clusters' recursive-CTE
+    oracle, wrapped in two GROUP BYs."""
+    from eventstorm_spark.extensions.dedup import duplicate_clusters, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = duplicate_clusters(pairs, docs)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("size")))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
 def q_snapshot_novelty(spark, sf_dir):
     """Per-source novelty accounting for the same synthetic ingest as
     dedup_incremental: (source, n_new, n_novel, novelty_rate) — the
@@ -3230,6 +3259,29 @@ _EXT_ORACLES = {
 }
 
 _EXT_ORACLES["dedup_clusters_star"] = _EXT_ORACLES["dedup_clusters"]
+
+_EXT_ORACLES["dedup_cluster_sizes"] = """
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM (
+""" + _EXT_ORACLES["dedup_clusters"] + """
+        ) c GROUP BY cluster_id) s
+    GROUP BY size"""
+
+_EXT_ORACLES["corpus_diff"] = """
+    WITH o AS (
+        SELECT md5(text) AS digest, min(source) AS g_old
+        FROM documents WHERE doc_id % 7 != 0 GROUP BY md5(text)),
+    n AS (
+        SELECT md5(text) AS digest, min(source) AS g_new
+        FROM documents WHERE doc_id % 5 != 0 GROUP BY md5(text)),
+    j AS (
+        SELECT coalesce(g_new, g_old) AS source,
+               CASE WHEN g_old IS NULL THEN 'added'
+                    WHEN g_new IS NULL THEN 'removed'
+                    ELSE 'common' END AS status
+        FROM o FULL OUTER JOIN n USING (digest))
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_digests
+    FROM j GROUP BY source, status"""
 
 _EXT_ORACLES["doc_unigram_logprob"] = """
     WITH t AS (
@@ -4221,6 +4273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "winnow_cross_matches": q_winnow_cross_matches,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "corpus_diff": q_corpus_diff,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4263,10 +4317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,
-        "normalized_dedup_keys": q_normalized_dedup_keys,
-        "redact_pii": q_redact_pii,
         # ---- driver window ends here (50 entries) ----
         # -- r5 evidence, first in line for the r9 rotation --
+        "normalized_dedup_keys": q_normalized_dedup_keys,
+        "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
