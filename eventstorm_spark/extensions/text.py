@@ -1062,3 +1062,135 @@ def linear_quality_score(docs: DataFrame, *, weights: dict | None = None,
     return (feats.select(id_col, score.alias("quality_score"))
             .withColumn("kept", (F.col("quality_score")
                                  >= F.lit(float(threshold))).cast("int")))
+
+
+def winnow_fingerprint_expr(text_col: str = "text", *, n: int = 3,
+                            window: int = 4):
+    """Row-local winnowing: the SAME (pos, fingerprint) set
+    :func:`winnow_fingerprints` computes with two corpus window passes,
+    as pure array higher-order functions over one row's tokens —
+    array<struct<pos int, fingerprint bigint>>. This is the form a
+    STREAM evaluates per arrival (no per-document corpus partitioning
+    exists on a stream); on a corpus frame the window-pass form wins
+    (HOFs are interpreted per element — see SCALE.md on shingling), so
+    this expression exists for the streaming tier and for parity
+    testing, not as a batch replacement. Hashing is xxhash64 of the
+    shingle string — identical to the batch path's production mode, so
+    stored :func:`curation.write_winnow_index` fingerprints and stream
+    fingerprints collide correctly."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    # m[j] = min over the full window STARTING at 1-indexed shingle j
+    m = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, window)))
+    cands = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda q: F.struct((q - 1).cast("int").alias("pos"),
+                           F.element_at(hs, q).alias("fingerprint"),
+                           q.alias("q")))
+    gmin = F.array_min(hs)
+    # selection rule = the batch formulation exactly: a position is a
+    # fingerprint iff it is SOME full window's min (all argmins on
+    # ties); docs with fewer shingles than the window use their global
+    # min (whole-doc window). CASE WHEN evaluates lazily, so the
+    # window-exists branch never runs for short docs.
+    selected = F.filter(
+        cands,
+        lambda s: F.when(
+            cnt >= window,
+            F.exists(
+                F.sequence(F.greatest(F.lit(1), s["q"] - (window - 1)),
+                           F.least(s["q"], cnt - (window - 1))),
+                lambda j: F.element_at(m, j) == s["fingerprint"]))
+        .otherwise(s["fingerprint"] == gmin))
+    return F.transform(
+        selected, lambda s: F.struct(s["pos"].alias("pos"),
+                                     s["fingerprint"].alias("fingerprint")))
+
+
+def streaming_winnow_hits(docs_stream: DataFrame, *, n: int = 3,
+                          window: int = 4, retention_secs: float = 600.0,
+                          max_entries_per_fingerprint: int = 64,
+                          event_time_col: str = "ts",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Online substring-overlap detection — the streaming twin of
+    :func:`winnow_matches`, completing the streaming dedup ladder
+    (exact digests -> ``dedup.streaming_near_dup_pairs`` MinHash ->
+    this, substring-level): emits ``(id_a, id_b, fingerprint, pos_a,
+    pos_b)`` whenever a new arrival shares a winnowing fingerprint
+    with a document seen within ``retention_secs``. The winnowing
+    guarantee carries to the stream: any >= window+n-1-token run
+    shared with an in-window document produces at least one hit.
+    Consumers aggregate downstream (group by pair, count distinct
+    fingerprints >= min_shared) — one hit row per shared fingerprint,
+    the same contract as the banded MinHash stream emitting per band.
+
+    Fingerprints are computed row-locally
+    (:func:`winnow_fingerprint_expr` — micro-batch-bounded HOF cost)
+    and the stream is keyed BY FINGERPRINT, so state entries are
+    (id, pos, event-time) triples per fingerprint — O(1) per entry
+    regardless of document length. State is bounded on both axes:
+    event-time eviction against the key's high-watermark, and a
+    hot-fingerprint cap (``max_entries_per_fingerprint``, most-recent
+    kept) — the SAME boilerplate skew class the batch path caps with
+    ``max_fingerprint_df``, degrading recall gracefully instead of
+    accumulating a license-header fingerprint's every carrier."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = (docs_stream
+             .select(F.col(id_col).alias("__id"),
+                     F.col(event_time_col).cast("double").alias("__ts"),
+                     F.explode(winnow_fingerprint_expr(
+                         text_col, n=n, window=window)).alias("__fp"))
+             .select("__id", "__ts",
+                     F.col("__fp.pos").alias("__pos"),
+                     F.col("__fp.fingerprint").alias("__key")))
+
+    id_type = docs_stream.schema[id_col].dataType.simpleString()
+    out_schema = (f"id_a {id_type}, id_b {id_type}, fingerprint long, "
+                  "pos_a int, pos_b int")
+    state_schema = "state string"
+
+    def fold(key, pdf_iter, state: GroupState):
+        entries = _json.loads(state.get[0]) if state.exists else []
+        hwm = max((e["ts"] for e in entries), default=float("-inf"))
+        rows = []
+        for pdf in pdf_iter:
+            for did, ts, pos in zip(pdf["__id"], pdf["__ts"], pdf["__pos"]):
+                did = did.item() if hasattr(did, "item") else did
+                rows.append((did, float(ts), int(pos)))
+        rows.sort(key=lambda t: (t[1], str(t[0]), t[2]))
+        out = {"id_a": [], "id_b": [], "fingerprint": [],
+               "pos_a": [], "pos_b": []}
+        fp = int(key[0])
+        for did, ts, pos in rows:
+            hwm = max(hwm, ts)
+            entries = [e for e in entries
+                       if e["ts"] >= hwm - retention_secs]
+            for e in entries:
+                if e["id"] == did:
+                    continue
+                out["id_a"].append(e["id"])
+                out["id_b"].append(did)
+                out["fingerprint"].append(fp)
+                out["pos_a"].append(e["pos"])
+                out["pos_b"].append(pos)
+            entries.append({"id": did, "ts": ts, "pos": pos})
+            if len(entries) > max_entries_per_fingerprint:
+                entries.sort(key=lambda e: (e["ts"], str(e["id"]), e["pos"]))
+                entries = entries[-max_entries_per_fingerprint:]
+        entries = [e for e in entries if e["ts"] >= hwm - retention_secs]
+        state.update((_json.dumps(entries, sort_keys=True),))
+        if out["id_a"]:
+            yield pd.DataFrame(out)
+
+    return keyed.groupBy("__key").applyInPandasWithState(
+        fold, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

@@ -707,3 +707,78 @@ def test_streaming_c4_quality_gate_matches_batch(spark):
     want = {r["doc_id"]: (r["n_words"], r["n_stopwords"])
             for r in batch.where(F.col("kept") == 1).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_winnow_hits_detects_shared_runs(spark, tmp_path):
+    """Online substring-overlap: a later doc sharing a >= 6-token run
+    with an in-window doc emits at least one fingerprint hit (the
+    winnowing guarantee on the stream); disjoint docs emit nothing;
+    arrivals past the retention window pair with nothing. The
+    row-local fingerprint expression must equal the batch
+    winnow_fingerprints set exactly (randomized parity)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.text import (
+        winnow_fingerprint_expr, winnow_fingerprints,
+    )
+
+    # --- parity: row-local HOF expression == batch two-window-pass ---
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(6)]  # small vocab -> hash ties likely
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(40)]
+    bdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in bdf.select(
+            "doc_id", F.explode(winnow_fingerprint_expr("text")).alias("fp")
+            ).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp.pos, r.fp.fingerprint))
+    want = {}
+    for r in winnow_fingerprints(bdf).collect():
+        want.setdefault(r.doc_id, set()).add((r.pos, r.fingerprint))
+    assert got == want
+
+    # --- streaming detect / evict ---
+    from eventstorm_spark.extensions.text import streaming_winnow_hits
+
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, ts double, text string"
+    shared = "one two three four five six seven"      # 7-token run
+    spark.createDataFrame(
+        [(1, 100.0, f"a1 b1 {shared} c1 d1"),
+         (2, 101.0, f"x1 {shared} y1 z1 q1"),
+         (3, 102.0, "totally different words with no overlap at all")],
+        schema).write.mode("append").parquet(path)
+    sdf = spark.readStream.schema(schema).parquet(path)
+    hits = streaming_winnow_hits(sdf, retention_secs=600.0)
+    q = (hits.writeStream.outputMode("update").format("memory")
+         .queryName("winnow_hits").trigger(processingTime="200 milliseconds")
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM winnow_hits").collect()}
+        assert got == {(1, 2)}
+
+        # in-window copy pairs with both carriers
+        spark.createDataFrame(
+            [(4, 150.0, f"fresh {shared} copy here")], schema
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM winnow_hits").collect()}
+        assert (1, 4) in got and (2, 4) in got
+
+        # far-future arrival: eviction -> no pair despite the shared run
+        spark.createDataFrame(
+            [(5, 10_000.0, f"late {shared} arrival")], schema
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        got = {(r.id_a, r.id_b) for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM winnow_hits").collect()}
+        assert not any(5 in (a, b) for a, b in got), got
+    finally:
+        q.stop()
