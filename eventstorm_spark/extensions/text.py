@@ -1194,3 +1194,42 @@ def streaming_winnow_hits(docs_stream: DataFrame, *, n: int = 3,
     return keyed.groupBy("__key").applyInPandasWithState(
         fold, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
+                    overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the embedding/RAG prep stage
+    (and the retrieval-side sibling of ``packing.pack_token_spans``,
+    which packs for TRAINING): (doc_id, chunk_no, start_tok, chunk,
+    n_tokens) with window starts every ``chunk_tokens - overlap``
+    tokens, so consecutive chunks share ``overlap`` tokens and every
+    token is covered. The final chunk may be shorter; a doc never
+    yields zero chunks. Entirely row-local (one transform + explode —
+    no shuffle, no UDF), so chunking pipelines into the scan; chunk
+    count per doc is ceil((n − overlap) / stride), bounding row growth
+    at ~n/stride."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_no"),
+            (j * stride).cast("long").alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, j * stride + 1, chunk_tokens))
+            .alias("chunk")))
+    out = docs.select(F.col(id_col), F.explode(chunks).alias("__c"))
+    return out.select(
+        id_col,
+        F.col("__c.chunk_no").alias("chunk_no"),
+        F.col("__c.start_tok").alias("start_tok"),
+        F.col("__c.chunk").alias("chunk"),
+        F.size(F.split(F.col("__c.chunk"), r"\s+")).cast("long")
+        .alias("n_tokens"))

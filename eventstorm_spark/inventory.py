@@ -2510,6 +2510,15 @@ def q_dedup_incremental(spark, sf_dir):
     return kept.select("doc_id", "source", F.md5("text").alias("digest"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (32-token chunks, 8-token overlap) —
+    the embedding/RAG prep stage; row-local transform+explode, no
+    shuffle, so it pipelines into the scan."""
+    from eventstorm_spark.extensions.text import chunk_documents
+    return chunk_documents(load(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Content-level snapshot diff: old = docs with doc_id % 7 != 0,
     new = docs with doc_id % 5 != 0 — heavy overlap plus disjoint
@@ -3266,6 +3275,22 @@ _EXT_ORACLES["dedup_cluster_sizes"] = """
 """ + _EXT_ORACLES["dedup_clusters"] + """
         ) c GROUP BY cluster_id) s
     GROUP BY size"""
+
+_EXT_ORACLES["chunk_documents"] = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+    c AS (
+        SELECT doc_id, CAST(j AS INT) AS chunk_no,
+               CAST(j * 24 AS BIGINT) AS start_tok,
+               array_to_string(t[j * 24 + 1 : j * 24 + 32], ' ') AS chunk
+        FROM toks,
+             unnest(generate_series(
+                 0, greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1)
+                    - 1)) u(j))
+    SELECT doc_id, chunk_no, start_tok, chunk,
+           CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tokens
+    FROM c"""
 
 _EXT_ORACLES["corpus_diff"] = """
     WITH o AS (
@@ -4275,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "corpus_diff": q_corpus_diff,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "chunk_documents": q_chunk_documents,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4316,8 +4342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
         # ---- driver window ends here (50 entries) ----
+        "tf_idf_top_terms": q_tf_idf_top_terms,
         # -- r5 evidence, first in line for the r9 rotation --
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,

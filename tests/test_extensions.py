@@ -1314,3 +1314,39 @@ def test_ivfpq_residual_encoding_cuts_error_and_serves(spark, emb, tmp_path):
     for r in rf.collect():
         back = np.asarray(r["residual"]) + cmn[r["cell"]]
         assert np.allclose(back, truth[r["vec_id"]], atol=1e-6)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: every token covered, consecutive chunks
+    share exactly `overlap` tokens, last chunk may be short, short docs
+    yield one chunk, invalid overlap rejected."""
+    import pytest as _pytest
+
+    from eventstorm_spark.extensions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))),   # 25 toks
+         (2, "a b c")],                                # shorter than chunk
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=10, overlap=4)
+    rows = sorted([(r.doc_id, r.chunk_no, r.start_tok, r.chunk, r.n_tokens)
+                   for r in out.collect()])
+    d1 = [r for r in rows if r[0] == 1]
+    # stride 6: starts 0,6,12,18 -> ceil((25-4)/6)=4 chunks
+    assert [(r[1], r[2]) for r in d1] == [(0, 0), (1, 6), (2, 12), (3, 18)]
+    assert d1[0][3].split() == [f"t{i}" for i in range(10)]
+    assert d1[1][3].split() == [f"t{i}" for i in range(6, 16)]
+    assert d1[3][3].split() == [f"t{i}" for i in range(18, 25)]  # short tail
+    assert d1[3][4] == 7
+    # coverage: union of chunk token sets == all tokens
+    covered = set()
+    for r in d1:
+        covered.update(r[3].split())
+    assert covered == {f"t{i}" for i in range(25)}
+    # overlap: consecutive chunks share exactly `overlap` tokens
+    assert set(d1[0][3].split()) & set(d1[1][3].split()) == {
+        f"t{i}" for i in range(6, 10)}
+    d2 = [r for r in rows if r[0] == 2]
+    assert len(d2) == 1 and d2[0][3] == "a b c" and d2[0][4] == 3
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
