@@ -480,10 +480,10 @@ def synth_png_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 def decode_image_meta(assets: DataFrame) -> DataFrame:
     """Typed real-decode pass for image payloads — sniffs each
     payload's magic and dispatches to the matching stdlib codec (P6
-    PPM byte-scan or PNG chunk-walk + inflate + defilter); both return
-    the same exact-integer stat dict, byte-parsed inside mapInPandas.
-    The per-channel means derive as SQL expressions (same rounding
-    contract as ``decode_audio_meta``)."""
+    PPM byte-scan, PNG chunk-walk + inflate + defilter, or GIF LZW +
+    palette); all return the same exact-integer stat dict, byte-parsed
+    inside mapInPandas. The per-channel means derive as SQL expressions
+    (same rounding contract as ``decode_audio_meta``)."""
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("width", T.LongType(), False),
@@ -497,8 +497,13 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                p = (decode_png(payload) if bytes(payload[:8]) == PNG_SIG
-                     else decode_ppm(payload))
+                head = bytes(payload[:8])
+                if head == PNG_SIG:
+                    p = decode_png(payload)
+                elif head[:4] == GIF_SIG:
+                    p = decode_gif(payload)
+                else:
+                    p = decode_ppm(payload)
                 recs.append((int(aid), p["width"], p["height"],
                              p["sum_r"], p["sum_g"], p["sum_b"]))
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
@@ -612,3 +617,225 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
     if "modality" in assets.columns:
         assets = assets.where(F.col("modality") == "image")
     return assets.select("asset_id", "content").mapInPandas(run, out_schema)
+
+
+GIF_SIG = b"GIF8"
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Real GIF-variant LZW compression (not the uncompressed-GIF
+    clear-code trick): string table built greedily, variable code width
+    growing at powers of two, CLEAR emitted on 12-bit table overflow,
+    codes packed LSB-first. Emitting genuine table codes (> EOI) is
+    what makes the decoder's string-table reconstruction — including
+    the KwKwK self-reference case — actually exercised by the
+    round-trip corpus."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = bytes([b])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing
+    buf = bytearray()
+    acc = nbits = 0
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: bytes) -> bytes:
+    """Minimal GIF89a writer — one non-interlaced frame over a 256-entry
+    global color table, real LZW compression, stdlib only. ``indices``
+    are palette indices (one byte per pixel), ``palette`` is 768 bytes
+    of RGB triples."""
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256 RGB triples (768 bytes)")
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # no LCT
+    out.append(8)  # LZW minimum code size
+    data = _lzw_encode_gif(indices, 8)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)     # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Real GIF decoder, stdlib only: header + logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    data sub-block reassembly, LSB-first variable-width LZW with CLEAR
+    /EOI handling, string-table reconstruction (including the KwKwK
+    first-use case) and palette mapping. First (non-interlaced) frame
+    only — interlaced frames raise honestly rather than de-interlacing
+    wrong. Returns the same exact-integer stat dict as
+    :func:`decode_png` so the image stats pass is codec-uniform."""
+    if len(payload) < 13 or payload[:4] != GIF_SIG or \
+            payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[off:off + 3 * n]
+        off += 3 * n
+    try:
+        return _decode_gif_blocks(payload, off, gct)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated GIF payload") from e
+
+
+def _decode_gif_blocks(payload: bytes, off: int, gct: bytes) -> dict:
+    while off < len(payload):
+        b0 = payload[off]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[off + 1:off + 10])
+        off += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = payload[off:off + 3 * n]
+            off += 3 * n
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames not supported")
+        if not pal:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[off]
+        off += 1
+        data = bytearray()
+        while payload[off] != 0:
+            ln = payload[off]
+            data += payload[off + 1:off + 1 + ln]
+            off += 1 + ln
+        off += 1
+
+        clear = 1 << min_code
+        eoi = clear + 1
+        width_bits = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        acc = nbits = pos = 0
+        prev: bytes | None = None
+        out = bytearray()
+        while True:
+            while nbits < width_bits:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK: first use of the new code
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        if len(out) != w * h:
+            raise ValueError(
+                f"GIF LZW decoded {len(out)} pixels, expected {w * h}")
+        sum_r = sum_g = sum_b = 0
+        for idx in out:
+            p = 3 * idx
+            sum_r += pal[p]
+            sum_g += pal[p + 1]
+            sum_b += pal[p + 2]
+        return {"width": w, "height": h, "sum_r": sum_r,
+                "sum_g": sum_g, "sum_b": sum_b}
+    raise ValueError("GIF contains no image frame")
+
+
+def synth_gif_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized GIF corpus: per document, a
+    palette-indexed raster whose index stream is
+    ``(doc_id*7 + k*13) % 32`` over a fixed arithmetic 256-entry
+    palette — pixel RGB is a pure integer function of (doc_id, k), so
+    a SQL oracle replays decoded stats without modeling LZW. Dims up to
+    19×20 push the LZW table past 511 entries, exercising variable
+    code-width growth; the period-32 index stream guarantees genuine
+    table codes (and KwKwK) appear in every payload."""
+    from pyspark.sql.functions import pandas_udf
+
+    palette = bytes(
+        v for i in range(256)
+        for v in ((i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256))
+
+    @pandas_udf("binary")
+    def gif_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            w = 14 + did % 6
+            h = 16 + did % 5
+            idx = bytes((did * 7 + k * 13) % 32 for k in range(w * h))
+            return encode_gif(w, h, idx, palette)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        gif_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("image/gif")).alias("meta"),
+    )

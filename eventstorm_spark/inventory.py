@@ -2437,6 +2437,22 @@ def q_multimodal_ppm_decode(spark, sf_dir):
         synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """REAL palette-codec path: synthesize GIF89a rasters per document
+    (genuine LZW compression with variable code-width growth and KwKwK
+    table codes), decode them back with the stdlib-only parser (header
+    walk, sub-block reassembly, LSB-first LZW, palette mapping) and
+    emit decoded image stats. Pixel RGB is a pure integer function of
+    (doc_id, pixel index) through the fixed arithmetic palette, so the
+    oracle replays the stats without modeling LZW — any bit-unpacking
+    or table-reconstruction bug breaks the hash."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_gif_assets,
+    )
+    return decode_image_meta(
+        synth_gif_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_png_decode(spark, sf_dir):
     """REAL compressed-codec path: synthesize PNG rasters per document
     (zlib deflate, scanlines cycling through all 5 PNG filter types),
@@ -3225,6 +3241,28 @@ _EXT_ORACLES = {
     # models deflate or scanline filters: decoded pixels are
     # filter/compression-invariant, so the recurrence IS the decoded
     # raster — any engine-side inflate/defilter bug mismatches here.
+    "multimodal_gif_decode": """
+        WITH p AS (SELECT doc_id, 14 + doc_id % 6 AS w, 16 + doc_id % 5 AS h
+                   FROM documents),
+        s AS (SELECT doc_id, w, h,
+                     unnest(generate_series(0, w * h - 1)) AS px
+              FROM p),
+        i AS (SELECT doc_id, w, h,
+                     (doc_id * 7 + px * 13) % 32 AS idx
+              FROM s),
+        v AS (SELECT doc_id, w, h,
+                     (idx * 3) % 256 AS r,
+                     (idx * 5 + 1) % 256 AS g,
+                     (idx * 7 + 2) % 256 AS b
+              FROM i)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(sum(r) * 1.0 / (w * h), 6) AS mean_r,
+               round(sum(g) * 1.0 / (w * h), 6) AS mean_g,
+               round(sum(b) * 1.0 / (w * h), 6) AS mean_b
+        FROM v
+        GROUP BY doc_id, w, h
+        ORDER BY asset_id""",
     "multimodal_png_decode": """
         WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
                    FROM documents),
@@ -4301,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "chunk_documents": q_chunk_documents,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4341,8 +4380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
-        "top_returning_customers": q_top_returning_customers,
         # ---- driver window ends here (50 entries) ----
+        "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         # -- r5 evidence, first in line for the r9 rotation --
         "normalized_dedup_keys": q_normalized_dedup_keys,

@@ -1350,3 +1350,60 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(d2) == 1 and d2[0][3] == "a b c" and d2[0][4] == 3
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_gif_codec_roundtrip_and_malformation():
+    """Pure-function GIF codec: exact roundtrip on random rasters, LZW
+    table growth past 512 entries (code-width change), KwKwK
+    self-reference, extension-block skipping, and honest refusals
+    (interlace, truncation, bad magic)."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from eventstorm_spark.extensions.multimodal import (
+        decode_gif, encode_gif,
+    )
+
+    pal = bytes(v for i in range(256)
+                for v in ((i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256))
+
+    def expect(idx):
+        return (sum(pal[3 * i] for i in idx), sum(pal[3 * i + 1] for i in idx),
+                sum(pal[3 * i + 2] for i in idx))
+
+    rng = random.Random(7)
+    for _ in range(15):
+        w, h = rng.randint(1, 24), rng.randint(1, 24)
+        idx = bytes(rng.randrange(32) for _ in range(w * h))
+        d = decode_gif(encode_gif(w, h, idx, pal))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == expect(idx)
+
+    # KwKwK: 'aaa...' forces the first-use-of-new-code path; big repeat
+    # pattern pushes the table past 512 entries (width growth)
+    for idx in (bytes([5]) * 40,
+                bytes((k * 13) % 32 for k in range(4000))):
+        n = len(idx)
+        w = 40 if n == 40 else 80
+        h = n // w
+        d = decode_gif(encode_gif(w, h, idx, pal))
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == expect(idx)
+
+    # extension blocks (e.g. GCE) are skipped
+    g = bytearray(encode_gif(2, 2, bytes([1, 2, 3, 4]), pal))
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
+    g2 = bytes(g[:13 + 768]) + ext + bytes(g[13 + 768:])
+    d = decode_gif(g2)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == expect(bytes([1, 2, 3, 4]))
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF!" * 4)
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(encode_gif(4, 4, bytes(16), pal))[:-12])  # truncated
+    # interlaced flag -> honest refusal
+    g = bytearray(encode_gif(2, 2, bytes(4), pal))
+    g[13 + 768 + 9] |= 0x40  # image descriptor flags byte
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(g))
