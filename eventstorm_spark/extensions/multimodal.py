@@ -520,9 +520,10 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
 
 def decode_audio_meta(assets: DataFrame) -> DataFrame:
     """Typed real-decode pass for WAV payloads: parse each RIFF payload
-    (mapInPandas, Arrow batches) into exact-integer columns, then derive
-    the doubles (duration, mean amplitude) as SQL expressions so
-    rounding semantics match any SQL oracle recomputing them."""
+    (mapInPandas, Arrow batches) into exact-integer columns — fmt-code
+    dispatch covers PCM16 and G.711 mu-law — then derive the doubles
+    (duration, mean amplitude) as SQL expressions so rounding semantics
+    match any SQL oracle recomputing them."""
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("sample_rate", T.LongType(), False),
@@ -535,7 +536,7 @@ def decode_audio_meta(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                w = decode_wav_pcm16(payload)
+                w = decode_wav_any(payload)
                 recs.append((int(aid), w["sample_rate"], w["n_samples"],
                              w["sum_abs"], w["max_abs"]))
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
@@ -838,4 +839,106 @@ def synth_gif_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         F.lit("image").alias("modality"),
         gif_udf(F.col(id_col)).alias("content"),
         F.create_map(F.lit("content-type"), F.lit("image/gif")).alias("meta"),
+    )
+
+
+MULAW_BIAS = 0x84
+
+
+def mulaw_to_linear(b: int) -> int:
+    """G.711 mu-law byte -> linear PCM sample (CCITT decode law):
+    complement, then ((mantissa*8 + 132) << exponent) - 132, signed.
+    Closed-form integer arithmetic — which is what lets a SQL oracle
+    replay the decode exactly."""
+    u = ~b & 0xFF
+    mag = ((((u & 0x0F) << 3) + MULAW_BIAS) << ((u >> 4) & 0x07)) - MULAW_BIAS
+    return -mag if u & 0x80 else mag
+
+
+def _wav_chunks(payload: bytes) -> tuple[bytes, bytes]:
+    """RIFF/WAVE chunk walk shared by the PCM16 and mu-law decoders:
+    returns (fmt_body, data_body); word-padded, order-independent."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return fmt, data
+
+
+def encode_wav_mulaw(ulaw: bytes, sample_rate: int) -> bytes:
+    """RIFF/WAVE writer for 8-bit G.711 mu-law (format code 7, mono)."""
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    data = bytes(ulaw)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return out
+
+
+def decode_wav_mulaw(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE G.711 mu-law payload (format code 7, 8-bit)
+    and expand each sample through the closed-form decode law. Returns the
+    same exact-integer stat dict as :func:`decode_wav_pcm16`."""
+    fmt, data = _wav_chunks(payload)
+    audio_format, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 7 or bits != 8:
+        raise NotImplementedError(
+            f"only 8-bit mu-law supported here (format={audio_format}, "
+            f"bits={bits})")
+    samples = [mulaw_to_linear(b) for b in data]
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "n_samples": len(samples) // channels,
+        "sum_abs": sum(abs(s) for s in samples),
+        "max_abs": max((abs(s) for s in samples), default=0),
+    }
+
+
+def decode_wav_any(payload: bytes) -> dict:
+    """Dispatch a RIFF/WAVE payload on its fmt code: 1 -> PCM16,
+    7 -> G.711 mu-law; anything else refuses honestly."""
+    fmt, _ = _wav_chunks(payload)
+    audio_format = struct.unpack("<H", fmt[:2])[0]
+    if audio_format == 1:
+        return decode_wav_pcm16(payload)
+    if audio_format == 7:
+        return decode_wav_mulaw(payload)
+    raise NotImplementedError(f"unsupported WAV format code {audio_format}")
+
+
+def synth_mulaw_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized mu-law corpus: per document an 8 kHz
+    G.711 stream whose bytes are ``(doc_id*31 + i*151) % 256`` — the
+    decoded linear samples are then a closed-form integer function the
+    SQL oracle replays (``multimodal_mulaw_decode``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def mulaw_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            n = 80 + did % 40
+            ulaw = bytes((did * 31 + i * 151) % 256 for i in range(n))
+            return encode_wav_mulaw(ulaw, 8000)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        mulaw_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("audio/basic")).alias("meta"),
     )

@@ -2437,6 +2437,20 @@ def q_multimodal_ppm_decode(spark, sf_dir):
         synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_multimodal_mulaw_decode(spark, sf_dir):
+    """REAL telephony-codec path: synthesize G.711 mu-law WAV payloads
+    (format code 7) per document, decode through the closed-form CCITT
+    expansion law and emit audio stats. The decode law is pure integer
+    arithmetic — complement, mantissa/exponent split, shift, bias — so
+    the oracle replays decoded samples exactly; a wrong bias, shift or
+    sign convention breaks the hash."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_audio_meta, synth_mulaw_assets,
+    )
+    return decode_audio_meta(
+        synth_mulaw_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_gif_decode(spark, sf_dir):
     """REAL palette-codec path: synthesize GIF89a rasters per document
     (genuine LZW compression with variable code-width growth and KwKwK
@@ -3241,6 +3255,26 @@ _EXT_ORACLES = {
     # models deflate or scanline filters: decoded pixels are
     # filter/compression-invariant, so the recurrence IS the decoded
     # raster — any engine-side inflate/defilter bug mismatches here.
+    "multimodal_mulaw_decode": """
+        WITH p AS (SELECT doc_id, 80 + doc_id % 40 AS n FROM documents),
+        s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+              FROM p),
+        u AS (SELECT doc_id, n,
+                     255 - ((doc_id * 31 + i * 151) % 256) AS uval
+              FROM s),
+        v AS (SELECT doc_id, n,
+                     (((uval % 16) * 8 + 132) << ((uval // 16) % 8)) - 132
+                         AS mag
+              FROM u)
+        SELECT doc_id AS asset_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               n AS n_samples,
+               round(n / 8000.0, 6) AS duration_sec,
+               round(sum(mag) * 1.0 / n, 6) AS mean_abs,
+               max(mag) AS max_abs
+        FROM v
+        GROUP BY doc_id, n
+        ORDER BY asset_id""",
     "multimodal_gif_decode": """
         WITH p AS (SELECT doc_id, 14 + doc_id % 6 AS w, 16 + doc_id % 5 AS h
                    FROM documents),
@@ -4340,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "chunk_documents": q_chunk_documents,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4379,8 +4414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
-        "read_stream_forward": q_read_stream_forward,
         # ---- driver window ends here (50 entries) ----
+        "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         # -- r5 evidence, first in line for the r9 rotation --

@@ -1407,3 +1407,45 @@ def test_gif_codec_roundtrip_and_malformation():
     g[13 + 768 + 9] |= 0x40  # image descriptor flags byte
     with _pytest.raises(NotImplementedError, match="interlaced"):
         decode_gif(bytes(g))
+
+
+def test_mulaw_codec_reference_values():
+    """mu-law decode law pinned against Python's historical audioop
+    reference values and structural properties: zero byte decodes to
+    the max magnitude, 0xFF to 0, sign symmetry, monotone magnitudes
+    per exponent segment, and the WAV roundtrip + fmt-code dispatch."""
+    import pytest as _pytest
+
+    from eventstorm_spark.extensions.multimodal import (
+        decode_wav_any, decode_wav_mulaw, encode_wav_mulaw,
+        encode_wav_pcm16, mulaw_to_linear,
+    )
+
+    # G.711 convention: the wire byte is COMPLEMENTED before expansion,
+    # so 0xFF is +0, 0x7F is -0, 0x00 the most-negative and 0x80 the
+    # most-positive sample (these are the classic table endpoints)
+    assert mulaw_to_linear(0xFF) == 0
+    assert mulaw_to_linear(0x7F) == 0
+    assert mulaw_to_linear(0x00) == -32124
+    assert mulaw_to_linear(0x80) == 32124
+    for b in range(256):
+        assert mulaw_to_linear(b) == -mulaw_to_linear(b ^ 0x80)
+    # within the negative family (0x00-0x7F) samples rise monotonically
+    # toward zero as the byte value rises
+    vals = [mulaw_to_linear(b) for b in range(128)]
+    assert all(a < b for a, b in zip(vals, vals[1:]))
+
+    ulaw = bytes(range(256))
+    d = decode_wav_mulaw(encode_wav_mulaw(ulaw, 8000))
+    assert (d["sample_rate"], d["n_samples"], d["max_abs"]) == (8000, 256, 32124)
+    assert d["sum_abs"] == 2 * sum(abs(mulaw_to_linear(b)) for b in range(128))
+
+    # dispatch: PCM16 payloads still route to the PCM16 parser
+    p = decode_wav_any(encode_wav_pcm16([0, 5, -5], 16000))
+    assert (p["sample_rate"], p["n_samples"], p["sum_abs"]) == (16000, 3, 10)
+    m = decode_wav_any(encode_wav_mulaw(b"\x00\xff", 8000))
+    assert (m["n_samples"], m["max_abs"]) == (2, 32124)
+    with _pytest.raises(NotImplementedError, match="format code"):
+        bad = bytearray(encode_wav_mulaw(b"\x00", 8000))
+        bad[20] = 3  # IEEE float fmt code
+        decode_wav_any(bytes(bad))
