@@ -86,6 +86,7 @@ TOMBSTONE_EVENT = "$stream-tombstoned"
 # the link's payload with the target's while keeping the link's
 # coordinates for ordering/resume.
 LINK_EVENT = "$>"
+METADATA_EVENT = "$metadata"  # EventStoreDB stream-metadata event type
 
 
 class EventLog:
@@ -155,6 +156,13 @@ class EventLog:
         # stream -> (kind, before_position, last_revision); None = not loaded
         self._deletions: Optional[dict[str, tuple]] = None
         self._watermark_checked = False
+        # stream -> metadata body (read-through; {} = no metadata)
+        self._stream_meta: dict[str, dict] = {}
+        # lazily discovered: does this log hold ANY $$-metadata stream?
+        # (False short-circuits the per-read retention lookup entirely)
+        self._has_meta_streams: Optional[bool] = None
+        # fixed clock for $maxAge retention (tests/replays); None = now
+        self.retention_clock = None
 
     # -- optimistic commit markers ---------------------------------------
 
@@ -783,6 +791,36 @@ class EventLog:
             if kind != "tombstoned":
                 c = c & (F.col("position") <= before)
             cond = c if cond is None else (cond | c)
+        # retention metadata: physically drop out-of-retention events
+        # (the logical read filter made them invisible already). The
+        # collect is bounded by the number of $$-metadata STREAMS (their
+        # latest body each), never event volume.
+        import json as _json
+
+        meta_rows = (self.df()
+                     .where(F.col("stream").startswith("$$"))
+                     .groupBy("stream")
+                     .agg(F.max_by("data", "revision").alias("data"))
+                     .collect())
+        for r in meta_rows:
+            sid = r["stream"][2:]
+            meta = _json.loads(r["data"]) if r["data"] else {}
+            if not meta:
+                continue
+            self._stream_meta[sid] = meta
+            floor, cutoff = self._retention_cutoff(meta)
+            if "$maxCount" in meta:
+                head = self.head_revision(sid)
+                if head is not None:
+                    cf = head - int(meta["$maxCount"]) + 1
+                    floor = cf if floor is None else max(floor, cf)
+            this_stream = F.col("stream") == sid
+            if floor is not None and floor > 0:
+                c = this_stream & (F.col("revision") < floor)
+                cond = c if cond is None else (cond | c)
+            if cutoff is not None:
+                c = this_stream & (F.col("created") < F.lit(cutoff))
+                cond = c if cond is None else (cond | c)
         if cond is None:
             return 0
         with self._lock:
@@ -801,6 +839,105 @@ class EventLog:
             self._tail_position = None
             self._restore_watermark_after_rewrite()
             return removed
+
+    # -- stream metadata / retention (EventStoreDB $$<stream>) ------------
+
+    def set_stream_metadata(self, stream: str, *,
+                            max_count: Optional[int] = None,
+                            max_age_secs: Optional[float] = None,
+                            truncate_before: Optional[int] = None,
+                            expected: ExpectedRevision = ExpectedRevision.any(),
+                            ) -> AppendResult:
+        """EventStoreDB stream metadata (absent from the reference —
+        EventStoreDB's ``$$<stream>`` convention): append a
+        ``$metadata`` event carrying ``$maxCount`` / ``$maxAge`` /
+        ``$tb`` to the stream's metadata stream. The LAST metadata
+        event wins (metadata is itself an ordered stream, so updates
+        are CAS-able via ``expected``). Retention applies logically at
+        read time (:meth:`read` filters out-of-retention events) and
+        physically at :meth:`scavenge`."""
+        import json as _json
+        import uuid as _uuid
+
+        body: dict = {}
+        if max_count is not None:
+            if max_count < 1:
+                raise InvalidEventError("$maxCount must be >= 1")
+            body["$maxCount"] = int(max_count)
+        if max_age_secs is not None:
+            if max_age_secs <= 0:
+                raise InvalidEventError("$maxAge must be > 0")
+            body["$maxAge"] = float(max_age_secs)
+        if truncate_before is not None:
+            body["$tb"] = int(truncate_before)
+        ev = NewEvent(uuid=str(_uuid.uuid4()), event_type=METADATA_EVENT,
+                      data=_json.dumps(body, sort_keys=True))
+        res = self.append(f"$${stream}", [ev], expected)
+        self._stream_meta[stream] = body
+        self._has_meta_streams = True
+        return res
+
+    def get_stream_metadata(self, stream: str) -> dict:
+        """Current metadata body for ``stream`` ({} when none set) —
+        the last event of ``$$<stream>``, read-through cached."""
+        import json as _json
+
+        if stream in self._stream_meta:
+            return dict(self._stream_meta[stream])
+        rows = (self.df().where(F.col("stream") == f"$${stream}")
+                .orderBy(F.col("revision").desc()).limit(1).collect())
+        body = _json.loads(rows[0]["data"]) if rows else {}
+        self._stream_meta[stream] = body
+        return dict(body)
+
+    def _retention_cutoff(self, meta: dict):
+        """(revision_floor, created_cutoff_ticks) for a metadata body —
+        the two predicates retention filtering applies. ``$maxAge`` is
+        evaluated against ``retention_clock`` (or now) so tests and
+        replays can pin the clock; the cutoff converts to the
+        envelope's ``created`` unit (ticks = UnixNano/100, U5)."""
+        import datetime as _dt
+
+        floor = None
+        if "$tb" in meta:
+            floor = int(meta["$tb"])
+        cutoff = None
+        if "$maxAge" in meta:
+            now = self.retention_clock or _dt.datetime.now(_dt.timezone.utc)
+            cut = now - _dt.timedelta(seconds=float(meta["$maxAge"]))
+            cutoff = int(cut.timestamp() * 10_000_000)  # ticks
+        return floor, cutoff
+
+    def _apply_retention(self, df: DataFrame, sid: str) -> DataFrame:
+        """Filter ``sid``'s out-of-retention events from the base frame
+        BEFORE the read plan compiles, so boundaries/limits see only
+        retained events (the soft-delete pattern). Cost guard: the
+        metadata lookup short-circuits on a one-time has-any-``$$``
+        check, so logs without metadata streams pay one bounded probe
+        per EventLog instance, ever."""
+        if sid.startswith("$$"):
+            return df  # metadata streams are never retention-filtered
+        if self._has_meta_streams is None:
+            self._has_meta_streams = bool(
+                self.df().where(F.col("stream").startswith("$$"))
+                .limit(1).collect())
+        if not self._has_meta_streams:
+            return df
+        meta = self.get_stream_metadata(sid)
+        if not meta:
+            return df
+        floor, cutoff = self._retention_cutoff(meta)
+        if "$maxCount" in meta:
+            head = self.head_revision(sid)
+            if head is not None:
+                count_floor = head - int(meta["$maxCount"]) + 1
+                floor = count_floor if floor is None else max(floor, count_floor)
+        this_stream = F.col("stream") == sid
+        if floor is not None and floor > 0:
+            df = df.where(~(this_stream & (F.col("revision") < floor)))
+        if cutoff is not None:
+            df = df.where(~(this_stream & (F.col("created") < F.lit(cutoff))))
+        return df
 
     # -- links ------------------------------------------------------------
 
@@ -891,6 +1028,7 @@ class EventLog:
                     raise StreamNotFoundError(sid)
             elif self.head_revision(sid) is None:
                 raise StreamNotFoundError(sid)
+            df = self._apply_retention(df, sid)
         out = compile_read(df, opts)
         if opts.resolve_links:
             from eventstorm_spark.log.plan import _bounds

@@ -136,3 +136,77 @@ def test_resolve_links_noop_without_links(log):
     plain = log.read_stream("s").collect()
     resolved = log.read_stream("s", resolve_links=True).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in resolved]
+
+
+def test_stream_metadata_retention_reads(log, spark, tmp_path):
+    """EventStoreDB $$<stream> metadata: $maxCount / $tb bound reads to
+    the retained suffix (boundaries and limits see only retained
+    events), $maxAge filters by created against a pinnable clock, the
+    last metadata event wins, metadata streams read raw, and a COLD
+    EventLog instance honors metadata from disk."""
+    log.append("s", new_events(10))
+    log.set_stream_metadata("s", max_count=3)
+    assert log.get_stream_metadata("s") == {"$maxCount": 3}
+
+    revs = [r.revision for r in log.read_stream("s").collect()]
+    assert revs == [7, 8, 9]
+    from eventstorm_spark.model import BoundaryKind, Direction
+    first = log.read_stream("s", boundary=BoundaryKind.START, count=1).collect()
+    assert [r.revision for r in first] == [7]  # START = first RETAINED
+    last = log.read_stream("s", direction=Direction.BACKWARDS, count=2).collect()
+    assert [r.revision for r in last] == [9, 8]
+
+    # last metadata event wins; $tb combines with $maxCount (max floor)
+    log.set_stream_metadata("s", max_count=5, truncate_before=6)
+    assert log.get_stream_metadata("s") == {"$maxCount": 5, "$tb": 6}
+    assert [r.revision for r in log.read_stream("s").collect()] == [6, 7, 8, 9]
+
+    # the metadata stream itself reads raw (never retention-filtered)
+    meta_events = log.read_stream("$$s").collect()
+    assert [r.event_type for r in meta_events] == ["$metadata", "$metadata"]
+
+    # cold instance: read-through metadata from disk
+    cold = EventLog(spark, log.path)
+    assert [r.revision for r in cold.read_stream("s").collect()] == [6, 7, 8, 9]
+    assert cold.get_stream_metadata("s") == {"$maxCount": 5, "$tb": 6}
+
+    # $maxAge against a pinned clock: push the clock far forward -> all
+    # events age out; the stream still EXISTS (empty read, not missing)
+    import datetime as dt
+    log.set_stream_metadata("s", max_age_secs=10.0)
+    log.retention_clock = dt.datetime.now(dt.timezone.utc) + dt.timedelta(hours=1)
+    assert log.read_stream("s").count() == 0
+    log.retention_clock = None
+    assert log.read_stream("s").count() == 10  # maxAge-only now, all young
+
+
+def test_stream_metadata_scavenge_and_no_meta_fastpath(log, spark):
+    """scavenge() physically removes out-of-retention events (positions
+    of survivors unchanged); a log with no $$ streams never pays the
+    metadata lookup (single has-any probe, then no filtering)."""
+    log.append("a", new_events(6))
+    log.append("b", new_events(4, prefix="b"))
+    log.set_stream_metadata("a", max_count=2)
+
+    before = {(r.stream, r.revision): r.position
+              for r in log.df().collect()}
+    removed = log.scavenge()
+    assert removed == 4  # a's revisions 0..3
+    after = log.df().collect()
+    a_revs = sorted(r.revision for r in after if r.stream == "a")
+    assert a_revs == [4, 5]
+    assert sorted(r.revision for r in after if r.stream == "b") == [0, 1, 2, 3]
+    for r in after:  # survivors keep their exact positions
+        if not r.stream.startswith("$$"):
+            assert before[(r.stream, r.revision)] == r.position
+    # appends continue after the retained head
+    res = log.append("a", new_events(1, prefix="z"))
+    assert res.last_revision == 6
+
+    # no-metadata log: lookup short-circuits after one probe
+    log2 = EventLog(spark, log.path + "2")
+    log2.append("x", new_events(3))
+    assert log2._has_meta_streams is None
+    assert [r.revision for r in log2.read_stream("x").collect()] == [0, 1, 2]
+    assert log2._has_meta_streams is False
+    assert log2.get_stream_metadata("x") == {}
