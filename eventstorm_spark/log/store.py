@@ -939,6 +939,52 @@ class EventLog:
             df = df.where(~(this_stream & (F.col("created") < F.lit(cutoff))))
         return df
 
+    def _retention_frame(self) -> Optional[DataFrame]:
+        """(stream, __floor, __cutoff) for every stream with retention
+        metadata — the broadcast side of the ``$all`` retention filter.
+        Built from two bounded jobs (latest metadata body per ``$$``
+        stream, then one grouped head-revision pass for the
+        ``$maxCount`` streams); row count = metadata streams, so the
+        join side is broadcast-scale by construction. Not cached:
+        ``$maxCount`` floors move with every append, and the build cost
+        is only paid when metadata streams exist at all."""
+        import json as _json
+
+        if self._has_meta_streams is None:
+            self._has_meta_streams = bool(
+                self.df().where(F.col("stream").startswith("$$"))
+                .limit(1).collect())
+        if not self._has_meta_streams:
+            return None
+        meta_rows = (self.df()
+                     .where(F.col("stream").startswith("$$"))
+                     .groupBy("stream")
+                     .agg(F.max_by("data", "revision").alias("data"))
+                     .collect())
+        bodies = {}
+        for r in meta_rows:
+            body = _json.loads(r["data"]) if r["data"] else {}
+            if body:
+                bodies[r["stream"][2:]] = body
+        if not bodies:
+            return None
+        count_streams = [s for s, b in bodies.items() if "$maxCount" in b]
+        heads: dict[str, int] = {}
+        if count_streams:
+            for r in (self.df().where(F.col("stream").isin(count_streams))
+                      .groupBy("stream")
+                      .agg(F.max("revision").alias("h")).collect()):
+                heads[r["stream"]] = int(r["h"])
+        rows = []
+        for sid, body in bodies.items():
+            floor, cutoff = self._retention_cutoff(body)
+            if "$maxCount" in body and sid in heads:
+                cf = heads[sid] - int(body["$maxCount"]) + 1
+                floor = cf if floor is None else max(floor, cf)
+            rows.append((sid, floor, cutoff))
+        return self.spark.createDataFrame(
+            rows, "stream string, __floor long, __cutoff long")
+
     # -- links ------------------------------------------------------------
 
     def link_to(self, stream: str, target_stream: str, target_revision: int,
@@ -1029,6 +1075,19 @@ class EventLog:
             elif self.head_revision(sid) is None:
                 raise StreamNotFoundError(sid)
             df = self._apply_retention(df, sid)
+        else:
+            # $all reads honor retention too: one broadcast join against
+            # the (metadata-stream-count)-sized retention table — the
+            # corpus never shuffles, and logs without metadata skip this
+            # entirely (single has-any probe per instance).
+            rt = self._retention_frame()
+            if rt is not None:
+                df = (df.join(F.broadcast(rt), "stream", "left")
+                      .where((F.col("__floor").isNull()
+                              | (F.col("revision") >= F.col("__floor")))
+                             & (F.col("__cutoff").isNull()
+                                | (F.col("created") >= F.col("__cutoff"))))
+                      .drop("__floor", "__cutoff"))
         out = compile_read(df, opts)
         if opts.resolve_links:
             from eventstorm_spark.log.plan import _bounds

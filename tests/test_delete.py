@@ -210,3 +210,26 @@ def test_stream_metadata_scavenge_and_no_meta_fastpath(log, spark):
     assert [r.revision for r in log2.read_stream("x").collect()] == [0, 1, 2]
     assert log2._has_meta_streams is False
     assert log2.get_stream_metadata("x") == {}
+
+
+def test_retention_applies_to_all_reads(log):
+    """$all reads honor stream retention through the broadcast
+    retention-table join: out-of-retention events of metadata'd streams
+    disappear from $all, other streams and the metadata events
+    themselves remain, and ordering/limits operate on the filtered
+    frame."""
+    from eventstorm_spark.model import Direction
+
+    log.append("a", new_events(6))
+    log.append("b", new_events(3, prefix="b"))
+    log.set_stream_metadata("a", max_count=2)
+
+    rows = log.read_all().collect()
+    a_revs = sorted(r.revision for r in rows if r.stream == "a")
+    assert a_revs == [4, 5]
+    assert sorted(r.revision for r in rows if r.stream == "b") == [0, 1, 2]
+    assert sum(1 for r in rows if r.stream == "$$a") == 1  # metadata visible
+    # backwards limit over the filtered frame
+    tail = log.read_all(direction=Direction.BACKWARDS, count=3).collect()
+    assert [r.position for r in tail] == sorted(
+        (r.position for r in rows), reverse=True)[:3]
