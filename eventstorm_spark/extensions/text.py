@@ -299,6 +299,11 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                             max_fingerprint_df=max_fingerprint_df,
                             portable=portable)
              .select("id_a", "id_b"))
+    # pairs feeds the candidate-id union AND the stage-3 semi join —
+    # without materialization the whole winnow pipeline recomputes 3x
+    # (branch-materialization idiom, SCALE.md section 8); the
+    # checkpoint is candidate-pair-sized, never corpus text
+    pairs = pairs.localCheckpoint(eager=False)
     ids = (pairs.select(F.col("id_a").alias("cid"))
            .unionByName(pairs.select(F.col("id_b").alias("cid")))
            .distinct())
