@@ -1021,12 +1021,19 @@ def ivfpq_residual_index_topk(spark, path: str, query_vec: Sequence[float],
     partition-pruned to probed cells and touch id + M-byte codes only.
     Refuses a non-residual index (meta check) — scoring raw-vector
     codes with the bias rule would silently inflate every score."""
+    from pyspark.errors import AnalysisException
+
     meta = {}
     try:
         meta = {r["key"]: r["value"]
                 for r in spark.read.parquet(f"{path}/meta").collect()}
-    except Exception:
-        pass
+    except AnalysisException as e:
+        # a missing meta/ dir means "not a residual index" (the refusal
+        # below); any other read failure propagates rather than being
+        # mistaken for that
+        if "PATH_NOT_FOUND" not in str(e) and \
+                "Path does not exist" not in str(e):
+            raise
     if meta.get("residual") != "true":
         raise ValueError(
             f"index at {path} is not a residual IVF-PQ index; serve it "

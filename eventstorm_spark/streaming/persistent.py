@@ -304,14 +304,21 @@ class SinkPersistentSubscription(PersistentSubscription):
                          max_retry_count=max_retry_count,
                          consumer_strategy=consumer_strategy,
                          state_dir=state_dir)
+        from pyspark.errors import AnalysisException
+
         self.sink_path = sink_path
         self._spark = log.spark
         try:
             row = (self._spark.read.parquet(sink_path)
-                   .agg(F.max("batch_id").alias("m")).collect()[0]
-)
+                   .agg(F.max("batch_id").alias("m")).collect()[0])
             self._batch_seq = int(row["m"]) if row["m"] is not None else 0
-        except Exception:
+        except AnalysisException as e:
+            # only a missing sink means "fresh dispatcher" — any other
+            # read failure must not silently restart batch_id at 0 (the
+            # sink would then carry duplicate batch ids)
+            if "PATH_NOT_FOUND" not in str(e) and \
+                    "Path does not exist" not in str(e):
+                raise
             self._batch_seq = 0
 
     def dispatch(self, max_count: int = 32) -> int:
