@@ -210,6 +210,17 @@ _SHUFFLE_BUDGET = {
     "events_session_native": 1,    # session-window agg key exchange
     "epoch_plan": 1,               # one bounded group aggregate
     "epoch_materialized_counts": 2,
+    # round-8 additions
+    "min_cost_supplier": 3,        # unit agg + per-part min + equality join-back
+    "nation_part_share": 3,        # value agg + 1-row threshold + final
+    "bulk_part_suppliers": 2,      # two agg levels; totals join back co-keyed
+    "waiting_suppliers": 3,        # per-(order,supp) agg + windows + final rollup
+    "winnow_cross_matches": 3,     # two winnow window exchanges + pair regroup
+    "hybrid_retrieval": 5,         # bm25 tower + two k-bounded rank windows + fuse
+    "corpus_diff": 3,              # two digest aggs + digest-keyed full-outer
+    "chunk_documents": 0,          # row-local transform+explode, pure projection
+    "multimodal_gif_decode": 1,    # Arrow decode + the output-order range exchange
+    "multimodal_mulaw_decode": 1,
 }
 
 
