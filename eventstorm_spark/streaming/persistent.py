@@ -61,15 +61,35 @@ class GroupInfo:
 
 
 class PersistentSubscription:
-    """One subscription group on a stream (or $all when stream=None)."""
+    """One subscription group on a stream (or $all when stream=None).
+
+    ``filter`` (a ``SubscriptionFilter``, $all groups only — matching
+    EventStoreDB, which supports filters on ``$all`` persistent
+    subscriptions but not stream ones) restricts delivery server-side:
+    non-matching events are never delivered, and the checkpoint WALKS
+    PAST them — the filtered cursor read proves every position up to
+    the scan high-watermark was examined, so a position neither
+    delivered nor pending there is known non-matching and implicitly
+    complete (otherwise the contiguous-position checkpoint would stall
+    on the first non-matching event forever and the skip set would
+    grow unboundedly)."""
 
     def __init__(self, log, group: str, stream: Optional[str] = None, *,
                  start_from: int = 0, max_retry_count: int = 3,
                  consumer_strategy: str = ROUND_ROBIN,
+                 filter=None,
                  state_dir: Optional[str] = None):
+        if filter is not None and stream is not None:
+            raise ValueError(
+                "filters apply to $all persistent subscriptions only "
+                "(EventStoreDB semantics); use a stream-scoped group "
+                "without a filter instead")
         self.log = log
         self.group = group
         self.stream = stream
+        self.filter = filter
+        # highest position the filtered cursor has provably examined
+        self._scan_hwm = start_from - 1
         self.max_retry_count = max_retry_count
         self.strategy = consumer_strategy
         self._consumers: list[str] = []
@@ -133,14 +153,27 @@ class PersistentSubscription:
                 .orderBy(pos_field).collect()
             )
             self._replay_queue = self._replay_queue[len(take):]
+        requested = max_count + len(skip)
         if self.stream is not None:
             df = self.log.read_stream(self.stream,
                                       from_revision=self._checkpoint + 1,
-                                      count=max_count + len(skip))
+                                      count=requested)
         else:
             df = self.log.read_all(from_position=self._checkpoint + 1,
-                                   count=max_count + len(skip))
-        rows.extend(df.collect())
+                                   count=requested, filter=self.filter)
+        cursor_rows = df.collect()
+        if self.filter is not None:
+            # scan proof for checkpoint advancement: a full page proves
+            # everything below its max position was examined; a short
+            # page proves the scan reached the log tail
+            if len(cursor_rows) >= requested and cursor_rows:
+                self._scan_hwm = max(self._scan_hwm,
+                                     max(r["position"] for r in cursor_rows))
+            else:
+                tail = self.log.tail_position()
+                if tail is not None:
+                    self._scan_hwm = max(self._scan_hwm, tail)
+        rows.extend(cursor_rows)
         out: dict[str, list] = {}
         for r in rows:
             p = r[pos_field]
@@ -202,12 +235,23 @@ class PersistentSubscription:
     def _advance(self) -> None:
         # checkpoint moves past contiguous completed/parked positions;
         # parked events are "done" for ordering purposes (they live in
-        # the park list, not the stream cursor)
-        while (self._checkpoint + 1) in self._completed or \
-              (self._checkpoint + 1) in self._parked:
+        # the park list, not the stream cursor). With a filter, a
+        # position at or below the scan high-watermark that is neither
+        # delivered nor pending is known NON-MATCHING (the filtered
+        # cursor examined it and returned nothing) — implicitly
+        # complete, so the checkpoint walks past it.
+        while True:
             p = self._checkpoint + 1
-            self._completed.discard(p)
-            self._checkpoint = p
+            if p in self._completed or p in self._parked:
+                self._completed.discard(p)
+                self._checkpoint = p
+                continue
+            if (self.filter is not None and p <= self._scan_hwm
+                    and p not in self._in_flight
+                    and p not in self._retry_counts):
+                self._checkpoint = p
+                continue
+            break
         # acked replays live below the checkpoint — drop them so the
         # completed set stays O(out-of-order acks), not O(history); same
         # pruning for retry counts, which otherwise pin every position
@@ -232,6 +276,7 @@ class PersistentSubscription:
             return
         doc = {
             "checkpoint": self._checkpoint,
+            "scan_hwm": self._scan_hwm,
             "completed": sorted(self._completed),
             "parked": self._parked and {str(k): v for k, v in self._parked.items()},
             "retry_counts": {str(k): v for k, v in self._retry_counts.items()},
@@ -248,6 +293,7 @@ class PersistentSubscription:
         with open(self._state_path) as f:
             doc = json.load(f)
         self._checkpoint = doc["checkpoint"]
+        self._scan_hwm = doc.get("scan_hwm", self._checkpoint)
         self._completed = set(doc.get("completed") or [])
         self._parked = {int(k): v for k, v in (doc.get("parked") or {}).items()}
         self._retry_counts = {int(k): v
@@ -299,11 +345,12 @@ class SinkPersistentSubscription(PersistentSubscription):
                  sink_path: str, start_from: int = 0,
                  max_retry_count: int = 3,
                  consumer_strategy: str = ROUND_ROBIN,
+                 filter=None,
                  state_dir: Optional[str] = None):
         super().__init__(log, group, stream, start_from=start_from,
                          max_retry_count=max_retry_count,
                          consumer_strategy=consumer_strategy,
-                         state_dir=state_dir)
+                         filter=filter, state_dir=state_dir)
         from pyspark.errors import AnalysisException
 
         self.sink_path = sink_path
@@ -344,13 +391,27 @@ class SinkPersistentSubscription(PersistentSubscription):
                 base = base.where(F.col("stream") == self.stream)
             frames.append(base.where(F.col(pos_field).isin(take))
                           .withColumn("__prio", F.lit(0)))
+        requested = max_count + len(skip)
         if self.stream is not None:
             cur = self.log.read_stream(self.stream,
                                        from_revision=self._checkpoint + 1,
-                                       count=max_count + len(skip))
+                                       count=requested)
         else:
             cur = self.log.read_all(from_position=self._checkpoint + 1,
-                                    count=max_count + len(skip))
+                                    count=requested, filter=self.filter)
+        if self.filter is not None:
+            # same scan proof as the in-memory fetch(): a full page
+            # bounds the examined range by its max position, a short
+            # page proves the scan reached the tail (the agg is over
+            # the BOUNDED page, never the log)
+            st = cur.agg(F.count(F.lit(1)).alias("n"),
+                         F.max("position").alias("m")).collect()[0]
+            if st["n"] >= requested and st["m"] is not None:
+                self._scan_hwm = max(self._scan_hwm, int(st["m"]))
+            else:
+                tail = self.log.tail_position()
+                if tail is not None:
+                    self._scan_hwm = max(self._scan_hwm, tail)
         frames.append(cur.withColumn("__prio", F.lit(1)))
         cand = frames[0]
         for f in frames[1:]:

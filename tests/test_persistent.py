@@ -280,3 +280,51 @@ def test_sink_dispatch_restart_recovers_batch_counter(log, tmp_path):
     d = sub2.deliveries("c1").orderBy("batch_id", "batch_seq").collect()
     assert [r.batch_id for r in d] == [1, 1, 1, 1, 2, 2, 2, 2]
     assert [r.revision for r in d] == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_filtered_all_subscription_checkpoint_walks_past_nonmatching(spark, tmp_path):
+    """$all persistent subscription with a server-side type filter:
+    only matching events deliver, and acking them advances the
+    checkpoint PAST interleaved non-matching positions (the filtered
+    cursor's scan proof) — no stall, no unbounded skip set. Stream
+    groups refuse filters (EventStoreDB semantics); the sink dispatcher
+    honors the same filter."""
+    from eventstorm_spark.model import FilterKind, SubscriptionFilter
+    from eventstorm_spark.streaming.persistent import (
+        PersistentSubscription, SinkPersistentSubscription,
+    )
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    # interleave matching (type eX-a) and non-matching events
+    for i in range(6):
+        evs = new_events(1, prefix=f"m{i}")
+        evs[0] = type(evs[0])(uuid=evs[0].uuid,
+                              event_type="match" if i % 2 == 0 else "other",
+                              data=evs[0].data)
+        log.append("s", evs)
+
+    f = SubscriptionFilter(kind=FilterKind.EVENT_TYPE, regex="^match$")
+    with pytest.raises(ValueError, match="all"):
+        PersistentSubscription(log, "g0", "s", filter=f)
+
+    sub = PersistentSubscription(log, "g", filter=f)
+    sub.connect("c1")
+    batch = sub.fetch(max_count=10)
+    types = [r["event_type"] for r in batch["c1"]]
+    assert types == ["match", "match", "match"]
+    positions = [r["position"] for r in batch["c1"]]
+    sub.ack(positions)
+    # checkpoint passed the interleaved non-matching positions too
+    assert sub.info().last_checkpoint == log.tail_position()
+    assert sub.fetch(max_count=10) == {}
+    assert not sub._completed  # nothing stranded
+
+    snk = SinkPersistentSubscription(log, "gs", sink_path=str(tmp_path / "sink"),
+                                     filter=f)
+    snk.connect("c1")
+    assert snk.dispatch(max_count=10) == 3
+    d = snk.deliveries("c1").collect()
+    assert sorted(r.event_type for r in d) == ["match"] * 3
+    snk.ack([r.position for r in d])
+    assert snk.info().last_checkpoint == log.tail_position()
