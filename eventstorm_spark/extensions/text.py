@@ -1238,3 +1238,50 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
         F.col("__c.chunk").alias("chunk"),
         F.size(F.split(F.col("__c.chunk"), r"\s+")).cast("long")
         .alias("n_tokens"))
+
+
+def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
+                               window: int = 4,
+                               min_len_tokens: int | None = None,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               max_fingerprint_df: int | None = None,
+                               portable: bool = False) -> DataFrame:
+    """The REWRITING form of span-level dedup: apply the keep-first rule
+    of :func:`exact_substring_scrub` and return the actual scrubbed
+    corpus — (doc_id, text) where every >= min_len_tokens run that
+    already occurs in a lower-id document is EXCISED from this one
+    (first occurrence keeps; a fully-scrubbed doc returns '').
+
+    Shape: span intervals attach per victim doc (span-count-sized), the
+    corpus tokenizes once, and the removal is a doc-co-keyed anti join
+    of token positions against the victim's intervals — interval
+    membership needs no merge pass (a token inside ANY interval drops).
+    Reassembly sorts each doc's surviving (pos, token) structs inside a
+    plain aggregate — engine-stable because positions are unique — so
+    the output is deterministic and a SQL oracle rebuilds it verbatim
+    with an ordered string_agg."""
+    spans = exact_substring_spans(docs, n=n, window=window,
+                                  min_len_tokens=min_len_tokens,
+                                  text_col=text_col, id_col=id_col,
+                                  max_fingerprint_df=max_fingerprint_df,
+                                  portable=portable)
+    iv = spans.select(F.col("id_b").alias("__vid"),
+                      F.col("start_b").alias("__s"),
+                      (F.col("start_b") + F.col("len_tokens")).alias("__e"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "tok"))
+    kept = toks.join(
+        iv, (toks.doc_id == iv.__vid) & (toks.pos >= iv.__s)
+        & (toks.pos < iv.__e), "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                       lambda x: x["tok"]), " ").alias("__text")))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__text", F.lit("")).alias("text")))

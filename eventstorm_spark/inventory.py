@@ -2745,6 +2745,18 @@ def q_exact_substring_spans(spark, sf_dir):
             .orderBy("id_a", "id_b", "start_a", "start_b"))
 
 
+def q_scrubbed_corpus(spark, sf_dir):
+    """The rewriting form of span-level dedup: the actual scrubbed
+    corpus text after excising every >=6-token run already carried by a
+    lower-id document (keep-first). Interval anti-join co-keyed per doc;
+    reassembly via an in-aggregate struct sort — deterministic because
+    token positions are unique, so the oracle rebuilds text verbatim
+    with an ordered string_agg."""
+    from eventstorm_spark.extensions.text import exact_substring_scrub_text
+    return exact_substring_scrub_text(load(spark, sf_dir, "documents"),
+                                      portable=True)
+
+
 def q_exact_substring_scrub(spark, sf_dir):
     """Span-scrub accounting: merge each doc's shared-span intervals
     (keep-first rule: spans are removed from the larger-id doc) and
@@ -4243,6 +4255,28 @@ _EXT_ORACLES["exact_substring_spans"] = _EXACTSUBSTR_CTE + """
     SELECT id_a, id_b, start_a, start_b, len_tokens
     FROM spans ORDER BY id_a, id_b, start_a, start_b"""
 
+_EXT_ORACLES["scrubbed_corpus"] = _EXACTSUBSTR_CTE + r""",
+    iv AS (SELECT id_b AS vid, start_b AS s, start_b + len_tokens AS e
+           FROM spans),
+    tk AS (SELECT doc_id, u.tok, u.pos FROM (
+               SELECT doc_id,
+                      unnest(list_transform(
+                          string_split_regex(trim(text), '\s+'),
+                          (t, i) -> struct_pack(tok := t,
+                                                pos := i - 1))) AS u
+               FROM documents) q),
+    kept AS (
+        SELECT t.doc_id, t.tok, t.pos
+        FROM tk t
+        WHERE NOT EXISTS (SELECT 1 FROM iv
+                          WHERE iv.vid = t.doc_id
+                            AND t.pos >= iv.s AND t.pos < iv.e))
+    SELECT d.doc_id,
+           coalesce(k.text, '') AS text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+               FROM kept GROUP BY doc_id) k USING (doc_id)"""
+
 _EXT_ORACLES["exact_substring_scrub"] = _EXACTSUBSTR_CTE + r""",
     iv AS (SELECT id_b AS doc_id, start_b AS s,
                   start_b + len_tokens AS e
@@ -4377,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "scrubbed_corpus": q_scrubbed_corpus,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4415,8 +4450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_event_stats": q_approx_event_stats,
         "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         # ---- driver window ends here (50 entries) ----
+        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,

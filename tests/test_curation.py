@@ -853,3 +853,37 @@ def test_winnow_index_lifecycle_and_parity(spark, tmp_path):
     capped = overlap_against_index(probe2, spark, path, n=3, window=4,
                                    min_shared=1, max_fingerprint_df=1)
     assert capped.count() == 0  # shared run's df >= 3 > 1 -> pruned
+
+
+def test_scrub_text_excises_spans_keep_first(spark):
+    """The rewriting scrub: the lower-id carrier keeps its text intact,
+    higher-id carriers lose exactly the shared run (both-side filler
+    survives), fully-duplicated docs scrub to '', and the accounting
+    form's n_tokens_after equals the rewritten token count."""
+    from eventstorm_spark.extensions.text import (
+        exact_substring_scrub, exact_substring_scrub_text, token_count,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7-token run
+    docs = _docs(spark, [
+        (1, f"k1 k2 {shared} k3", "s"),
+        (2, f"x1 {shared} x2 x3", "s"),
+        (3, shared, "s"),                       # whole doc = the run
+        (4, "independent words with no overlap here", "s"),
+    ])
+    out = {r.doc_id: r.text
+           for r in exact_substring_scrub_text(docs).collect()}
+    assert out[1] == f"k1 k2 {shared} k3"       # first carrier intact
+    assert out[2] == "x1 x2 x3"                 # run excised, filler kept
+    assert out[3] == ""                         # fully scrubbed
+    assert out[4] == "independent words with no overlap here"
+
+    acct = {r.doc_id: r.n_tokens_after
+            for r in exact_substring_scrub(docs).collect()}
+    rebuilt = {r.doc_id: r.n
+               for r in exact_substring_scrub_text(docs)
+               .select("doc_id",
+                       F.when(F.col("text") == "", 0)
+                       .otherwise(token_count(F.col("text"))).alias("n"))
+               .collect()}
+    assert acct == rebuilt
