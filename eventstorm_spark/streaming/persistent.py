@@ -489,13 +489,22 @@ class PersistentSubscriptions:
         self.state_dir = state_dir
         self._groups: dict[tuple, PersistentSubscription] = {}
 
-    def create(self, group: str, stream: Optional[str] = None,
+    def create(self, group: str, stream: Optional[str] = None, *,
+               sink_path: Optional[str] = None,
                **settings) -> PersistentSubscription:
+        """Create a group; ``sink_path`` selects the sink-mode
+        dispatcher (payloads delivered to a consumer-partitioned
+        parquet table instead of driver buffers)."""
         key = (group, stream)
         if key in self._groups:
             raise SubscriptionGroupExistsError(f"group exists: {group}")
-        sub = PersistentSubscription(self.log, group, stream,
-                                     state_dir=self.state_dir, **settings)
+        if sink_path is not None:
+            sub: PersistentSubscription = SinkPersistentSubscription(
+                self.log, group, stream, sink_path=sink_path,
+                state_dir=self.state_dir, **settings)
+        else:
+            sub = PersistentSubscription(self.log, group, stream,
+                                         state_dir=self.state_dir, **settings)
         self._groups[key] = sub
         return sub
 

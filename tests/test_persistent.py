@@ -328,3 +328,19 @@ def test_filtered_all_subscription_checkpoint_walks_past_nonmatching(spark, tmp_
     assert sorted(r.event_type for r in d) == ["match"] * 3
     snk.ack([r.position for r in d])
     assert snk.info().last_checkpoint == log.tail_position()
+
+
+def test_service_creates_sink_groups(log, tmp_path):
+    """The Create RPC surface selects the sink dispatcher via
+    sink_path, listed alongside buffer-mode groups."""
+    from eventstorm_spark.streaming.persistent import (
+        PersistentSubscriptions, SinkPersistentSubscription,
+    )
+
+    svc = PersistentSubscriptions(log, state_dir=str(tmp_path / "state"))
+    g1 = svc.create("buf", "s")
+    g2 = svc.create("snk", "s", sink_path=str(tmp_path / "sink"))
+    assert isinstance(g2, SinkPersistentSubscription)
+    g2.connect("c1")
+    assert g2.dispatch(max_count=4) == 4
+    assert {i.group for i in svc.list()} == {"buf", "snk"}
