@@ -1074,3 +1074,56 @@ def ivfpq_residual_index_topk(spark, path: str, query_vec: Sequence[float],
                         + bias[F.col("cell")], 6).alias("adc_sim"))
             .orderBy(F.col("adc_sim").desc(), F.col(id_col))
             .limit(k))
+
+
+def opq_rotation(embeddings: DataFrame, *, num_subspaces: int = 8,
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Parametric OPQ rotation (Ge et al., CVPR 2013, the
+    eigenvalue-allocation variant): a d×d orthonormal matrix that (a)
+    decorrelates the data (PCA basis from the one-pass
+    :func:`embedding_moments`) and (b) BALANCES variance across the PQ
+    subspaces by greedily assigning principal directions, largest
+    eigenvalue first, to the subspace with the smallest current
+    eigenvalue product. Plain PCA rotation would concentrate variance
+    in the first subspace — the worst case for product quantization;
+    balancing is what makes the rotation help. Rotation preserves inner
+    products and norms, so ADC scores of rotated codes against a
+    rotated query estimate the SAME cosine."""
+    model = pca_fit(embeddings, vec_col=vec_col)
+    comp = np.asarray(model["components"], dtype=np.float64)  # d×d, desc
+    vals = np.asarray(model["eigvals"], dtype=np.float64)
+    d = comp.shape[0]
+    _check_subspace_divisibility(d, num_subspaces)
+    per = d // num_subspaces
+    # greedy eigenvalue allocation: log-product balancing
+    buckets: list[list[int]] = [[] for _ in range(num_subspaces)]
+    logsum = [0.0] * num_subspaces
+    eps = 1e-12
+    for i in range(d):  # eigvals already descending
+        open_b = [b for b in range(num_subspaces) if len(buckets[b]) < per]
+        b = min(open_b, key=lambda j: (logsum[j], j))
+        buckets[b].append(i)
+        logsum[b] += float(np.log(vals[i] + eps))
+    order = [i for b in buckets for i in b]
+    # columns = rotated basis vectors, subspace-blocked
+    return comp[:, order]
+
+
+def rotate_embeddings(embeddings: DataFrame, rotation: np.ndarray, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      out_col: str = "embedding") -> DataFrame:
+    """Apply an orthonormal rotation (e.g. :func:`opq_rotation`) to the
+    embedding column — one Arrow-batched GEMM, no shuffle. Feed the
+    result to the PQ tier and rotate queries with the same matrix
+    (``list(vec @ R)``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def rot_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(list(arr @ R))
+
+    return embeddings.select(id_col, rot_udf(F.col(vec_col)).alias(out_col))
