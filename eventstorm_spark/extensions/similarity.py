@@ -368,11 +368,20 @@ def write_ivf_index(embeddings: DataFrame, path: str, *,
         rows = (embeddings.orderBy(id_col).limit(n_centroids)
                 .select(vec_col).collect())
         centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    (embeddings.withColumn("cell", _ivf_cell_udf(centroids)(F.col(vec_col)))
+     .write.partitionBy("cell").mode("overwrite").parquet(path))
+    return [list(map(float, c)) for c in centroids]
+
+
+def _ivf_cell_udf(centroids):
+    """Arrow-batched cell router (argmax cosine against the normalized
+    centroids, ties to the lowest cell) shared by the IVF index writer
+    and its append path — one expression, so the two can never drift."""
+    from pyspark.sql.functions import pandas_udf
+
     cm = np.asarray(centroids, dtype=np.float64)
     nn = np.linalg.norm(cm, axis=1, keepdims=True)
     cmn = cm / np.where(nn == 0, 1.0, nn)
-
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
@@ -383,9 +392,22 @@ def write_ivf_index(embeddings: DataFrame, path: str, *,
         m = m / np.where(n == 0, 1.0, n)
         return pd.Series(np.argmax(m @ cmn.T, axis=1).astype("int32"))
 
-    (embeddings.withColumn("cell", cell_udf(F.col(vec_col)))
-     .write.partitionBy("cell").mode("overwrite").parquet(path))
-    return [list(map(float, c)) for c in centroids]
+    return cell_udf
+
+
+def append_ivf_index(embeddings: DataFrame, path: str,
+                     centroids: list[list[float]], *,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Append-only maintenance for :func:`write_ivf_index`: new vectors
+    land in their cell partition directories — no read-modify-write,
+    same recurring-ingest contract as ``curation.append_digest_index``
+    and friends. Pass the SAME centroids the index was built with
+    (routing with different ones silently sends rows to cells queries
+    won't probe); ids must be new. The cell expression is shared with
+    the writer, so build and append can never drift."""
+    (embeddings.withColumn("cell", _ivf_cell_udf(centroids)(F.col(vec_col)))
+     .write.partitionBy("cell").mode("append").parquet(path))
 
 
 def ivf_index_topk(spark, path: str, centroids: list[list[float]],

@@ -1502,3 +1502,41 @@ def test_opq_rotation_balances_and_cuts_distortion(spark):
     e_plain = distortion(df)
     e_rot = distortion(rotate_embeddings(df, R))
     assert e_rot < e_plain * 0.8, (e_rot, e_plain)
+
+
+def test_ivf_index_append_lifecycle(spark, emb, tmp_path):
+    """Recurring-ingest lifecycle for the raw-vector IVF index: build,
+    append a new batch, and serving finds appended vectors through the
+    SAME partition-pruned probes — routing parity because writer and
+    append share one cell expression."""
+    import numpy as np
+
+    from eventstorm_spark.extensions.similarity import (
+        append_ivf_index, ivf_index_topk, write_ivf_index,
+    )
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") <= 400))
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(base, path)
+
+    before = {r["vec_id"] for r in
+              ivf_index_topk(spark, path, cents, qv, k=10).collect()}
+
+    # append a synthetic batch including a vector equal to the query —
+    # it must become the top hit via the same probes
+    newbie = spark.createDataFrame(
+        [(9001, [float(x) for x in qv], 0)],
+        "vec_id long, embedding array<float>, label int")
+    extra = emb.where(F.col("vec_id") > 400).unionByName(newbie)
+    append_ivf_index(extra, path, cents)
+
+    got = ivf_index_topk(spark, path, cents, qv, k=10).collect()
+    assert got[0]["vec_id"] == 9001 and abs(got[0]["cosine_sim"] - 1.0) < 1e-6
+    # previously-indexed hits are still served (no read-modify-write loss)
+    assert before & {r["vec_id"] for r in got}
+    # appended rows actually landed inside cell partition dirs
+    import os as _os
+    cells = [d for d in _os.listdir(path) if d.startswith("cell=")]
+    assert cells
