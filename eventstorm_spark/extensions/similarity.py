@@ -691,6 +691,45 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, *,
     return [list(map(float, c)) for c in centroids], cb
 
 
+def append_ivfpq_index(embeddings: DataFrame, path: str, *,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Append-only maintenance for :func:`write_ivfpq_index`: encode a
+    new batch with the index's OWN persisted centroids and codebooks
+    (read from ``centroids/`` and ``codebooks/`` — no caller-supplied
+    parameters to get wrong) and append the codes into their cell
+    partition directories. Ids must be new; no read-modify-write.
+    Refuses a residual index (its ``meta/`` marker) — residual codes
+    need the residual encoder, not this one."""
+    from pyspark.errors import AnalysisException
+
+    spark = embeddings.sparkSession
+    meta = {}
+    try:
+        meta = {r["key"]: r["value"]
+                for r in spark.read.parquet(f"{path}/meta").collect()}
+    except AnalysisException as e:
+        # plain IVF-PQ indexes have no meta/ — that absence is the
+        # normal case; anything else propagates
+        if "PATH_NOT_FOUND" not in str(e) and \
+                "Path does not exist" not in str(e):
+            raise
+    if meta.get("residual") == "true":
+        raise ValueError(
+            f"index at {path} is a RESIDUAL IVF-PQ index; raw-vector "
+            "append would mix incompatible code families")
+    cents = (spark.read.parquet(f"{path}/centroids")
+             .orderBy("cell").collect())
+    centroids = [[float(x) for x in r["center"]] for r in cents]
+    cb = read_pq_codebooks(spark, path)
+    enc = pq_encode(embeddings, cb, vec_col=vec_col, id_col=id_col)
+    cells = embeddings.select(
+        F.col(id_col), _ivf_cell_udf(centroids)(F.col(vec_col)).alias("cell"))
+    (enc.join(cells, id_col)
+     .select(id_col, "cell", "pq_codes")
+     .write.partitionBy("cell").mode("append").parquet(f"{path}/codes"))
+
+
 def ivfpq_index_topk(spark, path: str, query_vec: Sequence[float],
                      k: int = 10, *, n_probe: int = 4,
                      id_col: str = "vec_id") -> DataFrame:

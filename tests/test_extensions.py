@@ -1540,3 +1540,40 @@ def test_ivf_index_append_lifecycle(spark, emb, tmp_path):
     import os as _os
     cells = [d for d in _os.listdir(path) if d.startswith("cell=")]
     assert cells
+
+
+def test_ivfpq_index_append_lifecycle(spark, emb, tmp_path):
+    """IVF-PQ append: a new batch encodes with the index's OWN persisted
+    centroids/codebooks and appends into cell dirs; serving finds the
+    appended vector through the same pruned codes-only scan, and a
+    residual index refuses the raw-vector append."""
+    import numpy as np
+
+    from eventstorm_spark.extensions.similarity import (
+        append_ivfpq_index, ivfpq_index_topk, write_ivfpq_index,
+        write_ivfpq_residual_index,
+    )
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") <= 400))
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+
+    newbie = spark.createDataFrame(
+        [(9001, [float(x) for x in qv], 0)],
+        "vec_id long, embedding array<float>, label int")
+    append_ivfpq_index(
+        emb.where(F.col("vec_id") > 400).unionByName(newbie), path)
+
+    got = ivfpq_index_topk(spark, path, qv, k=5, n_probe=4).collect()
+    assert 9001 in {r["vec_id"] for r in got}  # appended vector served
+    # codes-only at rest even after append
+    cols = spark.read.parquet(f"{path}/codes").columns
+    assert "embedding" not in cols and "pq_codes" in cols
+
+    rpath = str(tmp_path / "ivfpq_res")
+    write_ivfpq_residual_index(base, rpath)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="RESIDUAL"):
+        append_ivfpq_index(newbie, rpath)
