@@ -41,6 +41,17 @@ class SubscriptionGroupExistsError(EventStormError):
     pass
 
 
+def _pin_hash(stream_id: str) -> int:
+    """Deterministic stream-id hash for the Pinned strategy: the first
+    15 hex chars of md5 as an int — stable across processes and runs
+    (Python's builtin ``hash`` is salted per process), and computable
+    engine-side (``md5`` + ``conv``) so the in-memory and sink
+    dispatchers pin identically."""
+    import hashlib
+
+    return int(hashlib.md5(stream_id.encode()).hexdigest()[:15], 16)
+
+
 @dataclass
 class _Delivery:
     position: int
@@ -129,7 +140,8 @@ class PersistentSubscription:
         if not self._consumers:
             raise EventStormError("no consumers connected")
         if self.strategy == PINNED:
-            return self._consumers[hash(stream_id) % len(self._consumers)]
+            return self._consumers[_pin_hash(stream_id)
+                                   % len(self._consumers)]
         if self.strategy == DISPATCH_TO_SINGLE:
             return self._consumers[0]
         c = self._consumers[self._rr_next % len(self._consumers)]
@@ -325,9 +337,10 @@ class SinkPersistentSubscription(PersistentSubscription):
       parked events first, then the cursor in position order);
     - assignment strategies are expressed as columns: RoundRobin is
       ``consumers[(rr_next + batch_seq - 1) % k]`` (continues the
-      driver's rotation counter), Pinned hashes the stream id with
-      ``xxhash64`` (deterministic across runs, unlike Python's salted
-      ``hash`` in the in-memory path), DispatchToSingle is a literal;
+      driver's rotation counter), Pinned hashes the stream id with the
+      SAME md5-derived rule as the in-memory path (``_pin_hash`` —
+      deterministic across runs and engines), DispatchToSingle is a
+      literal;
     - ack/nack/park/replay/checkpoint semantics are INHERITED unchanged
       — they operate on positions, which is exactly the metadata the
       dispatch collect brings back;
@@ -428,9 +441,10 @@ class SinkPersistentSubscription(PersistentSubscription):
         k = len(self._consumers)
         arr = F.array(*[F.lit(c) for c in self._consumers])
         if self.strategy == PINNED:
+            pin = F.conv(F.substring(F.md5(F.col("stream")), 1, 15),
+                         16, 10).cast("long")
             cons = F.element_at(
-                arr, (F.pmod(F.xxhash64(F.col("stream")), F.lit(k)) + 1)
-                .cast("int"))
+                arr, (F.pmod(pin, F.lit(k)) + 1).cast("int"))
         elif self.strategy == DISPATCH_TO_SINGLE:
             cons = F.lit(self._consumers[0])
         else:  # RoundRobin, continuing the driver's rotation counter

@@ -344,3 +344,30 @@ def test_service_creates_sink_groups(log, tmp_path):
     g2.connect("c1")
     assert g2.dispatch(max_count=4) == 4
     assert {i.group for i in svc.list()} == {"buf", "snk"}
+
+
+def test_pinned_strategy_parity_memory_vs_sink(spark, tmp_path):
+    """Pinned assignment is the same md5-derived rule in the in-memory
+    and sink dispatchers — each stream lands on the same consumer in
+    both, deterministically across runs."""
+    from eventstorm_spark.streaming.persistent import (
+        PINNED, PersistentSubscription, SinkPersistentSubscription,
+    )
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    for i in range(6):
+        log.append(f"st-{i}", new_events(1, prefix=f"p{i}"))
+
+    mem = PersistentSubscription(log, "gm", consumer_strategy=PINNED)
+    snk = SinkPersistentSubscription(log, "gs", consumer_strategy=PINNED,
+                                     sink_path=str(tmp_path / "sink"))
+    for s in (mem, snk):
+        s.connect("c1")
+        s.connect("c2")
+        s.connect("c3")
+    batch = mem.fetch(max_count=10)
+    mem_assign = {r["stream"]: c for c, rows in batch.items() for r in rows}
+    snk.dispatch(max_count=10)
+    snk_assign = {r.stream: r.consumer for r in snk.deliveries().collect()}
+    assert mem_assign == snk_assign and len(mem_assign) == 6
