@@ -1073,6 +1073,56 @@ def write_ivfpq_residual_index(embeddings: DataFrame, path: str, *,
     return [list(map(float, c)) for c in centroids], cbn
 
 
+def append_ivfpq_residual_index(embeddings: DataFrame, path: str, *,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> None:
+    """Append-only maintenance for :func:`write_ivfpq_residual_index`:
+    route the new batch with the index's persisted centroids, encode
+    the RESIDUALS with its persisted codebooks, append into cell dirs.
+    Refuses a non-residual index (meta guard) — the two code families
+    must never mix."""
+    from pyspark.errors import AnalysisException
+
+    spark = embeddings.sparkSession
+    meta = {}
+    try:
+        meta = {r["key"]: r["value"]
+                for r in spark.read.parquet(f"{path}/meta").collect()}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and \
+                "Path does not exist" not in str(e):
+            raise
+    if meta.get("residual") != "true":
+        raise ValueError(
+            f"index at {path} is not a residual IVF-PQ index; append "
+            "with append_ivfpq_index instead")
+    cents = (spark.read.parquet(f"{path}/centroids")
+             .orderBy("cell").collect())
+    centroids = [[float(x) for x in r["center"]] for r in cents]
+    cbn = np.asarray(read_pq_codebooks(spark, path), dtype=np.float64)
+    n_sub, _, sub = cbn.shape
+
+    from pyspark.sql.functions import pandas_udf
+
+    res = residual_frame(embeddings, centroids, vec_col=vec_col,
+                         id_col=id_col)
+
+    @pandas_udf("array<tinyint>")
+    def encode_res(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(m), n_sub), dtype=np.int8)
+        for s in range(n_sub):
+            seg = m[:, s * sub:(s + 1) * sub]
+            d2 = (((seg[:, None, :] - cbn[s][None, :, :]) ** 2).sum(axis=2))
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    (res.select(id_col, "cell", encode_res(F.col("residual")).alias("pq_codes"))
+     .write.partitionBy("cell").mode("append").parquet(f"{path}/codes"))
+
+
 def ivfpq_residual_index_topk(spark, path: str, query_vec: Sequence[float],
                               k: int = 10, *, n_probe: int = 4,
                               id_col: str = "vec_id") -> DataFrame:

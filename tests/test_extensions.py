@@ -1577,3 +1577,32 @@ def test_ivfpq_index_append_lifecycle(spark, emb, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="RESIDUAL"):
         append_ivfpq_index(newbie, rpath)
+
+
+def test_ivfpq_residual_append_lifecycle(spark, emb, tmp_path):
+    """Residual-index append: new batch residual-encodes with the
+    persisted centroids/codebooks and is served through the bias+ADC
+    rule; the plain index refuses it and it refuses the plain index."""
+    from eventstorm_spark.extensions.similarity import (
+        append_ivfpq_residual_index, ivfpq_residual_index_topk,
+        write_ivfpq_index, write_ivfpq_residual_index,
+    )
+    from eventstorm_spark.inventory import _query_vec
+
+    qv = _query_vec(spark, "/root/testdata/sf0.01")
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") <= 400))
+    rpath = str(tmp_path / "res")
+    write_ivfpq_residual_index(base, rpath)
+
+    newbie = spark.createDataFrame(
+        [(9001, [float(x) for x in qv], 0)],
+        "vec_id long, embedding array<float>, label int")
+    append_ivfpq_residual_index(newbie, rpath)
+    got = ivfpq_residual_index_topk(spark, rpath, qv, k=5).collect()
+    assert got[0]["vec_id"] == 9001  # query-equal vector tops the list
+
+    import pytest as _pytest
+    ppath = str(tmp_path / "plain")
+    write_ivfpq_index(base, ppath)
+    with _pytest.raises(ValueError, match="not a residual"):
+        append_ivfpq_residual_index(newbie, ppath)
