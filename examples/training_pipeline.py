@@ -1,0 +1,77 @@
+"""End-to-end training-data pipeline walkthrough — the user-facing
+composition of the engine's curation operators on the synthetic corpus.
+
+Stages (each one a lazy DataFrame transform until the final writes):
+
+  raw documents
+    -> C4/Gopher rule filter          (text.c4_rules, auditable reasons)
+    -> exact dedup                    (dedup.drop_exact_duplicates)
+    -> near-dup removal               (dedup.minhash_near_duplicates +
+                                       drop_near_duplicates)
+    -> substring scrub                (text.exact_substring_scrub_text)
+    -> pack into 256-token sequences  (packing.pack_token_spans)
+    -> shard + write                  (curation.write_packed_shards)
+  plus the dataset-card reports        (source_composition, vocab stats)
+
+Run: python examples/training_pipeline.py [sf_dir] [out_dir]
+Prints one line per stage with surviving doc/token counts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from eventstorm_spark.extensions import curation, dedup, packing, text  # noqa: E402
+from eventstorm_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
+    spark = get_spark("training_pipeline_example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    print(f"raw                 {n0:>7d} docs")
+
+    kept_ids = (text.c4_rules(docs).where(F.col("kept") == 1)
+                .select("doc_id"))
+    filtered = docs.join(kept_ids, "doc_id")
+    print(f"c4 rules            {filtered.count():>7d} docs")
+
+    exact = dedup.drop_exact_duplicates(filtered)
+    print(f"exact dedup         {exact.count():>7d} docs")
+
+    pairs = dedup.minhash_near_duplicates(exact, threshold=0.8)
+    near = dedup.drop_near_duplicates(exact, pairs)
+    print(f"near dedup          {near.count():>7d} docs")
+
+    scrubbed = (text.exact_substring_scrub_text(near)
+                .where(F.col("text") != ""))
+    n_tok = scrubbed.agg(
+        F.sum(text.token_count(F.col("text")))).first()[0]
+    print(f"substring scrub     {scrubbed.count():>7d} docs"
+          f"  ({n_tok} tokens survive)")
+
+    spans = packing.pack_token_spans(scrubbed, seq_len=256)
+    n_seq = spans.agg(F.countDistinct("seq_id")).first()[0]
+    print(f"packed              {n_seq:>7d} sequences of 256 tokens")
+
+    shard_path = os.path.join(out_dir, "shards")
+    curation.write_packed_shards(scrubbed, shard_path, seq_len=256,
+                                 n_shards=8)
+    print(f"shards              written to {shard_path}")
+
+    print("\ndataset card:")
+    curation.source_composition(near).orderBy("source").show(5)
+
+
+if __name__ == "__main__":
+    main()
