@@ -282,3 +282,55 @@ def apply_epoch_plan(docs: DataFrame, plan: DataFrame, *,
             .where(F.col("__n") > 0)
             .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
             .drop("__n", "epochs"))
+
+
+def token_balanced_shards(docs: DataFrame, *, n_shards: int = 16,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Token-BALANCED shard assignment — the size-aware alternative to
+    the salted-hash :func:`curation.assign_shards` (which balances doc
+    COUNTS; long-tailed token lengths then skew shard token loads and
+    with them training-loader throughput): documents are ranked by
+    (n_tokens desc, id) and dealt round-robin, so each dealing round
+    gives every shard exactly one of the next-largest docs — the
+    streaming-friendly cousin of LPT scheduling, with per-shard token
+    loads differing by at most the sum over rounds of that round's
+    max−min gap (bounded in practice by the largest document).
+
+    The global rank is the ONLY coordination, and it is the two-phase
+    distributed form (range-partition by (−n_tokens, id) → rank within
+    partitions → broadcast the O(partitions) offsets back), never an
+    ``Exchange SinglePartition`` — the same idiom as
+    ``packing.global_token_offsets``. Deterministic: ties rank by id.
+    Returns (doc_id, n_tokens, shard)."""
+    from pyspark.sql import Window as _W
+
+    from eventstorm_spark.extensions.text import token_count
+
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"))
+    part = (sized.withColumn("__neg", -F.col("n_tokens"))
+            .repartitionByRange(n_parts, "__neg", "doc_id")
+            .sortWithinPartitions("__neg", "doc_id")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = run
+        run += r["c"]
+    if not offsets:
+        return part.select("doc_id", "n_tokens",
+                           F.lit(0).cast("int").alias("shard"))
+    off_map = F.create_map(
+        *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)])
+    w = _W.partitionBy("__pid").orderBy("__neg", "doc_id")
+    rank0 = F.row_number().over(w) - 1 + off_map[F.col("__pid")]
+    return part.select(
+        "doc_id", "n_tokens",
+        F.pmod(rank0, F.lit(n_shards)).cast("int").alias("shard"))

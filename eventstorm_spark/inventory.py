@@ -2549,6 +2549,16 @@ def q_chunk_documents(spark, sf_dir):
                            chunk_tokens=32, overlap=8)
 
 
+def q_token_balanced_shards(spark, sf_dir):
+    """Size-aware shard routing: docs ranked (n_tokens desc, id) and
+    dealt round-robin over 8 shards — LPT-style token balancing via the
+    two-phase distributed global rank (no single-partition window). The
+    oracle replays the rank with a plain row_number."""
+    from eventstorm_spark.extensions.pipeline import token_balanced_shards
+    return token_balanced_shards(load(spark, sf_dir, "documents"),
+                                 n_shards=8)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Content-level snapshot diff: old = docs with doc_id % 7 != 0,
     new = docs with doc_id % 5 != 0 — heavy overlap plus disjoint
@@ -3375,6 +3385,17 @@ _EXT_ORACLES["chunk_documents"] = r"""
     SELECT doc_id, chunk_no, start_tok, chunk,
            CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tokens
     FROM c"""
+
+_EXT_ORACLES["token_balanced_shards"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                % 8 AS INT) AS shard
+    FROM t"""
 
 _EXT_ORACLES["corpus_diff"] = """
     WITH o AS (
@@ -4414,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "scrubbed_corpus": q_scrubbed_corpus,
+        "token_balanced_shards": q_token_balanced_shards,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4451,8 +4473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
         "simhash_candidates": q_simhash_candidates,
-        "ann_ivf_topk": q_ann_ivf_topk,
         # ---- driver window ends here (50 entries) ----
+        "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,

@@ -1606,3 +1606,37 @@ def test_ivfpq_residual_append_lifecycle(spark, emb, tmp_path):
     write_ivfpq_index(base, ppath)
     with _pytest.raises(ValueError, match="not a residual"):
         append_ivfpq_residual_index(newbie, ppath)
+
+
+def test_token_balanced_shards_beats_hash_on_load_balance(spark, docs):
+    """Size-aware dealing balances per-shard TOKEN loads far tighter
+    than the salted-hash router, is a total assignment (every doc,
+    exactly one shard), deterministic, and never compiles an
+    Exchange SinglePartition (two-phase global rank)."""
+    from eventstorm_spark.extensions.curation import assign_shards
+    from eventstorm_spark.extensions.pipeline import token_balanced_shards
+    from eventstorm_spark.extensions.text import token_count
+
+    out = token_balanced_shards(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert {r.shard for r in rows} == set(range(8))
+
+    def spread(frame, shard_col):
+        loads = (frame.groupBy(shard_col)
+                 .agg(F.sum("n_tokens").alias("t")).collect())
+        ts = sorted(r["t"] for r in loads)
+        return ts[-1] - ts[0]
+
+    balanced_gap = spread(out, "shard")
+    hashed = (assign_shards(docs, n_shards=8)
+              .select("shard", token_count(F.col("text")).alias("n_tokens")))
+    hashed_gap = spread(hashed, "shard")
+    assert balanced_gap * 3 < hashed_gap, (balanced_gap, hashed_gap)
+
+    again = {(r.doc_id, r.shard) for r in
+             token_balanced_shards(docs, n_shards=8).collect()}
+    assert again == {(r.doc_id, r.shard) for r in rows}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
