@@ -4411,18 +4411,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 8 rotation: evidence refresh. (a) the 12 NEW queries
-        #    (Q2/Q11/Q20/Q21 shapes, winnow_cross_matches,
-        #    hybrid_retrieval, corpus_diff, dedup_cluster_sizes,
-        #    chunk_documents, multimodal_gif/mulaw_decode,
-        #    scrubbed_corpus — no prior evidence), (b) the two winnowing
-        #    queries whose operator changed this round (skew cap +
-        #    value-first span join + pair-table checkpoint), (c) 36 of
-        #    the 38 queries whose latest driver evidence is r4
-        #    (read_stream_forward and proj_count_by_stream_lowered
-        #    displaced to lead the r9 window). The 40 r5-evidence
-        #    queries follow immediately after; r6/r7-green entries
-        #    tail.
+        # -- round 8 rotation: evidence refresh, oldest-first policy.
+        #    Window = (a) every query NEW this round (Q2/Q11/Q20/Q21
+        #    shapes, winnow_cross_matches, hybrid_retrieval,
+        #    corpus_diff, dedup_cluster_sizes, chunk_documents,
+        #    multimodal_gif/mulaw_decode, scrubbed_corpus,
+        #    token_balanced_shards — no prior evidence), (b) the two
+        #    winnowing queries whose operator changed (skew cap +
+        #    value-first span join + pair-table checkpoint), (c) fills
+        #    from the oldest remaining evidence (r4). The few r4
+        #    entries the new queries displaced lead the tail, then the
+        #    40 r5-evidence queries — that order IS the r9 window
+        #    plan; r6/r7-green entries close the dict.
         "min_cost_supplier": q_min_cost_supplier,
         "nation_part_share": q_nation_part_share,
         "bulk_part_suppliers": q_bulk_part_suppliers,
