@@ -233,3 +233,20 @@ def test_retention_applies_to_all_reads(log):
     tail = log.read_all(direction=Direction.BACKWARDS, count=3).collect()
     assert [r.position for r in tail] == sorted(
         (r.position for r in rows), reverse=True)[:3]
+
+
+def test_retention_composes_with_soft_delete(log):
+    """Soft delete and retention stack: delete hides pre-delete history,
+    recreation continues revisions, and a later $maxCount applies to
+    the RECREATED suffix only — both base-frame filters compose without
+    interfering, in stream reads and in $all."""
+    log.append("s", new_events(4))
+    log.delete_stream("s")
+    log.append("s", new_events(4, prefix="n"))      # revisions 4..7
+    assert [r.revision for r in log.read_stream("s").collect()] == [4, 5, 6, 7]
+
+    log.set_stream_metadata("s", max_count=2)
+    assert [r.revision for r in log.read_stream("s").collect()] == [6, 7]
+    all_revs = sorted(r.revision for r in log.read_all().collect()
+                      if r.stream == "s")
+    assert all_revs == [6, 7]
