@@ -2559,6 +2559,24 @@ def q_token_balanced_shards(spark, sf_dir):
                                  n_shards=8)
 
 
+def q_events_range_join(spark, sf_dir):
+    """Interval-containment join (the test-pinned `temporal.range_join`
+    made oracle-checkable): high-value events (value >= 90) matched to
+    the session windows containing them, counted per session. Equi-key
+    on user + the range as a hash-join post-filter — never a nested
+    loop; sessions don't overlap, so every event lands in exactly one
+    interval and the result is deterministic."""
+    from eventstorm_spark.extensions.temporal import range_join, sessionize
+
+    events = load(spark, sf_dir, "events")
+    sessions = sessionize(events, gap="30 minutes")
+    big = events.where(F.col("value") >= 90).select("user_id", "ts")
+    return (range_join(big, sessions, on="user_id", left_ts="ts",
+                       lower="session_start", upper="session_end")
+            .groupBy("user_id", "session_start")
+            .agg(F.count(F.lit(1)).alias("n_big")))
+
+
 def q_corpus_diff(spark, sf_dir):
     """Content-level snapshot diff: old = docs with doc_id % 7 != 0,
     new = docs with doc_id % 5 != 0 — heavy overlap plus disjoint
@@ -3385,6 +3403,32 @@ _EXT_ORACLES["chunk_documents"] = r"""
     SELECT doc_id, chunk_no, start_tok, chunk,
            CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tokens
     FROM c"""
+
+_EXT_ORACLES["events_range_join"] = """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g),
+    sess AS (
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end
+        FROM s GROUP BY user_id, session_no),
+    big AS (SELECT user_id, ts FROM events WHERE value >= 90)
+    SELECT b.user_id, sess.session_start,
+           CAST(count(*) AS BIGINT) AS n_big
+    FROM big b JOIN sess
+      ON b.user_id = sess.user_id
+     AND b.ts >= sess.session_start AND b.ts <= sess.session_end
+    GROUP BY b.user_id, sess.session_start"""
 
 _EXT_ORACLES["token_balanced_shards"] = r"""
     WITH t AS (
@@ -4436,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "scrubbed_corpus": q_scrubbed_corpus,
         "token_balanced_shards": q_token_balanced_shards,
+        "events_range_join": q_events_range_join,
         "winnow_matches": q_winnow_matches,
         "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
@@ -4472,8 +4517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        "simhash_candidates": q_simhash_candidates,
         # ---- driver window ends here (50 entries) ----
+        "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
