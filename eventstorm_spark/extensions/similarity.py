@@ -897,8 +897,15 @@ def embedding_moments(embeddings: DataFrame, *,
     final combine. Nothing corpus-sized shuffles or collects; at 100 TB
     the driver sees batches × (d² + d + 1) doubles. Covariance is the
     population form (divide by n), matching the one-pass
-    Σxxᵀ/n − μμᵀ identity used here."""
-    d = len(embeddings.select(vec_col).first()[0])
+    Σxxᵀ/n − μμᵀ identity used here. Raises ``ValueError`` on an empty
+    frame (or one whose first vector is null) — moments of nothing are
+    undefined, and the old behavior was an opaque ``TypeError``."""
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"empty embedding frame: no non-null {vec_col!r} rows to "
+            "compute moments over")
+    d = len(head[0])
 
     def partials(batches):
         for pdf in batches:
@@ -915,6 +922,9 @@ def embedding_moments(embeddings: DataFrame, *,
                          "n long, s array<double>, ss array<double>")
             .collect())  # O(#batches) rows — partials, never vectors
     n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError("empty embedding frame: zero rows reached the "
+                         "moment partials")
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(d, d)
     mean = s / n

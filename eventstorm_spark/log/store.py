@@ -161,6 +161,9 @@ class EventLog:
         # lazily discovered: does this log hold ANY $$-metadata stream?
         # (False short-circuits the per-read retention lookup entirely)
         self._has_meta_streams: Optional[bool] = None
+        # watermark snapshot the metadata caches were populated under;
+        # a moved watermark = another writer committed = caches stale
+        self._meta_cache_watermark: Optional[int] = None
         # fixed clock for $maxAge retention (tests/replays); None = now
         self.retention_clock = None
 
@@ -877,11 +880,31 @@ class EventLog:
         self._has_meta_streams = True
         return res
 
+    def _refresh_meta_caches(self) -> None:
+        """Cross-process staleness fence for the retention caches.
+        Another process's commit advances the shared watermark file —
+        the same signal the append path's ``_reserve`` uses to detect a
+        stale tail cache — so a moved watermark invalidates
+        ``_stream_meta``/``_has_meta_streams`` before they are consulted
+        (metadata set by a second writer instance becomes visible to
+        this instance's reads and ``$all`` retention). Non-marker
+        protocols have no shared watermark; there the caches carry
+        single-writer-instance semantics by design (one cheap local
+        file stat per lookup is the whole cost of the fence)."""
+        if self._commit_protocol != "marker":
+            return
+        wm = self._read_watermark()
+        if wm != self._meta_cache_watermark:
+            self._meta_cache_watermark = wm
+            self._stream_meta.clear()
+            self._has_meta_streams = None
+
     def get_stream_metadata(self, stream: str) -> dict:
         """Current metadata body for ``stream`` ({} when none set) —
         the last event of ``$$<stream>``, read-through cached."""
         import json as _json
 
+        self._refresh_meta_caches()
         if stream in self._stream_meta:
             return dict(self._stream_meta[stream])
         rows = (self.df().where(F.col("stream") == f"$${stream}")
@@ -917,6 +940,7 @@ class EventLog:
         per EventLog instance, ever."""
         if sid.startswith("$$"):
             return df  # metadata streams are never retention-filtered
+        self._refresh_meta_caches()
         if self._has_meta_streams is None:
             self._has_meta_streams = bool(
                 self.df().where(F.col("stream").startswith("$$"))
@@ -950,6 +974,7 @@ class EventLog:
         is only paid when metadata streams exist at all."""
         import json as _json
 
+        self._refresh_meta_caches()
         if self._has_meta_streams is None:
             self._has_meta_streams = bool(
                 self.df().where(F.col("stream").startswith("$$"))

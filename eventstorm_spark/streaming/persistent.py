@@ -155,8 +155,10 @@ class PersistentSubscription:
         skip = set(self._in_flight) | self._completed | set(self._parked)
         pos_field = "revision" if self.stream is not None else "position"
         rows = []
+        replay_take: set[int] = set()
         if self._replay_queue:
             take = self._replay_queue[:max_count]
+            replay_take = set(take)
             base = self.log.df()
             if self.stream is not None:
                 base = base.where(F.col("stream") == self.stream)
@@ -166,6 +168,12 @@ class PersistentSubscription:
             )
             self._replay_queue = self._replay_queue[len(take):]
         requested = max_count + len(skip)
+        # tail snapshot BEFORE the cursor read: a short page proves the
+        # scan reached the tail as of read time >= this snapshot, so the
+        # snapshot is a safe examined bound — events appended between
+        # the snapshot and the read sit above it and stay pending
+        tail_before = (self.log.tail_position()
+                       if self.filter is not None else None)
         if self.stream is not None:
             df = self.log.read_stream(self.stream,
                                       from_revision=self._checkpoint + 1,
@@ -174,29 +182,42 @@ class PersistentSubscription:
             df = self.log.read_all(from_position=self._checkpoint + 1,
                                    count=requested, filter=self.filter)
         cursor_rows = df.collect()
-        if self.filter is not None:
-            # scan proof for checkpoint advancement: a full page proves
-            # everything below its max position was examined; a short
-            # page proves the scan reached the log tail
-            if len(cursor_rows) >= requested and cursor_rows:
-                self._scan_hwm = max(self._scan_hwm,
-                                     max(r["position"] for r in cursor_rows))
-            else:
-                tail = self.log.tail_position()
-                if tail is not None:
-                    self._scan_hwm = max(self._scan_hwm, tail)
         rows.extend(cursor_rows)
         out: dict[str, list] = {}
+        undelivered: list[int] = []  # matching cursor rows cut by the
+        requeue: list[int] = []      # in-flight cap — must stay pending
         for r in rows:
             p = r[pos_field]
             if p in skip:
                 continue
             if len(self._in_flight) >= max_count:
-                break
+                if p in replay_take:
+                    requeue.append(p)  # back onto the replay queue
+                else:
+                    undelivered.append(p)
+                continue
             consumer = self._assign(r["stream"])
             self._in_flight[p] = _Delivery(p, consumer,
                                            retries=self._retry_counts.get(p, 0))
             out.setdefault(consumer, []).append(r)
+        if requeue:
+            self._replay_queue = requeue + self._replay_queue
+        if self.filter is not None:
+            # scan proof for checkpoint advancement: a full page proves
+            # everything below its max position was examined; a short
+            # page proves the scan reached the log tail (pre-read
+            # snapshot). Either way the proof is capped just below the
+            # first matching row that was NOT consumed this call —
+            # otherwise _advance would walk the checkpoint past a
+            # delivered-to-nobody event permanently.
+            if len(cursor_rows) >= requested and cursor_rows:
+                bound = max(r["position"] for r in cursor_rows)
+            else:
+                bound = tail_before
+            if bound is not None:
+                if undelivered:
+                    bound = min(bound, min(undelivered) - 1)
+                self._scan_hwm = max(self._scan_hwm, bound)
         self._save()
         return out
 
@@ -405,6 +426,11 @@ class SinkPersistentSubscription(PersistentSubscription):
             frames.append(base.where(F.col(pos_field).isin(take))
                           .withColumn("__prio", F.lit(0)))
         requested = max_count + len(skip)
+        # tail snapshot BEFORE the cursor read — same short-page bound
+        # as fetch(): appends racing the scan land above the snapshot
+        # and stay pending instead of being walked past
+        tail_before = (self.log.tail_position()
+                       if self.filter is not None else None)
         if self.stream is not None:
             cur = self.log.read_stream(self.stream,
                                        from_revision=self._checkpoint + 1,
@@ -412,19 +438,12 @@ class SinkPersistentSubscription(PersistentSubscription):
         else:
             cur = self.log.read_all(from_position=self._checkpoint + 1,
                                     count=requested, filter=self.filter)
+        # materialize the page once (bounded: <= requested rows) so the
+        # scan-proof stats and the dispatched batch see the SAME rows
+        cur = cur.localCheckpoint(eager=True)
         if self.filter is not None:
-            # same scan proof as the in-memory fetch(): a full page
-            # bounds the examined range by its max position, a short
-            # page proves the scan reached the tail (the agg is over
-            # the BOUNDED page, never the log)
             st = cur.agg(F.count(F.lit(1)).alias("n"),
                          F.max("position").alias("m")).collect()[0]
-            if st["n"] >= requested and st["m"] is not None:
-                self._scan_hwm = max(self._scan_hwm, int(st["m"]))
-            else:
-                tail = self.log.tail_position()
-                if tail is not None:
-                    self._scan_hwm = max(self._scan_hwm, tail)
         frames.append(cur.withColumn("__prio", F.lit(1)))
         cand = frames[0]
         for f in frames[1:]:
@@ -433,10 +452,11 @@ class SinkPersistentSubscription(PersistentSubscription):
             cand = cand.where(
                 ~F.col(pos_field).isin([int(p) for p in sorted(skip)]))
 
-        cand = (cand.withColumn(
-                    "batch_seq",
-                    F.row_number().over(W.orderBy("__prio", pos_field)))
-                .where(F.col("batch_seq") <= slots).drop("__prio"))
+        pre_cut = cand.withColumn(
+            "batch_seq",
+            F.row_number().over(W.orderBy("__prio", pos_field)))
+        cand = (pre_cut.where(F.col("batch_seq") <= slots)
+                .drop("__prio"))
 
         k = len(self._consumers)
         arr = F.array(*[F.lit(c) for c in self._consumers])
@@ -480,6 +500,20 @@ class SinkPersistentSubscription(PersistentSubscription):
         if self._replay_queue:
             self._replay_queue = [p for p in self._replay_queue
                                   if p not in dispatched]
+        if self.filter is not None:
+            # scan proof, capped just below the first matching cursor
+            # row the slot cut left undispatched (same rule as fetch())
+            if st["n"] >= requested and st["m"] is not None:
+                bound = int(st["m"])
+            else:
+                bound = tail_before
+            if bound is not None:
+                und = (pre_cut.where((F.col("__prio") == 1)
+                                     & (F.col("batch_seq") > slots))
+                       .agg(F.min(pos_field).alias("u")).collect()[0]["u"])
+                if und is not None:
+                    bound = min(bound, int(und) - 1)
+                self._scan_hwm = max(self._scan_hwm, bound)
         self._save()
         return len(meta)
 

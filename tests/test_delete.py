@@ -250,3 +250,54 @@ def test_retention_composes_with_soft_delete(log):
     all_revs = sorted(r.revision for r in log.read_all().collect()
                       if r.stream == "s")
     assert all_revs == [6, 7]
+
+
+def test_stream_metadata_cas_two_writer_race(spark, tmp_path):
+    """S9′ metadata race proof, mirroring the append race test: two
+    EventLog INSTANCES (separate caches + locks; serialization comes
+    from the on-disk commit-marker protocol) race to CREATE the
+    ``$$s`` metadata stream under a NoStream CAS — exactly one wins.
+    The loser's negatively-cached metadata then invalidates on the
+    watermark move (ADVICE r8: retention caches were sticky per
+    instance), so its reads honor the winner's retention."""
+    import threading
+
+    path = str(tmp_path / "log")
+    a = EventLog(spark, path)
+    b = EventLog(spark, path)
+    a.append("s", new_events(5))
+    # warm B's caches negatively: no metadata anywhere yet
+    assert b.get_stream_metadata("s") == {}
+    assert b.read_stream("s").count() == 5
+
+    outcomes: dict[str, object] = {}
+
+    def racer(name, log, max_count):
+        try:
+            log.set_stream_metadata("s", max_count=max_count,
+                                    expected=ExpectedRevision.no_stream())
+            outcomes[name] = "won"
+        except WrongExpectedRevisionError:
+            outcomes[name] = "lost"
+
+    t1 = threading.Thread(target=racer, args=("a", a, 2))
+    t2 = threading.Thread(target=racer, args=("b", b, 4))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(outcomes.values()) == ["lost", "won"]
+    winner_count = 2 if outcomes["a"] == "won" else 4
+
+    # both instances converge on the winner's body (the loser's stale
+    # negative cache invalidated by the watermark fence)
+    assert a.get_stream_metadata("s") == {"$maxCount": winner_count}
+    assert b.get_stream_metadata("s") == {"$maxCount": winner_count}
+    assert b.read_stream("s").count() == winner_count
+
+    # last-event-wins update is CAS-able at the metadata stream head;
+    # a stale expected revision loses
+    with pytest.raises(WrongExpectedRevisionError):
+        b.set_stream_metadata("s", max_count=3,
+                              expected=ExpectedRevision.at(7))
+    b.set_stream_metadata("s", max_count=3,
+                          expected=ExpectedRevision.at(0))
+    assert a.get_stream_metadata("s") == {"$maxCount": 3}
+    assert a.read_stream("s").count() == 3

@@ -412,6 +412,18 @@ def test_normalize_embeddings_unit_norm(emb):
         assert abs(n - 1.0) < 1e-9
 
 
+def test_embedding_moments_empty_frame_raises(emb):
+    """ADVICE r8 (low): moments of an empty (or all-null) embedding
+    frame raise a clear ValueError instead of an opaque TypeError —
+    pca_fit/opq_rotation inherit the guard."""
+    with pytest.raises(ValueError, match="empty embedding frame"):
+        similarity.embedding_moments(emb.where(F.lit(False)))
+    nulls = emb.limit(3).select(
+        F.lit(None).cast("array<double>").alias("embedding"))
+    with pytest.raises(ValueError, match="empty embedding frame"):
+        similarity.embedding_moments(nulls)
+
+
 def test_quantize_roundtrip_error_bounded(emb):
     import numpy as np
     orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)

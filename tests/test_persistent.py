@@ -371,3 +371,93 @@ def test_pinned_strategy_parity_memory_vs_sink(spark, tmp_path):
     snk.dispatch(max_count=10)
     snk_assign = {r.stream: r.consumer for r in snk.deliveries().collect()}
     assert mem_assign == snk_assign and len(mem_assign) == 6
+
+
+def _interleaved_log(spark, tmp_path, n=8):
+    """n events on one stream, even ordinals typed `match`."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    for i in range(n):
+        evs = new_events(1, prefix=f"m{i}")
+        evs[0] = type(evs[0])(uuid=evs[0].uuid,
+                              event_type="match" if i % 2 == 0 else "other",
+                              data=evs[0].data)
+        log.append("s", evs)
+    return log
+
+
+def test_filtered_fetch_slot_cut_does_not_lose_events(spark, tmp_path):
+    """ADVICE r8 (high): when the in-flight cap cuts a filtered page,
+    the matching rows beyond the cap must NOT be walked past by the
+    scan-proof checkpoint — the scan high-watermark is capped just
+    below the first undelivered matching row, so they deliver on a
+    later fetch. Regression: checkpoint walked to tail after a cut
+    page, permanently losing the cut rows."""
+    from eventstorm_spark.model import FilterKind, SubscriptionFilter
+
+    log = _interleaved_log(spark, tmp_path)
+    f = SubscriptionFilter(kind=FilterKind.EVENT_TYPE, regex="^match$")
+    exp = {r["position"]
+           for r in log.read_all(filter=f, count=100).collect()}
+    assert len(exp) == 4
+
+    sub = PersistentSubscription(log, "g", filter=f)
+    sub.connect("c1")
+    first = sub.fetch(max_count=2)["c1"]
+    assert len(first) == 2
+    # skip entries (the 2 in-flight) consume slots: page has 4 matching
+    # rows, cap is 3 in-flight, so the 4th matching row is cut
+    second = sub.fetch(max_count=3).get("c1", [])
+    assert len(second) == 1
+    sub.ack([r["position"] for r in first + second])
+    # the cut row is still pending — not walked past
+    third = sub.fetch(max_count=10).get("c1", [])
+    assert len(third) == 1
+    got = {r["position"] for r in first + second + third}
+    assert got == exp
+    sub.ack([r["position"] for r in third])
+    assert sub.info().last_checkpoint == log.tail_position()
+    assert sub.fetch(max_count=10) == {}
+
+
+def test_filtered_sink_dispatch_slot_cut_does_not_lose_events(spark, tmp_path):
+    """Same regression through the sink dispatcher: the slot cut drops
+    rows from the dispatched batch engine-side; the scan proof must not
+    advance past them."""
+    from eventstorm_spark.model import FilterKind, SubscriptionFilter
+    from eventstorm_spark.streaming.persistent import SinkPersistentSubscription
+
+    log = _interleaved_log(spark, tmp_path)
+    f = SubscriptionFilter(kind=FilterKind.EVENT_TYPE, regex="^match$")
+    exp = {r["position"]
+           for r in log.read_all(filter=f, count=100).collect()}
+
+    snk = SinkPersistentSubscription(log, "gs", filter=f,
+                                     sink_path=str(tmp_path / "sink"))
+    snk.connect("c1")
+    assert snk.dispatch(max_count=2) == 2
+    assert snk.dispatch(max_count=3) == 1  # slot cut: 4th matching row held
+    d = snk.deliveries("c1").collect()
+    snk.ack([r.position for r in d])
+    assert snk.dispatch(max_count=10) == 1  # the cut row delivers
+    d2 = snk.deliveries("c1").collect()
+    assert {r.position for r in d2} == exp
+    snk.ack([r.position for r in d2 if r.position not in
+             {x.position for x in d}])
+    assert snk.info().last_checkpoint == log.tail_position()
+
+
+def test_fetch_requeues_replay_rows_cut_by_cap(spark, tmp_path):
+    """Replayed parked rows cut by the in-flight cap go back on the
+    replay queue instead of being dropped."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("s", new_events(6))
+    sub = PersistentSubscription(log, "g", "s")
+    sub.connect("c1")
+    batch = sub.fetch(max_count=4)["c1"]
+    sub.nack([r["revision"] for r in batch], "Park")
+    assert sub.replay_parked() == 4
+    got = sub.fetch(max_count=2).get("c1", [])
+    assert [r["revision"] for r in got] == [0, 1]
+    sub.ack([0, 1])
+    got2 = sub.fetch(max_count=2).get("c1", [])
+    assert [r["revision"] for r in got2] == [2, 3]
