@@ -415,6 +415,29 @@ def q_proj_category_counts(spark, sf_dir):
     )
 
 
+def q_proj_state_lookup(spark, sf_dir):
+    """State(name, partition) point lookup (projections.proto:115-126 —
+    the reference declares the RPC but never registers the service):
+    the count-by-stream fold's state table sliced by partition key via
+    ``partition_states`` — the same pushed-equality path
+    ``Materializer.state_of`` serves against the parquet-materialized
+    state, so a lookup reads matching row groups, never the table. A
+    non-existent partition yields no row (StateResp with no state)."""
+    from eventstorm_spark.projections.batch import partition_states
+    from eventstorm_spark.projections.dsl import AggSpec
+    spec = (
+        projection("state-lookup").from_all().foreach_stream()
+        .when_agg({"n": AggSpec.count()})
+    )
+    states = run_batch(spec, es_events(spark, sf_dir))
+    return partition_states(
+        states, ["user-1", "user-7", "no-such-stream"]
+    ).select(
+        F.col("partition"),
+        F.get_json_object("state", "$.n").cast("long").alias("n"),
+    )
+
+
 def q_proj_filtered_emissions(spark, sf_dir):
     """P2+P6: filterBy suppresses emission while state advances; emission
     log of a count fold on one stream, only counts > 10 emitted."""
@@ -570,6 +593,11 @@ _PROJ_ORACLES = {
     "proj_category_counts": f"""{ORACLE_CTE}
         SELECT stream AS partition, count(*) AS n
         FROM es_events WHERE starts_with(stream, 'user-')
+        GROUP BY stream""",
+    "proj_state_lookup": f"""{ORACLE_CTE}
+        SELECT stream AS partition, count(*) AS n
+        FROM es_events
+        WHERE stream IN ('user-1', 'user-7', 'no-such-stream')
         GROUP BY stream""",
     "proj_filtered_emissions": f"""{ORACLE_CTE}
         SELECT position, rn AS count FROM (
@@ -4455,18 +4483,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 8 rotation: evidence refresh, oldest-first policy.
-        #    Window = (a) every query NEW this round (Q2/Q11/Q20/Q21
-        #    shapes, winnow_cross_matches, hybrid_retrieval,
-        #    corpus_diff, dedup_cluster_sizes, chunk_documents,
-        #    multimodal_gif/mulaw_decode, scrubbed_corpus,
-        #    token_balanced_shards — no prior evidence), (b) the two
-        #    winnowing queries whose operator changed (skew cap +
-        #    value-first span join + pair-table checkpoint), (c) fills
-        #    from the oldest remaining evidence (r4). The few r4
-        #    entries the new queries displaced lead the tail, then the
-        #    40 r5-evidence queries — that order IS the r9 window
-        #    plan; r6/r7-green entries close the dict.
+        # -- round 9 rotation: this window CLOSES the evidence-rotation
+        #    audit thread (r8 verdict task 1). Window = (a) queries NEW
+        #    this round (proj_state_lookup — no prior evidence), (b)
+        #    all 44 queries whose driver evidence dated to r4/r5 (the
+        #    exact list the r8 verdict ordered first for r9), (c) fills
+        #    from the oldest remaining evidence (r6). After this round
+        #    every query's driver evidence is r7+; subsequent rounds
+        #    rotate oldest-first from the tail.
+        "proj_state_lookup": q_proj_state_lookup,
+        # -- (b) r4-evidence --
+        "simhash_candidates": q_simhash_candidates,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
+        "read_stream_forward": q_read_stream_forward,
+        "top_returning_customers": q_top_returning_customers,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        # -- (b) r5-evidence --
+        "normalized_dedup_keys": q_normalized_dedup_keys,
+        "redact_pii": q_redact_pii,
+        "repetition_features": q_repetition_features,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "multimodal_asset_stats": q_multimodal_asset_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "stratified_sample": q_stratified_sample,
+        "split_assign": q_split_assign,
+        "split_contamination": q_split_contamination,
+        "quality_bucket_sample": q_quality_bucket_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "c4_quality_filter": q_c4_quality_filter,
+        "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
+        "bm25_top_docs": q_bm25_top_docs,
+        "passage_scrub": q_passage_scrub,
+        "training_mix_pipeline": q_training_mix_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "embedding_centroids": q_embedding_centroids,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_within_label": q_knn_within_label,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "repeated_passages": q_repeated_passages,
+        # -- (c) fills: oldest remaining (r6) --
+        "html_extract": q_html_extract,
+        "exact_substring_scrub": q_exact_substring_scrub,
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
+        "events_sessionization": q_events_sessionization,
+        # ---- driver window ends here (50 entries) ----
+        # -- r7-green --
+        "system_streams": q_system_streams,
+        "value_percentiles": q_value_percentiles,
+        "returnflag_priority": q_returnflag_priority,
+        "supplier_part_counts": q_supplier_part_counts,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "shard_manifest": q_shard_manifest,
+        "length_bucket_report": q_length_bucket_report,
+        "dedup_incremental": q_dedup_incremental,
+        "snapshot_novelty": q_snapshot_novelty,
+        "vocab_coverage": q_vocab_coverage,
+        "source_composition": q_source_composition,
+        "dataset_profile": q_dataset_profile,
+        "near_dup_incremental": q_near_dup_incremental,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "events_session_native": q_events_session_native,
+        "decontaminated_counts": q_decontaminated_counts,
+        "epoch_plan": q_epoch_plan,
+        "curriculum_order": q_curriculum_order,
+        "model_quality_score": q_model_quality_score,
+        "epoch_materialized_counts": q_epoch_materialized_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
+        "bpe_token_counts": q_bpe_token_counts,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "near_dup_containment": q_near_dup_containment,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "top_supplier": q_top_supplier,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "market_share": q_market_share,
+        # -- r8-green (freshest evidence; last in line to rotate) --
+        "html_c4_funnel": q_html_c4_funnel,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_part_share": q_nation_part_share,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -4517,105 +4644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        # ---- driver window ends here (50 entries) ----
-        "simhash_candidates": q_simhash_candidates,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
-        "read_stream_forward": q_read_stream_forward,
-        "top_returning_customers": q_top_returning_customers,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        # -- r5 evidence, first in line for the r9 rotation --
-        "normalized_dedup_keys": q_normalized_dedup_keys,
-        "redact_pii": q_redact_pii,
-        "repetition_features": q_repetition_features,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "multimodal_asset_stats": q_multimodal_asset_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_ppm_decode": q_multimodal_ppm_decode,
-        "stratified_sample": q_stratified_sample,
-        "split_assign": q_split_assign,
-        "split_contamination": q_split_contamination,
-        "quality_bucket_sample": q_quality_bucket_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "c4_quality_filter": q_c4_quality_filter,
-        "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
-        "bm25_top_docs": q_bm25_top_docs,
-        "passage_scrub": q_passage_scrub,
-        "training_mix_pipeline": q_training_mix_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_recall_report": q_ann_recall_report,
-        "embedding_centroids": q_embedding_centroids,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_within_label": q_knn_within_label,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "repeated_passages": q_repeated_passages,
-        # -- r6/r7-green --
-        "html_extract": q_html_extract,
-        "html_c4_funnel": q_html_c4_funnel,
-        "exact_substring_scrub": q_exact_substring_scrub,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
-        "events_sessionization": q_events_sessionization,
-        "system_streams": q_system_streams,
-        "value_percentiles": q_value_percentiles,
-        "returnflag_priority": q_returnflag_priority,
-        "supplier_part_counts": q_supplier_part_counts,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "shard_manifest": q_shard_manifest,
-        "length_bucket_report": q_length_bucket_report,
-        "dedup_incremental": q_dedup_incremental,
-        "snapshot_novelty": q_snapshot_novelty,
-        "vocab_coverage": q_vocab_coverage,
-        "source_composition": q_source_composition,
-        "dataset_profile": q_dataset_profile,
-        "near_dup_incremental": q_near_dup_incremental,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "events_session_native": q_events_session_native,
-        "decontaminated_counts": q_decontaminated_counts,
-        "epoch_plan": q_epoch_plan,
-        "curriculum_order": q_curriculum_order,
-        "model_quality_score": q_model_quality_score,
-        "epoch_materialized_counts": q_epoch_materialized_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_fertility": q_bpe_fertility,
-        "bpe_token_counts": q_bpe_token_counts,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "near_dup_containment": q_near_dup_containment,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
-        "top_supplier": q_top_supplier,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "market_share": q_market_share,
     }
     return q
 

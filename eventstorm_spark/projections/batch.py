@@ -197,6 +197,27 @@ def run_batch(spec: Projection, events: DataFrame) -> DataFrame:
     return keyed.groupBy("__key").applyInPandas(_make_fold(spec, emit_all=False), FINAL_SCHEMA)
 
 
+def partition_states(states: DataFrame, partitions: list) -> DataFrame:
+    """Partition-keyed slice of a (partition, state) table — the
+    relational half of the ``State(name, partition)`` RPC the reference
+    declares but never serves (``projections.proto:115-126``; the
+    Projections service is absent from ``cmd/main.go:31-34``). A plain
+    pushed equality/IN filter: against a parquet-materialized state
+    table the predicate reaches the scan (PushedFilters), so a point
+    lookup reads only the matching row group(s) — no full-state scan,
+    which is what makes the RPC shape serviceable when the state table
+    itself is large (one row per stream at 100 TB)."""
+    return states.where(F.col("partition").isin(list(partitions)))
+
+
+def partition_state(states: DataFrame, partition: str):
+    """Point form of :func:`partition_states`: the state JSON for ONE
+    partition, or None when the projection holds no such partition —
+    StateResp.state (``projections.proto:124-126``)."""
+    rows = partition_states(states, [partition]).limit(1).collect()
+    return rows[0]["state"] if rows else None
+
+
 def run_batch_incremental(spec: Projection, events: DataFrame,
                           prev_state: DataFrame,
                           from_position: int) -> DataFrame:

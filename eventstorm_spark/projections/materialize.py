@@ -63,6 +63,20 @@ class Materializer:
         return self.log.spark.read.parquet(
             os.path.join(self.state_path, f"state-{pos}"))
 
+    def state_of(self, partition: str):
+        """``State(name, partition)`` point lookup
+        (``projections.proto:115-126`` — declared, never served by the
+        reference): the state JSON for one partition of the latest
+        materialized version, or None when the partition (or any state
+        at all) is absent. The filter pushes to the state parquet scan,
+        so the lookup cost is the matching row group, not the table."""
+        from eventstorm_spark.projections.batch import partition_state
+
+        states = self.state()
+        if states is None:
+            return None
+        return partition_state(states, partition)
+
     # -- refresh -----------------------------------------------------------
 
     def refresh(self) -> DataFrame:
@@ -102,3 +116,24 @@ class Materializer:
                 shutil.rmtree(
                     os.path.join(self.state_path, f"state-{v}"),
                     ignore_errors=True)
+
+
+def result_of(log: EventLog, name_or_spec, partition: str = ""):
+    """``Result(name, partition)`` RPC analogue
+    (``projections.proto:128-139`` — declared, never served by the
+    reference): the LATEST state emitted for ``partition`` on the
+    projection's result stream (``$projections-{name}-result``, written
+    by :func:`eventstorm_spark.projections.batch.write_result_stream`).
+    Returns the result JSON string, or None when the partition never
+    emitted. The read is a pushed stream-equality + metadata-partition
+    filter with a tail-first ``max_by`` — bounded by the result stream,
+    never the log."""
+    if isinstance(name_or_spec, Projection):
+        stream = name_or_spec.result_stream()
+    else:
+        stream = f"$projections-{name_or_spec}-result"
+    rows = (log.df()
+            .where((F.col("stream") == stream)
+                   & (F.col("metadata")["partition"] == partition))
+            .orderBy(F.col("revision").desc()).limit(1).collect())
+    return rows[0]["data"] if rows else None

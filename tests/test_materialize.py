@@ -76,3 +76,48 @@ def test_versions_pruned(log, tmp_path):
     dirs = [d for d in os.listdir(path) if d.startswith("state-")]
     assert len(dirs) <= 2
     assert f"state-{m.checkpoint_position()}" in dirs
+
+
+def test_state_of_point_lookup(log, tmp_path):
+    """State(name, partition) analogue (projections.proto:115-126):
+    partition-keyed lookup of the materialized state — value for a
+    present partition, None for an absent one, None before the first
+    refresh."""
+    m = Materializer(log, _spec(), str(tmp_path / "state"))
+    assert m.state_of("user-1") is None  # never refreshed
+    m.refresh()
+    assert json.loads(m.state_of("user-1")) == {"n": 5}
+    assert json.loads(m.state_of("user-2")) == {"n": 3}
+    assert m.state_of("nope") is None
+    # advances with refresh
+    log.append("user-1", new_events(2, prefix="z"))
+    m.refresh()
+    assert json.loads(m.state_of("user-1")) == {"n": 7}
+
+
+def test_result_of_reads_result_stream_tail(spark, tmp_path):
+    """Result(name, partition) analogue (projections.proto:128-139):
+    the LATEST emitted state for a partition on the projection's
+    result stream; None for a partition that never emitted."""
+    from eventstorm_spark.projections.batch import (
+        run_batch_emissions, write_result_stream,
+    )
+    from eventstorm_spark.projections.materialize import result_of
+
+    lg = EventLog(spark, str(tmp_path / "rlog"))
+    lg.append("user-1", new_events(3, prefix="a"))
+    lg.append("user-2", new_events(1, prefix="b"))
+
+    def _count(state, e):
+        state["count"] += 1
+
+    spec = (projection("res").from_all().foreach_stream()
+            .when({"$init": lambda: {"count": 0}, "$any": _count})
+            .output_state())
+    write_result_stream(spec, run_batch_emissions(spec, lg.df()), lg)
+
+    # tail = the LAST emission per partition
+    assert json.loads(result_of(lg, "res", "user-1")) == {"count": 3}
+    assert json.loads(result_of(lg, spec, "user-2")) == {"count": 1}
+    assert result_of(lg, "res", "user-9") is None
+    assert result_of(lg, "absent-projection", "user-1") is None
