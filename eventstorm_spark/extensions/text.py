@@ -21,6 +21,28 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
 }
 
+# Scale-mode default for the substring family's hot-fingerprint cap
+# (``winnow_matches`` / ``exact_substring_*`` with ``scale=True``): a
+# fingerprint carried by k documents expands to k²/2 candidate pairs in
+# the blocked self-join, so an uncapped run on a boilerplate-dense
+# corpus goes near-all-pairs (measured: 34.5M pairs from min_shared=1
+# at a 50k-doc probe — SCALE.md §8/§10). 128 sits inside the 50–500
+# boilerplate knee documented there: fingerprints shared by more
+# documents than this are, by construction, the license headers and
+# template nav a scrubber excises from every copy anyway.
+SCALE_MAX_FINGERPRINT_DF = 128
+
+
+def _resolve_fingerprint_cap(max_fingerprint_df: int | None,
+                             scale: bool) -> int | None:
+    """``scale=True`` fills the documented corpus-scale default for
+    ``max_fingerprint_df`` when the caller didn't pick one; an explicit
+    cap always wins. ``scale=False`` (oracle mode) stays uncapped so a
+    SQL oracle replays the exact candidate set."""
+    if scale and max_fingerprint_df is None:
+        return SCALE_MAX_FINGERPRINT_DF
+    return max_fingerprint_df
+
 
 def tokens(text_col: Column) -> Column:
     return F.split(F.trim(text_col), r"\s+")
@@ -179,6 +201,7 @@ def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
                    min_shared: int = 2, text_col: str = "text",
                    id_col: str = "doc_id",
                    max_fingerprint_df: int | None = None,
+                   scale: bool = False,
                    portable: bool = False) -> DataFrame:
     """Local-overlap report: document pairs sharing >= ``min_shared``
     distinct winnowing fingerprints, with the shared count — the
@@ -196,7 +219,11 @@ def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
     fingerprints are missed — recall degrades gracefully instead of the
     join exploding, and genuinely overlapping pairs keep pairing through
     their rarer fingerprints. Off by default so the driver-verified
-    oracle replays exactly."""
+    oracle replays exactly; ``scale=True`` is the documented corpus-mode
+    switch — it fills :data:`SCALE_MAX_FINGERPRINT_DF` when no explicit
+    cap was chosen (an explicit ``max_fingerprint_df`` always wins), so
+    a 100-TB caller never runs the k²/2 foot-gun by omission."""
+    max_fingerprint_df = _resolve_fingerprint_cap(max_fingerprint_df, scale)
     fp = (winnow_fingerprints(docs, n=n, window=window, text_col=text_col,
                               id_col=id_col, portable=portable)
           .select("doc_id", "fingerprint").distinct())
@@ -239,6 +266,7 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                           min_len_tokens: int | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_fingerprint_df: int | None = None,
+                          scale: bool = False,
                           portable: bool = False) -> DataFrame:
     """ExactSubstr span recovery (the Lee et al. "Deduplicating Training
     Data Makes Language Models Better" dedup rung above winnowing):
@@ -284,10 +312,14 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
     cap the EXACTNESS guarantee weakens to: a pair is found iff some
     qualifying run contains an under-cap fingerprint — boilerplate runs
     shared by > cap documents stop generating pairs, which at corpus
-    scale is usually the point. Off by default (oracle replays exactly).
+    scale is usually the point. Off by default (oracle replays exactly);
+    ``scale=True`` fills :data:`SCALE_MAX_FINGERPRINT_DF` when no
+    explicit cap was chosen — the corpus-mode default the r8 sf1 probe
+    showed the uncapped ``min_shared=1`` stage needs on a dense corpus.
     """
     from pyspark.sql import Window as _W
 
+    max_fingerprint_df = _resolve_fingerprint_cap(max_fingerprint_df, scale)
     min_len = min_len_tokens if min_len_tokens is not None else window + n - 1
     if min_len < window + n - 1:
         raise ValueError(
@@ -334,6 +366,7 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
                           text_col: str = "text",
                           id_col: str = "doc_id",
                           max_fingerprint_df: int | None = None,
+                          scale: bool = False,
                           portable: bool = False) -> DataFrame:
     """Span-level dedup accounting: merge each document's
     :func:`exact_substring_spans` intervals (keep-first rule — a span is
@@ -354,7 +387,7 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
                                   min_len_tokens=min_len_tokens,
                                   text_col=text_col, id_col=id_col,
                                   max_fingerprint_df=max_fingerprint_df,
-                                  portable=portable)
+                                  scale=scale, portable=portable)
     iv = spans.select(F.col("id_b").alias("doc_id"),
                       F.col("start_b").alias("s"),
                       (F.col("start_b") + F.col("len_tokens")).alias("e"))
@@ -1246,6 +1279,7 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
                                text_col: str = "text",
                                id_col: str = "doc_id",
                                max_fingerprint_df: int | None = None,
+                               scale: bool = False,
                                portable: bool = False) -> DataFrame:
     """The REWRITING form of span-level dedup: apply the keep-first rule
     of :func:`exact_substring_scrub` and return the actual scrubbed
@@ -1265,7 +1299,7 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
                                   min_len_tokens=min_len_tokens,
                                   text_col=text_col, id_col=id_col,
                                   max_fingerprint_df=max_fingerprint_df,
-                                  portable=portable)
+                                  scale=scale, portable=portable)
     iv = spans.select(F.col("id_b").alias("__vid"),
                       F.col("start_b").alias("__s"),
                       (F.col("start_b") + F.col("len_tokens")).alias("__e"))

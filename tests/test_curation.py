@@ -792,6 +792,55 @@ def test_winnow_hot_fingerprint_cap_graceful(spark):
     assert any(r.len_tokens >= 9 for r in spans_capped), spans_capped
 
 
+def test_substring_scale_mode_defaults_cap(spark):
+    """r8 verdict task 3: the substring family's corpus-mode switch.
+    ``scale=True`` with no explicit cap fills SCALE_MAX_FINGERPRINT_DF
+    — on a dense corpus (a boilerplate run carried by more docs than
+    the default cap) the guard trips and the near-all-pairs candidate
+    set collapses to the rare-fingerprint pairs, identical to passing
+    the default cap explicitly. An explicit cap wins over the scale
+    default; scale=False stays uncapped (oracle mode)."""
+    import random
+
+    from eventstorm_spark.extensions.text import (
+        SCALE_MAX_FINGERPRINT_DF,
+        exact_substring_scrub,
+        exact_substring_spans,
+        winnow_matches,
+    )
+
+    rng = random.Random(23)
+    boiler = "every document carries this exact boilerplate header run"
+    rare = "rare shared passage only these two docs carry onward"
+    rows = []
+    for i in range(SCALE_MAX_FINGERPRINT_DF + 12):  # boiler df > default cap
+        filler = " ".join(f"d{i}w{j}" for j in range(rng.randint(4, 8)))
+        rows.append((i, f"{filler} {boiler} t{i}", "s"))
+    rows[0] = (0, rows[0][1] + " " + rare, "s")
+    rows[1] = (1, rows[1][1] + " " + rare, "s")
+    docs = _docs(spark, rows)
+
+    def pairs(**kw):
+        return {(r.id_a, r.id_b) for r in
+                winnow_matches(docs, n=3, window=4, min_shared=1,
+                               **kw).collect()}
+
+    # guard trips: scale mode == explicit default cap, and the dense
+    # corpus's boiler pairs are gone while the rare pair survives
+    scale_pairs = pairs(scale=True)
+    assert scale_pairs == pairs(max_fingerprint_df=SCALE_MAX_FINGERPRINT_DF)
+    assert scale_pairs == {(0, 1)}, sorted(scale_pairs)[:5]
+    # explicit cap beats the scale default (cap=1 prunes even the rare
+    # fingerprints, df=2 > 1)
+    assert pairs(scale=True, max_fingerprint_df=1) == set()
+    # spans/scrub inherit the switch through their candidate stage
+    spans = exact_substring_spans(docs, n=3, window=4, scale=True)
+    assert {(r.id_a, r.id_b) for r in spans.collect()} == {(0, 1)}
+    scrub = exact_substring_scrub(docs, n=3, window=4, scale=True)
+    victims = {r.doc_id for r in scrub.where(F.col("n_spans") > 0).collect()}
+    assert victims == {1}  # keep-first: doc 0 keeps, doc 1 scrubbed
+
+
 def test_winnow_index_lifecycle_and_parity(spark, tmp_path):
     """At-rest winnowing index: build -> probe -> append -> probe, with
     EXACT parity against the in-memory winnow_matches over the union
