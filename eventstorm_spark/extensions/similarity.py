@@ -353,7 +353,8 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
 
 def write_ivf_index(embeddings: DataFrame, path: str, *,
                     centroids: list[list[float]] | None = None,
-                    n_centroids: int = 16, vec_col: str = "embedding",
+                    n_centroids: int = 16, train_iters: int = 4,
+                    vec_col: str = "embedding",
                     id_col: str = "vec_id") -> list[list[float]]:
     """Materialize the corpus as an IVF-partitioned parquet table:
     cell assignment (argmax cosine against the centroids) becomes a
@@ -361,13 +362,17 @@ def write_ivf_index(embeddings: DataFrame, path: str, *,
     the n_probe nearest cells — no per-row cell filter, the files for
     unprobed cells are never opened. This is the at-rest form of
     ``ivf_topk`` for 100 TB serving; returns the centroids used (store
-    them with the index). Default centroids are the deterministic
-    lowest-id vectors; pass ``kmeans_centroids(...)`` output for
-    trained cells."""
+    them with the index). Default centroids are TRAINED
+    (:func:`kmeans_centroids`, ``train_iters`` Lloyd passes — r8
+    verdict task 4: an at-rest index is built once and served forever,
+    so the writer, unlike the oracle-replayable query paths, should
+    not default to the poor lowest-id routing); pass explicit
+    ``centroids`` to pin routing (e.g. to append-match an old index,
+    or ``train_iters=0`` seeds for the untrained layout)."""
     if centroids is None:
-        rows = (embeddings.orderBy(id_col).limit(n_centroids)
-                .select(vec_col).collect())
-        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+        centroids = kmeans_centroids(embeddings, k=n_centroids,
+                                     iters=train_iters, vec_col=vec_col,
+                                     id_col=id_col)
     (embeddings.withColumn("cell", _ivf_cell_udf(centroids)(F.col(vec_col)))
      .write.partitionBy("cell").mode("overwrite").parquet(path))
     return [list(map(float, c)) for c in centroids]
@@ -620,7 +625,7 @@ def write_pq_index(embeddings: DataFrame, path: str, *,
 
 def write_ivfpq_index(embeddings: DataFrame, path: str, *,
                       centroids: list[list[float]] | None = None,
-                      n_centroids: int = 16,
+                      n_centroids: int = 16, train_iters: int = 4,
                       codebooks: np.ndarray | None = None,
                       num_subspaces: int = 8, num_codes: int = 16,
                       vec_col: str = "embedding",
@@ -637,11 +642,14 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, *,
     - ``codebooks/``     — (subspace, code, center) ADC codebooks
 
     Returns (centroids, codebooks); both are also persisted so serving
-    needs only the path."""
+    needs only the path. Default centroids are TRAINED
+    (:func:`kmeans_centroids` — the writer default, like
+    :func:`write_ivf_index`; serving reads whatever the centroids
+    table says, so explicit centroids still pin routing)."""
     if centroids is None:
-        rows = (embeddings.orderBy(id_col).limit(n_centroids)
-                .select(vec_col).collect())
-        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+        centroids = kmeans_centroids(embeddings, k=n_centroids,
+                                     iters=train_iters, vec_col=vec_col,
+                                     id_col=id_col)
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, num_subspaces=num_subspaces,
                                  num_codes=num_codes, vec_col=vec_col,
@@ -1035,11 +1043,15 @@ def write_ivfpq_residual_index(embeddings: DataFrame, path: str, *,
     residual so serving can't silently score residual codes with the
     raw-vector rule. Serving: ``ivfpq_residual_index_topk`` adds the
     per-cell bias q·centroid[cell] to the ADC sum — exactly the
-    decomposition q·x ≈ q·c + q·r."""
+    decomposition q·x ≈ q·c + q·r. Default centroids are TRAINED
+    (:func:`kmeans_centroids`, ``train_iters`` Lloyd passes — the
+    writer default; FAISS by_residual likewise assumes trained coarse
+    quantizers, since residual magnitude shrinks with routing
+    quality)."""
     if centroids is None:
-        rows = (embeddings.orderBy(id_col).limit(n_centroids)
-                .select(vec_col).collect())
-        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+        centroids = kmeans_centroids(embeddings, k=n_centroids,
+                                     iters=train_iters, vec_col=vec_col,
+                                     id_col=id_col)
     res = residual_frame(embeddings, centroids, vec_col=vec_col,
                          id_col=id_col)
     res = res.localCheckpoint(eager=False)  # feeds training AND encoding

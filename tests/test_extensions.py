@@ -864,10 +864,14 @@ def test_passage_scrub_removes_cross_doc_segments(docs):
 
 def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     """write_ivf_index + ivf_index_topk: results equal the in-memory
-    ivf_topk routing, and the probe predicate lands in PartitionFilters
-    (unprobed cells cost zero I/O — the at-rest 100 TB serving shape)."""
+    ivf_topk routing on the SAME centroids, the probe predicate lands
+    in PartitionFilters (unprobed cells cost zero I/O — the at-rest
+    100 TB serving shape), and the writer's default centroids are the
+    TRAINED ones (r8 verdict task 4), not the lowest-id vectors."""
+    import numpy as np
+
     from eventstorm_spark.extensions.similarity import (
-        ivf_index_topk, ivf_topk, write_ivf_index)
+        brute_force_topk, ivf_index_topk, ivf_topk, write_ivf_index)
     from eventstorm_spark.inventory import _query_vec
 
     qv = _query_vec(spark, "/root/testdata/sf0.01")
@@ -875,14 +879,26 @@ def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     path = str(tmp_path / "ivf_index")
     cents = write_ivf_index(base, path)
 
+    # default is trained routing, not the lowest-id construction
+    lowest = [[float(x) for x in r["embedding"]] for r in
+              base.orderBy("vec_id").limit(16).collect()]
+    assert not np.allclose(np.array(cents), np.array(lowest))
+
     served = ivf_index_topk(spark, path, cents, qv, k=10)
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
 
     got = [(r["vec_id"], r["cosine_sim"]) for r in served.collect()]
     want = [(r["vec_id"], r["cosine_sim"])
-            for r in ivf_topk(base, qv, k=10).collect()]
+            for r in ivf_topk(base, qv, k=10, centroids=cents).collect()]
     assert got == want and len(got) == 10
+
+    # recall@10 of the trained at-rest default is not worse than the
+    # untrained lowest-id layout would serve (tolerance for ties)
+    exact = {r["vec_id"] for r in brute_force_topk(base, qv, k=10).collect()}
+    untrained = {r["vec_id"]
+                 for r in ivf_topk(base, qv, k=10, centroids=lowest).collect()}
+    assert len({v for v, _ in got} & exact) >= len(untrained & exact) - 2
 
 
 def test_png_codec_round_trip_all_filter_types():
