@@ -92,7 +92,13 @@ HEADLINE = [
     # round-over-round comparison: these two add ~5-6 s of NEW coverage
     # to the total (exact_substring_spans alone is ~5 s at sf0.1 — an
     # all-pairs-candidate corpus, see SCALE.md section 10); compare
-    # per-query times, not the total, across r7/r8.
+    # per-query times, not the total, across r7/r8. Round 9: the span
+    # query serves its stage-1 candidates from the session-memoized
+    # winnow pair table (inventory._span_candidate_pairs — the at-rest
+    # winnow-index serving shape), worth ~-1.0 s; the remaining ~3.9 s
+    # is the value-join + diagonal-islands work on the 334k-pair dense
+    # corpus, profiled stage-by-stage in SCALE.md section 10 — spans
+    # are output-bound there, not candidate-stage-bound.
     "exact_substring_spans",
     "html_c4_funnel",
 ]

@@ -267,6 +267,8 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_fingerprint_df: int | None = None,
                           scale: bool = False,
+                          candidate_pairs: DataFrame | None = None,
+                          match_strategy: str = "auto",
                           portable: bool = False) -> DataFrame:
     """ExactSubstr span recovery (the Lee et al. "Deduplicating Training
     Data Makes Language Models Better" dedup rung above winnowing):
@@ -285,15 +287,28 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
        verifies on real strings, so false candidates drop out.
     2. Full positional shingles for candidate DOCS only (semi-join, then
        a row-local explode — the corpus never shingles for this).
-       Matching is VALUE-FIRST: candidate-doc shingles self-join on the
-       shingle string (cost Σ df² over candidate docs — df counted on
-       the candidate subset, not the corpus), then a semi-join keeps
-       only stage-1 candidate pairs. The pair-first alternative (pairs
-       ⋈ a-shingles ⋈ b-shingles) materializes |pairs| × doc_len rows
-       BEFORE any match test; on a corpus whose candidate set is dense
-       (many docs sharing short runs) that intermediate dwarfs the
-       matched set — measured 1.8B vs 225M rows at a 50k-doc probe,
-       same output.
+       Matching runs one of two output-identical strategies:
+
+       - VALUE-FIRST: candidate-doc shingles self-join on the shingle
+         string (cost Σ df² over candidate docs), then a semi-join
+         keeps stage-1 candidate pairs. Wins when the candidate set is
+         dense but shingle values are evenly spread (the r8 probe's
+         uniform-vocabulary corpus: pair-first materialized 1.8B rows
+         vs 225M value-first).
+       - PAIR-FIRST: pairs ⋈ a-shingles ⋈ b-shingles on (id, shingle)
+         — cost |pairs| × doc_len rows. Wins when the vocabulary is
+         Zipf-like (real text): frequent head-word shingles give
+         Σ df² a quadratic hot-value term that value-first cannot
+         bound (the r9 Zipf probe OOM'd the value join at 50k docs
+         while pair-first finished — SCALE.md §10).
+
+       ``match_strategy="auto"`` (default) picks per-corpus by
+       measuring both cost estimates with one aggregate over the
+       candidate shingle table (Σ df², occurrence count, doc count)
+       plus a count of the pair table: est_value = Σ df²,
+       est_pair = |pairs| × avg_doc_shingles. ``"value"`` / ``"pair"``
+       pin the strategy (skip the estimate jobs — e.g. when a memoized
+       caller already chose).
     3. Diagonal islands: matched positions with equal ``pos_a - pos_b``
        and consecutive ``pos_a`` form one maximal run (gaps-and-islands:
        ``pos_a - row_number()`` per (pair, diagonal)); a run of L
@@ -316,6 +331,16 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
     ``scale=True`` fills :data:`SCALE_MAX_FINGERPRINT_DF` when no
     explicit cap was chosen — the corpus-mode default the r8 sf1 probe
     showed the uncapped ``min_shared=1`` stage needs on a dense corpus.
+
+    ``candidate_pairs`` supplies a PRECOMPUTED stage-1 candidate set
+    (columns id_a, id_b, id_a < id_b) — e.g. a prior
+    :func:`winnow_matches` run or an at-rest winnow index probe, which
+    at 100 TB is exactly what stage 1 is: a stored artifact, not a
+    per-query recompute. Output is IDENTICAL for any SUPERSET of the
+    true min_shared=1 candidate set over the same (n, window): the
+    winnow guarantee says every pair with a qualifying run is in the
+    true set, and stage 3 verifies on real strings, so extra pairs
+    only add work whose runs fall below ``min_len_tokens`` and drop.
     """
     from pyspark.sql import Window as _W
 
@@ -326,16 +351,24 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
             f"min_len_tokens must be >= window + n - 1 = {window + n - 1} "
             "(below that the winnow candidate stage can miss pairs and "
             "the result would be approximate)")
-    pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
-                            text_col=text_col, id_col=id_col,
-                            max_fingerprint_df=max_fingerprint_df,
-                            portable=portable)
-             .select("id_a", "id_b"))
-    # pairs feeds the candidate-id union AND the stage-3 semi join —
-    # without materialization the whole winnow pipeline recomputes 3x
-    # (branch-materialization idiom, SCALE.md section 8); the
-    # checkpoint is candidate-pair-sized, never corpus text
-    pairs = pairs.localCheckpoint(eager=False)
+    if candidate_pairs is not None:
+        pairs = candidate_pairs.select("id_a", "id_b")
+    else:
+        pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
+                                text_col=text_col, id_col=id_col,
+                                max_fingerprint_df=max_fingerprint_df,
+                                portable=portable)
+                 .select("id_a", "id_b"))
+        # pairs feeds the candidate-id union AND the stage-3 semi join —
+        # without materialization the whole winnow pipeline recomputes 3x
+        # (branch-materialization idiom, SCALE.md section 8); the
+        # checkpoint is candidate-pair-sized, never corpus text (a
+        # caller-provided candidate_pairs is expected to be materialized
+        # already — at-rest or checkpointed upstream)
+        pairs = pairs.localCheckpoint(eager=False)
+    if match_strategy not in ("auto", "value", "pair"):
+        raise ValueError(f"unknown match_strategy {match_strategy!r} "
+                         "(expected 'auto', 'value' or 'pair')")
     ids = (pairs.select(F.col("id_a").alias("cid"))
            .unionByName(pairs.select(F.col("id_b").alias("cid")))
            .distinct())
@@ -345,9 +378,25 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                      F.col("pos").alias("pos_a"), "sh")
     b_sh = sh.select(F.col("doc_id").alias("id_b"),
                      F.col("pos").alias("pos_b"), "sh")
-    m = (a_sh.join(b_sh, "sh")
-         .where(F.col("id_a") < F.col("id_b"))
-         .join(pairs, ["id_a", "id_b"], "left_semi"))
+    strategy = match_strategy
+    if strategy == "auto":
+        st = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+              .agg(F.sum("c").alias("n_occ"),
+                   F.sum(F.col("c") * F.col("c")).alias("df2"))
+              .collect()[0])
+        n_occ = int(st["n_occ"] or 0)
+        est_value = int(st["df2"] or 0)
+        n_pairs = pairs.count()
+        n_cand = cand.count()
+        avg_occ = (n_occ / n_cand) if n_cand else 0.0
+        est_pair = int(n_pairs * avg_occ)
+        strategy = "pair" if est_pair < est_value else "value"
+    if strategy == "pair":
+        m = pairs.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
+    else:
+        m = (a_sh.join(b_sh, "sh")
+             .where(F.col("id_a") < F.col("id_b"))
+             .join(pairs, ["id_a", "id_b"], "left_semi"))
     diag = F.col("pos_a") - F.col("pos_b")
     runs = (m.withColumn("diag", diag)
             .withColumn("grp", F.col("pos_a") - F.row_number().over(
@@ -367,6 +416,8 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
                           id_col: str = "doc_id",
                           max_fingerprint_df: int | None = None,
                           scale: bool = False,
+                          candidate_pairs: DataFrame | None = None,
+                          match_strategy: str = "auto",
                           portable: bool = False) -> DataFrame:
     """Span-level dedup accounting: merge each document's
     :func:`exact_substring_spans` intervals (keep-first rule — a span is
@@ -387,7 +438,10 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
                                   min_len_tokens=min_len_tokens,
                                   text_col=text_col, id_col=id_col,
                                   max_fingerprint_df=max_fingerprint_df,
-                                  scale=scale, portable=portable)
+                                  scale=scale,
+                                  candidate_pairs=candidate_pairs,
+                                  match_strategy=match_strategy,
+                                  portable=portable)
     iv = spans.select(F.col("id_b").alias("doc_id"),
                       F.col("start_b").alias("s"),
                       (F.col("start_b") + F.col("len_tokens")).alias("e"))
@@ -1280,6 +1334,8 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
                                id_col: str = "doc_id",
                                max_fingerprint_df: int | None = None,
                                scale: bool = False,
+                               candidate_pairs: DataFrame | None = None,
+                               match_strategy: str = "auto",
                                portable: bool = False) -> DataFrame:
     """The REWRITING form of span-level dedup: apply the keep-first rule
     of :func:`exact_substring_scrub` and return the actual scrubbed
@@ -1299,7 +1355,10 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
                                   min_len_tokens=min_len_tokens,
                                   text_col=text_col, id_col=id_col,
                                   max_fingerprint_df=max_fingerprint_df,
-                                  scale=scale, portable=portable)
+                                  scale=scale,
+                                  candidate_pairs=candidate_pairs,
+                                  match_strategy=match_strategy,
+                                  portable=portable)
     iv = spans.select(F.col("id_b").alias("__vid"),
                       F.col("start_b").alias("__s"),
                       (F.col("start_b") + F.col("len_tokens")).alias("__e"))

@@ -94,11 +94,153 @@ def generate_sf1(n_docs: int = 50_000, dup_frac: float = 0.05,
     return out
 
 
+ZIPF_V = 10_000  # vocabulary size for the realistic-vocabulary fixture
+ZIPF_S = 1.1     # Zipf exponent (natural-language-like head/tail)
+BOILER = " ".join(f"b{i}" for i in range(12))  # 12-token boilerplate run
+
+
+def generate_zipf(out_dir: str, n_docs: int, *, boiler_frac: float = 0.0,
+                  dup_frac: float = 0.05, seed: int = 42) -> str:
+    """Realistic-vocabulary fixture (r8 verdict task 2): the uniform
+    31-word vocabulary of :func:`generate_sf1` makes every doc pair
+    share 6-token runs — the worst case for the ``min_shared=1``
+    candidate stage and unrepresentative of web text. This one draws
+    from a ``ZIPF_V``-word Zipf(``ZIPF_S``) vocabulary (head words
+    common, long tail), keeps the ~5% near-dup copies (the genuine
+    positive class), and optionally plants a fixed 12-token boilerplate
+    run in ``boiler_frac`` of docs — the license-header adversary the
+    ``scale=True`` fingerprint cap exists for. Same schema as the
+    driver documents table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, ZIPF_V + 1, dtype=np.float64)
+    p = ranks ** -ZIPF_S
+    p /= p.sum()
+    lens = rng.integers(10, 101, size=n_docs)
+    draws = rng.choice(ZIPF_V, size=int(lens.sum()), p=p)
+    words = np.array([f"w{i}" for i in range(ZIPF_V)])
+    texts: list[str] = []
+    off = 0
+    for L in lens:
+        texts.append(" ".join(words[draws[off:off + L]]))
+        off += L
+    n_dup = int(n_docs * dup_frac)
+    for d in rng.choice(n_docs, size=n_dup, replace=False):
+        src = int(rng.integers(0, n_docs))
+        if src == d:
+            continue
+        w = texts[src].split(" ")
+        w.insert(int(rng.integers(0, len(w) + 1)), "dup")
+        texts[int(d)] = " ".join(w)
+    if boiler_frac > 0:
+        n_b = int(n_docs * boiler_frac)
+        for d in rng.choice(n_docs, size=n_b, replace=False):
+            w = texts[int(d)].split(" ")
+            at = int(rng.integers(0, len(w) + 1))
+            texts[int(d)] = " ".join(w[:at] + BOILER.split(" ") + w[at:])
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([str(x) for x in langs], pa.string()),
+        "source": pa.array([f"src{int(s)}" for s in
+                            rng.integers(0, 20, size=n_docs)], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, out)
+    return out
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def zipf_probe() -> None:
+    """Re-table exact_substring_spans / scrubbed_corpus on the
+    realistic-vocabulary corpus at two scales (5k vs 50k docs = the
+    same 10x step as sf0.1 -> sf1).
+
+    What round 9 actually measured (SCALE.md section 10): the r8 claim
+    "candidates collapse on a realistic vocabulary" is FALSE — a Zipf
+    head makes frequent trigrams winnow-selected in thousands of docs
+    (measured fingerprint-pair mass: 278k at 5k docs -> 28.75M at 50k,
+    103x at 10x data), and the raw shingle-value join blows up the
+    same way (the first uncapped 50k run OOM'd the executor heap
+    under value-first matching). So the UNCAPPED configurations run at
+    the small scale only (documenting the quadratic class), and the
+    scale=True cap rows carry the 10x comparison — the configuration
+    a 100 TB caller actually runs.
+    """
+    base = os.path.join(ROOT, ".scale_probe")
+    dirs = {}
+    for tag, n, bf in (("zipf_small", 5_000, 0.0), ("zipf_big", 50_000, 0.0),
+                       ("zipfb_small", 5_000, 0.02), ("zipfb_big", 50_000, 0.02)):
+        d = os.path.join(base, tag)
+        generate_zipf(d, n, boiler_frac=bf)
+        dirs[tag] = d
+
+    from eventstorm_spark import inventory
+    from eventstorm_spark.extensions.text import (exact_substring_spans,
+                                                  exact_substring_scrub_text)
+    from eventstorm_spark.session import get_spark
+
+    spark = get_spark("zipf_probe")
+    qs = inventory.queries()
+
+    def timed(fn):
+        materialize(fn())  # warm
+        t0 = time.perf_counter()
+        materialize(fn())
+        return round(time.perf_counter() - t0, 2)
+
+    # all runs call the OPERATOR directly (not the session-memoized
+    # query form) so every configuration prices the full pipeline
+    # including the winnow candidate stage — comparable across rows.
+    # big=None: uncapped at 50k docs is the measured quadratic blowup
+    # (value-first OOM'd; pair-first is a 1.5B-row intermediate), so
+    # only the small scale is timed for those rows.
+    runs = [
+        ("spans_zipf_uncapped", "zipf_small", None,
+         lambda d: exact_substring_spans(
+             inventory.load(spark, d, "documents"), portable=True)),
+        ("spans_boiler_uncapped", "zipfb_small", None,
+         lambda d: exact_substring_spans(
+             inventory.load(spark, d, "documents"), portable=True)),
+        ("spans_zipf_scale", "zipf_small", "zipf_big",
+         lambda d: exact_substring_spans(
+             inventory.load(spark, d, "documents"),
+             portable=True, scale=True)),
+        ("scrub_zipf_scale", "zipf_small", "zipf_big",
+         lambda d: exact_substring_scrub_text(
+             inventory.load(spark, d, "documents"),
+             portable=True, scale=True)),
+        ("spans_boiler_scale", "zipfb_small", "zipfb_big",
+         lambda d: exact_substring_spans(
+             inventory.load(spark, d, "documents"),
+             portable=True, scale=True)),
+    ]
+    for name, small, big, f in runs:
+        row = {"query": name}
+        row["small_sec"] = timed(lambda: f(dirs[small]))
+        row["rows_small"] = f(dirs[small]).count()
+        if big is not None:
+            row["big_sec"] = timed(lambda: f(dirs[big]))
+            row["ratio"] = round(row["big_sec"] / max(row["small_sec"], 1e-9), 1)
+            row["rows_big"] = f(dirs[big]).count()
+        print(json.dumps(row), flush=True)
+
+
 def main() -> None:
+    if "--zipf" in sys.argv:
+        zipf_probe()
+        return
     names = TARGETS
     for arg in sys.argv[1:]:
         if arg.startswith("--queries"):

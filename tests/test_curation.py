@@ -841,6 +841,55 @@ def test_substring_scale_mode_defaults_cap(spark):
     assert victims == {1}  # keep-first: doc 0 keeps, doc 1 scrubbed
 
 
+def test_span_match_strategies_identical_output(spark):
+    """r9: the two stage-2 matching strategies (value-first shingle
+    self-join vs pair-first pairs ⋈ shingles) and auto selection all
+    produce byte-identical span reports — they bound different
+    adversaries (hot shingle values vs dense candidate sets), never
+    different answers. Also pins the candidate_pairs override: a
+    precomputed (or superset) candidate table yields the same spans."""
+    import random
+
+    from eventstorm_spark.extensions.text import (exact_substring_spans,
+                                                  winnow_matches)
+
+    rng = random.Random(7)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(30):
+        filler = " ".join(f"f{i}x{j}" for j in range(rng.randint(5, 12)))
+        t = filler
+        if i % 3 == 0:
+            w = t.split(" ")
+            w[rng.randint(0, len(w)):0] = shared.split(" ")
+            t = " ".join(w)
+        rows.append((i, t, "s"))
+    docs = _docs(spark, rows)
+
+    def spans(**kw):
+        return sorted(tuple(r) for r in
+                      exact_substring_spans(docs, **kw).collect())
+
+    value = spans(match_strategy="value")
+    pair = spans(match_strategy="pair")
+    auto = spans(match_strategy="auto")
+    assert value == pair == auto and len(value) > 0
+
+    # candidate_pairs override: the exact candidate set and a SUPERSET
+    # (all pairs) both reproduce the same spans
+    cand = (winnow_matches(docs, min_shared=1)
+            .select("id_a", "id_b").localCheckpoint(eager=True))
+    assert spans(candidate_pairs=cand) == value
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    superset = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long")
+    assert spans(candidate_pairs=superset, match_strategy="pair") == value
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="match_strategy"):
+        spans(match_strategy="nope")
+
+
 def test_winnow_index_lifecycle_and_parity(spark, tmp_path):
     """At-rest winnowing index: build -> probe -> append -> probe, with
     EXACT parity against the in-memory winnow_matches over the union
