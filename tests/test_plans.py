@@ -471,3 +471,29 @@ def test_winnow_passes_share_one_exchange(q):
     plan = q("winnow_fingerprints")
     assert len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_state_point_lookup_pushes_partition_filter(spark, tmp_path):
+    """P16 State(name, partition): Materializer.state_of's slice must
+    push the partition equality into the state parquet scan
+    (PushedFilters) — the lookup reads matching row groups, never the
+    state table (one row per stream at 100 TB)."""
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.projections.batch import partition_states
+    from eventstorm_spark.projections.dsl import AggSpec, projection
+    from eventstorm_spark.projections.materialize import Materializer
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("user-1", new_events(3, prefix="a"))
+    log.append("user-2", new_events(2, prefix="b"))
+    spec = (projection("pin").from_all().foreach_stream()
+            .when_agg({"n": AggSpec.count()}))
+    m = Materializer(log, spec, str(tmp_path / "state"))
+    m.refresh()
+
+    sliced = partition_states(m.state(), ["user-1"])
+    plan = plan_of(sliced)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters" in scan and "user-1" in scan, scan
+    assert "In(partition" in scan or "EqualTo(partition" in scan, scan
