@@ -2719,6 +2719,30 @@ def q_decontaminated_counts(spark, sf_dir):
                     F.coalesce("n_after", F.lit(0)).alias("n_after")))
 
 
+def q_bloom_decontaminated_counts(spark, sf_dir):
+    """Bloom-style decontamination (the broadcast-budget scale path):
+    train docs drop when any 5-gram hash slot collides with a test
+    slot — a k=1 Bloom filter realized as a broadcast LEFT SEMI join
+    on 8-byte slots instead of shingle strings. Run at a deliberately
+    tiny m_bits=4096 with the portable md5 slot hash so the oracle
+    replays the exact drop set INCLUDING the false-positive collisions
+    — the no-false-keep / bounded-false-drop contract is what's being
+    checked, not just the exact-overlap subset."""
+    from eventstorm_spark.extensions.pipeline import (assign_splits,
+                                                      decontaminate_bloom)
+    labeled = assign_splits(load(spark, sf_dir, "documents"))
+    train = labeled.where(F.col("split") == "train")
+    test = labeled.where(F.col("split") == "test")
+    kept = decontaminate_bloom(train, test, n=5, m_bits=4096, portable=True)
+    before = (train.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_before")))
+    after = (kept.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_after")))
+    return (before.join(after, "source", "left")
+            .select("source", "n_before",
+                    F.coalesce("n_after", F.lit(0)).alias("n_after")))
+
+
 def q_epoch_plan(spark, sf_dir):
     """Per-source repetition plan (LLaMA-style mixture table): sqrt-
     temperature target shares x a 1M-token budget over available
@@ -2813,11 +2837,23 @@ def _span_candidate_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _SPAN_PAIRS_CACHE:
         while len(_SPAN_PAIRS_CACHE) >= 4:
-            _SPAN_PAIRS_CACHE.pop(next(iter(_SPAN_PAIRS_CACHE)))
+            old, _ = _SPAN_PAIRS_CACHE.pop(next(iter(_SPAN_PAIRS_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        from pyspark import StorageLevel
+
         docs = load(spark, sf_dir, "documents")
+        # DISK_ONLY, not localCheckpoint: the default checkpoint level
+        # keeps deserialized rows on-heap, and a dense corpus's pair
+        # table (34.5M rows at the sf1 probe) plus a running span query
+        # GC-thrashed an 8g heap — serialized-to-disk blocks cost one
+        # read back and zero heap residency
         pairs = (winnow_matches(docs, min_shared=1, portable=True)
                  .select("id_a", "id_b")
-                 .localCheckpoint(eager=True))
+                 .persist(StorageLevel.DISK_ONLY))
+        pairs.count()  # materialize the persisted blocks eagerly
         st = (positional_shingles(docs)
               .groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
               .agg(F.sum("c").alias("n_occ"),
@@ -4262,6 +4298,35 @@ _EXT_ORACLES["decontaminated_counts"] = r"""
                     THEN 0 ELSE 1 END) AS BIGINT) AS n_after
     FROM train GROUP BY source"""
 
+_EXT_ORACLES["bloom_decontaminated_counts"] = r"""
+    WITH lab AS (
+        SELECT doc_id, text, source,
+               CASE WHEN u < 0.98 THEN 'train'
+                    WHEN u < 0.99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, text, source,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                          ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+              FROM documents) t),
+    toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
+             FROM lab WHERE split IN ('train', 'test')),
+    sh AS (SELECT doc_id, split, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, split,
+                  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                      % 4096 AS slot
+           FROM (SELECT doc_id, split, unnest(shingles) AS shingle FROM sh) u),
+    slots AS (SELECT DISTINCT slot FROM ex WHERE split = 'test'),
+    bad AS (SELECT DISTINCT doc_id FROM ex
+            WHERE split = 'train' AND slot IN (SELECT slot FROM slots)),
+    train AS (SELECT doc_id, source FROM lab WHERE split = 'train')
+    SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+    FROM train GROUP BY source"""
+
 _EXT_ORACLES["epoch_plan"] = r"""
     WITH g AS (
         SELECT source, sum(len(string_split_regex(trim(text), '\s+')))
@@ -4696,6 +4761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
+        # -- NEW round 9, after the window (r10 window candidates;
+        #    locally parity-green, no driver evidence yet) --
+        "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
     }
     return q
 

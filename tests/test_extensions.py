@@ -412,6 +412,53 @@ def test_normalize_embeddings_unit_norm(emb):
         assert abs(n - 1.0) < 1e-9
 
 
+def test_bloom_decontaminate_no_false_keeps(spark):
+    """decontaminate_bloom (hash-slot broadcast semi-join, k=1 Bloom):
+    (a) its drop set is a SUPERSET of exact decontaminate's at any
+    m_bits (no false keeps — a shared shingle always collides into the
+    same slot); (b) at a large m_bits it equals the exact drop set on
+    this fixture (no collisions); (c) a tiny m_bits demonstrates the
+    bounded false-drop direction (more drops, never fewer)."""
+    import random
+
+    from eventstorm_spark.extensions.pipeline import (decontaminate,
+                                                      decontaminate_bloom)
+
+    rng = random.Random(3)
+    leak = "the quick brown fox jumps over lazy dogs today"
+    train_rows, test_rows = [], []
+    for i in range(60):
+        filler = " ".join(f"tr{i}w{j}" for j in range(rng.randint(8, 15)))
+        t = filler
+        if i % 6 == 0:  # 10 contaminated docs carry the leaked passage
+            w = t.split(" ")
+            w[rng.randint(0, len(w)):0] = leak.split(" ")
+            t = " ".join(w)
+        train_rows.append((i, t))
+    for i in range(5):
+        test_rows.append((1000 + i,
+                          f"benchmark item {i} contains {leak} verbatim"))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+
+    def kept_ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    exact = kept_ids(decontaminate(train, test, n=5))
+    big_m = kept_ids(decontaminate_bloom(train, test, n=5, m_bits=1 << 58))
+    tiny_m = kept_ids(decontaminate_bloom(train, test, n=5, m_bits=64))
+    all_train = kept_ids(train)
+
+    assert exact < all_train  # fixture actually has contamination
+    assert big_m == exact  # 2^58 slots: collision-free here
+    assert tiny_m <= big_m  # false drops only, never false keeps
+    assert len(tiny_m) < len(big_m)  # 64 slots: collisions demonstrably fire
+    # portable twin drops the same way it hashes (md5 slots)
+    port = kept_ids(decontaminate_bloom(train, test, n=5, m_bits=1 << 58,
+                                        portable=True))
+    assert port == exact
+
+
 def test_embedding_moments_empty_frame_raises(emb):
     """ADVICE r8 (low): moments of an empty (or all-null) embedding
     frame raise a clear ValueError instead of an opaque TypeError —
