@@ -621,6 +621,66 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
     return cands.mapInPandas(verify, "id_a long, id_b long, cosine_sim double")
 
 
+def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
+                     num_hashes: int = 64, bands: int = 16, n: int = 3,
+                     bucket_edges: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+                     text_col: str = "text", id_col: str = "doc_id",
+                     portable: bool = False) -> DataFrame:
+    """Empirical banding-recall audit — measure the MinHash-LSH config
+    against ground truth on YOUR corpus instead of trusting the
+    theoretical s-curve (P(candidate) = 1-(1-j^r)^b assumes independent
+    uniform hashes; real shingle distributions skew it). The standard
+    question it answers: "is (num_hashes, bands) right for my dedup
+    threshold, or am I silently losing near-dup pairs?"
+
+    Method — everything bounded by construction:
+
+    - sample = the ``sample_n`` LOWEST-ID docs (deterministic, so a SQL
+      oracle replays it; all-pairs ground truth on the sample is
+      <= sample_n²/2 pairs, computed via the blocked shingle join —
+      the corpus itself is never all-paired);
+    - ground truth = exact n-gram Jaccard >= min(bucket_edges) on the
+      sample (:func:`ngram_jaccard_pairs`);
+    - candidates = :func:`minhash_lsh_candidates` over
+      :func:`minhash_signatures` of the SAME sample at the audited
+      (num_hashes, bands) config;
+    - output: one row per Jaccard bucket that has true pairs:
+      (bucket_lo, n_true_pairs, n_caught, recall) where recall is the
+      fraction of true pairs the banding surfaced. Low recall in the
+      >= your-threshold bucket means more bands (or hashes); high
+      recall far below it means wasted candidate volume.
+
+    At 100 TB the audit cost is one bounded sample — the corpus only
+    contributes the sample scan. ``portable=True`` switches both the
+    truth join and the banding to the md5 portable hashes so the
+    driver oracle replays the exact report."""
+    sample = docs.orderBy(id_col).limit(int(sample_n))
+    lo = min(bucket_edges)
+    truth = ngram_jaccard_pairs(sample, n=n, threshold=lo,
+                                text_col=text_col, id_col=id_col,
+                                hash_join=not portable)
+    sigs = minhash_signatures(sample, num_hashes=num_hashes, n=n,
+                              text_col=text_col, id_col=id_col,
+                              portable=portable)
+    cands = (minhash_lsh_candidates(sigs, bands=bands,
+                                    string_buckets=portable)
+             .withColumn("__caught", F.lit(1)))
+    edges = sorted(bucket_edges)
+    bucket = F.lit(float(edges[0]))
+    for e in edges[1:]:
+        bucket = F.when(F.col("jaccard") >= float(e), float(e)) \
+                  .otherwise(bucket)
+    return (truth.join(cands, ["id_a", "id_b"], "left")
+            .withColumn("bucket_lo", bucket)
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_true_pairs"),
+                 F.sum(F.coalesce("__caught", F.lit(0)))
+                 .cast("long").alias("n_caught"))
+            .withColumn("recall",
+                        F.round(F.col("n_caught") / F.col("n_true_pairs"), 6))
+            .orderBy("bucket_lo"))
+
+
 def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 16,
                    tau: float = 0.4, centroids: list[list[float]] | None = None,
                    vec_col: str = "embedding",

@@ -2743,6 +2743,19 @@ def q_bloom_decontaminated_counts(spark, sf_dir):
                     F.coalesce("n_after", F.lit(0)).alias("n_after")))
 
 
+def q_lsh_recall_audit(spark, sf_dir):
+    """Empirical MinHash-LSH banding-recall audit: exact n-gram Jaccard
+    ground truth on the 300 lowest-id docs (bounded, deterministic)
+    versus the candidates the production 64-hash/16-band config
+    surfaces, reported as per-Jaccard-bucket recall — the
+    measure-don't-guess check every LSH dedup deployment needs before
+    trusting the theoretical s-curve on its own shingle distribution.
+    Portable md5 hashing so the oracle replays the exact report."""
+    from eventstorm_spark.extensions.dedup import lsh_recall_audit
+    return lsh_recall_audit(load(spark, sf_dir, "documents"),
+                            portable=True)
+
+
 def q_epoch_plan(spark, sf_dir):
     """Per-source repetition plan (LLaMA-style mixture table): sqrt-
     temperature target shares x a 1M-token budget over available
@@ -4298,6 +4311,62 @@ _EXT_ORACLES["decontaminated_counts"] = r"""
                     THEN 0 ELSE 1 END) AS BIGINT) AS n_after
     FROM train GROUP BY source"""
 
+_EXT_ORACLES["lsh_recall_audit"] = r"""
+    WITH samp AS (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT 300),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             FROM samp),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM ex a JOIN ex b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    truth AS (SELECT id_a, id_b,
+                     round(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+              FROM common
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5),
+    hx AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(shingle), 1, 15))
+                       AS BIGINT) AS h1,
+                  CAST(concat('0x', substr(md5(shingle), 16, 13))
+                       AS BIGINT) AS h2
+           FROM ex),
+    hashes AS (SELECT doc_id, i,
+                      min((h1 + i * h2) & 1152921504606846975) AS h
+               FROM hx CROSS JOIN range(64) r(i)
+               GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig
+             FROM hashes GROUP BY doc_id),
+    banded AS (SELECT doc_id, b,
+                      array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bucket
+               FROM sigs CROSS JOIN range(16) r(b)),
+    cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a
+              JOIN banded b ON a.b = b.b AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id),
+    tagged AS (SELECT t.j,
+                      CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+               FROM truth t LEFT JOIN cands c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    bucketed AS (SELECT CAST(CASE WHEN j >= 0.9 THEN 0.9
+                                  WHEN j >= 0.8 THEN 0.8
+                                  WHEN j >= 0.7 THEN 0.7
+                                  WHEN j >= 0.6 THEN 0.6
+                                  ELSE 0.5 END AS DOUBLE) AS bucket_lo,
+                        caught
+                 FROM tagged)
+    SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           round(sum(caught) * 1.0 / count(*), 6) AS recall
+    FROM bucketed GROUP BY bucket_lo ORDER BY bucket_lo"""
+
 _EXT_ORACLES["bloom_decontaminated_counts"] = r"""
     WITH lab AS (
         SELECT doc_id, text, source,
@@ -4764,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round 9, after the window (r10 window candidates;
         #    locally parity-green, no driver evidence yet) --
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
+        "lsh_recall_audit": q_lsh_recall_audit,
     }
     return q
 
