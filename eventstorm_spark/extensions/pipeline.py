@@ -238,6 +238,52 @@ def decontaminate_bloom(train: DataFrame, test: DataFrame, *, n: int = 5,
     return train.join(bad, id_col, "left_anti")
 
 
+def streaming_decontaminate(stream_docs: DataFrame, test: DataFrame, *,
+                            n: int = 5, m_bits: int = 1 << 22,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            portable: bool = False) -> DataFrame:
+    """Continuous form of :func:`decontaminate_bloom` for a live ingest
+    feed: drop every streamed doc sharing an n-gram hash slot with the
+    (static) benchmark suite. Per micro-batch this is a stream-static
+    LEFT ANTI join of the doc's exploded shingle slots against the
+    broadcast-scale distinct test-slot table — STATELESS (nothing
+    accumulates in the state store, no watermark needed: the test side
+    is static and the decision is per-document), so it composes before
+    the stateful dedup/window stages of an ingest pipeline. The test
+    side is re-read per micro-batch (stream-static semantics), so a
+    benchmark suite that grows between batches is honored without
+    restart. Same no-false-keep / bounded-false-drop contract as the
+    batch form.
+
+    Implementation note: the per-doc "any shingle hits a slot"
+    existence test can't be a two-step (semi-join to ids, then anti
+    join back) on a stream — that's a stream-stream self-join. Instead
+    each doc's shingle SLOTS are collected row-locally into an array
+    column and the drop test is ``arrays_overlap`` against the
+    (re-read, aggregated) test slot array: one broadcast scalar array,
+    zero shuffles of the stream."""
+    from eventstorm_spark.extensions.dedup import portable_hash60
+
+    h = (lambda c: portable_hash60(c)) if portable else \
+        (lambda c: F.xxhash64(c))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    slots = F.array_distinct(
+        F.transform(grams, lambda g: F.pmod(h(g), F.lit(int(m_bits)))))
+    te_slots = (shingle_rows(test, n, text_col, id_col)
+                .select(F.pmod(h(F.col("shingle")),
+                               F.lit(int(m_bits))).alias("slot"))
+                .agg(F.collect_set("slot").alias("__test_slots")))
+    tagged = (stream_docs.withColumn("__slots", slots)
+              .crossJoin(F.broadcast(te_slots)))
+    return (tagged.where(~F.arrays_overlap(F.col("__slots"),
+                                           F.col("__test_slots")))
+            .drop("__slots", "__test_slots"))
+
+
 def epoch_plan(docs: DataFrame, *, alpha: float = 0.5,
                token_budget: int = 1_000_000,
                group_col: str = "source",

@@ -459,6 +459,61 @@ def test_bloom_decontaminate_no_false_keeps(spark):
     assert port == exact
 
 
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """streaming_decontaminate: (a) on a static frame it keeps exactly
+    the ids decontaminate_bloom keeps (same slots, same contract);
+    (b) as a real micro-batched stream, contaminated docs are dropped
+    per batch with zero state (stateless stream-static decision)."""
+    import datetime
+    import os
+
+    from eventstorm_spark.extensions.pipeline import (decontaminate_bloom,
+                                                      streaming_decontaminate)
+
+    leak = "the quick brown fox jumps over lazy dogs today"
+    train_rows = [(i, f"doc {i} body w{i}a w{i}b w{i}c w{i}d") for i in range(20)]
+    for i in (3, 7):
+        train_rows[i] = (i, train_rows[i][1] + " " + leak)
+    test = spark.createDataFrame(
+        [(900, f"benchmark row has {leak} inside")],
+        "doc_id long, text string")
+
+    static = spark.createDataFrame(train_rows, "doc_id long, text string")
+    want = {r.doc_id for r in
+            decontaminate_bloom(static, test, n=5).select("doc_id").collect()}
+    got = {r.doc_id for r in
+           streaming_decontaminate(static, test, n=5).select("doc_id").collect()}
+    assert got == want and got == set(range(20)) - {3, 7}
+
+    # true streaming run: two micro-batches through a parquet feed
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    feed_dir = os.path.join(str(tmp_path), "feed")
+    os.makedirs(feed_dir)
+    spark.createDataFrame(
+        [(0, t0, "clean one body text here"),
+         (1, t0, f"dirty {leak} body")], schema
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+    out = streaming_decontaminate(src, test, n=5)
+    seen = []
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _e: seen.extend(
+             r.doc_id for r in bdf.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert seen == [0]
+        spark.createDataFrame(
+            [(2, t0, f"later batch {leak} contaminated"),
+             (3, t0, "later batch clean")], schema
+        ).coalesce(1).write.mode("append").parquet(feed_dir)
+        q.processAllAvailable()
+        assert sorted(seen) == [0, 3]
+    finally:
+        q.stop()
+
+
 def test_embedding_moments_empty_frame_raises(emb):
     """ADVICE r8 (low): moments of an empty (or all-null) embedding
     frame raise a clear ValueError instead of an opaque TypeError —
