@@ -141,6 +141,72 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal BMP writer — 24-bit uncompressed (BI_RGB), stdlib only:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, scanlines stored BOTTOM-UP in
+    BGR order, each row padded to a 4-byte boundary (the two format
+    quirks every naive BMP parser gets wrong)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = width * 3
+    pad = (-stride) % 4
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * stride:(y + 1) * stride]
+        for i in range(0, stride, 3):
+            rows += bytes((row[i + 2], row[i + 1], row[i]))  # BGR
+        rows += bytes(pad)
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(rows)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, pixel_offset)
+    info_header = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                              0, len(rows), 2835, 2835, 0, 0)
+    return file_header + info_header + bytes(rows)
+
+
+def _bmp_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP to (width, height, rgb raster):
+    validate the magic/headers, undo the bottom-up row order (top-down
+    negative-height BMPs are accepted too), strip the 4-byte row
+    padding and swap BGR back to RGB. Other depths/compressions raise
+    honestly (the multimodal contract: real parse or loud refusal)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
+    if compression != 0:
+        raise NotImplementedError(
+            f"only BI_RGB (uncompressed) BMP supported, got {compression}")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    stride = width * 3
+    padded = stride + ((-stride) % 4)
+    raster = payload[pixel_offset:pixel_offset + padded * height]
+    if len(raster) != padded * height:
+        raise ValueError("truncated BMP raster")
+    out = bytearray()
+    ys = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in ys:
+        row = raster[y * padded:y * padded + stride]
+        for i in range(0, stride, 3):
+            out += bytes((row[i + 2], row[i + 1], row[i]))  # BGR -> RGB
+    return width, height, bytes(out)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit BMP payload and return exact-integer per-channel
+    stats, like the PPM/PNG/GIF decoders."""
+    return _rgb_stats(*_bmp_rgb(payload))
+
+
 def _ppm_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a binary PPM (P6) payload to (width, height, rgb raster):
     header token scan (whitespace + ``#`` comments per the netpbm
@@ -447,6 +513,33 @@ def synth_ppm_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_bmp_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized BMP corpus: per document a 24-bit
+    BI_RGB bitmap whose dimensions and pixel bytes are fixed integer
+    functions of the doc id (oracle for ``multimodal_bmp_decode``).
+    Widths cycle 5..8 so every 4-byte row-padding case (1/2/3/0 pad
+    bytes) is exercised under the oracle gate, alongside the bottom-up
+    BGR storage the encoder writes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def bmp_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            w = 5 + did % 4
+            h = 2 + did % 3
+            rgb = bytes((did * 19 + k * 23) % 256 for k in range(w * h * 3))
+            return encode_bmp(w, h, rgb)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        bmp_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("image/bmp")).alias("meta"),
+    )
+
+
 def synth_png_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthesized PNG corpus: per document, an 8-bit RGB
     raster whose dimensions and pixel bytes are fixed integer functions
@@ -480,8 +573,9 @@ def synth_png_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 def decode_image_meta(assets: DataFrame) -> DataFrame:
     """Typed real-decode pass for image payloads — sniffs each
     payload's magic and dispatches to the matching stdlib codec (P6
-    PPM byte-scan, PNG chunk-walk + inflate + defilter, or GIF LZW +
-    palette); all return the same exact-integer stat dict, byte-parsed
+    PPM byte-scan, PNG chunk-walk + inflate + defilter, GIF LZW +
+    palette, or 24-bit BMP bottom-up/BGR/padded-row parse); all return
+    the same exact-integer stat dict, byte-parsed
     inside mapInPandas. The per-channel means derive as SQL expressions
     (same rounding contract as ``decode_audio_meta``)."""
     out_schema = T.StructType([
@@ -502,6 +596,8 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
                     p = decode_png(payload)
                 elif head[:4] == GIF_SIG:
                     p = decode_gif(payload)
+                elif head[:2] == b"BM":
+                    p = decode_bmp(payload)
                 else:
                     p = decode_ppm(payload)
                 recs.append((int(aid), p["width"], p["height"],

@@ -2466,6 +2466,20 @@ def q_multimodal_ppm_decode(spark, sf_dir):
         synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_multimodal_bmp_decode(spark, sf_dir):
+    """REAL codec path: synthesize 24-bit BI_RGB BMP payloads per
+    document (widths cycling through all four 4-byte row-padding
+    cases), byte-parse them back — magic/header validation, bottom-up
+    row undo, padding strip, BGR→RGB swap — and emit decoded image
+    stats; the oracle replays the pixel recurrence, so a wrong stride,
+    row order or channel swap breaks the hash."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_bmp_assets,
+    )
+    return decode_image_meta(
+        synth_bmp_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_mulaw_decode(spark, sf_dir):
     """REAL telephony-codec path: synthesize G.711 mu-law WAV payloads
     (format code 7) per document, decode through the closed-form CCITT
@@ -3487,6 +3501,25 @@ _EXT_ORACLES = {
         ORDER BY asset_id""",
     # Replays the synth_ppm_assets pixel recurrence; channel k of pixel
     # px sits at raster byte 3*px + k.
+    "multimodal_bmp_decode": """
+        WITH p AS (SELECT doc_id, 5 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+                   FROM documents),
+        s AS (SELECT doc_id, w, h,
+                     unnest(generate_series(0, w * h - 1)) AS px
+              FROM p),
+        v AS (SELECT doc_id, w, h,
+                     (doc_id * 19 + (3 * px) * 23) % 256 AS r,
+                     (doc_id * 19 + (3 * px + 1) * 23) % 256 AS g,
+                     (doc_id * 19 + (3 * px + 2) * 23) % 256 AS b
+              FROM s)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(sum(r) * 1.0 / (w * h), 6) AS mean_r,
+               round(sum(g) * 1.0 / (w * h), 6) AS mean_g,
+               round(sum(b) * 1.0 / (w * h), 6) AS mean_b
+        FROM v
+        GROUP BY doc_id, w, h
+        ORDER BY asset_id""",
     "multimodal_ppm_decode": """
         WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
                    FROM documents),
@@ -4834,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locally parity-green, no driver evidence yet) --
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
         "lsh_recall_audit": q_lsh_recall_audit,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
     }
     return q
 

@@ -1003,6 +1003,49 @@ def test_ivf_index_partition_pruned_serving(spark, emb, tmp_path):
     assert len({v for v, _ in got} & exact) >= len(untrained & exact) - 2
 
 
+def test_bmp_codec_round_trip_all_paddings():
+    """encode_bmp/decode_bmp: exact pixel-stat recovery across all four
+    4-byte row-padding cases (widths 5..8), bottom-up AND top-down row
+    order, plus honest refusals for non-24-bit / compressed payloads."""
+    import struct as _struct
+
+    from eventstorm_spark.extensions.multimodal import decode_bmp, encode_bmp
+
+    for did in range(8):
+        w, h = 5 + did % 4, 2 + did % 3
+        rgb = bytes((did * 19 + k * 23) % 256 for k in range(w * h * 3))
+        payload = encode_bmp(w, h, rgb)
+        d = decode_bmp(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["sum_r"] == sum(rgb[0::3])
+        assert d["sum_g"] == sum(rgb[1::3])
+        assert d["sum_b"] == sum(rgb[2::3])
+
+    # top-down variant (negative height) decodes identically
+    w, h = 5, 3
+    rgb = bytes(range(w * h * 3))
+    p = bytearray(encode_bmp(w, h, rgb))
+    stride = w * 3
+    padded = stride + ((-stride) % 4)
+    rows = [bytes(p[54 + y * padded:54 + (y + 1) * padded])
+            for y in range(h)]
+    top_down = bytes(p[:54]) + b"".join(reversed(rows))
+    top_down = bytearray(top_down)
+    _struct.pack_into("<i", top_down, 22, -h)
+    assert decode_bmp(bytes(top_down)) == decode_bmp(bytes(p))
+
+    bad_bpp = bytearray(encode_bmp(2, 2, bytes(12)))
+    _struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(encode_bmp(2, 2, bytes(12)))
+    _struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        decode_bmp(bytes(bad_comp))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
 def test_png_codec_round_trip_all_filter_types():
     """encode_png/decode_png: exact pixel-stat recovery for scanlines
     filtered with every PNG filter type (None/Sub/Up/Average/Paeth),
