@@ -598,6 +598,8 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
                     p = decode_gif(payload)
                 elif head[:2] == b"BM":
                     p = decode_bmp(payload)
+                elif head[:2] == b"\xff\xd8":
+                    p = decode_jpeg(payload)
                 else:
                     p = decode_ppm(payload)
                 recs.append((int(aid), p["width"], p["height"],
@@ -935,6 +937,416 @@ def synth_gif_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         F.lit("image").alias("modality"),
         gif_udf(F.col(id_col)).alias("content"),
         F.create_map(F.lit("content-type"), F.lit("image/gif")).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU T.81 SOF0) — real lossy codec, stdlib + numpy DCT
+# ---------------------------------------------------------------------------
+
+# zig-zag coefficient order (T.81 figure 5)
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex-K-style base quantization tables (scaled by the libjpeg-style
+# quality mapping in encode_jpeg)
+JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Huffman specs as (bits-per-length-1..16, symbol list). Deliberately
+# FLAT canonical codes (every DC category at 4 bits, every AC
+# (run,size) symbol at 8 bits) instead of the Annex K frequency-tuned
+# tables: both are valid T.81 prefix codes (Kraft sums 12/16 and
+# 162/256, all-ones code unassigned), the tables travel IN the file's
+# DHT segments so any conforming decoder reads them back, and a flat
+# spec cannot be mis-transcribed. Costs a few % compression — the
+# synth corpus doesn't care.
+_JPEG_DC_SPEC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_JPEG_AC_SPEC = ([0] * 7 + [162] + [0] * 8,
+                 [0x00, 0xF0] + [(r << 4) | s
+                                 for r in range(16) for s in range(1, 11)])
+
+
+def _jpeg_dct_matrix() -> "np.ndarray":
+    """8x8 DCT-II matrix M with T.81 normalization: S = M @ s @ M.T,
+    s = M.T @ S @ M (M is orthogonal)."""
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+def _huff_canonical(bits: list, symbols: list) -> dict:
+    """symbol -> (code, length) by the T.81 canonical construction."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple:
+    """libjpeg-style quality scaling of the base tables; quality=100
+    yields all-ones tables (lossless quantization step)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def scaled(base):
+        return [min(max((v * scale + 50) // 100, 1), 255) for v in base]
+    return scaled(JPEG_QT_LUMA), scaled(JPEG_QT_CHROMA)
+
+
+def _magnitude(v: int) -> tuple:
+    """(category, value-bits) — T.81 F.1.2.1 magnitude coding."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes, *,
+                quality: int = 90) -> bytes:
+    """Minimal baseline JPEG writer (SOF0, 4:4:4, 8-bit): JFIF APP0,
+    two DQT tables (quality-scaled), SOF0, two DHT tables (flat
+    canonical codes — see spec constants), one interleaved SOS scan
+    with DC-difference + run-length AC Huffman coding and FF byte
+    stuffing. Dimensions need not be multiples of 8 (edge-replication
+    padding, standard practice)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    qt_l, qt_c = _jpeg_quality_tables(quality)
+    m = _jpeg_dct_matrix()
+    a = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
+    a = a.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    comps = [
+        np.round(0.299 * r + 0.587 * g + 0.114 * b),
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128),
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128),
+    ]
+    bw = ((width + 7) // 8) * 8
+    bh = ((height + 7) // 8) * 8
+    qts = [np.array(qt_l).reshape(8, 8), np.array(qt_c).reshape(8, 8),
+           np.array(qt_c).reshape(8, 8)]
+    dc_code = _huff_canonical(*_JPEG_DC_SPEC)
+    ac_code = _huff_canonical(*_JPEG_AC_SPEC)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for ci, plane in enumerate(comps):
+                # edge-replicated 8x8 block
+                ys = np.clip(np.arange(by, by + 8), 0, height - 1)
+                xs = np.clip(np.arange(bx, bx + 8), 0, width - 1)
+                blk = plane[np.ix_(ys, xs)] - 128.0
+                coef = m @ blk @ m.T
+                qv = np.round(coef / qts[ci]).astype(np.int64)
+                zz = qv.ravel()[JPEG_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                c, ln = dc_code[size]
+                w.write(c, ln)
+                if size:
+                    w.write(bits, size)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = ac_code[0xF0]  # ZRL
+                        w.write(c, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    c, ln = ac_code[(run << 4) | size]
+                    w.write(c, ln)
+                    w.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = ac_code[0x00]  # EOB
+                    w.write(c, ln)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, spec) -> bytes:
+        bits, symbols = spec
+        return bytes([tc_th]) + bytes(bits) + bytes(symbols)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(qt_l[JPEG_ZIGZAG[i]])
+                                          for i in range(64)))
+    out += seg(0xFFDB, bytes([1]) + bytes(int(qt_c[JPEG_ZIGZAG[i]])
+                                          for i in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling (4:4:4)
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0x00, _JPEG_DC_SPEC))
+    out += seg(0xFFC4, dht(0x10, _JPEG_AC_SPEC))
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first scan-data reader with FF00 de-stuffing; hitting a real
+    marker mid-scan raises (we emit no restart intervals)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: "_BitReader", table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan data")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Real baseline JPEG decoder, stdlib + numpy: segment walk
+    (DQT/SOF0/DHT/SOS), Huffman scan decode (DC differences + AC
+    run-length with ZRL/EOB, FF00 de-stuffing), dequantize, inverse
+    zig-zag, IDCT, level shift and YCbCr→RGB with clamping. Supports
+    what :func:`encode_jpeg` writes — baseline sequential (SOF0),
+    8-bit, 1 or 3 components, 1x1 sampling — and refuses progressive /
+    subsampled / arithmetic payloads honestly. Returns the same
+    exact-integer stat dict as the other image codecs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict = {}
+    htables: dict = {}
+    frame = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                t = [0] * 64
+                for i in range(64):
+                    t[JPEG_ZIGZAG[i]] = body[off + 1 + i]
+                qtables[tq] = np.array(t, dtype=np.float64).reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                symbols = list(body[off + 17:off + 17 + n])
+                code_map = _huff_canonical(bits, symbols)
+                htables[tc_th] = {(c, l): s for s, (c, l) in code_map.items()}
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (1x1 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+            w, h, comps = frame
+            m = _jpeg_dct_matrix()
+            bw, bh = ((w + 7) // 8) * 8, ((h + 7) // 8) * 8
+            planes = [np.zeros((bh, bw)) for _ in comps]
+            reader = _BitReader(payload, pos)
+            prev_dc = {cid: 0 for cid, _ in comps}
+            for by in range(0, bh, 8):
+                for bx in range(0, bw, 8):
+                    for ci, (cid, tq) in enumerate(comps):
+                        dc_t = htables[0x00 | scan_tabs[cid][0]]
+                        ac_t = htables[0x10 | scan_tabs[cid][1]]
+                        zz = [0] * 64
+                        size = _huff_decode(reader, dc_t)
+                        prev_dc[cid] += _extend(reader.bits(size), size)
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            s = sym & 0x0F
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[JPEG_ZIGZAG[i]] = zz[i]
+                        coef = coef.reshape(8, 8) * qtables[tq]
+                        planes[ci][by:by + 8, bx:bx + 8] = m.T @ coef @ m
+            if len(comps) == 1:
+                y = np.clip(np.round(planes[0][:h, :w] + 128), 0, 255)
+                r = g = b = y
+            else:
+                y = planes[0][:h, :w] + 128
+                cb = planes[1][:h, :w]
+                cr = planes[2][:h, :w]
+                r = np.clip(np.round(y + 1.402 * cr), 0, 255)
+                g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr),
+                            0, 255)
+                b = np.clip(np.round(y + 1.772 * cb), 0, 255)
+            return {
+                "width": w, "height": h, "n_pixels": w * h,
+                "sum_r": int(r.sum()), "sum_g": int(g.sum()),
+                "sum_b": int(b.sum()),
+            }
+        # other segments (APPn, COM) are skipped
+    raise ValueError("JPEG contains no scan")
+
+
+def synth_jpeg_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized JPEG corpus: per document a FLAT
+    GRAYSCALE image (R=G=B = f(doc_id)) at quality 100 — the one
+    configuration a lossy codec round-trips EXACTLY (all-ones quant
+    tables; a constant block's DCT is a lone DC coefficient, the
+    grayscale color transform is the identity on Y with Cb=Cr=128), so
+    a SQL oracle replays decoded stats bit-for-bit while the scan still
+    exercises the full header/Huffman/DCT machinery. Dimensions are NOT
+    multiples of 8, pinning the padding/crop path. Rich-content decode
+    accuracy is tolerance-pinned in tests (lossy output is not
+    SQL-expressible)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def jpeg_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            w = 9 + did % 7
+            h = 6 + did % 5
+            v = (did * 37 + 11) % 256
+            return encode_jpeg(w, h, bytes([v]) * (w * h * 3), quality=100)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        jpeg_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"), F.lit("image/jpeg")).alias("meta"),
     )
 
 

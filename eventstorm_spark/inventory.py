@@ -2480,6 +2480,23 @@ def q_multimodal_bmp_decode(spark, sf_dir):
         synth_bmp_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL lossy-codec path: synthesize baseline JPEGs (SOF0, 4:4:4,
+    quality 100) per document and decode them through the full T.81
+    pipeline — segment walk, Huffman scan decode with FF00
+    de-stuffing, dequantize, inverse zig-zag, IDCT, color transform.
+    The synth corpus is flat grayscale at quality 100, the one
+    configuration a lossy codec round-trips EXACTLY (lone DC
+    coefficient, all-ones quant tables), so the oracle replays decoded
+    stats bit-for-bit; rich-content accuracy is tolerance-pinned in
+    tests. Dims are non-multiples of 8, pinning block padding/crop."""
+    from eventstorm_spark.extensions.multimodal import (
+        decode_image_meta, synth_jpeg_assets,
+    )
+    return decode_image_meta(
+        synth_jpeg_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_multimodal_mulaw_decode(spark, sf_dir):
     """REAL telephony-codec path: synthesize G.711 mu-law WAV payloads
     (format code 7) per document, decode through the closed-form CCITT
@@ -3501,6 +3518,16 @@ _EXT_ORACLES = {
         ORDER BY asset_id""",
     # Replays the synth_ppm_assets pixel recurrence; channel k of pixel
     # px sits at raster byte 3*px + k.
+    "multimodal_jpeg_decode": """
+        WITH p AS (SELECT doc_id, 9 + doc_id % 7 AS w, 6 + doc_id % 5 AS h,
+                          (doc_id * 37 + 11) % 256 AS v
+                   FROM documents)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(CAST(v AS DOUBLE), 6) AS mean_r,
+               round(CAST(v AS DOUBLE), 6) AS mean_g,
+               round(CAST(v AS DOUBLE), 6) AS mean_b
+        FROM p ORDER BY asset_id""",
     "multimodal_bmp_decode": """
         WITH p AS (SELECT doc_id, 5 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
                    FROM documents),
@@ -4868,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
         "lsh_recall_audit": q_lsh_recall_audit,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     }
     return q
 

