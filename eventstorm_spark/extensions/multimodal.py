@@ -668,7 +668,8 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
     multimodal training pipeline runs before feature extraction.
 
     Arrow-batched ``mapInPandas``: each batch sniffs the payload magic
-    (PPM P6 or PNG — the formats the stdlib codecs decode), resamples
+    (PPM P6, PNG, 24-bit BMP or baseline JPEG — the formats the stdlib
+    codecs decode to rasters), resamples
     via two numpy index gathers (:func:`resize_rgb_nearest`), and
     re-encodes as PPM (default, zero-cost) or PNG. Returns
     (asset_id, src_width, src_height, width, height, payload, sum_r/g/b
@@ -703,6 +704,10 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
                     sw, sh, rgb = _ppm_rgb(payload)
                 elif payload[:8] == PNG_SIG:
                     sw, sh, rgb = _png_rgb(payload)
+                elif payload[:2] == b"BM":
+                    sw, sh, rgb = _bmp_rgb(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    sw, sh, rgb = _jpeg_rgb(payload)
                 else:
                     raise NotImplementedError(
                         "no stdlib raster codec for payload magic "
@@ -1194,14 +1199,20 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Real baseline JPEG decoder, stdlib + numpy: segment walk
-    (DQT/SOF0/DHT/SOS), Huffman scan decode (DC differences + AC
-    run-length with ZRL/EOB, FF00 de-stuffing), dequantize, inverse
-    zig-zag, IDCT, level shift and YCbCr→RGB with clamping. Supports
-    what :func:`encode_jpeg` writes — baseline sequential (SOF0),
-    8-bit, 1 or 3 components, 1x1 sampling — and refuses progressive /
-    subsampled / arithmetic payloads honestly. Returns the same
-    exact-integer stat dict as the other image codecs."""
+    """Real baseline JPEG decoder — exact-integer stats over the
+    decoded raster, codec-uniform with the other image decoders; see
+    :func:`_jpeg_rgb` for the pipeline."""
+    return _rgb_stats(*_jpeg_rgb(payload))
+
+
+def _jpeg_rgb(payload: bytes) -> tuple:
+    """Baseline JPEG decode to (width, height, rgb raster), stdlib +
+    numpy: segment walk (DQT/SOF0/DHT/SOS), Huffman scan decode (DC
+    differences + AC run-length with ZRL/EOB, FF00 de-stuffing),
+    dequantize, inverse zig-zag, IDCT, level shift and YCbCr→RGB with
+    clamping. Supports what :func:`encode_jpeg` writes — baseline
+    sequential (SOF0), 8-bit, 1 or 3 components, 1x1 sampling — and
+    refuses progressive / subsampled / arithmetic payloads honestly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1310,11 +1321,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr),
                             0, 255)
                 b = np.clip(np.round(y + 1.772 * cb), 0, 255)
-            return {
-                "width": w, "height": h, "n_pixels": w * h,
-                "sum_r": int(r.sum()), "sum_g": int(g.sum()),
-                "sum_b": int(b.sum()),
-            }
+            rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+            return w, h, rgb.tobytes()
         # other segments (APPn, COM) are skipped
     raise ValueError("JPEG contains no scan")
 

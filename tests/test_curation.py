@@ -335,19 +335,29 @@ def test_resize_images_nearest_exact(spark):
     down = resize_rgb_nearest(4, 4, rgb4, 2, 2)
     assert list(down[0::3]) == [0, 2, 8, 10]
 
+    from eventstorm_spark.extensions.multimodal import encode_bmp, encode_jpeg
+
     assets = spark.createDataFrame(
         [(1, "image", bytearray(encode_ppm(2, 2, rgb2)), None),
-         (2, "image", bytearray(encode_png(2, 2, rgb2)), None)],
+         (2, "image", bytearray(encode_png(2, 2, rgb2)), None),
+         (3, "image", bytearray(encode_bmp(2, 2, rgb2)), None),
+         # JPEG: flat gray at quality 100 round-trips exactly, so the
+         # resized raster is exactly predictable for this input too
+         (4, "image", bytearray(encode_jpeg(2, 2, b"\x40\x40\x40" * 4,
+                                            quality=100)), None)],
         "asset_id long, modality string, content binary, meta map<string,string>")
     out = {r.asset_id: r for r in
            resize_images(assets, width=4, height=4).collect()}
-    for aid in (1, 2):
+    for aid in (1, 2, 3):
         r = out[aid]
         assert (r.src_width, r.src_height, r.width, r.height) == (2, 2, 4, 4)
         w, h, raster = _ppm_rgb(bytes(r.payload))
         assert (w, h) == (4, 4) and raster == up
         assert (r.sum_r, r.sum_g, r.sum_b) == (
             sum(up[0::3]), sum(up[1::3]), sum(up[2::3]))
+    r = out[4]
+    w, h, raster = _ppm_rgb(bytes(r.payload))
+    assert (w, h) == (4, 4) and raster == b"\x40" * 48
 
 
 def test_resize_identity_and_roundtrip_properties():
