@@ -7,8 +7,14 @@ Stages (each one a lazy DataFrame transform until the final writes):
     -> C4/Gopher rule filter          (text.c4_rules, auditable reasons)
     -> exact dedup                    (dedup.drop_exact_duplicates)
     -> near-dup removal               (dedup.minhash_near_duplicates +
-                                       drop_near_duplicates)
-    -> substring scrub                (text.exact_substring_scrub_text)
+                                       drop_near_duplicates; the
+                                       (hashes, bands) config is audited
+                                       empirically by dedup.lsh_recall_audit)
+    -> benchmark decontamination      (pipeline.decontaminate_bloom —
+                                       hash-slot broadcast semi-join)
+    -> substring scrub                (text.exact_substring_scrub_text;
+                                       at corpus scale pass scale=True
+                                       for the hot-fingerprint cap)
     -> pack into 256-token sequences  (packing.pack_token_spans)
     -> shard + write                  (curation.write_packed_shards)
   plus the dataset-card reports        (source_composition, vocab stats)
@@ -27,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from eventstorm_spark.extensions import curation, dedup, packing, text  # noqa: E402
+from eventstorm_spark.extensions import curation, dedup, packing, pipeline, text  # noqa: E402
 from eventstorm_spark.session import get_spark  # noqa: E402
 
 
@@ -53,7 +59,20 @@ def main() -> None:
     near = dedup.drop_near_duplicates(exact, pairs)
     print(f"near dedup          {near.count():>7d} docs")
 
-    scrubbed = (text.exact_substring_scrub_text(near)
+    # did the banding config actually catch the >=0.8 pairs? (audited
+    # on a bounded sample, not assumed from the theoretical s-curve)
+    audit = dedup.lsh_recall_audit(docs).collect()
+    for r in audit:
+        print(f"  lsh recall @ j>={r.bucket_lo:.1f}: "
+              f"{r.n_caught}/{r.n_true_pairs} = {r.recall}")
+
+    # drop anything sharing a 5-gram hash slot with the (tiny, static)
+    # benchmark suite — the broadcast-budget Bloom form
+    benchmark = docs.orderBy(F.col("doc_id").desc()).limit(20)
+    clean = pipeline.decontaminate_bloom(near, benchmark)
+    print(f"decontaminated      {clean.count():>7d} docs")
+
+    scrubbed = (text.exact_substring_scrub_text(clean)
                 .where(F.col("text") != ""))
     n_tok = scrubbed.agg(
         F.sum(text.token_count(F.col("text")))).first()[0]
