@@ -645,10 +645,13 @@ def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
       :func:`minhash_signatures` of the SAME sample at the audited
       (num_hashes, bands) config;
     - output: one row per Jaccard bucket that has true pairs:
-      (bucket_lo, n_true_pairs, n_caught, recall) where recall is the
-      fraction of true pairs the banding surfaced. Low recall in the
-      >= your-threshold bucket means more bands (or hashes); high
-      recall far below it means wasted candidate volume.
+      (bucket_lo, n_true_pairs, n_caught, recall, recall_theory) where
+      recall is the fraction of true pairs the banding surfaced and
+      recall_theory = 1-(1-j^r)^b evaluated at the bucket's lower edge
+      (r = num_hashes/bands) — printed side by side so a gap between
+      measured and theoretical recall is visible in one report. Low
+      recall in the >= your-threshold bucket means more bands (or
+      hashes); high recall far below it means wasted candidate volume.
 
     At 100 TB the audit cost is one bounded sample — the corpus only
     contributes the sample scan. ``portable=True`` switches both the
@@ -670,6 +673,10 @@ def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
     for e in edges[1:]:
         bucket = F.when(F.col("jaccard") >= float(e), float(e)) \
                   .otherwise(bucket)
+    r_per_band = num_hashes // bands
+    theory = F.round(
+        1.0 - F.pow(1.0 - F.pow(F.col("bucket_lo"), F.lit(r_per_band)),
+                    F.lit(bands)), 6)
     return (truth.join(cands, ["id_a", "id_b"], "left")
             .withColumn("bucket_lo", bucket)
             .groupBy("bucket_lo")
@@ -678,6 +685,7 @@ def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
                  .cast("long").alias("n_caught"))
             .withColumn("recall",
                         F.round(F.col("n_caught") / F.col("n_true_pairs"), 6))
+            .withColumn("recall_theory", theory)
             .orderBy("bucket_lo"))
 
 

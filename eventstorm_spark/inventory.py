@@ -4424,7 +4424,8 @@ _EXT_ORACLES["lsh_recall_audit"] = r"""
                  FROM tagged)
     SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_true_pairs,
            CAST(sum(caught) AS BIGINT) AS n_caught,
-           round(sum(caught) * 1.0 / count(*), 6) AS recall
+           round(sum(caught) * 1.0 / count(*), 6) AS recall,
+           round(1.0 - pow(1.0 - pow(bucket_lo, 4), 16), 6) AS recall_theory
     FROM bucketed GROUP BY bucket_lo ORDER BY bucket_lo"""
 
 _EXT_ORACLES["bloom_decontaminated_counts"] = r"""

@@ -164,6 +164,9 @@ class EventLog:
         # watermark snapshot the metadata caches were populated under;
         # a moved watermark = another writer committed = caches stale
         self._meta_cache_watermark: Optional[int] = None
+        # same fence for the head-revision/tail caches on the append
+        # path (see _refresh_log_caches)
+        self._log_cache_watermark: Optional[int] = None
         # fixed clock for $maxAge retention (tests/replays); None = now
         self.retention_clock = None
 
@@ -437,6 +440,30 @@ class EventLog:
         if kind == ExpectedRevisionKind.REVISION and current != expected.revision:
             raise WrongExpectedRevisionError(stream, str(expected.revision), current)
 
+    def _refresh_log_caches(self) -> None:
+        """Cross-process staleness fence for the head-revision/tail
+        caches on the APPEND path. The CAS head read and the
+        position-reserve tail read are separate jobs; if another
+        process's commit becomes visible in between (or a cached head
+        outlives a fresh tail), the reserve can succeed at a fresh
+        position while the CAS verdict and revision numbering were
+        decided on stale data — two writers both 'win', violating the
+        dense-revision/CAS invariants. A moved shared watermark means
+        another writer committed: invalidate both caches. Commits not
+        yet watermarked still hold their position markers, so the
+        reserve itself serializes those (together with the
+        tail-before-head read ordering in append/append_multi this
+        closes every interleaving: a commit invisible to the tail read
+        blocks the reserve; one visible to it is visible to the later
+        head read too)."""
+        if self._commit_protocol != "marker":
+            return
+        wm = self._read_watermark()
+        if wm != self._log_cache_watermark:
+            self._log_cache_watermark = wm
+            self._revisions.clear()
+            self._tail_position = None
+
     def append(self, stream: str, events: Sequence[NewEvent],
                expected: ExpectedRevision = ExpectedRevision.any(),
                *, check_duplicates: bool = True) -> AppendResult:
@@ -466,6 +493,11 @@ class EventLog:
             self._ensure_watermark()
             attempts = 0
             while True:
+                self._refresh_log_caches()
+                # tail BEFORE head (see _refresh_log_caches): a commit
+                # the tail read missed blocks our position reserve; one
+                # it saw is visible to the (strictly later) head read
+                base_pos = self.tail_position()
                 current = self.head_revision(stream)
                 # Soft-deleted stream: revision numbering continues from
                 # the pre-delete head even after scavenge reclaimed the
@@ -485,7 +517,6 @@ class EventLog:
                     if dup:
                         raise ConflictError(f"duplicate uuid in stream {stream!r}")
                 base_rev = -1 if current is None else current
-                base_pos = self.tail_position()
                 token = _uuid.uuid4().hex
                 marker = self._reserve(base_pos + 1, stream, len(events), token)
                 if marker is None and self._commit_protocol == "marker":
@@ -561,6 +592,11 @@ class EventLog:
             self._ensure_watermark()
             attempts = 0
             while True:
+                self._refresh_log_caches()
+                # tail BEFORE the heads (see _refresh_log_caches): a
+                # commit the tail read missed blocks the reserve; one
+                # it saw is visible to the later head reads
+                base_pos = self.tail_position()
                 # CAS every stream against its live head BEFORE writing
                 # anything; batch-internal continuation for repeated
                 # streams (second request sees the first's revisions).
@@ -594,7 +630,6 @@ class EventLog:
                 if failed is not None:
                     raise failed  # atomic rejection: nothing written
 
-                base_pos = self.tail_position()
                 total = sum(len(events) for _, events, _ in requests)
                 token = _uuid.uuid4().hex
                 marker = self._reserve(base_pos + 1, "$multi", total, token)

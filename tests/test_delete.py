@@ -283,7 +283,12 @@ def test_stream_metadata_cas_two_writer_race(spark, tmp_path):
     t1 = threading.Thread(target=racer, args=("a", a, 2))
     t2 = threading.Thread(target=racer, args=("b", b, 4))
     t1.start(); t2.start(); t1.join(); t2.join()
-    assert sorted(outcomes.values()) == ["lost", "won"]
+    assert sorted(outcomes.values()) == ["lost", "won"], outcomes
+    # dense-revision invariant: exactly ONE rev-0 metadata event exists
+    # (regression: the CAS head read could be staler than the reserve's
+    # tail read, letting both writers commit a rev-0 event)
+    assert sorted(r.revision
+                  for r in a.read_stream("$$s").collect()) == [0]
     winner_count = 2 if outcomes["a"] == "won" else 4
 
     # both instances converge on the winner's body (the loser's stale
