@@ -200,6 +200,58 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
     )
 
 
+def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
+                         group_col: str = "source",
+                         text_col: str = "text",
+                         hash_join: bool = True) -> DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — the corpus-composition
+    diagnostic run before mixing sources into a training set: for every
+    pair of sources, how much of their shingle vocabulary is shared?
+    Two crawls of the same sites, a dataset repackaged under a new
+    name, or a benchmark leaked into a crawl all show up as an
+    anomalously high row here before any per-document dedup runs.
+
+    Returns (source_a, source_b, n_common, jaccard) for source_a <
+    source_b, where jaccard is over the sources' DISTINCT shingle sets
+    (set semantics — document frequency within a source doesn't
+    inflate the overlap).
+
+    Shape: shingles dedup row-locally (``array_distinct`` inside the
+    doc) then globally per source; the self-join key is the shingle,
+    so each shingle contributes at most ``(#sources choose 2)`` pair
+    rows — the expansion is quadratic in the number of SOURCES (tens),
+    never in documents. ``hash_join=True`` joins on ``xxhash64``
+    (8-byte exchange rows; identical counts short of 2^-64 collisions
+    — same argument as :func:`ngram_jaccard_pairs`)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ex = (docs.select(F.col(group_col).alias("grp"),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
+          .distinct())
+    if hash_join:
+        ex = ex.select("grp", F.xxhash64("shingle").alias("shingle"))
+    # feeds the per-source sizes AND both join sides — pin it once
+    ex = ex.localCheckpoint(eager=False)
+    sizes = ex.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("grp").alias("source_a"), "shingle")
+    b = ex.select(F.col("grp").alias("source_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("grp").alias("source_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("source_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "source_a").join(sb, "source_b")
+            .select("source_a", "source_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6).alias("jaccard")))
+
+
 def ngram_containment_pairs(docs: DataFrame, *, n: int = 3,
                             threshold: float = 0.8,
                             text_col: str = "text", id_col: str = "doc_id",

@@ -661,6 +661,24 @@ def frame_sample(assets: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def _sniff_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Shared raster sniffer: dispatch a payload on its magic bytes to
+    the matching stdlib codec and return (width, height, rgb). Formats
+    without a stdlib raster codec here refuse honestly (the same
+    contract as ``_real_features``)."""
+    if payload[:2] == b"P6":
+        return _ppm_rgb(payload)
+    if payload[:8] == PNG_SIG:
+        return _png_rgb(payload)
+    if payload[:2] == b"BM":
+        return _bmp_rgb(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_rgb(payload)
+    raise NotImplementedError(
+        "no stdlib raster codec for payload magic "
+        f"{payload[:4]!r}")
+
+
 def resize_images(assets: DataFrame, *, width: int, height: int,
                   out_format: str = "ppm") -> DataFrame:
     """Resize every image payload to (width, height) with deterministic
@@ -699,19 +717,7 @@ def resize_images(assets: DataFrame, *, width: int, height: int,
         for pdf in batches:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                payload = bytes(payload)
-                if payload[:2] == b"P6":
-                    sw, sh, rgb = _ppm_rgb(payload)
-                elif payload[:8] == PNG_SIG:
-                    sw, sh, rgb = _png_rgb(payload)
-                elif payload[:2] == b"BM":
-                    sw, sh, rgb = _bmp_rgb(payload)
-                elif payload[:2] == b"\xff\xd8":
-                    sw, sh, rgb = _jpeg_rgb(payload)
-                else:
-                    raise NotImplementedError(
-                        "no stdlib raster codec for payload magic "
-                        f"{payload[:4]!r}")
+                sw, sh, rgb = _sniff_rgb(bytes(payload))
                 out = resize_rgb_nearest(sw, sh, rgb, width, height)
                 recs.append((int(aid), sw, sh, width, height,
                              encode(width, height, out),
@@ -1457,4 +1463,191 @@ def synth_mulaw_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         F.lit("audio").alias("modality"),
         mulaw_udf(F.col(id_col)).alias("content"),
         F.create_map(F.lit("content-type"), F.lit("audio/basic")).alias("meta"),
+    )
+
+
+def image_dhash(assets: DataFrame, *, hash_w: int = 8,
+                hash_h: int = 8) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint per image — the
+    standard near-duplicate-image signature (Krawetz's dHash; the same
+    family as pHash/aHash): decode the raster, grayscale each pixel as
+    ``(r+g+b)//3`` (integer, engine-portable), nearest-neighbor resample
+    to ``(hash_w+1) x hash_h`` with the deterministic
+    ``(dst*src)//dst_dim`` gather of :func:`resize_rgb_nearest`, then
+    one bit per cell: ``gray[y][x] > gray[y][x+1]``. Robust to resizes
+    and small edits because the bits encode the gradient SIGN structure,
+    not pixel values.
+
+    The ``hash_w*hash_h`` bits pack into two BIGINT halves
+    (``dhash_hi`` = flat bits ``[0, nb/2)``, ``dhash_lo`` = the rest,
+    bit i at ``1 << i`` within its half) — two positive longs instead
+    of one possibly-sign-wrapped 64-bit value, so SQL engines replay
+    the packing without two's-complement edge cases and Hamming
+    distance is ``bit_count(hi^hi') + bit_count(lo^lo')``.
+
+    Arrow-batched ``mapInPandas``; payload-local, embarrassingly
+    parallel, no shuffle — at 100 TB this is a single scan. Pair
+    generation belongs to :func:`image_hamming_pairs`."""
+    nb = hash_w * hash_h
+    if hash_w < 1 or hash_h < 1 or nb % 2 or nb > 124:
+        raise ValueError("hash_w*hash_h must be even and <= 124 (two "
+                         f"sub-63-bit halves); got {hash_w}x{hash_h}")
+    half = nb // 2
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                w, h, rgb = _sniff_rgb(bytes(payload))
+                arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                gray = (arr[:, :, 0].astype(np.uint32)
+                        + arr[:, :, 1] + arr[:, :, 2]) // 3
+                iy = (np.arange(hash_h) * h) // hash_h
+                ix = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                small = gray[iy][:, ix]
+                bits = (small[:, :-1] > small[:, 1:]).ravel()
+                hi = sum(1 << i for i in range(half) if bits[i])
+                lo = sum(1 << (i - half) for i in range(half, nb)
+                         if bits[i])
+                recs.append((int(aid), w, h, hi, lo))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "image")
+    return assets.select("asset_id", "content").mapInPandas(run, out_schema)
+
+
+def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance — the
+    multimodal rung of the dedup ladder (the pixel-space analogue of
+    MinHash-LSH on text). Input is :func:`image_dhash` output; returns
+    (id_a, id_b, hamming) with id_a < id_b and
+    ``hamming <= max_distance``.
+
+    All-pairs is never materialized: the 64 hash bits split into four
+    16-bit BANDS (hi/lo low and high halves) and candidates block on
+    band equality — by pigeonhole, two hashes within Hamming distance
+    d share at least one identical band whenever ``d < 4``, so the
+    report is EXACT for ``max_distance <= 3`` (the standard near-dup
+    threshold); larger thresholds degrade to recall-bounded candidates
+    (a pair can differ in all four bands), which the docstring states
+    rather than hides. Verification is one JVM-side
+    ``bit_count(xor)`` — no UDF, no decode.
+
+    ``max_bucket_size`` is the hot-bucket cap of the text LSH tier
+    (``dedup.minhash_lsh_candidates``): a band value carried by k
+    images yields k²/2 candidates, and a corpus of near-identical
+    thumbnails (every template favicon) makes one band bucket the
+    whole corpus. Capped buckets drop, recall degrades gracefully —
+    same contract, same default-off rationale (oracle replay)."""
+    h = hashes.select(F.col("asset_id").alias("id"),
+                      "dhash_hi", "dhash_lo")
+    bands = []
+    for idx, (col, shift) in enumerate(
+            [("dhash_hi", 0), ("dhash_hi", 16),
+             ("dhash_lo", 0), ("dhash_lo", 16)]):
+        bands.append(h.select(
+            "id", "dhash_hi", "dhash_lo",
+            F.lit(idx).alias("band"),
+            F.shiftright(F.col(col), shift).bitwiseAND(
+                F.lit(0xFFFF)).alias("val")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as _W
+        banded = (banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(
+                _W.partitionBy("band", "val")))
+            .where(F.col("__bn") <= int(max_bucket_size))
+            .drop("__bn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.dhash_hi").alias("hi_a"),
+                    F.col("a.dhash_lo").alias("lo_a"),
+                    F.col("b.dhash_hi").alias("hi_b"),
+                    F.col("b.dhash_lo").alias("lo_b"))
+            .distinct())
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= int(max_distance))
+            .select("id_a", "id_b", "hamming"))
+
+
+def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, linear samples) for a RIFF/WAVE payload — the
+    raw-sample twin of :func:`decode_wav_any` (which returns stats):
+    fmt-code dispatch, PCM16 little-endian unpack or G.711 mu-law
+    closed-form expansion."""
+    fmt, data = _wav_chunks(payload)
+    audio_format, _, rate = struct.unpack("<HHI", fmt[:8])
+    if audio_format == 1:
+        n = len(data) // 2
+        return int(rate), list(struct.unpack(f"<{n}h", data[:2 * n]))
+    if audio_format == 7:
+        return int(rate), [mulaw_to_linear(b) for b in data]
+    raise NotImplementedError(f"unsupported WAV format code {audio_format}")
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Per-clip signal features over REAL decoded samples — the audio
+    analogue of the text quality scores: RMS energy (loudness) and
+    zero-crossing rate (the classic noisiness/voicing proxy; silence
+    and hum sit low, fricatives and noise sit high). The decode pass
+    emits exact integers only — ``sum_sq`` (Σ s², fits a BIGINT: 2^31
+    per sample² × bounded clip length) and ``zero_crossings`` (count of
+    adjacent sample pairs whose ``s >= 0`` signs differ) — and the
+    doubles derive as SQL expressions, the same
+    rounding-contract-by-construction as :func:`decode_audio_meta`:
+
+    - ``rms = round(sqrt(sum_sq / n), 6)``
+    - ``zero_cross_rate = round(crossings / (n - 1), 6)``
+
+    Arrow-batched ``mapInPandas``, payload-local, no shuffle. A
+    training pipeline filters on these the way C4 filters on text
+    stats (drop silent clips: rms ~ 0; drop white noise: zcr ~ 0.5)."""
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                rate, samples = _wav_samples(bytes(payload))
+                arr = np.asarray(samples, dtype=np.int64)
+                sq = int((arr * arr).sum())
+                nonneg = arr >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                recs.append((int(aid), rate, len(samples), sq, zc))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "audio")
+    parsed = assets.select("asset_id", "content").mapInPandas(run, out_schema)
+    return parsed.select(
+        "asset_id", "sample_rate", "n_samples",
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
+        F.round(F.col("zero_crossings")
+                / (F.col("n_samples") - 1), 6).alias("zero_cross_rate"),
     )

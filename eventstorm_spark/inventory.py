@@ -2511,6 +2511,49 @@ def q_multimodal_mulaw_decode(spark, sf_dir):
         synth_mulaw_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprints (dHash) over REAL decoded rasters:
+    synthesize PPM payloads, decode, grayscale ``(r+g+b)//3``,
+    nearest-resample to 9x8, and emit the 64 gradient-sign bits packed
+    into two BIGINT halves. The oracle replays the ENTIRE pipeline —
+    pixel recurrence, integer grayscale, the ``(dst*src)//dst_dim``
+    resample gather, adjacent-compare, bit packing — in SQL, so a wrong
+    resize index, channel weight or bit order breaks the hash. Pair
+    generation on these fingerprints is ``image_hamming_pairs``
+    (banded, pigeonhole-exact at distance <= 3; pinned in tests with
+    planted near-dups)."""
+    from eventstorm_spark.extensions.multimodal import (
+        image_dhash, synth_ppm_assets,
+    )
+    return image_dhash(
+        synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
+def q_audio_features(spark, sf_dir):
+    """Signal-level audio features over REAL decoded PCM16 samples: RMS
+    energy and zero-crossing rate per clip — the audio analogue of the
+    text quality scores (filter silence / white noise before training).
+    Exact-integer decode stats (Σ s², sign-flip count), doubles derived
+    as SQL expressions; the oracle replays the synth sample recurrence
+    and both derivations."""
+    from eventstorm_spark.extensions.multimodal import (
+        audio_features, synth_wav_assets,
+    )
+    return audio_features(
+        synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix: per source pair, the Jaccard
+    of their distinct trigram-shingle sets — the repackaged-dataset /
+    leaked-benchmark detector run before mixing sources. Expansion is
+    quadratic in #sources (20 here), never documents; shingle sets
+    dedup row-locally then per source."""
+    from eventstorm_spark.extensions.dedup import source_ngram_overlap
+    return (source_ngram_overlap(load(spark, sf_dir, "documents"))
+            .orderBy("source_a", "source_b"))
+
+
 def q_multimodal_gif_decode(spark, sf_dir):
     """REAL palette-codec path: synthesize GIF89a rasters per document
     (genuine LZW compression with variable code-width growth and KwKwK
@@ -3475,6 +3518,81 @@ _EXT_ORACLES = {
         FROM v
         GROUP BY doc_id, n
         ORDER BY asset_id""",
+    # Replays the FULL dHash pipeline on the synth_ppm_assets pixel
+    # recurrence: integer grayscale, the (dst*src)//dst_dim nearest
+    # gather to a 9x8 grid, adjacent-compare bits, two-half packing.
+    "image_dhash": """
+        WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+                   FROM documents),
+        g AS (SELECT doc_id, w, h, yy, xx,
+                     ((yy * h) // 8) * w + ((xx * w) // 9) AS px
+              FROM p, range(8) r1(yy), range(9) r2(xx)),
+        gr AS (SELECT doc_id, w, h, yy, xx,
+                      (  (doc_id * 7 + (3 * px    ) * 13) % 256
+                       + (doc_id * 7 + (3 * px + 1) * 13) % 256
+                       + (doc_id * 7 + (3 * px + 2) * 13) % 256) // 3
+                          AS gray
+               FROM g),
+        b AS (SELECT a.doc_id, a.w, a.h, a.yy, a.xx,
+                     CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
+              FROM gr a JOIN gr c ON a.doc_id = c.doc_id
+                                  AND a.yy = c.yy AND c.xx = a.xx + 1
+              WHERE a.xx < 8)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               CAST(sum(CASE WHEN yy < 4
+                        THEN bit * (CAST(1 AS BIGINT) << (yy * 8 + xx))
+                        ELSE 0 END) AS BIGINT) AS dhash_hi,
+               CAST(sum(CASE WHEN yy >= 4
+                        THEN bit * (CAST(1 AS BIGINT) << ((yy - 4) * 8 + xx))
+                        ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM b
+        GROUP BY doc_id, w, h
+        ORDER BY asset_id""",
+    # Replays the synth_wav_assets PCM16 recurrence plus both feature
+    # derivations (RMS over sum-of-squares, sign-flip count over lag).
+    "audio_features": """
+        WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS n,
+                          8000 + (doc_id % 4) * 4000 AS rate
+                   FROM documents),
+        s AS (SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i
+              FROM p),
+        v AS (SELECT doc_id, n, rate, i,
+                     ((doc_id * 131 + i * 997) % 65536) - 32768 AS v
+              FROM s),
+        z AS (SELECT doc_id, n, rate, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM v)
+        SELECT doc_id AS asset_id, rate AS sample_rate, n AS n_samples,
+               round(sqrt(sum(v * v) * 1.0 / n), 6) AS rms,
+               round(sum(CASE WHEN pv IS NOT NULL
+                              AND ((v >= 0) != (pv >= 0))
+                              THEN 1 ELSE 0 END) * 1.0 / (n - 1), 6)
+                   AS zero_cross_rate
+        FROM z
+        GROUP BY doc_id, n, rate
+        ORDER BY asset_id""",
+    "source_overlap": r"""
+        WITH toks AS (SELECT source,
+                             string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT source, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+               FROM toks),
+        ex AS (SELECT DISTINCT source, shingle FROM sh),
+        sizes AS (SELECT source, count(*) AS n_sh FROM ex GROUP BY source),
+        common AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*) AS n_common
+                   FROM ex a JOIN ex b
+                     ON a.shingle = b.shingle AND a.source < b.source
+                   GROUP BY 1, 2)
+        SELECT source_a, source_b, n_common,
+               round(n_common * 1.0 /
+                     (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON source_a = sa.source
+        JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b""",
     "multimodal_gif_decode": """
         WITH p AS (SELECT doc_id, 14 + doc_id % 6 AS w, 16 + doc_id % 5 AS h
                    FROM documents),
@@ -4897,6 +5015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_audit": q_lsh_recall_audit,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "image_dhash": q_image_dhash,
+        "audio_features": q_audio_features,
+        "source_overlap": q_source_overlap,
     }
     return q
 

@@ -1859,3 +1859,150 @@ def test_token_balanced_shards_beats_hash_on_load_balance(spark, docs):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+# -- round 9: perceptual image hashing / audio features / source overlap --
+
+
+def _ref_dhash(w, h, rgb, hash_w=8, hash_h=8):
+    """Independent pure-Python dHash reference (no numpy)."""
+    gray = [[sum(rgb[3 * (y * w + x) + k] for k in range(3)) // 3
+             for x in range(w)] for y in range(h)]
+    iy = [(y * h) // hash_h for y in range(hash_h)]
+    ix = [(x * w) // (hash_w + 1) for x in range(hash_w + 1)]
+    bits = []
+    for y in iy:
+        row = [gray[y][x] for x in ix]
+        bits.extend(1 if row[x] > row[x + 1] else 0 for x in range(hash_w))
+    half = hash_w * hash_h // 2
+    hi = sum(b << i for i, b in enumerate(bits[:half]))
+    lo = sum(b << i for i, b in enumerate(bits[half:]))
+    return hi, lo
+
+
+def test_image_dhash_matches_reference_and_is_codec_independent(spark):
+    """Same raster through PPM and BMP payloads -> the same dHash as
+    the independent pure-Python reference (the hash depends on pixels,
+    never on the container format)."""
+    w, h = 13, 9
+    rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_ppm(w, h, rgb), None),
+         (2, "image", multimodal.encode_bmp(w, h, rgb), None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in multimodal.image_dhash(assets).collect()}
+    assert rows[1] == rows[2] == _ref_dhash(w, h, rgb)
+
+
+def test_image_dhash_invariant_to_2x_nearest_upscale(spark):
+    """dHash survives resizing: a 2x nearest-neighbor upscale samples
+    back to the identical 9x8 grid ((x*2w)//9 // 2 == (x*w)//9), so the
+    hash is bit-identical — the property that makes it a perceptual
+    fingerprint rather than a byte hash."""
+    w, h = 10, 7
+    rgb = bytes((i * 53 + 5) % 256 for i in range(w * h * 3))
+    up = multimodal.resize_rgb_nearest(w, h, rgb, 2 * w, 2 * h)
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_ppm(w, h, rgb), None),
+         (2, "image", multimodal.encode_ppm(2 * w, 2 * h, up), None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in multimodal.image_dhash(assets).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_image_hamming_pairs_planted_near_dup(spark):
+    """A near-identical image pairs with its original at a small
+    Hamming distance; an unrelated pattern does not — and the banded
+    join reproduces the brute-force pair set exactly at distance <= 3
+    (pigeonhole: 4 bands, <4 differing bits)."""
+    w, h = 16, 16
+    base = [(x * 16 + y * 3) % 256 for y in range(h) for x in range(w)
+            for _ in range(3)]
+    tweaked = list(base)
+    tweaked[3 * (5 * w + 5):3 * (5 * w + 5) + 3] = [255, 255, 255]
+    noise = [(i * 101 + 7) % 256 for i in range(w * h * 3)]
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_ppm(w, h, bytes(base)), None),
+         (2, "image", multimodal.encode_ppm(w, h, bytes(tweaked)), None),
+         (3, "image", multimodal.encode_ppm(w, h, bytes(noise)), None)],
+        multimodal.ASSET_SCHEMA)
+    hashes = multimodal.image_dhash(assets)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in multimodal.image_hamming_pairs(
+               hashes, max_distance=3).collect()}
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] <= 3
+    # brute-force cross-check of the banded candidate generation
+    hs = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
+          for r in hashes.collect()}
+    brute = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = (bin(hs[a][0] ^ hs[b][0]).count("1")
+                 + bin(hs[a][1] ^ hs[b][1]).count("1"))
+            if d <= 3:
+                brute[(a, b)] = d
+    assert got == brute
+
+
+def test_image_hamming_pairs_hot_bucket_cap(spark):
+    """max_bucket_size drops band buckets carried by too many images
+    (the template-favicon adversary) — pairs vanish instead of the
+    join going quadratic, mirroring the text LSH cap contract."""
+    w, h = 8, 8
+    rgb = bytes((i * 29 + 3) % 256 for i in range(w * h * 3))
+    assets = spark.createDataFrame(
+        [(i, "image", multimodal.encode_ppm(w, h, rgb), None)
+         for i in range(6)],
+        multimodal.ASSET_SCHEMA)
+    hashes = multimodal.image_dhash(assets)
+    full = multimodal.image_hamming_pairs(hashes, max_distance=0).collect()
+    assert len(full) == 15  # 6 identical images -> C(6,2)
+    capped = multimodal.image_hamming_pairs(
+        hashes, max_distance=0, max_bucket_size=3).collect()
+    assert capped == []
+
+
+def test_audio_features_reference_values(spark):
+    """Hand-computed RMS / zero-crossing-rate on a 4-sample PCM16 clip,
+    plus the mu-law payload path through the same operator."""
+    import math
+
+    wav = multimodal.encode_wav_pcm16([10, -20, 30, -40], 8000)
+    ulaw_wav = multimodal.encode_wav_mulaw(bytes([0xFF, 0x00]), 8000)
+    assets = spark.createDataFrame(
+        [(1, "audio", wav, None), (2, "audio", ulaw_wav, None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r for r in
+            multimodal.audio_features(assets).collect()}
+    r = rows[1]
+    assert r["n_samples"] == 4 and r["sample_rate"] == 8000
+    assert r["rms"] == round(math.sqrt((100 + 400 + 900 + 1600) / 4), 6)
+    assert r["zero_cross_rate"] == 1.0  # +,-,+,- : every adjacent pair flips
+    # mu-law: 0xFF decodes to 0, 0x00 to -32124 -> one flip over one pair
+    r2 = rows[2]
+    assert r2["n_samples"] == 2
+    assert r2["zero_cross_rate"] == 1.0
+    assert r2["rms"] == round(math.sqrt(32124 ** 2 / 2), 6)
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    """Two sources sharing one trigram out of hand-countable sets, a
+    third sharing nothing; hash_join and string-join forms agree."""
+    rows = [
+        (1, "a b c d", "s1"),   # shingles: {a b c, b c d}
+        (2, "a b c e", "s2"),   # shingles: {a b c, b c e}
+        (3, "x y z", "s3"),     # shingles: {x y z}
+        (4, "b c e f", "s2"),   # adds {b c e, c e f} -> s2 set size 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    for hj in (True, False):
+        got = {(r["source_a"], r["source_b"]):
+               (r["n_common"], r["jaccard"])
+               for r in dedup.source_ngram_overlap(
+                   docs, hash_join=hj).collect()}
+        # s1={abc,bcd} (2), s2={abc,bce,cef} (3), common={abc} (1)
+        assert got == {("s1", "s2"): (1, round(1 / (2 + 3 - 1), 6))}
