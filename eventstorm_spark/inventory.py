@@ -2529,6 +2529,23 @@ def q_image_dhash(spark, sf_dir):
         synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_image_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate image pairs by dHash Hamming distance: the banded
+    (4x16-bit, pigeonhole-exact at distance <= 3) candidate join +
+    bit_count(xor) verify over the real-decode fingerprints. The oracle
+    is BRUTE-FORCE all-pairs Hamming over the same SQL-replayed hashes
+    — at distance <= 3 the pigeonhole guarantee says the banded set
+    equals the exhaustive set, and this query pins that equivalence on
+    the driver's corpus (1,171 pairs at sf0.01), not just the planted
+    fixtures in tests."""
+    from eventstorm_spark.extensions.multimodal import (
+        image_dhash, image_hamming_pairs, synth_ppm_assets,
+    )
+    hashes = image_dhash(synth_ppm_assets(load(spark, sf_dir, "documents")))
+    return (image_hamming_pairs(hashes, max_distance=3)
+            .orderBy("id_a", "id_b"))
+
+
 def q_audio_features(spark, sf_dir):
     """Signal-level audio features over REAL decoded PCM16 samples: RMS
     energy and zero-crossing rate per clip — the audio analogue of the
@@ -3548,6 +3565,41 @@ _EXT_ORACLES = {
         FROM b
         GROUP BY doc_id, w, h
         ORDER BY asset_id""",
+    # Brute-force all-pairs Hamming over the SQL-replayed dHash table —
+    # equal to the banded join's output at distance <= 3 by pigeonhole
+    # (4 bands, < 4 differing bits force one identical band).
+    "image_near_dup_pairs": """
+        WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+                   FROM documents),
+        g AS (SELECT doc_id, w, h, yy, xx,
+                     ((yy * h) // 8) * w + ((xx * w) // 9) AS px
+              FROM p, range(8) r1(yy), range(9) r2(xx)),
+        gr AS (SELECT doc_id, yy, xx,
+                      (  (doc_id * 7 + (3 * px    ) * 13) % 256
+                       + (doc_id * 7 + (3 * px + 1) * 13) % 256
+                       + (doc_id * 7 + (3 * px + 2) * 13) % 256) // 3
+                          AS gray
+               FROM g),
+        b AS (SELECT a.doc_id, a.yy, a.xx,
+                     CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
+              FROM gr a JOIN gr c ON a.doc_id = c.doc_id
+                                  AND a.yy = c.yy AND c.xx = a.xx + 1
+              WHERE a.xx < 8),
+        hsh AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN yy < 4
+                      THEN bit * (CAST(1 AS BIGINT) << (yy * 8 + xx))
+                      ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN yy >= 4
+                      THEN bit * (CAST(1 AS BIGINT) << ((yy - 4) * 8 + xx))
+                      ELSE 0 END) AS BIGINT) AS lo
+                FROM b GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b2.hi))
+                    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
+        FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.hi, b2.hi))
+              + bit_count(xor(a.lo, b2.lo)) <= 3
+        ORDER BY id_a, id_b""",
     # Replays the synth_wav_assets PCM16 recurrence plus both feature
     # derivations (RMS over sum-of-squares, sign-flip count over lag).
     "audio_features": """
@@ -5016,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "image_dhash": q_image_dhash,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
         "audio_features": q_audio_features,
         "source_overlap": q_source_overlap,
     }
