@@ -4902,13 +4902,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # -- round 9 rotation: this window CLOSES the evidence-rotation
         #    audit thread (r8 verdict task 1). Window = (a) queries NEW
-        #    this round (proj_state_lookup — no prior evidence), (b)
-        #    all 44 queries whose driver evidence dated to r4/r5 (the
-        #    exact list the r8 verdict ordered first for r9), (c) fills
-        #    from the oldest remaining evidence (r6). After this round
-        #    every query's driver evidence is r7+; subsequent rounds
-        #    rotate oldest-first from the tail.
+        #    this round with the most novel oracles (proj_state_lookup,
+        #    the LSH recall audit, Bloom decontamination, the JPEG
+        #    decode and the dHash pair family — never driver-checked,
+        #    so they take the free slots), (b) all 44 queries whose
+        #    driver evidence dated to r4/r5 (the exact list the r8
+        #    verdict ordered first for r9). After this round every
+        #    query's driver evidence is r6+ and only three r9-new
+        #    queries (bmp decode, audio features, source overlap — all
+        #    locally parity-green) plus the r6 five await their first /
+        #    next check; they lead the r10 window, then rotation
+        #    continues oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
+        "lsh_recall_audit": q_lsh_recall_audit,
+        "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "image_dhash": q_image_dhash,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
         # -- (b) r4-evidence --
         "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4955,13 +4965,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
-        # -- (c) fills: oldest remaining (r6) --
+        # ---- driver window ends here (50 entries) ----
+        # -- r10 window head: r9-new without driver evidence yet (all
+        #    locally parity-green), then the oldest remaining (r6) --
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "audio_features": q_audio_features,
+        "source_overlap": q_source_overlap,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
-        # ---- driver window ends here (50 entries) ----
         # -- r7-green --
         "system_streams": q_system_streams,
         "value_percentiles": q_value_percentiles,
@@ -5061,16 +5075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        # -- NEW round 9, after the window (r10 window candidates;
-        #    locally parity-green, no driver evidence yet) --
-        "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
-        "lsh_recall_audit": q_lsh_recall_audit,
-        "multimodal_bmp_decode": q_multimodal_bmp_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "image_dhash": q_image_dhash,
-        "image_near_dup_pairs": q_image_near_dup_pairs,
-        "audio_features": q_audio_features,
-        "source_overlap": q_source_overlap,
     }
     return q
 
