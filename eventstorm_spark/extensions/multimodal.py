@@ -406,25 +406,22 @@ def resize_rgb_nearest(width: int, height: int, rgb: bytes,
 
 def _real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Sniff the payload magic and decode with the matching stdlib
-    codec; unknown formats raise NotImplementedError (their libraries
-    are not in this container)."""
+    codec: RIFF/WAVE audio (PCM16 or G.711 mu-law via the fmt-code
+    dispatch) and every raster format ``_sniff_rgb`` covers (PPM, PNG,
+    BMP, baseline JPEG, GIF). Unknown formats raise NotImplementedError
+    (their libraries are not in this container)."""
     if payload and payload[:4] == b"RIFF":
-        w = decode_wav_pcm16(payload)
+        w = decode_wav_any(payload)
         n = max(w["n_samples"], 1)
         feats = [float(w["sample_rate"]), float(w["n_channels"]), 16.0,
                  float(w["n_samples"]), w["n_samples"] / w["sample_rate"],
                  w["sum_abs"] / n, float(w["max_abs"])]
-    elif payload and (payload[:2] == b"P6" or payload[:8] == PNG_SIG):
-        p = decode_ppm(payload) if payload[:2] == b"P6" else decode_png(payload)
-        npx = max(p["n_pixels"], 1)
-        feats = [float(p["width"]), float(p["height"]), 3.0,
-                 float(p["n_pixels"]), p["sum_r"] / npx, p["sum_g"] / npx,
-                 p["sum_b"] / npx]
     else:
-        raise NotImplementedError(
-            "no stdlib codec for this payload (got magic "
-            f"{payload[:4]!r}); WAV PCM16 and PPM P6 decode natively, other "
-            "formats need codec libraries not present in this container")
+        iw, ih, rgb = _sniff_rgb(bytes(payload))  # raises NotImplemented
+        npx = max(iw * ih, 1)
+        feats = [float(iw), float(ih), 3.0, float(npx),
+                 sum(rgb[0::3]) / npx, sum(rgb[1::3]) / npx,
+                 sum(rgb[2::3]) / npx]
     return (feats + [0.0] * dim)[:dim]
 
 
@@ -435,9 +432,10 @@ def decode_and_featurize(assets: DataFrame, *, fake: bool = True,
 
     ``fake=True`` produces deterministic sha256-derived features (the
     plumbing test mode). ``fake=False`` decodes for real with the
-    stdlib codecs (RIFF/WAV PCM16, PPM P6 — see ``_real_features``);
-    payloads in any other format raise NotImplementedError at execution
-    time, marking exactly where heavier codec libraries plug in.
+    stdlib codecs (RIFF/WAV PCM16 + G.711 mu-law, and the PPM/PNG/BMP/
+    JPEG/GIF rasters — see ``_real_features``); payloads in any other
+    format raise NotImplementedError at execution time, marking exactly
+    where heavier codec libraries plug in.
     """
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
@@ -674,6 +672,8 @@ def _sniff_rgb(payload: bytes) -> tuple[int, int, bytes]:
         return _bmp_rgb(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_rgb(payload)
+    if payload[:4] == GIF_SIG:
+        return _gif_rgb(payload)
     raise NotImplementedError(
         "no stdlib raster codec for payload magic "
         f"{payload[:4]!r}")
@@ -817,6 +817,16 @@ def decode_gif(payload: bytes) -> dict:
     only — interlaced frames raise honestly rather than de-interlacing
     wrong. Returns the same exact-integer stat dict as
     :func:`decode_png` so the image stats pass is codec-uniform."""
+    w, h, rgb = _gif_rgb(payload)
+    return {"width": w, "height": h,
+            "sum_r": sum(rgb[0::3]), "sum_g": sum(rgb[1::3]),
+            "sum_b": sum(rgb[2::3])}
+
+
+def _gif_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb raster) of a GIF payload's first frame —
+    the raster accessor :func:`decode_gif` (stats), :func:`_sniff_rgb`
+    (resize/dHash) and real-mode featurize all share."""
     if len(payload) < 13 or payload[:4] != GIF_SIG or \
             payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a payload")
@@ -833,7 +843,8 @@ def decode_gif(payload: bytes) -> dict:
         raise ValueError("truncated GIF payload") from e
 
 
-def _decode_gif_blocks(payload: bytes, off: int, gct: bytes) -> dict:
+def _decode_gif_blocks(payload: bytes, off: int,
+                       gct: bytes) -> tuple[int, int, bytes]:
     while off < len(payload):
         b0 = payload[off]
         if b0 == 0x3B:  # trailer
@@ -907,14 +918,11 @@ def _decode_gif_blocks(payload: bytes, off: int, gct: bytes) -> dict:
         if len(out) != w * h:
             raise ValueError(
                 f"GIF LZW decoded {len(out)} pixels, expected {w * h}")
-        sum_r = sum_g = sum_b = 0
-        for idx in out:
+        rgb = bytearray(3 * w * h)
+        for i, idx in enumerate(out):
             p = 3 * idx
-            sum_r += pal[p]
-            sum_g += pal[p + 1]
-            sum_b += pal[p + 2]
-        return {"width": w, "height": h, "sum_r": sum_r,
-                "sum_g": sum_g, "sum_b": sum_b}
+            rgb[3 * i:3 * i + 3] = pal[p:p + 3]
+        return w, h, bytes(rgb)
     raise ValueError("GIF contains no image frame")
 
 

@@ -2006,3 +2006,49 @@ def test_source_ngram_overlap_hand_computed(spark):
                    docs, hash_join=hj).collect()}
         # s1={abc,bcd} (2), s2={abc,bce,cef} (3), common={abc} (1)
         assert got == {("s1", "s2"): (1, round(1 / (2 + 3 - 1), 6))}
+
+
+def test_real_featurize_covers_all_stdlib_codecs(spark):
+    """decode_and_featurize(fake=False) now dispatches every stdlib
+    codec: BMP, JPEG (flat gray, exact at q100) and GIF rasters plus
+    mu-law audio — the same feature layout as the original PPM/WAV
+    paths."""
+    w, h = 6, 4
+    rgb = bytes((i * 11 + 2) % 256 for i in range(w * h * 3))
+    flat = bytes([77]) * (w * h * 3)
+    pal = bytes(v for i in range(256)
+                for v in ((i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256))
+    idx = bytes((k * 13) % 32 for k in range(w * h))
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_bmp(w, h, rgb), None),
+         (2, "image", multimodal.encode_jpeg(w, h, flat), None),
+         (3, "image", multimodal.encode_gif(w, h, idx, pal), None),
+         (4, "audio", multimodal.encode_wav_mulaw(bytes([0xFF, 0x00]), 8000),
+          None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r["features"] for r in
+            multimodal.decode_and_featurize(assets, fake=False).collect()}
+    assert rows[1][:4] == [float(w), float(h), 3.0, float(w * h)]
+    assert rows[1][4] == sum(rgb[0::3]) / (w * h)
+    assert rows[2][4:7] == [77.0, 77.0, 77.0]  # q100 flat gray is exact
+    gif_rgb = [pal[3 * i + c] for i in idx for c in range(3)]
+    assert rows[3][4] == sum(gif_rgb[0::3]) / (w * h)
+    assert rows[4][:2] == [8000.0, 1.0]
+    assert rows[4][5] == 32124 / 2  # mean_abs of {0, -32124}
+
+
+def test_image_dhash_gif_payload_matches_rgb_twin(spark):
+    """A GIF payload dHashes identically to the same raster as PPM —
+    the sniffer's GIF branch feeds the shared pipeline."""
+    pal = bytes(v for i in range(256)
+                for v in ((i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256))
+    w, h = 14, 16
+    idx = bytes((k * 13) % 32 for k in range(w * h))
+    rgb = bytes(pal[3 * i + c] for i in idx for c in range(3))
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_gif(w, h, idx, pal), None),
+         (2, "image", multimodal.encode_ppm(w, h, rgb), None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in multimodal.image_dhash(assets).collect()}
+    assert rows[1] == rows[2]
