@@ -826,6 +826,106 @@ def write_packed_shards(docs: DataFrame, path: str, *, seq_len: int = 512,
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 
 
+def write_dhash_index(assets: DataFrame, path: str, *,
+                      hash_w: int = 8, hash_h: int = 8) -> None:
+    """Persist an image corpus's perceptual fingerprints as an at-rest
+    NEAR-DUP IMAGE index — the multimodal twin of
+    :func:`write_minhash_index`: ``path/hashes`` (asset_id + the two
+    8-byte dHash halves — 16 bytes per image, ~10⁻⁶ of corpus bytes)
+    and ``path/buckets`` (the four 16-bit band values, partitioned by
+    band). A recurring image ingest checks new assets by joining their
+    banded values against the stored buckets and verifying candidates
+    with ``bit_count(xor)`` on the stored HASHES — the corpus images
+    are never re-decoded, which is the entire point at 100 TB: decode
+    once at ingest, serve dedup forever from 16-byte rows. Banding is
+    ``multimodal.dhash_bands`` — the same expression the in-memory
+    pair join uses, so at-rest and in-memory bucketing can never
+    drift."""
+    from eventstorm_spark.extensions.multimodal import dhash_bands, image_dhash
+
+    _write_index_meta(assets.sparkSession, path,
+                      {"kind": "dhash", "hash_w": hash_w, "hash_h": hash_h})
+    hashes = image_dhash(assets, hash_w=hash_w, hash_h=hash_h)
+    hashes = hashes.localCheckpoint(eager=False)  # feeds both writes
+    (hashes.select("asset_id", "dhash_hi", "dhash_lo")
+     .write.mode("overwrite").parquet(os.path.join(path, "hashes")))
+    (dhash_bands(hashes)
+     .repartition("band", "val")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(path, "buckets")))
+
+
+def image_dedup_against_index(new_assets: DataFrame, spark,
+                              index_path: str, *, max_distance: int = 3,
+                              hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Near-duplicate image pairs (new_id, corpus_id, hamming) between
+    a new asset batch and a :func:`write_dhash_index` corpus index.
+
+    The new batch decodes + hashes ONCE; candidates come from the
+    banded (band, val) join against the stored buckets —
+    pigeonhole-exact versus the stored corpus at ``max_distance <= 3``,
+    same guarantee as ``multimodal.image_hamming_pairs`` — and
+    verification is ``bit_count(xor)`` against the stored hash halves,
+    semi-join-pruned to candidate ids first (verify-candidates-only:
+    never join a corpus-sized build side). Corpus images are never
+    re-read, let alone re-decoded. The (hash_w, hash_h) parameters are
+    validated against the index ``_meta``: hashes from a different
+    grid pair at garbage distances, so a mismatch is a hard error."""
+    from eventstorm_spark.extensions.multimodal import (dhash_bands,
+                                                        hamming64,
+                                                        image_dhash)
+
+    _check_index_meta(spark, index_path,
+                      {"kind": "dhash", "hash_w": hash_w,
+                       "hash_h": hash_h}, "dhash")
+    hashes_new = image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h)
+    hashes_new = hashes_new.localCheckpoint(eager=False)  # bands + verify
+    banded_new = (dhash_bands(hashes_new)
+                  .select(F.col("id").alias("new_id"), "band", "val"))
+    buckets = (spark.read.parquet(os.path.join(index_path, "buckets"))
+               .select(F.col("id").alias("corpus_id"), "band", "val"))
+    cand = (banded_new.join(buckets, ["band", "val"])
+            .select("new_id", "corpus_id").distinct())
+    stored = spark.read.parquet(os.path.join(index_path, "hashes"))
+    stored_pruned = (stored.join(
+        cand.select(F.col("corpus_id").alias("asset_id")).distinct(),
+        "asset_id", "left_semi")
+        .select(F.col("asset_id").alias("corpus_id"),
+                F.col("dhash_hi").alias("hi_b"),
+                F.col("dhash_lo").alias("lo_b")))
+    new_sel = hashes_new.select(F.col("asset_id").alias("new_id"),
+                                F.col("dhash_hi").alias("hi_a"),
+                                F.col("dhash_lo").alias("lo_a"))
+    return (cand.join(new_sel, "new_id").join(stored_pruned, "corpus_id")
+            .withColumn("hamming", hamming64("hi_a", "lo_a", "hi_b", "lo_b"))
+            .where(F.col("hamming") <= int(max_distance))
+            .select("new_id", "corpus_id", "hamming"))
+
+
+def append_dhash_index(new_assets: DataFrame, path: str, *,
+                       hash_w: int = 8, hash_h: int = 8) -> None:
+    """Incremental maintenance of a :func:`write_dhash_index`: append
+    the new assets' hashes and banded buckets — called with the
+    survivors of :func:`image_dedup_against_index` after an ingest so
+    the next ingest sees them at rest. Append-only, no
+    read-modify-write; the (hash_w, hash_h) grid is validated against
+    the index ``_meta`` since mixed-grid hashes poison every future
+    distance."""
+    from eventstorm_spark.extensions.multimodal import dhash_bands, image_dhash
+
+    _check_index_meta(new_assets.sparkSession, path,
+                      {"kind": "dhash", "hash_w": hash_w,
+                       "hash_h": hash_h}, "dhash")
+    hashes = image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h)
+    hashes = hashes.localCheckpoint(eager=False)
+    (hashes.select("asset_id", "dhash_hi", "dhash_lo")
+     .write.mode("append").parquet(os.path.join(path, "hashes")))
+    (dhash_bands(hashes)
+     .repartition("band", "val")
+     .write.mode("append").partitionBy("band")
+     .parquet(os.path.join(path, "buckets")))
+
+
 def append_digest_index(new_docs: DataFrame, path: str, *,
                         text_col: str = "text", n_buckets: int = 64) -> None:
     """Incremental maintenance of a :func:`write_digest_index`: append

@@ -1533,6 +1533,38 @@ def image_dhash(assets: DataFrame, *, hash_w: int = 8,
     return assets.select("asset_id", "content").mapInPandas(run, out_schema)
 
 
+def dhash_bands(hashes: DataFrame) -> DataFrame:
+    """Banded rows (id, dhash_hi, dhash_lo, band, val) for a
+    :func:`image_dhash` table: the 64 hash bits as four 16-bit band
+    values (hi/lo, low and high halves). Shared by the in-memory
+    candidate join (:func:`image_hamming_pairs`) and the at-rest index
+    (``curation.write_dhash_index``) so bucketing can never drift
+    between them — the same single-expression-source rule as the text
+    tier's ``dedup.band_buckets``."""
+    h = hashes.select(F.col("asset_id").alias("id"),
+                      "dhash_hi", "dhash_lo")
+    bands = []
+    for idx, (col, shift) in enumerate(
+            [("dhash_hi", 0), ("dhash_hi", 16),
+             ("dhash_lo", 0), ("dhash_lo", 16)]):
+        bands.append(h.select(
+            "id", "dhash_hi", "dhash_lo",
+            F.lit(idx).alias("band"),
+            F.shiftright(F.col(col), shift).bitwiseAND(
+                F.lit(0xFFFF)).alias("val")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    return banded
+
+
+def hamming64(hi_a, lo_a, hi_b, lo_b):
+    """Hamming distance between two split-64-bit dHashes as a pure
+    codegen Column expression — bit_count over the half XORs."""
+    return (F.bit_count(F.col(hi_a).bitwiseXOR(F.col(hi_b)))
+            + F.bit_count(F.col(lo_a).bitwiseXOR(F.col(lo_b)))).cast("long")
+
+
 def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the
@@ -1557,20 +1589,7 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
     thumbnails (every template favicon) makes one band bucket the
     whole corpus. Capped buckets drop, recall degrades gracefully —
     same contract, same default-off rationale (oracle replay)."""
-    h = hashes.select(F.col("asset_id").alias("id"),
-                      "dhash_hi", "dhash_lo")
-    bands = []
-    for idx, (col, shift) in enumerate(
-            [("dhash_hi", 0), ("dhash_hi", 16),
-             ("dhash_lo", 0), ("dhash_lo", 16)]):
-        bands.append(h.select(
-            "id", "dhash_hi", "dhash_lo",
-            F.lit(idx).alias("band"),
-            F.shiftright(F.col(col), shift).bitwiseAND(
-                F.lit(0xFFFF)).alias("val")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    banded = dhash_bands(hashes)
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W
         banded = (banded.withColumn(
@@ -1590,9 +1609,8 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
                     F.col("b.dhash_hi").alias("hi_b"),
                     F.col("b.dhash_lo").alias("lo_b"))
             .distinct())
-    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
-    return (cand.withColumn("hamming", ham.cast("long"))
+    return (cand.withColumn("hamming",
+                            hamming64("hi_a", "lo_a", "hi_b", "lo_b"))
             .where(F.col("hamming") <= int(max_distance))
             .select("id_a", "id_b", "hamming"))
 

@@ -995,3 +995,64 @@ def test_scrub_text_excises_spans_keep_first(spark):
                        .otherwise(token_count(F.col("text"))).alias("n"))
                .collect()}
     assert acct == rebuilt
+
+
+def test_dhash_index_lifecycle_build_probe_append(spark, tmp_path):
+    """At-rest image near-dup index: build from a base corpus, probe a
+    new batch (exact copy pairs at distance 0, a tweaked copy within 3,
+    unrelated images absent; equal to the direct in-memory pair join
+    restricted to new x corpus), meta-guard a wrong grid, append the
+    survivors and see them from the next probe — corpus payloads are
+    decoded exactly once, at build/append time."""
+    import pytest as _pytest
+    from eventstorm_spark.extensions.curation import (
+        append_dhash_index,
+        image_dedup_against_index,
+        write_dhash_index,
+    )
+    from eventstorm_spark.extensions.multimodal import (
+        ASSET_SCHEMA,
+        encode_ppm,
+        image_dhash,
+        image_hamming_pairs,
+    )
+
+    w, h = 16, 12
+
+    def grad(seed):
+        return bytes(((i // 3) * seed + i % 3) % 256
+                     for i in range(w * h * 3))
+
+    def assets(rows):
+        return spark.createDataFrame(
+            [(i, "image", encode_ppm(w, h, px), None) for i, px in rows],
+            ASSET_SCHEMA)
+
+    base = assets([(1, grad(7)), (2, grad(31)), (3, grad(64))])
+    path = str(tmp_path / "dhash_idx")
+    write_dhash_index(base, path)
+
+    tweaked = bytearray(grad(7))
+    tweaked[0:3] = [255, 255, 255]  # corner flip of image 1
+    new = assets([(10, grad(7)), (11, bytes(tweaked)), (12, grad(131))])
+
+    got = {(r["new_id"], r["corpus_id"]): r["hamming"]
+           for r in image_dedup_against_index(new, spark, path).collect()}
+    assert got.get((10, 1)) == 0          # exact copy
+    assert (11, 1) in got and got[(11, 1)] <= 3  # near copy
+    # equal to the direct in-memory join over the union, new x corpus
+    both = image_dhash(base).unionByName(image_dhash(new))
+    direct = {(r["id_b"], r["id_a"]): r["hamming"]
+              for r in image_hamming_pairs(both, max_distance=3).collect()
+              if r["id_a"] <= 3 < r["id_b"]}
+    assert got == direct
+
+    with _pytest.raises(ValueError, match="dhash"):
+        image_dedup_against_index(new, spark, path, hash_w=4, hash_h=4)
+
+    survivors = assets([(12, grad(131))])
+    append_dhash_index(survivors, path)
+    got2 = {(r["new_id"], r["corpus_id"]): r["hamming"]
+            for r in image_dedup_against_index(
+                assets([(20, grad(131))]), spark, path).collect()}
+    assert got2.get((20, 12)) == 0  # appended asset is now at rest
