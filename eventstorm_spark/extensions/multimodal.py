@@ -1565,8 +1565,20 @@ def hamming64(hi_a, lo_a, hi_b, lo_b):
             + F.bit_count(F.col(lo_a).bitwiseXOR(F.col(lo_b)))).cast("long")
 
 
+# Scale-mode default for image_hamming_pairs' hot-bucket cap: a band
+# value carried by k images yields k²/2 candidate pairs, and exact
+# duplicates (template thumbnails, favicons) share ALL bands — the r9
+# sf1 probe measured the true pair set going quadratic on a
+# duplicate-heavy corpus (136,960 → 13,898,810 pairs at 10× docs;
+# SCALE.md §10) while cap=64 held it at 1.2 s. 256 keeps every
+# real near-dup group of fewer than 256 copies pairing while bounding
+# the adversary; uncapped stays oracle-replay mode.
+SCALE_MAX_BAND_BUCKET = 256
+
+
 def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        scale: bool = False) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the
     multimodal rung of the dedup ladder (the pixel-space analogue of
     MinHash-LSH on text). Input is :func:`image_dhash` output; returns
@@ -1588,7 +1600,13 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
     images yields k²/2 candidates, and a corpus of near-identical
     thumbnails (every template favicon) makes one band bucket the
     whole corpus. Capped buckets drop, recall degrades gracefully —
-    same contract, same default-off rationale (oracle replay)."""
+    same contract, same default-off rationale (oracle replay).
+    ``scale=True`` fills :data:`SCALE_MAX_BAND_BUCKET` when no explicit
+    cap was chosen — the corpus-mode switch the r9 sf1 probe showed a
+    duplicate-heavy corpus needs (SCALE.md §10), mirroring the
+    substring family's ``scale`` flag."""
+    if scale and max_bucket_size is None:
+        max_bucket_size = SCALE_MAX_BAND_BUCKET
     banded = dhash_bands(hashes)
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W

@@ -17,6 +17,11 @@ Stages (each one a lazy DataFrame transform until the final writes):
                                        for the hot-fingerprint cap)
     -> pack into 256-token sequences  (packing.pack_token_spans)
     -> shard + write                  (curation.write_packed_shards)
+    -> image near-dup sidecar         (multimodal.image_dhash +
+                                       image_hamming_pairs, survivors
+                                       persisted via write_dhash_index
+                                       so the next ingest probes at
+                                       rest instead of re-decoding)
   plus the dataset-card reports        (source_composition, vocab stats)
 
 Run: python examples/training_pipeline.py [sf_dir] [out_dir]
@@ -87,6 +92,19 @@ def main() -> None:
     curation.write_packed_shards(scrubbed, shard_path, seq_len=256,
                                  n_shards=8)
     print(f"shards              written to {shard_path}")
+
+    # multimodal sidecar: perceptual-dedup the image assets once, then
+    # keep the dHash index at rest so the next ingest never re-decodes
+    from eventstorm_spark.extensions import multimodal
+    assets = multimodal.synth_ppm_assets(near)
+    dupes = multimodal.image_hamming_pairs(
+        multimodal.image_dhash(assets), max_distance=3)
+    keep = assets.join(dupes.select(F.col("id_b").alias("asset_id")),
+                       "asset_id", "left_anti")
+    idx_path = os.path.join(out_dir, "dhash_index")
+    curation.write_dhash_index(keep, idx_path)
+    print(f"image dedup         {keep.count():>7d} assets kept "
+          f"(index at {idx_path})")
 
     print("\ndataset card:")
     curation.source_composition(near).orderBy("source").show(5)

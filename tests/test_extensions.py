@@ -2052,3 +2052,25 @@ def test_image_dhash_gif_payload_matches_rgb_twin(spark):
     rows = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
             for r in multimodal.image_dhash(assets).collect()}
     assert rows[1] == rows[2]
+
+
+def test_image_hamming_pairs_scale_mode_fills_cap(spark):
+    """scale=True fills SCALE_MAX_BAND_BUCKET when no explicit cap was
+    chosen; an explicit cap wins — the same resolution contract as the
+    substring family's scale flag."""
+    w, h = 8, 8
+    rgb = bytes((i * 29 + 3) % 256 for i in range(w * h * 3))
+    n = multimodal.SCALE_MAX_BAND_BUCKET + 4
+    assets = spark.createDataFrame(
+        [(i, "image", multimodal.encode_ppm(w, h, rgb), None)
+         for i in range(n)],
+        multimodal.ASSET_SCHEMA)
+    hashes = multimodal.image_dhash(assets).localCheckpoint()
+    # n identical images: every band bucket holds n > the scale cap
+    assert multimodal.image_hamming_pairs(
+        hashes, max_distance=0, scale=True).collect() == []
+    # explicit cap beats the scale default
+    got = multimodal.image_hamming_pairs(
+        hashes, max_distance=0, scale=True,
+        max_bucket_size=n).count()
+    assert got == n * (n - 1) // 2
