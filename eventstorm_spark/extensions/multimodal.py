@@ -1541,21 +1541,16 @@ def dhash_bands(hashes: DataFrame) -> DataFrame:
     (``curation.write_dhash_index``) so bucketing can never drift
     between them — the same single-expression-source rule as the text
     tier's ``dedup.band_buckets``."""
-    h = hashes.select(F.col("asset_id").alias("id"),
-                      "dhash_hi", "dhash_lo")
-    bands = []
-    for idx, (col, shift) in enumerate(
-            [("dhash_hi", 0), ("dhash_hi", 16),
-             ("dhash_lo", 0), ("dhash_lo", 16)]):
-        bands.append(h.select(
-            "id", "dhash_hi", "dhash_lo",
-            F.lit(idx).alias("band"),
-            F.shiftright(F.col(col), shift).bitwiseAND(
-                F.lit(0xFFFF)).alias("val")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    return banded
+    vals = F.array(*[
+        F.shiftright(F.col(col), shift).bitwiseAND(F.lit(0xFFFF))
+        for col, shift in [("dhash_hi", 0), ("dhash_hi", 16),
+                           ("dhash_lo", 0), ("dhash_lo", 16)]])
+    # posexplode, not a 4-way union: a union re-evaluates the hash
+    # frame once per band, and when `hashes` is an unmaterialized
+    # image_dhash output that means four decode passes per side
+    return hashes.select(F.col("asset_id").alias("id"),
+                         "dhash_hi", "dhash_lo",
+                         F.posexplode(vals).alias("band", "val"))
 
 
 def hamming64(hi_a, lo_a, hi_b, lo_b):
@@ -1607,7 +1602,9 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
     substring family's ``scale`` flag."""
     if scale and max_bucket_size is None:
         max_bucket_size = SCALE_MAX_BAND_BUCKET
-    banded = dhash_bands(hashes)
+    # feeds BOTH sides of the self-join: without pinning, an
+    # unmaterialized image_dhash input decodes the corpus twice
+    banded = dhash_bands(hashes).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W
         banded = (banded.withColumn(
