@@ -203,6 +203,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
 def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
                          group_col: str = "source",
                          text_col: str = "text",
+                         id_col: str = "doc_id",
                          hash_join: bool = True) -> DataFrame:
     """Cross-SOURCE n-gram overlap matrix — the corpus-composition
     diagnostic run before mixing sources into a training set: for every
@@ -216,22 +217,31 @@ def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
     (set semantics — document frequency within a source doesn't
     inflate the overlap).
 
-    Shape: shingles dedup row-locally (``array_distinct`` inside the
-    doc) then globally per source; the self-join key is the shingle,
-    so each shingle contributes at most ``(#sources choose 2)`` pair
-    rows — the expansion is quadratic in the number of SOURCES (tens),
-    never in documents. ``hash_join=True`` joins on ``xxhash64``
-    (8-byte exchange rows; identical counts short of 2^-64 collisions
-    — same argument as :func:`ngram_jaccard_pairs`)."""
+    Shape: the same posexplode + ``lead()`` window shingling as
+    :func:`shingle_rows` (codegen, never interpreted per-element HOFs
+    — SCALE.md §8) with the group column carried through, then a
+    per-source distinct; the self-join key is the shingle, so each
+    shingle contributes at most ``(#sources choose 2)`` pair rows —
+    the expansion is quadratic in the number of SOURCES (tens), never
+    in documents. ``hash_join=True`` (default) hashes BEFORE the
+    distinct, so both the dedup exchange and the join move 8-byte keys
+    instead of n-word strings (identical counts short of 2^-64
+    collisions — same argument as :func:`ngram_jaccard_pairs`)."""
+    from pyspark.sql import Window as _W
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ex = (docs.select(F.col(group_col).alias("grp"),
-                      F.explode(F.array_distinct(grams)).alias("shingle"))
+    tok = docs.select(F.col(group_col).alias("grp"),
+                      F.col(id_col).alias("__doc"),
+                      F.posexplode(toks).alias("pos", "t0"))
+    w = _W.partitionBy("__doc").orderBy("pos")
+    leads = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    full = tok.select("grp", "pos", "t0", *leads)
+    last = f"t{n - 1}"
+    sh = F.concat_ws(" ", *[f"t{i}" for i in range(n)])
+    ex = (full.where(F.col(last).isNotNull() | (F.col("pos") == 0))
+          .select("grp", (F.xxhash64(sh) if hash_join
+                          else sh).alias("shingle"))
           .distinct())
-    if hash_join:
-        ex = ex.select("grp", F.xxhash64("shingle").alias("shingle"))
     # feeds the per-source sizes AND both join sides — pin it once
     ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
