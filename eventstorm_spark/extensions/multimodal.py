@@ -1630,6 +1630,76 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+# The banded join is fingerprint-agnostic: anything with
+# (asset_id, dhash_hi, dhash_lo) works — image dHash or
+# audio_fingerprint energy hashes alike.
+hamming_pairs = image_hamming_pairs
+
+
+def audio_fingerprint(assets: DataFrame, *,
+                      n_windows: int = 65) -> DataFrame:
+    """Perceptual AUDIO fingerprint — the clip twin of
+    :func:`image_dhash`, in the spirit of the energy-difference
+    hashes under Shazam/Chromaprint-style matching: split each decoded
+    clip into ``n_windows`` integer-bounded windows (sample i falls in
+    window ``(i*n_windows)//n`` — the same deterministic gather rule as
+    the image resample), take Σ|s| energy per window, and emit one bit
+    per adjacent-window comparison ``E[w] > E[w+1]`` — 64 bits for the
+    default 65 windows, packed into the same two-BIGINT-halves layout
+    as the image hash. Robust to gain-independent edits (the bits
+    encode the energy envelope's SIGN structure) and to container/codec
+    (PCM16 and mu-law payloads of the same audio hash alike).
+
+    Output schema (asset_id, n_samples, dhash_hi, dhash_lo) feeds the
+    SAME downstream machinery as images: :func:`image_hamming_pairs`
+    (alias :data:`hamming_pairs`) for in-corpus near-dup pairs and
+    ``curation.write_dhash_index`` for the at-rest form. Clips shorter
+    than ``n_windows`` samples raise — a window would be empty and the
+    envelope undefined. Arrow-batched ``mapInPandas``; payload-local,
+    no shuffle."""
+    nb = n_windows - 1
+    if nb < 2 or nb % 2 or nb > 124:
+        raise ValueError("n_windows-1 must be even and in [2, 124] "
+                         f"(two sub-63-bit halves); got {n_windows}")
+    half = nb // 2
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                _rate, samples = _wav_samples(bytes(payload))
+                n = len(samples)
+                if n < n_windows:
+                    raise ValueError(
+                        f"clip of {n} samples is shorter than "
+                        f"n_windows={n_windows}; fingerprint undefined")
+                arr = np.abs(np.asarray(samples, dtype=np.int64))
+                # per-sample assignment (i*n_windows)//n; window w
+                # starts at ceil(w*n/n_windows), every window non-empty
+                # for n >= n_windows, and the int64 reduceat keeps the
+                # energy sums exact at any clip length
+                bounds = (np.arange(n_windows) * n
+                          + n_windows - 1) // n_windows
+                energy = np.add.reduceat(arr, bounds)
+                bits = energy[:-1] > energy[1:]
+                hi = sum(1 << i for i in range(half) if bits[i])
+                lo = sum(1 << (i - half) for i in range(half, nb)
+                         if bits[i])
+                recs.append((int(aid), n, hi, lo))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "audio")
+    return assets.select("asset_id", "content").mapInPandas(run, out_schema)
+
+
 def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
     """(sample_rate, linear samples) for a RIFF/WAVE payload — the
     raw-sample twin of :func:`decode_wav_any` (which returns stats):

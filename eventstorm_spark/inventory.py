@@ -2560,6 +2560,21 @@ def q_audio_features(spark, sf_dir):
         synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_audio_fingerprints(spark, sf_dir):
+    """Perceptual audio fingerprints over REAL decoded PCM16 samples:
+    65 integer-bounded windows, Σ|s| energy each, one
+    adjacent-comparison bit per window pair packed into two BIGINT
+    halves — the clip twin of image_dhash, feeding the same Hamming
+    pair join and at-rest index. The oracle replays the synth sample
+    recurrence, the (i*65)//n window assignment, the energy sums and
+    the bit packing."""
+    from eventstorm_spark.extensions.multimodal import (
+        audio_fingerprint, synth_wav_assets,
+    )
+    return audio_fingerprint(
+        synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram overlap matrix: per source pair, the Jaccard
     of their distinct trigram-shingle sets — the repackaged-dataset /
@@ -3622,6 +3637,32 @@ _EXT_ORACLES = {
                    AS zero_cross_rate
         FROM z
         GROUP BY doc_id, n, rate
+        ORDER BY asset_id""",
+    # Replays the synth_wav_assets recurrence, the (i*65)//n window
+    # assignment, per-window sum(|s|) energies, the adjacent-compare
+    # bits and the two-half packing.
+    "audio_fingerprints": """
+        WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+        s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+              FROM p),
+        v AS (SELECT doc_id, n, (i * 65) // n AS w,
+                     abs(((doc_id * 131 + i * 997) % 65536) - 32768) AS a
+              FROM s),
+        e AS (SELECT doc_id, n, w, sum(a) AS energy
+              FROM v GROUP BY doc_id, n, w),
+        b AS (SELECT x.doc_id, x.n, x.w,
+                     CASE WHEN x.energy > y.energy THEN 1 ELSE 0 END AS bit
+              FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.w = x.w + 1
+              WHERE x.w < 64)
+        SELECT doc_id AS asset_id, n AS n_samples,
+               CAST(sum(CASE WHEN w < 32
+                        THEN bit * (CAST(1 AS BIGINT) << w)
+                        ELSE 0 END) AS BIGINT) AS dhash_hi,
+               CAST(sum(CASE WHEN w >= 32
+                        THEN bit * (CAST(1 AS BIGINT) << (w - 32))
+                        ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM b
+        GROUP BY doc_id, n
         ORDER BY asset_id""",
     "source_overlap": r"""
         WITH toks AS (SELECT source,
@@ -4970,6 +5011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locally parity-green), then the oldest remaining (r6) --
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "audio_features": q_audio_features,
+        "audio_fingerprints": q_audio_fingerprints,
         "source_overlap": q_source_overlap,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,

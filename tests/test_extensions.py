@@ -2074,3 +2074,53 @@ def test_image_hamming_pairs_scale_mode_fills_cap(spark):
         hashes, max_distance=0, scale=True,
         max_bucket_size=n).count()
     assert got == n * (n - 1) // 2
+
+
+def test_audio_fingerprint_reference_and_codec_independence(spark):
+    """The energy-envelope hash matches an independent reference and is
+    container-independent: the same samples through PCM16 and mu-law
+    (encoding the mu-law-decoded values, so both decode identically)
+    fingerprint alike; a planted near-identical clip pairs with the
+    original through the SAME Hamming join images use, an unrelated
+    clip does not."""
+    import random
+
+    rng = random.Random(7)
+    n = 130
+    ulaw = bytes(rng.randrange(256) for _ in range(n))
+    lin = [multimodal.mulaw_to_linear(b) for b in ulaw]
+    # independent pure-Python reference on the decoded samples: sample
+    # i belongs to window (i*65)//n
+    energy = [0] * 65
+    for i, s in enumerate(lin):
+        energy[(i * 65) // n] += abs(s)
+    bits = [1 if energy[w] > energy[w + 1] else 0 for w in range(64)]
+    ref = (sum(b << i for i, b in enumerate(bits[:32])),
+           sum(b << i for i, b in enumerate(bits[32:])))
+
+    tweaked = list(lin)
+    tweaked[0] += 25  # tiny local edit: at most a few envelope bits flip
+    noise = [((i * 9973) % 65536) - 32768 for i in range(n)]
+    assets = spark.createDataFrame(
+        [(1, "audio", multimodal.encode_wav_mulaw(ulaw, 8000), None),
+         (2, "audio", multimodal.encode_wav_pcm16(lin, 8000), None),
+         (3, "audio", multimodal.encode_wav_pcm16(tweaked, 8000), None),
+         (4, "audio", multimodal.encode_wav_pcm16(noise, 8000), None)],
+        multimodal.ASSET_SCHEMA)
+    fp = multimodal.audio_fingerprint(assets).localCheckpoint()
+    rows = {r["asset_id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in fp.collect()}
+    assert rows[1] == rows[2] == ref
+    got = {(r["id_a"], r["id_b"]) for r in
+           multimodal.hamming_pairs(fp, max_distance=3).collect()}
+    assert (1, 2) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_audio_fingerprint_short_clip_raises(spark):
+    assets = spark.createDataFrame(
+        [(1, "audio", multimodal.encode_wav_pcm16([5] * 10, 8000), None)],
+        multimodal.ASSET_SCHEMA)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="shorter than"):
+        multimodal.audio_fingerprint(assets).collect()
