@@ -101,6 +101,12 @@ HEADLINE = [
     # are output-bound there, not candidate-stage-bound.
     "exact_substring_spans",
     "html_c4_funnel",
+    # round 9: one representative per new tier — the perceptual image
+    # near-dup join (decode -> dHash -> banded Hamming, ~1.7 s) and the
+    # cross-source overlap matrix (codegen shingling + hashed distinct,
+    # ~1.9 s). Compare per-query, not totals, across r8/r9.
+    "image_near_dup_pairs",
+    "source_overlap",
 ]
 
 

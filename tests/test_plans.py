@@ -497,3 +497,29 @@ def test_state_point_lookup_pushes_partition_filter(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters" in scan and "user-1" in scan, scan
     assert "In(partition" in scan or "EqualTo(partition" in scan, scan
+
+
+def test_multimodal_fingerprint_scans_have_no_exchange(q):
+    """image_dhash and audio_fingerprints are single decode scans —
+    payload-local mapInPandas, zero data shuffles (the 100-TB shape:
+    the hash table is the only thing that ever moves). The single
+    range exchange is the query form's presentation orderBy."""
+    import re
+    for name in ("image_dhash", "audio_fingerprints"):
+        plan = q(name)
+        assert not re.search(r"Exchange hash", plan), (name, plan)
+        assert len(re.findall(r"Exchange range", plan)) <= 1, (name, plan)
+
+
+def test_source_overlap_shuffle_budget(q):
+    """source_overlap's exchanges: the doc-window shingling partition,
+    the per-source distinct, the shingle self-join and the pair/size
+    aggregates — budget 8; a regression (e.g. string keys resurfacing
+    after the pre-distinct hash, or a lost reuse) shows up as extra
+    exchanges. Also: no interpreted HOF shingling (no BatchEvalPython)
+    and no forced broadcast of the unbounded per-source size table."""
+    import re
+    plan = q("source_overlap")
+    assert len(re.findall(r"Exchange (hash|range|SinglePartition)",
+                          plan)) <= 8, plan
+    assert "BatchEvalPython" not in plan
