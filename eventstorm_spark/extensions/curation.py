@@ -849,7 +849,7 @@ def write_dhash_index(assets: DataFrame, path: str, *,
     hashes = hashes.localCheckpoint(eager=False)  # feeds both writes
     (hashes.select("asset_id", "dhash_hi", "dhash_lo")
      .write.mode("overwrite").parquet(os.path.join(path, "hashes")))
-    (dhash_bands(hashes)
+    (dhash_bands(hashes, n_bits=hash_w * hash_h)
      .repartition("band", "val")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))
@@ -880,7 +880,7 @@ def image_dedup_against_index(new_assets: DataFrame, spark,
                        "hash_h": hash_h}, "dhash")
     hashes_new = image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h)
     hashes_new = hashes_new.localCheckpoint(eager=False)  # bands + verify
-    banded_new = (dhash_bands(hashes_new)
+    banded_new = (dhash_bands(hashes_new, n_bits=hash_w * hash_h)
                   .select(F.col("id").alias("new_id"), "band", "val"))
     buckets = (spark.read.parquet(os.path.join(index_path, "buckets"))
                .select(F.col("id").alias("corpus_id"), "band", "val"))
@@ -920,7 +920,7 @@ def append_dhash_index(new_assets: DataFrame, path: str, *,
     hashes = hashes.localCheckpoint(eager=False)
     (hashes.select("asset_id", "dhash_hi", "dhash_lo")
      .write.mode("append").parquet(os.path.join(path, "hashes")))
-    (dhash_bands(hashes)
+    (dhash_bands(hashes, n_bits=hash_w * hash_h)
      .repartition("band", "val")
      .write.mode("append").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))

@@ -110,31 +110,41 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     return docs.select(F.col(id_col).alias("id"), shingles.alias("shingles"))
 
 
-def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Distinct (id, shingle) rows — the exploded twin of
-    :func:`with_shingles`, produced without higher-order functions:
-    posexplode tokens, then each shingle is ``concat_ws`` over n-1
-    ``lead()`` columns in one window per document. Everything stays in
-    whole-stage codegen; the only exchange is the window's hash
-    partition by id, which is exactly the partitioning every consumer
-    (per-doc aggregates, shingle self-joins) wants next. Docs shorter
-    than n tokens yield their single truncated shingle (concat_ws skips
-    the null leads), matching ``with_shingles``."""
+def _shingle_rows_raw(docs: DataFrame, n: int, text_col: str,
+                      id_col: str, keep_cols: tuple = ()) -> DataFrame:
+    """NON-distinct (id, *keep_cols, shingle) rows — the single
+    shingling implementation every exploded consumer shares: posexplode
+    tokens, then each shingle is ``concat_ws`` over n-1 ``lead()``
+    columns in one window per document (whole-stage codegen; the only
+    exchange is the window's hash partition by id). Docs shorter than
+    n tokens yield their single truncated shingle (concat_ws skips the
+    null leads). ``keep_cols`` are carried through untouched (e.g. a
+    group column for per-source rollups) so callers never fork the
+    tokenize/window/short-doc rules."""
     from pyspark.sql import Window as _W
 
+    keep = [F.col(c) for c in keep_cols]
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = docs.select(F.col(id_col).alias("id"),
+    tok = docs.select(*keep, F.col(id_col).alias("id"),
                       F.posexplode(toks).alias("pos", "t0"))
     w = _W.partitionBy("id").orderBy("pos")
     leads = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    full = tok.select("id", "pos", "t0", *leads)
+    full = tok.select(*keep_cols, "id", "pos", "t0", *leads)
     last = f"t{n - 1}"
     return (
         full.where(F.col(last).isNotNull() | (F.col("pos") == 0))
-        .select("id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle"))
-        .distinct()
+        .select(*keep_cols, "id",
+                F.concat_ws(" ", *[f"t{i}" for i in range(n)])
+                .alias("shingle"))
     )
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, shingle) rows — the exploded twin of
+    :func:`with_shingles`; see :func:`_shingle_rows_raw` for the shared
+    shingling core and its short-doc rule."""
+    return _shingle_rows_raw(docs, n, text_col, id_col).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
@@ -217,30 +227,23 @@ def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
     (set semantics — document frequency within a source doesn't
     inflate the overlap).
 
-    Shape: the same posexplode + ``lead()`` window shingling as
-    :func:`shingle_rows` (codegen, never interpreted per-element HOFs
-    — SCALE.md §8) with the group column carried through, then a
-    per-source distinct; the self-join key is the shingle, so each
-    shingle contributes at most ``(#sources choose 2)`` pair rows —
-    the expansion is quadratic in the number of SOURCES (tens), never
-    in documents. ``hash_join=True`` (default) hashes BEFORE the
+    Shape: the shared :func:`_shingle_rows_raw` shingling core
+    (posexplode + ``lead()`` window — codegen, never interpreted
+    per-element HOFs, SCALE.md §8; one tokenize/short-doc rule for
+    every shingle consumer) with the group column carried through,
+    then a per-source distinct; the self-join key is the shingle, so
+    each shingle contributes at most ``(#sources choose 2)`` pair rows
+    — the expansion is quadratic in the number of SOURCES (tens),
+    never in documents. ``hash_join=True`` (default) hashes BEFORE the
     distinct, so both the dedup exchange and the join move 8-byte keys
     instead of n-word strings (identical counts short of 2^-64
     collisions — same argument as :func:`ngram_jaccard_pairs`)."""
-    from pyspark.sql import Window as _W
-
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = docs.select(F.col(group_col).alias("grp"),
+    pre = docs.select(F.col(group_col).alias("grp"),
                       F.col(id_col).alias("__doc"),
-                      F.posexplode(toks).alias("pos", "t0"))
-    w = _W.partitionBy("__doc").orderBy("pos")
-    leads = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    full = tok.select("grp", "pos", "t0", *leads)
-    last = f"t{n - 1}"
-    sh = F.concat_ws(" ", *[f"t{i}" for i in range(n)])
-    ex = (full.where(F.col(last).isNotNull() | (F.col("pos") == 0))
-          .select("grp", (F.xxhash64(sh) if hash_join
-                          else sh).alias("shingle"))
+                      F.col(text_col).alias("__text"))
+    raw = _shingle_rows_raw(pre, n, "__text", "__doc", keep_cols=("grp",))
+    ex = (raw.select("grp", (F.xxhash64("shingle") if hash_join
+                             else F.col("shingle")).alias("shingle"))
           .distinct())
     # feeds the per-source sizes AND both join sides — pin it once
     ex = ex.localCheckpoint(eager=False)
@@ -719,7 +722,12 @@ def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
     contributes the sample scan. ``portable=True`` switches both the
     truth join and the banding to the md5 portable hashes so the
     driver oracle replays the exact report."""
-    sample = docs.orderBy(id_col).limit(int(sample_n))
+    # the global sort+limit is the only corpus-sized cost; it feeds
+    # BOTH the ground-truth branch and the signature branch, so pin it
+    # once (branch-materialization idiom — without this each branch
+    # re-runs the corpus scan+sort)
+    sample = docs.orderBy(id_col).limit(int(sample_n)) \
+        .localCheckpoint(eager=False)
     lo = min(bucket_edges)
     truth = ngram_jaccard_pairs(sample, n=n, threshold=lo,
                                 text_col=text_col, id_col=id_col,

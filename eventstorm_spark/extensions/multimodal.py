@@ -589,17 +589,10 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                head = bytes(payload[:8])
-                if head == PNG_SIG:
-                    p = decode_png(payload)
-                elif head[:4] == GIF_SIG:
-                    p = decode_gif(payload)
-                elif head[:2] == b"BM":
-                    p = decode_bmp(payload)
-                elif head[:2] == b"\xff\xd8":
-                    p = decode_jpeg(payload)
-                else:
-                    p = decode_ppm(payload)
+                # _sniff_rgb owns the magic dispatch (one table for
+                # decode/resize/dHash/featurize) and refuses unknown
+                # formats honestly instead of a misleading PPM error
+                p = _rgb_stats(*_sniff_rgb(bytes(payload)))
                 recs.append((int(aid), p["width"], p["height"],
                              p["sum_r"], p["sum_g"], p["sum_b"]))
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
@@ -817,10 +810,7 @@ def decode_gif(payload: bytes) -> dict:
     only — interlaced frames raise honestly rather than de-interlacing
     wrong. Returns the same exact-integer stat dict as
     :func:`decode_png` so the image stats pass is codec-uniform."""
-    w, h, rgb = _gif_rgb(payload)
-    return {"width": w, "height": h,
-            "sum_r": sum(rgb[0::3]), "sum_g": sum(rgb[1::3]),
-            "sum_b": sum(rgb[2::3])}
+    return _rgb_stats(*_gif_rgb(payload))
 
 
 def _gif_rgb(payload: bytes) -> tuple[int, int, bytes]:
@@ -1533,18 +1523,34 @@ def image_dhash(assets: DataFrame, *, hash_w: int = 8,
     return assets.select("asset_id", "content").mapInPandas(run, out_schema)
 
 
-def dhash_bands(hashes: DataFrame) -> DataFrame:
+def dhash_bands(hashes: DataFrame, *, n_bits: int = 64) -> DataFrame:
     """Banded rows (id, dhash_hi, dhash_lo, band, val) for a
-    :func:`image_dhash` table: the 64 hash bits as four 16-bit band
-    values (hi/lo, low and high halves). Shared by the in-memory
-    candidate join (:func:`image_hamming_pairs`) and the at-rest index
+    :func:`image_dhash` / :func:`audio_fingerprint` table: the
+    ``n_bits`` hash bits as four band values partitioning each BIGINT
+    half in two. Shared by the in-memory candidate join
+    (:func:`image_hamming_pairs`) and the at-rest index
     (``curation.write_dhash_index``) so bucketing can never drift
     between them — the same single-expression-source rule as the text
-    tier's ``dedup.band_buckets``."""
+    tier's ``dedup.band_buckets``.
+
+    ``n_bits`` MUST match the fingerprints' actual bit count
+    (``hash_w*hash_h`` / ``n_windows-1``): banding a 32-bit hash with
+    the 64-bit layout leaves two bands identically zero, which silently
+    degenerates the "never all-pairs" candidate join into a full cross
+    join (results stay correct through the verify step — only the
+    scale guarantee dies). Any 4-way partition preserves the
+    pigeonhole exactness at Hamming distance <= 3."""
+    if n_bits < 8 or n_bits % 2:
+        raise ValueError(f"n_bits must be even and >= 8; got {n_bits}")
+    half = n_bits // 2
+    w_lo = half // 2          # low band width within each half
+    specs = [("dhash_hi", 0, (1 << w_lo) - 1),
+             ("dhash_hi", w_lo, (1 << (half - w_lo)) - 1),
+             ("dhash_lo", 0, (1 << w_lo) - 1),
+             ("dhash_lo", w_lo, (1 << (half - w_lo)) - 1)]
     vals = F.array(*[
-        F.shiftright(F.col(col), shift).bitwiseAND(F.lit(0xFFFF))
-        for col, shift in [("dhash_hi", 0), ("dhash_hi", 16),
-                           ("dhash_lo", 0), ("dhash_lo", 16)]])
+        F.shiftright(F.col(col), shift).bitwiseAND(F.lit(mask))
+        for col, shift, mask in specs])
     # posexplode, not a 4-way union: a union re-evaluates the hash
     # frame once per band, and when `hashes` is an unmaterialized
     # image_dhash output that means four decode passes per side
@@ -1573,6 +1579,7 @@ SCALE_MAX_BAND_BUCKET = 256
 
 def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
                         max_bucket_size: int | None = None,
+                        n_bits: int = 64,
                         scale: bool = False) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the
     multimodal rung of the dedup ladder (the pixel-space analogue of
@@ -1603,8 +1610,10 @@ def image_hamming_pairs(hashes: DataFrame, *, max_distance: int = 3,
     if scale and max_bucket_size is None:
         max_bucket_size = SCALE_MAX_BAND_BUCKET
     # feeds BOTH sides of the self-join: without pinning, an
-    # unmaterialized image_dhash input decodes the corpus twice
-    banded = dhash_bands(hashes).localCheckpoint(eager=False)
+    # unmaterialized image_dhash input decodes the corpus twice.
+    # n_bits must be the fingerprints' real bit count (see dhash_bands:
+    # a too-wide layout leaves all-zero bands and the join degenerates)
+    banded = dhash_bands(hashes, n_bits=n_bits).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W
         banded = (banded.withColumn(
@@ -1745,6 +1754,13 @@ def audio_features(assets: DataFrame) -> DataFrame:
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
                 rate, samples = _wav_samples(bytes(payload))
+                if len(samples) < 2:
+                    # refuse loudly like audio_fingerprint: 0/0 and
+                    # n-1 == 0 would otherwise surface as silent NULL
+                    # feature columns a downstream filter drops
+                    raise ValueError(
+                        f"clip of {len(samples)} samples has no "
+                        "adjacent pairs; rms/zero_cross_rate undefined")
                 arr = np.asarray(samples, dtype=np.int64)
                 sq = int((arr * arr).sum())
                 nonneg = arr >= 0

@@ -262,6 +262,32 @@ def positional_shingles(docs: DataFrame, *, n: int = 3,
     return base.select("doc_id", F.posexplode(grams).alias("pos", "sh"))
 
 
+def choose_span_strategy(sh: DataFrame, pairs: DataFrame,
+                         n_cand: int) -> str:
+    """The stage-2 cost model of :func:`exact_substring_spans`' auto
+    mode, exposed so memoizing callers (e.g. a per-session candidate
+    cache) pick the SAME strategy the operator would — one estimator,
+    one basis (candidate-doc shingles, never whole-corpus stats):
+
+    - ``est_value`` = Σ df² over the candidate shingle table — the
+      value-first self-join's row count;
+    - ``est_pair`` = |pairs| × avg shingles per candidate doc — the
+      pair-first join's intermediate.
+
+    One aggregate over ``sh`` plus two counts; returns ``"pair"`` or
+    ``"value"``."""
+    st = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+          .agg(F.sum("c").alias("n_occ"),
+               F.sum(F.col("c") * F.col("c")).alias("df2"))
+          .collect()[0])
+    n_occ = int(st["n_occ"] or 0)
+    est_value = int(st["df2"] or 0)
+    n_pairs = pairs.count()
+    avg_occ = (n_occ / n_cand) if n_cand else 0.0
+    est_pair = int(n_pairs * avg_occ)
+    return "pair" if est_pair < est_value else "value"
+
+
 def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                           min_len_tokens: int | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
@@ -352,7 +378,15 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
             "(below that the winnow candidate stage can miss pairs and "
             "the result would be approximate)")
     if candidate_pairs is not None:
-        pairs = candidate_pairs.select("id_a", "id_b")
+        # distinct is CORRECTNESS here, not hygiene: the pair-first
+        # strategy joins the pair table directly into the positional
+        # match rows, and a duplicated pair row duplicates every match
+        # row, inflating row_number() in the gaps-and-islands grouping
+        # and fragmenting diagonal runs below min_len_tokens — spans
+        # silently vanish. (Value-first is immune: left_semi.) A caller
+        # concatenating overlapping index-probe outputs is exactly the
+        # documented superset case, so dedup here, not at call sites.
+        pairs = candidate_pairs.select("id_a", "id_b").distinct()
     else:
         pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
                                 text_col=text_col, id_col=id_col,
@@ -380,17 +414,7 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
                      F.col("pos").alias("pos_b"), "sh")
     strategy = match_strategy
     if strategy == "auto":
-        st = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
-              .agg(F.sum("c").alias("n_occ"),
-                   F.sum(F.col("c") * F.col("c")).alias("df2"))
-              .collect()[0])
-        n_occ = int(st["n_occ"] or 0)
-        est_value = int(st["df2"] or 0)
-        n_pairs = pairs.count()
-        n_cand = cand.count()
-        avg_occ = (n_occ / n_cand) if n_cand else 0.0
-        est_pair = int(n_pairs * avg_occ)
-        strategy = "pair" if est_pair < est_value else "value"
+        strategy = choose_span_strategy(sh, pairs, cand.count())
     if strategy == "pair":
         m = pairs.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
     else:

@@ -2950,7 +2950,8 @@ def _span_candidate_pairs(spark, sf_dir):
     session from the same cost estimates exact_substring_spans' auto
     mode uses, then pinned so repeated query calls skip the estimate
     jobs)."""
-    from eventstorm_spark.extensions.text import (positional_shingles,
+    from eventstorm_spark.extensions.text import (choose_span_strategy,
+                                                  positional_shingles,
                                                   winnow_matches)
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -2973,15 +2974,16 @@ def _span_candidate_pairs(spark, sf_dir):
                  .select("id_a", "id_b")
                  .persist(StorageLevel.DISK_ONLY))
         pairs.count()  # materialize the persisted blocks eagerly
-        st = (positional_shingles(docs)
-              .groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
-              .agg(F.sum("c").alias("n_occ"),
-                   F.sum(F.col("c") * F.col("c")).alias("df2"))
-              .collect()[0])
-        n_docs = docs.count()
-        avg_occ = (int(st["n_occ"] or 0) / n_docs) if n_docs else 0.0
-        est_pair = pairs.count() * avg_occ
-        strategy = "pair" if est_pair < int(st["df2"] or 0) else "value"
+        # the SAME candidate-restricted cost basis the operator's auto
+        # mode uses (choose_span_strategy) — a whole-corpus estimate
+        # can pick a different, slower plan when the candidate subset's
+        # shingle distribution differs from the corpus's
+        ids = (pairs.select(F.col("id_a").alias("cid"))
+               .unionByName(pairs.select(F.col("id_b").alias("cid")))
+               .distinct())
+        cand = docs.join(ids, F.col("doc_id") == F.col("cid"), "left_semi")
+        strategy = choose_span_strategy(
+            positional_shingles(cand), pairs, cand.count())
         _SPAN_PAIRS_CACHE[key] = (pairs, strategy)
     return _SPAN_PAIRS_CACHE[key]
 

@@ -706,6 +706,21 @@ class EventLog:
         # or below it (ours included — the watermark now carries the
         # commit evidence).
         wm = self._advance_watermark(base_pos + n)
+        if wm == base_pos + n:
+            # our commit is the newest the shared watermark knows, so
+            # the head/tail caches the caller is about to write reflect
+            # it — move the fences forward instead of letting the next
+            # _refresh_* discard this instance's own warm caches (the
+            # single-writer fast path would otherwise pay a full-log
+            # max(position)+max(revision) rescan on EVERY append). A
+            # foreign commit racing past us leaves wm > ours and the
+            # fences stale, so the refresh still invalidates. The meta
+            # fence only advances when this batch wrote no $$-metadata
+            # stream — a raw append to one must keep the retention
+            # caches invalidatable (set_stream_metadata writes through).
+            self._log_cache_watermark = wm
+            if not any(r[0].startswith("$$") for r in rows):
+                self._meta_cache_watermark = wm
         self._gc_markers(wm)
         return True
 

@@ -895,6 +895,15 @@ def test_span_match_strategies_identical_output(spark):
         [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long")
     assert spans(candidate_pairs=superset, match_strategy="pair") == value
 
+    # DUPLICATED pair rows (two overlapping index-probe outputs
+    # concatenated — the documented at-rest usage) must not fragment
+    # runs: pair-first joins the pair table into the match rows, so
+    # without the internal dedup every match row doubles and
+    # row_number() breaks the diagonal islands
+    doubled = cand.unionByName(cand)
+    assert spans(candidate_pairs=doubled, match_strategy="pair") == value
+    assert spans(candidate_pairs=doubled, match_strategy="value") == value
+
     import pytest as _pytest
     with _pytest.raises(ValueError, match="match_strategy"):
         spans(match_strategy="nope")

@@ -124,3 +124,35 @@ def test_delta_concurrent_appends_keep_positions_gapless(spark, tmp_path):
     for i in range(4):
         revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
         assert revs == list(range(12))
+
+
+def test_own_commits_do_not_evict_warm_caches(spark, tmp_path):
+    """Single-writer fast path: this instance's own commit advances the
+    shared watermark, and the staleness fences must advance with it —
+    otherwise every append invalidates the head/tail caches it just
+    wrote and pays a full-log rescan. A raw append to a $$-metadata
+    stream is the exception: the retention caches must stay
+    invalidatable there (only set_stream_metadata writes through)."""
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("s-1", new_events(2, prefix="a"))
+    assert log._revisions.get("s-1") == 1 and log._tail_position == 2
+    # the fence must consider its own commit fresh
+    log._refresh_log_caches()
+    assert log._revisions.get("s-1") == 1, "own commit evicted the cache"
+    assert log._tail_position == 2
+    log._refresh_meta_caches()
+    meta_fence = log._meta_cache_watermark
+    assert meta_fence == log._read_watermark()
+
+    # a second instance's commit DOES evict (cross-process staleness)
+    other = EventLog(spark, str(tmp_path / "log"))
+    other.append("s-2", new_events(1, prefix="b"))
+    log._refresh_log_caches()
+    assert log._tail_position is None and not log._revisions
+
+    # raw $$-append keeps the meta fence behind so retention re-reads
+    log.append("$$s-1", new_events(1, prefix="m"))
+    assert log._meta_cache_watermark != log._read_watermark()
