@@ -639,6 +639,131 @@ def decode_audio_meta(assets: DataFrame) -> DataFrame:
     )
 
 
+def encode_mjpeg(frames: list, *, quality: int = 100) -> bytes:
+    """Concatenated-JPEG motion stream (the raw MJPEG form used by
+    multipart HTTP camera streams and inside MJPEG AVIs, minus the
+    container): each ``(width, height, rgb)`` frame is one complete
+    baseline JPEG, frames back-to-back."""
+    return b"".join(encode_jpeg(w, h, rgb, quality=quality)
+                    for w, h, rgb in frames)
+
+
+def _jpeg_frame_end(payload: bytes, off: int) -> int:
+    """End offset (exclusive) of the JPEG frame starting at ``off`` —
+    a segment walk, NOT a naive ``FFD9`` search: length-prefixed
+    header segments may legally contain the EOI byte pair, and scan
+    data only ever holds FF as the FF00 stuffing or RST markers, so
+    the first unstuffed non-RST marker after SOS is the true EOI."""
+    if payload[off:off + 2] != b"\xff\xd8":
+        raise ValueError("not a JPEG frame at stream offset")
+    pos = off + 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment in MJPEG stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            return pos
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        pos += ln
+        if marker == 0xDA:  # SOS: skip entropy bytes to the next marker
+            while pos + 1 < len(payload):
+                if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                        and not 0xD0 <= payload[pos + 1] <= 0xD7:
+                    break
+                pos += 1
+    raise ValueError("unterminated JPEG frame in MJPEG stream")
+
+
+def mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream into its complete per-frame JPEG
+    payloads via the segment walk (no decode)."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        end = _jpeg_frame_end(payload, off)
+        frames.append(bytes(payload[off:end]))
+        off = end
+    return frames
+
+
+def sample_video_frames(assets: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over video payloads — the codec-backed form
+    of :func:`frame_sample`: split each MJPEG stream into frames
+    (segment walk), DECODE every ``every_n``-th frame through the full
+    T.81 pipeline, and emit per-frame image stats. This is the
+    video-ingest shape of a multimodal pipeline: frame extraction and
+    decode are payload-local inside one Arrow-batched ``mapInPandas``
+    pass (no shuffle), and the sampling rate bounds decode cost —
+    skipped frames are SPLIT (cheap marker walk) but never decoded.
+    Derived means follow the decode_image_meta rounding contract."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                for fno, frame in enumerate(mjpeg_frames(bytes(payload))):
+                    if fno % every_n:
+                        continue
+                    p = _rgb_stats(*_jpeg_rgb(frame))
+                    recs.append((int(aid), fno, p["width"], p["height"],
+                                 p["sum_r"], p["sum_g"], p["sum_b"]))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "video")
+    parsed = assets.select("asset_id", "content").mapInPandas(run, out_schema)
+    npx = F.col("width") * F.col("height")
+    return parsed.select(
+        "asset_id", "frame_no", "width", "height", npx.alias("n_pixels"),
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )
+
+
+def synth_mjpeg_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthesized MJPEG corpus: per document a
+    concatenated-JPEG stream of ``3 + doc_id % 4`` flat-gray frames at
+    quality 100 (the exact-roundtrip configuration — see
+    ``synth_jpeg_assets``), dims and gray level varying per frame so
+    the oracle pins frame ORDER, not just membership."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def mjpeg_udf(ids: pd.Series) -> pd.Series:
+        def make(did):
+            did = int(did)
+            frames = []
+            for f in range(3 + did % 4):
+                w = 9 + (did + f) % 7
+                h = 6 + (did + f) % 5
+                v = (did * 37 + f * 53 + 11) % 256
+                frames.append((w, h, bytes([v]) * (w * h * 3)))
+            return encode_mjpeg(frames, quality=100)
+        return ids.map(make)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        mjpeg_udf(F.col(id_col)).alias("content"),
+        F.create_map(F.lit("content-type"),
+                     F.lit("video/x-motion-jpeg")).alias("meta"),
+    )
+
+
 def frame_sample(assets: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the fake payloads: one row per sampled offset
     (video-frame extraction plumbing — explode over a computed offset

@@ -2546,6 +2546,23 @@ def q_image_near_dup_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_video_frame_decode(spark, sf_dir):
+    """REAL video path: synthesize MJPEG streams (concatenated
+    baseline JPEGs, the raw camera-stream form), split frames with a
+    T.81 segment walk — length-prefixed headers and FF00-stuffed scans
+    mean a naive EOI byte search is wrong — and DECODE every 2nd frame
+    through the full JPEG pipeline. Flat-gray q100 frames round-trip
+    exactly, so the oracle replays per-frame dims and means, pinning
+    frame order, the sampling rate and the decode itself."""
+    from eventstorm_spark.extensions.multimodal import (
+        sample_video_frames, synth_mjpeg_assets,
+    )
+    return (sample_video_frames(
+                synth_mjpeg_assets(load(spark, sf_dir, "documents")),
+                every_n=2)
+            .orderBy("asset_id", "frame_no"))
+
+
 def q_audio_features(spark, sf_dir):
     """Signal-level audio features over REAL decoded PCM16 samples: RMS
     energy and zero-crossing rate per clip — the audio analogue of the
@@ -3617,6 +3634,24 @@ _EXT_ORACLES = {
         WHERE bit_count(xor(a.hi, b2.hi))
               + bit_count(xor(a.lo, b2.lo)) <= 3
         ORDER BY id_a, id_b""",
+    # Replays the synth_mjpeg_assets frame recurrence for the SAMPLED
+    # frames (every 2nd): flat-gray q100 JPEG decodes exactly, so per-
+    # frame dims and means are closed-form in (doc_id, frame_no).
+    "video_frame_decode": """
+        WITH p AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f
+               FROM p),
+        s AS (SELECT doc_id, f,
+                     9 + (doc_id + f) % 7 AS w,
+                     6 + (doc_id + f) % 5 AS h,
+                     (doc_id * 37 + f * 53 + 11) % 256 AS v
+              FROM fr WHERE f % 2 = 0)
+        SELECT doc_id AS asset_id, f AS frame_no, w AS width, h AS height,
+               w * h AS n_pixels,
+               round(CAST(v AS DOUBLE), 6) AS mean_r,
+               round(CAST(v AS DOUBLE), 6) AS mean_g,
+               round(CAST(v AS DOUBLE), 6) AS mean_b
+        FROM s ORDER BY asset_id, frame_no""",
     # Replays the synth_wav_assets PCM16 recurrence plus both feature
     # derivations (RMS over sum-of-squares, sign-flip count over lag).
     "audio_features": """
@@ -5015,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "audio_features": q_audio_features,
         "audio_fingerprints": q_audio_fingerprints,
+        "video_frame_decode": q_video_frame_decode,
         "source_overlap": q_source_overlap,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,

@@ -2124,3 +2124,40 @@ def test_audio_fingerprint_short_clip_raises(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="shorter than"):
         multimodal.audio_fingerprint(assets).collect()
+
+
+def test_mjpeg_split_and_sampled_decode(spark):
+    """MJPEG streams split on a real T.81 segment walk (a rich-content
+    frame's entropy bytes and headers must not fool the boundary scan)
+    and sample_video_frames decodes exactly the every_n-th frames —
+    flat q100 frames bit-exactly, rich frames within JPEG tolerance."""
+    rich = bytes((i * 31 + 7) % 256 for i in range(12 * 10 * 3))
+    frames = [
+        (12, 10, rich),                      # frame 0: rich content
+        (9, 6, bytes([50]) * (9 * 6 * 3)),   # frame 1: flat
+        (11, 8, bytes([200]) * (11 * 8 * 3)),  # frame 2: flat
+    ]
+    stream = multimodal.encode_mjpeg(frames, quality=100)
+    split = multimodal.mjpeg_frames(stream)
+    assert len(split) == 3 and b"".join(split) == stream
+    for (w, h, _), fr in zip(frames, split):
+        dw, dh, _ = multimodal._jpeg_rgb(fr)
+        assert (dw, dh) == (w, h)
+
+    assets = spark.createDataFrame(
+        [(1, "video", stream, None)], multimodal.ASSET_SCHEMA)
+    rows = {r["frame_no"]: r for r in
+            multimodal.sample_video_frames(assets, every_n=2).collect()}
+    assert set(rows) == {0, 2}  # frame 1 split but never decoded
+    assert (rows[0]["width"], rows[0]["height"]) == (12, 10)
+    assert rows[2]["mean_r"] == 200.0  # flat q100 is exact
+    all_rows = multimodal.sample_video_frames(assets, every_n=1).collect()
+    assert [r["frame_no"] for r in
+            sorted(all_rows, key=lambda r: r["frame_no"])] == [0, 1, 2]
+    # rich frame decodes within lossy tolerance of the true means
+    true_mean_r = sum(rich[0::3]) / (12 * 10)
+    assert abs(rows[0]["mean_r"] - true_mean_r) < 3.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="JPEG"):
+        multimodal.mjpeg_frames(b"\xff\xd8garbage")
