@@ -4986,12 +4986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only four r9-new
+        #    query's driver evidence is r6+ and only five r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
-        #    source overlap — all locally parity-green, all verified
-        #    by hand at sf0.01) plus the r6 five await their first /
-        #    next check; they lead the r10 window, then rotation
-        #    continues oldest-first from the tail.
+        #    video frame decode, source overlap — all locally
+        #    parity-green, all verified by hand at sf0.01) plus the r6
+        #    five await their first / next check; they lead the r10
+        #    window, then rotation continues oldest-first from the
+        #    tail.
         "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
