@@ -734,6 +734,82 @@ def sample_video_frames(assets: DataFrame, *, every_n: int = 2) -> DataFrame:
     )
 
 
+def video_frame_dhash(assets: DataFrame, *, every_n: int = 1,
+                      hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Per-frame perceptual fingerprints for video payloads: split the
+    MJPEG stream (segment walk), decode every ``every_n``-th frame and
+    dHash its raster — (asset_id, frame_no, dhash_hi, dhash_lo) rows
+    in the same split-64-bit layout as :func:`image_dhash`, so all the
+    Hamming machinery applies frame-wise. Payload-local mapInPandas;
+    the decode cost is bounded by the sampling rate. Clip-level
+    near-dup sits on top: :func:`video_near_duplicates` counts shared
+    frame hashes between clips (robust to re-encodes and trims the way
+    frame-set matching is; a shifted clip still shares most sampled
+    frames when ``every_n`` divides the shift or is 1)."""
+    nb = hash_w * hash_h
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if hash_w < 1 or hash_h < 1 or nb % 2 or nb > 124:
+        raise ValueError("hash_w*hash_h must be even and <= 124; got "
+                         f"{hash_w}x{hash_h}")
+    half = nb // 2
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                for fno, frame in enumerate(mjpeg_frames(bytes(payload))):
+                    if fno % every_n:
+                        continue
+                    w, h, rgb = _jpeg_rgb(frame)
+                    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    gray = (arr[:, :, 0].astype(np.uint32)
+                            + arr[:, :, 1] + arr[:, :, 2]) // 3
+                    iy = (np.arange(hash_h) * h) // hash_h
+                    ix = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                    small = gray[iy][:, ix]
+                    bits = (small[:, :-1] > small[:, 1:]).ravel()
+                    hi = sum(1 << i for i in range(half) if bits[i])
+                    lo = sum(1 << (i - half) for i in range(half, nb)
+                             if bits[i])
+                    recs.append((int(aid), fno, hi, lo))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "video")
+    return assets.select("asset_id", "content").mapInPandas(run, out_schema)
+
+
+def video_near_duplicates(frame_hashes: DataFrame, *,
+                          min_shared: int = 2) -> DataFrame:
+    """Clip pairs sharing >= ``min_shared`` DISTINCT frame fingerprints
+    — the clip-level rung over :func:`video_frame_dhash`, the same
+    blocked-join discipline as the text winnow tier: the join key is
+    the frame hash, so clips with no common frame never meet (never
+    all-pairs), and duplicate frames within one clip count once.
+    Returns (id_a, id_b, n_shared) with id_a < id_b. A hot hash (a
+    black frame every clip contains) expands like any hot join key —
+    drop such frames upstream (they hash to a constant, trivially
+    filterable) or raise ``min_shared``."""
+    h = (frame_hashes.select(F.col("asset_id").alias("id"),
+                             "dhash_hi", "dhash_lo")
+         .distinct())
+    a = h.select(F.col("id").alias("id_a"), "dhash_hi", "dhash_lo")
+    b = h.select(F.col("id").alias("id_b"), "dhash_hi", "dhash_lo")
+    return (a.join(b, ["dhash_hi", "dhash_lo"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= int(min_shared)))
+
+
 def synth_mjpeg_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthesized MJPEG corpus: per document a
     concatenated-JPEG stream of ``3 + doc_id % 4`` flat-gray frames at

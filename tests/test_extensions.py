@@ -2161,3 +2161,34 @@ def test_mjpeg_split_and_sampled_decode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="JPEG"):
         multimodal.mjpeg_frames(b"\xff\xd8garbage")
+
+
+def test_video_near_duplicates_by_shared_frames(spark):
+    """Two clips sharing re-encoded frames pair at the clip level; a
+    disjoint clip does not — and the within-clip duplicate frame only
+    counts once toward n_shared."""
+    def grad(seed, w=16, h=12):
+        return bytes(((i // 3) * seed + i % 3) % 256
+                     for i in range(w * h * 3))
+
+    f1, f2, f3, f4 = grad(7), grad(31), grad(64), grad(131)
+    clip_a = multimodal.encode_mjpeg(
+        [(16, 12, f1), (16, 12, f2), (16, 12, f3)], quality=100)
+    # clip B: shares f1/f2 (one repeated), own tail frame
+    clip_b = multimodal.encode_mjpeg(
+        [(16, 12, f1), (16, 12, f1), (16, 12, f2), (16, 12, f4)],
+        quality=100)
+    # clip C: disjoint content
+    clip_c = multimodal.encode_mjpeg(
+        [(16, 12, grad(201)), (16, 12, grad(227))], quality=100)
+    assets = spark.createDataFrame(
+        [(1, "video", clip_a, None), (2, "video", clip_b, None),
+         (3, "video", clip_c, None)], multimodal.ASSET_SCHEMA)
+    hashes = multimodal.video_frame_dhash(assets).localCheckpoint()
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+           multimodal.video_near_duplicates(hashes, min_shared=2).collect()}
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] == 2  # f1 counted once despite B repeating it
+    # every_n sampling bounds decode: only frames 0,2,... hashed
+    sampled = multimodal.video_frame_dhash(assets, every_n=2).collect()
+    assert {r["frame_no"] for r in sampled if r["asset_id"] == 2} == {0, 2}
