@@ -827,7 +827,8 @@ def write_packed_shards(docs: DataFrame, path: str, *, seq_len: int = 512,
 
 
 def write_dhash_index(assets: DataFrame, path: str, *,
-                      hash_w: int = 8, hash_h: int = 8) -> None:
+                      hash_w: int = 8, hash_h: int = 8,
+                      fingerprints: DataFrame | None = None) -> None:
     """Persist an image corpus's perceptual fingerprints as an at-rest
     NEAR-DUP IMAGE index — the multimodal twin of
     :func:`write_minhash_index`: ``path/hashes`` (asset_id + the two
@@ -843,9 +844,17 @@ def write_dhash_index(assets: DataFrame, path: str, *,
     drift."""
     from eventstorm_spark.extensions.multimodal import dhash_bands, image_dhash
 
+    # band_layout versions the bucket scheme: dhash_bands derives band
+    # widths from n_bits, so an index must refuse probes from a writer
+    # with a different layout instead of silently missing every pair
     _write_index_meta(assets.sparkSession, path,
-                      {"kind": "dhash", "hash_w": hash_w, "hash_h": hash_h})
-    hashes = image_dhash(assets, hash_w=hash_w, hash_h=hash_h)
+                      {"kind": "dhash", "hash_w": hash_w, "hash_h": hash_h,
+                       "band_layout": "quarters-v1"})
+    # `fingerprints` (asset_id, dhash_hi, dhash_lo) admits non-image
+    # modalities into the same index — e.g. audio_fingerprint output,
+    # whose payloads image_dhash's modality filter would drop silently
+    hashes = (fingerprints if fingerprints is not None
+              else image_dhash(assets, hash_w=hash_w, hash_h=hash_h))
     hashes = hashes.localCheckpoint(eager=False)  # feeds both writes
     (hashes.select("asset_id", "dhash_hi", "dhash_lo")
      .write.mode("overwrite").parquet(os.path.join(path, "hashes")))
@@ -857,7 +866,9 @@ def write_dhash_index(assets: DataFrame, path: str, *,
 
 def image_dedup_against_index(new_assets: DataFrame, spark,
                               index_path: str, *, max_distance: int = 3,
-                              hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+                              hash_w: int = 8, hash_h: int = 8,
+                              fingerprints: DataFrame | None = None
+                              ) -> DataFrame:
     """Near-duplicate image pairs (new_id, corpus_id, hamming) between
     a new asset batch and a :func:`write_dhash_index` corpus index.
 
@@ -877,8 +888,11 @@ def image_dedup_against_index(new_assets: DataFrame, spark,
 
     _check_index_meta(spark, index_path,
                       {"kind": "dhash", "hash_w": hash_w,
-                       "hash_h": hash_h}, "dhash")
-    hashes_new = image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h)
+                       "hash_h": hash_h,
+                       "band_layout": "quarters-v1"}, "dhash")
+    hashes_new = (fingerprints if fingerprints is not None
+                  else image_dhash(new_assets, hash_w=hash_w,
+                                   hash_h=hash_h))
     hashes_new = hashes_new.localCheckpoint(eager=False)  # bands + verify
     banded_new = (dhash_bands(hashes_new, n_bits=hash_w * hash_h)
                   .select(F.col("id").alias("new_id"), "band", "val"))
@@ -903,7 +917,8 @@ def image_dedup_against_index(new_assets: DataFrame, spark,
 
 
 def append_dhash_index(new_assets: DataFrame, path: str, *,
-                       hash_w: int = 8, hash_h: int = 8) -> None:
+                       hash_w: int = 8, hash_h: int = 8,
+                       fingerprints: DataFrame | None = None) -> None:
     """Incremental maintenance of a :func:`write_dhash_index`: append
     the new assets' hashes and banded buckets — called with the
     survivors of :func:`image_dedup_against_index` after an ingest so
@@ -915,8 +930,10 @@ def append_dhash_index(new_assets: DataFrame, path: str, *,
 
     _check_index_meta(new_assets.sparkSession, path,
                       {"kind": "dhash", "hash_w": hash_w,
-                       "hash_h": hash_h}, "dhash")
-    hashes = image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h)
+                       "hash_h": hash_h,
+                       "band_layout": "quarters-v1"}, "dhash")
+    hashes = (fingerprints if fingerprints is not None
+              else image_dhash(new_assets, hash_w=hash_w, hash_h=hash_h))
     hashes = hashes.localCheckpoint(eager=False)
     (hashes.select("asset_id", "dhash_hi", "dhash_lo")
      .write.mode("append").parquet(os.path.join(path, "hashes")))

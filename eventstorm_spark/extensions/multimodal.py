@@ -660,11 +660,22 @@ def _jpeg_frame_end(payload: bytes, off: int) -> int:
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment in MJPEG stream")
+        # T.81 B.1.1.2: any number of FF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             return pos
-        ln = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers (TEM, RSTn, SOI): no segment
+        try:
+            ln = struct.unpack_from(">H", payload, pos)[0]
+        except struct.error:
+            raise ValueError(
+                "truncated JPEG segment header in MJPEG stream") from None
         pos += ln
         if marker == 0xDA:  # SOS: skip entropy bytes to the next marker
             while pos + 1 < len(payload):
@@ -752,7 +763,6 @@ def video_frame_dhash(assets: DataFrame, *, every_n: int = 1,
     if hash_w < 1 or hash_h < 1 or nb % 2 or nb > 124:
         raise ValueError("hash_w*hash_h must be even and <= 124; got "
                          f"{hash_w}x{hash_h}")
-    half = nb // 2
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("frame_no", T.LongType(), False),
@@ -768,16 +778,7 @@ def video_frame_dhash(assets: DataFrame, *, every_n: int = 1,
                     if fno % every_n:
                         continue
                     w, h, rgb = _jpeg_rgb(frame)
-                    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
-                    gray = (arr[:, :, 0].astype(np.uint32)
-                            + arr[:, :, 1] + arr[:, :, 2]) // 3
-                    iy = (np.arange(hash_h) * h) // hash_h
-                    ix = (np.arange(hash_w + 1) * w) // (hash_w + 1)
-                    small = gray[iy][:, ix]
-                    bits = (small[:, :-1] > small[:, 1:]).ravel()
-                    hi = sum(1 << i for i in range(half) if bits[i])
-                    lo = sum(1 << (i - half) for i in range(half, nb)
-                             if bits[i])
+                    hi, lo = _dhash_pack(rgb, w, h, hash_w, hash_h)
                     recs.append((int(aid), fno, hi, lo))
             yield pd.DataFrame(recs,
                                columns=[f.name for f in out_schema.fields])
@@ -1665,6 +1666,28 @@ def synth_mulaw_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _dhash_pack(rgb: bytes, w: int, h: int,
+                hash_w: int, hash_h: int) -> tuple[int, int]:
+    """The dHash kernel every modality shares — grayscale
+    ``(r+g+b)//3``, the ``(dst*src)//dst_dim`` nearest gather to a
+    ``(hash_w+1) x hash_h`` grid, adjacent-compare bits, two-half
+    packing. ONE implementation: image payloads (:func:`image_dhash`)
+    and decoded video frames (:func:`video_frame_dhash`) must stay
+    bit-comparable, so neither may fork this."""
+    nb = hash_w * hash_h
+    half = nb // 2
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    gray = (arr[:, :, 0].astype(np.uint32)
+            + arr[:, :, 1] + arr[:, :, 2]) // 3
+    iy = (np.arange(hash_h) * h) // hash_h
+    ix = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+    small = gray[iy][:, ix]
+    bits = (small[:, :-1] > small[:, 1:]).ravel()
+    hi = sum(1 << i for i in range(half) if bits[i])
+    lo = sum(1 << (i - half) for i in range(half, nb) if bits[i])
+    return hi, lo
+
+
 def image_dhash(assets: DataFrame, *, hash_w: int = 8,
                 hash_h: int = 8) -> DataFrame:
     """Difference-hash (dHash) perceptual fingerprint per image — the
@@ -1691,7 +1714,6 @@ def image_dhash(assets: DataFrame, *, hash_w: int = 8,
     if hash_w < 1 or hash_h < 1 or nb % 2 or nb > 124:
         raise ValueError("hash_w*hash_h must be even and <= 124 (two "
                          f"sub-63-bit halves); got {hash_w}x{hash_h}")
-    half = nb // 2
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("width", T.LongType(), False),
@@ -1705,16 +1727,7 @@ def image_dhash(assets: DataFrame, *, hash_w: int = 8,
             recs = []
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
                 w, h, rgb = _sniff_rgb(bytes(payload))
-                arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
-                gray = (arr[:, :, 0].astype(np.uint32)
-                        + arr[:, :, 1] + arr[:, :, 2]) // 3
-                iy = (np.arange(hash_h) * h) // hash_h
-                ix = (np.arange(hash_w + 1) * w) // (hash_w + 1)
-                small = gray[iy][:, ix]
-                bits = (small[:, :-1] > small[:, 1:]).ravel()
-                hi = sum(1 << i for i in range(half) if bits[i])
-                lo = sum(1 << (i - half) for i in range(half, nb)
-                         if bits[i])
+                hi, lo = _dhash_pack(rgb, w, h, hash_w, hash_h)
                 recs.append((int(aid), w, h, hi, lo))
             yield pd.DataFrame(recs,
                                columns=[f.name for f in out_schema.fields])

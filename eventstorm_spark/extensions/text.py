@@ -378,15 +378,8 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
             "(below that the winnow candidate stage can miss pairs and "
             "the result would be approximate)")
     if candidate_pairs is not None:
-        # distinct is CORRECTNESS here, not hygiene: the pair-first
-        # strategy joins the pair table directly into the positional
-        # match rows, and a duplicated pair row duplicates every match
-        # row, inflating row_number() in the gaps-and-islands grouping
-        # and fragmenting diagonal runs below min_len_tokens — spans
-        # silently vanish. (Value-first is immune: left_semi.) A caller
-        # concatenating overlapping index-probe outputs is exactly the
-        # documented superset case, so dedup here, not at call sites.
-        pairs = candidate_pairs.select("id_a", "id_b").distinct()
+        pairs = candidate_pairs.select("id_a", "id_b")
+        caller_pairs = True
     else:
         pairs = (winnow_matches(docs, n=n, window=window, min_shared=1,
                                 text_col=text_col, id_col=id_col,
@@ -400,6 +393,7 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
         # caller-provided candidate_pairs is expected to be materialized
         # already — at-rest or checkpointed upstream)
         pairs = pairs.localCheckpoint(eager=False)
+        caller_pairs = False
     if match_strategy not in ("auto", "value", "pair"):
         raise ValueError(f"unknown match_strategy {match_strategy!r} "
                          "(expected 'auto', 'value' or 'pair')")
@@ -416,7 +410,16 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
     if strategy == "auto":
         strategy = choose_span_strategy(sh, pairs, cand.count())
     if strategy == "pair":
-        m = pairs.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
+        # dedup is CORRECTNESS for caller-provided pairs on THIS path
+        # only: pair-first joins the pair table into the match rows, so
+        # a duplicated pair row duplicates every match row, inflates
+        # row_number() in the gaps-and-islands grouping and fragments
+        # diagonal runs below min_len_tokens (a caller concatenating
+        # overlapping index-probe outputs is the documented superset
+        # case). Value-first is immune (left_semi), and internal winnow
+        # pairs are distinct by construction — neither pays the shuffle.
+        join_pairs = pairs.distinct() if caller_pairs else pairs
+        m = join_pairs.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"])
     else:
         m = (a_sh.join(b_sh, "sh")
              .where(F.col("id_a") < F.col("id_b"))

@@ -705,19 +705,30 @@ class EventLog:
         # published: advertise the watermark FIRST, then GC markers at
         # or below it (ours included — the watermark now carries the
         # commit evidence).
+        prev_wm = self._read_watermark()
         wm = self._advance_watermark(base_pos + n)
-        if wm == base_pos + n:
-            # our commit is the newest the shared watermark knows, so
-            # the head/tail caches the caller is about to write reflect
-            # it — move the fences forward instead of letting the next
-            # _refresh_* discard this instance's own warm caches (the
-            # single-writer fast path would otherwise pay a full-log
-            # max(position)+max(revision) rescan on EVERY append). A
-            # foreign commit racing past us leaves wm > ours and the
-            # fences stale, so the refresh still invalidates. The meta
-            # fence only advances when this batch wrote no $$-metadata
-            # stream — a raw append to one must keep the retention
-            # caches invalidatable (set_stream_metadata writes through).
+        if (wm == base_pos + n and prev_wm == self._log_cache_watermark
+                and base_pos == prev_wm):
+            # Single-writer fast path: move the staleness fences with
+            # our own commit so the head/tail caches the caller is
+            # about to write survive the next _refresh_* (otherwise
+            # every append pays a full-log max(position)+max(revision)
+            # rescan of the caches it just set). The fence may ONLY
+            # advance when our caches provably cover everything below
+            # the new watermark, i.e. the only commit since they were
+            # populated is ours: (a) the pre-advance watermark still
+            # equals our fence (no foreign commit ADVERTISED since our
+            # refresh), AND (b) our base position equals it (no foreign
+            # commit PUBLISHED-but-unadvertised below us — a stalled
+            # writer's rows are visible to the tail read before its
+            # watermark moves, and advancing our fence past such rows
+            # would freeze a stale head cache forever: duplicate
+            # revisions / wrongly-passing CAS). Either condition
+            # failing leaves the fence behind and the next refresh
+            # invalidates, which is always safe. The meta fence
+            # additionally requires this batch wrote no $$-metadata
+            # stream (set_stream_metadata writes through; a raw
+            # $$-append must stay invalidatable).
             self._log_cache_watermark = wm
             if not any(r[0].startswith("$$") for r in rows):
                 self._meta_cache_watermark = wm

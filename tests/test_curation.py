@@ -1065,3 +1065,46 @@ def test_dhash_index_lifecycle_build_probe_append(spark, tmp_path):
             for r in image_dedup_against_index(
                 assets([(20, grad(131))]), spark, path).collect()}
     assert got2.get((20, 12)) == 0  # appended asset is now at rest
+
+
+def test_dhash_index_serves_audio_fingerprints(spark, tmp_path):
+    """The at-rest index is modality-generic via the `fingerprints`
+    parameter: an audio corpus indexes through audio_fingerprint rows
+    (image_dhash's modality filter would silently produce an empty
+    index otherwise) and a re-encoded copy of an indexed clip is found
+    at distance 0."""
+    from eventstorm_spark.extensions.curation import (
+        image_dedup_against_index,
+        write_dhash_index,
+    )
+    from eventstorm_spark.extensions.multimodal import (
+        ASSET_SCHEMA,
+        audio_fingerprint,
+        encode_wav_mulaw,
+        encode_wav_pcm16,
+        mulaw_to_linear,
+    )
+
+    ulaw = bytes((i * 91 + 3) % 256 for i in range(120))
+    lin = [mulaw_to_linear(b) for b in ulaw]
+    other = [((i * 7919) % 65536) - 32768 for i in range(150)]
+    corpus = spark.createDataFrame(
+        [(1, "audio", encode_wav_mulaw(ulaw, 8000), None),
+         (2, "audio", encode_wav_pcm16(other, 8000), None)],
+        ASSET_SCHEMA)
+    path = str(tmp_path / "audio_idx")
+    write_dhash_index(corpus, path,
+                      fingerprints=audio_fingerprint(corpus))
+    # empty-index regression: the default image path would have
+    # dropped every audio row silently
+    n = spark.read.parquet(path + "/hashes").count()
+    assert n == 2
+
+    probe = spark.createDataFrame(
+        [(10, "audio", encode_wav_pcm16(lin, 8000), None)],  # re-encoded
+        ASSET_SCHEMA)
+    got = {(r["new_id"], r["corpus_id"]): r["hamming"]
+           for r in image_dedup_against_index(
+               probe, spark, path,
+               fingerprints=audio_fingerprint(probe)).collect()}
+    assert got == {(10, 1): 0}

@@ -156,3 +156,34 @@ def test_own_commits_do_not_evict_warm_caches(spark, tmp_path):
     # raw $$-append keeps the meta fence behind so retention re-reads
     log.append("$$s-1", new_events(1, prefix="m"))
     assert log._meta_cache_watermark != log._read_watermark()
+
+
+def test_stalled_foreign_commit_keeps_fences_conservative(spark, tmp_path):
+    """A foreign writer can be published-but-unadvertised (fenced data
+    write done, crash/stall before the watermark advance). An own
+    commit built on top of such rows must NOT advance the staleness
+    fences — the foreign writer's advance is then a no-op, so a fence
+    frozen past its rows would keep a stale head cache alive forever
+    (duplicate revisions / wrongly-passing CAS)."""
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    p = str(tmp_path / "log")
+    a = EventLog(spark, p)
+    a.append("s", new_events(3, prefix="a"))   # revs 0..2
+    a.append("t", new_events(1, prefix="t"))
+    assert a._log_cache_watermark == a._read_watermark()
+
+    b = EventLog(spark, p)
+    b._advance_watermark = lambda pos: b._read_watermark()  # stall model
+    b.append("s", new_events(1, prefix="b"))   # rev 3, unadvertised
+
+    # a: warm revision cache, tail cache evicted (read-through repop)
+    a._tail_position = None
+    assert a._revisions.get("s") == 2
+    a.append("t", new_events(1, prefix="t2"))
+    # base position sat above the pre-advance watermark, so the fence
+    # must have stayed behind (next refresh will invalidate)
+    assert a._log_cache_watermark != a._read_watermark()
+    res = a.append("s", new_events(1, prefix="a2"))
+    assert res.last_revision == 4  # continues after b's rev 3
