@@ -2592,6 +2592,25 @@ def q_audio_fingerprints(spark, sf_dir):
         synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_audio_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate audio clips by energy-envelope Hamming distance:
+    ``audio_fingerprint`` feeding the SAME banded join as the image
+    tier (``hamming_pairs`` — 4x16-bit band blocking, pigeonhole-exact
+    at distance <= 3, ``bit_count(xor)`` verify). The synth WAV
+    recurrence makes nearby doc ids share most envelope sign bits, so
+    the driver corpus carries a real positive class (101 pairs at
+    sf0.01, only 6 exact). The oracle is BRUTE-FORCE all-pairs Hamming
+    over the SQL-replayed fingerprints — pinning banded == exhaustive
+    on the driver's corpus for audio exactly as image_near_dup_pairs
+    pins it for images."""
+    from eventstorm_spark.extensions.multimodal import (
+        audio_fingerprint, hamming_pairs, synth_wav_assets,
+    )
+    fps = audio_fingerprint(
+        synth_wav_assets(load(spark, sf_dir, "documents")))
+    return hamming_pairs(fps, max_distance=3).orderBy("id_a", "id_b")
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram overlap matrix: per source pair, the Jaccard
     of their distinct trigram-shingle sets — the repackaged-dataset /
@@ -3701,6 +3720,37 @@ _EXT_ORACLES = {
         FROM b
         GROUP BY doc_id, n
         ORDER BY asset_id""",
+    # Brute-force all-pairs Hamming over the SQL-replayed audio
+    # fingerprints (same CTE as audio_fingerprints) — the banded Spark
+    # join must equal this exhaustive set (pigeonhole at distance <= 3).
+    "audio_near_dup_pairs": """
+        WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+        s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+              FROM p),
+        v AS (SELECT doc_id, n, (i * 65) // n AS w,
+                     abs(((doc_id * 131 + i * 997) % 65536) - 32768) AS a
+              FROM s),
+        e AS (SELECT doc_id, n, w, sum(a) AS energy
+              FROM v GROUP BY doc_id, n, w),
+        b AS (SELECT x.doc_id, x.w,
+                     CASE WHEN x.energy > y.energy THEN 1 ELSE 0 END AS bit
+              FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.w = x.w + 1
+              WHERE x.w < 64),
+        hsh AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN w < 32
+                      THEN bit * (CAST(1 AS BIGINT) << w)
+                      ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN w >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (w - 32))
+                      ELSE 0 END) AS BIGINT) AS lo
+                FROM b GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b2.hi))
+                    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
+        FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.hi, b2.hi))
+              + bit_count(xor(a.lo, b2.lo)) <= 3
+        ORDER BY id_a, id_b""",
     "source_overlap": r"""
         WITH toks AS (SELECT source,
                              string_split_regex(trim(text), '\s+') AS t
@@ -4986,13 +5036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only five r9-new
+        #    query's driver evidence is r6+ and only six r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
-        #    video frame decode, source overlap — all locally
-        #    parity-green, all verified by hand at sf0.01) plus the r6
-        #    five await their first / next check; they lead the r10
-        #    window, then rotation continues oldest-first from the
-        #    tail.
+        #    audio near-dup pairs, video frame decode, source overlap
+        #    — all locally parity-green, all verified by hand at
+        #    sf0.01) plus the r6 five await their first / next check;
+        #    they lead the r10 window, then rotation continues
+        #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
@@ -5051,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "audio_features": q_audio_features,
         "audio_fingerprints": q_audio_fingerprints,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
         "video_frame_decode": q_video_frame_decode,
         "source_overlap": q_source_overlap,
         "html_extract": q_html_extract,
