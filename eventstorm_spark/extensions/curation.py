@@ -990,3 +990,124 @@ def append_minhash_index(new_docs: DataFrame, path: str, *,
      .repartition("band", "bucket")
      .write.mode("append").partitionBy("band")
      .parquet(os.path.join(path, "buckets")))
+
+
+# ---------------------------------------------------------------------------
+# index compaction
+# ---------------------------------------------------------------------------
+
+def _count_data_files(path: str) -> int:
+    """Parquet data files under ``path`` (local FS walk; `_`/`.`-prefixed
+    bookkeeping files excluded, matching what Spark's reader sees)."""
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if any(p.startswith(("_", ".")) for p in rel.split(os.sep) if p != "."):
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _swap_in_compacted(table_path: str, tmp_path: str,
+                       keep_entries: tuple[str, ...] = ()) -> None:
+    """Replace ``table_path`` with the freshly-written ``tmp_path`` via
+    two directory renames (local/HDFS-style filesystems — object stores
+    need a copy-based committer instead). Crash recovery is mechanical
+    and documented rather than automatic: if ``table_path`` is missing
+    and ``table_path + '.__compact_old'`` exists, rename the old one
+    back; nothing is deleted until the new directory is in place.
+    ``keep_entries`` names entries living INSIDE the old table dir that
+    must survive the swap (the digest index keeps its ``_meta`` there)."""
+    import shutil
+
+    old = table_path + ".__compact_old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"{old} exists — a previous compaction died mid-swap; "
+            "recover by renaming it back (if the table dir is missing) "
+            "or deleting it (if the table dir is complete)")
+    os.rename(table_path, old)
+    os.rename(tmp_path, table_path)
+    for entry in keep_entries:
+        src = os.path.join(old, entry)
+        if os.path.exists(src):
+            shutil.move(src, os.path.join(table_path, entry))
+    shutil.rmtree(old)
+
+
+def compact_table(spark, table_path: str, *,
+                  partition_by: tuple[str, ...] = (),
+                  cluster_by: tuple[str, ...] = (),
+                  n_files: int = 1, distinct: bool = True,
+                  keep_entries: tuple[str, ...] = ()) -> dict:
+    """Rewrite a parquet table that accumulated ``mode('append')``
+    deltas into a compact layout — the maintenance step every
+    append-only index eventually needs: each recurring ingest adds a
+    file (or one per task) to every partition directory, and after
+    thousands of ingests a probe scan is file-open-bound rather than
+    byte-bound. Compaction rewrites the SAME rows (exact-duplicate rows
+    collapsed when ``distinct`` — every probe here is membership/
+    distinct-based, so results are unchanged; verified pre/post in
+    tests) with the same partition scheme, one file per partition
+    directory (``cluster_by`` = the repartition the original writer
+    used) or ``n_files`` files for unpartitioned tables (choose
+    ~bytes/128MB at scale). Runs as one Spark job writing a sibling
+    temp dir, then swaps directories; single-maintainer, same contract
+    as the append functions. Returns {files_before, files_after,
+    rows}."""
+    files_before = _count_data_files(table_path)
+    df = spark.read.parquet(table_path)
+    if distinct:
+        df = df.dropDuplicates()
+    if cluster_by:
+        df = df.repartition(*[F.col(c) for c in cluster_by])
+    else:
+        df = df.coalesce(max(1, int(n_files)))
+    tmp = table_path + ".__compact_tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    _swap_in_compacted(table_path, tmp, keep_entries)
+    return {"files_before": files_before,
+            "files_after": _count_data_files(table_path), "rows": rows}
+
+
+def compact_index(spark, path: str) -> dict:
+    """Kind-aware compaction for the at-rest curation indexes
+    (``write_digest_index`` / ``write_minhash_index`` /
+    ``write_dhash_index`` / ``write_winnow_index``): reads the index's
+    ``_meta`` to learn its kind and rewrites each sub-table with the
+    exact partitioning its writer used, collapsing the per-append file
+    accumulation. Membership semantics are untouched (all sub-tables
+    are distinct-row sets; re-appended digests/fingerprints collapse to
+    one row, which the probes — anti-joins, banded joins, distinct
+    overlap counts — cannot observe), and ``_meta`` survives, so
+    append/probe validation keeps working after compaction. The IVF
+    family (``similarity.write_ivf_index`` etc.) is the same rewrite of
+    its ``cell=...`` partitions via :func:`compact_table` with
+    ``partition_by=("cell",)``. Returns {sub_table: report}."""
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no _meta at {path} — compact_index needs the index kind; "
+            "use compact_table directly for bare parquet tables")
+    kind = meta.get("kind")
+    plans = {
+        "digest": [("", ("bucket",), ("bucket",), ("_meta",))],
+        "minhash": [("signatures", (), (), ()),
+                    ("buckets", ("band",), ("band", "bucket"), ())],
+        "dhash": [("hashes", (), (), ()),
+                  ("buckets", ("band",), ("band", "val"), ())],
+        "winnow": [("fingerprints", ("bucket",), ("bucket",), ())],
+    }
+    if kind not in plans:
+        raise ValueError(f"unknown index kind {kind!r} at {path}")
+    report = {}
+    for sub, part, clus, keep in plans[kind]:
+        sub_path = os.path.join(path, sub) if sub else path
+        report[sub or "."] = compact_table(
+            spark, sub_path, partition_by=part, cluster_by=clus,
+            keep_entries=keep)
+    return report

@@ -1108,3 +1108,128 @@ def test_dhash_index_serves_audio_fingerprints(spark, tmp_path):
                probe, spark, path,
                fingerprints=audio_fingerprint(probe)).collect()}
     assert got == {(10, 1): 0}
+
+
+def test_compact_index_preserves_probes_and_reduces_files(spark, tmp_path):
+    """Compaction lifecycle over every index kind: repeated appends
+    accumulate files; compact_index rewrites each sub-table with the
+    writer's own partitioning, the probe results are IDENTICAL pre/post
+    (membership semantics — collapsed duplicate rows are unobservable),
+    file counts drop, and _meta survives so later appends/probes still
+    validate."""
+    from eventstorm_spark.extensions.curation import (
+        _count_data_files,
+        append_digest_index,
+        append_winnow_index,
+        compact_index,
+        dedup_against_digest_index,
+        near_dup_against_index,
+        append_minhash_index,
+        overlap_against_index,
+        write_digest_index,
+        write_minhash_index,
+        write_winnow_index,
+    )
+
+    # -- digest: two appends, one re-appending an already-stored digest
+    dpath = str(tmp_path / "digests")
+    write_digest_index(_docs(spark, [(0, "at rest text", "a")]), dpath,
+                       n_buckets=4)
+    append_digest_index(_docs(spark, [(1, "novel one", "b"),
+                                      (2, "at rest text", "b")]), dpath,
+                        n_buckets=4)
+    append_digest_index(_docs(spark, [(3, "novel two", "c"),
+                                      (4, "novel one", "c")]), dpath,
+                        n_buckets=4)
+    probe = _docs(spark, [(10, "novel one", "d"), (11, "fresh", "d"),
+                          (12, "novel two", "d")])
+    before = sorted(r.doc_id
+                    for r in dedup_against_digest_index(probe, spark,
+                                                        dpath).collect())
+    files0 = _count_data_files(dpath)
+    rep = compact_index(spark, dpath)
+    after = sorted(r.doc_id
+                   for r in dedup_against_digest_index(probe, spark,
+                                                       dpath).collect())
+    assert before == after == [11]
+    assert rep["."]["files_after"] < files0
+    # _meta survived: a mismatched append still trips the guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        append_digest_index(probe, dpath, n_buckets=8)
+    append_digest_index(_docs(spark, [(11, "fresh", "d")]), dpath,
+                        n_buckets=4)  # matching append works post-compact
+
+    # -- minhash: append then compact; near-dup probe unchanged
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mpath = str(tmp_path / "mh")
+    write_minhash_index(_docs(spark, [(0, "unrelated filler words", "a")]),
+                        mpath, num_hashes=64, bands=16)
+    append_minhash_index(_docs(spark, [(5, base, "a")]), mpath,
+                         num_hashes=64, bands=16)
+    mprobe = _docs(spark, [(100, base + " tail", "b")])
+    pre = {(r.new_id, r.corpus_id)
+           for r in near_dup_against_index(mprobe, spark, mpath,
+                                           threshold=0.8).collect()}
+    compact_index(spark, mpath)
+    post = {(r.new_id, r.corpus_id)
+            for r in near_dup_against_index(mprobe, spark, mpath,
+                                            threshold=0.8).collect()}
+    assert pre == post == {(100, 5)}
+
+    # -- winnow: append then compact; overlap probe unchanged
+    wpath = str(tmp_path / "wn")
+    run = "one two three four five six seven eight nine ten"
+    write_winnow_index(_docs(spark, [(0, "base corpus " + run, "a")]), wpath)
+    append_winnow_index(_docs(spark, [(1, "appended doc " + run, "b")]),
+                        wpath)
+    wprobe = _docs(spark, [(50, "probe with " + run + " copied", "c")])
+    wpre = {(r.new_id, r.corpus_id): r.n_shared
+            for r in overlap_against_index(wprobe, spark, wpath).collect()}
+    compact_index(spark, wpath)
+    wpost = {(r.new_id, r.corpus_id): r.n_shared
+             for r in overlap_against_index(wprobe, spark, wpath).collect()}
+    assert wpre == wpost and (50, 0) in wpost and (50, 1) in wpost
+
+
+def test_compact_index_dhash_and_midswap_guard(spark, tmp_path):
+    """dHash-kind compaction keeps the image probe identical, and a
+    leftover .__compact_old dir (mid-swap crash evidence) is a hard
+    error with recovery instructions, never silent data loss."""
+    import os as _os
+
+    import pytest as _pytest
+    from eventstorm_spark.extensions.curation import (
+        append_dhash_index,
+        compact_index,
+        image_dedup_against_index,
+        write_dhash_index,
+    )
+    from eventstorm_spark.extensions.multimodal import ASSET_SCHEMA, encode_ppm
+
+    w, h = 16, 12
+
+    def grad(seed):
+        return bytes(((i // 3) * seed + i % 3) % 256
+                     for i in range(w * h * 3))
+
+    def assets(rows):
+        return spark.createDataFrame(
+            [(i, "image", encode_ppm(w, h, px), None) for i, px in rows],
+            ASSET_SCHEMA)
+
+    path = str(tmp_path / "dh")
+    write_dhash_index(assets([(1, grad(7)), (2, grad(31))]), path)
+    append_dhash_index(assets([(3, grad(64))]), path)
+    probe = assets([(10, grad(7)), (11, grad(64))])
+    pre = {(r.new_id, r.corpus_id): r.hamming
+           for r in image_dedup_against_index(probe, spark, path).collect()}
+    compact_index(spark, path)
+    post = {(r.new_id, r.corpus_id): r.hamming
+            for r in image_dedup_against_index(probe, spark, path).collect()}
+    assert pre == post and pre.get((10, 1)) == 0 and pre.get((11, 3)) == 0
+
+    _os.mkdir(_os.path.join(path, "hashes") + ".__compact_old")
+    with _pytest.raises(RuntimeError, match="mid-swap"):
+        compact_index(spark, path)
