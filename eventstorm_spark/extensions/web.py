@@ -1,0 +1,164 @@
+"""URL-level curation operators — the step-zero of web-corpus pipelines.
+
+Crawl pipelines (CCNet, C4, RefinedWeb, FineWeb) dedup by URL before
+anything touches a payload: the same page arrives under dozens of raw
+spellings (scheme/host case, ``www.`` prefixes, default ports, tracking
+parameters, re-ordered query strings, fragments, trailing slashes), and
+collapsing them to one canonical key removes re-crawls at the cost of a
+string expression instead of a shingle join. This module provides
+
+- :func:`canonical_url_expr` — the canonicalization rule as one pure
+  JVM column expression (regex part-extraction + higher-order-function
+  query-parameter filter/sort; no UDF, whole-stage-codegen friendly,
+  and bit-for-bit replayable by the DuckDB oracle);
+- :func:`url_dedup` — keep-first URL-level dedup (min id per canonical
+  URL, the same keep-one rule as the content-digest tier in
+  :mod:`eventstorm_spark.extensions.dedup`);
+- :func:`host_composition` — the per-host dataset-card table (docs,
+  distinct pages, re-crawl rate) a domain-filtering pass reads;
+- :func:`synth_urls` — deterministic messy-URL synthesis over the test
+  corpus (the driver's ``documents`` table has no URL column), in the
+  same replayable-recurrence style as ``multimodal.synth_assets``.
+
+Scale shape: canonicalization is a zero-shuffle projection; URL dedup
+shuffles 8-byte-hashable canonical keys plus ids only (payloads move
+nothing — the keep-set joins back by id); host composition is a
+bounded-cardinality aggregate (#hosts). At 100 TB this is exactly the
+cheap first funnel stage it is in production pipelines.
+
+The reference engine has no URL tier (its scope is the event log);
+this belongs to the §2.8 training-data-pipeline extension suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped by canonicalization. Matches the common
+# cross-site junk (utm_* campaign tags, click ids, bare ref tags) —
+# kept deliberately small and well-known so the rule is predictable.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[^:/?#]+://([^/?#]*)"
+_PATH_RE = r"^[^:/?#]+://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#]*\?([^#]*)"
+
+
+def canonical_url_expr(url: Column | str) -> Column:
+    """Canonical form of a raw URL as a pure column expression.
+
+    Rules (each undoes a spelling variant that does NOT change the
+    resource): lowercase scheme and host; strip one leading ``www.``;
+    strip the scheme's default port (``:80`` http / ``:443`` https);
+    drop the fragment; drop tracking parameters
+    (:data:`TRACKING_PARAM_RE`); sort surviving query parameters
+    byte-lexicographically; strip trailing slashes from the path (a
+    bare-root ``/`` canonicalizes to the empty path).
+
+    Everything is regex part-extraction plus a higher-order
+    filter/sort over the split query string — no UDF, so the
+    expression inlines into whole-stage codegen and the DuckDB oracle
+    replays it exactly (same regexes, ``list_filter``/``list_sort``).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host0 = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+             .when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+             .otherwise(host0))
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
+def canonicalize_urls(df: DataFrame, *, url_col: str = "url",
+                      out_col: str = "canonical_url") -> DataFrame:
+    """Add ``out_col`` = canonical form of ``url_col`` (zero shuffles)."""
+    return df.withColumn(out_col, canonical_url_expr(url_col))
+
+
+def url_dedup(df: DataFrame, *, url_col: str = "canonical_url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep-first URL dedup: one row per canonical URL, the min id wins.
+
+    Same keep-one rule as content-digest exact dedup: min(id) per key
+    is deterministic, order-insensitive and re-run-stable. The shuffle
+    moves (canonical_url, id) pairs only; the kept-id set then
+    semi-joins back by id, so document payloads are never exchanged —
+    at 100 TB the URL table is ~100 B/doc against ~MB payloads.
+    """
+    keep = (df.groupBy(url_col)
+              .agg(F.min(id_col).alias(id_col))
+              .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def host_composition(df: DataFrame, *, url_col: str = "canonical_url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-host dataset-card: docs, distinct pages, re-crawl surplus.
+
+    ``dup_docs = n_docs - n_pages`` is the count of rows URL dedup
+    would drop — the host-level re-crawl audit read before assigning
+    domain weights. One aggregate with #hosts output rows; the
+    count_distinct is per-host over canonical URLs (bounded by the
+    host's page count, map-side partial-agg friendly).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    return (df.groupBy(host.alias("host"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.countDistinct(url_col).alias("n_pages"),
+                   (F.count(F.lit(1)) - F.countDistinct(url_col))
+                   .alias("dup_docs")))
+
+
+def synth_urls(docs: DataFrame, *, pages_per_source: int = 100,
+               id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """Deterministic messy URLs for the test corpus (no URL column ships).
+
+    Each document maps to page ``doc_id % pages_per_source`` on host
+    ``{source}.example.com`` — so documents sharing (source, page) are
+    re-crawls of the same resource — and the raw spelling varies by
+    deterministic ``doc_id`` arithmetic across every axis the
+    canonicalizer must undo: scheme case (mod 3), ``www.`` prefix
+    (mod 2), host case (mod 5), explicit ``:443`` (mod 7), trailing
+    slash (mod 11), query-parameter order (mod 2), injected
+    ``utm_source``/``ref``/``fbclid`` tracking junk (mod 3/11/17) and a
+    fragment (mod 6). Pure integer-and-concat recurrence — the oracle
+    rebuilds the exact byte string in SQL, so a canonicalization bug
+    anywhere breaks the value hash.
+    """
+    d = F.col(id_col)
+    page = (d % pages_per_source).cast("string")
+    src = F.col(source_col)
+    scheme = (F.when(d % 3 == 0, "HTTPS")
+               .when(d % 3 == 1, "https")
+               .otherwise("Https"))
+    host_base = F.concat(src, F.lit(".example.com"))
+    host = F.when(d % 5 == 0, F.upper(host_base)).otherwise(host_base)
+    www = F.when(d % 2 == 0, "www.").otherwise("")
+    port = F.when(d % 7 == 0, ":443").otherwise("")
+    trail = F.when(d % 11 == 0, "/").otherwise("")
+    core = (F.when(d % 2 == 0, F.concat(F.lit("id="), page, F.lit("&v=2")))
+             .otherwise(F.concat(F.lit("v=2&id="), page)))
+    junk_pre = (F.when(d % 17 == 0,
+                       F.concat(F.lit("fbclid=x"), d.cast("string"), F.lit("&")))
+                 .otherwise(""))
+    junk_utm = F.when(d % 3 == 0, "&utm_source=feed").otherwise("")
+    junk_ref = F.when(d % 11 == 0, "&ref=tw").otherwise("")
+    frag = (F.when(d % 6 == 0,
+                   F.concat(F.lit("#sec"), (d % 4).cast("string")))
+             .otherwise(""))
+    url = F.concat(scheme, F.lit("://"), www, host, port,
+                   F.lit("/docs/page-"), page, trail, F.lit("?"),
+                   junk_pre, core, junk_utm, junk_ref, frag)
+    return docs.select(d.alias(id_col), src.alias(source_col),
+                       url.alias("url"))

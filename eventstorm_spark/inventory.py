@@ -2622,6 +2622,40 @@ def q_source_overlap(spark, sf_dir):
             .orderBy("source_a", "source_b"))
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup audit — step zero of every web-corpus pipeline
+    (CCNet/C4/RefinedWeb dedup by canonical URL before touching
+    payloads). Deterministic messy URLs are synthesized per document
+    (scheme/host case, www., :443, tracking params, param order,
+    fragments, trailing slashes all varying by doc_id arithmetic),
+    canonicalized by one pure codegen expression (regex parts + HOF
+    param filter/sort — no UDF), and grouped: each output row is a
+    canonical URL crawled more than once with its keep-first doc. The
+    oracle rebuilds the exact URL bytes and replays the
+    canonicalization rule in SQL, so any part-extraction, param-sort
+    or default-port bug breaks the value hash."""
+    from eventstorm_spark.extensions.web import canonicalize_urls, synth_urls
+    u = canonicalize_urls(synth_urls(load(spark, sf_dir, "documents")))
+    return (u.groupBy("canonical_url")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("kept_doc"))
+             .where(F.col("n_docs") >= 2)
+             .orderBy("canonical_url"))
+
+
+def q_url_host_composition(spark, sf_dir):
+    """Per-host dataset card over canonical URLs: docs, distinct pages
+    and the re-crawl surplus (docs - pages = rows URL dedup drops) —
+    the table a domain-weighting pass reads. Bounded-cardinality
+    aggregate (#hosts = #sources here); canonicalization itself is a
+    zero-shuffle projection."""
+    from eventstorm_spark.extensions.web import (
+        canonicalize_urls, host_composition, synth_urls,
+    )
+    u = canonicalize_urls(synth_urls(load(spark, sf_dir, "documents")))
+    return host_composition(u).orderBy("host")
+
+
 def q_multimodal_gif_decode(spark, sf_dir):
     """REAL palette-codec path: synthesize GIF89a rasters per document
     (genuine LZW compression with variable code-width growth and KwKwK
@@ -3110,7 +3144,74 @@ sh AS (
     FROM toks)
 """
 
+# Shared by the url_* oracles: rebuild the synthetic messy URL byte
+# string (web.synth_urls' recurrence) and replay the canonicalization
+# rule (web.canonical_url_expr) — same regexes, same list ops.
+_URL_CANONICAL_CTE = r"""
+WITH u AS (
+    SELECT doc_id, source,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+              WHEN doc_id % 3 = 1 THEN 'https' ELSE 'Https' END)
+        || '://'
+        || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN upper(source || '.example.com')
+                 ELSE source || '.example.com' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/docs/page-' || CAST(doc_id % 100 AS VARCHAR)
+        || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+        || '?'
+        || (CASE WHEN doc_id % 17 = 0
+                 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR) || '&' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+                 THEN 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&v=2'
+                 ELSE 'v=2&id=' || CAST(doc_id % 100 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN '&ref=tw' ELSE '' END)
+        || (CASE WHEN doc_id % 6 = 0
+                 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+        AS url
+    FROM documents),
+parts AS (
+    SELECT doc_id, source,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+        regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+                       '^www\.', '') AS hp,
+        regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                       '/+$', '') AS path,
+        regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+    FROM u),
+canon AS (
+    SELECT doc_id, source,
+        scheme || '://'
+        || (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                 WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                 ELSE hp END)
+        || path
+        || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+    FROM (SELECT *,
+            coalesce(list_aggr(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(
+                    p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))),
+                'string_agg', '&'), '') AS qs
+          FROM parts))
+"""
+
 _EXT_ORACLES = {
+    "url_canonical_dedup": _URL_CANONICAL_CTE + """
+        SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS kept_doc
+        FROM canon GROUP BY canonical_url
+        HAVING count(*) >= 2
+        ORDER BY canonical_url""",
+    "url_host_composition": _URL_CANONICAL_CTE + """
+        SELECT regexp_extract(canonical_url,
+                              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+               CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+                   AS dup_docs
+        FROM canon GROUP BY 1 ORDER BY host""",
     "dedup_clusters": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         common AS (
@@ -5036,11 +5137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only six r9-new
+        #    query's driver evidence is r6+ and only the eight r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
-        #    audio near-dup pairs, video frame decode, source overlap
-        #    — all locally parity-green, all verified by hand at
-        #    sf0.01) plus the r6 five await their first / next check;
+        #    audio near-dup pairs, video frame decode, source overlap,
+        #    url canonical dedup, url host composition — all locally
+        #    parity-green, all verified by hand at sf0.01) plus the r6
+        #    five await their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5104,6 +5206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup_pairs": q_audio_near_dup_pairs,
         "video_frame_decode": q_video_frame_decode,
         "source_overlap": q_source_overlap,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_host_composition": q_url_host_composition,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,

@@ -1,0 +1,102 @@
+"""URL canonicalization / URL dedup / host composition (extensions.web)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstorm_spark.extensions.web import (
+    canonical_url_expr,
+    canonicalize_urls,
+    host_composition,
+    synth_urls,
+    url_dedup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url_expr("url").alias("c"))
+            .collect()]
+
+
+CASES = [
+    # scheme/host case, www., default https port, fragment, param sort,
+    # tracking junk, trailing slash — all collapse
+    ("HTTPS://WWW.Foo.Example.com:443/a/b/?b=2&utm_source=x&a=1#frag",
+     "https://foo.example.com/a/b?a=1&b=2"),
+    # http default port
+    ("http://foo.com:80/x?id=1", "http://foo.com/x?id=1"),
+    # NON-default port survives
+    ("https://foo.com:8443/x", "https://foo.com:8443/x"),
+    # no query at all -> no '?'
+    ("https://foo.com/x", "https://foo.com/x"),
+    # tracking-only query -> no '?'
+    ("https://foo.com/x?utm_campaign=a&gclid=z&ref=tw&fbclid=q",
+     "https://foo.com/x"),
+    # bare 'ref' (no '=') is still stripped; 'reftag=1' is NOT
+    ("https://foo.com/x?ref&reftag=1", "https://foo.com/x?reftag=1"),
+    # bare-root trailing slash canonicalizes to empty path
+    ("https://foo.com/?a=1", "https://foo.com?a=1"),
+    # repeated trailing slashes
+    ("https://foo.com/a///", "https://foo.com/a"),
+    # empty param fragments from '&&' are dropped
+    ("https://foo.com/a?b=2&&a=1", "https://foo.com/a?a=1&b=2"),
+    # www stripped only as a prefix label
+    ("https://wwwx.foo.com/a", "https://wwwx.foo.com/a"),
+]
+
+
+def test_canonical_cases(spark):
+    got = _canon(spark, [raw for raw, _ in CASES])
+    for (raw, want), c in zip(CASES, got):
+        assert c == want, raw
+
+
+def test_canonicalize_is_pure_codegen(spark):
+    df = spark.createDataFrame([("https://a.com/x?b=1",)], "url string")
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_keeps_min_id(spark):
+    rows = [(1, "https://a.com/p?x=1"), (2, "https://a.com/p?x=1"),
+            (3, "https://a.com/q"), (4, "https://a.com/p?x=1")]
+    df = canonicalize_urls(
+        spark.createDataFrame(rows, "doc_id long, url string"))
+    kept = url_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    # payload columns survive (semi-join back by id, not a projection)
+    assert set(kept.columns) == {"doc_id", "url", "canonical_url"}
+
+
+def test_host_composition_math(spark):
+    rows = [(1, "https://a.com/p"), (2, "https://a.com/p"),
+            (3, "https://a.com/q"), (4, "https://b.com/r")]
+    df = canonicalize_urls(
+        spark.createDataFrame(rows, "doc_id long, url string"))
+    got = {r.host: (r.n_docs, r.n_pages, r.dup_docs)
+           for r in host_composition(df).collect()}
+    assert got == {"a.com": (3, 2, 1), "b.com": (1, 1, 0)}
+
+
+def test_synth_urls_deterministic_and_groups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u1 = synth_urls(docs).orderBy("doc_id").limit(20).collect()
+    u2 = synth_urls(docs).orderBy("doc_id").limit(20).collect()
+    assert u1 == u2
+    # canonical groups = (source, doc_id % 100): every synthesized
+    # variant of the same (source, page) collapses to ONE canonical URL
+    c = canonicalize_urls(synth_urls(docs))
+    n_groups = c.select("canonical_url").distinct().count()
+    n_expected = (docs.select((F.col("doc_id") % 100).alias("p"), "source")
+                  .distinct().count())
+    assert n_groups == n_expected
+    # and dedup keeps exactly one doc per group
+    assert url_dedup(c).count() == n_expected
+
+
+def test_canonical_idempotent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = canonicalize_urls(synth_urls(docs))
+    twice = c.withColumn("again", canonical_url_expr("canonical_url"))
+    assert twice.where(F.col("again") != F.col("canonical_url")).count() == 0
