@@ -2546,6 +2546,30 @@ def q_image_near_dup_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_image_dup_clusters(spark, sf_dir):
+    """Perceptual duplicate-cluster size histogram — the end of the
+    image dedup ladder (fingerprint → banded pairs → connected
+    components → audit), mirroring the text ladder's
+    dedup_cluster_sizes. dHash Hamming pairs feed the shared
+    duplicate_clusters tier (driver union-find under 1M edges,
+    distributed min-label propagation above); the histogram is two
+    bounded GROUP BYs. The oracle closes the brute-force pair graph
+    with a recursive CTE — pinning that banding + clustering together
+    recover exactly the exhaustive components, not just the pairs."""
+    from eventstorm_spark.extensions.dedup import duplicate_clusters
+    from eventstorm_spark.extensions.multimodal import (
+        image_dhash, image_hamming_pairs, synth_ppm_assets,
+    )
+    hashes = image_dhash(synth_ppm_assets(load(spark, sf_dir, "documents")))
+    pairs = image_hamming_pairs(hashes, max_distance=3)
+    clusters = duplicate_clusters(pairs)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("size")))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("size"))
+
+
 def q_video_frame_decode(spark, sf_dir):
     """REAL video path: synthesize MJPEG streams (concatenated
     baseline JPEGs, the raw camera-stream form), split frames with a
@@ -3144,6 +3168,44 @@ sh AS (
     FROM toks)
 """
 
+# Shared by the image_* oracles: replay the full dHash pipeline
+# (synth_ppm_assets pixel recurrence → integer grayscale → 9x8 nearest
+# gather → gradient-sign bits → two-BIGINT packing), then brute-force
+# all-pairs Hamming at distance <= 3 into `prs`. WITH RECURSIVE so
+# downstream oracles can append a transitive-closure CTE.
+_DHASH_PAIRS_CTE = """
+WITH RECURSIVE p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+                     FROM documents),
+g AS (SELECT doc_id, w, h, yy, xx,
+             ((yy * h) // 8) * w + ((xx * w) // 9) AS px
+      FROM p, range(8) r1(yy), range(9) r2(xx)),
+gr AS (SELECT doc_id, yy, xx,
+              (  (doc_id * 7 + (3 * px    ) * 13) % 256
+               + (doc_id * 7 + (3 * px + 1) * 13) % 256
+               + (doc_id * 7 + (3 * px + 2) * 13) % 256) // 3
+                  AS gray
+       FROM g),
+b AS (SELECT a.doc_id, a.yy, a.xx,
+             CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
+      FROM gr a JOIN gr c ON a.doc_id = c.doc_id
+                          AND a.yy = c.yy AND c.xx = a.xx + 1
+      WHERE a.xx < 8),
+hsh AS (SELECT doc_id,
+         CAST(sum(CASE WHEN yy < 4
+              THEN bit * (CAST(1 AS BIGINT) << (yy * 8 + xx))
+              ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN yy >= 4
+              THEN bit * (CAST(1 AS BIGINT) << ((yy - 4) * 8 + xx))
+              ELSE 0 END) AS BIGINT) AS lo
+        FROM b GROUP BY doc_id),
+prs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b2.hi))
+                    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
+        FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.hi, b2.hi))
+              + bit_count(xor(a.lo, b2.lo)) <= 3)
+"""
+
 # Shared by the url_* oracles: rebuild the synthetic messy URL byte
 # string (web.synth_urls' recurrence) and replay the canonicalization
 # rule (web.canonical_url_expr) — same regexes, same list ops.
@@ -3722,38 +3784,25 @@ _EXT_ORACLES = {
     # Brute-force all-pairs Hamming over the SQL-replayed dHash table —
     # equal to the banded join's output at distance <= 3 by pigeonhole
     # (4 bands, < 4 differing bits force one identical band).
-    "image_near_dup_pairs": """
-        WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
-                   FROM documents),
-        g AS (SELECT doc_id, w, h, yy, xx,
-                     ((yy * h) // 8) * w + ((xx * w) // 9) AS px
-              FROM p, range(8) r1(yy), range(9) r2(xx)),
-        gr AS (SELECT doc_id, yy, xx,
-                      (  (doc_id * 7 + (3 * px    ) * 13) % 256
-                       + (doc_id * 7 + (3 * px + 1) * 13) % 256
-                       + (doc_id * 7 + (3 * px + 2) * 13) % 256) // 3
-                          AS gray
-               FROM g),
-        b AS (SELECT a.doc_id, a.yy, a.xx,
-                     CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
-              FROM gr a JOIN gr c ON a.doc_id = c.doc_id
-                                  AND a.yy = c.yy AND c.xx = a.xx + 1
-              WHERE a.xx < 8),
-        hsh AS (SELECT doc_id,
-                 CAST(sum(CASE WHEN yy < 4
-                      THEN bit * (CAST(1 AS BIGINT) << (yy * 8 + xx))
-                      ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN yy >= 4
-                      THEN bit * (CAST(1 AS BIGINT) << ((yy - 4) * 8 + xx))
-                      ELSE 0 END) AS BIGINT) AS lo
-                FROM b GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-               CAST(bit_count(xor(a.hi, b2.hi))
-                    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
-        FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
-        WHERE bit_count(xor(a.hi, b2.hi))
-              + bit_count(xor(a.lo, b2.lo)) <= 3
+    "image_near_dup_pairs": _DHASH_PAIRS_CTE + """
+        SELECT id_a, id_b, hamming FROM prs
         ORDER BY id_a, id_b""",
+    # Transitive closure over the brute-force pair graph (the same
+    # recursive-CTE pattern as dedup_clusters), then two GROUP BYs.
+    "image_dup_clusters": _DHASH_PAIRS_CTE + """,
+        sym AS (SELECT id_a AS s, id_b AS d FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+            WHERE y.d <> r.s),
+        comp AS (SELECT s AS node, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                  FROM comp GROUP BY cluster_id)
+        SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY size ORDER BY size""",
     # Replays the synth_mjpeg_assets frame recurrence for the SAMPLED
     # frames (every 2nd): flat-gray q100 JPEG decodes exactly, so per-
     # frame dims and means are closed-form in (doc_id, frame_no).
@@ -5137,12 +5186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only the eight r9-new
+        #    query's driver evidence is r6+ and only the nine r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
         #    audio near-dup pairs, video frame decode, source overlap,
-        #    url canonical dedup, url host composition — all locally
-        #    parity-green, all verified by hand at sf0.01) plus the r6
-        #    five await their first / next check;
+        #    url canonical dedup, url host composition, image dup
+        #    clusters — all locally parity-green, all verified by hand
+        #    at sf0.01) plus the r6 five await their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5208,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_composition": q_url_host_composition,
+        "image_dup_clusters": q_image_dup_clusters,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,
