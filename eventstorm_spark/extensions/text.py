@@ -1183,6 +1183,91 @@ def linear_quality_score(docs: DataFrame, *, weights: dict | None = None,
                                  >= F.lit(float(threshold))).cast("int")))
 
 
+DEFAULT_QUALITY_FEATURES = ["avg_token_len", "n_tokens", "punct_ratio",
+                            "upper_ratio", "stopword_distinct_ratio"]
+
+_QUALITY_SD_FLOOR = 1e-9  # constant feature -> zero stddev; keep it inert
+
+
+def train_linear_quality(docs: DataFrame, labels: DataFrame, *,
+                         features: list | None = None,
+                         iters: int = 8, lr: float = 1.0,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         label_col: str = "label") -> tuple:
+    """Train the linear quality classifier IN Spark — completing the
+    model-based-quality tier the way ``kmeans_centroids`` completes
+    IVF: :func:`linear_quality_score` is the deployment scoring plan
+    for an offline-trained model; this trains that model on the corpus
+    engine, so the whole lifecycle (featurize -> train -> score ->
+    filter) needs no second system.
+
+    Full-batch logistic-regression gradient descent over the
+    :func:`quality_features` signals against 0/1 ``labels`` (weak
+    labels in practice — a high-quality reference slice vs random
+    crawl, the GPT-3/LLaMA quality-filter recipe). One aggregate
+    standardizes the d features (mean / population stddev — raw web
+    features mix O(100) token counts with O(0.01) ratios and diverge
+    un-scaled); each iteration is ONE map-side-combinable aggregate
+    computing the d+1 gradient components ``avg((sigmoid(w.x+b)-y) *
+    x_j)`` as pure JVM column expressions — no UDF, no Python in the
+    hot path; the driver holds only the (d+1)-float weight vector
+    between iterations (the bounded-driver-state contract shared with
+    the k-means trainer and the BPE merge loop). At 100 TB each
+    iteration is one corpus pass over a narrow projection — the
+    classic data-parallel logreg shape; iterations are few because
+    standardized full-batch GD on a linear model converges fast.
+
+    Returns RAW-space ``(weights, bias)`` — the standardized-space
+    solution folded back through the feature stats — directly
+    consumable by ``linear_quality_score(weights=..., bias=...)``.
+    Feature values are exactly engine-reproducible
+    (:func:`quality_features` rounds them), so the only cross-engine
+    drift is float summation order, far below round-6 reporting
+    precision: the DuckDB oracle replays the entire training loop
+    step-by-step (``inventory._train_quality_oracle``).
+    """
+    features = list(features) if features is not None \
+        else list(DEFAULT_QUALITY_FEATURES)
+    feats = quality_features(docs, text_col=text_col, id_col=id_col)
+    data = (feats.join(labels.select(id_col, label_col), id_col)
+            .select(*features,
+                    F.col(label_col).cast("double").alias("_y")))
+    data = data.persist()
+    try:
+        stats = data.agg(*(
+            [F.avg(c).alias(f"mu_{i}") for i, c in enumerate(features)]
+            + [F.greatest(F.stddev_pop(c), F.lit(_QUALITY_SD_FLOOR))
+               .alias(f"sd_{i}") for i, c in enumerate(features)])
+        ).collect()[0]
+        mu = [float(stats[f"mu_{i}"]) for i in range(len(features))]
+        sd = [float(stats[f"sd_{i}"]) for i in range(len(features))]
+
+        w = [0.0] * len(features)
+        b = 0.0
+        for _ in range(iters):
+            z = F.lit(b)
+            for j, c in enumerate(features):
+                z = z + F.lit(w[j]) * ((F.col(c) - F.lit(mu[j]))
+                                       / F.lit(sd[j]))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = (p - F.col("_y")).alias("_e")
+            grad = data.select(err, *features).agg(
+                F.avg("_e").alias("gb"),
+                *(F.avg(F.col("_e") * ((F.col(c) - F.lit(mu[j]))
+                                       / F.lit(sd[j]))).alias(f"g_{j}")
+                  for j, c in enumerate(features))).collect()[0]
+            b -= lr * float(grad["gb"])
+            for j in range(len(features)):
+                w[j] -= lr * float(grad[f"g_{j}"])
+    finally:
+        data.unpersist()
+
+    raw_w = {c: w[j] / sd[j] for j, c in enumerate(features)}
+    raw_b = b - sum(w[j] * mu[j] / sd[j] for j in range(len(features)))
+    return raw_w, raw_b
+
+
 def winnow_fingerprint_expr(text_col: str = "text", *, n: int = 3,
                             window: int = 4):
     """Row-local winnowing: the SAME (pos, fingerprint) set

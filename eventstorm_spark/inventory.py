@@ -2546,6 +2546,32 @@ def q_image_near_dup_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_train_quality_weights(spark, sf_dir):
+    """Distributed quality-classifier training: full-batch logistic
+    regression over the quality_features signals, weak-labeled by
+    lang = 'en'. (On the driver's synthetic corpus the label is noise
+    — text is drawn independently of lang — so this query pins the
+    TRAINING DYNAMICS bit-for-bit, not model quality; learnability on
+    a separable corpus is pinned in test_extensions. The constant
+    punct/upper features also prove the zero-stddev floor keeps dead
+    features inert at exactly 0.0.) Each GD iteration is one
+    map-side-combinable aggregate; the driver holds only the 6-float
+    weight vector. The oracle
+    replays standardization + all 8 iterations via generated chained
+    CTEs and the same raw-space fold-back — a wrong gradient,
+    standardization or learning-rate bug diverges the weights far
+    beyond the round-6 output precision."""
+    from eventstorm_spark.extensions.text import train_linear_quality
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    w, b = train_linear_quality(docs, labels, iters=8, lr=1.0)
+    rows = sorted([(k, round(v, 6)) for k, v in w.items()]
+                  + [("__bias__", round(b, 6))])
+    return (spark.createDataFrame(rows, "feature string, weight double")
+            .orderBy("feature"))
+
+
 def q_image_dup_clusters(spark, sf_dir):
     """Perceptual duplicate-cluster size histogram — the end of the
     image dedup ladder (fingerprint → banded pairs → connected
@@ -4245,6 +4271,74 @@ _EXT_ORACLES["bpe_merges"] = _bpe_merges_oracle(8)
 _EXT_ORACLES["bpe_fertility"] = _bpe_fertility_oracle(8)
 _EXT_ORACLES["bpe_token_counts"] = _bpe_token_counts_oracle(8)
 
+
+# The quality_features replay (doc_quality's oracle body) restricted to
+# the trainer's feature set, plus the weak label (lang = 'en' — a real
+# learnable target: stopword_distinct_ratio counts ENGLISH stopwords).
+_TRAIN_QUALITY_FEATURES_SQL = r"""
+    SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))
+                 * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+               AS avg_token_len,
+           round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                 / length(text), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+                 / length(text), 6) AS upper_ratio,
+           round(len(list_intersect(string_split_regex(trim(text), '\s+'),
+                 ['the','a','of','and','to','in','is','it'])) * 1.0
+                 / len(string_split_regex(trim(text), '\s+')), 6)
+               AS stopword_distinct_ratio,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents"""
+
+
+def _train_quality_oracle(iters: int = 8, lr: float = 1.0) -> str:
+    """DuckDB twin of text.train_linear_quality: the oracle REPLAYS the
+    full-batch GD loop step-by-step via generated chained CTEs (the
+    BPE-oracle pattern), standardization included, then folds the
+    standardized weights back to raw space exactly as the trainer does.
+    Cross-engine drift is float summation order only (feature values
+    are rounded, hence exact) — far below the round-6 output."""
+    from eventstorm_spark.extensions.text import DEFAULT_QUALITY_FEATURES
+    feats = list(DEFAULT_QUALITY_FEATURES)
+    n = len(feats)
+    mus = ", ".join(
+        f"avg({c}) AS mu_{j}, greatest(stddev_pop({c}), 1e-09) AS sd_{j}"
+        for j, c in enumerate(feats))
+    xs = ", ".join(f"({c} - mu_{j}) / sd_{j} AS x_{j}"
+                   for j, c in enumerate(feats))
+    parts = [
+        f"WITH f AS ({_TRAIN_QUALITY_FEATURES_SQL})",
+        f"st AS (SELECT {mus} FROM f)",
+        f"s AS (SELECT {xs}, CAST(label AS DOUBLE) AS y FROM f, st)",
+        "w0 AS (SELECT 0.0 AS b, "
+        + ", ".join(f"0.0 AS w_{j}" for j in range(n)) + ")",
+    ]
+    for it in range(iters):
+        z = "b + " + " + ".join(f"w_{j} * x_{j}" for j in range(n))
+        grads = ", ".join(f"avg(e * x_{j}) AS g_{j}" for j in range(n))
+        parts.append(
+            f"g{it} AS (SELECT avg(e) AS gb, {grads} FROM "
+            f"(SELECT 1.0 / (1.0 + exp(-({z}))) - y AS e, "
+            + ", ".join(f"x_{j}" for j in range(n))
+            + f" FROM s, w{it}) t)")
+        ws = ", ".join(f"w_{j} - {lr} * g_{j} AS w_{j}" for j in range(n))
+        parts.append(
+            f"w{it + 1} AS (SELECT b - {lr} * gb AS b, {ws} "
+            f"FROM w{it}, g{it})")
+    rows = [
+        f"SELECT '{c}' AS feature, round(w_{j} / sd_{j}, 6) AS weight "
+        f"FROM w{iters}, st" for j, c in enumerate(feats)]
+    bias_terms = " + ".join(f"w_{j} * mu_{j} / sd_{j}" for j in range(n))
+    rows.append(
+        f"SELECT '__bias__' AS feature, round(b - ({bias_terms}), 6) "
+        f"AS weight FROM w{iters}, st")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows) \
+        + "\nORDER BY feature"
+
+
+_EXT_ORACLES["train_quality_weights"] = _train_quality_oracle(8, 1.0)
+
 _EXT_ORACLES["training_mix_pipeline"] = r"""
     WITH r AS (
         SELECT doc_id, text,
@@ -5186,12 +5280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only the nine r9-new
+        #    query's driver evidence is r6+ and only the ten r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
         #    audio near-dup pairs, video frame decode, source overlap,
         #    url canonical dedup, url host composition, image dup
-        #    clusters — all locally parity-green, all verified by hand
-        #    at sf0.01) plus the r6 five await their first / next check;
+        #    clusters, train quality weights — all locally
+        #    parity-green, all verified by hand at sf0.01) plus the r6
+        #    five await their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5258,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_composition": q_url_host_composition,
         "image_dup_clusters": q_image_dup_clusters,
+        "train_quality_weights": q_train_quality_weights,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,

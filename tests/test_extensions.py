@@ -2192,3 +2192,46 @@ def test_video_near_duplicates_by_shared_frames(spark):
     # every_n sampling bounds decode: only frames 0,2,... hashed
     sampled = multimodal.video_frame_dhash(assets, every_n=2).collect()
     assert {r["frame_no"] for r in sampled if r["asset_id"] == 2} == {0, 2}
+
+
+def test_train_linear_quality_learns_separable_labels(spark):
+    """On a genuinely separable corpus (label-1 docs are stopword-rich
+    prose, label-0 docs are punctuation-heavy shouting), the trained
+    model must recover the separation: positive stopword weight,
+    negative punct/upper weights, and >= 95% training accuracy when the
+    returned raw-space (weights, bias) plug straight into
+    linear_quality_score."""
+    from eventstorm_spark.extensions.text import (
+        linear_quality_score, train_linear_quality,
+    )
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append((i, "the cat sat of the mat and it is a fine day "
+                            "to walk in the park with a friend", 1))
+        else:
+            rows.append((i, "BUY!!! NOW!!! CHEAP,,, DEALS;;; CLICK:: "
+                            "HERE??? WOW!!! SALE!!!", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    labels = docs.select("doc_id", "label")
+    w, b = train_linear_quality(docs, labels, iters=20, lr=1.0)
+    assert w["stopword_distinct_ratio"] > 0
+    assert w["punct_ratio"] < 0
+    assert w["upper_ratio"] < 0
+    scored = linear_quality_score(docs, weights=w, bias=b)
+    acc = (scored.join(labels, "doc_id")
+           .where(F.col("kept") == F.col("label")).count()) / 120
+    assert acc >= 0.95, acc
+
+
+def test_train_linear_quality_zero_variance_feature_inert(spark):
+    """A constant feature must train to exactly weight 0.0 (the
+    stddev floor keeps its standardized values and gradient at zero)
+    rather than exploding by division with a near-zero stddev."""
+    from eventstorm_spark.extensions.text import train_linear_quality
+    rows = [(i, "plain words only here", i % 2) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_linear_quality(docs, labels=docs.select("doc_id", "label"),
+                                iters=5)
+    # every feature is constant across this corpus -> all weights 0
+    assert all(v == 0.0 for v in w.values()), w
