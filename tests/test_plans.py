@@ -523,3 +523,32 @@ def test_source_overlap_shuffle_budget(q):
     assert len(re.findall(r"Exchange (hash|range|SinglePartition)",
                           plan)) <= 8, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_trainer_gradient_is_one_partial_agg_no_python(spark, sf_dir):
+    """Each GD iteration of the quality trainer must be one map-side-
+    combinable aggregate (partial + final HashAggregate) in pure JVM
+    expressions — no Python stage, no join (labels are pre-joined into
+    the cached training frame), no extra exchange beyond the final
+    single-partition gather of the d+1 floats."""
+    from pyspark.sql import functions as F
+    from eventstorm_spark.extensions.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = ["avg_token_len", "n_tokens", "punct_ratio"]
+    data = (quality_features(docs)
+            .join(docs.select("doc_id",
+                              (F.col("lang") == "en").cast("double")
+                              .alias("_y")), "doc_id")
+            .select(*feats, "_y"))
+    z = F.lit(0.0)
+    for c in feats:
+        z = z + F.lit(0.1) * ((F.col(c) - F.lit(1.0)) / F.lit(2.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    grad = data.select((p - F.col("_y")).alias("_e"), *feats).agg(
+        F.avg("_e").alias("gb"),
+        *(F.avg(F.col("_e") * F.col(c)).alias(f"g_{j}")
+          for j, c in enumerate(feats)))
+    plan = plan_of(grad)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
