@@ -107,6 +107,13 @@ HEADLINE = [
     # ~1.9 s). Compare per-query, not totals, across r8/r9.
     "image_near_dup_pairs",
     "source_overlap",
+    # round 9 (late): the URL step-zero funnel (synth + canonicalize +
+    # dedup-group, pure codegen, ~0.4 s) and the in-engine quality
+    # trainer (8 GD iterations = 8 bounded aggregates over the cached
+    # feature frame, ~2 s — prices the iterative-aggregate path no
+    # other headline exercises). Compare per-query across rounds.
+    "url_canonical_dedup",
+    "train_quality_weights",
 ]
 
 

@@ -120,6 +120,45 @@ def host_composition(df: DataFrame, *, url_col: str = "canonical_url",
                    .alias("dup_docs")))
 
 
+def streaming_url_dedup(stream_df: DataFrame, seen_urls: DataFrame | None = None, *,
+                        url_col: str = "url",
+                        event_time_col: str = "ts",
+                        watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming URL dedup: the continuous form of :func:`url_dedup`
+    for a live crawl frontier (mirrors
+    ``curation.streaming_dedup_against_corpus``, keyed by canonical
+    URL instead of content digest — the crawler-side filter that runs
+    BEFORE fetch/payload work).
+
+    Two state-bounded layers:
+
+    1. optional *stream-static left-anti join* against ``seen_urls``
+       (a frame with ``url_col``; raw or canonical — it is
+       canonicalized here). Re-read per micro-batch, so a frontier
+       store that grows between batches is honored without restart;
+       stateless.
+    2. ``dropDuplicatesWithinWatermark`` on the canonical URL bounds
+       intra-stream dedup state by the watermark — the only viable
+       contract on an unbounded feed. Later re-crawls are out of
+       contract (they are what recrawl policies WANT to see anyway).
+
+    The join key is an 8-byte xxhash64 of the canonical URL, so the
+    anti-join never ships URL strings. Returns the stream with a
+    ``canonical_url`` column attached.
+    """
+    canon = stream_df.withColumn("canonical_url",
+                                 canonical_url_expr(url_col))
+    keyed = canon.withColumn("__ukey", F.xxhash64("canonical_url"))
+    if seen_urls is not None:
+        at_rest = (seen_urls
+                   .select(F.xxhash64(canonical_url_expr(url_col))
+                           .alias("__ukey"))
+                   .distinct())
+        keyed = keyed.join(at_rest, "__ukey", "left_anti")
+    wm = keyed.withWatermark(event_time_col, watermark_delay)
+    return wm.dropDuplicatesWithinWatermark(["__ukey"]).drop("__ukey")
+
+
 def synth_urls(docs: DataFrame, *, pages_per_source: int = 100,
                id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
     """Deterministic messy URLs for the test corpus (no URL column ships).

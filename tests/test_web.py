@@ -100,3 +100,49 @@ def test_canonical_idempotent(spark, sf_dir):
     c = canonicalize_urls(synth_urls(docs))
     twice = c.withColumn("again", canonical_url_expr("canonical_url"))
     assert twice.where(F.col("again") != F.col("canonical_url")).count() == 0
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """streaming_url_dedup: (a) frontier URLs already in the at-rest
+    seen set are dropped (any raw spelling); (b) within a micro-batch
+    and across batches (inside the watermark) only the first arrival
+    per canonical URL survives, even under different raw spellings."""
+    import datetime
+    import os
+
+    from eventstorm_spark.extensions.web import streaming_url_dedup
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "req_id long, ts timestamp, url string"
+    feed_dir = os.path.join(str(tmp_path), "frontier")
+    os.makedirs(feed_dir)
+    seen = spark.createDataFrame(
+        [("https://old.com/a?x=1",)], "url string")
+
+    spark.createDataFrame(
+        [(0, t0, "HTTPS://WWW.Old.com:443/a/?utm_source=f&x=1"),  # at rest
+         (1, t0, "https://new.com/p?b=2&a=1"),                    # kept
+         (2, t0, "https://WWW.new.com/p/?a=1&b=2&fbclid=z")],     # intra dup
+        schema).coalesce(1).write.mode("append").parquet(feed_dir)
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+    out = streaming_url_dedup(src, seen)
+    got = []
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _e: got.extend(
+             (r.req_id, r.canonical_url) for r in bdf.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        # which raw spelling wins within the batch is unspecified; the
+        # canonical key set is the contract
+        assert [c for _, c in got] == ["https://new.com/p?a=1&b=2"]
+        assert got[0][0] in (1, 2)
+        spark.createDataFrame(
+            [(3, t0, "Https://new.com/p?a=1&b=2&ref=tw"),  # cross-batch dup
+             (4, t0, "https://new.com/q")],                # novel
+            schema).coalesce(1).write.mode("append").parquet(feed_dir)
+        q.processAllAvailable()
+        assert sorted(c for _, c in got) == ["https://new.com/p?a=1&b=2",
+                                             "https://new.com/q"]
+    finally:
+        q.stop()
