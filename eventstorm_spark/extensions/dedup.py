@@ -1236,6 +1236,37 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
         GroupStateTimeout.NoTimeout)
 
 
+def keep_best_near_duplicates(docs: DataFrame, pairs: DataFrame, *,
+                              score_col: str, id_col: str = "doc_id",
+                              id_a: str = "id_a",
+                              id_b: str = "id_b") -> DataFrame:
+    """Quality-aware keep-one: within each duplicate cluster keep the
+    highest-``score_col`` member (ties break to the min id), instead of
+    :func:`drop_near_duplicates`' arbitrary min-id representative.
+
+    This is how production dedup actually picks survivors (keep the
+    longest / highest-quality copy of boilerplate-heavy content, not
+    whichever crawled first) — compose with ``text.quality_features``
+    or ``text.linear_quality_score`` for a model-picked representative.
+
+    Scale shape: the cluster-label table is corpus-sized but ~16 B/row;
+    the representative choice is ONE ``max_by(id, (score, -id))``
+    aggregate keyed by cluster (map-side combinable — no per-cluster
+    window sort), and the corpus payloads move only through the final
+    semi join against the cluster-count-sized keep set.
+    """
+    labels = duplicate_clusters(pairs, docs, id_col=id_col,
+                                id_a=id_a, id_b=id_b)
+    scored = labels.join(docs.select(id_col, score_col), id_col)
+    keep = (scored.groupBy("cluster_id")
+            .agg(F.max_by(
+                id_col,
+                F.struct(F.col(score_col).alias("s"),
+                         (-F.col(id_col)).alias("t"))).alias(id_col))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
 def drop_near_duplicates(docs: DataFrame, pairs: DataFrame, *,
                          id_col: str = "doc_id", id_a: str = "id_a",
                          id_b: str = "id_b") -> DataFrame:

@@ -1960,6 +1960,26 @@ def q_dedup_kept_by_source(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup pipeline: jaccard pairs -> connected
+    components -> keep the LONGEST member per cluster (ties to min id)
+    instead of the arbitrary min-id keep-first — how production dedup
+    actually picks survivors (FineWeb-style keep-the-best-copy). The
+    per-source kept-id sum pins exact survivor membership, not just
+    counts; the oracle replays the closure and the (score, -id)
+    argmax in SQL."""
+    from eventstorm_spark.extensions.dedup import (
+        keep_best_near_duplicates, ngram_jaccard_pairs,
+    )
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    kept = keep_best_near_duplicates(docs, pairs, score_col="n_chars")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("kept_id_sum"))
+            .orderBy("source"))
+
+
 def q_near_dup_ngram_jaccard(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
@@ -3346,6 +3366,40 @@ _EXT_ORACLES = {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
         GROUP BY source""",
+    # keep-BEST variant: same closure, survivor = argmax(n_chars) per
+    # cluster with min-id tie-break (row_number replay of max_by)
+    "dedup_keep_best": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s),
+        lab AS (SELECT d.doc_id, d.source, d.n_chars,
+                       coalesce(c.cluster_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        best AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY cid
+                                           ORDER BY n_chars DESC, doc_id)
+                            AS rn
+                 FROM lab)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        FROM best WHERE rn = 1
+        GROUP BY source ORDER BY source""",
     "dedup_exact": """
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
@@ -5280,13 +5334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only the ten r9-new
+        #    query's driver evidence is r6+ and only the eleven r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
         #    audio near-dup pairs, video frame decode, source overlap,
         #    url canonical dedup, url host composition, image dup
-        #    clusters, train quality weights — all locally
-        #    parity-green, all verified by hand at sf0.01) plus the r6
-        #    five await their first / next check;
+        #    clusters, train quality weights, dedup keep best — all
+        #    locally parity-green, all verified by hand at sf0.01) plus
+        #    the r6 five await their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5354,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_composition": q_url_host_composition,
         "image_dup_clusters": q_image_dup_clusters,
         "train_quality_weights": q_train_quality_weights,
+        "dedup_keep_best": q_dedup_keep_best,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,

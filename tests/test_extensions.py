@@ -2235,3 +2235,19 @@ def test_train_linear_quality_zero_variance_feature_inert(spark):
                                 iters=5)
     # every feature is constant across this corpus -> all weights 0
     assert all(v == 0.0 for v in w.values()), w
+
+
+def test_keep_best_near_duplicates_picks_argmax_not_min_id(spark):
+    """Within a duplicate cluster the highest-score member survives
+    (ties break to min id) — verified against drop_near_duplicates,
+    which would keep the min id instead; singletons always survive."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long")
+    # cluster {1,2,3} via transitive pairs; {4} and {9} singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = dedup.keep_best_near_duplicates(docs, pairs, score_col="score")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 9]
+    # keep-first would have kept 1 — different survivor, same count
+    first = dedup.drop_near_duplicates(docs, pairs)
+    assert sorted(r.doc_id for r in first.collect()) == [1, 4, 9]
