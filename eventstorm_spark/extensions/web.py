@@ -26,6 +26,11 @@ nothing — the keep-set joins back by id); host composition is a
 bounded-cardinality aggregate (#hosts). At 100 TB this is exactly the
 cheap first funnel stage it is in production pipelines.
 
+For an at-rest frontier store, the digest-index machinery is already
+generic: ``curation.write_digest_index(canonicalized, path,
+text_col="canonical_url")`` persists the seen set as 16-byte rows with
+the full build→probe→append→compact lifecycle.
+
 The reference engine has no URL tier (its scope is the event log);
 this belongs to the §2.8 training-data-pipeline extension suite.
 """

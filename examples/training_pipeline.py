@@ -4,12 +4,22 @@ composition of the engine's curation operators on the synthetic corpus.
 Stages (each one a lazy DataFrame transform until the final writes):
 
   raw documents
+    -> URL step-zero                  (web.synth_urls + canonicalize +
+                                       url_dedup — drop re-crawls by
+                                       canonical URL before any payload
+                                       work)
     -> C4/Gopher rule filter          (text.c4_rules, auditable reasons)
     -> exact dedup                    (dedup.drop_exact_duplicates)
+    -> quality model trained in-engine (text.train_linear_quality on
+                                       weak labels; scores drive the
+                                       near-dup survivor choice)
     -> near-dup removal               (dedup.minhash_near_duplicates +
-                                       drop_near_duplicates; the
-                                       (hashes, bands) config is audited
-                                       empirically by dedup.lsh_recall_audit)
+                                       keep_best_near_duplicates —
+                                       survivors are the highest-scored
+                                       cluster members, not first-crawled;
+                                       the (hashes, bands) config is
+                                       audited empirically by
+                                       dedup.lsh_recall_audit)
     -> benchmark decontamination      (pipeline.decontaminate_bloom —
                                        hash-slot broadcast semi-join)
     -> substring scrub                (text.exact_substring_scrub_text;
@@ -52,17 +62,34 @@ def main() -> None:
     n0 = docs.count()
     print(f"raw                 {n0:>7d} docs")
 
-    kept_ids = (text.c4_rules(docs).where(F.col("kept") == 1)
+    # step zero: collapse re-crawled URLs before any payload work
+    # (pages_per_source sets the synthetic re-crawl rate; ~2 crawls
+    # per page here)
+    from eventstorm_spark.extensions import web
+    urls = web.canonicalize_urls(web.synth_urls(docs, pages_per_source=240))
+    fetched = docs.join(web.url_dedup(urls).select("doc_id"), "doc_id")
+    print(f"url dedup           {fetched.count():>7d} docs")
+
+    kept_ids = (text.c4_rules(fetched).where(F.col("kept") == 1)
                 .select("doc_id"))
-    filtered = docs.join(kept_ids, "doc_id")
+    filtered = fetched.join(kept_ids, "doc_id")
     print(f"c4 rules            {filtered.count():>7d} docs")
 
     exact = dedup.drop_exact_duplicates(filtered)
     print(f"exact dedup         {exact.count():>7d} docs")
 
+    # train the quality model on the engine (weak labels), then let its
+    # scores pick the near-dup survivors: keep the BEST copy, not the
+    # first-crawled one
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    w, b = text.train_linear_quality(exact, labels)
+    scores = text.linear_quality_score(exact, weights=w, bias=b)
+    scored = exact.join(scores.select("doc_id", "quality_score"), "doc_id")
     pairs = dedup.minhash_near_duplicates(exact, threshold=0.8)
-    near = dedup.drop_near_duplicates(exact, pairs)
-    print(f"near dedup          {near.count():>7d} docs")
+    near = dedup.keep_best_near_duplicates(
+        scored, pairs, score_col="quality_score").drop("quality_score")
+    print(f"near dedup          {near.count():>7d} docs (keep-best)")
 
     # did the banding config actually catch the >=0.8 pairs? (audited
     # on a bounded sample, not assumed from the theoretical s-curve)
