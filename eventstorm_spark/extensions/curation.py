@@ -993,6 +993,127 @@ def append_minhash_index(new_docs: DataFrame, path: str, *,
 
 
 # ---------------------------------------------------------------------------
+# at-rest BM25 inverted index
+# ---------------------------------------------------------------------------
+
+def _bm25_term_rows(docs: DataFrame, *, text_col: str,
+                    id_col: str) -> DataFrame:
+    """(id, term) rows under the SAME tokenizer as text.bm25_top_docs
+    (``[a-z0-9]+`` over lowercased text) — the index and the in-memory
+    scorer must tokenize identically or scores drift (test-pinned)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+
+
+def _bm25_postings(docs: DataFrame, *, text_col: str, id_col: str,
+                   n_buckets: int) -> DataFrame:
+    tf = (_bm25_term_rows(docs, text_col=text_col, id_col=id_col)
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    return tf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+
+
+def _bm25_doclen(docs: DataFrame, *, text_col: str,
+                 id_col: str) -> DataFrame:
+    return (docs.select(
+        F.col(id_col),
+        F.size(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .cast("long").alias("dl"))
+        .where(F.col("dl") > 0))
+
+
+def write_bm25_index(corpus: DataFrame, path: str, *, n_buckets: int = 64,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+    """Persist the corpus as an at-rest BM25 INVERTED index:
+    ``path/postings`` ((id, term, tf) hash-partitioned by term bucket)
+    and ``path/doclen`` ((id, dl) — ~16 B/doc).
+
+    The retrieval twin of the digest/MinHash/dHash/winnow indexes: a
+    query tokenizes NOTHING at serve time — its terms hash to bucket
+    partition dirs, the postings scan is partition-pruned to those
+    buckets (unqueried buckets cost zero I/O), per-term df comes from
+    counting the pruned postings themselves (no separate df table to
+    drift after appends), and N/avgdl are one aggregate over the
+    narrow doclen table. Corpus text is never re-read. Serving equals
+    :func:`text.bm25_top_docs` on the same corpus exactly — both rank
+    through the shared ``text.bm25_rank`` stage (test-pinned).
+
+    At 100 TB the postings table is the standard inverted-index cost
+    (one row per distinct (doc, term)); building it is one tokenize
+    pass + one map-side-combinable (id, term) aggregate.
+    """
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "bm25", "n_buckets": n_buckets})
+    (_bm25_postings(corpus, text_col=text_col, id_col=id_col,
+                    n_buckets=n_buckets)
+     .repartition("bucket", "term")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+    (_bm25_doclen(corpus, text_col=text_col, id_col=id_col)
+     .write.mode("overwrite").parquet(os.path.join(path, "doclen")))
+
+
+def bm25_against_index(spark, index_path: str, query_terms: list, *,
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       n_buckets: int = 64,
+                       id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k from a :func:`write_bm25_index` — the serving path.
+
+    The query terms' buckets are computed with the index's own bucket
+    expression (a query-bounded collect), the postings read prunes to
+    those partition dirs, and ranking goes through the SAME
+    ``text.bm25_rank`` stage as the in-memory form, so index-vs-memory
+    results are identical by construction. ``n_buckets`` is validated
+    against ``_meta`` — a mismatch would prune to the wrong dirs and
+    silently drop terms, so it is a hard error instead."""
+    from eventstorm_spark.extensions.text import bm25_rank
+
+    _check_index_meta(spark, index_path,
+                      {"kind": "bm25", "n_buckets": n_buckets}, "bm25")
+    terms = [str(t) for t in query_terms]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [r.bucket for r in
+               tdf.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                          .cast("int").alias("bucket"))
+               .distinct().collect()]
+    postings = (spark.read.parquet(os.path.join(index_path, "postings"))
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(terms)))
+    dl = spark.read.parquet(os.path.join(index_path, "doclen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = postings.select(id_col, "term", "tf")
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return bm25_rank(tf, df_, dl, stats, k1=k1, b=b, k=k, id_col=id_col)
+
+
+def append_bm25_index(new_docs: DataFrame, path: str, *,
+                      n_buckets: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Incremental maintenance of a :func:`write_bm25_index`: append
+    the new docs' postings into their bucket dirs and their lengths
+    into doclen. Ids must be NEW (re-appending an id double-counts its
+    rows in df and N — same contract as the MinHash index); call with
+    the post-dedup survivors of an ingest. df/N/avgdl need no stored
+    update: probes derive them from the appended tables, so appends
+    are read-modify-write-free."""
+    _check_index_meta(new_docs.sparkSession, path,
+                      {"kind": "bm25", "n_buckets": n_buckets}, "bm25")
+    (_bm25_postings(new_docs, text_col=text_col, id_col=id_col,
+                    n_buckets=n_buckets)
+     .repartition("bucket", "term")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+    (_bm25_doclen(new_docs, text_col=text_col, id_col=id_col)
+     .write.mode("append").parquet(os.path.join(path, "doclen")))
+
+
+# ---------------------------------------------------------------------------
 # index compaction
 # ---------------------------------------------------------------------------
 
@@ -1077,7 +1198,8 @@ def compact_table(spark, table_path: str, *,
 def compact_index(spark, path: str) -> dict:
     """Kind-aware compaction for the at-rest curation indexes
     (``write_digest_index`` / ``write_minhash_index`` /
-    ``write_dhash_index`` / ``write_winnow_index``): reads the index's
+    ``write_dhash_index`` / ``write_winnow_index`` /
+    ``write_bm25_index``): reads the index's
     ``_meta`` to learn its kind and rewrites each sub-table with the
     exact partitioning its writer used, collapsing the per-append file
     accumulation. Membership semantics are untouched (all sub-tables
@@ -1101,6 +1223,10 @@ def compact_index(spark, path: str) -> dict:
         "dhash": [("hashes", (), (), ()),
                   ("buckets", ("band",), ("band", "val"), ())],
         "winnow": [("fingerprints", ("bucket",), ("bucket",), ())],
+        # bm25 rows are unique per (id, term) under the new-ids-only
+        # append contract, so the distinct collapse is a no-op there
+        "bm25": [("postings", ("bucket",), ("bucket", "term"), ()),
+                 ("doclen", (), (), ())],
     }
     if kind not in plans:
         raise ValueError(f"unknown index kind {kind!r} at {path}")

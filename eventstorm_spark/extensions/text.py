@@ -935,7 +935,19 @@ def bm25_top_docs(docs: DataFrame, query_terms: list[str], *, k: int = 20,
     tf = (terms.where(F.col("term").isin(list(query_terms)))
           .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # df_ is bounded by len(query_terms): forced broadcast is safe.
+    return bm25_rank(tf, df_, dl, stats, k1=k1, b=b, k=k, id_col=id_col)
+
+
+def bm25_rank(tf: DataFrame, df_: DataFrame, dl: DataFrame,
+              stats: DataFrame, *, k1: float = 1.2, b: float = 0.75,
+              k: int = 20, id_col: str = "doc_id") -> DataFrame:
+    """The BM25 scoring/ranking stage, factored so the in-memory form
+    (:func:`bm25_top_docs`) and the at-rest inverted index
+    (``curation.bm25_against_index``) share ONE expression — the two
+    can never drift (their equality is also test-pinned). Inputs:
+    ``tf`` (id, term, tf) for the query terms only, ``df_`` (term, df)
+    — query-bounded, forced broadcast — ``dl`` (id, dl), ``stats``
+    1-row (n_docs, avgdl)."""
     scored = (tf.join(F.broadcast(df_), "term")
               .join(dl, id_col)
               .crossJoin(F.broadcast(stats))

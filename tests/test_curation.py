@@ -1233,3 +1233,58 @@ def test_compact_index_dhash_and_midswap_guard(spark, tmp_path):
     _os.mkdir(_os.path.join(path, "hashes") + ".__compact_old")
     with _pytest.raises(RuntimeError, match="mid-swap"):
         compact_index(spark, path)
+
+
+def test_bm25_index_parity_pruning_append_compact(spark, tmp_path, sf_dir):
+    """The at-rest BM25 inverted index end-to-end: (a) serving equals
+    text.bm25_top_docs exactly on the same corpus (shared bm25_rank
+    stage + shared tokenizer); (b) the postings read is partition-
+    pruned to the query terms' buckets; (c) build-on-half + append-half
+    equals build-on-full (df/N/avgdl are derived at probe time, so
+    appends need no stats rewrite); (d) compaction reduces files and
+    leaves probe results unchanged; (e) a mismatched n_buckets probe is
+    a hard error."""
+    import pytest
+
+    from eventstorm_spark.extensions.curation import (
+        append_bm25_index,
+        bm25_against_index,
+        compact_index,
+        write_bm25_index,
+    )
+    from eventstorm_spark.extensions.text import bm25_top_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "merge", "window"]
+    want = [tuple(r) for r in bm25_top_docs(docs, terms, k=20).collect()]
+
+    path = os.path.join(str(tmp_path), "bm25")
+    write_bm25_index(docs, path, n_buckets=16)
+    got = bm25_against_index(spark, path, terms, k=20, n_buckets=16)
+    assert [tuple(r) for r in got.collect()] == want
+
+    # partition pruning: the query terms' buckets land in
+    # PartitionFilters (inspect a FRESH probe plan — after a collect,
+    # AQE's finalized plan string formats scans differently)
+    fresh = bm25_against_index(spark, path, terms, k=20, n_buckets=16)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+    # append lifecycle: half + appended half == full
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    path2 = os.path.join(str(tmp_path), "bm25_half")
+    write_bm25_index(half_a, path2, n_buckets=16)
+    append_bm25_index(half_b, path2, n_buckets=16)
+    got2 = bm25_against_index(spark, path2, terms, k=20, n_buckets=16)
+    assert [tuple(r) for r in got2.collect()] == want
+
+    # compaction: fewer files, identical serving
+    report = compact_index(spark, path2)
+    assert report["postings"]["files_after"] <= report["postings"]["files_before"]
+    got3 = bm25_against_index(spark, path2, terms, k=20, n_buckets=16)
+    assert [tuple(r) for r in got3.collect()] == want
+
+    # meta guard
+    with pytest.raises(ValueError):
+        bm25_against_index(spark, path, terms, n_buckets=32)
