@@ -2251,3 +2251,40 @@ def test_keep_best_near_duplicates_picks_argmax_not_min_id(spark):
     # keep-first would have kept 1 — different survivor, same count
     first = dedup.drop_near_duplicates(docs, pairs)
     assert sorted(r.doc_id for r in first.collect()) == [1, 4, 9]
+
+
+def test_hybrid_retrieval_served_entirely_from_indexes(spark, emb, tmp_path):
+    """The whole hybrid retrieval stack can serve from at-rest indexes:
+    RRF over (bm25_against_index, ivf_index_topk) equals RRF over the
+    in-memory retrievers given the same corpus and centroids — neither
+    leg re-reads corpus text or raw embeddings outside its index."""
+    from eventstorm_spark.extensions.curation import (
+        bm25_against_index, write_bm25_index,
+    )
+    from eventstorm_spark.extensions.similarity import (
+        ivf_index_topk, ivf_topk, rrf_fuse, write_ivf_index,
+    )
+    from eventstorm_spark.extensions.text import bm25_top_docs
+    from eventstorm_spark.inventory import _query_vec
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qv = _query_vec(spark, "/root/testdata/sf0.001")
+    base = emb.where(F.col("vec_id") != 0)
+    terms = ["spark", "merge", "window"]
+
+    bpath = str(tmp_path / "bm25")
+    write_bm25_index(docs, bpath, n_buckets=16)
+    vpath = str(tmp_path / "ivf")
+    cents = write_ivf_index(base, vpath)
+
+    def fuse(bm, ann):
+        return [(r.id, r.rrf_score) for r in
+                rrf_fuse([bm.select("doc_id", "bm25"),
+                          ann.select("vec_id", "cosine_sim")],
+                         out_k=10).collect()]
+
+    served = fuse(bm25_against_index(spark, bpath, terms, k=20, n_buckets=16),
+                  ivf_index_topk(spark, vpath, cents, qv, k=20))
+    memory = fuse(bm25_top_docs(docs, terms, k=20),
+                  ivf_topk(base, qv, k=20, centroids=cents))
+    assert served == memory and len(served) == 10
