@@ -146,3 +146,39 @@ def test_streaming_url_dedup(spark, tmp_path):
                                              "https://new.com/q"]
     finally:
         q.stop()
+
+
+def test_url_frontier_at_rest_via_digest_index(spark, tmp_path, sf_dir):
+    """The module docstring's claim, pinned: an at-rest URL frontier
+    store is the generic digest index with text_col='canonical_url' —
+    build from the seen set, probe a new batch (any raw spelling of a
+    seen page is dropped), append survivors, re-probe."""
+    import os
+
+    from eventstorm_spark.extensions.curation import (
+        append_digest_index,
+        dedup_against_digest_index,
+        write_digest_index,
+    )
+
+    path = os.path.join(str(tmp_path), "frontier")
+    seen = canonicalize_urls(spark.createDataFrame(
+        [(1, "https://a.com/p?x=1")], "doc_id long, url string"))
+    write_digest_index(seen, path, text_col="canonical_url", n_buckets=4)
+
+    batch = canonicalize_urls(spark.createDataFrame(
+        [(10, "HTTPS://WWW.a.com:443/p/?utm_source=f&x=1"),  # seen page
+         (11, "https://b.com/q")],                           # novel
+        "doc_id long, url string"))
+    kept = dedup_against_digest_index(batch, spark, path,
+                                      text_col="canonical_url")
+    assert [r.doc_id for r in kept.collect()] == [11]
+    append_digest_index(kept, path, text_col="canonical_url", n_buckets=4)
+
+    batch2 = canonicalize_urls(spark.createDataFrame(
+        [(20, "Https://b.com/q#frag"),   # now at rest via append
+         (21, "https://c.com/r")],
+        "doc_id long, url string"))
+    kept2 = dedup_against_digest_index(batch2, spark, path,
+                                       text_col="canonical_url")
+    assert [r.doc_id for r in kept2.collect()] == [21]
