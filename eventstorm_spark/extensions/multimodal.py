@@ -1737,6 +1737,98 @@ def image_dhash(assets: DataFrame, *, hash_w: int = 8,
     return assets.select("asset_id", "content").mapInPandas(run, out_schema)
 
 
+_DCT_MATRICES: dict = {}
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis (row k = sqrt(2/n)*cos(pi*(2j+1)k/2n),
+    row 0 scaled by 1/sqrt(2)) — cached; applying it as D @ X @ D.T is
+    the 2-D DCT every pHash implementation uses."""
+    if n not in _DCT_MATRICES:
+        j = np.arange(n)
+        d = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * j[None, :] + 1) * j[:, None] / (2 * n))
+        d[0] /= np.sqrt(2.0)
+        _DCT_MATRICES[n] = d
+    return _DCT_MATRICES[n]
+
+
+def _phash_pack(rgb: bytes, w: int, h: int, *, grid: int,
+                hash_w: int, hash_h: int) -> tuple[int, int]:
+    """The pHash kernel: float grayscale, the same ``(dst*src)//dst``
+    nearest gather as dHash to a ``grid x grid`` plane, 2-D DCT-II,
+    keep the top-left ``hash_h x hash_w`` low-frequency block, one bit
+    per coefficient: value > median of the block's AC coefficients
+    (DC excluded from the threshold — it is raw brightness). Packing
+    mirrors :func:`_dhash_pack`'s two positive halves."""
+    nb = hash_w * hash_h
+    half = nb // 2
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    gray = (arr[:, :, 0].astype(np.float64)
+            + arr[:, :, 1] + arr[:, :, 2]) / 3.0
+    iy = (np.arange(grid) * h) // grid
+    ix = (np.arange(grid) * w) // grid
+    small = gray[iy][:, ix]
+    d = _dct_matrix(grid)
+    coef = d @ small @ d.T
+    block = coef[:hash_h, :hash_w].ravel()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    hi = sum(1 << i for i in range(half) if bits[i])
+    lo = sum(1 << (i - half) for i in range(half, nb) if bits[i])
+    return hi, lo
+
+
+def image_phash(assets: DataFrame, *, grid: int = 32, hash_w: int = 8,
+                hash_h: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image — the frequency-domain
+    complement of :func:`image_dhash`: resample to a ``grid x grid``
+    plane, 2-D DCT, threshold the low-frequency block against its AC
+    median. Where dHash encodes local gradient SIGNS (cheap, exactly
+    SQL-replayable, but each bit rests on two pixels), pHash bits are
+    global low-frequency energy comparisons — stable under brightness/
+    contrast shifts (affine changes move DC and scale, not the
+    AC-vs-median ordering), blur and mild noise. Float DCT is not
+    SQL-replayable, so this operator is test-pinned (independent
+    direct-DCT reference, invariance properties) rather than
+    oracle-checked — dHash remains the driver-query form.
+
+    Emits the SAME split-64-bit layout (``dhash_hi``/``dhash_lo``) as
+    the dHash/audio tiers, so :func:`image_hamming_pairs`,
+    :func:`dhash_bands` banding and the at-rest
+    ``curation.write_dhash_index`` machinery all work on pHash rows
+    unchanged. Arrow-batched ``mapInPandas``, payload-local, no
+    shuffle."""
+    nb = hash_w * hash_h
+    if hash_w < 1 or hash_h < 1 or nb % 2 or nb > 124:
+        raise ValueError("hash_w*hash_h must be even and <= 124 (two "
+                         f"sub-63-bit halves); got {hash_w}x{hash_h}")
+    if grid < max(hash_w, hash_h):
+        raise ValueError(f"grid={grid} smaller than the hash block")
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                w, h, rgb = _sniff_rgb(bytes(payload))
+                hi, lo = _phash_pack(rgb, w, h, grid=grid,
+                                     hash_w=hash_w, hash_h=hash_h)
+                recs.append((int(aid), w, h, hi, lo))
+            yield pd.DataFrame(recs,
+                               columns=[f.name for f in out_schema.fields])
+
+    if "modality" in assets.columns:
+        assets = assets.where(F.col("modality") == "image")
+    return assets.select("asset_id", "content").mapInPandas(run, out_schema)
+
+
 def dhash_bands(hashes: DataFrame, *, n_bits: int = 64) -> DataFrame:
     """Banded rows (id, dhash_hi, dhash_lo, band, val) for a
     :func:`image_dhash` / :func:`audio_fingerprint` table: the

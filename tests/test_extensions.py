@@ -2288,3 +2288,84 @@ def test_hybrid_retrieval_served_entirely_from_indexes(spark, emb, tmp_path):
     memory = fuse(bm25_top_docs(docs, terms, k=20),
                   ivf_topk(base, qv, k=20, centroids=cents))
     assert served == memory and len(served) == 10
+
+
+def test_image_phash_matches_direct_dct_reference(spark):
+    """pHash bits must equal an independent naive double-loop DCT-II
+    reference (explicit cosine sums, no shared code with the matrix
+    form) on a deterministic random image."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    w, h = 40, 30
+    rgb = bytes(rng.integers(0, 256, size=w * h * 3, dtype=np.uint8))
+    assets = spark.createDataFrame(
+        [(1, "image", multimodal.encode_ppm(w, h, rgb), None)],
+        multimodal.ASSET_SCHEMA)
+    row = multimodal.image_phash(assets).collect()[0]
+
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    gray = (arr[:, :, 0].astype(np.float64) + arr[:, :, 1] + arr[:, :, 2]) / 3
+    iy = [(y * h) // 32 for y in range(32)]
+    ix = [(x * w) // 32 for x in range(32)]
+    small = [[gray[yy][xx] for xx in ix] for yy in iy]
+    n = 32
+
+    def dct2(u, v):  # naive O(n^2) per coefficient
+        s = 0.0
+        for y in range(n):
+            for x in range(n):
+                s += (small[y][x]
+                      * math.cos(math.pi * (2 * y + 1) * u / (2 * n))
+                      * math.cos(math.pi * (2 * x + 1) * v / (2 * n)))
+        cu = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+        cv = math.sqrt(1.0 / n) if v == 0 else math.sqrt(2.0 / n)
+        return cu * cv * s
+
+    block = [dct2(u, v) for u in range(8) for v in range(8)]
+    med = float(np.median(block[1:]))
+    bits = [b > med for b in block]
+    hi = sum(1 << i for i in range(32) if bits[i])
+    lo = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+    assert (row.dhash_hi, row.dhash_lo) == (hi, lo)
+
+
+def test_image_phash_invariances_and_machinery(spark):
+    """pHash is bit-stable under uniform brightness and contrast
+    changes (affine transforms leave the AC-vs-median ordering alone)
+    and under 2x nearest upscaling; distinct content stays distant;
+    and the rows feed the shared Hamming pair machinery unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w, h = 32, 32
+    base = rng.integers(30, 180, size=(h, w), dtype=np.uint8)
+    def ppm(gray):
+        rgb = np.repeat(gray.astype(np.uint8).ravel(), 3).tobytes()
+        return multimodal.encode_ppm(gray.shape[1], gray.shape[0], rgb)
+
+    brighter = np.clip(base.astype(np.int32) + 40, 0, 255)
+    contrast = np.clip(base.astype(np.float64) * 1.3, 0, 255).astype(int)
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 2x nearest
+    other = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, "image", ppm(base), None), (2, "image", ppm(brighter), None),
+         (3, "image", ppm(contrast), None), (4, "image", ppm(up), None),
+         (5, "image", ppm(other), None)], multimodal.ASSET_SCHEMA)
+    rows = {r.asset_id: (r.dhash_hi, r.dhash_lo)
+            for r in multimodal.image_phash(assets).collect()}
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1"))
+
+    assert ham(rows[1], rows[2]) <= 1   # brightness: only the DC bit may move
+    assert ham(rows[1], rows[3]) <= 1   # contrast
+    assert ham(rows[1], rows[4]) <= 1   # 2x nearest upscale
+    assert ham(rows[1], rows[5]) > 10   # different content stays distant
+
+    pairs = {(r.id_a, r.id_b)
+             for r in multimodal.image_hamming_pairs(
+                 multimodal.image_phash(assets), max_distance=3).collect()}
+    assert (1, 2) in pairs and (1, 5) not in pairs
