@@ -1236,6 +1236,52 @@ def streaming_near_dup_pairs(docs_stream: DataFrame, *, n: int = 3,
         GroupStateTimeout.NoTimeout)
 
 
+def edit_distance_pairs(docs: DataFrame, *, threshold: float = 0.8,
+                        n: int = 3, max_shingle_df: int | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hash_join: bool = True) -> DataFrame:
+    """Fuzzy near-dup pairs verified by normalized EDIT DISTANCE:
+    ``edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b))`` over
+    every pair sharing >= 1 word n-gram shingle. The character-level
+    complement of the shingle-set scores: Jaccard/containment ignore
+    ORDER and miss small in-word edits (typo squatting, template slot
+    fills, OCR noise); Levenshtein prices every insert/delete/
+    substitute — the record-linkage verify step.
+
+    Same blocking as :func:`ngram_jaccard_pairs` (shingle self-join —
+    disjoint docs never meet), then the verify joins the two texts for
+    CANDIDATE pairs only: the DP is O(len_a * len_b) per candidate,
+    all JVM-side (``levenshtein`` is a codegen builtin in both Spark
+    and the DuckDB oracle, identical unit-cost semantics). At corpus
+    scale set ``max_shingle_df`` (the stop-shingle cut) to keep the
+    candidate stage bucketed on boilerplate-heavy crawls; the default
+    (None) is exact oracle-replay mode — the same contract as the rest
+    of the pair family.
+    """
+    ex = shingle_rows(docs, n, text_col, id_col)
+    if hash_join:
+        ex = ex.select("id", F.xxhash64("shingle").alias("shingle"))
+    if max_shingle_df is not None:
+        keep = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_shingle_df).select("shingle"))
+        ex = ex.join(keep, "shingle", "left_semi")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    ta = docs.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("__tb"))
+    sim = (F.lit(1.0) - F.levenshtein("__ta", "__tb")
+           / F.greatest(F.length("__ta"), F.length("__tb")))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b", F.round(sim, 6).alias("edit_sim"))
+            .where(F.col("edit_sim") >= threshold))
+
+
 def keep_best_near_duplicates(docs: DataFrame, pairs: DataFrame, *,
                               score_col: str, id_col: str = "doc_id",
                               id_a: str = "id_a",

@@ -1980,6 +1980,20 @@ def q_dedup_keep_best(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_near_dup_edit_distance(spark, sf_dir):
+    """Fuzzy near-dup pairs verified by normalized Levenshtein
+    similarity over shingle-blocked candidates — the character-level
+    complement of the set-based scores (order-sensitive, prices
+    in-word edits). Candidates = pairs sharing >= 1 trigram; verify is
+    the codegen `levenshtein` builtin, which DuckDB implements with
+    identical unit costs, so the oracle replays blocking AND verify
+    exactly."""
+    from eventstorm_spark.extensions.dedup import edit_distance_pairs
+    return (edit_distance_pairs(load(spark, sf_dir, "documents"),
+                                threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
 def q_near_dup_ngram_jaccard(spark, sf_dir):
     from eventstorm_spark.extensions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
@@ -3404,6 +3418,23 @@ _EXT_ORACLES = {
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
         FROM documents GROUP BY md5(text)""",
+    "near_dup_edit_distance": _SHINGLE_CTE + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(1 - levenshtein(da.text, db.text) * 1.0
+                         / greatest(length(da.text), length(db.text)), 6)
+                   AS edit_sim
+        FROM cand
+        JOIN documents da ON cand.id_a = da.doc_id
+        JOIN documents db ON cand.id_b = db.doc_id
+        WHERE round(1 - levenshtein(da.text, db.text) * 1.0
+                        / greatest(length(da.text), length(db.text)), 6)
+              >= 0.8
+        ORDER BY id_a, id_b""",
     # star CC produces the same labels as the union-find tier; reuse the
     # recursive-closure oracle verbatim (bound below after dict literal)
     "near_dup_ngram_jaccard": _SHINGLE_CTE + """,
@@ -5334,13 +5365,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    so they take the free slots), (b) all 44 queries whose
         #    driver evidence dated to r4/r5 (the exact list the r8
         #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only the eleven r9-new
+        #    query's driver evidence is r6+ and only the twelve r9-new
         #    queries (bmp decode, audio features, audio fingerprints,
         #    audio near-dup pairs, video frame decode, source overlap,
         #    url canonical dedup, url host composition, image dup
-        #    clusters, train quality weights, dedup keep best — all
-        #    locally parity-green, all verified by hand at sf0.01) plus
-        #    the r6 five await their first / next check;
+        #    clusters, train quality weights, dedup keep best, near dup
+        #    edit distance — all locally parity-green, all verified by
+        #    hand at sf0.01) plus the r6 five await their first / next
+        #    check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5409,6 +5441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "train_quality_weights": q_train_quality_weights,
         "dedup_keep_best": q_dedup_keep_best,
+        "near_dup_edit_distance": q_near_dup_edit_distance,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,

@@ -2369,3 +2369,30 @@ def test_image_phash_invariances_and_machinery(spark):
              for r in multimodal.image_hamming_pairs(
                  multimodal.image_phash(assets), max_distance=3).collect()}
     assert (1, 2) in pairs and (1, 5) not in pairs
+
+
+def test_edit_distance_pairs_typos_and_stop_shingle_cut(spark):
+    """Levenshtein near-dup: a one-word edit of a 10-word doc scores
+    ~0.9+ and pairs; an order-scramble keeps Jaccard=1.0 but drops the
+    edit similarity (the char-level score is order-sensitive); the
+    stop-shingle cut removes candidates blocked only by a boilerplate
+    shingle."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    typo = base.replace("epsilon", "epsilom")
+    scrambled = " ".join(reversed(base.split()))
+    docs = spark.createDataFrame(
+        [(1, base), (2, typo), (3, scrambled)], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_sim
+           for r in dedup.edit_distance_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (1, 3) not in got  # same shingle-free words, different order
+
+    # boilerplate shingle shared by everyone: the df cut removes the
+    # candidate pairs it alone created
+    boiler = [(i, f"unique{i} words{i} here{i} the same boilerplate run")
+              for i in range(10, 16)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    uncapped = dedup.edit_distance_pairs(bdocs, threshold=0.0)
+    capped = dedup.edit_distance_pairs(bdocs, threshold=0.0,
+                                       max_shingle_df=2)
+    assert uncapped.count() > 0 and capped.count() == 0
