@@ -797,6 +797,60 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 "n_distinct", "min_str", "max_str"))
 
 
+def cluster_cards(docs: DataFrame, embeddings: DataFrame, *,
+                  n_clusters: int = 8, top_terms: int = 5,
+                  centroids: list | None = None,
+                  text_col: str = "text", doc_id_col: str = "doc_id",
+                  vec_col: str = "embedding",
+                  vec_id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cluster dataset cards: route every document's vector
+    to its nearest centroid (the IVF cell router), then per cluster
+    report document count, token mass and the top-``top_terms``
+    highest-frequency terms — the corpus MAP a mixture designer reads
+    before cluster-balanced sampling (the DoReMi / cluster-weighted
+    recipe: sample by semantic cluster, not just source label).
+
+    ``centroids=None`` uses the deterministic lowest-id vectors (the
+    oracle-expressible contract shared with ``similarity.ivf_topk``);
+    pass ``kmeans_centroids(...)`` for trained cards at scale. Scale
+    shape: assignment is one Arrow GEMM scan; term counting is the
+    corpus tokenize pass aggregated by (cluster, term) with map-side
+    combine; the top-terms window runs over the (cluster x vocab)
+    count table, never the corpus. Output is one long-format table:
+    (cell, n_docs, n_tokens, rank, term, term_count).
+    """
+    from pyspark.sql import Window
+
+    from eventstorm_spark.extensions.similarity import _ivf_cell_udf
+    from eventstorm_spark.extensions.text import tokens
+
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        rows = (embeddings.orderBy(vec_id_col).limit(n_clusters)
+                .select(vec_col).collect())
+        cents = [[float(x) for x in r[vec_col]] for r in rows]
+    assign = embeddings.select(
+        F.col(vec_id_col).alias(doc_id_col),
+        _ivf_cell_udf(cents)(F.col(vec_col)).alias("cell"))
+    clustered = docs.join(assign, doc_id_col)
+    sizes = (clustered.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(token_count(F.col(text_col))).alias("n_tokens")))
+    terms = (clustered.select("cell",
+                              F.explode(tokens(F.col(text_col))).alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("cell", "term")
+             .agg(F.count(F.lit(1)).alias("term_count")))
+    w = Window.partitionBy("cell").orderBy(F.col("term_count").desc(), "term")
+    top = (terms.withColumn("rank", F.row_number().over(w).cast("int"))
+           .where(F.col("rank") <= top_terms))
+    return (top.join(sizes, "cell")
+            .select("cell", "n_docs", "n_tokens", "rank", "term",
+                    "term_count")
+            .orderBy("cell", "rank"))
+
+
 def write_packed_shards(docs: DataFrame, path: str, *, seq_len: int = 512,
                         n_shards: int = 16, salt: str = "packed-v1",
                         text_col: str = "text",

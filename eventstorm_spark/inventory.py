@@ -1980,6 +1980,20 @@ def q_dedup_keep_best(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_cluster_cards(spark, sf_dir):
+    """Embedding-cluster dataset cards: docs routed to their nearest
+    deterministic centroid (IVF cell router, lowest-id centroids — the
+    oracle-expressible contract), then per cluster: size, token mass
+    and the top-5 terms with deterministic (count desc, term) ranking.
+    The corpus map a cluster-balanced mixture design reads. The oracle
+    replays routing (argmax cosine, ties to the lowest cell), token
+    explode, counts and the ranking window in SQL."""
+    from eventstorm_spark.extensions.curation import cluster_cards
+    return cluster_cards(load(spark, sf_dir, "documents"),
+                         load(spark, sf_dir, "embeddings"),
+                         n_clusters=8, top_terms=5)
+
+
 def q_near_dup_edit_distance(spark, sf_dir):
     """Fuzzy near-dup pairs verified by normalized Levenshtein
     similarity over shingle-blocked candidates — the character-level
@@ -3418,6 +3432,49 @@ _EXT_ORACLES = {
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_docs
         FROM documents GROUP BY md5(text)""",
+    "cluster_cards": r"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cidx,
+                   v AS cv
+            FROM base ORDER BY vec_id LIMIT 8),
+        cellrn AS (
+            SELECT vec_id, cidx,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cidx)
+                       AS rn
+            FROM base CROSS JOIN cents),
+        assign AS (SELECT vec_id AS doc_id, cidx AS cell
+                   FROM cellrn WHERE rn = 1),
+        cd AS (SELECT a.cell, d.doc_id, d.text
+               FROM documents d JOIN assign a ON d.doc_id = a.doc_id),
+        sizes AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS n_tokens
+            FROM cd GROUP BY cell),
+        tc AS (
+            SELECT cell, term, CAST(count(*) AS BIGINT) AS term_count
+            FROM (SELECT cell,
+                         unnest(string_split_regex(trim(text), '\s+'))
+                             AS term
+                  FROM cd) t
+            WHERE term <> ''
+            GROUP BY cell, term),
+        ranked AS (
+            SELECT cell, term, term_count,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY term_count DESC, term) AS INT) AS rank
+            FROM tc)
+        SELECT r.cell, s.n_docs, s.n_tokens, r.rank, r.term, r.term_count
+        FROM ranked r JOIN sizes s ON r.cell = s.cell
+        WHERE r.rank <= 5
+        ORDER BY r.cell, r.rank""",
     "near_dup_edit_distance": _SHINGLE_CTE + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         cand AS (
@@ -5370,9 +5427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    audio near-dup pairs, video frame decode, source overlap,
         #    url canonical dedup, url host composition, image dup
         #    clusters, train quality weights, dedup keep best, near dup
-        #    edit distance — all locally parity-green, all verified by
-        #    hand at sf0.01) plus the r6 five await their first / next
-        #    check;
+        #    edit distance, cluster cards — all locally parity-green,
+        #    all verified by hand at sf0.01) plus the r6 five await
+        #    their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5442,6 +5499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_weights": q_train_quality_weights,
         "dedup_keep_best": q_dedup_keep_best,
         "near_dup_edit_distance": q_near_dup_edit_distance,
+        "cluster_cards": q_cluster_cards,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,
