@@ -180,6 +180,53 @@ def stratified_sample(docs: DataFrame, rates: Mapping[str, float], *,
     return docs.where(u < rate)
 
 
+def cluster_balanced_sample(docs: DataFrame, embeddings: DataFrame, *,
+                            n_clusters: int = 8,
+                            target_per_cluster: int = 100,
+                            centroids: list | None = None,
+                            salt: str = "cluster-sample-v1",
+                            id_col: str = "doc_id",
+                            vec_col: str = "embedding",
+                            vec_id_col: str = "vec_id") -> DataFrame:
+    """Cluster-BALANCED downsampling: route documents to their nearest
+    embedding centroid (the shared IVF cell router), then keep each
+    document iff its salted unit hash falls under
+    ``min(1, target_per_cluster / cluster_size)`` — flattening the
+    semantic-cluster distribution the way :func:`stratified_sample`
+    flattens source labels. This is the cluster-weighted sampling
+    recipe (DoReMi/SemDeDup-style mixture design uses clusters, not
+    source tags, as the strata).
+
+    Fully declarative — no driver collect: per-cluster counts are a
+    bounded aggregate broadcast-joined back, the rate is computed
+    in-plan, and the keep rule is the same engine-portable md5 unit
+    hash as every sampler here (growth-stable per cluster population:
+    a doc's decision moves only if its CLUSTER's size changes, which
+    is the point of balancing). ``centroids=None`` = deterministic
+    lowest-id routing (oracle mode); pass ``kmeans_centroids(...)``
+    at scale. Returns the kept docs with their ``cell``.
+    """
+    from eventstorm_spark.extensions.similarity import _ivf_cell_udf
+
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        rows = (embeddings.orderBy(vec_id_col).limit(n_clusters)
+                .select(vec_col).collect())
+        cents = [[float(x) for x in r[vec_col]] for r in rows]
+    assign = embeddings.select(
+        F.col(vec_id_col).alias(id_col),
+        _ivf_cell_udf(cents)(F.col(vec_col)).alias("cell"))
+    clustered = docs.join(assign, id_col)
+    counts = (clustered.groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(target_per_cluster)) / F.col("__n"))
+    return (clustered.join(F.broadcast(counts), "cell")
+            .where(_unit_hash(F.col(id_col), salt) < rate)
+            .drop("__n"))
+
+
 def decontaminate(train: DataFrame, test: DataFrame, *, n: int = 5,
                   min_common: int = 1, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

@@ -1980,6 +1980,32 @@ def q_dedup_keep_best(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_cluster_balanced_counts(spark, sf_dir):
+    """Cluster-balanced sampling audit: route docs to their nearest
+    deterministic centroid, keep each iff its salted md5 unit hash
+    falls under min(1, 40/cluster_size), and report per cluster
+    (n_docs, n_kept) — the flattened-mixture check. The oracle replays
+    routing, the per-cluster rate arithmetic and the hash keep rule
+    bit-for-bit."""
+    from eventstorm_spark.extensions.pipeline import cluster_balanced_sample
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kept = cluster_balanced_sample(docs, emb, n_clusters=8,
+                                   target_per_cluster=40)
+    n_kept = kept.groupBy("cell").agg(F.count(F.lit(1)).alias("n_kept"))
+    from eventstorm_spark.extensions.similarity import _ivf_cell_udf
+    rows = (emb.orderBy("vec_id").limit(8).select("embedding").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    assign = emb.select(F.col("vec_id").alias("doc_id"),
+                        _ivf_cell_udf(cents)(F.col("embedding")).alias("cell"))
+    totals = (docs.join(assign, "doc_id").groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (totals.join(n_kept, "cell", "left_outer")
+            .select("cell", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+            .orderBy("cell"))
+
+
 def q_cluster_cards(spark, sf_dir):
     """Embedding-cluster dataset cards: docs routed to their nearest
     deterministic centroid (IVF cell router, lowest-id centroids — the
@@ -3475,6 +3501,40 @@ _EXT_ORACLES = {
         FROM ranked r JOIN sizes s ON r.cell = s.cell
         WHERE r.rank <= 5
         ORDER BY r.cell, r.rank""",
+    "cluster_balanced_counts": r"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cidx,
+                   v AS cv
+            FROM base ORDER BY vec_id LIMIT 8),
+        cellrn AS (
+            SELECT vec_id, cidx,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cidx)
+                       AS rn
+            FROM base CROSS JOIN cents),
+        assign AS (SELECT vec_id AS doc_id, cidx AS cell
+                   FROM cellrn WHERE rn = 1),
+        cd AS (SELECT a.cell, d.doc_id
+               FROM documents d JOIN assign a ON d.doc_id = a.doc_id),
+        tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+                FROM cd GROUP BY cell),
+        kept AS (
+            SELECT cd.cell, CAST(count(*) AS BIGINT) AS n_kept
+            FROM cd JOIN tot ON cd.cell = tot.cell
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(cd.doc_id AS VARCHAR), ':',
+                      'cluster-sample-v1')), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                  < least(1.0, 40.0 / tot.n_docs)
+            GROUP BY cd.cell)
+        SELECT tot.cell, tot.n_docs, coalesce(kept.n_kept, 0) AS n_kept
+        FROM tot LEFT JOIN kept ON tot.cell = kept.cell
+        ORDER BY tot.cell""",
     "near_dup_edit_distance": _SHINGLE_CTE + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         cand AS (
@@ -5427,9 +5487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    audio near-dup pairs, video frame decode, source overlap,
         #    url canonical dedup, url host composition, image dup
         #    clusters, train quality weights, dedup keep best, near dup
-        #    edit distance, cluster cards — all locally parity-green,
-        #    all verified by hand at sf0.01) plus the r6 five await
-        #    their first / next check;
+        #    edit distance, cluster cards, cluster balanced counts —
+        #    all locally parity-green, all verified by hand at sf0.01)
+        #    plus the r6 five await their first / next check;
         #    they lead the r10 window, then rotation continues
         #    oldest-first from the tail.
         "proj_state_lookup": q_proj_state_lookup,
@@ -5500,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "near_dup_edit_distance": q_near_dup_edit_distance,
         "cluster_cards": q_cluster_cards,
+        "cluster_balanced_counts": q_cluster_balanced_counts,
         "html_extract": q_html_extract,
         "exact_substring_scrub": q_exact_substring_scrub,
         "asof_last_view": q_asof_last_view,
