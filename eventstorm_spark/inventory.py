@@ -2906,6 +2906,45 @@ def q_events_range_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_big")))
 
 
+def q_events_gapfill_locf(spark, sf_dir):
+    """TimescaleDB-style time_bucket_gapfill + LOCF (`temporal.gapfill`):
+    hourly sums of the sparse high-value event stream (value >= 97, so
+    real holes exist at every SF), densified to every hour between each
+    type's first and last observation, holes carried forward. The spine
+    is a per-key sequence() explode over the AGGREGATE grid (|keys| x
+    |buckets|, never the raw stream); fills are one key-ordered window
+    pass. Decimal-exact sums make the fill engine-portable."""
+    from eventstorm_spark.extensions.temporal import time_bucket, gapfill
+    ev = load(spark, sf_dir, "events").where(F.col("value") >= 97)
+    b = time_bucket(ev, bucket="hour", key_col="event_type",
+                    value_col="value")
+    g = gapfill(b, bucket="hour", method="locf")
+    return g.select(
+        F.col("key").alias("event_type"),
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+        "n", "is_gap")
+
+
+def q_events_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation gapfill over the same sparse hourly grid:
+    holes get prev + (next - prev) * frac on the bucket-time axis
+    (leading/trailing holes fall back to the nearest observation).
+    Same spine + two window passes; the interpolation is a single
+    fixed IEEE expression over decimal-exact endpoints, so the oracle
+    replays it bit-for-bit."""
+    from eventstorm_spark.extensions.temporal import time_bucket, gapfill
+    ev = load(spark, sf_dir, "events").where(F.col("value") >= 97)
+    b = time_bucket(ev, bucket="hour", key_col="event_type",
+                    value_col="value")
+    g = gapfill(b, bucket="hour", method="linear")
+    return g.select(
+        F.col("key").alias("event_type"),
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("sum_v").alias("sum_v"),
+        "n", "is_gap")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Content-level snapshot diff: old = docs with doc_id % 7 != 0,
     new = docs with doc_id % 5 != 0 — heavy overlap plus disjoint
@@ -4295,6 +4334,62 @@ _EXT_ORACLES["events_range_join"] = """
      AND b.ts >= sess.session_start AND b.ts <= sess.session_end
     GROUP BY b.user_id, sess.session_start"""
 
+_GAPFILL_GRID = """
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS key,
+               sum(CAST(value AS DECIMAL(18,6))) AS sum_v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value >= 97 GROUP BY 1, 2),
+    k AS (SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+          FROM b GROUP BY key),
+    spine AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket_ts
+        FROM k),
+    g AS (
+        SELECT s.key, s.bucket_ts, b.sum_v, b.n, b.n IS NULL AS is_gap
+        FROM spine s LEFT JOIN b
+          ON b.key = s.key AND b.bucket_ts = s.bucket_ts)"""
+
+_EXT_ORACLES["events_gapfill_locf"] = _GAPFILL_GRID + """
+    SELECT key AS event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(last_value(sum_v IGNORE NULLS) OVER
+                (PARTITION BY key ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_v,
+           n, is_gap
+    FROM g"""
+
+_EXT_ORACLES["events_gapfill_interp"] = _GAPFILL_GRID + """,
+    f AS (
+        SELECT key, bucket_ts, sum_v, n, is_gap,
+               last_value(sum_v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN NOT is_gap THEN bucket_ts END
+                          IGNORE NULLS) OVER wb AS prev_t,
+               first_value(sum_v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN NOT is_gap THEN bucket_ts END
+                           IGNORE NULLS) OVER wf AS next_t
+        FROM g
+        WINDOW wb AS (PARTITION BY key ORDER BY bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY key ORDER BY bucket_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT key AS event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CASE WHEN NOT is_gap THEN CAST(sum_v AS DOUBLE)
+                WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                ELSE round(CAST(prev_v AS DOUBLE)
+                           + (CAST(next_v AS DOUBLE)
+                              - CAST(prev_v AS DOUBLE))
+                             * ((epoch(bucket_ts) - epoch(prev_t))
+                                / CAST(epoch(next_t) - epoch(prev_t)
+                                       AS DOUBLE)), 6)
+           END AS sum_v,
+           n, is_gap
+    FROM f"""
+
 _EXT_ORACLES["token_balanced_shards"] = r"""
     WITH t AS (
         SELECT doc_id,
@@ -5474,79 +5569,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 9 rotation: this window CLOSES the evidence-rotation
-        #    audit thread (r8 verdict task 1). Window = (a) queries NEW
-        #    this round with the most novel oracles (proj_state_lookup,
-        #    the LSH recall audit, Bloom decontamination, the JPEG
-        #    decode and the dHash pair family — never driver-checked,
-        #    so they take the free slots), (b) all 44 queries whose
-        #    driver evidence dated to r4/r5 (the exact list the r8
-        #    verdict ordered first for r9). After this round every
-        #    query's driver evidence is r6+ and only the twelve r9-new
-        #    queries (bmp decode, audio features, audio fingerprints,
-        #    audio near-dup pairs, video frame decode, source overlap,
-        #    url canonical dedup, url host composition, image dup
-        #    clusters, train quality weights, dedup keep best, near dup
-        #    edit distance, cluster cards, cluster balanced counts —
-        #    all locally parity-green, all verified by hand at sf0.01)
-        #    plus the r6 five await their first / next check;
-        #    they lead the r10 window, then rotation continues
-        #    oldest-first from the tail.
-        "proj_state_lookup": q_proj_state_lookup,
-        "lsh_recall_audit": q_lsh_recall_audit,
-        "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "image_dhash": q_image_dhash,
-        "image_near_dup_pairs": q_image_near_dup_pairs,
-        # -- (b) r4-evidence --
-        "simhash_candidates": q_simhash_candidates,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
-        "read_stream_forward": q_read_stream_forward,
-        "top_returning_customers": q_top_returning_customers,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        # -- (b) r5-evidence --
-        "normalized_dedup_keys": q_normalized_dedup_keys,
-        "redact_pii": q_redact_pii,
-        "repetition_features": q_repetition_features,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "token_counts": q_token_counts,
-        "multimodal_asset_stats": q_multimodal_asset_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_ppm_decode": q_multimodal_ppm_decode,
-        "stratified_sample": q_stratified_sample,
-        "split_assign": q_split_assign,
-        "split_contamination": q_split_contamination,
-        "quality_bucket_sample": q_quality_bucket_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "c4_quality_filter": q_c4_quality_filter,
-        "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
-        "bm25_top_docs": q_bm25_top_docs,
-        "passage_scrub": q_passage_scrub,
-        "training_mix_pipeline": q_training_mix_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_recall_report": q_ann_recall_report,
-        "embedding_centroids": q_embedding_centroids,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_within_label": q_knn_within_label,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "repeated_passages": q_repeated_passages,
-        # ---- driver window ends here (50 entries) ----
-        # -- r10 window head: r9-new without driver evidence yet (all
-        #    locally parity-green), then the oldest remaining (r6) --
+        # -- round 10 rotation: window head = r10-new queries (inserted
+        #    above as they land), then the r9-new entries that had no
+        #    driver evidence yet (all locally parity-green), then
+        #    rotation continues oldest-evidence-first (r6, then r7).
+        #    Entries pushed past the 50-slot window by r10-new
+        #    insertions are r7-green and rotate next round. --
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_gapfill_interp": q_events_gapfill_interp,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "audio_features": q_audio_features,
         "audio_fingerprints": q_audio_fingerprints,
@@ -5665,6 +5695,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
+        # -- r9-checked (freshest evidence; rotated to the tail after
+        #    CORRECTNESS_r09.json came back 50/50 green) --
+        "proj_state_lookup": q_proj_state_lookup,
+        "lsh_recall_audit": q_lsh_recall_audit,
+        "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "image_dhash": q_image_dhash,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
+        # -- (b) r4-evidence --
+        "simhash_candidates": q_simhash_candidates,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
+        "read_stream_forward": q_read_stream_forward,
+        "top_returning_customers": q_top_returning_customers,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        # -- (b) r5-evidence --
+        "normalized_dedup_keys": q_normalized_dedup_keys,
+        "redact_pii": q_redact_pii,
+        "repetition_features": q_repetition_features,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "multimodal_asset_stats": q_multimodal_asset_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "stratified_sample": q_stratified_sample,
+        "split_assign": q_split_assign,
+        "split_contamination": q_split_contamination,
+        "quality_bucket_sample": q_quality_bucket_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "c4_quality_filter": q_c4_quality_filter,
+        "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
+        "bm25_top_docs": q_bm25_top_docs,
+        "passage_scrub": q_passage_scrub,
+        "training_mix_pipeline": q_training_mix_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "embedding_centroids": q_embedding_centroids,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_within_label": q_knn_within_label,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "repeated_passages": q_repeated_passages,
     }
     return q
 

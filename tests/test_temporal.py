@@ -56,3 +56,59 @@ def test_range_join_multi_match(spark):
                  range_join(left, right, on="k", lower="lo", upper="hi")
                  .collect())
     assert got == [(1, "a"), (1, "b")]  # row 1 in both intervals; row 2 in none
+
+
+# ---------------------------------------------------------------------------
+# gapfill (time_bucket_gapfill analogue)
+# ---------------------------------------------------------------------------
+
+from eventstorm_spark.extensions.temporal import gapfill, time_bucket
+
+
+def _hours(rows, spark):
+    """(key, hour_offset, sum_v_or_None) triples -> a bucketed frame."""
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    data = [(k, base + dt.timedelta(hours=h), float(v), 1)
+            for k, h, v in rows]
+    df = spark.createDataFrame(data, ["key", "bucket_ts", "sum_v", "n"])
+    return df.withColumn("sum_v", F.col("sum_v").cast("decimal(18,6)"))
+
+
+def test_gapfill_null_spine_and_flags(spark):
+    b = _hours([("a", 0, 1.0), ("a", 3, 4.0)], spark)
+    got = {(r.bucket_ts.hour, r.is_gap, r.sum_v)
+           for r in gapfill(b, method="null").collect()}
+    assert {(h, g) for h, g, _ in got} == {
+        (0, False), (1, True), (2, True), (3, False)}
+    assert {v for _, g, v in got if g} == {None}
+
+
+def test_gapfill_locf_carries_forward(spark):
+    b = _hours([("a", 0, 1.0), ("a", 3, 4.0), ("b", 5, 9.0)], spark)
+    got = {(r.key, r.bucket_ts.hour): float(r.sum_v)
+           for r in gapfill(b, method="locf").collect()}
+    assert got[("a", 1)] == 1.0 and got[("a", 2)] == 1.0
+    assert got[("a", 3)] == 4.0
+    assert got[("b", 5)] == 9.0  # single-point key: spine is one bucket
+
+
+def test_gapfill_linear_interpolates_and_clamps(spark):
+    # a: 1.0 at h0, 4.0 at h3 -> h1=2.0, h2=3.0 (exact thirds)
+    b = _hours([("a", 0, 1.0), ("a", 3, 4.0)], spark)
+    got = {r.bucket_ts.hour: r.sum_v
+           for r in gapfill(b, method="linear").collect()}
+    assert got[1] == pytest.approx(2.0) and got[2] == pytest.approx(3.0)
+    assert got[0] == 1.0 and got[3] == 4.0
+
+
+def test_gapfill_single_exchange_plan(spark):
+    ev = spark.createDataFrame(
+        [("t", dt.datetime(2024, 3, 1, h), 1.0) for h in (0, 5)],
+        ["event_type", "ts", "value"])
+    plan = (gapfill(time_bucket(ev), method="linear")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both fill windows share ONE (key)-partitioned sort/exchange chain:
+    # no per-method extra shuffle beyond the spine join
+    assert plan.count("Window") <= 2
