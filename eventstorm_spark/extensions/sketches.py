@@ -13,7 +13,10 @@ estimate <= true + (e/w) * N with probability 1 - e^-d.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -46,3 +49,158 @@ def cms_estimate(sketch: DataFrame, values: list, *, width: int = 1024,
     return (joined.groupBy("value")
             .agg(F.min(F.coalesce(F.col("count"), F.lit(0)))
                  .alias("estimate")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = float(2 ** 60)  # both hash modes land in [0, 2^60)
+
+
+def _hash60(col, portable: bool):
+    if portable:
+        from eventstorm_spark.extensions.dedup import portable_hash60
+        return portable_hash60(col)
+    # xxhash64 is signed; an unsigned >>4 folds it into [0, 2^60) so the
+    # estimator constant is shared with portable mode
+    return F.shiftrightunsigned(F.xxhash64(col), 4)
+
+
+def _bottom_k(hashed: DataFrame, group_cols: Sequence[str], *, k: int,
+              n_salts: int) -> DataFrame:
+    """Per-group k smallest values of ``__h`` as a sorted array — the
+    two-phase bounded top-k: phase 1 keeps k per (group, salt) so no
+    single sort partition ever holds a group's full distinct set, phase
+    2 re-ranks the <= k * n_salts survivors per group. Output rows are
+    bounded by k per group at every exchange after phase 1."""
+    gs = [F.col(c) for c in group_cols]
+    w1 = (W.partitionBy(*gs, F.pmod(F.col("__h"), F.lit(n_salts)))
+          .orderBy("__h"))
+    s1 = (hashed.withColumn("__rn", F.row_number().over(w1))
+          .where(F.col("__rn") <= k).drop("__rn"))
+    w2 = W.partitionBy(*gs).orderBy("__h")
+    s2 = (s1.withColumn("__rn", F.row_number().over(w2))
+          .where(F.col("__rn") <= k))
+    return (s2.groupBy(*gs)
+            .agg(F.sort_array(F.collect_list("__h")).alias("sketch")))
+
+
+def kmv_sketch(df: DataFrame, col: str, *, k: int = 256,
+               group_cols: Sequence[str] = (),
+               n_salts: int = 64, portable: bool = False) -> DataFrame:
+    """Per-group KMV distinct-count sketch: the k smallest distinct
+    60-bit hashes of ``col``, as a sorted array<long>.
+
+    Why KMV next to Spark's built-in HLL++ (`approx_count_distinct`):
+    the sketch is (a) MERGEABLE with plain column ops — union two
+    sketches = k smallest of the concatenation (:func:`kmv_merge`), so
+    per-shard sketches can be stored at rest and combined later without
+    re-scanning, exactly like the at-rest MinHash/dHash index tier; and
+    (b) ENGINE-PORTABLE — with ``portable=True`` the hash is the md5
+    slice any SQL engine can compute, so the whole estimate (not just a
+    row count) is replayable for verification. HLL registers are neither.
+
+    Plan shape: project + distinct (map-side partial dedup, one
+    exchange on (group, hash)), then the salted two-phase bottom-k —
+    after phase 1 every exchange carries <= k rows per (group, salt).
+    Nothing here depends on the raw row count: at 100 TB the only
+    full-data pass is the initial distinct's map side.
+
+    Estimator (:func:`kmv_estimate`): with fewer than k distinct values
+    the sketch IS the distinct set (estimate exact); otherwise
+    E[distinct] = (k-1) / normalized kth minimum — standard KMV, mean
+    relative error ~ 1/sqrt(k-2) (~6% at k=256).
+    """
+    gs = list(group_cols)
+    hashed = (df.select(*gs, _hash60(F.col(col).cast("string"),
+                                     portable).alias("__h"))
+              .distinct())
+    return _bottom_k(hashed, gs, k=k, n_salts=n_salts)
+
+
+def kmv_merge(sketches: DataFrame, *, k: int = 256,
+              group_cols: Sequence[str] = (),
+              n_salts: int = 64) -> DataFrame:
+    """Merge sketch rows that share a group (e.g. per-shard sketches
+    unioned into one frame): explode all retained hashes, dedupe, keep
+    the k smallest again. Lossless w.r.t. building one sketch over the
+    concatenated inputs — the k global minima are always contained in
+    the union of per-input k-minima."""
+    gs = list(group_cols)
+    hashed = (sketches.select(*gs, F.explode("sketch").alias("__h"))
+              .distinct())
+    return _bottom_k(hashed, gs, k=k, n_salts=n_salts)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group: exact when the sketch holds
+    the whole distinct set, else (k-1) * 2^60 / kth_min. One fixed IEEE
+    expression, replayable bit-for-bit by an external engine."""
+    n = F.size("sketch")
+    kth = F.element_at("sketch", k).cast("double")
+    est = (F.when(n < k, n.cast("double"))
+           .otherwise(F.lit((k - 1) * _HASH_SPACE) / kth))
+    return sketch.withColumn("n_distinct_est", est).drop("sketch")
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass: Misra-Gries candidates -> exact recount)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(df: DataFrame, col: str, *, threshold: float = 0.002,
+                  capacity: int | None = None) -> DataFrame:
+    """EXACT frequent items with support >= ``threshold``: (value, n,
+    share), share rounded to 6 places.
+
+    The naive plan — groupBy(value) then HAVING — shuffles one row per
+    DISTINCT value, which for token streams is the full Zipf tail
+    (billions of singletons at corpus scale, all shuffled to be counted
+    once and discarded). This two-pass shape bounds the shuffle by the
+    THRESHOLD instead:
+
+    1. Candidates: a per-partition Misra-Gries summary with
+       ``capacity = ceil(2/threshold)`` counters via ``mapInPandas``
+       (Arrow-batched ``value_counts`` per batch, summary merge +
+       (cap+1)-th-largest decrement between batches — the mergeable-
+       summaries formulation, undercount <= n_p/(capacity+1)). Any value
+       with global share >= threshold has local share >= threshold on
+       at least one partition (averaging argument) and survives there,
+       so the union of partition summaries is a guaranteed SUPERSET of
+       the answer; each partition emits <= ~capacity candidate strings.
+    2. Exact recount: semi-join the stream on the broadcast candidate
+       set, count, filter ``n >= ceil(threshold * N)``.
+
+    The OUTPUT is exact and independent of partitioning (pass 2 recounts
+    from the raw data; MG only affects which non-answers get recounted),
+    so the oracle is the plain exact SQL — no sketch semantics leak into
+    the result. Total shuffle: candidates (bounded by 2/threshold per
+    partition) + one broadcast + the recount's map-side-combined counts.
+    """
+    cap = capacity or math.ceil(2.0 / threshold)
+    vals = df.select(F.col(col).cast("string").alias("value"))
+
+    def mg(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                top = sorted(counters.values(), reverse=True)
+                delta = top[cap]  # (cap+1)-th largest
+                counters = {v: c - delta for v, c in counters.items()
+                            if c - delta > 0}
+        if counters:
+            yield pd.DataFrame({"value": list(counters.keys())})
+
+    cands = vals.mapInPandas(mg, "value string").distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("__N"))
+    counts = (vals.join(F.broadcast(cands), "value")
+              .groupBy("value").agg(F.count(F.lit(1)).alias("n")))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.col("n") >= F.ceil(F.lit(threshold) * F.col("__N")))
+            .select("value", "n",
+                    F.round(F.col("n") / F.col("__N").cast("double"), 6)
+                    .alias("share")))

@@ -2509,6 +2509,48 @@ def q_repeated_passages(spark, sf_dir):
     return repeated_passages(load(spark, sf_dir, "documents"))
 
 
+def q_kmv_distinct_tokens(spark, sf_dir):
+    """Mergeable KMV distinct sketch, audited: per source, the KMV
+    distinct-token estimate (k=256 smallest portable hashes; exact when
+    the vocabulary fits the sketch) next to the exact distinct count and
+    the relative error. The whole estimate — not just a row count — is
+    engine-portable, so the oracle replays sketch AND estimator
+    bit-for-bit. Scale shape: one map-side-deduped exchange + the salted
+    two-phase bottom-k (<= k rows per group past phase 1); the exact
+    column is the audit and stays out of the at-rest form."""
+    from eventstorm_spark.extensions.sketches import kmv_estimate, kmv_sketch
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("tok"))
+    est = kmv_estimate(kmv_sketch(toks, "tok", k=256,
+                                  group_cols=["source"], portable=True))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_distinct"))
+    return (est.join(exact, "source")
+            .select("source", "n_distinct",
+                    F.col("n_distinct_est").alias("n_est"),
+                    F.round(F.abs(F.col("n_distinct_est")
+                                  - F.col("n_distinct").cast("double"))
+                            / F.col("n_distinct").cast("double"), 6)
+                    .alias("rel_err")))
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy hitters over the token stream (support >= 0.2%):
+    Misra-Gries candidates per partition (shuffle bounded by 2/theta per
+    partition, never the Zipf tail) -> broadcast-semi-join exact
+    recount. Output is exact and partitioning-independent, so the
+    oracle is the plain GROUP BY ... HAVING."""
+    from eventstorm_spark.extensions.sketches import heavy_hitters
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("tok"))
+    return heavy_hitters(toks, "tok", threshold=0.002)
+
+
 def q_multimodal_asset_stats(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import asset_stats, synth_assets
     return asset_stats(synth_assets(load(spark, sf_dir, "documents")))
@@ -4334,6 +4376,51 @@ _EXT_ORACLES["events_range_join"] = """
      AND b.ts >= sess.session_start AND b.ts <= sess.session_end
     GROUP BY b.user_id, sess.session_start"""
 
+_EXT_ORACLES["kmv_distinct_tokens"] = """
+    WITH t AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents),
+    d AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM t),
+    r AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM d),
+    sk AS (
+        SELECT source,
+               CAST(count(*) FILTER (WHERE rn <= 256) AS INTEGER) AS m,
+               max(CASE WHEN rn = 256 THEN h END) AS h_k
+        FROM r GROUP BY source),
+    ex AS (SELECT source, count(DISTINCT tok) AS n_distinct FROM t
+           GROUP BY source),
+    est AS (
+        SELECT source,
+               CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0
+                         / CAST(h_k AS DOUBLE)
+               END AS n_est
+        FROM sk)
+    SELECT ex.source, CAST(n_distinct AS BIGINT) AS n_distinct, n_est,
+           round(abs(n_est - CAST(n_distinct AS DOUBLE))
+                 / CAST(n_distinct AS DOUBLE), 6) AS rel_err
+    FROM ex JOIN est ON ex.source = est.source"""
+
+_EXT_ORACLES["heavy_hitter_tokens"] = """
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS value
+        FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM t),
+    c AS (SELECT value, CAST(count(*) AS BIGINT) AS n FROM t
+          GROUP BY value)
+    SELECT value, n,
+           round(n / CAST(n_total AS DOUBLE), 6) AS share
+    FROM c, tot
+    WHERE n >= ceil(0.002 * n_total)"""
+
 _GAPFILL_GRID = """
     WITH b AS (
         SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS key,
@@ -5575,6 +5662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_gapfill_interp": q_events_gapfill_interp,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,

@@ -2396,3 +2396,58 @@ def test_edit_distance_pairs_typos_and_stop_shingle_cut(spark):
     capped = dedup.edit_distance_pairs(bdocs, threshold=0.0,
                                        max_shingle_df=2)
     assert uncapped.count() > 0 and capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch + exact heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from eventstorm_spark.extensions import sketches
+    df = spark.createDataFrame(
+        [("a", f"v{i % 10}") for i in range(100)]
+        + [("b", f"w{i}") for i in range(500)], ["g", "v"])
+    est = {r.g: r.n_distinct_est for r in
+           sketches.kmv_estimate(
+               sketches.kmv_sketch(df, "v", k=64, group_cols=["g"]), k=64)
+           .collect()}
+    assert est["a"] == 10.0              # below k: exact
+    assert abs(est["b"] - 500) / 500 < 0.35  # KMV estimate, k=64 (~13% MRE)
+
+
+def test_kmv_merge_equals_single_build(spark):
+    from eventstorm_spark.extensions import sketches
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(300)],
+                               ["g", "v"])
+    whole = sketches.kmv_sketch(df, "v", k=32, group_cols=["g"])
+    halves = (sketches.kmv_sketch(df.where(F.xxhash64("v") % 2 == 0), "v",
+                                  k=32, group_cols=["g"])
+              .unionByName(
+                  sketches.kmv_sketch(df.where(F.xxhash64("v") % 2 != 0),
+                                      "v", k=32, group_cols=["g"])))
+    merged = sketches.kmv_merge(halves, k=32, group_cols=["g"])
+    assert merged.collect()[0].sketch == whole.collect()[0].sketch
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    from eventstorm_spark.extensions import sketches
+    # 1000 rows: "hot" x 300, "warm" x 100, tail of singletons
+    rows = (["hot"] * 300 + ["warm"] * 100
+            + [f"tail{i}" for i in range(600)])
+    for nparts in (1, 7):
+        df = spark.createDataFrame([(v,) for v in rows], ["v"]) \
+                  .repartition(nparts)
+        got = {r.value: (r.n, r.share) for r in
+               sketches.heavy_hitters(df, "v", threshold=0.05).collect()}
+        assert got == {"hot": (300, 0.3), "warm": (100, 0.1)}
+
+
+def test_heavy_hitters_mg_batch_merge_keeps_superset(spark):
+    from eventstorm_spark.extensions import sketches
+    # tiny capacity forces constant pruning; output must stay exact
+    rows = ["hh"] * 50 + [f"t{i}" for i in range(450)]
+    df = spark.createDataFrame([(v,) for v in rows], ["v"]).repartition(3)
+    got = sketches.heavy_hitters(df, "v", threshold=0.09,
+                                 capacity=25).collect()
+    assert [(r.value, r.n) for r in got] == [("hh", 50)]
