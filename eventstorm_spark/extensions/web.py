@@ -206,3 +206,102 @@ def synth_urls(docs: DataFrame, *, pages_per_source: int = 100,
                    junk_pre, core, junk_utm, junk_ref, frag)
     return docs.select(d.alias(id_col), src.alias(source_col),
                        url.alias("url"))
+
+
+# ---------------------------------------------------------------------------
+# Host/page link analysis (PageRank) — domain-reputation scoring
+# ---------------------------------------------------------------------------
+
+
+def synth_link_graph(docs: DataFrame, *, pages_per_source: int = 100,
+                     fanout: int = 3, id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Deterministic (src, dst) page-link edges over the test corpus
+    (documents carry no link data): each document links its page node
+    ``{source}/{doc_id % pages}`` to ``fanout`` targets whose page and
+    host indices are pure ``doc_id`` arithmetic — same replayable-
+    recurrence style as :func:`synth_urls`. Cross-host edges arise from
+    the host-index rotation, so the graph is connected enough for rank
+    mass to move between domains. Output is the DISTINCT edge list."""
+    from pyspark.sql import Window as W
+    srcs = (docs.select(F.col(source_col).alias("s")).distinct()
+            .withColumn("idx", F.row_number().over(
+                W.orderBy("s")) - 1))
+    n_src = srcs.count()  # #hosts: tiny, known-bounded metadata
+    d = F.col(id_col)
+    page = d % pages_per_source
+    edges = None
+    for j in range(1, fanout + 1):
+        dst_page = (page * 31 + 7 * j + d) % pages_per_source
+        dst_idx = (d + j) % n_src
+        e = docs.select(
+            F.concat(F.col(source_col), F.lit("/"),
+                     page.cast("string")).alias("src"),
+            dst_idx.cast("int").alias("__di"),
+            dst_page.cast("string").alias("__dp"))
+        edges = e if edges is None else edges.unionByName(e)
+    out = (edges.join(F.broadcast(srcs), edges["__di"] == srcs["idx"])
+           .select("src", F.concat(F.col("s"), F.lit("/"),
+                                   F.col("__dp")).alias("dst"))
+           .distinct())
+    return out
+
+
+def page_rank(edges: DataFrame, *, damping: float = 0.85,
+              iters: int = 3) -> DataFrame:
+    """PageRank over a (src, dst) edge list — the domain/page
+    reputation score curation pipelines threshold on (host-level spam
+    filtering a la CommonCrawl domain ranks).
+
+    Formulation: textbook power iteration with uniform teleport and
+    dangling-mass redistribution —
+    ``r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + D/N)`` with
+    ``D = sum of r(u) over dangling u`` (nodes with no out-edges).
+
+    Spark shape: the loop unrolls into the plan — each iteration is one
+    equi-join of the edge list with the current rank frame plus two
+    scalar aggregates (dangling mass, carried by a broadcast one-row
+    cross join), all map-side-combinable. The driver never holds ranks;
+    per-iteration state is the DataFrame itself. At 100 TB the edge
+    list partitions by src once and every iteration reuses that
+    exchange; for deep iteration counts interpose
+    ``df.localCheckpoint()`` every few rounds to truncate lineage (the
+    same discipline as the k-means/BPE trainer loops).
+
+    Determinism: ranks are QUANTIZED to 9 decimals at every iteration
+    boundary. Within one iteration the only engine-order-sensitive step
+    is float summation (drift ~1e-15, eight orders below the quantum),
+    so an external engine replaying the same chained expressions
+    reproduces every iteration bit-for-bit — same contract as the
+    step-replay quality trainer.
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (nodes.crossJoin(F.broadcast(n_total))
+             .select("node", F.round(F.lit(1.0) / F.col("__n"), 9)
+                     .alias("rank")))
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (with_deg.where(F.col("outdeg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dang")))
+        contrib = (edges.join(with_deg.where(F.col("outdeg").isNotNull()),
+                              edges["src"] == F.col("node"))
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                        .alias("__c")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(n_total))
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node",
+                     F.round(
+                         (1.0 - damping) / F.col("__n")
+                         + damping * (F.coalesce(F.col("__c"), F.lit(0.0))
+                                      + F.col("__dang") / F.col("__n")),
+                         9).alias("rank")))
+    return ranks

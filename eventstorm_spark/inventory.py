@@ -2537,6 +2537,20 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_link_page_rank(spark, sf_dir):
+    """PageRank domain/page reputation over the deterministic synthetic
+    link graph (3 unrolled power iterations, uniform teleport, dangling
+    mass redistributed). Each iteration = one edge-list equi-join + two
+    scalar broadcast aggregates; ranks quantized to 9 decimals per
+    iteration so the oracle's chained CTEs replay every step
+    bit-for-bit (the step-replay contract of train_quality_weights)."""
+    from eventstorm_spark.extensions.web import page_rank, synth_link_graph
+    docs = load(spark, sf_dir, "documents")
+    edges = synth_link_graph(docs, pages_per_source=100, fanout=3)
+    r = page_rank(edges, damping=0.85, iters=3)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """Exact heavy hitters over the token stream (support >= 0.2%):
     Misra-Gries candidates per partition (shuffle bounded by 2/theta per
@@ -4376,6 +4390,61 @@ _EXT_ORACLES["events_range_join"] = """
      AND b.ts >= sess.session_start AND b.ts <= sess.session_end
     GROUP BY b.user_id, sess.session_start"""
 
+def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
+                      pages: int = 100, fanout: int = 3) -> str:
+    """Chained-CTE replay of synth_link_graph + page_rank: one CTE pair
+    (dangling mass, contributions) per iteration, ranks quantized to 9
+    decimals at each boundary exactly like the engine. The teleport
+    constant is emitted as repr(1 - damping) so the SQL literal is the
+    same IEEE double Python hands Spark."""
+    teleport = repr(1.0 - damping)
+    js = ", ".join(f"({j})" for j in range(1, fanout + 1))
+    head = f"""
+    WITH srcs AS (
+        SELECT s, row_number() OVER (ORDER BY s) - 1 AS idx
+        FROM (SELECT DISTINCT source AS s FROM documents)),
+    e0 AS (
+        SELECT concat(source, '/', CAST(doc_id % {pages} AS VARCHAR)) AS src,
+               (doc_id + j) % (SELECT count(*) FROM srcs) AS di,
+               CAST(((doc_id % {pages}) * 31 + 7 * j + doc_id) % {pages}
+                    AS VARCHAR) AS dp
+        FROM documents CROSS JOIN (VALUES {js}) AS f(j)),
+    edges AS (
+        SELECT DISTINCT e0.src, concat(srcs.s, '/', e0.dp) AS dst
+        FROM e0 JOIN srcs ON e0.di = srcs.idx),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges
+               GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank
+           FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f""",
+    d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+             FROM r{p} r LEFT JOIN outdeg o ON r.node = o.node
+             WHERE o.outdeg IS NULL),
+    c{i} AS (SELECT e.dst, sum(r.rank / o.outdeg) AS c
+             FROM edges e
+             JOIN r{p} r ON e.src = r.node
+             JOIN outdeg o ON e.src = o.node
+             GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    round({teleport} / (SELECT n FROM nn)
+                          + {damping!r} * (coalesce(c.c, 0.0)
+                                           + (SELECT dang FROM d{i})
+                                             / (SELECT n FROM nn)), 9)
+                        AS rank
+             FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)""")
+    tail = f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters}"""
+    return head + "".join(steps) + tail
+
+
+_EXT_ORACLES["link_page_rank"] = _page_rank_oracle()
+
 _EXT_ORACLES["kmv_distinct_tokens"] = """
     WITH t AS (
         SELECT source,
@@ -5662,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "link_page_rank": q_link_page_rank,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "events_gapfill_locf": q_events_gapfill_locf,

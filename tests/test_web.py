@@ -182,3 +182,51 @@ def test_url_frontier_at_rest_via_digest_index(spark, tmp_path, sf_dir):
     kept2 = dedup_against_digest_index(batch2, spark, path,
                                        text_col="canonical_url")
     assert [r.doc_id for r in kept2.collect()] == [21]
+
+
+# ---------------------------------------------------------------------------
+# link graph + PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_page_rank_mass_conserved_and_uniform_on_cycle(spark):
+    from eventstorm_spark.extensions.web import page_rank
+    # 3-cycle: symmetric, so rank stays uniform at 1/3 every iteration
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    got = {r.node: r.rank for r in page_rank(edges, iters=4).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-8)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_page_rank_dangling_mass_redistributed(spark):
+    from eventstorm_spark.extensions.web import page_rank
+    # b is dangling; total mass must still sum to 1 (no leak), and the
+    # pointed-at node outranks the pointer
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r.node: r.rank for r in page_rank(edges, iters=5).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got["b"] > got["a"]
+
+
+def test_page_rank_partitioning_independent(spark):
+    from eventstorm_spark.extensions.web import page_rank
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    base = spark.createDataFrame(rows, ["src", "dst"])
+    a = {(r.node, r.rank) for r in page_rank(base.coalesce(1)).collect()}
+    b = {(r.node, r.rank)
+         for r in page_rank(base.repartition(13)).collect()}
+    assert a == b  # 9-decimal quantization absorbs summation order
+
+
+def test_synth_link_graph_is_deterministic_and_cross_host(spark):
+    from eventstorm_spark.extensions.web import synth_link_graph
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], ["doc_id", "source"])
+    e1 = {(r.src, r.dst) for r in synth_link_graph(docs).collect()}
+    e2 = {(r.src, r.dst)
+          for r in synth_link_graph(docs.repartition(7)).collect()}
+    assert e1 == e2
+    hosts = {(s.split("/")[0], d.split("/")[0]) for s, d in e1}
+    assert any(a != b for a, b in hosts)  # rank mass crosses hosts
