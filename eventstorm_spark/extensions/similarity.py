@@ -1260,3 +1260,90 @@ def rotate_embeddings(embeddings: DataFrame, rotation: np.ndarray, *,
         return pd.Series(list(arr @ R))
 
     return embeddings.select(id_col, rot_udf(F.col(vec_col)).alias(out_col))
+
+
+def mine_triplets(embeddings: DataFrame, *,
+                  planes: list[list[float]] | None = None,
+                  num_planes: int = 24, bands: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  label_col: str = "label") -> DataFrame:
+    """Mine (anchor, positive, hard-negative) triplets for contrastive
+    embedding training — the data-side half of metric learning (FaceNet
+    / SimCSE recipe: positives from the same class, negatives that are
+    CLOSE but wrong, because random negatives carry no gradient).
+
+    - **positive**: the anchor's exact nearest same-label neighbor
+      (label-blocked all-pairs + per-anchor top-1 — the bounded
+      blocking pattern shared with :func:`pairwise_topk_per_label`).
+    - **hard negative**: the highest-cosine DIFFERENT-label vector
+      among the anchor's banded sign-LSH candidates
+      (:func:`eventstorm_spark.extensions.dedup.embedding_near_duplicates`
+      with the threshold open) — LSH buckets *are* the hard-negative
+      sampler at scale: they surface close-but-wrong vectors without
+      the cross-label all-pairs product, and anchors with no
+      cross-label collision have no hard negative worth training on
+      (every negative is easy) so they drop out, which is exactly the
+      curriculum semantics.
+
+    Output: (anchor, pos_id, pos_sim, neg_id, neg_sim, margin) with
+    margin = round(pos_sim - neg_sim, 6); a small/negative margin marks
+    the triplets that matter under a margin loss. Ties break on the
+    smaller candidate id; sims round to 6 like every cosine here, so
+    with portable planes the whole mining run is oracle-replayable.
+
+    Scale shape: the label-blocked positive join shuffles on label; the
+    negative side reuses the LSH machinery's slim (id, id) candidate
+    pairs; the final assembly is two per-anchor top-1 windows and an
+    id-keyed join. No all-pairs product anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    from eventstorm_spark.extensions.dedup import embedding_near_duplicates
+
+    labels = embeddings.select(F.col(id_col).alias("__id"),
+                               F.col(label_col).alias("__lbl"))
+
+    # positives: exact top-1 within label
+    a = embeddings.select(F.col(id_col).alias("anchor"),
+                          F.col(label_col).alias("lbl"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("pos_id"),
+                          F.col(label_col).alias("lbl"),
+                          F.col(vec_col).alias("vb"))
+    pos_pairs = (a.join(b, "lbl")
+                 .where(F.col("anchor") != F.col("pos_id"))
+                 .select("anchor", "pos_id",
+                         F.round(cosine(_as_double_array(F.col("va")),
+                                        _as_double_array(F.col("vb"))), 6)
+                         .alias("pos_sim")))
+    wp = W.partitionBy("anchor").orderBy(F.col("pos_sim").desc(),
+                                         F.col("pos_id"))
+    pos = (pos_pairs.withColumn("__r", F.row_number().over(wp))
+           .where(F.col("__r") == 1).drop("__r"))
+
+    # hard negatives: cross-label LSH candidates, top-1 per anchor
+    cands = embedding_near_duplicates(
+        embeddings, threshold=-1.0, num_planes=num_planes, bands=bands,
+        planes=planes, vec_col=vec_col, id_col=id_col)
+    both = (cands.select(F.col("id_a").alias("anchor"),
+                         F.col("id_b").alias("neg_id"), "cosine_sim")
+            .unionByName(cands.select(F.col("id_b").alias("anchor"),
+                                      F.col("id_a").alias("neg_id"),
+                                      "cosine_sim")))
+    crossed = (both
+               .join(labels.withColumnRenamed("__id", "anchor")
+                     .withColumnRenamed("__lbl", "__la"), "anchor")
+               .join(labels.withColumnRenamed("__id", "neg_id")
+                     .withColumnRenamed("__lbl", "__lb"), "neg_id")
+               .where(F.col("__la") != F.col("__lb")))
+    wn = W.partitionBy("anchor").orderBy(F.col("cosine_sim").desc(),
+                                         F.col("neg_id"))
+    neg = (crossed.withColumn("__r", F.row_number().over(wn))
+           .where(F.col("__r") == 1)
+           .select("anchor", "neg_id",
+                   F.col("cosine_sim").alias("neg_sim")))
+
+    return (pos.join(neg, "anchor")
+            .select("anchor", "pos_id", "pos_sim", "neg_id", "neg_sim",
+                    F.round(F.col("pos_sim") - F.col("neg_sim"), 6)
+                    .alias("margin")))

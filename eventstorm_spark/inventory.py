@@ -2537,6 +2537,34 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Contrastive (anchor, positive, hard-negative) mining: exact
+    same-label top-1 positives (label-blocked), hardest cross-label
+    negative drawn from the banded sign-LSH candidate set with portable
+    planes — the LSH buckets double as the hard-negative sampler, so
+    the oracle replays buckets, candidates, both top-1 windows and the
+    margin."""
+    from eventstorm_spark.extensions.similarity import (_portable_planes,
+                                                        mine_triplets)
+    emb = load(spark, sf_dir, "embeddings")
+    return mine_triplets(emb, planes=_portable_planes(64, 24),
+                         num_planes=24, bands=8)
+
+
+def q_zorder_locality(spark, sf_dir):
+    """Z-order layout audit: documents keyed on the Morton interleave
+    of min-max-bucketed (doc_id, n_chars), cut into 32 contiguous
+    z-range 'files', reporting each file's row count, per-dimension
+    [min, max] (the parquet footer stats a reader prunes on) and span
+    fraction — the expected fraction of files a point predicate on that
+    dimension must read. All integer shift/mask arithmetic in pure
+    codegen; the oracle recomputes the exact keys and file cuts."""
+    from eventstorm_spark.extensions.layout import zorder_locality_report
+    docs = load(spark, sf_dir, "documents")
+    return zorder_locality_report(docs, ["doc_id", "n_chars"],
+                                  bits=8, n_buckets=32)
+
+
 def q_link_page_rank(spark, sf_dir):
     """PageRank domain/page reputation over the deterministic synthetic
     link graph (3 unrolled power iterations, uniform teleport, dangling
@@ -4443,7 +4471,122 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["contrastive_triplets"] = """
+    WITH planes AS (
+        SELECT p,
+               list(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                    ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)
+                    / 576460752303423488.0 - 1.0 ORDER BY d) AS plane
+        FROM range(24) tp(p) CROSS JOIN range(64) td(d)
+        GROUP BY p),
+    vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    pp AS (
+        SELECT a.vec_id AS anchor, b.vec_id AS pos_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS pos_sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                            DESC, b.vec_id) AS r
+        FROM vecs a JOIN vecs b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+    pos AS (SELECT anchor, pos_id, pos_sim FROM pp WHERE r = 1),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_dot_product(v, plane) >= 0
+                    THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+        FROM vecs CROSS JOIN planes),
+    buckets AS (
+        SELECT vec_id, p // 3 AS band,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 3 AS INT)))
+                    + ((p // 3) << 40) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, p // 3),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id),
+    scored AS (
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va.v, vb.v), 6) AS cs
+        FROM cands
+        JOIN vecs va ON id_a = va.vec_id
+        JOIN vecs vb ON id_b = vb.vec_id),
+    orient AS (
+        SELECT id_a AS anchor, id_b AS neg_id, cs FROM scored
+        UNION ALL
+        SELECT id_b AS anchor, id_a AS neg_id, cs FROM scored),
+    crossl AS (
+        SELECT t.anchor, t.neg_id, t.cs
+        FROM orient t
+        JOIN vecs la ON t.anchor = la.vec_id
+        JOIN vecs lb ON t.neg_id = lb.vec_id
+        WHERE la.label <> lb.label),
+    nn AS (
+        SELECT anchor, neg_id, cs AS neg_sim,
+               row_number() OVER (PARTITION BY anchor
+                                  ORDER BY cs DESC, neg_id) AS r
+        FROM crossl),
+    neg AS (SELECT anchor, neg_id, neg_sim FROM nn WHERE r = 1)
+    SELECT pos.anchor, pos_id, pos_sim, neg_id, neg_sim,
+           round(pos_sim - neg_sim, 6) AS margin
+    FROM pos JOIN neg ON pos.anchor = neg.anchor"""
+
 _EXT_ORACLES["link_page_rank"] = _page_rank_oracle()
+
+
+def _zorder_oracle(bits: int = 8, n_buckets: int = 32) -> str:
+    """Replay of layout.zorder_key + zorder_locality_report on
+    (doc_id, n_chars): same min-max bucketing, the same Morton
+    interleave emitted as explicit shift/mask terms, the same file
+    cut."""
+    nb = 1 << bits
+    z_space = 1 << (bits * 2)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((ba >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bb >> {i}) & 1) << {2 * i + 1})")
+    z = "\n               + ".join(terms)
+    return f"""
+    WITH st AS (
+        SELECT min(doc_id) AS lo_a, max(doc_id) AS hi_a,
+               min(n_chars) AS lo_b, max(n_chars) AS hi_b
+        FROM documents),
+    b AS (
+        SELECT doc_id, n_chars,
+               least(CAST(floor((doc_id - lo_a) * {nb}
+                                / (hi_a - lo_a + 1)) AS INTEGER),
+                     {nb - 1}) AS ba,
+               least(CAST(floor((n_chars - lo_b) * {nb}
+                                / (hi_b - lo_b + 1)) AS INTEGER),
+                     {nb - 1}) AS bb
+        FROM documents, st),
+    z AS (
+        SELECT doc_id, n_chars,
+               {z} AS zk
+        FROM b),
+    f AS (
+        SELECT least(CAST(floor(zk * {n_buckets} / {z_space}) AS INTEGER),
+                     {n_buckets - 1}) AS file_id,
+               doc_id, n_chars
+        FROM z),
+    per AS (
+        SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+               min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        FROM f GROUP BY file_id)
+    SELECT CAST(file_id AS INTEGER) AS file_id, n_rows,
+           min_doc_id, max_doc_id,
+           min_n_chars, max_n_chars,
+           round((max_doc_id - min_doc_id + 1)
+                 / (hi_a - lo_a + 1), 6) AS span_frac_doc_id,
+           round((max_n_chars - min_n_chars + 1)
+                 / (hi_b - lo_b + 1), 6) AS span_frac_n_chars
+    FROM per, st"""
+
+
+_EXT_ORACLES["zorder_locality"] = _zorder_oracle()
 
 _EXT_ORACLES["kmv_distinct_tokens"] = """
     WITH t AS (
@@ -5731,6 +5874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "contrastive_triplets": q_contrastive_triplets,
+        "zorder_locality": q_zorder_locality,
         "link_page_rank": q_link_page_rank,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,

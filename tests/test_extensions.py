@@ -2451,3 +2451,28 @@ def test_heavy_hitters_mg_batch_merge_keeps_superset(spark):
     got = sketches.heavy_hitters(df, "v", threshold=0.09,
                                  capacity=25).collect()
     assert [(r.value, r.n) for r in got] == [("hh", 50)]
+
+
+def test_mine_triplets_semantics(spark):
+    from eventstorm_spark.extensions.similarity import mine_triplets
+    # two tight clusters by label; anchor 1's positive is its nearest
+    # same-label vector, hard negative the closest cross-label one
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [0.0, 1.0, 0.0], "b"),
+        (4, [0.1, 0.9, 0.0], "b"),
+        (5, [0.7, 0.7, 0.0], "b"),  # the hard negative for label a
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.anchor: r for r in
+           mine_triplets(emb, num_planes=8, bands=8).collect()}
+    assert got[1].pos_id == 2
+    assert got[1].neg_id == 5  # closer than 3/4 in cosine
+    assert got[1].margin == round(got[1].pos_sim - got[1].neg_sim, 6)
+    # anchors keep only genuinely-hard negatives: every present row
+    # must be cross-label
+    labels = {r[0]: r[2] for r in rows}
+    for a, r in got.items():
+        assert labels[a] != labels[r.neg_id]
+        assert labels[a] == labels[r.pos_id]
