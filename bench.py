@@ -114,6 +114,21 @@ HEADLINE = [
     # other headline exercises). Compare per-query across rounds.
     "url_canonical_dedup",
     "train_quality_weights",
+    # round 10: one per new tier — ~11 s of NEW coverage (compare
+    # per-query across rounds, and see SCALE.md §10.2: the r9/r10 host
+    # runs ~1.4x slower than the r8 host, verified by re-benching the
+    # r8 commit). gapfill prices the spine-explode + two window fills;
+    # kmv the salted bottom-k; heavy hitters the MG mapInPandas +
+    # broadcast recount; page_rank the checkpointed iterative join
+    # loop (~3.9 s — per-iteration job overhead dominates at sf0.1);
+    # zorder the bucket+interleave aggregate; triplets the per-label
+    # GEMM + LSH hard-negative mining (~3.7 s).
+    "events_gapfill_interp",
+    "kmv_distinct_tokens",
+    "heavy_hitter_tokens",
+    "link_page_rank",
+    "zorder_locality",
+    "contrastive_triplets",
 ]
 
 

@@ -1264,7 +1264,7 @@ def rotate_embeddings(embeddings: DataFrame, rotation: np.ndarray, *,
 
 def mine_triplets(embeddings: DataFrame, *,
                   planes: list[list[float]] | None = None,
-                  num_planes: int = 24, bands: int = 8,
+                  num_planes: int = 24, bands: int = 4,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   label_col: str = "label") -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets for contrastive
@@ -1272,9 +1272,14 @@ def mine_triplets(embeddings: DataFrame, *,
     / SimCSE recipe: positives from the same class, negatives that are
     CLOSE but wrong, because random negatives carry no gradient).
 
-    - **positive**: the anchor's exact nearest same-label neighbor
-      (label-blocked all-pairs + per-anchor top-1 — the bounded
-      blocking pattern shared with :func:`pairwise_topk_per_label`).
+    - **positive**: the anchor's exact nearest same-label neighbor.
+      Label blocking bounds the quadratic step, and the within-block
+      scoring is ONE normalized GEMM per label inside an Arrow batch
+      (``applyInPandas``) emitting only each anchor's top-1 — the same
+      BLAS-not-pair-join shape as ``dedup.embedding_cosine_pairs``.
+      Metric-learning class blocks are small by construction; a label
+      too large for one worker's GEMM should go through the blocked
+      grid of ``embedding_cosine_pairs`` instead.
     - **hard negative**: the highest-cosine DIFFERENT-label vector
       among the anchor's banded sign-LSH candidates
       (:func:`eventstorm_spark.extensions.dedup.embedding_near_duplicates`
@@ -1303,23 +1308,31 @@ def mine_triplets(embeddings: DataFrame, *,
     labels = embeddings.select(F.col(id_col).alias("__id"),
                                F.col(label_col).alias("__lbl"))
 
-    # positives: exact top-1 within label
-    a = embeddings.select(F.col(id_col).alias("anchor"),
-                          F.col(label_col).alias("lbl"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("pos_id"),
-                          F.col(label_col).alias("lbl"),
-                          F.col(vec_col).alias("vb"))
-    pos_pairs = (a.join(b, "lbl")
-                 .where(F.col("anchor") != F.col("pos_id"))
-                 .select("anchor", "pos_id",
-                         F.round(cosine(_as_double_array(F.col("va")),
-                                        _as_double_array(F.col("vb"))), 6)
-                         .alias("pos_sim")))
-    wp = W.partitionBy("anchor").orderBy(F.col("pos_sim").desc(),
-                                         F.col("pos_id"))
-    pos = (pos_pairs.withColumn("__r", F.row_number().over(wp))
-           .where(F.col("__r") == 1).drop("__r"))
+    # positives: exact top-1 within label, one GEMM per label block
+    def pos_top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame({"anchor": [], "pos_id": [],
+                                 "pos_sim": []})
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["__vec"]])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = m / n[:, None]
+        sims = np.round(mn @ mn.T, 6)
+        np.fill_diagonal(sims, -2.0)  # exclude self
+        # argmax returns the FIRST max: ids ascending -> smallest-id ties
+        best = sims.argmax(axis=1)
+        ids = pdf["__id"].to_numpy()
+        return pd.DataFrame({"anchor": ids, "pos_id": ids[best],
+                             "pos_sim": sims[np.arange(len(ids)), best]})
+
+    pos = (embeddings.select(F.col(id_col).alias("__id"),
+                             F.col(label_col).alias("__lbl"),
+                             F.col(vec_col).alias("__vec"))
+           .groupBy("__lbl")
+           .applyInPandas(pos_top1,
+                          "anchor long, pos_id long, pos_sim double"))
 
     # hard negatives: cross-label LSH candidates, top-1 per anchor
     cands = embedding_near_duplicates(

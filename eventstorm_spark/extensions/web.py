@@ -275,16 +275,23 @@ def page_rank(edges: DataFrame, *, damping: float = 0.85,
     reproduces every iteration bit-for-bit — same contract as the
     step-replay quality trainer.
     """
+    # Truncate lineage at each reused frame: edges/nodes/outdeg feed
+    # every iteration, and each iteration's ranks feed three consumers
+    # (dangling, contrib, next ranks) — without a checkpoint the plan
+    # tree re-derives the previous iteration per consumer (3^iters
+    # recomputes of the edge synthesis).
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()).localCheckpoint(eager=False)
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg"))
+        F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=False)
     n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (nodes.crossJoin(F.broadcast(n_total))
              .select("node", F.round(F.lit(1.0) / F.col("__n"), 9)
                      .alias("rank")))
     for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
         with_deg = ranks.join(outdeg, "node", "left")
         dangling = (with_deg.where(F.col("outdeg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))

@@ -2548,7 +2548,7 @@ def q_contrastive_triplets(spark, sf_dir):
                                                         mine_triplets)
     emb = load(spark, sf_dir, "embeddings")
     return mine_triplets(emb, planes=_portable_planes(64, 24),
-                         num_planes=24, bands=8)
+                         num_planes=24, bands=4)
 
 
 def q_zorder_locality(spark, sf_dir):
@@ -4498,10 +4498,10 @@ _EXT_ORACLES["contrastive_triplets"] = """
                     THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
         FROM vecs CROSS JOIN planes),
     buckets AS (
-        SELECT vec_id, p // 3 AS band,
-               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 3 AS INT)))
-                    + ((p // 3) << 40) AS BIGINT) AS bucket
-        FROM bits GROUP BY vec_id, p // 3),
+        SELECT vec_id, p // 6 AS band,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)))
+                    + ((p // 6) << 40) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, p // 6),
     cands AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a
