@@ -2537,6 +2537,30 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_kmv_daily_users(spark, sf_dir):
+    """Mergeable-sketch rollup, the distinct-count twin of
+    hypertable_rollup: HOURLY KMV sketches of user_id merged into DAILY
+    sketches (kmv_merge — k smallest of the union, lossless by the
+    k-minima containment argument), estimated per day. The ORACLE
+    builds the daily sketch DIRECTLY from raw events: hash equality
+    proves the merge ladder is lossless, which is the entire point of
+    storing per-shard sketches at rest. k=64 keeps the estimator live
+    (daily distinct users exceeds k at every SF)."""
+    from eventstorm_spark.extensions.sketches import (kmv_estimate,
+                                                      kmv_merge, kmv_sketch)
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH").alias("hour"),
+        "user_id")
+    hourly = kmv_sketch(keyed, "user_id", k=64,
+                        group_cols=["day", "hour"], portable=True)
+    daily = kmv_merge(hourly.drop("hour"), k=64, group_cols=["day"])
+    return (kmv_estimate(daily, k=64)
+            .select("day", "n_distinct_est"))
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Contrastive (anchor, positive, hard-negative) mining: exact
     same-label top-1 positives (label-blocked), hardest cross-label
@@ -4471,6 +4495,27 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["kmv_daily_users"] = """
+    WITH d AS (
+        SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS h
+        FROM events),
+    r AS (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM d),
+    sk AS (
+        SELECT day,
+               CAST(count(*) FILTER (WHERE rn <= 64) AS INTEGER) AS m,
+               max(CASE WHEN rn = 64 THEN h END) AS h_k
+        FROM r GROUP BY day)
+    SELECT day,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+           END AS n_distinct_est
+    FROM sk"""
+
 _EXT_ORACLES["contrastive_triplets"] = """
     WITH planes AS (
         SELECT p,
@@ -5874,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "kmv_daily_users": q_kmv_daily_users,
         "contrastive_triplets": q_contrastive_triplets,
         "zorder_locality": q_zorder_locality,
         "link_page_rank": q_link_page_rank,
