@@ -1291,3 +1291,69 @@ def compact_index(spark, path: str) -> dict:
             spark, sub_path, partition_by=part, cluster_by=clus,
             keep_entries=keep)
     return report
+
+
+# ---------------------------------------------------------------------------
+# At-rest KMV sketch store (mergeable distinct-count summaries)
+# ---------------------------------------------------------------------------
+
+
+def write_kmv_index(df, path: str, col: str, *,
+                    group_cols: tuple = ("source",), k: int = 256,
+                    portable: bool = False) -> None:
+    """Persist per-group KMV distinct sketches (`sketches.kmv_sketch`)
+    as an at-rest summary table: one row per group, k longs each —
+    the distinct-count analogue of the digest/minhash/dHash index tier.
+    The raw data never needs re-scanning to answer "distinct X per
+    group so far": estimates read the sketch rows, and new snapshots
+    fold in via :func:`append_kmv_index` (merge is lossless — the k
+    global minima live in the union of per-input k-minima)."""
+    from eventstorm_spark.extensions.sketches import kmv_sketch
+
+    sk = kmv_sketch(df, col, k=k, group_cols=list(group_cols),
+                    portable=portable)
+    sk.write.mode("overwrite").parquet(os.path.join(path, "sketches"))
+    _write_index_meta(df.sparkSession, path,
+                      {"kind": "kmv", "col": col, "k": k,
+                       "group_cols": list(group_cols),
+                       "portable": portable})
+
+
+def kmv_index_estimate(spark, path: str):
+    """Distinct-count estimates straight from the at-rest sketches —
+    zero raw-data scan; validates the meta."""
+    from eventstorm_spark.extensions.sketches import kmv_estimate
+
+    meta = _read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "kmv":
+        raise ValueError(f"{path} is not a KMV index (meta={meta})")
+    sk = spark.read.parquet(os.path.join(path, "sketches"))
+    return kmv_estimate(sk, k=int(meta["k"]))
+
+
+def append_kmv_index(new_df, path: str, *, col: str | None = None) -> None:
+    """Fold a new snapshot into the at-rest sketches: sketch the new
+    data with the INDEX's parameters (meta-guarded — appending with a
+    different k or hash mode would corrupt every estimate), union with
+    the stored rows, re-merge per group, atomically replace. The
+    merge input is (old groups + new groups) x k longs — index-sized,
+    never corpus-sized."""
+    from eventstorm_spark.extensions.sketches import kmv_merge, kmv_sketch
+
+    spark = new_df.sparkSession
+    meta = _read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "kmv":
+        raise ValueError(f"{path} is not a KMV index (meta={meta})")
+    if col is not None and col != meta["col"]:
+        raise ValueError(
+            f"index sketches column {meta['col']!r}, append got {col!r}")
+    k = int(meta["k"])
+    gcols = list(meta["group_cols"])
+    fresh = kmv_sketch(new_df, meta["col"], k=k, group_cols=gcols,
+                       portable=bool(meta["portable"]))
+    old = spark.read.parquet(os.path.join(path, "sketches"))
+    merged = kmv_merge(old.unionByName(fresh), k=k, group_cols=gcols)
+    final = os.path.join(path, "sketches")
+    staged = final + ".__compact_tmp"
+    merged.write.mode("overwrite").parquet(staged)
+    _swap_in_compacted(final, staged)

@@ -94,6 +94,65 @@ def generate_sf1(n_docs: int = 50_000, dup_frac: float = 0.05,
     return out
 
 
+def generate_sf1_events(n_rows: int = 1_000_000, seed: int = 7) -> str:
+    """10x the sf0.1 events table, same structure: 30 days, ~15k users
+    (10x), 5 event types, value uniform [0, 100) — enough for the
+    gapfill grid and the KMV daily rollup to scale realistically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SF1_DIR, "events.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    span = np.timedelta64(30 * 24 * 3600 * 1_000_000, "us")
+    ts = base + (rng.random(n_rows) * span.astype("int64")).astype(
+        "timedelta64[us]")
+    types = np.array(["click", "view", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(range(n_rows), pa.int64()),
+        "ts": pa.array(np.sort(ts)),
+        "user_id": pa.array(rng.integers(0, 15_000, n_rows), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, n_rows)]),
+        "value": pa.array(rng.random(n_rows) * 100.0, pa.float64()),
+        "props": pa.array(["{}"] * n_rows, pa.string()),
+    })
+    pq.write_table(tbl, out)
+    return out
+
+
+def generate_sf1_embeddings(n_vecs: int = 20_000, dim: int = 64,
+                            n_labels: int = 10, seed: int = 11) -> str:
+    """10x the sf0.1 embeddings table: label-clustered unit-ish vectors
+    (cluster center + noise), so same-label neighbors are close and
+    cross-label LSH collisions exist — the structure triplet mining
+    needs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SF1_DIR, "embeddings.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_labels, dim))
+    labels = rng.integers(0, n_labels, n_vecs)
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n_vecs, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        # float32 + int32: the driver table's exact physical types
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([int(x) for x in labels], pa.int32()),
+    })
+    pq.write_table(tbl, out)
+    return out
+
+
 ZIPF_V = 10_000  # vocabulary size for the realistic-vocabulary fixture
 ZIPF_S = 1.1     # Zipf exponent (natural-language-like head/tail)
 BOILER = " ".join(f"b{i}" for i in range(12))  # 12-token boilerplate run
@@ -247,6 +306,8 @@ def main() -> None:
             names = arg.split("=", 1)[1].split(",")
     if "--skip-gen" not in sys.argv:
         generate_sf1()
+        generate_sf1_events()
+        generate_sf1_embeddings()
 
     from eventstorm_spark import inventory
     from eventstorm_spark.session import get_spark

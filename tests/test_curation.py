@@ -1288,3 +1288,45 @@ def test_bm25_index_parity_pruning_append_compact(spark, tmp_path, sf_dir):
     # meta guard
     with pytest.raises(ValueError):
         bm25_against_index(spark, path, terms, n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# at-rest KMV sketch store
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_index_lifecycle(spark, tmp_path):
+    from eventstorm_spark.extensions.curation import (append_kmv_index,
+                                                      kmv_index_estimate,
+                                                      write_kmv_index)
+    path = str(tmp_path / "kmv_idx")
+    base = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(40)]
+        + [("b", f"v{i % 5}") for i in range(30)], ["source", "user"])
+    write_kmv_index(base, path, "user", group_cols=("source",), k=16)
+
+    est = {r.source: r.n_distinct_est
+           for r in kmv_index_estimate(spark, path).collect()}
+    assert est["b"] == 5.0           # below k: exact
+    assert est["a"] > 16             # estimator branch live
+
+    # append overlaps + novelty; estimate must equal a fresh build
+    extra = spark.createDataFrame(
+        [("b", f"v{i}") for i in range(12)]      # 5 old + 7 new
+        + [("c", "w0")], ["source", "user"])
+    append_kmv_index(extra, path)
+    est2 = {r.source: r.n_distinct_est
+            for r in kmv_index_estimate(spark, path).collect()}
+    assert est2["b"] == 12.0 and est2["c"] == 1.0 and est2["a"] == est["a"]
+
+    from eventstorm_spark.extensions.sketches import kmv_estimate, kmv_sketch
+    direct = {r.source: r.n_distinct_est for r in kmv_estimate(
+        kmv_sketch(base.unionByName(extra), "user", k=16,
+                   group_cols=["source"]), k=16).collect()}
+    assert est2 == direct            # merge == direct build, per group
+
+    # meta guard: appending a different column errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        append_kmv_index(extra.withColumnRenamed("user", "other"),
+                         path, col="other")
