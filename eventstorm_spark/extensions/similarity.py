@@ -1265,6 +1265,7 @@ def rotate_embeddings(embeddings: DataFrame, rotation: np.ndarray, *,
 def mine_triplets(embeddings: DataFrame, *,
                   planes: list[list[float]] | None = None,
                   num_planes: int = 24, bands: int = 4,
+                  max_bucket_size: int | None = None,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   label_col: str = "label") -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets for contrastive
@@ -1334,10 +1335,17 @@ def mine_triplets(embeddings: DataFrame, *,
            .applyInPandas(pos_top1,
                           "anchor long, pos_id long, pos_sim double"))
 
-    # hard negatives: cross-label LSH candidates, top-1 per anchor
+    # hard negatives: cross-label LSH candidates, top-1 per anchor.
+    # Candidate mass is sum over buckets of |bucket|^2 — LINEAR only
+    # while bucket sizes stay bounded, so at scale the bits-per-band
+    # must grow with the corpus (bucket count ~ n / target_size) and
+    # ``max_bucket_size`` (deterministic whole-bucket drop, the dedup
+    # tier's guard, SQL-replayable as HAVING count <= cap) bounds the
+    # degenerate buckets that remain. The sf1 probe tables both knobs.
     cands = embedding_near_duplicates(
         embeddings, threshold=-1.0, num_planes=num_planes, bands=bands,
-        planes=planes, vec_col=vec_col, id_col=id_col)
+        planes=planes, max_bucket_size=max_bucket_size,
+        vec_col=vec_col, id_col=id_col)
     both = (cands.select(F.col("id_a").alias("anchor"),
                          F.col("id_b").alias("neg_id"), "cosine_sim")
             .unionByName(cands.select(F.col("id_b").alias("anchor"),

