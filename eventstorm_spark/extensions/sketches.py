@@ -204,3 +204,50 @@ def heavy_hitters(df: DataFrame, col: str, *, threshold: float = 0.002,
             .select("value", "n",
                     F.round(F.col("n") / F.col("__N").cast("double"), 6)
                     .alias("share")))
+
+
+def streaming_kmv_distinct(stream_df: DataFrame, col: str, *, k: int = 64,
+                           window: str = "1 hour", ts_col: str = "ts",
+                           watermark_delay: str = "10 minutes",
+                           portable: bool = False) -> DataFrame:
+    """Streaming distinct-count per event-time window with BOUNDED
+    state: the KMV k-minimum set as ``applyInPandasWithState`` state —
+    k longs per open window, regardless of stream cardinality (the
+    exact-distinct streaming aggregate would hold every distinct value
+    in the state store; at web-scale ingest that is the state-store
+    OOM). Each micro-batch folds its hashes into the window's k-min
+    set and re-emits the window's updated estimate (update mode), so
+    the sink always holds the latest per-window estimate.
+
+    The estimator is :func:`kmv_estimate`'s expression evaluated in
+    Python over the same integers — exact below k, (k-1)*2^60/kth
+    above — and a window's final state equals the batch-built sketch
+    of the same rows (merge losslessness), which the test pins."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    hashed = (stream_df
+              .withWatermark(ts_col, watermark_delay)
+              .select(F.window(F.col(ts_col), window).start
+                      .alias("window_start"),
+                      _hash60(F.col(col).cast("string"),
+                              portable).alias("__h")))
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        mins = _json.loads(state.get[0]) if state.exists else []
+        s = set(mins)
+        for pdf in pdf_iter:
+            s.update(int(h) for h in pdf["__h"])
+        mins = sorted(s)[:k]
+        state.update((_json.dumps(mins),))
+        m = len(mins)
+        est = float(m) if m < k else (k - 1) * _HASH_SPACE / float(mins[-1])
+        yield pd.DataFrame({"window_start": [key[0]],
+                            "n_distinct_est": [est]})
+
+    return hashed.groupBy("window_start").applyInPandasWithState(
+        fold, "window_start timestamp, n_distinct_est double",
+        "state string", "update", GroupStateTimeout.NoTimeout)

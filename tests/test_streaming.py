@@ -782,3 +782,63 @@ def test_streaming_winnow_hits_detects_shared_runs(spark, tmp_path):
         assert not any(5 in (a, b) for a, b in got), got
     finally:
         q.stop()
+
+
+def test_streaming_kmv_distinct_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV distinct per window: cross-batch k-min state merge
+    must equal the batch-built sketch estimate over the union of all
+    batches (merge losslessness), with state bounded at k longs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.sketches import (kmv_estimate,
+                                                      kmv_sketch,
+                                                      streaming_kmv_distinct)
+
+    src_dir = str(tmp_path / "kmv_src")
+    schema = "ts timestamp, user string"
+    base = dt.datetime(2024, 5, 1, 0, 0)
+
+    def rows(lo, hi, hour):
+        return [(base + dt.timedelta(hours=hour, seconds=i), f"u{i}")
+                for i in range(lo, hi)]
+
+    spark.createDataFrame(rows(0, 120, 0) + rows(0, 30, 1), schema) \
+         .write.mode("append").parquet(src_dir)
+
+    est = streaming_kmv_distinct(
+        spark.readStream.schema(schema).parquet(src_dir),
+        "user", k=64, window="1 hour", ts_col="ts")
+    latest = {}
+
+    def on_batch(bdf, _epoch):
+        for r in bdf.collect():
+            latest[r.window_start] = r.n_distinct_est
+
+    q = (est.writeStream.outputMode("update")
+         .foreachBatch(on_batch).start())
+    try:
+        q.processAllAvailable()
+        # second batch: 80 users overlap hour 0, 50 new ones in hour 1
+        spark.createDataFrame(rows(40, 160, 0) + rows(20, 80, 1), schema) \
+             .write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch twin over the union of both batches
+    all_rows = (rows(0, 120, 0) + rows(0, 30, 1)
+                + rows(40, 160, 0) + rows(20, 80, 1))
+    batch = spark.createDataFrame(all_rows, schema).select(
+        F.window("ts", "1 hour").start.alias("w"), "user")
+    want = {r.w: r.n_distinct_est for r in kmv_estimate(
+        kmv_sketch(batch, "user", k=64, group_cols=["w"]), k=64).collect()}
+    got = {k_.replace(tzinfo=None) if k_.tzinfo else k_: v
+           for k_, v in latest.items()}
+    want = {k_.replace(tzinfo=None) if k_.tzinfo else k_: v
+            for k_, v in want.items()}
+    assert got == want
+    # hour 0 has 160 distinct (> k=64): estimator branch live
+    h0 = base
+    assert got[h0] != 160.0 and abs(got[h0] - 160) / 160 < 0.5
