@@ -470,3 +470,41 @@ def token_balanced_shards(docs: DataFrame, *, n_shards: int = 16,
     return part.select(
         "doc_id", "n_tokens",
         F.pmod(rank0, F.lit(n_shards)).cast("int").alias("shard"))
+
+
+def weighted_sample(docs: DataFrame, *, k: int = 20,
+                    weight_col: str = "n_chars",
+                    group_cols: tuple = ("source",),
+                    salt: str = "ws1", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis-Spirakis A-ES): each row draws u = unit-hash(id, salt)
+    and is ranked by key = u^(1/w) — equivalently ln(u)/w, the monotone
+    form used here — and the k largest keys per group are the sample.
+    Inclusion probability is proportional to weight, exactly the
+    token-budget-proportional document draw a mixture builder needs,
+    yet the sample is a pure function of (id, salt, weight): re-runs
+    reproduce it, the oracle replays it, and growing the corpus only
+    displaces rows that genuinely lose the comparison.
+
+    Plan: a projection plus one per-group top-k window — the sample
+    never materializes the full sort at the driver. Groups here are
+    source-cardinality (bounded); for a single mega-group route through
+    the salted two-phase bottom-k of ``sketches._bottom_k`` with the
+    key negated. Rows with weight <= 0 are excluded (their inclusion
+    probability is zero, and ln(u)/w would flip sign)."""
+    from pyspark.sql import Window as W
+
+    gs = [F.col(c) for c in group_cols]
+    # (h+1)/2^32 keeps u in (0, 1]: ln(0) is null in Spark and an
+    # error class in some engines; u=1 -> key 0 (top) at prob 2^-32
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(salt))), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_U32)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(*gs).orderBy(F.desc("__key"), F.col(id_col))
+    return (docs.where(F.col(weight_col) > 0)
+            .withColumn("__key", key)
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k)
+            .drop("__key"))

@@ -2537,6 +2537,19 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sampling: 20 docs per
+    source with inclusion probability proportional to n_chars (the
+    token-budget-proportional mixture draw), ranked by ln(u)/w on a
+    salted md5 unit hash — a pure function of (id, salt, weight), so
+    the oracle replays the exact sample."""
+    from eventstorm_spark.extensions.pipeline import weighted_sample
+    docs = load(spark, sf_dir, "documents")
+    return (weighted_sample(docs, k=20, weight_col="n_chars",
+                            group_cols=("source",))
+            .select("source", "doc_id", "n_chars", "sample_rank"))
+
+
 def q_kmv_daily_users(spark, sf_dir):
     """Mergeable-sketch rollup, the distinct-count twin of
     hypertable_rollup: HOURLY KMV sketches of user_id merged into DAILY
@@ -4495,6 +4508,23 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["weighted_sample"] = """
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((CAST(concat('0x', substr(md5(concat(
+                       CAST(doc_id AS VARCHAR), ':', 'ws1')), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY k DESC, doc_id)
+                    AS INT) AS sample_rank
+        FROM keyed)
+    SELECT source, doc_id, n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= 20"""
+
 _EXT_ORACLES["kmv_daily_users"] = """
     WITH d AS (
         SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -5919,6 +5949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "weighted_sample": q_weighted_sample,
         "kmv_daily_users": q_kmv_daily_users,
         "contrastive_triplets": q_contrastive_triplets,
         "zorder_locality": q_zorder_locality,

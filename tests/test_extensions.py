@@ -2476,3 +2476,24 @@ def test_mine_triplets_semantics(spark):
     for a, r in got.items():
         assert labels[a] != labels[r.neg_id]
         assert labels[a] == labels[r.pos_id]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from eventstorm_spark.extensions.pipeline import weighted_sample
+    # one group: heavy docs (w=100) vs light (w=1), sample 50 of 400.
+    rows = [(i, "g", 100 if i < 100 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = weighted_sample(df, k=50, group_cols=("source",)).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    # heavy ids are 1/4 of rows but 100x weight: they must dominate
+    assert heavy > 35
+    # deterministic under repartitioning
+    again = weighted_sample(df.repartition(7), k=50,
+                            group_cols=("source",)).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+    # zero/negative weights are excluded
+    z = spark.createDataFrame([(1, "g", 0), (2, "g", 5)],
+                              ["doc_id", "source", "n_chars"])
+    kept = weighted_sample(z, k=10, group_cols=("source",)).collect()
+    assert [r.doc_id for r in kept] == [2]
