@@ -8,6 +8,10 @@ Stages (each one a lazy DataFrame transform until the final writes):
                                        url_dedup — drop re-crawls by
                                        canonical URL before any payload
                                        work)
+    -> host-reputation gate           (web.page_rank over the link
+                                       graph; bottom-decile hosts
+                                       dropped — the domain-rank
+                                       recipe)
     -> C4/Gopher rule filter          (text.c4_rules, auditable reasons)
     -> exact dedup                    (dedup.drop_exact_duplicates)
     -> quality model trained in-engine (text.train_linear_quality on
@@ -32,7 +36,12 @@ Stages (each one a lazy DataFrame transform until the final writes):
                                        persisted via write_dhash_index
                                        so the next ingest probes at
                                        rest instead of re-decoding)
-  plus the dataset-card reports        (source_composition, vocab stats)
+  plus the dataset-card reports        (source_composition; at-rest KMV
+                                       distinct-token sketches via
+                                       curation.write_kmv_index; exact
+                                       heavy-hitter boilerplate tokens;
+                                       a z-order layout prunability
+                                       audit)
 
 Run: python examples/training_pipeline.py [sf_dir] [out_dir]
 Prints one line per stage with surviving doc/token counts.
@@ -69,6 +78,23 @@ def main() -> None:
     urls = web.canonicalize_urls(web.synth_urls(docs, pages_per_source=240))
     fetched = docs.join(web.url_dedup(urls).select("doc_id"), "doc_id")
     print(f"url dedup           {fetched.count():>7d} docs")
+
+    # domain-reputation gate: PageRank over the link graph, hosts in
+    # the bottom tail dropped before any payload work (the CommonCrawl
+    # domain-rank recipe). Host score = sum of its page ranks.
+    ranks = web.page_rank(web.synth_link_graph(docs), iters=3)
+    host_rank = (ranks
+                 .withColumn("host", F.split("node", "/").getItem(0))
+                 .groupBy("host").agg(F.sum("rank").alias("host_rank")))
+    cut = host_rank.agg(
+        F.expr("percentile(host_rank, 0.1)").alias("p10"))
+    good_hosts = (host_rank.crossJoin(F.broadcast(cut))
+                  .where(F.col("host_rank") >= F.col("p10"))
+                  .select("host"))
+    fetched = fetched.join(
+        good_hosts.select(F.col("host").alias("source")), "source")
+    print(f"host-rank gate      {fetched.count():>7d} docs "
+          f"(dropped bottom-decile hosts)")
 
     kept_ids = (text.c4_rules(fetched).where(F.col("kept") == 1)
                 .select("doc_id"))
@@ -133,8 +159,33 @@ def main() -> None:
     print(f"image dedup         {keep.count():>7d} assets kept "
           f"(index at {idx_path})")
 
+    # layout audit: how prunable would a (doc_id, n_chars)-z-ordered
+    # write of the surviving corpus be? (avg span fraction per file ~
+    # the share of files a point predicate reads)
+    from eventstorm_spark.extensions import layout
+    rep = layout.zorder_locality_report(near, ["doc_id", "n_chars"],
+                                        n_buckets=16)
+    spans = rep.agg(F.round(F.avg("span_frac_doc_id"), 3),
+                    F.round(F.avg("span_frac_n_chars"), 3)).first()
+    print(f"z-order layout      avg file span: doc_id {spans[0]}, "
+          f"n_chars {spans[1]}")
+
     print("\ndataset card:")
     curation.source_composition(near).orderBy("source").show(5)
+
+    # per-source distinct-token sketches, persisted so the next ingest
+    # updates the card without re-scanning this snapshot
+    from eventstorm_spark.extensions.sketches import heavy_hitters
+    kmv_path = os.path.join(out_dir, "kmv_index")
+    toks = near.select("source", F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    curation.write_kmv_index(toks, kmv_path, "tok",
+                             group_cols=("source",), k=128)
+    curation.kmv_index_estimate(spark, kmv_path) \
+        .orderBy("source").show(5)
+    print("top boilerplate tokens (exact, >=1% support):")
+    heavy_hitters(toks, "tok", threshold=0.01) \
+        .orderBy(F.col("n").desc()).show(5)
 
 
 if __name__ == "__main__":
