@@ -194,3 +194,61 @@ def streaming_sessionize(events_stream: DataFrame, *, gap: str = "30 minutes",
     sessions emit exactly once in append mode."""
     wm = events_stream.withWatermark(ts_col, watermark_delay)
     return sessionize(wm, gap=gap, key_col=key_col, ts_col=ts_col)
+
+
+def m4_downsample(events: DataFrame, *, n_buckets: int = 100,
+                  key_col: str = "event_type", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (key, time-bucket) keep the first, last, min and max points — the
+    lossless reduction for line rendering (any pixel column's drawn
+    segment is determined by exactly those four points), and the
+    standard "give me 100k points of a 10B-row series" read path on a
+    hypertable.
+
+    Buckets split [min(ts), max(ts)] per key into ``n_buckets`` equal
+    spans (integer microsecond arithmetic — engine-exact). The whole
+    reduction is ONE map-side-combinable aggregate: min/max over value
+    and min_by/max_by over (ts, then value/ts) pick the four points,
+    so the shuffle carries 4 points per (key, bucket) regardless of
+    input size — at 100 TB this is the difference between shipping the
+    series and shipping the plot. Ties (equal value at min/max, equal
+    ts at ends) break on the event's timestamp then value via the
+    packed struct ordering, deterministically in any engine.
+
+    Output: (key, bucket, n, plus ts/value for first/last/min/max) —
+    4 x n_buckets x |keys| rows.
+    """
+    # cast through TIMESTAMP: the driver parquet reads as NTZ, which
+    # unix_micros rejects; the session pins UTC so the cast is identity
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = (events.groupBy(F.col(key_col).alias("key"))
+              .agg(F.min(us).alias("__lo"), F.max(us).alias("__hi")))
+    e = (events.select(F.col(key_col).alias("key"),
+                       us.alias("__us"),
+                       F.col(value_col).cast("double").alias("v"))
+         .join(F.broadcast(bounds), "key"))
+    span = F.col("__hi") - F.col("__lo") + 1
+    bucket = F.least(F.floor((F.col("__us") - F.col("__lo"))
+                             * n_buckets / span).cast("int"),
+                     F.lit(n_buckets - 1))
+    keyed = e.select("key", bucket.alias("bucket"), "__us", "v")
+    # struct ordering = lexicographic: (ts, v) for first/last,
+    # (v, ts) for min/max — deterministic tie-breaks
+    tv = F.struct(F.col("__us").alias("t"), F.col("v").alias("x"))
+    vt = F.struct(F.col("v").alias("x"), F.col("__us").alias("t"))
+    agg = (keyed.groupBy("key", "bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min(tv).alias("__first"), F.max(tv).alias("__last"),
+                F.min(vt).alias("__min"), F.max(vt).alias("__max")))
+    out = agg.select(
+        "key", "bucket", "n",
+        F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
+        F.col("__first.x").alias("first_v"),
+        F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
+        F.col("__last.x").alias("last_v"),
+        F.col("__min.x").alias("min_v"),
+        F.timestamp_micros(F.col("__min.t")).alias("min_ts"),
+        F.col("__max.x").alias("max_v"),
+        F.timestamp_micros(F.col("__max.t")).alias("max_ts"))
+    return out

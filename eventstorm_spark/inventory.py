@@ -2537,6 +2537,19 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_events_m4(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per event_type, 50
+    time buckets keeping first/last/min/max — the lossless line-render
+    reduction and the standard huge-series read path. One map-side-
+    combinable aggregate over packed (ts,value)/(value,ts) structs;
+    shuffle = 4 points per (key, bucket) regardless of input size.
+    Struct lexicographic min/max gives deterministic tie-breaks the
+    oracle replays with ordered row_number picks."""
+    from eventstorm_spark.extensions.temporal import m4_downsample
+    ev = load(spark, sf_dir, "events")
+    return m4_downsample(ev, n_buckets=50)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic Efraimidis-Spirakis weighted sampling: 20 docs per
     source with inclusion probability proportional to n_chars (the
@@ -4508,6 +4521,43 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["events_m4"] = """
+    WITH b AS (
+        SELECT event_type AS key, epoch_us(ts) AS us,
+               CAST(value AS DOUBLE) AS v
+        FROM events),
+    bounds AS (SELECT key, min(us) AS lo, max(us) AS hi FROM b
+               GROUP BY key),
+    k AS (
+        SELECT b.key,
+               CAST(least(CAST(floor((us - lo) * 50
+                                     / (hi - lo + 1)) AS INTEGER), 49)
+                    AS INTEGER) AS bucket,
+               us, v
+        FROM b JOIN bounds ON b.key = bounds.key),
+    sel AS (
+        SELECT key, bucket, us, v,
+               row_number() OVER (PARTITION BY key, bucket
+                                  ORDER BY us, v) AS rf,
+               row_number() OVER (PARTITION BY key, bucket
+                                  ORDER BY us DESC, v DESC) AS rl,
+               row_number() OVER (PARTITION BY key, bucket
+                                  ORDER BY v, us) AS rmin,
+               row_number() OVER (PARTITION BY key, bucket
+                                  ORDER BY v DESC, us DESC) AS rmax,
+               count(*) OVER (PARTITION BY key, bucket) AS n
+        FROM k)
+    SELECT key, bucket, CAST(n AS BIGINT) AS n,
+           make_timestamp(max(CASE WHEN rf = 1 THEN us END)) AS first_ts,
+           max(CASE WHEN rf = 1 THEN v END) AS first_v,
+           make_timestamp(max(CASE WHEN rl = 1 THEN us END)) AS last_ts,
+           max(CASE WHEN rl = 1 THEN v END) AS last_v,
+           max(CASE WHEN rmin = 1 THEN v END) AS min_v,
+           make_timestamp(max(CASE WHEN rmin = 1 THEN us END)) AS min_ts,
+           max(CASE WHEN rmax = 1 THEN v END) AS max_v,
+           make_timestamp(max(CASE WHEN rmax = 1 THEN us END)) AS max_ts
+    FROM sel GROUP BY key, bucket, n"""
+
 _EXT_ORACLES["weighted_sample"] = """
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
@@ -5949,6 +5999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "events_m4": q_events_m4,
         "weighted_sample": q_weighted_sample,
         "kmv_daily_users": q_kmv_daily_users,
         "contrastive_triplets": q_contrastive_triplets,

@@ -112,3 +112,33 @@ def test_gapfill_single_exchange_plan(spark):
     # both fill windows share ONE (key)-partitioned sort/exchange chain:
     # no per-method extra shuffle beyond the spine join
     assert plan.count("Window") <= 2
+
+
+def test_m4_downsample_semantics(spark):
+    from eventstorm_spark.extensions.temporal import m4_downsample
+    base = dt.datetime(2024, 6, 1, 0, 0)
+    rows = [("k", base + dt.timedelta(minutes=m), float(v))
+            for m, v in [(0, 5.0), (1, 9.0), (2, 1.0), (3, 7.0),
+                         (40, 2.0), (41, 8.0)]]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = {r.bucket: r for r in m4_downsample(ev, n_buckets=2).collect()}
+    b0 = got[0]
+    assert (b0.first_v, b0.last_v, b0.min_v, b0.max_v) == (5.0, 7.0, 1.0, 9.0)
+    assert b0.min_ts.minute == 2 and b0.max_ts.minute == 1
+    b1 = got[1]
+    assert (b1.first_v, b1.last_v) == (2.0, 8.0)
+    assert b1.n == 2
+
+
+def test_m4_is_one_aggregate_no_python(spark):
+    from eventstorm_spark.extensions.temporal import m4_downsample
+    ev = spark.createDataFrame(
+        [("k", dt.datetime(2024, 6, 1, 0, m), 1.0) for m in range(5)],
+        ["event_type", "ts", "value"])
+    plan = (m4_downsample(ev, n_buckets=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # bounds + main agg: the per-(key,bucket) reduction is ONE
+    # hash aggregate pair (partial + final), not four window sorts
+    assert "Window" not in plan
