@@ -251,3 +251,85 @@ def streaming_kmv_distinct(stream_df: DataFrame, col: str, *, k: int = 64,
     return hashed.groupBy("window_start").applyInPandasWithState(
         fold, "window_start timestamp, n_distinct_est double",
         "state string", "update", GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-histogram quantile sketch (mergeable, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def hdr_histogram(df: DataFrame, col: str, *, sig_digits: int = 2,
+                  group_cols: Sequence[str] = ()) -> DataFrame:
+    """Mergeable quantile sketch as a log-scaled histogram (the
+    HdrHistogram recipe production latency monitoring runs on): bucket
+    a positive value by (exponent = floor(log2(v)), mantissa quantized
+    to ~``sig_digits`` decimal digits), count per bucket. Size is
+    bounded by the VALUE RANGE (buckets ~ 64 * 10^sig_digits), not the
+    row count, and two histograms merge by summing counts — the same
+    at-rest/rollup story as :func:`kmv_sketch`, completing the sketch
+    tier's third axis (distinct = KMV, frequency = MG/CMS, quantiles =
+    this). Quantile error is bounded by bucket width: relative
+    ~10^-sig_digits.
+
+    Bucketing is pure integer/float arithmetic with one expression
+    shape (floor(v / 2^e * 10^d) at fixed e), so an external engine
+    rebuilds the same histogram bit-for-bit. One map-side-combinable
+    groupBy; the shuffle carries (group, bucket) rows only.
+    Non-positive values land in bucket (-2^31, 0) — a single underflow
+    bin, like HdrHistogram's lowest trackable value."""
+    scale = 10 ** sig_digits
+    v = F.col(col).cast("double")
+    # floor(log2(v)) with a one-step exactness correction: libm log2
+    # is only ulp-accurate, which flips the floor at exact powers of
+    # two and differs across engines; after the correction
+    # 2^e <= v < 2^(e+1) holds EXACTLY (pow(2, int) and the divide by
+    # it are exact IEEE operations), so the bucket id is engine-exact.
+    e0 = F.floor(F.log2(v)).cast("int")
+    p = F.pow(F.lit(2.0), e0.cast("double"))
+    e = (e0 + F.when(p > v, -1)
+         .when(p * F.lit(2.0) <= v, 1).otherwise(0)).cast("int")
+    mant = F.floor(v / F.pow(F.lit(2.0), e.cast("double")) * scale)
+    gs = [F.col(c) for c in group_cols]
+    exp_b = F.when(v > 0, e).otherwise(F.lit(-(1 << 31)))
+    man_b = F.when(v > 0, mant).otherwise(F.lit(0)).cast("long")
+    return (df.select(*gs, exp_b.alias("exp"), man_b.alias("mant"))
+            .groupBy(*group_cols, "exp", "mant")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def hdr_merge(histograms: DataFrame,
+              group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge histogram rows sharing a group: sum counts per bucket —
+    plain re-aggregation, the proof that the sketch is mergeable."""
+    return (histograms.groupBy(*group_cols, "exp", "mant")
+            .agg(F.sum("n").alias("n")))
+
+
+def hdr_quantiles(hist: DataFrame, quantiles: Sequence[float], *,
+                  sig_digits: int = 2,
+                  group_cols: Sequence[str] = ()) -> DataFrame:
+    """Quantile estimates from the histogram: walk the cumulative
+    counts in bucket order and report each requested quantile's bucket
+    LOWER BOUND (mant / scale * 2^exp) — a deterministic representative
+    within the bucket's relative-error bound. One window cumsum over
+    the (tiny) histogram plus a bounded explode of the quantile list;
+    the raw data is never touched."""
+    scale = float(10 ** sig_digits)
+    gs = list(group_cols)
+    w = (W.partitionBy(*[F.col(c) for c in gs]) if gs else
+         W.partitionBy(F.lit(1)))
+    wcum = w.orderBy("exp", "mant").rowsBetween(W.unboundedPreceding, 0)
+    tot = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = (hist.withColumn("__cum", F.sum("n").over(wcum))
+         .withColumn("__tot", F.sum("n").over(tot)))
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+    qd = c.select(*gs, "exp", "mant", "__cum", "__tot", qs.alias("q"))
+    # first bucket whose cumulative count reaches ceil(q * total)
+    hit = qd.where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__tot")))
+    wmin = (W.partitionBy(*([F.col(c_) for c_ in gs] + [F.col("q")]))
+            .orderBy("exp", "mant"))
+    first = (hit.withColumn("__rn", F.row_number().over(wmin))
+             .where(F.col("__rn") == 1))
+    val = (F.col("mant").cast("double") / F.lit(scale)
+           * F.pow(F.lit(2.0), F.col("exp").cast("double")))
+    return first.select(*gs, "q", F.round(val, 6).alias("value_est"))

@@ -2537,6 +2537,36 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_hdr_value_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch, audited: per event_type, p50/p95/p99
+    estimated from an HDR-style log-histogram (bucket = exact power-of-
+    two exponent + 2-digit mantissa; size bounded by the VALUE RANGE,
+    merge = summing counts — the sketch tier's third axis next to KMV
+    distinct and MG frequency) joined to the exact interpolated
+    percentiles with the relative error. The histogram build is one
+    map-side-combinable groupBy; quantile extraction walks the tiny
+    histogram, never the raw data. Bucket ids are engine-exact (the
+    log2 one-step correction), so the oracle replays the whole sketch."""
+    from eventstorm_spark.extensions.sketches import (hdr_histogram,
+                                                      hdr_quantiles)
+    ev = load(spark, sf_dir, "events")
+    hist = hdr_histogram(ev, "value", sig_digits=2,
+                         group_cols=["event_type"])
+    est = hdr_quantiles(hist, [0.5, 0.95, 0.99], sig_digits=2,
+                        group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("e50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("e95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("e99"))
+    unp = exact.selectExpr(
+        "event_type",
+        "stack(3, 0.5D, e50, 0.95D, e95, 0.99D, e99) AS (q, exact)")
+    return (est.join(unp, ["event_type", "q"])
+            .select("event_type", "q", "value_est", "exact",
+                    F.round(F.abs(F.col("value_est") - F.col("exact"))
+                            / F.col("exact"), 6).alias("rel_err")))
+
+
 def q_events_m4(spark, sf_dir):
     """M4 downsampling (Jugel et al., VLDB 2014): per event_type, 50
     time buckets keeping first/last/min/max — the lossless line-render
@@ -4521,6 +4551,68 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["hdr_value_quantiles"] = """
+    WITH v AS (
+        SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+        FROM events),
+    e0t AS (
+        SELECT key, v,
+               CASE WHEN v > 0 THEN CAST(floor(log2(v)) AS INTEGER)
+               END AS e0
+        FROM v),
+    ec AS (
+        SELECT key, v,
+               CASE WHEN v > 0 THEN e0
+                    + CASE WHEN pow(2.0, e0) > v THEN -1
+                           WHEN pow(2.0, e0) * 2.0 <= v THEN 1
+                           ELSE 0 END
+               END AS e
+        FROM e0t),
+    b AS (
+        SELECT key,
+               CAST(CASE WHEN v > 0 THEN e ELSE -2147483648 END
+                    AS INTEGER) AS exp,
+               CASE WHEN v > 0
+                    THEN CAST(floor(v / pow(2.0, e) * 100) AS BIGINT)
+                    ELSE 0 END AS mant
+        FROM ec),
+    h AS (SELECT key, exp, mant, count(*) AS n FROM b GROUP BY 1, 2, 3),
+    c AS (
+        SELECT key, exp, mant,
+               sum(n) OVER (PARTITION BY key ORDER BY exp, mant
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY key) AS tot
+        FROM h),
+    qd AS (
+        SELECT key, exp, mant, cum, tot, q
+        FROM c CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99]
+                                              AS DOUBLE[])) AS q) qq),
+    hit AS (
+        SELECT key, q, exp, mant,
+               row_number() OVER (PARTITION BY key, q
+                                  ORDER BY exp, mant) AS rn
+        FROM qd WHERE cum >= ceil(q * tot)),
+    est AS (
+        SELECT key AS event_type, q,
+               round(mant / 100.0 * pow(2.0, exp), 6) AS value_est
+        FROM hit WHERE rn = 1),
+    ex AS (
+        SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+               round(quantile_cont(value, 0.5), 4) AS exact
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.95 AS DOUBLE),
+               round(quantile_cont(value, 0.95), 4)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.99 AS DOUBLE),
+               round(quantile_cont(value, 0.99), 4)
+        FROM events GROUP BY event_type)
+    SELECT est.event_type, est.q, value_est, exact,
+           round(abs(value_est - exact) / exact, 6) AS rel_err
+    FROM est JOIN ex ON est.event_type = ex.event_type
+                    AND est.q = ex.q"""
+
 _EXT_ORACLES["events_m4"] = """
     WITH b AS (
         SELECT event_type AS key, epoch_us(ts) AS us,
@@ -5999,6 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "hdr_value_quantiles": q_hdr_value_quantiles,
         "events_m4": q_events_m4,
         "weighted_sample": q_weighted_sample,
         "kmv_daily_users": q_kmv_daily_users,

@@ -2497,3 +2497,43 @@ def test_weighted_sample_proportional_and_deterministic(spark):
                               ["doc_id", "source", "n_chars"])
     kept = weighted_sample(z, k=10, group_cols=("source",)).collect()
     assert [r.doc_id for r in kept] == [2]
+
+
+def test_hdr_histogram_merge_and_quantile_bounds(spark):
+    from eventstorm_spark.extensions.sketches import (hdr_histogram,
+                                                      hdr_merge,
+                                                      hdr_quantiles)
+    import math
+    vals = [float(i) for i in range(1, 1001)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    hist = hdr_histogram(df, "v", sig_digits=2)
+    # merge of two halves == one build (counts sum per bucket)
+    h1 = hdr_histogram(df.where(F.col("v") <= 500), "v", sig_digits=2)
+    h2 = hdr_histogram(df.where(F.col("v") > 500), "v", sig_digits=2)
+    merged = hdr_merge(h1.unionByName(h2))
+    assert {(r.exp, r.mant, r.n) for r in merged.collect()} == \
+        {(r.exp, r.mant, r.n) for r in hist.collect()}
+    # quantile estimates within the bucket's relative-error bound
+    got = {r.q: r.value_est
+           for r in hdr_quantiles(hist, [0.5, 0.99],
+                                  sig_digits=2).collect()}
+    for q, true in ((0.5, 500.0), (0.99, 990.0)):
+        assert abs(got[q] - true) / true < 0.02  # ~10^-2 + bucket edge
+
+
+def test_hdr_exponent_exact_at_powers_of_two(spark):
+    from eventstorm_spark.extensions.sketches import hdr_histogram
+    df = spark.createDataFrame(
+        [(float(2 ** k),) for k in range(-3, 11)], ["v"])
+    rows = hdr_histogram(df, "v", sig_digits=2).collect()
+    # every exact power of two must land at (exp=k, mant=100)
+    assert {(r.exp, r.mant) for r in rows} == \
+        {(k, 100) for k in range(-3, 11)}
+
+
+def test_hdr_nonpositive_underflow_bucket(spark):
+    from eventstorm_spark.extensions.sketches import hdr_histogram
+    df = spark.createDataFrame([(0.0,), (-5.0,), (3.0,)], ["v"])
+    rows = {(r.exp, r.mant): r.n
+            for r in hdr_histogram(df, "v", sig_digits=2).collect()}
+    assert rows[(-(1 << 31), 0)] == 2
