@@ -124,6 +124,8 @@ HEADLINE = [
     # zorder the bucket+interleave aggregate; triplets the per-label
     # GEMM + LSH hard-negative mining (~3.7 s).
     "events_gapfill_interp",
+    "events_m4",
+    "hdr_value_quantiles",
     "kmv_distinct_tokens",
     "heavy_hitter_tokens",
     "link_page_rank",
