@@ -1357,3 +1357,61 @@ def append_kmv_index(new_df, path: str, *, col: str | None = None) -> None:
     staged = final + ".__compact_tmp"
     merged.write.mode("overwrite").parquet(staged)
     _swap_in_compacted(final, staged)
+
+
+def write_hdr_index(df, path: str, col: str, *,
+                    group_cols: tuple = ("source",),
+                    sig_digits: int = 2) -> None:
+    """Persist per-group HDR log-histograms (`sketches.hdr_histogram`)
+    — the quantile leg of the at-rest sketch tier next to
+    :func:`write_kmv_index`. Quantile queries over historical data then
+    read (group, exp, mant, n) rows whose count is bounded by the value
+    RANGE, never the row count; new snapshots fold in by summing bucket
+    counts (:func:`append_hdr_index` — histograms are trivially
+    mergeable)."""
+    from eventstorm_spark.extensions.sketches import hdr_histogram
+
+    hist = hdr_histogram(df, col, sig_digits=sig_digits,
+                         group_cols=list(group_cols))
+    hist.write.mode("overwrite").parquet(os.path.join(path, "hist"))
+    _write_index_meta(df.sparkSession, path,
+                      {"kind": "hdr", "col": col,
+                       "sig_digits": sig_digits,
+                       "group_cols": list(group_cols)})
+
+
+def hdr_index_quantiles(spark, path: str, quantiles: tuple = (0.5, 0.95,
+                                                              0.99)):
+    """Quantile estimates straight from the at-rest histograms —
+    zero raw-data scan; validates the meta."""
+    from eventstorm_spark.extensions.sketches import hdr_quantiles
+
+    meta = _read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "hdr":
+        raise ValueError(f"{path} is not an HDR index (meta={meta})")
+    hist = spark.read.parquet(os.path.join(path, "hist"))
+    return hdr_quantiles(hist, list(quantiles),
+                         sig_digits=int(meta["sig_digits"]),
+                         group_cols=list(meta["group_cols"]))
+
+
+def append_hdr_index(new_df, path: str) -> None:
+    """Fold a new snapshot in: histogram the new rows with the INDEX's
+    parameters (meta-guarded), union with the stored buckets, re-sum,
+    atomically replace — index-sized work throughout."""
+    from eventstorm_spark.extensions.sketches import hdr_histogram, hdr_merge
+
+    spark = new_df.sparkSession
+    meta = _read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "hdr":
+        raise ValueError(f"{path} is not an HDR index (meta={meta})")
+    gcols = list(meta["group_cols"])
+    fresh = hdr_histogram(new_df, meta["col"],
+                          sig_digits=int(meta["sig_digits"]),
+                          group_cols=gcols)
+    old = spark.read.parquet(os.path.join(path, "hist"))
+    merged = hdr_merge(old.unionByName(fresh), group_cols=gcols)
+    final = os.path.join(path, "hist")
+    staged = final + ".__compact_tmp"
+    merged.write.mode("overwrite").parquet(staged)
+    _swap_in_compacted(final, staged)

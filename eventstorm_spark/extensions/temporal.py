@@ -252,3 +252,37 @@ def m4_downsample(events: DataFrame, *, n_buckets: int = 100,
         F.col("__max.x").alias("max_v"),
         F.timestamp_micros(F.col("__max.t")).alias("max_ts"))
     return out
+
+
+def streaming_m4(events_stream: DataFrame, *, window: str = "1 minute",
+                 key_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value",
+                 watermark_delay: str = "1 minute") -> DataFrame:
+    """The streaming twin of :func:`m4_downsample` on fixed time
+    windows: the identical struct-packed first/last/min/max aggregate
+    under a watermark — a plain streaming window aggregation, so state
+    is the 4 points per open (key, window) and closed windows emit once
+    in append mode. Batch backfills and the live downsampler cannot
+    drift: both reduce with the same expressions (test-pinned).
+
+    (The batch form buckets each key's [min, max] span into n equal
+    parts — a read-time choice; the streaming form necessarily uses
+    wall-aligned windows since the span is unbounded.)"""
+    wm = events_stream.withWatermark(ts_col, watermark_delay)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    tv = F.struct(us.alias("t"), v.alias("x"))
+    vt = F.struct(v.alias("x"), us.alias("t"))
+    agg = (wm.groupBy(F.window(F.col(ts_col), window).alias("win"),
+                      F.col(key_col).alias("key"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min(tv).alias("__first"), F.max(tv).alias("__last"),
+                F.min(vt).alias("__min"), F.max(vt).alias("__max")))
+    return agg.select(
+        F.col("win.start").alias("window_start"), "key", "n",
+        F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
+        F.col("__first.x").alias("first_v"),
+        F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
+        F.col("__last.x").alias("last_v"),
+        F.col("__min.x").alias("min_v"),
+        F.col("__max.x").alias("max_v"))

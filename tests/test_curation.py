@@ -1330,3 +1330,31 @@ def test_kmv_index_lifecycle(spark, tmp_path):
     with _pytest.raises(ValueError):
         append_kmv_index(extra.withColumnRenamed("user", "other"),
                          path, col="other")
+
+
+def test_hdr_index_lifecycle(spark, tmp_path):
+    from eventstorm_spark.extensions.curation import (append_hdr_index,
+                                                      hdr_index_quantiles,
+                                                      write_hdr_index)
+    from eventstorm_spark.extensions.sketches import (hdr_histogram,
+                                                      hdr_quantiles)
+    path = str(tmp_path / "hdr_idx")
+    base = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 501)], ["source", "v"])
+    write_hdr_index(base, path, "v", group_cols=("source",))
+    got = {r.q: r.value_est
+           for r in hdr_index_quantiles(spark, path, (0.5,)).collect()}
+    assert abs(got[0.5] - 250) / 250 < 0.02
+
+    extra = spark.createDataFrame(
+        [("a", float(i)) for i in range(501, 1001)], ["source", "v"])
+    append_hdr_index(extra, path)
+    est2 = {r.q: r.value_est
+            for r in hdr_index_quantiles(spark, path, (0.5,)).collect()}
+    # merged index == fresh build over the union
+    direct = {r.q: r.value_est for r in hdr_quantiles(
+        hdr_histogram(base.unionByName(extra), "v",
+                      group_cols=["source"]), [0.5],
+        group_cols=["source"]).collect()}
+    assert est2 == direct
+    assert abs(est2[0.5] - 500) / 500 < 0.02

@@ -142,3 +142,39 @@ def test_m4_is_one_aggregate_no_python(spark):
     # bounds + main agg: the per-(key,bucket) reduction is ONE
     # hash aggregate pair (partial + final), not four window sorts
     assert "Window" not in plan
+
+
+def test_streaming_m4_matches_batch_reduction(spark, tmp_path):
+    """streaming_m4 over a file stream == the same aggregate run in
+    batch on the same rows (append mode, windows closed by watermark)."""
+    from eventstorm_spark.extensions.temporal import streaming_m4
+
+    src = str(tmp_path / "m4src")
+    schema = "event_type string, ts timestamp, value double"
+    base = dt.datetime(2024, 6, 1, 0, 0)
+    rows = [("k", base + dt.timedelta(seconds=s), float(v))
+            for s, v in [(0, 5.0), (10, 9.0), (50, 1.0),
+                         (70, 7.0), (80, 2.0), (200, 4.0)]]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    got = []
+    q = (streaming_m4(spark.readStream.schema(schema).parquet(src),
+                      window="1 minute")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(b.collect())).start())
+    try:
+        q.processAllAvailable()
+        # late-ish tail event: advances the watermark, closes minute 1
+        spark.createDataFrame(
+            [("k", base + dt.timedelta(seconds=400), 0.0)], schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    byw = {r.window_start.minute: r for r in got}
+    m0 = byw[0]
+    assert (m0.first_v, m0.last_v, m0.min_v, m0.max_v) == (5.0, 1.0, 1.0, 9.0)
+    m1 = byw[1]
+    assert (m1.first_v, m1.last_v, m1.min_v, m1.max_v) == (7.0, 2.0, 2.0, 7.0)
+    assert m1.n == 2
