@@ -20,23 +20,37 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _cms_bucket(val, row, width: int, portable: bool):
+    """Cell hash for row ``row``: xxhash64(value, row) by default; in
+    portable mode the md5-slice family (value ':' row), so an external
+    SQL engine rebuilds the identical sketch — same contract as
+    ``portable_hash60``."""
+    if portable:
+        from eventstorm_spark.extensions.dedup import portable_hash60
+        h = portable_hash60(F.concat_ws(":", val, row.cast("string")))
+        return F.pmod(h, F.lit(width))
+    return F.pmod(F.xxhash64(val, row), F.lit(width))
+
+
 def cms_build(df: DataFrame, col: str, *, width: int = 1024,
-              depth: int = 5) -> DataFrame:
+              depth: int = 5, portable: bool = False) -> DataFrame:
     """Build a Count-Min Sketch over ``col``: one row per non-empty
     (row, bucket) cell. Construction is a single groupBy over d
     replicated hashes — partial aggregation combines cells map-side, so
     the shuffle carries at most width*depth rows per task regardless of
-    input size. Sketches of different inputs union+sum to merge."""
+    input size. Sketches of different inputs union+sum to merge.
+    ``portable=True`` switches to the md5 hash family so the sketch is
+    oracle-replayable (the standard portable-mode contract)."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     cells = df.select(F.col(col).cast("string").alias("__v"), rows)
-    bucket = F.pmod(F.xxhash64("__v", F.col("row")), F.lit(width))
+    bucket = _cms_bucket(F.col("__v"), F.col("row"), width, portable)
     return (cells.select("row", bucket.alias("bucket"))
             .groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("count")))
 
 
 def cms_estimate(sketch: DataFrame, values: list, *, width: int = 1024,
-                 depth: int = 5) -> DataFrame:
+                 depth: int = 5, portable: bool = False) -> DataFrame:
     """Point-query the sketch for ``values``: min over the d cells each
     value hashes to. The probe set is tiny — broadcast it against the
     (already tiny) sketch."""
@@ -44,7 +58,7 @@ def cms_estimate(sketch: DataFrame, values: list, *, width: int = 1024,
     probes = spark.createDataFrame([(str(v),) for v in values], ["value"])
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     keyed = probes.select("value", rows).withColumn(
-        "bucket", F.pmod(F.xxhash64("value", F.col("row")), F.lit(width)))
+        "bucket", _cms_bucket(F.col("value"), F.col("row"), width, portable))
     joined = keyed.join(sketch, ["row", "bucket"], "left_outer")
     return (joined.groupBy("value")
             .agg(F.min(F.coalesce(F.col("count"), F.lit(0)))

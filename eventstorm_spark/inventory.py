@@ -2537,6 +2537,30 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_cms_event_type_counts(spark, sf_dir):
+    """Count-Min point estimates vs truth: a portable-hash CMS (width
+    256, depth 3) over event_type probed for the 5 live types plus an
+    absent one, joined to exact counts with the one-sided overcount
+    (CMS never undercounts). The md5 hash family lets the oracle
+    rebuild the identical width x depth cell table — the last of the
+    sketch family to gain a driver query."""
+    from eventstorm_spark.extensions.sketches import cms_build, cms_estimate
+    ev = load(spark, sf_dir, "events")
+    sk = cms_build(ev, "event_type", width=256, depth=3, portable=True)
+    probes = ["click", "view", "purchase", "signup", "error",
+              "absent-type"]
+    est = cms_estimate(sk, probes, width=256, depth=3, portable=True)
+    exact = ev.groupBy(F.col("event_type").alias("value")).agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (est.join(exact, "value", "left")
+            .select("value",
+                    F.col("estimate").cast("long").alias("estimate"),
+                    F.coalesce("n_exact", F.lit(0).cast("long"))
+                    .alias("n_exact"))
+            .withColumn("over_count",
+                        F.col("estimate") - F.col("n_exact")))
+
+
 def q_hdr_value_quantiles(spark, sf_dir):
     """Mergeable quantile sketch, audited: per event_type, p50/p95/p99
     estimated from an HDR-style log-histogram (bucket = exact power-of-
@@ -4551,6 +4575,37 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["cms_event_type_counts"] = """
+    WITH cells AS (
+        SELECT r AS row,
+               CAST(concat('0x', substr(md5(concat(event_type, ':',
+                    CAST(r AS VARCHAR))), 1, 15)) AS BIGINT) % 256
+                   AS bucket
+        FROM events CROSS JOIN range(3) t(r)),
+    sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+    probes AS (
+        SELECT unnest(['click', 'view', 'purchase', 'signup', 'error',
+                       'absent-type']) AS value),
+    keyed AS (
+        SELECT value, r AS row,
+               CAST(concat('0x', substr(md5(concat(value, ':',
+                    CAST(r AS VARCHAR))), 1, 15)) AS BIGINT) % 256
+                   AS bucket
+        FROM probes CROSS JOIN range(3) t(r)),
+    est AS (
+        SELECT value,
+               min(coalesce(cnt, CAST(0 AS BIGINT))) AS estimate
+        FROM keyed LEFT JOIN sk USING (row, bucket)
+        GROUP BY value),
+    ex AS (SELECT event_type AS value, CAST(count(*) AS BIGINT)
+               AS n_exact
+           FROM events GROUP BY 1)
+    SELECT est.value, estimate,
+           coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact,
+           estimate - coalesce(n_exact, CAST(0 AS BIGINT)) AS over_count
+    FROM est LEFT JOIN ex ON est.value = ex.value"""
+
 _EXT_ORACLES["hdr_value_quantiles"] = """
     WITH v AS (
         SELECT event_type AS key, CAST(value AS DOUBLE) AS v
@@ -6091,6 +6146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "cms_event_type_counts": q_cms_event_type_counts,
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "events_m4": q_events_m4,
         "weighted_sample": q_weighted_sample,
