@@ -347,3 +347,64 @@ def hdr_quantiles(hist: DataFrame, quantiles: Sequence[float], *,
     val = (F.col("mant").cast("double") / F.lit(scale)
            * F.pow(F.lit(2.0), F.col("exp").cast("double")))
     return first.select(*gs, "q", F.round(val, 6).alias("value_est"))
+
+
+def streaming_heavy_hitters(stream_df: DataFrame, col: str, *,
+                            threshold: float = 0.01,
+                            window: str = "1 hour", ts_col: str = "ts",
+                            watermark_delay: str = "10 minutes",
+                            capacity: int | None = None) -> DataFrame:
+    """Streaming frequent items per event-time window with BOUNDED
+    state: a Misra-Gries summary (``capacity = ceil(2/threshold)``
+    counters) as ``applyInPandasWithState`` state — the streaming twin
+    of :func:`heavy_hitters`' pass 1. Each micro-batch folds its
+    ``value_counts`` into the window's summary (sum + (cap+1)-th-
+    largest decrement, the mergeable-summaries step) and re-emits the
+    window's current candidates (update mode).
+
+    Emitted ``mg_count`` is the classic MG LOWER bound: true count is
+    within [mg_count, mg_count + n_window/(capacity+1)], and every
+    value with true share >= threshold is guaranteed present. An exact
+    recount (batch pass 2) can run offline against the closed window
+    if exact counts are needed — the candidate set here is the
+    expensive part at stream scale, and it is what stays bounded."""
+    import json as _json
+    import math as _math
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    cap = capacity or _math.ceil(2.0 / threshold)
+    keyed = (stream_df
+             .withWatermark(ts_col, watermark_delay)
+             .select(F.window(F.col(ts_col), window).start
+                     .alias("window_start"),
+                     F.col(col).cast("string").alias("value")))
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        counters, n_total = (_json.loads(state.get[0])
+                             if state.exists else ({}, 0))
+        for pdf in pdf_iter:
+            n_total += len(pdf)
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                top = sorted(counters.values(), reverse=True)
+                delta = top[cap]
+                counters = {v: c - delta for v, c in counters.items()
+                            if c - delta > 0}
+        state.update((_json.dumps([counters, n_total]),))
+        if counters:
+            vals = list(counters)
+            yield pd.DataFrame({
+                "window_start": [key[0]] * len(vals),
+                "value": vals,
+                "mg_count": [counters[v] for v in vals],
+                "n_window": [n_total] * len(vals)})
+
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        fold,
+        "window_start timestamp, value string, mg_count long, "
+        "n_window long",
+        "state string", "update", GroupStateTimeout.NoTimeout)

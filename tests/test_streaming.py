@@ -842,3 +842,57 @@ def test_streaming_kmv_distinct_matches_batch_sketch(spark, tmp_path):
     # hour 0 has 160 distinct (> k=64): estimator branch live
     h0 = base
     assert got[h0] != 160.0 and abs(got[h0] - 160) / 160 < 0.5
+
+
+def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
+    """MG streaming candidates: every value with true share >= theta
+    survives across batches, mg_count is a lower bound within
+    n/(cap+1), and state stays at <= ~cap counters."""
+    import datetime as dt
+
+    from eventstorm_spark.extensions.sketches import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    schema = "ts timestamp, v string"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def batch(vals, sec0):
+        return [(base + dt.timedelta(seconds=sec0 + i), v)
+                for i, v in enumerate(vals)]
+
+    # batch 1: hot x 60 + 150 singletons; batch 2: hot x 40 + 150 more
+    spark.createDataFrame(
+        batch(["hot"] * 60 + [f"t{i}" for i in range(150)], 0),
+        schema).write.mode("append").parquet(src)
+
+    latest = {}
+
+    def on_batch(bdf, _e):
+        rows = bdf.collect()
+        if rows:
+            w = rows[0].window_start
+            latest[w] = {r.value: (r.mg_count, r.n_window) for r in rows}
+
+    q = (streaming_heavy_hitters(
+            spark.readStream.schema(schema).parquet(src),
+            "v", threshold=0.1, window="1 hour", ts_col="ts")
+         .writeStream.outputMode("update")
+         .foreachBatch(on_batch).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            batch(["hot"] * 40 + [f"u{i}" for i in range(150)], 600),
+            schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    (w, summary), = latest.items()
+    cap = 20  # ceil(2 / 0.1)
+    true_hot, n = 100, 400
+    assert "hot" in summary            # share 0.25 >= 0.1: guaranteed
+    mg, n_win = summary["hot"]
+    assert n_win == n
+    assert mg <= true_hot
+    assert mg >= true_hot - n // (cap + 1)
+    assert len(summary) <= cap + 5     # ties may slightly exceed cap
