@@ -2537,6 +2537,29 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event paths:
+    (from_type, to_type, n, p) where p = n / outgoing(from_type),
+    adjacency by (user, ts, event_id) order — the Sankey/path-analysis
+    read every product-analytics engine ships. One lag window per user
+    + one aggregate; the probability join is a |types|^2-bounded
+    broadcast. Probabilities are exact count ratios rounded to 6."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    outs = counts.groupBy("from_type").agg(F.sum("n").alias("__out"))
+    return (counts.join(F.broadcast(outs), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("__out").cast("double"), 6)
+                    .alias("p")))
+
+
 def q_cms_event_type_counts(spark, sf_dir):
     """Count-Min point estimates vs truth: a portable-hash CMS (width
     256, depth 3) over event_type probed for the 5 live types plus an
@@ -4575,6 +4598,21 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["event_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+    o AS (SELECT from_type, sum(n) AS outn FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n / CAST(o.outn AS DOUBLE), 6) AS p
+    FROM c JOIN o ON c.from_type = o.from_type"""
+
 _EXT_ORACLES["cms_event_type_counts"] = """
     WITH cells AS (
         SELECT r AS row,
@@ -6146,6 +6184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "events_m4": q_events_m4,
