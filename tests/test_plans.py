@@ -77,9 +77,11 @@ def test_inventory_broadcast_hints_only_on_bounded_tables():
     import re
     src = inspect.getsource(inventory)
     hinted = set(re.findall(r"F\.broadcast\((\w+)", src))
-    # thresh = nation_part_share's 1-row scalar-aggregate frame
+    # thresh = nation_part_share's 1-row scalar-aggregate frame;
+    # outs = event_transitions' per-event-type outgoing totals
+    # (|event_types| rows, sf-invariant)
     assert hinted <= {"nation", "region", "stats", "max_rev", "avg_bal",
-                      "thresh"}, hinted
+                      "thresh", "outs"}, hinted
 
 
 def test_read_path_pushes_to_parquet_and_stays_jvm(q):
