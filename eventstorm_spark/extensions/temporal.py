@@ -286,3 +286,57 @@ def streaming_m4(events_stream: DataFrame, *, window: str = "1 minute",
         F.col("__last.x").alias("last_v"),
         F.col("__min.x").alias("min_v"),
         F.col("__max.x").alias("max_v"))
+
+
+def streaming_event_transitions(events_stream: DataFrame, *,
+                                key_col: str = "user_id",
+                                type_col: str = "event_type",
+                                ts_col: str = "ts",
+                                watermark_delay: str = "10 minutes"
+                                ) -> DataFrame:
+    """Streaming twin of the event-path transition extraction
+    (``q_event_transitions``'s lag window): per-user state is ONE
+    (last_type, last_ts) pair, each micro-batch sorts its rows per user
+    by event time and emits the adjacent (from_type, to_type) pairs,
+    chaining across batches through the stored last event — so the
+    union of emitted pairs over any prefix of batches equals the batch
+    lag-window pairs over the same rows (test-pinned). Downstream, any
+    aggregation (windowed counts, the transition matrix) is a plain
+    streaming groupBy over this bounded-state stream. Same
+    arrival=event-time-order contract as the streaming near-dup tier;
+    out-of-order arrivals WITHIN a batch are healed by the per-batch
+    sort, across batches by the watermark bounding how late data can
+    be."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    keyed = (events_stream
+             .withWatermark(ts_col, watermark_delay)
+             .select(F.col(key_col).alias("__k"),
+                     F.col(type_col).alias("__t"),
+                     F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("__us")))
+
+    def fold(key, pdf_iter, state: GroupState):
+        last = _json.loads(state.get[0]) if state.exists else None
+        frm, to = [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("__us")
+            for t, us in zip(pdf["__t"], pdf["__us"]):
+                if last is not None:
+                    frm.append(last[0])
+                    to.append(t)
+                last = [t, int(us)]
+        if last is not None:
+            state.update((_json.dumps(last),))
+        if frm:
+            yield pd.DataFrame({"user_id": [key[0]] * len(frm),
+                                "from_type": frm, "to_type": to})
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fold, f"user_id {dict(events_stream.dtypes)[key_col]}, "
+        "from_type string, to_type string",
+        "state string", "append", GroupStateTimeout.NoTimeout)

@@ -178,3 +178,41 @@ def test_streaming_m4_matches_batch_reduction(spark, tmp_path):
     m1 = byw[1]
     assert (m1.first_v, m1.last_v, m1.min_v, m1.max_v) == (7.0, 2.0, 2.0, 7.0)
     assert m1.n == 2
+
+
+def test_streaming_event_transitions_chain_across_batches(spark, tmp_path):
+    from eventstorm_spark.extensions.temporal import (
+        streaming_event_transitions)
+
+    src = str(tmp_path / "trans_src")
+    schema = "user_id long, event_type string, ts timestamp"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def rows(spec, sec0):
+        return [(u, t, base + dt.timedelta(seconds=sec0 + i))
+                for i, (u, t) in enumerate(spec)]
+
+    spark.createDataFrame(
+        rows([(1, "view"), (1, "click"), (2, "view")], 0),
+        schema).write.mode("append").parquet(src)
+
+    got = []
+    q = (streaming_event_transitions(
+            spark.readStream.schema(schema).parquet(src))
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.user_id, r.from_type, r.to_type) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2 chains: user 1's click -> purchase crosses the batch
+        spark.createDataFrame(
+            rows([(1, "purchase"), (2, "click")], 60),
+            schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(got) == [
+        (1, "click", "purchase"), (1, "view", "click"),
+        (2, "view", "click")]
