@@ -119,3 +119,43 @@ def zorder_locality_report(df: DataFrame, cols: Sequence[str], *,
                       *[F.col(f"{m}_{c}") for c in cols
                         for m in ("min", "max")],
                       *spans)
+
+
+def key_skew_report(df: DataFrame, key_col: str, *,
+                    label: str | None = None, top_k: int = 10) -> DataFrame:
+    """Pre-flight skew diagnostic for a prospective shuffle/join key —
+    the number you want BEFORE launching a 100 TB join, because one
+    hot key turns a 1000-task exchange into a one-straggler job. One
+    map-side-combined count per key plus a tiny stats aggregate:
+
+    - ``max_share`` / ``top{k}_share``: the hottest key's (and hottest
+      k keys') fraction of all rows — direct straggler mass. Ties at
+      the k-th count don't affect the SUM, so the report is
+      deterministic under any partitioning.
+    - ``cv``: coefficient of variation of per-key counts (stddev_pop /
+      mean) — 0 for perfectly uniform keys; large values say "salt
+      this key or let AQE skew-split it".
+
+    Output is ONE row; union reports for several candidate keys to
+    compare. The per-key count table is the only corpus-sized stage
+    and it map-side combines; the top-k is a bounded TakeOrdered."""
+    counts = (df.groupBy(F.col(key_col).alias("__k"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    top = (counts.orderBy(F.col("__n").desc(), F.col("__k"))
+           .limit(top_k)
+           .agg(F.sum("__n").alias("__top_n")))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("__max_n"),
+        F.stddev_pop("__n").alias("__sd"),
+        F.avg("__n").alias("__mean"))
+    return (stats.crossJoin(F.broadcast(top))
+            .select(
+                F.lit(label or key_col).alias("key"),
+                "n_rows", "n_keys",
+                F.round(F.col("__max_n") / F.col("n_rows").cast("double"),
+                        6).alias("max_share"),
+                F.round(F.col("__top_n") / F.col("n_rows").cast("double"),
+                        6).alias(f"top{top_k}_share"),
+                F.round(F.col("__sd") / F.col("__mean"), 6).alias("cv")))

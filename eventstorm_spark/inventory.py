@@ -2537,6 +2537,19 @@ def q_kmv_distinct_tokens(spark, sf_dir):
                     .alias("rel_err")))
 
 
+def q_join_key_skew(spark, sf_dir):
+    """Shuffle-key skew pre-flight (`layout.key_skew_report`): hottest-
+    key share, top-10 share and the per-key-count CV for two candidate
+    join keys — the diagnostic read before committing a corpus-scale
+    join to a key. Deterministic: shares are count ratios (k-th-place
+    ties can't change a sum) and the CV rounds at 6."""
+    from eventstorm_spark.extensions.layout import key_skew_report
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    return (key_skew_report(li, "l_orderkey")
+            .unionByName(key_skew_report(ev, "user_id")))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event paths:
     (from_type, to_type, n, p) where p = n / outgoing(from_type),
@@ -4598,6 +4611,35 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
     return head + "".join(steps) + tail
 
 
+_EXT_ORACLES["join_key_skew"] = """
+    WITH c1 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1),
+    t1 AS (SELECT sum(n) AS topn
+           FROM (SELECT n FROM c1 ORDER BY n DESC, k LIMIT 10)),
+    s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(n) AS BIGINT) AS n_rows,
+                  max(n) AS mx, stddev_pop(n) AS sd, avg(n) AS mean
+           FROM c1),
+    c2 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+    t2 AS (SELECT sum(n) AS topn
+           FROM (SELECT n FROM c2 ORDER BY n DESC, k LIMIT 10)),
+    s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(n) AS BIGINT) AS n_rows,
+                  max(n) AS mx, stddev_pop(n) AS sd, avg(n) AS mean
+           FROM c2)
+    SELECT 'l_orderkey' AS key, n_rows, n_keys,
+           round(mx / CAST(n_rows AS DOUBLE), 6) AS max_share,
+           round(topn / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+           round(sd / mean, 6) AS cv
+    FROM s1, t1
+    UNION ALL
+    SELECT 'user_id', n_rows, n_keys,
+           round(mx / CAST(n_rows AS DOUBLE), 6),
+           round(topn / CAST(n_rows AS DOUBLE), 6),
+           round(sd / mean, 6)
+    FROM s2, t2"""
+
 _EXT_ORACLES["event_transitions"] = """
     WITH pairs AS (
         SELECT event_type AS from_type,
@@ -6184,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,
         "hdr_value_quantiles": q_hdr_value_quantiles,
