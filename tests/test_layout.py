@@ -62,3 +62,20 @@ def test_zorder_key_partitioning_independent(spark):
          for r in zorder_key(df.repartition(9), ["x", "y"],
                              bits=3).collect()}
     assert a == b
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from eventstorm_spark.extensions.layout import key_skew_report
+    hot = spark.createDataFrame(
+        [(1,)] * 500 + [(i,) for i in range(2, 502)], ["k"])
+    uniform = spark.createDataFrame(
+        [(i % 100,) for i in range(1000)], ["k"])
+    h = key_skew_report(hot, "k", label="hot").collect()[0]
+    u = key_skew_report(uniform, "k", label="uniform").collect()[0]
+    assert h.key == "hot" and h.n_rows == 1000 and h.n_keys == 501
+    assert h.max_share == 0.5
+    assert u.max_share == 0.01 and u.cv == 0.0
+    assert h.cv > 5 * u.cv + 1  # the hot key dominates the CV
+    # deterministic under repartitioning
+    h2 = key_skew_report(hot.repartition(7), "k", label="hot").collect()[0]
+    assert h2 == h
