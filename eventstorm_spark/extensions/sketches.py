@@ -158,6 +158,54 @@ def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
     return sketch.withColumn("n_distinct_est", est).drop("sketch")
 
 
+def kmv_pairwise_overlap(sketches: DataFrame, group_col: str, *,
+                         k: int = 256) -> DataFrame:
+    """Pairwise SET-OPERATION estimates from per-group KMV sketches —
+    union size, intersection size and Jaccard for every group pair,
+    computed entirely from the k-minima (Beyer et al., SIGMOD'07):
+
+    - ``L`` = the k smallest hashes of ``A ∪ B`` (k-minima containment:
+      always a subset of ``sketch_a ∪ sketch_b``, so no raw data is
+      touched);
+    - ``n_union_est`` = the standard KMV estimate over ``L``;
+    - ``m`` = ``|L ∩ A ∩ B|``; since ``L`` is a uniform sample of the
+      union, ``jaccard_est = m / |L|`` and
+      ``n_intersect_est = jaccard_est * n_union_est``.
+
+    This is the sketch-cost twin of :func:`dedup.source_ngram_overlap`:
+    the exact matrix joins the full distinct shingle sets of every
+    source pair (shuffle ∝ vocabulary), while this reads k longs per
+    group from an at-rest sketch — the pair computation is O(pairs x
+    k log k) array arithmetic, independent of corpus size. The join is
+    a broadcast nested-loop over the (tiny, one-row-per-group) sketch
+    frame; expansion is quadratic in #groups (tens), never rows. All
+    array ops (union/sort/slice/intersect) are JVM built-ins, and in
+    portable-hash mode the whole estimate is replayable in SQL.
+
+    Returns (grp_a, grp_b, m, n_union_est, jaccard_est,
+    n_intersect_est) for grp_a < grp_b; estimates rounded (3 / 6 / 3)
+    as one fixed IEEE expression per column."""
+    a = sketches.select(F.col(group_col).alias("grp_a"),
+                        F.col("sketch").alias("__sa"))
+    b = sketches.select(F.col(group_col).alias("grp_b"),
+                        F.col("sketch").alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    L = F.slice(F.array_sort(F.array_union("__sa", "__sb")), 1, k)
+    with_l = pairs.select("grp_a", "grp_b", "__sa", "__sb", L.alias("__l"))
+    nl = F.size("__l")
+    kth = F.element_at("__l", k).cast("double")
+    union_est = F.round(
+        F.when(nl < k, nl.cast("double"))
+        .otherwise(F.lit((k - 1) * _HASH_SPACE) / kth), 3)
+    m = F.size(F.array_intersect(F.array_intersect("__l", "__sa"), "__sb"))
+    est = with_l.select(
+        "grp_a", "grp_b", m.alias("m"), union_est.alias("n_union_est"),
+        F.round(m.cast("double") / nl, 6).alias("jaccard_est"))
+    return est.withColumn(
+        "n_intersect_est",
+        F.round(F.col("jaccard_est") * F.col("n_union_est"), 3))
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy hitters (two-pass: Misra-Gries candidates -> exact recount)
 # ---------------------------------------------------------------------------

@@ -2677,6 +2677,40 @@ def q_kmv_daily_users(spark, sf_dir):
             .select("day", "n_distinct_est"))
 
 
+def q_kmv_source_overlap(spark, sf_dir):
+    """KMV set operations: the cross-source shingle-overlap matrix
+    (the repackaged-dataset detector of `source_overlap`) estimated
+    from per-source KMV sketches alone — union size, intersection size
+    and Jaccard per source pair from k=128 longs per source, with the
+    EXACT Jaccard joined on as the audit column. At corpus scale the
+    exact matrix joins full distinct shingle vocabularies; the sketch
+    path reads k longs per source from an at-rest index and the pair
+    stage is O(pairs x k log k) array arithmetic — corpus-size
+    independent. Portable hashes make sketch, k-minima union and the
+    membership count SQL-replayable."""
+    from eventstorm_spark.extensions.dedup import (_shingle_rows_raw,
+                                                   source_ngram_overlap)
+    from eventstorm_spark.extensions.sketches import (kmv_pairwise_overlap,
+                                                      kmv_sketch)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingle_rows_raw(docs, 3, "text", "doc_id",
+                           keep_cols=("source",))
+    sk = kmv_sketch(sh, "shingle", k=128, group_cols=["source"],
+                    portable=True)
+    est = (kmv_pairwise_overlap(sk, "source", k=128)
+           .withColumnRenamed("grp_a", "source_a")
+           .withColumnRenamed("grp_b", "source_b"))
+    exact = source_ngram_overlap(docs).select(
+        "source_a", "source_b", F.col("jaccard").alias("jaccard_exact"))
+    return (est.join(exact, ["source_a", "source_b"])
+            .select("source_a", "source_b", "m", "n_union_est",
+                    "jaccard_est", "n_intersect_est", "jaccard_exact",
+                    F.round(F.abs(F.col("jaccard_est")
+                                  - F.col("jaccard_exact")), 6)
+                    .alias("abs_err"))
+            .orderBy("source_a", "source_b"))
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Contrastive (anchor, positive, hard-negative) mining: exact
     same-label top-1 positives (label-blocked), hardest cross-label
@@ -4823,6 +4857,65 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["kmv_source_overlap"] = r"""
+    WITH toks AS (SELECT source,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT source, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+           FROM toks),
+    ex AS (SELECT DISTINCT source, shingle FROM sh),
+    sizes AS (SELECT source, count(*) AS n_sh FROM ex GROUP BY source),
+    common AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*) AS n_common
+               FROM ex a JOIN ex b
+                 ON a.shingle = b.shingle AND a.source < b.source
+               GROUP BY 1, 2),
+    exact AS (SELECT source_a, source_b,
+                     round(n_common * 1.0 /
+                           (sa.n_sh + sb.n_sh - n_common), 6)
+                         AS jaccard_exact
+              FROM common
+              JOIN sizes sa ON source_a = sa.source
+              JOIN sizes sb ON source_b = sb.source),
+    hs AS (SELECT DISTINCT source,
+                  CAST(concat('0x', substr(md5(shingle), 1, 15))
+                       AS BIGINT) AS h
+           FROM ex),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs),
+    sk AS (SELECT source,
+                  list(h ORDER BY h) FILTER (WHERE rn <= 128) AS sketch
+           FROM r GROUP BY source),
+    pairs AS (SELECT a.source AS source_a, a.sketch AS ska,
+                     b.source AS source_b, b.sketch AS skb
+              FROM sk a JOIN sk b ON a.source < b.source),
+    calc AS (SELECT source_a, source_b, ska, skb,
+                    list_sort(list_distinct(
+                        list_concat(ska, skb)))[1:128] AS l
+             FROM pairs),
+    est AS (SELECT source_a, source_b,
+                   len(l) AS nl, l[128] AS kth,
+                   CAST(len(list_filter(l, x -> list_contains(ska, x)
+                                            AND list_contains(skb, x)))
+                        AS INTEGER) AS m
+            FROM calc),
+    vals AS (SELECT source_a, source_b, m,
+                    round(CASE WHEN nl < 128 THEN CAST(nl AS DOUBLE)
+                          ELSE 127.0 * 1152921504606846976.0 /
+                               CAST(kth AS DOUBLE) END, 3) AS n_union_est,
+                    round(CAST(m AS DOUBLE) / nl, 6) AS jaccard_est
+             FROM est)
+    SELECT v.source_a, v.source_b, m, n_union_est, jaccard_est,
+           round(jaccard_est * n_union_est, 3) AS n_intersect_est,
+           e.jaccard_exact,
+           round(abs(jaccard_est - e.jaccard_exact), 6) AS abs_err
+    FROM vals v
+    JOIN exact e ON v.source_a = e.source_a AND v.source_b = e.source_b
+    ORDER BY v.source_a, v.source_b"""
+
 _EXT_ORACLES["contrastive_triplets"] = """
     WITH planes AS (
         SELECT p,
@@ -6226,6 +6319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation continues oldest-evidence-first (r6, then r7).
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
+        "kmv_source_overlap": q_kmv_source_overlap,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -2430,6 +2430,42 @@ def test_kmv_merge_equals_single_build(spark):
     assert merged.collect()[0].sketch == whole.collect()[0].sketch
 
 
+def test_kmv_pairwise_overlap_exact_below_k(spark):
+    """When the union fits inside k the set-op estimates are EXACT:
+    L is the whole union, m the true intersection size."""
+    from eventstorm_spark.extensions import sketches
+    # a = {v0..v99}, b = {v60..v159}: union 160, intersection 40
+    df = spark.createDataFrame(
+        [("a", f"v{i:03d}") for i in range(100)]
+        + [("b", f"v{i:03d}") for i in range(60, 160)], ["g", "v"])
+    sk = sketches.kmv_sketch(df, "v", k=256, group_cols=["g"])
+    row = sketches.kmv_pairwise_overlap(sk, "g", k=256).collect()[0]
+    assert (row.grp_a, row.grp_b) == ("a", "b")
+    assert row.m == 40
+    assert row.n_union_est == 160.0
+    assert row.jaccard_est == round(40 / 160, 6)
+    assert row.n_intersect_est == 40.0
+
+
+def test_kmv_pairwise_overlap_estimates_above_k(spark):
+    """Above k the Jaccard estimate tracks the truth (~1/sqrt(k) MRE)
+    and disjoint sets report zero intersection."""
+    from eventstorm_spark.extensions import sketches
+    df = spark.createDataFrame(
+        [("a", f"v{i:04d}") for i in range(1000)]
+        + [("b", f"v{i:04d}") for i in range(500, 1500)]
+        + [("c", f"w{i:04d}") for i in range(1000)], ["g", "v"])
+    sk = sketches.kmv_sketch(df, "v", k=128, group_cols=["g"])
+    rows = {(r.grp_a, r.grp_b): r
+            for r in sketches.kmv_pairwise_overlap(sk, "g", k=128).collect()}
+    ab = rows[("a", "b")]
+    # truth: union 1500, intersection 500, jaccard 1/3
+    assert abs(ab.jaccard_est - 1 / 3) < 0.15
+    assert abs(ab.n_union_est - 1500) / 1500 < 0.35
+    assert rows[("a", "c")].m == 0
+    assert rows[("a", "c")].n_intersect_est == 0.0
+
+
 def test_heavy_hitters_exact_and_partitioning_independent(spark):
     from eventstorm_spark.extensions import sketches
     # 1000 rows: "hot" x 300, "warm" x 100, tail of singletons
