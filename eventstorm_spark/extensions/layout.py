@@ -159,3 +159,42 @@ def key_skew_report(df: DataFrame, key_col: str, *,
                 F.round(F.col("__top_n") / F.col("n_rows").cast("double"),
                         6).alias(f"top{top_k}_share"),
                 F.round(F.col("__sd") / F.col("__mean"), 6).alias("cv")))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on, *, salts: int = 8,
+                how: str = "inner", salt_col: str | None = None) -> DataFrame:
+    """Skew-mitigated equi-join — the fix :func:`key_skew_report`
+    points at when a hot key would serialize the exchange. A plain
+    ``fact.join(dim, key)`` hashes every row of a hot key to ONE
+    reducer; here each fact row is scattered to one of ``salts``
+    replicas (a hash of the row, so the scatter is even and
+    deterministic) while the dim side is replicated ``salts`` times,
+    and the join runs on ``(key, __salt)`` — a hot key's rows now
+    spread over ``salts`` tasks, trading ``salts``x replication of the
+    SMALL side for parallelism on the big side's stragglers. The salt
+    never leaks: output rows are exactly ``fact.join(dim, on, how)``
+    under any salt count or partitioning (the equivalence the unit
+    test pins).
+
+    Use when the dim is too big to ``broadcast()`` but small enough to
+    replicate, and the skew is concentrated (otherwise let AQE's
+    skew-join splitting handle it — this operator is the explicit,
+    plan-pinned form for engines/configs without AQE, and for
+    when the skewed side's hot keys are known to dwarf the AQE
+    split threshold). ``how`` is limited to inner/left: replicating
+    the dim would duplicate unmatched rows under right/full outer.
+
+    ``salt_col``: optional high-cardinality fact column to derive the
+    scatter hash from (defaults to hashing all fact columns; identical
+    duplicate rows then share a salt, which only affects balance, not
+    results)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    scatter = (F.col(salt_col) if salt_col
+               else F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                          for c in fact.columns]))
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(scatter), F.lit(salts)))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    return f.join(d, keys + ["__salt"], how).drop("__salt")

@@ -2550,6 +2550,35 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Salted skew join (`layout.salted_join`) — the mitigation
+    `join_key_skew` points at: events joined to a type-dimension on
+    `event_type`, a 5-value key where a plain shuffle join collapses
+    the exchange to 5 reducers. The fact side scatters each row across
+    8 salt replicas (deterministic row hash) and the dim replicates
+    8x, so the join partitions on (event_type, __salt) = 40-way
+    parallelism. The salt never reaches the output: the oracle is the
+    PLAIN SQL join+aggregate, which is the operator's whole contract
+    (test-pinned output equivalence; plan-pinned salt partitioning).
+    Decimal-exact sums make the aggregate order-independent."""
+    from eventstorm_spark.extensions.layout import salted_join
+    ev = load(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+           .withColumn(
+               "type_group",
+               F.when(F.col("event_type").isin("view", "click"),
+                      F.lit("browse"))
+               .when(F.col("event_type") == "error", F.lit("fault"))
+               .otherwise(F.lit("conversion"))))
+    joined = salted_join(ev, dim.hint("shuffle_hash"), "event_type",
+                         salts=8)
+    return (joined.groupBy("type_group")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18, 6)")), 2)
+                 .cast("double").alias("total_value"))
+            .orderBy("type_group"))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event paths:
     (from_type, to_type, n, p) where p = n / outgoing(from_type),
@@ -4857,6 +4886,21 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["skew_salted_join"] = """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+                    WHEN event_type = 'error' THEN 'fault'
+                    ELSE 'conversion' END AS type_group
+        FROM events)
+    SELECT type_group,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY type_group
+    ORDER BY type_group"""
+
 _EXT_ORACLES["kmv_source_overlap"] = r"""
     WITH toks AS (SELECT source,
                          string_split_regex(trim(text), '\s+') AS t
@@ -6320,6 +6364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    Entries pushed past the 50-slot window by r10-new
         #    insertions are r7-green and rotate next round. --
         "kmv_source_overlap": q_kmv_source_overlap,
+        "skew_salted_join": q_skew_salted_join,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

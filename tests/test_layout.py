@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eventstorm_spark.extensions.layout import (zorder_key, zorder_layout,
@@ -79,3 +80,41 @@ def test_key_skew_report_flags_hot_key(spark):
     # deterministic under repartitioning
     h2 = key_skew_report(hot.repartition(7), "k", label="hot").collect()[0]
     assert h2 == h
+
+
+def test_salted_join_equals_plain_join(spark):
+    from eventstorm_spark.extensions.layout import salted_join
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)],
+        ["id", "k", "v"])
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(0, 1000, 10)],
+        ["k", "attr"])
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    for salts in (1, 8):
+        got = {tuple(r)
+               for r in salted_join(fact, dim, "k", salts=salts).collect()}
+        assert got == plain
+    # partitioning independence + left join keeps unmatched fact rows
+    got = {tuple(r) for r in salted_join(
+        fact.repartition(13), dim, "k", salts=4).collect()}
+    assert got == plain
+    left = salted_join(fact, dim.where(F.col("k") == "hot"), "k",
+                       salts=4, how="left")
+    assert left.count() == fact.count()
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")
+
+
+def test_salted_join_partitions_on_salt(spark):
+    """The whole point: the exchange keys include __salt, so a hot
+    key's rows spread across `salts` reducers instead of one."""
+    from eventstorm_spark.extensions.layout import salted_join
+    fact = spark.createDataFrame([(i, "hot") for i in range(100)],
+                                 ["id", "k"])
+    dim = spark.createDataFrame([("hot", 1)], ["k", "attr"])
+    df = salted_join(fact, dim.hint("shuffle_hash"), "k", salts=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert "hashpartitioning(k" in plan and "__salt" in plan.split(
+        "hashpartitioning(k", 1)[1].split(")", 1)[0]
