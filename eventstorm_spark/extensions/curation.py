@@ -609,6 +609,73 @@ def corpus_diff(old: DataFrame, new: DataFrame, *,
             .agg(F.count(F.lit(1)).alias("n_digests")))
 
 
+def psi_drift(old: DataFrame, new: DataFrame, features: list, *,
+              bins: int = 10) -> DataFrame:
+    """Population Stability Index between two corpus snapshots, per
+    numeric feature — the distribution-shift gate run before a recrawl
+    replaces a corpus (the third member of the snapshot family:
+    :func:`snapshot_novelty_report` = "is it new",
+    :func:`corpus_diff` = "what changed", this = "did its SHAPE move").
+    Standard reading: PSI < 0.1 stable, 0.1–0.25 modest shift, > 0.25
+    investigate before training on it.
+
+    Determinism over the usual quantile binning: bin edges are
+    equal-width over the OLD snapshot's [min, max] (no percentile
+    interpolation to disagree across engines), new-side out-of-range
+    values clamp into the edge bins, and probabilities are Laplace
+    smoothed (+0.5 per bin) so empty bins stay finite:
+    ``psi = Σ_b (p_new - p_old) * ln(p_new / p_old)``.
+
+    Scale shape: each side is ONE map-side-combined aggregate over a
+    `stack()` projection (rows x features, no join against the data),
+    the old side's min/max is a features-row broadcast, and everything
+    after the two count aggregates is O(features x bins) — corpus-size
+    independent. Returns (feature, psi, n_old, n_new), psi rounded 6."""
+    def melt(df):
+        pairs = ", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in features)
+        return df.selectExpr(
+            f"stack({len(features)}, {pairs}) AS (feature, value)")
+
+    o, n = melt(old), melt(new)
+    stats = o.groupBy("feature").agg(F.min("value").alias("__lo"),
+                                     F.max("value").alias("__hi"))
+
+    def binned(df, alias):
+        span = F.col("__hi") - F.col("__lo")
+        # constant feature: raw would divide by zero; the outer when
+        # never reads raw then, but keep the expression finite
+        safe = F.when(span == 0, F.lit(1.0)).otherwise(span)
+        raw = F.floor((F.col("value") - F.col("__lo")) * bins / safe)
+        b = (F.when(span == 0, F.lit(0))
+             .otherwise(F.least(F.lit(bins - 1),
+                                F.greatest(F.lit(0), raw))))
+        return (df.join(F.broadcast(stats), "feature")
+                .select("feature", b.cast("int").alias("bin"))
+                .groupBy("feature", "bin")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    oc, nc = binned(o, "__n_old"), binned(n, "__n_new")
+    spine = stats.select("feature").crossJoin(
+        F.broadcast(stats.sparkSession.range(bins)
+                    .select(F.col("id").cast("int").alias("bin"))))
+    cells = (spine.join(oc, ["feature", "bin"], "left")
+             .join(nc, ["feature", "bin"], "left")
+             .select("feature", "bin",
+                     F.coalesce("__n_old", F.lit(0)).alias("c_old"),
+                     F.coalesce("__n_new", F.lit(0)).alias("c_new")))
+    totals = cells.groupBy("feature").agg(F.sum("c_old").alias("t_old"),
+                                          F.sum("c_new").alias("t_new"))
+    p_old = (F.col("c_old") + 0.5) / (F.col("t_old") + 0.5 * bins)
+    p_new = (F.col("c_new") + 0.5) / (F.col("t_new") + 0.5 * bins)
+    term = (p_new - p_old) * F.log(p_new / p_old)
+    return (cells.join(F.broadcast(totals), "feature")
+            .groupBy("feature")
+            .agg(F.round(F.sum(term), 6).alias("psi"),
+                 F.max("t_old").alias("n_old"),
+                 F.max("t_new").alias("n_new")))
+
+
 def snapshot_novelty_report(new_docs: DataFrame, corpus: DataFrame, *,
                             text_col: str = "text",
                             group_col: str = "source",

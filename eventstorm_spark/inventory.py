@@ -2550,6 +2550,28 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_corpus_drift_psi(spark, sf_dir):
+    """Population Stability Index drift report (`curation.psi_drift`)
+    between the corpus and a deterministically-biased recrawl (70%
+    random keep + everything over 900 chars — a length-shifted
+    snapshot): per numeric feature (n_chars, n_tokens, mean token
+    length), the PSI over 10 equal-width bins of the OLD snapshot's
+    range, Laplace-smoothed. The length features must flag the shift
+    (PSI > 0) while the corpus totals pin both snapshot sizes. Two
+    map-side-combined aggregates + O(features x bins) arithmetic —
+    corpus-size independent past the scans."""
+    from eventstorm_spark.extensions.curation import psi_drift
+    docs = load(spark, sf_dir, "documents")
+    feat = (docs.select(
+        "doc_id", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+        .withColumn("mean_tok_len",
+                    F.col("n_chars").cast("double") / F.col("n_tokens")))
+    new = feat.where((F.col("doc_id") % 10 < 7) | (F.col("n_chars") > 900))
+    return (psi_drift(feat, new, ["n_chars", "n_tokens", "mean_tok_len"])
+            .orderBy("feature"))
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Salted skew join (`layout.salted_join`) — the mitigation
     `join_key_skew` points at: events joined to a type-dimension on
@@ -4886,6 +4908,66 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["corpus_drift_psi"] = r"""
+    WITH feat AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               CAST(n_chars AS DOUBLE) /
+                   len(string_split_regex(trim(text), '\s+'))
+                   AS mean_tok_len
+        FROM documents),
+    o AS (SELECT 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS value
+          FROM feat
+          UNION ALL
+          SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM feat
+          UNION ALL
+          SELECT 'mean_tok_len', mean_tok_len FROM feat),
+    newdocs AS (SELECT * FROM feat
+                WHERE doc_id % 10 < 7 OR n_chars > 900),
+    nw AS (SELECT 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS value
+           FROM newdocs
+           UNION ALL
+           SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM newdocs
+           UNION ALL
+           SELECT 'mean_tok_len', mean_tok_len FROM newdocs),
+    stats AS (SELECT feature, min(value) AS lo, max(value) AS hi
+              FROM o GROUP BY feature),
+    ob AS (SELECT o.feature,
+                  CAST(CASE WHEN hi = lo THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                           (value - lo) * 10 / (hi - lo)) AS BIGINT)))
+                       END AS INT) AS bin
+           FROM o JOIN stats ON o.feature = stats.feature),
+    nb AS (SELECT nw.feature,
+                  CAST(CASE WHEN hi = lo THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                           (value - lo) * 10 / (hi - lo)) AS BIGINT)))
+                       END AS INT) AS bin
+           FROM nw JOIN stats ON nw.feature = stats.feature),
+    oc AS (SELECT feature, bin, count(*) AS c_old FROM ob GROUP BY 1, 2),
+    nc AS (SELECT feature, bin, count(*) AS c_new FROM nb GROUP BY 1, 2),
+    spine AS (SELECT feature, CAST(b AS INT) AS bin
+              FROM stats, range(10) t(b)),
+    cells AS (SELECT s.feature, s.bin,
+                     coalesce(c_old, 0) AS c_old,
+                     coalesce(c_new, 0) AS c_new
+              FROM spine s
+              LEFT JOIN oc ON s.feature = oc.feature AND s.bin = oc.bin
+              LEFT JOIN nc ON s.feature = nc.feature AND s.bin = nc.bin),
+    tot AS (SELECT feature, CAST(sum(c_old) AS BIGINT) AS t_old,
+                   CAST(sum(c_new) AS BIGINT) AS t_new
+            FROM cells GROUP BY feature)
+    SELECT c.feature,
+           round(sum(((c_new + 0.5) / (t_new + 5.0)
+                      - (c_old + 0.5) / (t_old + 5.0))
+                     * ln(((c_new + 0.5) / (t_new + 5.0))
+                          / ((c_old + 0.5) / (t_old + 5.0)))), 6) AS psi,
+           max(t_old) AS n_old,
+           max(t_new) AS n_new
+    FROM cells c JOIN tot ON c.feature = tot.feature
+    GROUP BY c.feature
+    ORDER BY c.feature"""
+
 _EXT_ORACLES["skew_salted_join"] = """
     WITH dim AS (
         SELECT DISTINCT event_type,
@@ -6365,6 +6447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    insertions are r7-green and rotate next round. --
         "kmv_source_overlap": q_kmv_source_overlap,
         "skew_salted_join": q_skew_salted_join,
+        "corpus_drift_psi": q_corpus_drift_psi,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

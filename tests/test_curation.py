@@ -1358,3 +1358,27 @@ def test_hdr_index_lifecycle(spark, tmp_path):
         group_cols=["source"]).collect()}
     assert est2 == direct
     assert abs(est2[0.5] - 500) / 500 < 0.02
+
+
+def test_psi_drift_flags_shift_and_stability(spark):
+    from eventstorm_spark.extensions.curation import psi_drift
+    old = spark.createDataFrame(
+        [(i, float(i % 100), float(i % 7)) for i in range(1000)],
+        ["id", "x", "stable"])
+    # identical snapshot: PSI ~ 0 on every feature
+    same = {r.feature: r for r in
+            psi_drift(old, old, ["x", "stable"]).collect()}
+    assert abs(same["x"].psi) < 1e-6 and abs(same["stable"].psi) < 1e-6
+    assert same["x"].n_old == same["x"].n_new == 1000
+    # shifted snapshot: x drifts (top half only), stable stays put
+    new = old.where(F.col("x") >= 50)
+    got = {r.feature: r for r in
+           psi_drift(old, new, ["x", "stable"]).collect()}
+    assert got["x"].psi > 0.25          # "investigate" band
+    assert abs(got["stable"].psi) < 0.05
+    assert got["x"].n_new == 500
+    # deterministic under repartitioning
+    again = {r.feature: r.psi for r in
+             psi_drift(old.repartition(7), new.repartition(3),
+                       ["x", "stable"]).collect()}
+    assert again == {f: r.psi for f, r in got.items()}
