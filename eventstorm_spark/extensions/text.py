@@ -1502,3 +1502,70 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
     return (base.join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("__text", F.lit("")).alias("text")))
+
+
+def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
+               text_col: str = "text", id_col: str = "doc_id",
+               keep_cols: tuple = ()) -> DataFrame:
+    """Content-defined chunking (the storage-dedup primitive behind
+    rsync/LBFS/FastCDC, applied to corpus text): cut each document at
+    positions where the rolling ``window``-char fingerprint hits
+    ``hash % divisor == 0``, yielding chunks of ~``divisor`` expected
+    length whose BOUNDARIES move with the content — an insertion early
+    in a document shifts byte offsets but re-synchronizes at the next
+    content-defined cut, so every chunk after it still dedups against
+    the unedited copy. Fixed-size blocks lose all alignment instead;
+    this is the chunking a blob/document store dedups with.
+
+    Boundary rule (stateless, so an external SQL engine replays it
+    exactly): position ``i`` (1-based, ``i >= window``) cuts after char
+    ``i`` iff ``portable_hash60(substr(text, i-window+1, window)) %
+    divisor == 0``. Chunks are the segments between consecutive
+    boundaries ``[0] + cuts + [len]``; docs shorter than ``window``
+    are a single chunk; empty docs yield no chunks. A true rolling
+    (Rabin/gear) hash computes the same shape cheaper per position —
+    the md5-slice keeps the whole operator engine-portable, the
+    standard portable-mode trade (SCALE.md §8).
+
+    Plan shape: the position explode is a flat map (O(total chars)
+    rows through a projection, no shuffle), cut positions aggregate to
+    one array per doc (shuffle carries ~len/divisor ints per doc, not
+    the text), and chunk extraction is array arithmetic joined back to
+    the one-row-per-doc text — all whole-stage codegen, no UDFs.
+    Returns (id, *keep_cols, chunk_idx, chunk_start, chunk_len,
+    chunk_hash=md5(chunk))."""
+    from eventstorm_spark.extensions.dedup import portable_hash60
+
+    keep = [F.col(c) for c in keep_cols]
+    base = docs.select(F.col(id_col).alias("__id"), *keep,
+                       F.col(text_col).alias("__t"),
+                       F.length(text_col).alias("__len"))
+    pos = (base.where(F.col("__len") >= window)
+           .select("__id", "__t",
+                   F.explode(F.sequence(F.lit(window), F.col("__len")))
+                   .alias("i")))
+    win = F.substring(F.col("__t"), F.col("i") - (window - 1),
+                      F.lit(window))
+    cuts = (pos.where(F.pmod(portable_hash60(win), F.lit(divisor)) == 0)
+            .groupBy("__id")
+            .agg(F.sort_array(F.collect_list("i")).alias("__cuts")))
+    empty = F.array().cast("array<int>")
+    withc = (base.where(F.col("__len") > 0)
+             .join(cuts, "__id", "left")
+             .withColumn("__cuts", F.coalesce("__cuts", empty)))
+    last = F.coalesce(F.try_element_at("__cuts", F.lit(-1)), F.lit(0))
+    bounds = F.concat(
+        F.array(F.lit(0)), F.col("__cuts"),
+        F.when(F.col("__len") > last,
+               F.array(F.col("__len"))).otherwise(empty))
+    withb = withc.withColumn("__b", bounds)
+    j = F.explode(F.sequence(F.lit(1), F.size("__b") - 1)).alias("j")
+    ch = withb.select("__id", *keep_cols, "__t", "__b", j)
+    start = F.element_at("__b", F.col("j"))
+    clen = F.element_at("__b", F.col("j") + 1) - start
+    chunk = F.substring(F.col("__t"), start + 1, clen)
+    return ch.select(F.col("__id").alias(id_col), *keep_cols,
+                     F.col("j").alias("chunk_idx"),
+                     start.alias("chunk_start"),
+                     clen.alias("chunk_len"),
+                     F.md5(chunk).alias("chunk_hash"))

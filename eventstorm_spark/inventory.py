@@ -2550,6 +2550,33 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup audit (`text.cdc_chunks`): split
+    every document at rolling-fingerprint boundaries (hash % 64 == 0
+    over a 16-char window — boundaries move WITH the content, so an
+    early edit re-synchronizes at the next cut and the remaining
+    chunks still dedup, which fixed-size blocks never do), then per
+    source report chunk count, distinct-chunk count, mean chunk length
+    and the duplicated-chunk fraction — the storage-dedup view of
+    corpus redundancy, complementary to the document-level MinHash
+    tier. Pure codegen end to end: the position explode is a flat map,
+    only cut positions shuffle (~len/64 ints per doc), and the oracle
+    replays boundaries, chunk bytes and hashes exactly."""
+    from eventstorm_spark.extensions.text import cdc_chunks
+    ch = cdc_chunks(load(spark, sf_dir, "documents"),
+                    window=16, divisor=64, keep_cols=("source",))
+    nd = F.countDistinct("chunk_hash")
+    nc = F.count(F.lit(1))
+    return (ch.groupBy("source")
+            .agg(nc.alias("n_chunks"),
+                 nd.alias("n_distinct"),
+                 F.round(F.sum("chunk_len").cast("double") / nc, 6)
+                 .alias("avg_chunk_len"),
+                 F.round(F.lit(1.0) - nd.cast("double") / nc, 6)
+                 .alias("dup_frac"))
+            .orderBy("source"))
+
+
 def q_corpus_drift_psi(spark, sf_dir):
     """Population Stability Index drift report (`curation.psi_drift`)
     between the corpus and a deterministically-biased recrawl (70%
@@ -4908,6 +4935,46 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["cdc_chunk_dedup"] = """
+    WITH base AS (SELECT doc_id, source, text,
+                         CAST(length(text) AS INT) AS len
+                  FROM documents),
+    pos AS (SELECT doc_id, text,
+                   unnest(generate_series(16, len)) AS i
+            FROM base),
+    cuts AS (SELECT doc_id, i
+             FROM pos
+             WHERE CAST(concat('0x', substr(md5(substr(text, i - 15, 16)),
+                                            1, 15)) AS BIGINT) % 64 = 0),
+    cl AS (SELECT doc_id, list(i ORDER BY i) AS cuts
+           FROM cuts GROUP BY doc_id),
+    withb AS (SELECT b.doc_id, b.source, b.text, b.len,
+                     list_concat(
+                         list_concat(CAST([0] AS BIGINT[]),
+                                     coalesce(cl.cuts,
+                                              CAST([] AS BIGINT[]))),
+                         CASE WHEN b.len > coalesce(cl.cuts[-1], 0)
+                              THEN CAST([b.len] AS BIGINT[])
+                              ELSE CAST([] AS BIGINT[]) END) AS bnd
+              FROM base b LEFT JOIN cl USING (doc_id)
+              WHERE b.len > 0),
+    idx AS (SELECT doc_id, source, text, bnd,
+                   unnest(generate_series(1, len(bnd) - 1)) AS j
+            FROM withb),
+    ch AS (SELECT doc_id, source,
+                  md5(substr(text, bnd[j] + 1, bnd[j + 1] - bnd[j]))
+                      AS chunk_hash,
+                  bnd[j + 1] - bnd[j] AS clen
+           FROM idx)
+    SELECT source,
+           count(*) AS n_chunks,
+           count(DISTINCT chunk_hash) AS n_distinct,
+           round(CAST(sum(clen) AS DOUBLE) / count(*), 6)
+               AS avg_chunk_len,
+           round(1.0 - CAST(count(DISTINCT chunk_hash) AS DOUBLE)
+                     / count(*), 6) AS dup_frac
+    FROM ch GROUP BY source ORDER BY source"""
+
 _EXT_ORACLES["corpus_drift_psi"] = r"""
     WITH feat AS (
         SELECT doc_id, n_chars,
@@ -6448,6 +6515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": q_kmv_source_overlap,
         "skew_salted_join": q_skew_salted_join,
         "corpus_drift_psi": q_corpus_drift_psi,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

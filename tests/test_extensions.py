@@ -2573,3 +2573,46 @@ def test_hdr_nonpositive_underflow_bucket(spark):
     rows = {(r.exp, r.mant): r.n
             for r in hdr_histogram(df, "v", sig_digits=2).collect()}
     assert rows[(-(1 << 31), 0)] == 2
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_tile_and_resync(spark):
+    """Chunks tile each doc exactly, and an edit near the start leaves
+    the post-edit chunks identical (boundary re-synchronization — the
+    property fixed-size blocking lacks and the whole reason CDC
+    exists)."""
+    from eventstorm_spark.extensions.text import cdc_chunks
+    body = "the quick brown fox jumps over the lazy dog " * 30
+    docs = spark.createDataFrame(
+        [(1, body), (2, "EDITED PREAMBLE >>> " + body),
+         (3, "tiny"), (4, "")], ["doc_id", "text"])
+    rows = cdc_chunks(docs, window=16, divisor=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    d2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    # tiling: contiguous, complete, 1-indexed
+    assert d1[0].chunk_start == 0
+    assert sum(r.chunk_len for r in d1) == len(body)
+    for a, b in zip(d1, d1[1:]):
+        assert b.chunk_start == a.chunk_start + a.chunk_len
+        assert b.chunk_idx == a.chunk_idx + 1
+    # resync: after the edited head, the chunk streams realign — the
+    # tails are identical and only the head chunk is unique to d1
+    h1 = [r.chunk_hash for r in d1]
+    h2 = [r.chunk_hash for r in d2]
+    assert h1[-5:] == h2[-5:]
+    assert len(set(h1) - set(h2)) <= 1
+    # short doc = single whole-text chunk; empty doc = no chunks
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[3]] == [(0, 4)]
+    assert 4 not in by_doc
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.chunk_idx, r.chunk_hash)
+             for r in cdc_chunks(docs.repartition(5),
+                                 window=16, divisor=32).collect()}
+    assert again == {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows}
