@@ -340,3 +340,52 @@ def streaming_event_transitions(events_stream: DataFrame, *,
         fold, f"user_id {dict(events_stream.dtypes)[key_col]}, "
         "from_type string, to_type string",
         "state string", "append", GroupStateTimeout.NoTimeout)
+
+
+def ewma_anomalies(events: DataFrame, *, value_col: str = "value",
+                   key_cols: Sequence[str] = ("user_id",),
+                   order_cols: Sequence[str] = ("ts", "event_id"),
+                   alpha: float = 0.3, lookback: int = 8) -> DataFrame:
+    """Per-key EWMA deviation scores — the streaming-shaped anomaly
+    read (monitoring dashboards, metric alerting) expressed as ONE
+    window pass: for each event, the exponentially-weighted moving
+    average of the previous ``lookback`` values in (key, time) order,
+    and ``score = |value - ewma|``.
+
+    A true infinite-history EWMA is a sequential recurrence
+    (s_t = a*x_t + (1-a)*s_{t-1}) — inherently order-serial, and its
+    unrolled form multiplies to 2^-1000-scale coefficients that both
+    under/overflow and defeat engine-portable replay. The TRUNCATED
+    normalized EWMA keeps >99% of the weight mass for
+    (1-a)^lookback << 1 (0.7^8 ~ 5.8%) while unrolling into a FIXED
+    expression over ``lookback`` lag() columns in one window — pure
+    whole-stage codegen, one shuffle on the key, and bit-replayable by
+    any SQL engine (the same portable-vs-sequential trade as the
+    gapfill/LOCF tier). Early rows normalize over the lags that exist;
+    each key's first row (no history) is excluded.
+
+    Returns the input keys/order plus (value, ewma, score), score and
+    ewma rounded 6. At corpus scale this is one exchange on the key —
+    the same partitioning every other per-key window read reuses."""
+    w = (W.partitionBy(*[F.col(c) for c in key_cols])
+         .orderBy(*[F.col(c) for c in order_cols]))
+    v = F.col(value_col)
+    weights = [alpha * (1.0 - alpha) ** j for j in range(lookback)]
+    num = None
+    den = None
+    for j, wt in enumerate(weights, start=1):
+        lag = F.lag(v, j).over(w)
+        has = lag.isNotNull()
+        t_num = F.when(has, F.lit(wt) * lag).otherwise(F.lit(0.0))
+        t_den = F.when(has, F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    out = events.select(*key_cols, *order_cols, v.alias("value"),
+                        den.alias("__d"), (num / den).alias("__e"))
+    # den == 0 <=> no history (the key's first row): 0.0/0.0 is NaN,
+    # not NULL, so filter on the weight mass, not the ratio
+    return (out.where(F.col("__d") > 0)
+            .select(*key_cols, *order_cols, "value",
+                    F.round("__e", 6).alias("ewma"),
+                    F.round(F.abs(F.col("value") - F.col("__e")), 6)
+                    .alias("score")))

@@ -2550,6 +2550,24 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_events_ewma_anomaly(spark, sf_dir):
+    """EWMA deviation alerting (`temporal.ewma_anomalies`): per user,
+    the truncated normalized EWMA (alpha=0.3, 8-lag lookback — >94% of
+    the infinite-history weight mass) of prior values in (ts, event_id)
+    order, scored as |value - ewma|; the top-50 deviations. One window
+    pass, fixed unrolled expression, so the recurrence that is
+    normally order-serial replays bit-for-bit in SQL."""
+    from eventstorm_spark.extensions.temporal import ewma_anomalies
+    ev = load(spark, sf_dir, "events")
+    scored = ewma_anomalies(ev, value_col="value",
+                            key_cols=("user_id",),
+                            order_cols=("ts", "event_id"))
+    return (scored
+            .orderBy(F.col("score").desc(), "user_id", "event_id")
+            .limit(50)
+            .select("event_id", "user_id", "value", "ewma", "score"))
+
+
 def q_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined chunking dedup audit (`text.cdc_chunks`): split
     every document at rolling-fingerprint boundaries (hash % 64 == 0
@@ -4935,6 +4953,44 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
+    """Replay of temporal.ewma_anomalies: the same unrolled lag
+    expression with the weights embedded at full double precision
+    (repr round-trips, so both engines multiply by the identical
+    IEEE value), the same left-associated summation order, the same
+    den>0 first-row exclusion."""
+    lags = ",\n               ".join(
+        f"lag(value, {j}) OVER w AS l{j}" for j in range(1, lookback + 1))
+    ws = [alpha * (1.0 - alpha) ** j for j in range(lookback)]
+    num = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN CAST({w!r} AS DOUBLE) * l{j} "
+        f"ELSE 0.0 END"
+        for j, w in enumerate(ws, start=1))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN CAST({w!r} AS DOUBLE) "
+        f"ELSE 0.0 END"
+        for j, w in enumerate(ws, start=1))
+    return f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               {lags}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sc AS (
+        SELECT event_id, user_id, value,
+               ({num}) AS num,
+               ({den}) AS den
+        FROM lagged)
+    SELECT event_id, user_id, value,
+           round(num / den, 6) AS ewma,
+           round(abs(value - num / den), 6) AS score
+    FROM sc WHERE den > 0
+    ORDER BY score DESC, user_id, event_id
+    LIMIT 50"""
+
+
+_EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
+
 _EXT_ORACLES["cdc_chunk_dedup"] = """
     WITH base AS (SELECT doc_id, source, text,
                          CAST(length(text) AS INT) AS len
@@ -6516,6 +6572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "corpus_drift_psi": q_corpus_drift_psi,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "events_ewma_anomaly": q_events_ewma_anomaly,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -216,3 +216,39 @@ def test_streaming_event_transitions_chain_across_batches(spark, tmp_path):
     assert sorted(got) == [
         (1, "click", "purchase"), (1, "view", "click"),
         (2, "view", "click")]
+
+
+def test_ewma_anomalies_matches_reference_fold(spark):
+    """The unrolled lag expression equals the direct truncated-EWMA
+    computed in Python, first rows are excluded, and the result is
+    partitioning-independent."""
+    from eventstorm_spark.extensions.temporal import ewma_anomalies
+    import datetime as dt
+    vals = {"u1": [1.0, 2.0, 4.0, 8.0, 16.0, 3.0, 3.0, 3.0, 3.0, 100.0],
+            "u2": [5.0]}
+    rows = []
+    eid = 0
+    for u, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, i), v))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {r.event_id: (r.ewma, r.score)
+           for r in ewma_anomalies(df, key_cols=("user_id",),
+                                   order_cols=("ts", "event_id")).collect()}
+    # u2 has a single event (no history) and u1's first row is excluded
+    assert len(got) == len(vals["u1"]) - 1
+    alpha, lb = 0.3, 8
+    weights = [alpha * (1.0 - alpha) ** j for j in range(lb)]
+    for t in range(1, len(vals["u1"])):
+        hist = vals["u1"][:t][::-1][:lb]
+        num = sum(w * x for w, x in zip(weights, hist))
+        den = sum(w for w, _ in zip(weights, hist))
+        e = num / den
+        assert got[t] == (round(e, 6), round(abs(vals["u1"][t] - e), 6))
+    again = {r.event_id: (r.ewma, r.score)
+             for r in ewma_anomalies(df.repartition(7),
+                                     key_cols=("user_id",),
+                                     order_cols=("ts", "event_id"))
+             .collect()}
+    assert again == got
