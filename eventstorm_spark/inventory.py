@@ -2849,6 +2849,23 @@ def q_link_page_rank(spark, sf_dir):
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_link_communities(spark, sf_dir):
+    """Deterministic label-propagation communities
+    (`web.label_propagation`, 4 synchronous rounds, ties to the
+    smallest label) over the same synthetic link graph as
+    `link_page_rank` — the mirror-site / link-ring clustering read.
+    Output is the community size table. Integer-and-string only, so
+    the chained-CTE oracle replays every round exactly."""
+    from eventstorm_spark.extensions.web import (label_propagation,
+                                                 synth_link_graph)
+    docs = load(spark, sf_dir, "documents")
+    comm = label_propagation(synth_link_graph(docs), iters=4)
+    return (comm.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("node").alias("first_node"))
+            .orderBy(F.col("n_nodes").desc(), "community"))
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """Exact heavy hitters over the token stream (support >= 0.2%):
     Misra-Gries candidates per partition (shuffle bounded by 2/theta per
@@ -4688,17 +4705,11 @@ _EXT_ORACLES["events_range_join"] = """
      AND b.ts >= sess.session_start AND b.ts <= sess.session_end
     GROUP BY b.user_id, sess.session_start"""
 
-def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
-                      pages: int = 100, fanout: int = 3) -> str:
-    """Chained-CTE replay of synth_link_graph + page_rank: one CTE pair
-    (dangling mass, contributions) per iteration, ranks quantized to 9
-    decimals at each boundary exactly like the engine. The teleport
-    constant is emitted as repr(1 - damping) so the SQL literal is the
-    same IEEE double Python hands Spark."""
-    teleport = repr(1.0 - damping)
+def _link_graph_sql(pages: int = 100, fanout: int = 3) -> str:
+    """Shared replay of web.synth_link_graph as CTEs ending in
+    ``edges`` — used by both graph oracles so the two can't drift."""
     js = ", ".join(f"({j})" for j in range(1, fanout + 1))
-    head = f"""
-    WITH srcs AS (
+    return f"""srcs AS (
         SELECT s, row_number() OVER (ORDER BY s) - 1 AS idx
         FROM (SELECT DISTINCT source AS s FROM documents)),
     e0 AS (
@@ -4709,7 +4720,54 @@ def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
         FROM documents CROSS JOIN (VALUES {js}) AS f(j)),
     edges AS (
         SELECT DISTINCT e0.src, concat(srcs.s, '/', e0.dp) AS dst
-        FROM e0 JOIN srcs ON e0.di = srcs.idx),
+        FROM e0 JOIN srcs ON e0.di = srcs.idx)"""
+
+
+def _lpa_oracle(iters: int = 4, pages: int = 100, fanout: int = 3) -> str:
+    """Chained-CTE replay of web.label_propagation over the synthetic
+    link graph: per round, one (node, label) neighbor count and one
+    deterministic argmax (count DESC, label ASC), exactly the engine's
+    rule — no floats, so the replay is exact by construction."""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f""",
+    c{i} AS (SELECT e.u, p.label, count(*) AS c
+             FROM und e JOIN l{p} p ON e.v = p.node
+             GROUP BY e.u, p.label),
+    b{i} AS (SELECT u, label FROM (
+                 SELECT u, label,
+                        row_number() OVER (PARTITION BY u
+                                           ORDER BY c DESC, label) AS rn
+                 FROM c{i}) WHERE rn = 1),
+    l{i} AS (SELECT l.node, coalesce(b.label, l.label) AS label
+             FROM l{p} l LEFT JOIN b{i} b ON l.node = b.u)""")
+    return f"""
+    WITH {_link_graph_sql(pages=pages, fanout=fanout)},
+    und AS (SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL
+                SELECT dst AS u, src AS v FROM edges)
+            WHERE u <> v),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)""" + \
+        "".join(steps) + f"""
+    SELECT label AS community, count(*) AS n_nodes,
+           min(node) AS first_node
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY n_nodes DESC, community"""
+
+
+def _page_rank_oracle(iters: int = 3, damping: float = 0.85,
+                      pages: int = 100, fanout: int = 3) -> str:
+    """Chained-CTE replay of synth_link_graph + page_rank: one CTE pair
+    (dangling mass, contributions) per iteration, ranks quantized to 9
+    decimals at each boundary exactly like the engine. The teleport
+    constant is emitted as repr(1 - damping) so the SQL literal is the
+    same IEEE double Python hands Spark."""
+    teleport = repr(1.0 - damping)
+    head = f"""
+    WITH {_link_graph_sql(pages=pages, fanout=fanout)},
     nodes AS (SELECT src AS node FROM edges
               UNION SELECT dst AS node FROM edges),
     nn AS (SELECT count(*) AS n FROM nodes),
@@ -5228,6 +5286,7 @@ _EXT_ORACLES["contrastive_triplets"] = """
     FROM pos JOIN neg ON pos.anchor = neg.anchor"""
 
 _EXT_ORACLES["link_page_rank"] = _page_rank_oracle()
+_EXT_ORACLES["link_communities"] = _lpa_oracle()
 
 
 def _zorder_oracle(bits: int = 8, n_buckets: int = 32) -> str:
@@ -6573,6 +6632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_psi": q_corpus_drift_psi,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "events_ewma_anomaly": q_events_ewma_anomaly,
+        "link_communities": q_link_communities,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -230,3 +230,24 @@ def test_synth_link_graph_is_deterministic_and_cross_host(spark):
     assert e1 == e2
     hosts = {(s.split("/")[0], d.split("/")[0]) for s, d in e1}
     assert any(a != b for a, b in hosts)  # rank mass crosses hosts
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from eventstorm_spark.extensions.web import label_propagation
+    # two cliques bridged by one weak edge: LPA must label each clique
+    # uniformly and keep the two communities distinct
+    cl_a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    cl_b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(cl_a + cl_b + [("a0", "b0")],
+                                  ["src", "dst"])
+    got = {r.node: r.label
+           for r in label_propagation(edges, iters=4).collect()}
+    a_labels = {got[f"a{i}"] for i in range(4)}
+    b_labels = {got[f"b{i}"] for i in range(4)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # deterministic under partitioning
+    again = {r.node: r.label
+             for r in label_propagation(edges.repartition(5),
+                                        iters=4).collect()}
+    assert again == got
