@@ -456,3 +456,57 @@ def streaming_heavy_hitters(stream_df: DataFrame, col: str, *,
         "window_start timestamp, value string, mg_count long, "
         "n_window long",
         "state string", "update", GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics (median / MAD outlier sweep)
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_report(df: DataFrame, col: str, *,
+                       group_cols: Sequence[str] = (),
+                       cutoff: float = 3.0) -> DataFrame:
+    """Robust per-group outlier sweep on median/MAD instead of
+    mean/sigma: ``score = |x - median| / (1.4826 * MAD)`` (1.4826
+    scales MAD to sigma under normality), flagging ``score > cutoff``.
+    The z-score sweep this complements breaks down exactly when it
+    matters — heavy outliers inflate mean AND sigma, masking
+    themselves; the median/MAD pair has a 50% breakdown point, so one
+    bad ingest batch can't hide another.
+
+    Three passes over the data (median -> MAD -> flag/count), each a
+    map-side-combinable aggregate with the tiny per-group stats
+    broadcast back — the same two-pass shape as the z-score sweep plus
+    one. Exact sort-based ``percentile`` here; at corpus scale swap in
+    ``percentile_approx`` (same plan shape, bounded memory) or serve
+    the medians from the at-rest HDR index. Intermediate median/MAD
+    are quantized to 6 decimals before re-entering arithmetic so the
+    chained computation replays identically in an external engine.
+
+    Returns (group..., med, mad, n, n_outliers, outlier_frac,
+    max_score); mad == 0 (majority-constant groups) yields NULL
+    scores rather than infinities."""
+    gs = list(group_cols)
+    v = F.col(col)
+    med = (df.groupBy(*gs)
+           .agg(F.round(F.expr(f"percentile({col}, 0.5)"), 6)
+                .alias("med")))
+    with_med = df.join(F.broadcast(med), gs) if gs else \
+        df.crossJoin(F.broadcast(med))
+    mad = (with_med.groupBy(*gs, "med")
+           .agg(F.round(F.expr(
+               f"percentile(abs({col} - med), 0.5)"), 6).alias("mad")))
+    with_mad = df.join(F.broadcast(mad), gs) if gs else \
+        df.crossJoin(F.broadcast(mad))
+    dev = F.abs(v - F.col("med"))
+    score = F.when(F.col("mad") > 0,
+                   F.round(dev / (F.lit(1.4826) * F.col("mad")), 6))
+    return (with_mad
+            .groupBy(*gs, "med", "mad")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(score > cutoff, 1).otherwise(0))
+                 .alias("n_outliers"),
+                 F.round(F.max(score), 4).alias("max_score"))
+            .withColumn("outlier_frac",
+                        F.round(F.col("n_outliers")
+                                / F.col("n").cast("double"), 6)))

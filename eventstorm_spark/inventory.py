@@ -2550,6 +2550,21 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outlier sweep (`sketches.mad_outlier_report`):
+    per event type, the median, the median absolute deviation, and the
+    count/fraction of events whose robust z-score |x - med| /
+    (1.4826 * MAD) exceeds 3 — the sweep that still works when the
+    z-score version (`events_anomalies`) is masked by its own
+    outliers inflating mean and sigma. Exact sort-based percentiles
+    here; percentile_approx / the HDR index is the 100 TB drop-in with
+    the same three-pass broadcast shape."""
+    from eventstorm_spark.extensions.sketches import mad_outlier_report
+    ev = load(spark, sf_dir, "events")
+    return (mad_outlier_report(ev, "value", group_cols=["event_type"])
+            .orderBy("event_type"))
+
+
 def q_events_ewma_anomaly(spark, sf_dir):
     """EWMA deviation alerting (`temporal.ewma_anomalies`): per user,
     the truncated normalized EWMA (alpha=0.3, 8-lag lookback — >94% of
@@ -5049,6 +5064,32 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+_EXT_ORACLES["events_mad_outliers"] = """
+    WITH med AS (SELECT event_type,
+                        round(quantile_cont(value, 0.5), 6) AS med
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type, m.med,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6)
+                       AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med),
+    sc AS (SELECT e.event_type, d.med, d.mad,
+                  CASE WHEN d.mad > 0
+                       THEN round(abs(e.value - d.med)
+                                  / (1.4826 * d.mad), 6)
+                  END AS score
+           FROM events e JOIN mad d USING (event_type))
+    SELECT event_type, med, mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN score > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(max(score), 4) AS max_score,
+           round(CAST(sum(CASE WHEN score > 3.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+               AS outlier_frac
+    FROM sc GROUP BY event_type, med, mad
+    ORDER BY event_type"""
+
 _EXT_ORACLES["cdc_chunk_dedup"] = """
     WITH base AS (SELECT doc_id, source, text,
                          CAST(length(text) AS INT) AS len
@@ -6633,6 +6674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "events_ewma_anomaly": q_events_ewma_anomaly,
         "link_communities": q_link_communities,
+        "events_mad_outliers": q_events_mad_outliers,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

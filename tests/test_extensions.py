@@ -2616,3 +2616,27 @@ def test_cdc_chunks_tile_and_resync(spark):
              for r in cdc_chunks(docs.repartition(5),
                                  window=16, divisor=32).collect()}
     assert again == {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows}
+
+
+def test_mad_outlier_report_resists_masking(spark):
+    """One huge outlier inflates mean/sigma enough to mask a second,
+    smaller one from the z-score sweep; median/MAD flags both."""
+    from eventstorm_spark.extensions import sketches
+    base = [("a", float(v)) for v in range(100)]  # 0..99, MAD = 25
+    data = base + [("a", 1e6), ("a", 500.0)]
+    df = spark.createDataFrame(data, ["g", "v"])
+    r = sketches.mad_outlier_report(df, "v", group_cols=["g"]).collect()[0]
+    assert r.med == 50.5 and r.mad == 25.5
+    assert r.n == 102 and r.n_outliers == 2   # both flagged
+    assert r.outlier_frac == round(2 / 102, 6)
+    # z-score with the 1e6 point present: sigma ~ 1e5, so 500 has
+    # z << 1 — the masking failure the robust sweep avoids
+    import statistics
+    vals = [v for _, v in data]
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert abs(500.0 - mu) / sd < 1
+    # constant group: mad == 0 -> no flags, NULL max_score
+    const = spark.createDataFrame([("c", 7.0)] * 10, ["g", "v"])
+    rc = sketches.mad_outlier_report(const, "v",
+                                     group_cols=["g"]).collect()[0]
+    assert rc.mad == 0.0 and rc.n_outliers == 0 and rc.max_score is None
