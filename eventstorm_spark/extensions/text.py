@@ -1506,7 +1506,7 @@ def exact_substring_scrub_text(docs: DataFrame, *, n: int = 3,
 
 def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
                text_col: str = "text", id_col: str = "doc_id",
-               keep_cols: tuple = ()) -> DataFrame:
+               keep_cols: tuple = (), portable: bool = True) -> DataFrame:
     """Content-defined chunking (the storage-dedup primitive behind
     rsync/LBFS/FastCDC, applied to corpus text): cut each document at
     positions where the rolling ``window``-char fingerprint hits
@@ -1522,10 +1522,13 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
     ``i`` iff ``portable_hash60(substr(text, i-window+1, window)) %
     divisor == 0``. Chunks are the segments between consecutive
     boundaries ``[0] + cuts + [len]``; docs shorter than ``window``
-    are a single chunk; empty docs yield no chunks. A true rolling
-    (Rabin/gear) hash computes the same shape cheaper per position —
-    the md5-slice keeps the whole operator engine-portable, the
-    standard portable-mode trade (SCALE.md §8).
+    are a single chunk; empty docs yield no chunks. ``portable=False``
+    swaps the md5 slice for ``xxhash64`` on the boundary test (the
+    chunk-identity md5 stays — it's one call per CHUNK, not per
+    position), the standard portable-vs-production hash trade
+    (SCALE.md §8); a true rolling (Rabin/gear) hash in an Arrow batch
+    would drop the per-position substring too, at the cost of leaving
+    whole-stage codegen.
 
     Plan shape: the position explode is a flat map (O(total chars)
     rows through a projection, no shuffle), cut positions aggregate to
@@ -1546,7 +1549,9 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
                    .alias("i")))
     win = F.substring(F.col("__t"), F.col("i") - (window - 1),
                       F.lit(window))
-    cuts = (pos.where(F.pmod(portable_hash60(win), F.lit(divisor)) == 0)
+    h = (portable_hash60(win) if portable
+         else F.shiftrightunsigned(F.xxhash64(win), 4))
+    cuts = (pos.where(F.pmod(h, F.lit(divisor)) == 0)
             .groupBy("__id")
             .agg(F.sort_array(F.collect_list("i")).alias("__cuts")))
     empty = F.array().cast("array<int>")
@@ -1569,3 +1574,37 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
                      start.alias("chunk_start"),
                      clen.alias("chunk_len"),
                      F.md5(chunk).alias("chunk_hash"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str], *,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search via positional postings — the query shape
+    BM25's bag-of-words ranking can't express (:func:`bm25_top_docs`
+    scores the terms anywhere; this requires them ADJACENT and in
+    order). Classic positional-index evaluation: filter the token
+    stream to the query terms (term-selective — the posting lists are
+    tiny next to the corpus), then one equi-join per subsequent term
+    on ``(doc, pos - offset)``, so a k-term phrase is k-1 joins over
+    lists the size of the rarest terms, never a rescan of the text.
+
+    Returns (doc, n_matches, first_pos) per matching document,
+    positions 0-based. At corpus scale the postings come from the
+    at-rest positional variant of the BM25 index (same bucketed
+    layout; positions are one extra int column) and the joins key on
+    the already-partitioned doc id."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs.select(F.col(id_col).alias("doc"),
+                        F.posexplode(toks).alias("pos", "tok"))
+            .where(F.col("tok").isin(list(set(phrase)))))
+    cur = (base.where(F.col("tok") == phrase[0])
+           .select("doc", F.col("pos").alias("p0")))
+    for j, term in enumerate(phrase[1:], start=1):
+        nxt = (base.where(F.col("tok") == term)
+               .select("doc", (F.col("pos") - j).alias("p0")))
+        cur = cur.join(nxt, ["doc", "p0"])
+    return (cur.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("p0").alias("first_pos")))

@@ -2550,6 +2550,19 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search (`text.phrase_search`) for the
+    2-gram "merge window": per matching doc, the number of adjacent
+    in-order occurrences and the first 0-based token position —
+    evaluated as term-filtered postings + one (doc, pos-offset)
+    equi-join per extra term, the classic positional-index plan (the
+    adjacency read BM25 bag-of-words scoring cannot express)."""
+    from eventstorm_spark.extensions.text import phrase_search
+    docs = load(spark, sf_dir, "documents")
+    return (phrase_search(docs, ["merge", "window"])
+            .orderBy(F.col("n_matches").desc(), "doc"))
+
+
 def q_events_mad_outliers(spark, sf_dir):
     """Robust median/MAD outlier sweep (`sketches.mad_outlier_report`):
     per event type, the median, the median absolute deviation, and the
@@ -5064,6 +5077,21 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+_EXT_ORACLES["phrase_search"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0)))
+                       AS i
+            FROM toks),
+    m AS (SELECT doc_id, i FROM pos
+          WHERE t[i] = 'merge' AND t[i + 1] = 'window')
+    SELECT doc_id AS doc, count(*) AS n_matches,
+           CAST(min(i) - 1 AS INT) AS first_pos
+    FROM m GROUP BY doc_id
+    ORDER BY n_matches DESC, doc"""
+
 _EXT_ORACLES["events_mad_outliers"] = """
     WITH med AS (SELECT event_type,
                         round(quantile_cont(value, 0.5), 6) AS med
@@ -6675,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_anomaly": q_events_ewma_anomaly,
         "link_communities": q_link_communities,
         "events_mad_outliers": q_events_mad_outliers,
+        "phrase_search": q_phrase_search,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -2640,3 +2640,22 @@ def test_mad_outlier_report_resists_masking(spark):
     rc = sketches.mad_outlier_report(const, "v",
                                      group_cols=["g"]).collect()[0]
     assert rc.mad == 0.0 and rc.n_outliers == 0 and rc.max_score is None
+
+
+def test_phrase_search_adjacency_and_order(spark):
+    from eventstorm_spark.extensions.text import phrase_search
+    docs = spark.createDataFrame([
+        (1, "big data big data big"),       # "big data" twice
+        (2, "data big"),                    # reversed: no match
+        (3, "big x data"),                  # gap: no match
+        (4, "big data"),                    # once, at 0
+    ], ["doc_id", "text"])
+    got = {r.doc: (r.n_matches, r.first_pos)
+           for r in phrase_search(docs, ["big", "data"]).collect()}
+    assert got == {1: (2, 0), 4: (1, 0)}
+    # three-term phrase spans the pair matches
+    got3 = {r.doc: (r.n_matches, r.first_pos)
+            for r in phrase_search(docs, ["big", "data", "big"]).collect()}
+    assert got3 == {1: (2, 0)}
+    with pytest.raises(ValueError):
+        phrase_search(docs, [])
