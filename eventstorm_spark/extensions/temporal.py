@@ -389,3 +389,40 @@ def ewma_anomalies(events: DataFrame, *, value_col: str = "value",
                     F.round("__e", 6).alias("ewma"),
                     F.round(F.abs(F.col("value") - F.col("__e")), 6)
                     .alias("score")))
+
+
+def decayed_counts(events: DataFrame, key_col: str, *,
+                   ref_ts_us: int, half_life: str = "7 days",
+                   ts_col: str = "ts") -> DataFrame:
+    """Exponentially time-decayed counts per key — the
+    recency-weighted popularity score (trending content, active-user
+    ranking, domain freshness) computed as ONE map-side-combinable
+    aggregate: ``score = sum over events of 0.5 ^ (age / half_life)``.
+    A raw count ranks a key with a million stale events over one with
+    ten thousand from today; the half-life discount is the standard
+    fix, and because exp-decay weights are independent per event the
+    whole thing stays a plain groupBy — same shuffle as `count(*)`,
+    mergeable across shards/levels exactly like the hypertable ladder
+    (sum of decayed sums = decayed sum of the union, for a SHARED
+    reference instant).
+
+    ``ref_ts_us`` pins "now" as an explicit epoch-microseconds
+    constant: decay against a wall clock would make the result
+    unreproducible (and unmergeable across shards evaluated at
+    different instants). Rebasing to a later reference is one multiply
+    by ``0.5^(delta/half_life)`` — no rescan. Ages are exact integer
+    microsecond differences; the only float steps are one divide and
+    one pow per event, and the sum is rounded 6 at output."""
+    import re
+    m = re.fullmatch(r"(\d+)\s*(day|hour|minute)s?", half_life.strip())
+    if not m:
+        raise ValueError(f"unsupported half_life {half_life!r}")
+    mult = {"day": 86_400, "hour": 3_600, "minute": 60}[m.group(2)]
+    hl_us = int(m.group(1)) * mult * 1_000_000
+    # NTZ cast: the session pins UTC so the cast is identity (same as m4)
+    age = (F.lit(ref_ts_us)
+           - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast("double")
+    w = F.pow(F.lit(0.5), age / F.lit(float(hl_us)))
+    return (events.groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(w), 6).alias("decayed_score")))

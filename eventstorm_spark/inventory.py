@@ -2550,6 +2550,23 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_decayed_user_activity(spark, sf_dir):
+    """Exponentially time-decayed activity ranking
+    (`temporal.decayed_counts`): top-20 users by half-life-weighted
+    event mass (7-day half-life, reference instant pinned just past
+    the 30-day window) next to their raw counts — the trending /
+    active-user read where recency outranks stale volume. One
+    map-side-combined aggregate, same shuffle as count(*), mergeable
+    across shards at a shared reference instant."""
+    from eventstorm_spark.extensions.temporal import decayed_counts
+    ev = load(spark, sf_dir, "events")
+    d = decayed_counts(ev, "user_id", ref_ts_us=1706659200000000,
+                       half_life="7 days")
+    return (d.orderBy(F.col("decayed_score").desc(), "key")
+            .limit(20)
+            .select(F.col("key").alias("user_id"), "n", "decayed_score"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact positional phrase search (`text.phrase_search`) for the
     2-gram "merge window": per matching doc, the number of adjacent
@@ -5077,6 +5094,15 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+_EXT_ORACLES["decayed_user_activity"] = """
+    SELECT user_id, count(*) AS n,
+           round(sum(pow(0.5,
+                         CAST(1706659200000000 - epoch_us(ts) AS DOUBLE)
+                         / 604800000000.0)), 6) AS decayed_score
+    FROM events GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 20"""
+
 _EXT_ORACLES["phrase_search"] = r"""
     WITH toks AS (SELECT doc_id,
                          string_split_regex(trim(text), '\s+') AS t
@@ -6704,6 +6730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_communities": q_link_communities,
         "events_mad_outliers": q_events_mad_outliers,
         "phrase_search": q_phrase_search,
+        "decayed_user_activity": q_decayed_user_activity,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

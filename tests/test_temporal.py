@@ -252,3 +252,26 @@ def test_ewma_anomalies_matches_reference_fold(spark):
                                      order_cols=("ts", "event_id"))
              .collect()}
     assert again == got
+
+
+def test_decayed_counts_recency_beats_stale_volume(spark):
+    from eventstorm_spark.extensions.temporal import decayed_counts
+    import datetime as dt
+    ref = dt.datetime(2024, 2, 1)
+    ref_us = int(ref.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    rows = (
+        # "stale": 100 events 28 days old -> weight 0.0625 each = 6.25
+        [("stale", ref - dt.timedelta(days=28)) for _ in range(100)]
+        # "fresh": 20 events at the reference -> weight 1.0 each = 20
+        + [("fresh", ref) for _ in range(20)])
+    df = spark.createDataFrame(rows, ["user", "ts"])
+    got = {r.key: r for r in decayed_counts(
+        df, "user", ref_ts_us=ref_us, half_life="7 days").collect()}
+    assert got["stale"].n == 100 and got["fresh"].n == 20
+    assert got["stale"].decayed_score == 6.25   # 100 * 0.5^4
+    assert got["fresh"].decayed_score == 20.0
+    # recency re-ranks: fresh outranks stale despite 5x fewer events
+    assert got["fresh"].decayed_score > got["stale"].decayed_score
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decayed_counts(df, "user", ref_ts_us=ref_us, half_life="1 epoch")
