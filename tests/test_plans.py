@@ -606,3 +606,37 @@ def test_zorder_key_stays_jvm(q):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round10_late_queries_stay_jvm(q):
+    # the whole late-r10 tier is pure codegen: no Python stage anywhere
+    for name in ["events_ewma_anomaly", "decayed_user_activity",
+                 "phrase_search", "events_mad_outliers", "cdc_chunk_dedup",
+                 "corpus_drift_psi", "kmv_source_overlap",
+                 "link_communities", "skew_salted_join"]:
+        assert "BatchEvalPython" not in q(name), name
+
+
+def test_round10_late_shuffle_budgets(q):
+    # one exchange per keyed pass; TakeOrdered (not a range exchange)
+    # for the top-k reads
+    import re
+    budgets = {"events_ewma_anomaly": 1,   # the one per-user window
+               "decayed_user_activity": 1,  # one combinable aggregate
+               "phrase_search": 2,          # postings + final group
+               "events_mad_outliers": 4,    # med -> mad -> flag passes
+               "cdc_chunk_dedup": 4}        # cuts agg, join-back, stats
+    over = {}
+    for name, budget in budgets.items():
+        n = len(re.findall(r"Exchange (hash|range|SinglePartition)",
+                           q(name)))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_ewma_single_window_no_sort_exchange(q):
+    # top-50 must compile to TakeOrdered, never a global range sort
+    plan = q("events_ewma_anomaly")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange range" not in plan
