@@ -1213,6 +1213,80 @@ def bm25_against_index(spark, index_path: str, query_terms: list, *,
     return bm25_rank(tf, df_, dl, stats, k1=k1, b=b, k=k, id_col=id_col)
 
 
+def write_positional_index(corpus: DataFrame, path: str, *,
+                           n_buckets: int = 64, text_col: str = "text",
+                           id_col: str = "doc_id") -> None:
+    """Persist a POSITIONAL inverted index: ``path/postings`` holds
+    (doc, pos, tok) rows hash-partitioned by token bucket — the BM25
+    index (:func:`write_bm25_index`) plus the one extra int column
+    that makes exact phrase queries servable. Same layout discipline:
+    a phrase query's tokens hash to bucket partition dirs, the read
+    prunes to those dirs, and the text is never re-tokenized at serve
+    time. Tokenizer is the whitespace split of ``text.phrase_search``
+    (NOT the BM25 ``[a-z0-9]+`` regex — phrase adjacency is defined on
+    the raw token stream), positions 0-based."""
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "positional", "n_buckets": n_buckets})
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    rows = (corpus.select(F.col(id_col).alias("doc"),
+                          F.posexplode(toks).alias("pos", "tok"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("tok"),
+                               F.lit(n_buckets)).cast("int")))
+    (rows.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+
+
+def phrase_against_index(spark, index_path: str, phrase: list, *,
+                         n_buckets: int = 64) -> DataFrame:
+    """Exact phrase search served from a
+    :func:`write_positional_index` — (doc, n_matches, first_pos), equal
+    by construction to ``text.phrase_search`` on the same corpus (both
+    evaluate through the shared ``text._phrase_join`` stage;
+    test-pinned). The postings read prunes to the phrase tokens'
+    bucket dirs (unqueried buckets cost zero I/O); ``n_buckets`` is
+    validated against ``_meta`` because a mismatch would prune to the
+    wrong dirs and silently miss tokens."""
+    from eventstorm_spark.extensions.text import _phrase_join
+
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    _check_index_meta(spark, index_path,
+                      {"kind": "positional", "n_buckets": n_buckets},
+                      "positional")
+    terms = [str(t) for t in phrase]
+    tdf = spark.createDataFrame([(t,) for t in set(terms)], "tok string")
+    buckets = [r.bucket for r in
+               tdf.select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+                          .cast("int").alias("bucket"))
+               .distinct().collect()]
+    postings = (spark.read.parquet(os.path.join(index_path, "postings"))
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("tok").isin(terms)))
+    return _phrase_join(postings, terms)
+
+
+def append_positional_index(new_docs: DataFrame, path: str, *,
+                            n_buckets: int = 64, text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Incremental maintenance: append the new docs' (doc, pos, tok)
+    rows into their bucket dirs. Ids must be NEW (re-appending an id
+    would double-count its matches) — same contract as the BM25/MinHash
+    indexes; no read-modify-write."""
+    _check_index_meta(new_docs.sparkSession, path,
+                      {"kind": "positional", "n_buckets": n_buckets},
+                      "positional")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    (new_docs.select(F.col(id_col).alias("doc"),
+                     F.posexplode(toks).alias("pos", "tok"))
+     .withColumn("bucket", F.pmod(F.xxhash64("tok"),
+                                  F.lit(n_buckets)).cast("int"))
+     .repartition("bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+
+
 def append_bm25_index(new_docs: DataFrame, path: str, *,
                       n_buckets: int = 64, text_col: str = "text",
                       id_col: str = "doc_id") -> None:

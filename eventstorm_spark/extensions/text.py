@@ -1599,10 +1599,18 @@ def phrase_search(docs: DataFrame, phrase: list[str], *,
     base = (docs.select(F.col(id_col).alias("doc"),
                         F.posexplode(toks).alias("pos", "tok"))
             .where(F.col("tok").isin(list(set(phrase)))))
-    cur = (base.where(F.col("tok") == phrase[0])
+    return _phrase_join(base, phrase)
+
+
+def _phrase_join(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Shared phrase evaluation over (doc, pos, tok) postings — used by
+    both the in-memory :func:`phrase_search` and the at-rest
+    ``curation.phrase_against_index`` serving path, so the two cannot
+    drift (index-vs-direct equality is test-pinned)."""
+    cur = (postings.where(F.col("tok") == phrase[0])
            .select("doc", F.col("pos").alias("p0")))
     for j, term in enumerate(phrase[1:], start=1):
-        nxt = (base.where(F.col("tok") == term)
+        nxt = (postings.where(F.col("tok") == term)
                .select("doc", (F.col("pos") - j).alias("p0")))
         cur = cur.join(nxt, ["doc", "p0"])
     return (cur.groupBy("doc")

@@ -1382,3 +1382,45 @@ def test_psi_drift_flags_shift_and_stability(spark):
              psi_drift(old.repartition(7), new.repartition(3),
                        ["x", "stable"]).collect()}
     assert again == {f: r.psi for f, r in got.items()}
+
+
+def test_positional_index_lifecycle(spark, sf_dir, tmp_path):
+    """Positional index: (a) serving equals text.phrase_search exactly
+    (shared _phrase_join + tokenizer); (b) the postings read is
+    partition-pruned to the phrase tokens' buckets; (c) build-half +
+    append-half == build-full; (d) meta guard on n_buckets."""
+    import pytest
+
+    from eventstorm_spark.extensions.curation import (
+        append_positional_index,
+        phrase_against_index,
+        write_positional_index,
+    )
+    from eventstorm_spark.extensions.text import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrase = ["merge", "window"]
+    want = sorted(tuple(r) for r in phrase_search(docs, phrase).collect())
+    assert want  # the corpus must actually contain the phrase
+
+    path = os.path.join(str(tmp_path), "pos_idx")
+    write_positional_index(docs, path, n_buckets=16)
+    got = phrase_against_index(spark, path, phrase, n_buckets=16)
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+    fresh = phrase_against_index(spark, path, phrase, n_buckets=16)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    path2 = os.path.join(str(tmp_path), "pos_idx_half")
+    write_positional_index(half_a, path2, n_buckets=16)
+    append_positional_index(half_b, path2, n_buckets=16)
+    got2 = phrase_against_index(spark, path2, phrase, n_buckets=16)
+    assert sorted(tuple(r) for r in got2.collect()) == want
+
+    with pytest.raises(ValueError):
+        phrase_against_index(spark, path, phrase, n_buckets=32)
+    with pytest.raises(ValueError):
+        phrase_against_index(spark, path, [], n_buckets=16)
