@@ -426,3 +426,58 @@ def decayed_counts(events: DataFrame, key_col: str, *,
     return (events.groupBy(F.col(key_col).alias("key"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(w), 6).alias("decayed_score")))
+
+
+def cusum_alerts(events: DataFrame, *, value_col: str = "value",
+                 key_cols: Sequence[str] = ("event_type",),
+                 order_cols: Sequence[str] = ("ts", "event_id"),
+                 slack: float = 0.5, threshold: float = 5.0,
+                 ref: DataFrame | None = None) -> DataFrame:
+    """One-sided CUSUM changepoint detection per key — the
+    upward-shift monitor (Page 1954) behind SPC dashboards and drift
+    alerting: ``S_t = max(0, S_{t-1} + (x_t - ref - slack))``, alert
+    while ``S_t > threshold``.
+
+    The recurrence looks order-serial (like EWMA's), but the clamp has
+    a CLOSED FORM over prefix sums: with ``C_t = sum_{j<=t} y_j``
+    (``y = x - ref - slack``), ``S_t = C_t - min(0, min_{j<=t} C_j)``
+    — so the whole detector is TWO window passes (a running sum and a
+    running min) over one (key, time)-ordered exchange, pure
+    whole-stage codegen, no recursion, no Python. Window prefix
+    aggregates evaluate in frame order, so the float summation order
+    is fixed and an external engine replays it bit-for-bit (quantized
+    6 at the threshold compare, the boundary-flip rule every
+    thresholded query here follows).
+
+    ``ref`` defaults to each key's own mean (rounded 6, broadcast
+    back) — drift-from-own-baseline; pass a (key..., ref) frame for
+    fixed targets. ``slack`` desensitizes to noise below
+    ``slack``/event; ``threshold`` is the alert level in value units.
+
+    Returns per key: n_alerts (events in alert state), max_s (peak
+    excursion), first_alert_* (order cols of the first alert, null if
+    none) — the summary a monitoring read wants; join the per-event
+    scores back yourself if you need the full trace."""
+    ks = list(key_cols)
+    if ref is None:
+        ref = (events.groupBy(*ks)
+               .agg(F.round(F.avg(value_col), 6).alias("ref")))
+    w = (W.partitionBy(*ks).orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    y = F.col(value_col) - F.col("ref") - F.lit(slack)
+    scored = (events.join(F.broadcast(ref), ks)
+              .withColumn("__c", F.sum(y).over(w))
+              .withColumn("__m", F.least(F.lit(0.0), F.min("__c").over(w)))
+              .withColumn("__s", F.round(F.col("__c") - F.col("__m"), 6)))
+    alert = F.col("__s") > threshold
+    # struct min = lexicographic (order_cols...) min over alert rows ->
+    # the genuinely FIRST alert, not independent per-column minima
+    first = F.min(F.when(alert, F.struct(*[F.col(c)
+                                           for c in order_cols])))
+    agg = (scored.groupBy(*ks)
+           .agg(F.sum(F.when(alert, 1).otherwise(0)).alias("n_alerts"),
+                F.round(F.max("__s"), 6).alias("max_s"),
+                first.alias("__first")))
+    return agg.select(*ks, "n_alerts", "max_s",
+                      *[F.col(f"__first.{c}").alias(f"first_alert_{c}")
+                        for c in order_cols])

@@ -2550,6 +2550,36 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_events_cusum_shift(spark, sf_dir):
+    """CUSUM changepoint detection (`temporal.cusum_alerts`) on a
+    planted mean shift: +25 is added to every value from Jan 20 on,
+    and the one-sided CUSUM against the known ref=50 baseline
+    (slack 15 -> −15/event drift before the shift, +10/event after;
+    threshold 200) must alarm shortly after the changepoint in every
+    type. The order-serial clamp recurrence runs as its closed form —
+    one running sum + one running min over a single (key, time)
+    window exchange — so the whole detector replays in SQL."""
+    from eventstorm_spark.extensions.temporal import cusum_alerts
+    ev = load(spark, sf_dir, "events")
+    shifted = ev.withColumn(
+        "value",
+        F.col("value") + F.when(
+            F.expr("ts >= TIMESTAMP_NTZ '2024-01-20 00:00:00'"),
+            F.lit(25.0)).otherwise(F.lit(0.0)))
+    ref = (ev.select("event_type").distinct()
+           .withColumn("ref", F.lit(50.0)))
+    r = cusum_alerts(shifted, value_col="value",
+                     key_cols=("event_type",),
+                     order_cols=("ts", "event_id"),
+                     slack=15.0, threshold=200.0, ref=ref)
+    return (r.select(
+        "event_type", "n_alerts", "max_s",
+        F.unix_micros(F.col("first_alert_ts").cast("timestamp"))
+        .alias("first_alert_us"),
+        "first_alert_event_id")
+        .orderBy("event_type"))
+
+
 def q_decayed_user_activity(spark, sf_dir):
     """Exponentially time-decayed activity ranking
     (`temporal.decayed_counts`): top-20 users by half-life-weighted
@@ -5094,6 +5124,43 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+_EXT_ORACLES["events_cusum_shift"] = """
+    WITH sh AS (
+        SELECT event_type, ts, event_id,
+               value + CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                            THEN 25.0 ELSE 0.0 END AS v
+        FROM events),
+    c AS (
+        SELECT event_type, ts, event_id,
+               sum(v - 50.0 - 15.0) OVER w AS c
+        FROM sh
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+        SELECT event_type, ts, event_id,
+               round(c - least(0.0, min(c) OVER w2), 6) AS s
+        FROM c
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    al AS (SELECT * FROM s WHERE s > 200.0),
+    agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_alerts
+            FROM al GROUP BY event_type),
+    mx AS (SELECT event_type, round(max(s), 6) AS max_s
+           FROM s GROUP BY event_type),
+    fst AS (SELECT event_type, epoch_us(ts) AS first_alert_us,
+                   event_id AS first_alert_event_id
+            FROM (SELECT event_type, ts, event_id,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS rn
+                  FROM al) WHERE rn = 1)
+    SELECT m.event_type,
+           CAST(coalesce(n_alerts, 0) AS BIGINT) AS n_alerts,
+           m.max_s, fst.first_alert_us, fst.first_alert_event_id
+    FROM mx m
+    LEFT JOIN agg USING (event_type)
+    LEFT JOIN fst USING (event_type)
+    ORDER BY m.event_type"""
+
 _EXT_ORACLES["decayed_user_activity"] = """
     SELECT user_id, count(*) AS n,
            round(sum(pow(0.5,
@@ -6731,6 +6798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "phrase_search": q_phrase_search,
         "decayed_user_activity": q_decayed_user_activity,
+        "events_cusum_shift": q_events_cusum_shift,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -275,3 +275,35 @@ def test_decayed_counts_recency_beats_stale_volume(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decayed_counts(df, "user", ref_ts_us=ref_us, half_life="1 epoch")
+
+
+def test_cusum_closed_form_matches_clamped_recurrence(spark):
+    """The prefix-sum/running-min form equals the textbook
+    S_t = max(0, S_{t-1} + y_t) recurrence, and a planted shift is
+    detected promptly while the pre-shift stream stays quiet."""
+    from eventstorm_spark.extensions.temporal import cusum_alerts
+    import datetime as dt
+    # 50 quiet events at the baseline, then a +3/event shift
+    vals = [10.0] * 50 + [13.0] * 30
+    rows = [(i, "k", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "value"])
+    ref = spark.createDataFrame([("k", 10.0)], ["key", "ref"])
+    r = cusum_alerts(df, key_cols=("key",), order_cols=("ts", "event_id"),
+                     slack=1.0, threshold=10.0, ref=ref).collect()[0]
+    # reference fold
+    s, n_alerts, first, mx = 0.0, 0, None, 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - 10.0 - 1.0))
+        mx = max(mx, s)
+        if round(s, 6) > 10.0:
+            n_alerts += 1
+            first = first if first is not None else i
+    assert r.n_alerts == n_alerts and n_alerts > 0
+    assert r.max_s == round(mx, 6)
+    assert r.first_alert_event_id == first and first >= 50  # post-shift
+    # partitioning independence
+    r2 = cusum_alerts(df.repartition(7), key_cols=("key",),
+                      order_cols=("ts", "event_id"),
+                      slack=1.0, threshold=10.0, ref=ref).collect()[0]
+    assert r2 == r
