@@ -481,3 +481,62 @@ def cusum_alerts(events: DataFrame, *, value_col: str = "value",
     return agg.select(*ks, "n_alerts", "max_s",
                       *[F.col(f"__first.{c}").alias(f"first_alert_{c}")
                         for c in order_cols])
+
+
+def streaming_ewma_anomalies(events_stream: DataFrame, *,
+                             value_col: str = "value",
+                             key_col: str = "user_id",
+                             ts_col: str = "ts", alpha: float = 0.3,
+                             watermark_delay: str = "10 minutes"
+                             ) -> DataFrame:
+    """Streaming twin of :func:`ewma_anomalies` — and the place where
+    the TRUE infinite-history recurrence is natural: per-key state is
+    ONE float (the running EWMA), each event scores against the state
+    BEFORE folding itself in (``score = |x - s|``, then
+    ``s = a*x + (1-a)*s``), chaining across micro-batches through the
+    state store. The batch form unrolls a truncated window because a
+    full-history recurrence doesn't parallelize; here the fold is the
+    execution model, so state is 8 bytes/key instead of 8 lags/row.
+    A key's first event seeds the state and emits nothing (the batch
+    first-row exclusion). Same arrival contract as the transition
+    extractor: per-batch sort heals in-batch disorder, the watermark
+    bounds cross-batch lateness."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    keyed = (events_stream
+             .withWatermark(ts_col, watermark_delay)
+             .select(F.col(key_col).alias("__k"),
+                     F.col(value_col).alias("__v"),
+                     F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("__us")))
+
+    def fold(key, pdf_iter, state: GroupState):
+        s = _json.loads(state.get[0]) if state.exists else None
+        us_o, v_o, e_o, sc_o = [], [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("__us")
+            for v, us in zip(pdf["__v"], pdf["__us"]):
+                v = float(v)
+                if s is not None:
+                    us_o.append(int(us))
+                    v_o.append(v)
+                    e_o.append(round(s, 6))
+                    sc_o.append(round(abs(v - s), 6))
+                    s = alpha * v + (1.0 - alpha) * s
+                else:
+                    s = v
+        if s is not None:
+            state.update((_json.dumps(s),))
+        if us_o:
+            yield pd.DataFrame({"user_id": [key[0]] * len(us_o),
+                                "us": us_o, "value": v_o,
+                                "ewma": e_o, "score": sc_o})
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fold, f"user_id {dict(events_stream.dtypes)[key_col]}, "
+        "us long, value double, ewma double, score double",
+        "state string", "append", GroupStateTimeout.NoTimeout)

@@ -307,3 +307,47 @@ def test_cusum_closed_form_matches_clamped_recurrence(spark):
                       order_cols=("ts", "event_id"),
                       slack=1.0, threshold=10.0, ref=ref).collect()[0]
     assert r2 == r
+
+
+def test_streaming_ewma_chains_across_batches(spark, tmp_path):
+    """Streaming EWMA: state chains across micro-batches (the whole
+    run equals one Python fold over the full sequence), and a key's
+    first event seeds without emitting."""
+    from eventstorm_spark.extensions.temporal import (
+        streaming_ewma_anomalies)
+
+    src = str(tmp_path / "ewma_src")
+    schema = "user_id long, value double, ts timestamp"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def rows(vals, sec0):
+        return [(1, v, base + dt.timedelta(seconds=sec0 + i))
+                for i, v in enumerate(vals)]
+
+    batch1, batch2 = [1.0, 2.0, 4.0], [8.0, 100.0]
+    spark.createDataFrame(rows(batch1, 0), schema) \
+        .write.mode("append").parquet(src)
+
+    got = []
+    q = (streaming_ewma_anomalies(
+            spark.readStream.schema(schema).parquet(src))
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.us, r.value, r.ewma, r.score) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows(batch2, 60), schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # reference fold over the concatenated stream
+    s, want = None, []
+    for i, v in enumerate(batch1 + batch2):
+        if s is not None:
+            want.append((v, round(s, 6), round(abs(v - s), 6)))
+        s = v if s is None else 0.3 * v + 0.7 * s
+    assert [(v, e, sc) for _, v, e, sc in sorted(got)] == want
+    assert len(got) == len(batch1 + batch2) - 1  # first event silent
