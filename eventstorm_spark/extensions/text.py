@@ -1616,3 +1616,59 @@ def _phrase_join(postings: DataFrame, phrase: list[str]) -> DataFrame:
     return (cur.groupBy("doc")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("p0").alias("first_pos")))
+
+
+def pmi_pairs(docs: DataFrame, *, min_df_frac: float = 0.05,
+              max_df_frac: float = 0.9, min_cooc: int = 5, k: int = 50,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over
+    within-document co-occurrence — collocation / market-basket mining
+    (``pmi = ln(P(a,b) / (P(a)P(b)))`` with document-level events):
+    the read that surfaces multiword expressions, template phrases and
+    topically-bound vocabulary before a tokenizer or dedup pass eats
+    them.
+
+    Scale shape: co-occurrence pairs explode as (distinct kept terms
+    per doc)^2, so the vocabulary is BANDED first — terms in fewer
+    than ``min_df_frac`` of docs can't meet any support threshold and
+    the near-ubiquitous head above ``max_df_frac`` is both
+    uninformative (PMI ~ 0 by construction) and the quadratic
+    adversary — the same df-cap discipline as ``max_shingle_df`` in
+    the dedup tier. After banding: one distinct, one df aggregate, a
+    broadcast-banded semi-join, and the per-doc pair self-join keyed
+    on the doc id. Counts stay exact; the PMI ratio is evaluated in
+    doubles with one fixed association (products exceed int64 at
+    corpus scale), rounded 6."""
+    toks = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+        .distinct())
+    n_docs = docs.select(F.countDistinct(id_col).alias("__N"))
+    df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (df_.crossJoin(F.broadcast(n_docs))
+            .where((F.col("__df") >= F.lit(min_df_frac) * F.col("__N"))
+                   & (F.col("__df") <= F.lit(max_df_frac) * F.col("__N")))
+            .select("term", "__df"))
+    t = toks.join(kept.select("term"), "term", "left_semi")
+    a = t.select("doc", F.col("term").alias("term_a"))
+    b = t.select("doc", F.col("term").alias("term_b"))
+    pairs = (a.join(b, "doc")
+             .where(F.col("term_a") < F.col("term_b"))
+             .groupBy("term_a", "term_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_cooc))
+    stats = (pairs
+             .join(kept.withColumnRenamed("term", "term_a")
+                   .withColumnRenamed("__df", "n_a"), "term_a")
+             .join(kept.withColumnRenamed("term", "term_b")
+                   .withColumnRenamed("__df", "n_b"), "term_b")
+             .crossJoin(F.broadcast(n_docs)))
+    pmi = F.round(F.log(
+        (F.col("n_ab").cast("double") * F.col("__N"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))), 6)
+    return (stats.select("term_a", "term_b", "n_ab", "n_a", "n_b",
+                         pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+            .limit(k))

@@ -2550,6 +2550,51 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_token_pmi_pairs(spark, sf_dir):
+    """Collocation mining (`text.pmi_pairs`): top-50 token pairs by
+    document-level pointwise mutual information, vocabulary banded to
+    [5%, 90%] document frequency (the df-cap guard — the ubiquitous
+    head is the quadratic adversary AND carries PMI ~ 0), support
+    >= 5 co-occurring docs. Counts exact; the ratio is one fixed
+    double expression (products exceed int64 at corpus scale)."""
+    from eventstorm_spark.extensions.text import pmi_pairs
+    return pmi_pairs(load(spark, sf_dir, "documents"), k=50)
+
+
+def q_user_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    product-analytics staple next to funnel/cohort/retention: per user,
+    last-activity micros, event count, and purchase value sum; each
+    metric quintiled by ntile(5) over a total order (metric, user_id —
+    ntile needs a TOTAL order or bucket boundaries are
+    partition-dependent), users grouped into 'r-f-m' cells. Output is
+    the segment size table with per-cell means — the read a lifecycle
+    campaign plans against. Three map-side-combined aggregates + three
+    ntile windows over the (tiny) per-user frame."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    per_user = (ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                             F.col("value")).otherwise(0.0)
+                      .cast("decimal(18, 6)")), 2)
+        .cast("double").alias("monetary")))
+    r_q = F.ntile(5).over(W.orderBy("last_us", "user_id"))
+    f_q = F.ntile(5).over(W.orderBy("freq", "user_id"))
+    m_q = F.ntile(5).over(W.orderBy("monetary", "user_id"))
+    scored = per_user.select(
+        "user_id", "last_us", "freq", "monetary",
+        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"))
+    return (scored.groupBy(
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.round(F.avg("freq"), 6).alias("avg_freq"),
+             F.round(F.avg("monetary"), 6).alias("avg_monetary"))
+        .orderBy("segment"))
+
+
 def q_events_cusum_shift(spark, sf_dir):
     """CUSUM changepoint detection (`temporal.cusum_alerts`) on a
     planted mean shift, monitored over HOURLY SUBGROUP MEANS — the
@@ -5128,6 +5173,57 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+_EXT_ORACLES["token_pmi_pairs"] = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+        FROM documents),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM
+           documents),
+    dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    kept AS (SELECT term, df FROM dfreq, nn
+             WHERE df >= 0.05 * n AND df <= 0.9 * n),
+    t AS (SELECT doc, toks.term FROM toks
+          JOIN kept ON toks.term = kept.term),
+    pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+                     count(*) AS n_ab
+              FROM t a JOIN t b
+                ON a.doc = b.doc AND a.term < b.term
+              GROUP BY 1, 2
+              HAVING count(*) >= 5)
+    SELECT term_a, term_b, n_ab, ka.df AS n_a, kb.df AS n_b,
+           round(ln((CAST(n_ab AS DOUBLE) * n)
+                    / (CAST(ka.df AS DOUBLE) * kb.df)), 6) AS pmi
+    FROM pairs
+    JOIN kept ka ON term_a = ka.term
+    JOIN kept kb ON term_b = kb.term
+    CROSS JOIN nn
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50"""
+
+_EXT_ORACLES["user_rfm_segments"] = """
+    WITH pu AS (
+        SELECT user_id,
+               max(epoch_us(ts)) AS last_us,
+               count(*) AS freq,
+               CAST(round(sum(CAST(CASE WHEN event_type = 'purchase'
+                                        THEN value ELSE 0.0 END
+                                   AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                   AS monetary
+        FROM events GROUP BY user_id),
+    sc AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY last_us, user_id) AS r_q,
+               ntile(5) OVER (ORDER BY freq, user_id) AS f_q,
+               ntile(5) OVER (ORDER BY monetary, user_id) AS m_q
+        FROM pu)
+    SELECT concat(r_q, '-', f_q, '-', m_q) AS segment,
+           count(*) AS n_users,
+           round(avg(freq), 6) AS avg_freq,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM sc GROUP BY 1 ORDER BY 1"""
+
 _EXT_ORACLES["events_cusum_shift"] = """
     WITH sh AS (
         SELECT event_type, ts,
@@ -6806,6 +6902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "decayed_user_activity": q_decayed_user_activity,
         "events_cusum_shift": q_events_cusum_shift,
+        "user_rfm_segments": q_user_rfm_segments,
+        "token_pmi_pairs": q_token_pmi_pairs,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

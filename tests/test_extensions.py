@@ -2659,3 +2659,24 @@ def test_phrase_search_adjacency_and_order(spark):
     assert got3 == {1: (2, 0)}
     with pytest.raises(ValueError):
         phrase_search(docs, [])
+
+
+def test_pmi_pairs_surfaces_planted_collocation(spark):
+    from eventstorm_spark.extensions.text import pmi_pairs
+    # "foo bar" always co-occur (10/20 docs); filler varies independently
+    fillers = ["aa bb", "aa cc", "bb cc", "cc dd", "dd aa"]
+    rows = [(i, "foo bar " + fillers[i % 5]) for i in range(10)] + \
+           [(10 + i, fillers[i % 5] + " " + fillers[(i + 2) % 5])
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pmi_pairs(docs, min_df_frac=0.05, max_df_frac=0.95,
+                    min_cooc=3, k=10).collect()
+    top = got[0]
+    # the planted pair ranks first with perfect association:
+    # pmi = ln(n_ab * N / (n_a * n_b)) = ln(10*20/(10*10)) = ln 2
+    assert (top.term_a, top.term_b) == ("bar", "foo")
+    assert top.n_ab == 10 and top.pmi == round(__import__("math").log(2), 6)
+    # partitioning independence
+    again = pmi_pairs(docs.repartition(7), min_df_frac=0.05,
+                      max_df_frac=0.95, min_cooc=3, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
