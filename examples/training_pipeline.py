@@ -187,6 +187,38 @@ def main() -> None:
     heavy_hitters(toks, "tok", threshold=0.01) \
         .orderBy(F.col("n").desc()).show(5)
 
+    # late round-10 tier: (a) a PSI drift gate — would this corpus
+    # snapshot's shape pass review against the pre-clean corpus?
+    feat = (near.select(
+        "doc_id", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")))
+    base_feat = (docs.select(
+        "doc_id", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")))
+    print("PSI drift vs raw corpus (cleaning shifts the shape):")
+    curation.psi_drift(base_feat, feat, ["n_chars", "n_tokens"]) \
+        .orderBy("feature").show()
+
+    # (b) storage-level redundancy: content-defined chunk dedup ratio
+    # (production hash mode — the oracle-portable md5 stays in the
+    # driver query)
+    ch = text.cdc_chunks(near, window=16, divisor=64,
+                         keep_cols=("source",), portable=False)
+    red = ch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("chunk_hash").alias("d")).first()
+    print(f"CDC chunks          {red['n']} chunks, "
+          f"{red['n'] - red['d']} duplicated")
+
+    # (c) an at-rest positional index over the survivors, probed with
+    # an exact phrase — the serving path never re-tokenizes the corpus
+    pos_path = os.path.join(out_dir, "pos_index")
+    curation.write_positional_index(near, pos_path, n_buckets=16)
+    hits = curation.phrase_against_index(
+        spark, pos_path, ["merge", "window"], n_buckets=16).count()
+    print(f"phrase index        'merge window' in {hits} docs "
+          f"(index at {pos_path})")
+
 
 if __name__ == "__main__":
     main()
