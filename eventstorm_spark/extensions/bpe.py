@@ -218,3 +218,93 @@ def bpe_fertility(docs: DataFrame, *, num_merges: int = 8,
                  F.sum(F.col("freq") * F.col("n_syms")).alias("n_bpe_tokens"),
                  F.round(F.sum(F.col("freq") * F.col("n_syms"))
                          / F.sum("freq"), 6).alias("fertility")))
+
+
+def wordpiece_vocab(docs: DataFrame, *, max_piece_len: int = 5,
+                    num_pieces: int = 64,
+                    text_col: str = "text") -> DataFrame:
+    """Frequency-initialized subword vocabulary for greedy
+    longest-match segmentation (:func:`wordpiece_segment`) — the OTHER
+    major tokenizer family next to the BPE trainer: every observed
+    single character (coverage — segmentation can always advance) plus
+    the ``num_pieces`` highest-scoring multi-char substrings, scored
+    by occurrence count weighted by word frequency, ties broken by
+    piece string so the vocabulary is a pure function of the corpus.
+
+    Relational end to end: the corpus-sized pass is
+    :func:`word_frequencies` (shared with BPE); candidates explode
+    from the (vocabulary-sized) word table as (position, length)
+    substrings — O(|words| x len x max_piece_len) rows, corpus-size
+    independent — and the top-K is one window. Returns (piece, n)."""
+    wf = word_frequencies(docs, text_col=text_col)
+    cands = None
+    for ln in range(1, max_piece_len + 1):
+        c = (wf.select(
+            "freq",
+            F.explode(F.sequence(F.lit(1),
+                                 F.length("word") - (ln - 1)))
+            .alias("i"),
+            F.col("word"))
+            .where(F.length("word") >= ln)
+            .select(F.substring(F.col("word"), F.col("i"),
+                                F.lit(ln)).alias("piece"), "freq"))
+        cands = c if cands is None else cands.unionByName(c)
+    cnt = cands.groupBy("piece").agg(F.sum("freq").alias("n"))
+    chars = cnt.where(F.length("piece") == 1)
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(W.orderBy(F.col("n").desc(), "piece"))
+    multi = (cnt.where(F.length("piece") >= 2)
+             .withColumn("__rn", rn)
+             .where(F.col("__rn") <= num_pieces).drop("__rn"))
+    return chars.unionByName(multi)
+
+
+def wordpiece_segment(words: DataFrame, vocab: DataFrame, *,
+                      max_piece_len: int = 5) -> DataFrame:
+    """Greedy longest-match segmentation (WordPiece inference rule):
+    from each position take the longest vocabulary piece matching the
+    remaining word — deterministic with no tie cases (two equal-length
+    matches of the same prefix are the same string), which is what
+    makes the whole tokenizer SQL-replayable (the oracle runs the same
+    rule as a recursive CTE); Viterbi/unigram-LM segmentation would
+    need float-score tie-breaks an external engine can't replay
+    exactly.
+
+    ``words`` is a (word, ...) frame — segment DISTINCT words, join
+    results back by word (the standard vocabulary-table trick: cost
+    scales with |vocabulary|, not corpus). The vocab is collected and
+    broadcast (bounded: alphabet + num_pieces rows — the same
+    bounded-collect contract as k-means centroids/PQ codebooks); the
+    per-word loop is an Arrow-batched mapInPandas. Raises if a word
+    contains a character outside the vocabulary (build the vocab on
+    the same corpus, or extend it). Returns (word, idx, piece)."""
+    pieces = frozenset(r.piece for r in vocab.select("piece").collect())
+    bc = words.sparkSession.sparkContext.broadcast(pieces)
+
+    def seg(batches):
+        import pandas as pd
+        vs = bc.value
+        for pdf in batches:
+            w_o, i_o, p_o = [], [], []
+            for w in pdf["word"]:
+                pos, idx = 0, 0
+                while pos < len(w):
+                    for ln in range(min(max_piece_len, len(w) - pos),
+                                    0, -1):
+                        cand = w[pos:pos + ln]
+                        if cand in vs:
+                            break
+                    else:
+                        raise ValueError(
+                            f"no vocab piece covers {w!r} at {pos}")
+                    w_o.append(w)
+                    i_o.append(idx)
+                    p_o.append(cand)
+                    idx += 1
+                    pos += len(cand)
+            if w_o:
+                yield pd.DataFrame({"word": w_o, "idx": i_o,
+                                    "piece": p_o})
+
+    return (words.select("word").distinct()
+            .mapInPandas(seg, "word string, idx int, piece string"))

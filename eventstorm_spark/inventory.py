@@ -2550,6 +2550,30 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_wordpiece_piece_usage(spark, sf_dir):
+    """Greedy longest-match subword tokenizer (`bpe.wordpiece_vocab` +
+    `wordpiece_segment`) — the WordPiece-style family next to the BPE
+    trainer: frequency-initialized vocabulary (all chars + top-64
+    weighted substrings, ties by piece), greedy segmentation of the
+    distinct-word table, and the top-30 pieces by frequency-weighted
+    usage. The greedy rule has NO tie cases, so the entire tokenizer
+    — vocab scoring, per-position longest match, usage rollup — is
+    replayed by the oracle's recursive CTE."""
+    from eventstorm_spark.extensions.bpe import (word_frequencies,
+                                                 wordpiece_segment,
+                                                 wordpiece_vocab)
+    docs = load(spark, sf_dir, "documents")
+    wf = word_frequencies(docs)
+    vocab = wordpiece_vocab(docs, max_piece_len=5, num_pieces=64)
+    seg = wordpiece_segment(wf, vocab, max_piece_len=5)
+    return (seg.join(wf, "word")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("n_uses"),
+                 F.countDistinct("word").alias("n_words"))
+            .orderBy(F.col("n_uses").desc(), "piece")
+            .limit(30))
+
+
 def q_token_pmi_pairs(spark, sf_dir):
     """Collocation mining (`text.pmi_pairs`): top-50 token pairs by
     document-level pointwise mutual information, vocabulary banded to
@@ -5173,6 +5197,61 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
 
 _EXT_ORACLES["events_ewma_anomaly"] = _ewma_oracle()
 
+def _wordpiece_oracle(max_piece_len: int = 5, num_pieces: int = 64,
+                      k: int = 30) -> str:
+    """Recursive-CTE replay of the greedy WordPiece tokenizer: same
+    weighted-substring vocab (chars + top-N, count desc / piece asc),
+    same longest-match advance (a correlated max over the fixed
+    prefix-length candidate list — no ties possible: equal-length
+    matches of one prefix are the same string), same usage rollup."""
+    lens = ", ".join(str(i) for i in range(1, max_piece_len + 1))
+    in_list = ", ".join(
+        f"substr(s.word, s.pos + 1, {i})"
+        for i in range(1, max_piece_len + 1))
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS word
+        FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
+    pos1 AS (SELECT word, freq,
+                    unnest(generate_series(
+                        1, CAST(length(word) AS INT))) AS i
+             FROM wf),
+    lens AS (SELECT word, freq, i, unnest([{lens}]) AS l FROM pos1),
+    cand AS (SELECT substr(word, i, l) AS piece, freq
+             FROM lens WHERE i + l - 1 <= length(word)),
+    cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+            FROM cand GROUP BY piece),
+    vocab AS (
+        SELECT piece FROM cnt WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece FROM (
+            SELECT piece,
+                   row_number() OVER (ORDER BY n DESC, piece) AS rn
+            FROM cnt WHERE length(piece) >= 2)
+        WHERE rn <= {num_pieces}),
+    seg AS (
+        SELECT word, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+        FROM wf
+        UNION ALL
+        SELECT s.word,
+               s.pos + (SELECT max(length(piece)) FROM vocab v
+                        WHERE v.piece IN ({in_list})) AS pos,
+               (SELECT max_by(piece, length(piece)) FROM vocab v
+                WHERE v.piece IN ({in_list})) AS piece
+        FROM seg s WHERE s.pos < length(s.word))
+    SELECT s.piece, CAST(sum(w.freq) AS BIGINT) AS n_uses,
+           CAST(count(DISTINCT s.word) AS BIGINT) AS n_words
+    FROM seg s JOIN wf w ON s.word = w.word
+    WHERE s.piece IS NOT NULL
+    GROUP BY s.piece
+    ORDER BY n_uses DESC, s.piece
+    LIMIT {k}"""
+
+
+_EXT_ORACLES["wordpiece_piece_usage"] = _wordpiece_oracle()
+
 _EXT_ORACLES["token_pmi_pairs"] = """
     WITH toks AS (
         SELECT DISTINCT doc_id AS doc,
@@ -6904,6 +6983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_shift": q_events_cusum_shift,
         "user_rfm_segments": q_user_rfm_segments,
         "token_pmi_pairs": q_token_pmi_pairs,
+        "wordpiece_piece_usage": q_wordpiece_piece_usage,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

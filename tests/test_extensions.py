@@ -2680,3 +2680,24 @@ def test_pmi_pairs_surfaces_planted_collocation(spark):
     again = pmi_pairs(docs.repartition(7), min_df_frac=0.05,
                       max_df_frac=0.95, min_cooc=3, k=10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from eventstorm_spark.extensions.bpe import (wordpiece_segment,
+                                                 wordpiece_vocab)
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark park parks")], ["doc_id", "text"])
+    vocab = wordpiece_vocab(docs, max_piece_len=5, num_pieces=20)
+    vp = {r.piece for r in vocab.collect()}
+    # chars always covered; 'spark' is the top-weighted multi piece
+    assert {"s", "p", "a", "r", "k"} <= vp and "spark" in vp
+    words = spark.createDataFrame([("sparks",), ("park",)], ["word"])
+    seg = {(r.word, r.idx): r.piece
+           for r in wordpiece_segment(words, vocab,
+                                      max_piece_len=5).collect()}
+    # greedy longest match: 'sparks' -> spark + s (never s|park|s)
+    assert seg[("sparks", 0)] == "spark" and seg[("sparks", 1)] == "s"
+    # out-of-vocabulary character is an honest error
+    bad = spark.createDataFrame([("qux",)], ["word"])
+    with pytest.raises(Exception):
+        wordpiece_segment(bad, vocab, max_piece_len=5).collect()
