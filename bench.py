@@ -142,6 +142,10 @@ HEADLINE = [
     "events_mad_outliers",
     "phrase_search",
     "decayed_user_activity",
+    "events_cusum_shift",
+    "user_rfm_segments",
+    "token_pmi_pairs",
+    "wordpiece_piece_usage",
 ]
 
 
