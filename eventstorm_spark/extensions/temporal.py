@@ -540,3 +540,56 @@ def streaming_ewma_anomalies(events_stream: DataFrame, *,
         fold, f"user_id {dict(events_stream.dtypes)[key_col]}, "
         "us long, value double, ewma double, score double",
         "state string", "append", GroupStateTimeout.NoTimeout)
+
+
+def streaming_cusum_alerts(events_stream: DataFrame, ref: float, *,
+                           value_col: str = "value",
+                           key_col: str = "event_type",
+                           ts_col: str = "ts", slack: float = 0.5,
+                           threshold: float = 5.0,
+                           watermark_delay: str = "10 minutes"
+                           ) -> DataFrame:
+    """Streaming twin of :func:`cusum_alerts`: the clamp recurrence
+    ``S = max(0, S + (x - ref - slack))`` run directly — per-key state
+    is ONE float, alerts emit as they happen instead of at scan end.
+    Batch uses the prefix-sum/running-min closed form because the
+    recurrence doesn't parallelize; in a stream the fold IS the
+    execution model (same duality as the EWMA pair). Emits one row per
+    ALERT event (s > threshold, quantized 6 like batch): (key, us,
+    value, s). ``ref`` is a fixed baseline constant — the SPC
+    monitoring setup; recompute it out-of-band, not inside the
+    monitor. Equality contract (test-pinned): the alert set over any
+    prefix of batches equals the batch operator on the same rows."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    keyed = (events_stream
+             .withWatermark(ts_col, watermark_delay)
+             .select(F.col(key_col).alias("__k"),
+                     F.col(value_col).alias("__v"),
+                     F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("__us")))
+    ktype = dict(events_stream.dtypes)[key_col]
+
+    def fold(key, pdf_iter, state: GroupState):
+        s = _json.loads(state.get[0]) if state.exists else 0.0
+        us_o, v_o, s_o = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("__us")
+            for v, us in zip(pdf["__v"], pdf["__us"]):
+                s = max(0.0, s + (float(v) - ref - slack))
+                if round(s, 6) > threshold:
+                    us_o.append(int(us))
+                    v_o.append(float(v))
+                    s_o.append(round(s, 6))
+        state.update((_json.dumps(s),))
+        if us_o:
+            yield pd.DataFrame({"key": [key[0]] * len(us_o),
+                                "us": us_o, "value": v_o, "s": s_o})
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fold, f"key {ktype}, us long, value double, s double",
+        "state string", "append", GroupStateTimeout.NoTimeout)

@@ -351,3 +351,51 @@ def test_streaming_ewma_chains_across_batches(spark, tmp_path):
         s = v if s is None else 0.3 * v + 0.7 * s
     assert [(v, e, sc) for _, v, e, sc in sorted(got)] == want
     assert len(got) == len(batch1 + batch2) - 1  # first event silent
+
+
+def test_streaming_cusum_matches_batch_alert_set(spark, tmp_path):
+    from eventstorm_spark.extensions.temporal import (cusum_alerts,
+                                                      streaming_cusum_alerts)
+
+    src = str(tmp_path / "cusum_src")
+    schema = "event_id long, event_type string, value double, ts timestamp"
+    base = dt.datetime(2024, 7, 1)
+
+    def rows(vals, sec0, eid0):
+        return [(eid0 + i, "k", v, base + dt.timedelta(seconds=sec0 + i))
+                for i, v in enumerate(vals)]
+
+    batch1 = [10.0] * 20 + [14.0] * 5          # drift starts
+    batch2 = [14.0] * 10 + [10.0] * 5          # keeps alerting, then decays
+    spark.createDataFrame(rows(batch1, 0, 0), schema) \
+        .write.mode("append").parquet(src)
+
+    got = []
+    q = (streaming_cusum_alerts(
+            spark.readStream.schema(schema).parquet(src), 10.0,
+            slack=1.0, threshold=10.0)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.us, r.s) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows(batch2, 60, 100), schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got  # the planted drift does alert
+
+    # batch operator over the union of both batches: same alert count
+    # per key and the same FIRST alert instant
+    df = (spark.read.parquet(src))
+    ref = spark.createDataFrame([("k", 10.0)], ["event_type", "ref"])
+    b = cusum_alerts(df, key_cols=("event_type",),
+                     order_cols=("ts", "event_id"),
+                     slack=1.0, threshold=10.0, ref=ref).collect()[0]
+    assert b.n_alerts == len(got)
+    import calendar
+    first_us = int(calendar.timegm(
+        b.first_alert_ts.timetuple()) * 1_000_000)
+    assert min(u for u, _ in got) == first_us
