@@ -974,6 +974,45 @@ def q_funnel_conversion(spark, sf_dir):
                  F.sum(F.coalesce(F.col("conv"), F.lit(0))).alias("n_converted")))
 
 
+def q_funnel_conversion_windowed(spark, sf_dir):
+    """Time-boxed funnel — the conversion-window upgrade every product
+    funnel ships (`funnel_conversion` counts a purchase weeks later as
+    a conversion; attribution windows don't): view -> click within 24h
+    of the first view -> purchase within 24h of that click. Same
+    no-self-join conditional-min shape, the windows as two extra
+    epoch-micro bounds; reported per funnel stage so the drop-off at
+    each step is visible."""
+    ev = load(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(tv.alias("first_view"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    first_click = (per_user.join(clicks, "user_id")
+                   .where((F.col("click_ts") > F.col("first_view"))
+                          & (us("click_ts")
+                             <= us("first_view") + F.lit(day_us)))
+                   .groupBy("user_id", "first_view")
+                   .agg(F.min("click_ts").alias("first_click")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("p_ts")))
+    converted = (first_click.join(purch, "user_id")
+                 .where((F.col("p_ts") > F.col("first_click"))
+                        & (us("p_ts")
+                           <= us("first_click") + F.lit(day_us)))
+                 .select("user_id").distinct())
+    viewers = per_user.where(F.col("first_view").isNotNull())
+    return (viewers
+            .agg(F.count(F.lit(1)).alias("n_viewers"))
+            .crossJoin(F.broadcast(
+                first_click.agg(F.countDistinct("user_id")
+                                .alias("n_clicked_24h"))))
+            .crossJoin(F.broadcast(
+                converted.agg(F.count(F.lit(1))
+                              .alias("n_converted_24h")))))
+
+
 def q_events_sessionization(spark, sf_dir):
     """Gap-based sessionization: a new session starts after >30 min of
     stream inactivity. lag + conditional cumsum windows, both keyed on
@@ -1769,6 +1808,30 @@ _REL_ORACLES = {
                    AS n_converted
         FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
         WHERE fv.first_view IS NOT NULL""",
+    "funnel_conversion_windowed": """
+        WITH fv AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS first_view
+            FROM events GROUP BY user_id),
+        fc AS (
+            SELECT e.user_id, fv.first_view, min(e.ts) AS first_click
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'click' AND e.ts > fv.first_view
+              AND epoch_us(e.ts) <= epoch_us(fv.first_view)
+                                    + 86400000000
+            GROUP BY e.user_id, fv.first_view),
+        conv AS (
+            SELECT DISTINCT e.user_id
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+              AND epoch_us(e.ts) <= epoch_us(fc.first_click)
+                                    + 86400000000)
+        SELECT (SELECT count(*) FROM fv WHERE first_view IS NOT NULL)
+                   AS n_viewers,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM fc)
+                   AS n_clicked_24h,
+               (SELECT count(*) FROM conv) AS n_converted_24h""",
     "events_sessionization": """
         WITH g AS (
             SELECT user_id, event_id, value, ts,
@@ -6986,6 +7049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rfm_segments": q_user_rfm_segments,
         "token_pmi_pairs": q_token_pmi_pairs,
         "wordpiece_piece_usage": q_wordpiece_piece_usage,
+        "funnel_conversion_windowed": q_funnel_conversion_windowed,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,
