@@ -1556,3 +1556,81 @@ def append_hdr_index(new_df, path: str) -> None:
     staged = final + ".__compact_tmp"
     merged.write.mode("overwrite").parquet(staged)
     _swap_in_compacted(final, staged)
+
+
+# ---------------------------------------------------------------------------
+# at-rest decayed-counter store
+# ---------------------------------------------------------------------------
+
+def write_decay_index(events, path: str, key_col: str, *,
+                      ref_ts_us: int, half_life: str = "7 days",
+                      ts_col: str = "ts") -> None:
+    """Persist per-key exponentially-decayed counters
+    (``temporal.decayed_counts``) as an at-rest index — the
+    trending/popularity store a serving layer reads WITHOUT rescanning
+    the event log. Works because decayed sums are mergeable AT A
+    SHARED REFERENCE INSTANT: every append evaluates its decay against
+    the ``ref_ts_us`` pinned in ``_meta`` (NOT "now"), so partial rows
+    from any number of ingests sum to exactly the fresh-build counter,
+    and reading "as of" a later instant is one multiply
+    (:func:`decay_index_scores`) — never a rescan. Scores are stored
+    UNROUNDED so append-merge equals fresh-build to the last bit of
+    summation noise (~1e-13 relative; serving rounds 6)."""
+    from eventstorm_spark.extensions.temporal import decayed_counts
+
+    _write_index_meta(events.sparkSession, path,
+                      {"kind": "decay", "ref_ts_us": int(ref_ts_us),
+                       "half_life": half_life})
+    (decayed_counts(events, key_col, ref_ts_us=ref_ts_us,
+                    half_life=half_life, ts_col=ts_col,
+                    round_digits=None)
+     .write.mode("overwrite").parquet(os.path.join(path, "counters")))
+
+
+def append_decay_index(new_events, path: str, key_col: str, *,
+                       ts_col: str = "ts") -> None:
+    """Fold a new ingest into the store: compute its partial counters
+    against the ref/half-life pinned in ``_meta`` and append — no
+    read-modify-write; serving sums partials per key."""
+    import json
+
+    from eventstorm_spark.extensions.temporal import decayed_counts
+
+    spark = new_events.sparkSession
+    meta = _read_index_meta(spark, path)
+    if not meta or meta.get("kind") != "decay":
+        raise ValueError(f"not a decay index: {path}")
+    (decayed_counts(new_events, key_col,
+                    ref_ts_us=int(meta["ref_ts_us"]),
+                    half_life=meta["half_life"], ts_col=ts_col,
+                    round_digits=None)
+     .write.mode("append").parquet(os.path.join(path, "counters")))
+
+
+def decay_index_scores(spark, path: str, *,
+                       as_of_us: int | None = None):
+    """Serve (key, n, decayed_score) from the store: sum the partial
+    rows per key, then — if ``as_of_us`` is given — REBASE the scores
+    to that instant with one multiply by ``0.5^(delta/half_life)``
+    (exp-decay is time-homogeneous; this is why no rescan is ever
+    needed). Scores rounded 6 at the serving edge."""
+    import json
+    import re as _re
+
+    meta = _read_index_meta(spark, path)
+    if not meta or meta.get("kind") != "decay":
+        raise ValueError(f"not a decay index: {path}")
+    df = (spark.read.parquet(os.path.join(path, "counters"))
+          .groupBy("key")
+          .agg(F.sum("n").alias("n"),
+               F.sum("decayed_score").alias("__s")))
+    if as_of_us is not None:
+        m = _re.fullmatch(r"(\d+)\s*(day|hour|minute)s?",
+                          str(meta["half_life"]).strip())
+        mult = {"day": 86_400, "hour": 3_600, "minute": 60}[m.group(2)]
+        hl_us = int(m.group(1)) * mult * 1_000_000
+        delta = float(int(as_of_us) - int(meta["ref_ts_us"]))
+        df = df.withColumn(
+            "__s", F.col("__s") * F.lit(0.5 ** (delta / hl_us)))
+    return df.select("key", "n",
+                     F.round("__s", 6).alias("decayed_score"))

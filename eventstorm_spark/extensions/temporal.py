@@ -393,7 +393,8 @@ def ewma_anomalies(events: DataFrame, *, value_col: str = "value",
 
 def decayed_counts(events: DataFrame, key_col: str, *,
                    ref_ts_us: int, half_life: str = "7 days",
-                   ts_col: str = "ts") -> DataFrame:
+                   ts_col: str = "ts",
+                   round_digits: int | None = 6) -> DataFrame:
     """Exponentially time-decayed counts per key — the
     recency-weighted popularity score (trending content, active-user
     ranking, domain freshness) computed as ONE map-side-combinable
@@ -423,9 +424,12 @@ def decayed_counts(events: DataFrame, key_col: str, *,
     age = (F.lit(ref_ts_us)
            - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast("double")
     w = F.pow(F.lit(0.5), age / F.lit(float(hl_us)))
+    score = F.sum(w)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     return (events.groupBy(F.col(key_col).alias("key"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum(w), 6).alias("decayed_score")))
+                 score.alias("decayed_score")))
 
 
 def cusum_alerts(events: DataFrame, *, value_col: str = "value",

@@ -1424,3 +1424,50 @@ def test_positional_index_lifecycle(spark, sf_dir, tmp_path):
         phrase_against_index(spark, path, phrase, n_buckets=32)
     with pytest.raises(ValueError):
         phrase_against_index(spark, path, [], n_buckets=16)
+
+
+def test_decay_index_lifecycle(spark, tmp_path):
+    """Decay store: build-half + append-half == fresh build (shared
+    reference instant makes partials mergeable), and as-of rebasing is
+    one multiply that matches rebuilding at the later reference."""
+    import datetime as dt
+
+    from eventstorm_spark.extensions.curation import (append_decay_index,
+                                                      decay_index_scores,
+                                                      write_decay_index)
+    from eventstorm_spark.extensions.temporal import decayed_counts
+
+    ref = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    ref_us = int(ref.timestamp() * 1e6)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(f"u{i % 7}", base + dt.timedelta(hours=i * 3))
+            for i in range(200)]
+    ev = spark.createDataFrame(rows, ["user", "ts"])
+
+    path = str(tmp_path / "decay_idx")
+    write_decay_index(ev.where(F.xxhash64("ts") % 2 == 0), path, "user",
+                      ref_ts_us=ref_us, half_life="7 days")
+    append_decay_index(ev.where(F.xxhash64("ts") % 2 != 0), path, "user")
+
+    got = {r.key: (r.n, r.decayed_score)
+           for r in decay_index_scores(spark, path).collect()}
+    want = {r.key: (r.n, r.decayed_score)
+            for r in decayed_counts(ev, "user", ref_ts_us=ref_us,
+                                    half_life="7 days").collect()}
+    assert got == want
+
+    # rebase to one half-life later == rebuild at the later reference
+    later = ref_us + 7 * 86_400 * 1_000_000
+    reb = {r.key: r.decayed_score
+           for r in decay_index_scores(spark, path,
+                                       as_of_us=later).collect()}
+    fresh = {r.key: r.decayed_score
+             for r in decayed_counts(ev, "user", ref_ts_us=later,
+                                     half_life="7 days").collect()}
+    assert set(reb) == set(fresh)
+    for k in reb:
+        assert abs(reb[k] - fresh[k]) < 1e-6
+    # wrong-kind guard
+    import pytest
+    with pytest.raises(ValueError):
+        decay_index_scores(spark, str(tmp_path / "nope"))
