@@ -1592,8 +1592,6 @@ def append_decay_index(new_events, path: str, key_col: str, *,
     """Fold a new ingest into the store: compute its partial counters
     against the ref/half-life pinned in ``_meta`` and append — no
     read-modify-write; serving sums partials per key."""
-    import json
-
     from eventstorm_spark.extensions.temporal import decayed_counts
 
     spark = new_events.sparkSession
@@ -1614,7 +1612,6 @@ def decay_index_scores(spark, path: str, *,
     to that instant with one multiply by ``0.5^(delta/half_life)``
     (exp-decay is time-homogeneous; this is why no rescan is ever
     needed). Scores rounded 6 at the serving edge."""
-    import json
     import re as _re
 
     meta = _read_index_meta(spark, path)
