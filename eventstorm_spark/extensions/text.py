@@ -1672,3 +1672,43 @@ def pmi_pairs(docs: DataFrame, *, min_df_frac: float = 0.05,
                          pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "term_a", "term_b")
             .limit(k))
+
+
+def proximity_search(docs: DataFrame, terms: list[str], *, slop: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Unordered proximity search — the middle ground between
+    bag-of-words BM25 (terms anywhere) and :func:`phrase_search`
+    (exact adjacency): documents where ALL ``terms`` occur within a
+    window of ``slop`` tokens, reported with the tightest such window.
+    Classic positional-index evaluation again: term-filtered postings,
+    one equi-join per term on the doc id, window span =
+    ``max(pos) - min(pos)`` filtered to ``<= slop``.
+
+    The k-way position product is bounded by (occurrences of the
+    RAREST query term per doc)^k-ish — fine for query-shaped k (2-4)
+    and banded vocabularies; for stopword-frequency terms apply the
+    same df-cap discipline as :func:`pmi_pairs` first. Returns (doc,
+    best_span, n_windows): minimal span and the number of qualifying
+    position combinations."""
+    if len(terms) < 2:
+        raise ValueError("proximity_search needs at least two terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs.select(F.col(id_col).alias("doc"),
+                        F.posexplode(toks).alias("pos", "tok"))
+            .where(F.col("tok").isin(terms)))
+    cur = (base.where(F.col("tok") == terms[0])
+           .select("doc", F.col("pos").alias("p0")))
+    for j, term in enumerate(terms[1:], start=1):
+        nxt = (base.where(F.col("tok") == term)
+               .select("doc", F.col("pos").alias(f"p{j}")))
+        cur = cur.join(nxt, "doc")
+    ps = [F.col(f"p{j}") for j in range(len(terms))]
+    span = F.greatest(*ps) - F.least(*ps)
+    return (cur.select("doc", span.alias("__span"))
+            .where(F.col("__span") <= slop)
+            .groupBy("doc")
+            .agg(F.min("__span").alias("best_span"),
+                 F.count(F.lit(1)).alias("n_windows")))

@@ -2613,6 +2613,19 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_proximity_search(spark, sf_dir):
+    """Unordered proximity search (`text.proximity_search`): docs
+    where 'spark', 'merge' and 'window' all occur within 8 tokens,
+    with the tightest window and the qualifying-combination count —
+    the middle ground between BM25 (anywhere) and phrase_search
+    (adjacent). Term-filtered postings + one doc-keyed join per term;
+    ordered by (best_span, doc)."""
+    from eventstorm_spark.extensions.text import proximity_search
+    return (proximity_search(load(spark, sf_dir, "documents"),
+                             ["spark", "merge", "window"], slop=8)
+            .orderBy("best_span", "doc"))
+
+
 def q_wordpiece_piece_usage(spark, sf_dir):
     """Greedy longest-match subword tokenizer (`bpe.wordpiece_vocab` +
     `wordpiece_segment`) — the WordPiece-style family next to the BPE
@@ -5315,6 +5328,30 @@ def _wordpiece_oracle(max_piece_len: int = 5, num_pieces: int = 64,
 
 _EXT_ORACLES["wordpiece_piece_usage"] = _wordpiece_oracle()
 
+_EXT_ORACLES["proximity_search"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM toks),
+    p AS (SELECT doc_id AS doc, t[i] AS tok, i - 1 AS pos
+          FROM pos WHERE t[i] IN ('spark', 'merge', 'window')),
+    combos AS (
+        SELECT a.doc,
+               greatest(a.pos, b.pos, c.pos)
+               - least(a.pos, b.pos, c.pos) AS span
+        FROM p a
+        JOIN p b ON a.doc = b.doc AND b.tok = 'merge'
+        JOIN p c ON a.doc = c.doc AND c.tok = 'window'
+        WHERE a.tok = 'spark')
+    SELECT doc,
+           CAST(min(span) AS INT) AS best_span,
+           count(*) AS n_windows
+    FROM combos WHERE span <= 8
+    GROUP BY doc
+    ORDER BY best_span, doc"""
+
 _EXT_ORACLES["token_pmi_pairs"] = """
     WITH toks AS (
         SELECT DISTINCT doc_id AS doc,
@@ -7050,6 +7087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi_pairs": q_token_pmi_pairs,
         "wordpiece_piece_usage": q_wordpiece_piece_usage,
         "funnel_conversion_windowed": q_funnel_conversion_windowed,
+        "proximity_search": q_proximity_search,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

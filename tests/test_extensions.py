@@ -2701,3 +2701,22 @@ def test_wordpiece_greedy_longest_match(spark):
     bad = spark.createDataFrame([("qux",)], ["word"])
     with pytest.raises(Exception):
         wordpiece_segment(bad, vocab, max_piece_len=5).collect()
+
+
+def test_proximity_search_window_semantics(spark):
+    from eventstorm_spark.extensions.text import proximity_search
+    docs = spark.createDataFrame([
+        (1, "big x data"),               # span 2 <= slop
+        (2, "big x x x x x x x data"),   # span 8 > slop 4
+        (3, "data big"),                 # unordered: span 1
+        (4, "big only here"),            # missing term
+    ], ["doc_id", "text"])
+    got = {r.doc: (r.best_span, r.n_windows)
+           for r in proximity_search(docs, ["big", "data"],
+                                     slop=4).collect()}
+    assert got == {1: (2, 1), 3: (1, 1)}
+    import pytest as _p
+    with _p.raises(ValueError):
+        proximity_search(docs, ["big"])
+    with _p.raises(ValueError):
+        proximity_search(docs, ["big", "big"])
