@@ -2613,6 +2613,46 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Cross-source quality-score calibration: raw model scores are
+    not comparable across sources (each source's length/punctuation
+    profile shifts the whole distribution), so mixing on the raw
+    global top-K overweights whichever source the model happens to
+    flatter. The fix every curation pipeline ships: replace the raw
+    score with its WITHIN-SOURCE percent rank (doc_id in the rank
+    order makes it a total order — rank == row_number, so the
+    percentile is engine-exact), then take the global top-K on the
+    calibrated score. Output per source: corpus share of the global
+    top-100 under raw vs calibrated ranking (calibrated allocation
+    tracks source SIZE by construction, raw tracks the model's bias)
+    plus the mean raw score that explains the difference."""
+    from pyspark.sql import Window as W
+    from eventstorm_spark.extensions.text import linear_quality_score
+    docs = load(spark, sf_dir, "documents")
+    sc = (linear_quality_score(docs)
+          .join(docs.select("doc_id", "source"), "doc_id"))
+    wp = (W.partitionBy("source")
+          .orderBy(F.col("quality_score").asc(), F.col("doc_id").asc()))
+    scored = sc.select(
+        "doc_id", "source", "quality_score",
+        F.round(F.percent_rank().over(wp), 6).alias("cal_score"))
+    wr = W.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    wc = W.orderBy(F.col("cal_score").desc(),
+                   F.col("quality_score").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "source", "quality_score",
+        F.row_number().over(wr).alias("__rr"),
+        F.row_number().over(wc).alias("__rc"))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__rr") <= 100, 1).otherwise(0))
+                 .alias("n_top_raw"),
+                 F.sum(F.when(F.col("__rc") <= 100, 1).otherwise(0))
+                 .alias("n_top_cal"),
+                 F.round(F.avg("quality_score"), 6).alias("mean_q"))
+            .orderBy("source"))
+
+
 def q_proximity_search(spark, sf_dir):
     """Unordered proximity search (`text.proximity_search`): docs
     where 'spark', 'merge' and 'window' all occur within 8 tokens,
@@ -6653,8 +6693,7 @@ _EXT_ORACLES["epoch_materialized_counts"] = r"""
            CAST(sum(n_copies * nt) AS BIGINT) AS n_tokens_out
     FROM e WHERE n_copies > 0 GROUP BY source"""
 
-_EXT_ORACLES["model_quality_score"] = r"""
-    WITH f AS (
+_QUALITY_SCORE_CTES = r"""f AS (
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))
@@ -6675,10 +6714,35 @@ _EXT_ORACLES["model_quality_score"] = r"""
                    + (-4.0) * punct_ratio
                    + 3.0 * stopword_distinct_ratio
                    + (-2.0) * upper_ratio AS zz
-        FROM f)
+        FROM f)"""
+
+_EXT_ORACLES["model_quality_score"] = f"""
+    WITH {_QUALITY_SCORE_CTES}
     SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS quality_score,
            CAST(round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS INT) AS kept
     FROM z"""
+
+_EXT_ORACLES["quality_calibration"] = f"""
+    WITH {_QUALITY_SCORE_CTES},
+    sc AS (SELECT z.doc_id, d.source,
+                  round(1.0 / (1.0 + exp(-zz)), 6) AS q
+           FROM z JOIN documents d ON z.doc_id = d.doc_id),
+    cal AS (SELECT doc_id, source, q,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY q, doc_id), 6) AS c
+            FROM sc),
+    rk AS (SELECT source, q,
+                  row_number() OVER (ORDER BY q DESC, doc_id) AS rr,
+                  row_number() OVER (ORDER BY c DESC, q DESC, doc_id)
+                      AS rc
+           FROM cal)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rr <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top_raw,
+           CAST(sum(CASE WHEN rc <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top_cal,
+           round(avg(q), 6) AS mean_q
+    FROM rk GROUP BY source ORDER BY source"""
 
 _EXT_ORACLES["decontaminated_counts"] = r"""
     WITH lab AS (
@@ -7088,6 +7152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_piece_usage": q_wordpiece_piece_usage,
         "funnel_conversion_windowed": q_funnel_conversion_windowed,
         "proximity_search": q_proximity_search,
+        "quality_calibration": q_quality_calibration,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,
