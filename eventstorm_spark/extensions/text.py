@@ -1712,3 +1712,78 @@ def proximity_search(docs: DataFrame, terms: list[str], *, slop: int = 8,
             .groupBy("doc")
             .agg(F.min("__span").alias("best_span"),
                  F.count(F.lit(1)).alias("n_windows")))
+
+
+def hashed_tfidf_rows(docs: DataFrame, *, dim: int = 256,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      portable: bool = True) -> DataFrame:
+    """Feature-hashed sparse TF-IDF vectors as (doc, slot, w) ROWS —
+    text similarity with no trained model: each term hashes to one of
+    ``dim`` slots (the hashing trick — collisions sum, no vocabulary
+    table to build or broadcast), weighted tf * ln(N/df), rounded 6.
+
+    Deliberately SPARSE-relational rather than dense arrays: the
+    downstream cosine join (:func:`hashed_tfidf_knn`) is then an
+    inverted-index equi-join on the slot — the classic scalable
+    sparse-similarity plan — and every step stays in whole-stage
+    codegen (a dense array would cost an interpreted per-element HOF
+    per doc). One tokenize pass, two map-side-combined aggregates."""
+    from eventstorm_spark.extensions.dedup import portable_hash60
+
+    terms = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("__N"))
+    df_ = (terms.select("doc", "term").distinct()
+           .groupBy("term").agg(F.count(F.lit(1)).alias("__df")))
+    h = (portable_hash60(F.col("term")) if portable
+         else F.shiftrightunsigned(F.xxhash64("term"), 4))
+    return (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+            .select("doc", F.pmod(h, F.lit(dim)).cast("int").alias("slot"),
+                    (F.col("tf")
+                     * F.log(F.col("__N").cast("double") / F.col("__df")))
+                    .alias("__w"))
+            .groupBy("doc", "slot")
+            .agg(F.round(F.sum("__w"), 6).alias("w")))
+
+
+def hashed_tfidf_knn(docs: DataFrame, query_docs: DataFrame, *,
+                     dim: int = 256, k: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k cosine neighbors of each query doc over hashed-TF-IDF
+    vectors, evaluated as an INVERTED-INDEX join: corpus rows keyed by
+    slot, query rows (a small set) broadcast against them, partial
+    products grouped per (query, candidate) — never a dense all-pairs
+    product, and the slot key bounds the fanout to docs sharing a
+    hash slot. The no-embedding-model twin of `ann_cosine_topk`; at
+    corpus scale the (doc, slot, w) rows live at rest next to the
+    BM25 postings and queries never re-tokenize the corpus.
+    Returns (q_doc, doc, cosine) with self-matches excluded."""
+    from pyspark.sql import Window as W
+
+    rows = hashed_tfidf_rows(docs, dim=dim, text_col=text_col,
+                             id_col=id_col)
+    norms = (rows.groupBy("doc")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n")))
+    qids = query_docs.select(F.col(id_col).alias("doc")).distinct()
+    q = (rows.join(F.broadcast(qids), "doc")
+         .select(F.col("doc").alias("q_doc"), "slot",
+                 F.col("w").alias("qw")))
+    dots = (q.join(rows, "slot")
+            .where(F.col("q_doc") != F.col("doc"))
+            .groupBy("q_doc", "doc")
+            .agg(F.sum(F.col("qw") * F.col("w")).alias("__dot")))
+    qn = norms.select(F.col("doc").alias("q_doc"),
+                      F.col("__n").alias("__qn"))
+    scored = (dots.join(F.broadcast(qn), "q_doc").join(norms, "doc")
+              .select("q_doc", "doc",
+                      F.round(F.col("__dot")
+                              / (F.col("__qn") * F.col("__n")), 6)
+                      .alias("cosine")))
+    w = W.partitionBy("q_doc").orderBy(F.col("cosine").desc(), "doc")
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

@@ -2613,6 +2613,21 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_hashed_tfidf_knn(spark, sf_dir):
+    """Model-free text similarity (`text.hashed_tfidf_knn`): top-3
+    cosine neighbors for each query doc (doc_id % 97 == 0) over
+    feature-hashed sparse TF-IDF vectors, evaluated as an
+    inverted-slot-index join — partial products per shared hash slot,
+    never a dense all-pairs product. The no-embedding twin of
+    `ann_cosine_topk`; hashing, weights, dots and norms all replay in
+    SQL."""
+    from eventstorm_spark.extensions.text import hashed_tfidf_knn
+    docs = load(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id") % 97 == 0)
+    return (hashed_tfidf_knn(docs, qs, dim=256, k=3)
+            .orderBy("q_doc", F.col("cosine").desc(), "doc"))
+
+
 def q_quality_calibration(spark, sf_dir):
     """Cross-source quality-score calibration: raw model scores are
     not comparable across sources (each source's length/punctuation
@@ -6722,6 +6737,46 @@ _EXT_ORACLES["model_quality_score"] = f"""
            CAST(round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS INT) AS kept
     FROM z"""
 
+_EXT_ORACLES["hashed_tfidf_knn"] = """
+    WITH terms AS (
+        SELECT doc_id AS doc,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+        FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf
+           FROM terms GROUP BY doc, term),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dfr AS (SELECT term, count(DISTINCT doc) AS df
+            FROM terms GROUP BY term),
+    rows_ AS (
+        SELECT doc,
+               CAST(CAST(concat('0x', substr(md5(term), 1, 15))
+                         AS BIGINT) % 256 AS INT) AS slot,
+               tf * ln(CAST(n AS DOUBLE) / df) AS w0
+        FROM tf JOIN dfr USING (term) CROSS JOIN nn),
+    vec AS (SELECT doc, slot, round(sum(w0), 6) AS w
+            FROM rows_ GROUP BY doc, slot),
+    norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm
+              FROM vec GROUP BY doc),
+    q AS (SELECT doc AS q_doc, slot, w AS qw FROM vec
+          WHERE doc % 97 = 0),
+    dots AS (SELECT q.q_doc, v.doc, sum(q.qw * v.w) AS dot
+             FROM q JOIN vec v USING (slot)
+             WHERE q.q_doc <> v.doc
+             GROUP BY q.q_doc, v.doc),
+    scored AS (SELECT d.q_doc, d.doc,
+                      round(d.dot / (nq.nrm * nv.nrm), 6) AS cosine
+               FROM dots d
+               JOIN norms nq ON d.q_doc = nq.doc
+               JOIN norms nv ON d.doc = nv.doc),
+    rk AS (SELECT q_doc, doc, cosine,
+                  row_number() OVER (PARTITION BY q_doc
+                                     ORDER BY cosine DESC, doc) AS rn
+           FROM scored)
+    SELECT q_doc, doc, cosine FROM rk WHERE rn <= 3
+    ORDER BY q_doc, cosine DESC, doc"""
+
 _EXT_ORACLES["quality_calibration"] = f"""
     WITH {_QUALITY_SCORE_CTES},
     sc AS (SELECT z.doc_id, d.source,
@@ -7153,6 +7208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion_windowed": q_funnel_conversion_windowed,
         "proximity_search": q_proximity_search,
         "quality_calibration": q_quality_calibration,
+        "hashed_tfidf_knn": q_hashed_tfidf_knn,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -2720,3 +2720,21 @@ def test_proximity_search_window_semantics(spark):
         proximity_search(docs, ["big"])
     with _p.raises(ValueError):
         proximity_search(docs, ["big", "big"])
+
+
+def test_hashed_tfidf_knn_finds_planted_neighbor(spark):
+    from eventstorm_spark.extensions.text import hashed_tfidf_knn
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma epsilon"),   # near-twin of 0
+        (2, "zeta eta theta iota"),
+        (3, "zeta eta kappa lambda"),
+    ], ["doc_id", "text"])
+    qs = docs.where(F.col("doc_id") == 0)
+    got = hashed_tfidf_knn(docs, qs, dim=64, k=2).collect()
+    assert [r.doc for r in got][0] == 1       # the twin ranks first
+    assert all(r.q_doc == 0 and r.doc != 0 for r in got)
+    assert got[0].cosine > 0.3
+    # partitioning independence
+    again = hashed_tfidf_knn(docs.repartition(5), qs, dim=64, k=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
