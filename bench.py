@@ -146,6 +146,8 @@ HEADLINE = [
     "user_rfm_segments",
     "token_pmi_pairs",
     "wordpiece_piece_usage",
+    "proximity_search",
+    "hashed_tfidf_knn",
 ]
 
 
