@@ -1762,13 +1762,24 @@ def hashed_tfidf_knn(docs: DataFrame, query_docs: DataFrame, *,
     hash slot. The no-embedding-model twin of `ann_cosine_topk`; at
     corpus scale the (doc, slot, w) rows live at rest next to the
     BM25 postings and queries never re-tokenize the corpus.
+
+    Cost contract (measured, SCALE.md §10.4): linear in corpus size
+    for a FIXED query batch (52 queries: 2.7 s -> 9.5 s at 10x data);
+    a query set that GROWS with the corpus (e.g. a corpus-fraction
+    filter) makes the pair stage quadratic — batch query workloads,
+    don't self-join the corpus through this (that read is the
+    MinHash/SimHash dedup tier).
     Returns (q_doc, doc, cosine) with self-matches excluded."""
     from pyspark.sql import Window as W
 
+    # rows feeds four consumers (q, dots, both norm sides): without a
+    # checkpoint the tokenize+tf+df pipeline re-derives per consumer
+    # (measured 4x the work at sf0.1)
     rows = hashed_tfidf_rows(docs, dim=dim, text_col=text_col,
-                             id_col=id_col)
+                             id_col=id_col).localCheckpoint(eager=False)
     norms = (rows.groupBy("doc")
-             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n")))
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n"))
+             ).localCheckpoint(eager=False)
     qids = query_docs.select(F.col(id_col).alias("doc")).distinct()
     q = (rows.join(F.broadcast(qids), "doc")
          .select(F.col("doc").alias("q_doc"), "slot",
