@@ -131,11 +131,13 @@ HEADLINE = [
     "link_page_rank",
     "zorder_locality",
     "contrastive_triplets",
-    # round 10 (late): one per new tier — ~7 s of NEW coverage, compare
-    # per-query across rounds. cdc prices the per-position portable-md5
-    # explode (production mode is 1.75x cheaper, SCALE.md §10.4); the
-    # kmv overlap prices sketch build + the sources²×k pair stage; the
-    # rest are one-window / few-aggregate reads.
+    # round 10 (late): one per new tier — ~9 s of NEW coverage across
+    # these ten, compare per-query across rounds. cdc prices the
+    # per-position portable-md5 explode (production mode is 1.75x
+    # cheaper, SCALE.md §10.4); the kmv overlap prices sketch build +
+    # the sources²×k pair stage; wordpiece the vocab scoring + greedy
+    # segmentation; tfidf-knn the inverted-slot cosine join; the rest
+    # are one-window / few-aggregate reads.
     "cdc_chunk_dedup",
     "kmv_source_overlap",
     "events_ewma_anomaly",
