@@ -508,3 +508,39 @@ def weighted_sample(docs: DataFrame, *, k: int = 20,
             .withColumn("sample_rank", F.row_number().over(w))
             .where(F.col("sample_rank") <= k)
             .drop("__key"))
+
+
+def expect(df: DataFrame, checks: "dict[str, Column]") -> DataFrame:
+    """Data-quality assertion gate (the Great-Expectations-shaped
+    read): evaluate named boolean predicate columns over one scan and
+    report, per check, row count, violation count and violation rate
+    — the go/no-go table an ingest publishes before a snapshot is
+    promoted. ``checks`` maps check name -> a Column that is TRUE when
+    the row PASSES (NULL counts as a violation — an unevaluable check
+    is a failing check).
+
+    One map-side-combinable aggregate for ALL checks (each compiles to
+    a conditional sum — no per-check scans), then an unpivot to the
+    report shape; cross-table rules (referential containment) are a
+    left join producing just another boolean column upstream. At any
+    scale this is one pass over the fact table."""
+    if not checks:
+        raise ValueError("expect() needs at least one check")
+    aggs = []
+    for i, col in enumerate(checks.values()):
+        # positional aliases: check names are labels (may contain
+        # dots/spaces), not identifiers
+        aggs.append(F.sum(F.when(~F.coalesce(col, F.lit(False)), 1)
+                          .otherwise(0)).alias(f"__v_{i}"))
+    totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    pairs = ", ".join(f"'{n}', __v_{i}"
+                      for i, n in enumerate(checks))
+    report = totals.selectExpr(
+        "__n", f"stack({len(checks)}, {pairs}) AS (check, n_violations)")
+    return (report.select(
+        F.col("check"),
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("__n").cast("double"), 6)
+        .alias("violation_rate"))
+        .orderBy("check"))

@@ -2613,6 +2613,39 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_dq_gate(spark, sf_dir):
+    """Data-quality assertion gate (`pipeline.expect`): the
+    go/no-go violation report an ingest publishes before promoting a
+    snapshot — schema-value checks on the event stream (known types,
+    non-negative values, presence, time range, a deliberately-tight
+    value<=100 bound that the heavy tail violates so the report shape
+    is exercised) plus a cross-table referential check
+    (every lineitem orderkey resolves in orders, via one left join
+    producing a boolean like any other check). One
+    map-side-combinable aggregate per table for ALL its checks."""
+    from eventstorm_spark.extensions.pipeline import expect
+    ev = load(spark, sf_dir, "events")
+    ev_report = expect(ev, {
+        "events.event_type_known": F.col("event_type").isin(
+            ["view", "click", "purchase", "signup", "error"]),
+        "events.value_non_negative": F.col("value") >= 0,
+        "events.value_below_100": F.col("value") <= 100,
+        "events.user_id_present": F.col("user_id").isNotNull(),
+        "events.ts_in_2024": F.expr(
+            "ts >= TIMESTAMP_NTZ '2024-01-01 00:00:00' AND "
+            "ts < TIMESTAMP_NTZ '2025-01-01 00:00:00'"),
+    })
+    li = load(spark, sf_dir, "lineitem")
+    ok = (load(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey").alias("__ok")).distinct())
+    li2 = li.join(ok, li.l_orderkey == ok.__ok, "left")
+    li_report = expect(li2, {
+        "lineitem.orderkey_resolves": F.col("__ok").isNotNull(),
+        "lineitem.quantity_positive": F.col("l_quantity") > 0,
+    })
+    return ev_report.unionByName(li_report).orderBy("check")
+
+
 def q_hashed_tfidf_knn(spark, sf_dir):
     """Model-free text similarity (`text.hashed_tfidf_knn`): top-3
     cosine neighbors for each query doc (doc_id % 97 == 0) over
@@ -6737,6 +6770,51 @@ _EXT_ORACLES["model_quality_score"] = f"""
            CAST(round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS INT) AS kept
     FROM z"""
 
+_EXT_ORACLES["dq_gate"] = """
+    WITH ev AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN NOT coalesce(event_type IN
+                   ('view','click','purchase','signup','error'), FALSE)
+                   THEN 1 ELSE 0 END) AS v_type,
+               sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                   THEN 1 ELSE 0 END) AS v_nonneg,
+               sum(CASE WHEN NOT coalesce(value <= 100, FALSE)
+                   THEN 1 ELSE 0 END) AS v_b100,
+               sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   AS v_uid,
+               sum(CASE WHEN NOT coalesce(
+                       ts >= TIMESTAMP '2024-01-01'
+                       AND ts < TIMESTAMP '2025-01-01', FALSE)
+                   THEN 1 ELSE 0 END) AS v_ts
+        FROM events),
+    li AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS v_ref,
+               sum(CASE WHEN NOT coalesce(l.l_quantity > 0, FALSE)
+                   THEN 1 ELSE 0 END) AS v_qty
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey),
+    rows_ AS (
+        SELECT 'events.event_type_known' AS check, n,
+               CAST(v_type AS BIGINT) AS n_violations FROM ev
+        UNION ALL SELECT 'events.value_non_negative', n,
+               CAST(v_nonneg AS BIGINT) FROM ev
+        UNION ALL SELECT 'events.value_below_100', n,
+               CAST(v_b100 AS BIGINT) FROM ev
+        UNION ALL SELECT 'events.user_id_present', n,
+               CAST(v_uid AS BIGINT) FROM ev
+        UNION ALL SELECT 'events.ts_in_2024', n,
+               CAST(v_ts AS BIGINT) FROM ev
+        UNION ALL SELECT 'lineitem.orderkey_resolves', n,
+               CAST(v_ref AS BIGINT) FROM li
+        UNION ALL SELECT 'lineitem.quantity_positive', n,
+               CAST(v_qty AS BIGINT) FROM li)
+    SELECT "check", n AS n_rows, n_violations,
+           round(n_violations / CAST(n AS DOUBLE), 6) AS violation_rate
+    FROM rows_ ORDER BY "check" """
+
 _EXT_ORACLES["hashed_tfidf_knn"] = """
     WITH terms AS (
         SELECT doc_id AS doc,
@@ -7209,6 +7287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "quality_calibration": q_quality_calibration,
         "hashed_tfidf_knn": q_hashed_tfidf_knn,
+        "dq_gate": q_dq_gate,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,

@@ -2738,3 +2738,23 @@ def test_hashed_tfidf_knn_finds_planted_neighbor(spark):
     # partitioning independence
     again = hashed_tfidf_knn(docs.repartition(5), qs, dim=64, k=2).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_expect_quality_gate(spark):
+    from eventstorm_spark.extensions.pipeline import expect
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (4, "a", None)],
+        ["id", "cat", "v"])
+    got = {r.check: (r.n_rows, r.n_violations, r.violation_rate)
+           for r in expect(df, {
+               "cat present": F.col("cat").isNotNull(),
+               "v non-negative": F.col("v") >= 0,
+               "id positive": F.col("id") > 0,
+           }).collect()}
+    assert got["cat present"] == (4, 1, 0.25)
+    # NULL predicate (v is NULL) counts as a violation
+    assert got["v non-negative"] == (4, 2, 0.5)
+    assert got["id positive"] == (4, 0, 0.0)
+    import pytest as _p
+    with _p.raises(ValueError):
+        expect(df, {})
