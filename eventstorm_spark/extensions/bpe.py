@@ -221,8 +221,8 @@ def bpe_fertility(docs: DataFrame, *, num_merges: int = 8,
 
 
 def wordpiece_vocab(docs: DataFrame, *, max_piece_len: int = 5,
-                    num_pieces: int = 64,
-                    text_col: str = "text") -> DataFrame:
+                    num_pieces: int = 64, text_col: str = "text",
+                    wf: DataFrame | None = None) -> DataFrame:
     """Frequency-initialized subword vocabulary for greedy
     longest-match segmentation (:func:`wordpiece_segment`) — the OTHER
     major tokenizer family next to the BPE trainer: every observed

@@ -2727,8 +2727,9 @@ def q_wordpiece_piece_usage(spark, sf_dir):
                                                  wordpiece_segment,
                                                  wordpiece_vocab)
     docs = load(spark, sf_dir, "documents")
-    wf = word_frequencies(docs)
-    vocab = wordpiece_vocab(docs, max_piece_len=5, num_pieces=64)
+    # one corpus-sized tokenize, shared by vocab scoring and usage
+    wf = word_frequencies(docs).localCheckpoint(eager=False)
+    vocab = wordpiece_vocab(docs, max_piece_len=5, num_pieces=64, wf=wf)
     seg = wordpiece_segment(wf, vocab, max_piece_len=5)
     return (seg.join(wf, "word")
             .groupBy("piece")
