@@ -2613,6 +2613,70 @@ def q_join_key_skew(spark, sf_dir):
             .unionByName(key_skew_report(ev, "user_id")))
 
 
+def q_events_seasonal_deviation(spark, sf_dir):
+    """Seasonal-baseline anomaly read, completing the anomaly family
+    (global z = events_anomalies, robust = events_mad_outliers, local
+    = events_ewma_anomaly, level shift = events_cusum_shift; this one
+    catches 'normal for 3am, wrong for 3pm'): per (event_type,
+    hour-of-day), the Jan 1-20 training window's mean/stddev of value
+    vs the Jan 20-30 scoring window's mean, as a seasonal z-score.
+    Two map-side-combined aggregates + a broadcast join on the tiny
+    (type x 24) profile — the profile is the at-rest artifact at
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    cut = "TIMESTAMP_NTZ '2024-01-20 00:00:00'"
+    hod = F.hour("ts").alias("hod")
+    base = (ev.where(F.expr(f"ts < {cut}"))
+            .groupBy("event_type", hod)
+            .agg(F.round(F.avg("value"), 6).alias("mu"),
+                 F.round(F.stddev_samp("value"), 6).alias("sigma")))
+    recent = (ev.where(F.expr(f"ts >= {cut}"))
+              .groupBy("event_type", hod)
+              .agg(F.count(F.lit(1)).alias("n_recent"),
+                   F.round(F.avg("value"), 6).alias("mean_recent")))
+    z = F.round((F.col("mean_recent") - F.col("mu")) / F.col("sigma"), 6)
+    return (recent.join(F.broadcast(base), ["event_type", "hod"])
+            .select("event_type", "hod", "n_recent", "mu",
+                    "mean_recent", z.alias("seasonal_z"))
+            .orderBy("event_type", "hod"))
+
+
+def q_funnel_transition_times(spark, sf_dir):
+    """Funnel latency profile — the companion read to the conversion
+    counts: among converting users (view -> later click -> later
+    purchase, first occurrences), the median and p90 transition
+    SECONDS per stage pair. Exact interpolated percentiles over the
+    per-user transition table (two conditional-min joins, same shape
+    as the funnel)."""
+    ev = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = (ev.groupBy("user_id").agg(tv.alias("first_view"))
+                .where(F.col("first_view").isNotNull()))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    fc = (per_user.join(clicks, "user_id")
+          .where(F.col("click_ts") > F.col("first_view"))
+          .groupBy("user_id", "first_view")
+          .agg(F.min("click_ts").alias("first_click")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("p_ts")))
+    fp = (fc.join(purch, "user_id")
+          .where(F.col("p_ts") > F.col("first_click"))
+          .groupBy("user_id", "first_view", "first_click")
+          .agg(F.min("p_ts").alias("first_purchase")))
+    t1 = ((us("first_click") - us("first_view")) / 1e6).alias("secs")
+    t2 = ((us("first_purchase") - us("first_click")) / 1e6).alias("secs")
+    stages = (fp.select(F.lit("view->click").alias("stage"), t1)
+              .unionByName(
+                  fp.select(F.lit("click->purchase").alias("stage"), t2)))
+    return (stages.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.expr("percentile(secs, 0.5)"), 3).alias("p50_s"),
+                 F.round(F.expr("percentile(secs, 0.9)"), 3).alias("p90_s"))
+            .orderBy("stage"))
+
+
 def q_dq_gate(spark, sf_dir):
     """Data-quality assertion gate (`pipeline.expect`): the
     go/no-go violation report an ingest publishes before promoting a
@@ -6771,6 +6835,56 @@ _EXT_ORACLES["model_quality_score"] = f"""
            CAST(round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS INT) AS kept
     FROM z"""
 
+_EXT_ORACLES["events_seasonal_deviation"] = """
+    WITH base AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+               round(avg(value), 6) AS mu,
+               round(stddev_samp(value), 6) AS sigma
+        FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        GROUP BY 1, 2),
+    recent AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+               count(*) AS n_recent,
+               round(avg(value), 6) AS mean_recent
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        GROUP BY 1, 2)
+    SELECT r.event_type, r.hod, r.n_recent, b.mu, r.mean_recent,
+           round((r.mean_recent - b.mu) / b.sigma, 6) AS seasonal_z
+    FROM recent r JOIN base b
+      ON r.event_type = b.event_type AND r.hod = b.hod
+    ORDER BY r.event_type, r.hod"""
+
+_EXT_ORACLES["funnel_transition_times"] = """
+    WITH fv AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS first_view
+        FROM events GROUP BY user_id),
+    fc AS (
+        SELECT e.user_id, fv.first_view, min(e.ts) AS first_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.first_view
+        GROUP BY e.user_id, fv.first_view),
+    fp AS (
+        SELECT e.user_id, fc.first_view, fc.first_click,
+               min(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        GROUP BY e.user_id, fc.first_view, fc.first_click),
+    stages AS (
+        SELECT 'view->click' AS stage,
+               (epoch_us(first_click) - epoch_us(first_view)) / 1e6
+                   AS secs
+        FROM fp
+        UNION ALL
+        SELECT 'click->purchase',
+               (epoch_us(first_purchase) - epoch_us(first_click)) / 1e6
+        FROM fp)
+    SELECT stage, count(*) AS n_users,
+           round(quantile_cont(secs, 0.5), 3) AS p50_s,
+           round(quantile_cont(secs, 0.9), 3) AS p90_s
+    FROM stages GROUP BY stage ORDER BY stage"""
+
 _EXT_ORACLES["dq_gate"] = """
     WITH ev AS (
         SELECT count(*) AS n,
@@ -7289,6 +7403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "hashed_tfidf_knn": q_hashed_tfidf_knn,
         "dq_gate": q_dq_gate,
+        "events_seasonal_deviation": q_events_seasonal_deviation,
+        "funnel_transition_times": q_funnel_transition_times,
         "join_key_skew": q_join_key_skew,
         "event_transitions": q_event_transitions,
         "cms_event_type_counts": q_cms_event_type_counts,
