@@ -640,3 +640,15 @@ def test_ewma_single_window_no_sort_exchange(q):
     plan = q("events_ewma_anomaly")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange range" not in plan
+
+
+def test_final_wave_plan_shapes(q):
+    # seasonal profile joins via broadcast; gate/funnel/rfm/pmi/
+    # calibration stay pure JVM
+    plan = q("events_seasonal_deviation")
+    assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
+    for name in ["dq_gate", "funnel_conversion_windowed",
+                 "funnel_transition_times", "user_rfm_segments",
+                 "token_pmi_pairs", "quality_calibration",
+                 "hashed_tfidf_knn"]:
+        assert "BatchEvalPython" not in q(name), name
