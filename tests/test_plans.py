@@ -80,8 +80,10 @@ def test_inventory_broadcast_hints_only_on_bounded_tables():
     # thresh = nation_part_share's 1-row scalar-aggregate frame;
     # outs = event_transitions' per-event-type outgoing totals
     # (|event_types| rows, sf-invariant)
+    # base = events_seasonal_deviation's (event_type x 24) training
+    # profile — bounded by key-cardinality x hours, sf-invariant
     assert hinted <= {"nation", "region", "stats", "max_rev", "avg_bal",
-                      "thresh", "outs"}, hinted
+                      "thresh", "outs", "base"}, hinted
 
 
 def test_read_path_pushes_to_parquet_and_stays_jvm(q):
