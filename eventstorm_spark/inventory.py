@@ -7377,14 +7377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 10 rotation: window head = the 14 late-r10 queries
-        #    (kmv_source_overlap .. wordpiece_piece_usage, inserted as
-        #    they landed), then the earlier r10 additions, then the
-        #    r9-new entries that had no driver evidence yet (all
-        #    locally parity-green), then rotation continues
-        #    oldest-evidence-first. Entries pushed past the 50-slot
-        #    window by r10 insertions are r7-green and rotate next
-        #    round. --
+        # -- round 10 rotation: window head = the 20 late-r10 queries
+        #    (kmv_source_overlap .. funnel_transition_times, inserted
+        #    as they landed; all sf0.01-parity-verified locally), then
+        #    the earlier r10 additions, then the r9-new entries that
+        #    had no driver evidence yet. Entries pushed past the
+        #    50-slot window by r10 insertions are r7-green and rotate
+        #    next round. --
         "kmv_source_overlap": q_kmv_source_overlap,
         "skew_salted_join": q_skew_salted_join,
         "corpus_drift_psi": q_corpus_drift_psi,
