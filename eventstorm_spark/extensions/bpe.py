@@ -235,8 +235,13 @@ def wordpiece_vocab(docs: DataFrame, *, max_piece_len: int = 5,
     :func:`word_frequencies` (shared with BPE); candidates explode
     from the (vocabulary-sized) word table as (position, length)
     substrings — O(|words| x len x max_piece_len) rows, corpus-size
-    independent — and the top-K is one window. Returns (piece, n)."""
-    wf = word_frequencies(docs, text_col=text_col)
+    independent — and the top-K is one window. Returns (piece, n).
+
+    ``wf`` lets a caller that already materialized the
+    (word, freq) table (e.g. to share the corpus tokenize pass with a
+    segmentation usage rollup) pass it in instead of re-deriving it."""
+    if wf is None:
+        wf = word_frequencies(docs, text_col=text_col)
     cands = None
     for ln in range(1, max_piece_len + 1):
         c = (wf.select(

@@ -1624,6 +1624,11 @@ def decay_index_scores(spark, path: str, *,
     if as_of_us is not None:
         m = _re.fullmatch(r"(\d+)\s*(day|hour|minute)s?",
                           str(meta["half_life"]).strip())
+        if m is None:
+            raise ValueError(
+                f"unsupported half_life {meta['half_life']!r} in index "
+                f"meta at {path} (expected '<n> day[s]/hour[s]/"
+                f"minute[s]')")
         mult = {"day": 86_400, "hour": 3_600, "minute": 60}[m.group(2)]
         hl_us = int(m.group(1)) * mult * 1_000_000
         delta = float(int(as_of_us) - int(meta["ref_ts_us"]))

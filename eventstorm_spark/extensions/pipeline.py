@@ -533,7 +533,10 @@ def expect(df: DataFrame, checks: "dict[str, Column]") -> DataFrame:
         aggs.append(F.sum(F.when(~F.coalesce(col, F.lit(False)), 1)
                           .otherwise(0)).alias(f"__v_{i}"))
     totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    pairs = ", ".join(f"'{n}', __v_{i}"
+    # check names are arbitrary labels interpolated as SQL string
+    # literals — escape embedded quotes so a name like "isn't null"
+    # can't break the generated stack() expression
+    pairs = ", ".join(f"""'{n.replace("'", "''")}', __v_{i}"""
                       for i, n in enumerate(checks))
     report = totals.selectExpr(
         "__n", f"stack({len(checks)}, {pairs}) AS (check, n_violations)")

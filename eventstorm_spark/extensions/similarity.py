@@ -1264,8 +1264,9 @@ def rotate_embeddings(embeddings: DataFrame, rotation: np.ndarray, *,
 
 def mine_triplets(embeddings: DataFrame, *,
                   planes: list[list[float]] | None = None,
-                  num_planes: int = 24, bands: int = 4,
-                  max_bucket_size: int | None = None,
+                  num_planes: int | None = None, bands: int | None = None,
+                  max_bucket_size: int | None = 512,
+                  target_bucket_size: int = 64,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   label_col: str = "label") -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets for contrastive
@@ -1300,11 +1301,39 @@ def mine_triplets(embeddings: DataFrame, *,
     Scale shape: the label-blocked positive join shuffles on label; the
     negative side reuses the LSH machinery's slim (id, id) candidate
     pairs; the final assembly is two per-anchor top-1 windows and an
-    id-keyed join. No all-pairs product anywhere.
+    id-keyed join. No all-pairs product anywhere — PROVIDED the
+    banding keeps buckets bounded: candidate mass is sum over buckets
+    of |bucket|^2, linear only while bucket sizes stay bounded, so the
+    SCALE-SAFE DEFAULTS here derive bits-per-band from the corpus
+    (bucket count ~= n / ``target_bucket_size``, one cheap count job
+    when ``num_planes``/``bands`` are not given) and cap degenerate
+    buckets at ``max_bucket_size=512`` (deterministic whole-bucket
+    drop, SQL-replayable as ``HAVING count(*) <= cap``). The sf1 probe
+    (SCALE.md section 10.3) measured the difference: a CONSTANT 6-bit
+    band uncapped is 19.3x at 10x data (quadratic); 12-bit + cap 512
+    is 3.4x with 62% of anchors keeping a hard negative. Pass explicit
+    ``num_planes``/``bands``/``max_bucket_size=None`` to reproduce a
+    fixed small-corpus config.
     """
+    import math
+
     from pyspark.sql import Window as W
 
     from eventstorm_spark.extensions.dedup import embedding_near_duplicates
+
+    if bands is None:
+        bands = 2
+    if num_planes is None:
+        if planes is not None:
+            num_planes = len(planes)
+        else:
+            # bucket count ~= n / target_bucket_size per band: grow
+            # bits with the corpus so bucket sizes stay bounded
+            n = embeddings.count()
+            bits = int(math.ceil(math.log2(
+                max(2.0, n / float(target_bucket_size)))))
+            bits = min(max(bits, 4), 24)
+            num_planes = bits * bands
 
     labels = embeddings.select(F.col(id_col).alias("__id"),
                                F.col(label_col).alias("__lbl"))

@@ -536,12 +536,12 @@ def streaming_ewma_anomalies(events_stream: DataFrame, *,
         if s is not None:
             state.update((_json.dumps(s),))
         if us_o:
-            yield pd.DataFrame({"user_id": [key[0]] * len(us_o),
+            yield pd.DataFrame({key_col: [key[0]] * len(us_o),
                                 "us": us_o, "value": v_o,
                                 "ewma": e_o, "score": sc_o})
 
     return keyed.groupBy("__k").applyInPandasWithState(
-        fold, f"user_id {dict(events_stream.dtypes)[key_col]}, "
+        fold, f"{key_col} {dict(events_stream.dtypes)[key_col]}, "
         "us long, value double, ewma double, score double",
         "state string", "append", GroupStateTimeout.NoTimeout)
 

@@ -2850,16 +2850,17 @@ def q_user_rfm_segments(spark, sf_dir):
 
 def q_events_cusum_shift(spark, sf_dir):
     """CUSUM changepoint detection (`temporal.cusum_alerts`) on a
-    planted mean shift, monitored over HOURLY SUBGROUP MEANS — the
+    planted mean shift, monitored over DAILY SUBGROUP MEANS — the
     standard SPC discipline: raw event values here are heavy-tailed
     (a single 490 spike would alarm any per-event monitor), but the
-    ~28-event hourly mean damps the tail by sqrt(n), so the one-sided
-    CUSUM against the known ref=50 baseline (slack 10 -> ~-10/hour
-    drift before the +25 shift planted at Jan 20, +15/hour after;
-    threshold 100) alarms within hours of the changepoint instead of
-    on noise. The order-serial clamp recurrence runs as its closed
-    form — one running sum + one running min over a single (key,
-    time) window exchange — so the whole detector replays in SQL."""
+    ~680-event daily mean damps the tail by sqrt(n), so the one-sided
+    CUSUM against the known ref=50 baseline (slack 10 -> roughly
+    -10/day drift before the +25 shift planted at Jan 20, +15/day
+    after; threshold 50) alarms within days of the changepoint
+    instead of on noise. The order-serial clamp recurrence runs as
+    its closed form — one running sum + one running min over a single
+    (key, time) window exchange — so the whole detector replays in
+    SQL."""
     from eventstorm_spark.extensions.temporal import cusum_alerts
     ev = load(spark, sf_dir, "events")
     shifted = ev.withColumn(
@@ -3190,12 +3191,16 @@ def q_contrastive_triplets(spark, sf_dir):
     negative drawn from the banded sign-LSH candidate set with portable
     planes — the LSH buckets double as the hard-negative sampler, so
     the oracle replays buckets, candidates, both top-1 windows and the
-    margin."""
+    margin. This ships the SCALE-SAFE config the sf1 probe validated
+    (SCALE.md section 10.3): 12-bit bands (24 planes / 2 bands) +
+    max_bucket_size=512 — 3.4x at 10x data vs 19.3x for the old
+    uncapped 6-bit config. The cap is equally oracle-replayable:
+    HAVING count(*) <= 512 on the (band, bucket) groups."""
     from eventstorm_spark.extensions.similarity import (_portable_planes,
                                                         mine_triplets)
     emb = load(spark, sf_dir, "embeddings")
     return mine_triplets(emb, planes=_portable_planes(64, 24),
-                         num_planes=24, bands=4)
+                         num_planes=24, bands=2, max_bucket_size=512)
 
 
 def q_zorder_locality(spark, sf_dir):
@@ -5847,14 +5852,21 @@ _EXT_ORACLES["contrastive_triplets"] = """
                     THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
         FROM vecs CROSS JOIN planes),
     buckets AS (
-        SELECT vec_id, p // 6 AS band,
-               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)))
-                    + ((p // 6) << 40) AS BIGINT) AS bucket
-        FROM bits GROUP BY vec_id, p // 6),
+        SELECT vec_id, p // 12 AS band,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 12 AS INT)))
+                    + ((p // 12) << 40) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, p // 12),
+    capped AS (
+        -- max_bucket_size=512: deterministic whole-bucket drop
+        SELECT b.vec_id, b.band, b.bucket
+        FROM buckets b
+        JOIN (SELECT band, bucket FROM buckets
+              GROUP BY band, bucket HAVING count(*) <= 512) ok
+          ON b.band = ok.band AND b.bucket = ok.bucket),
     cands AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM buckets a
-        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
                       AND a.vec_id < b.vec_id),
     scored AS (
         SELECT id_a, id_b,
