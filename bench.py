@@ -125,6 +125,13 @@ HEADLINE = [
     # GEMM + LSH hard-negative mining (~3.7 s).
     "events_gapfill_interp",
     "events_m4",
+    # round 11: the three audited sketch queries are benched in their
+    # SCALE FORM (audit=False — sketch/approx only, see SCALE_FORMS
+    # below): the driver/oracle keep the exact-audit columns, but the
+    # audit is the cost the sketch exists to REPLACE (sf1 probes: hdr
+    # 5.1x->1.3x, kmv 2.8x->2.1x, mad exact sort vs approx_percentile),
+    # so the headline should price the operator, not its verification.
+    # Compare per-query across r10/r11 accordingly.
     "hdr_value_quantiles",
     "kmv_distinct_tokens",
     "heavy_hitter_tokens",
@@ -153,6 +160,12 @@ HEADLINE = [
 ]
 
 
+# Queries benched with audit=False (sketch-only / approx scale form);
+# the queries() entries the driver checks keep the audited default.
+SCALE_FORMS = {"hdr_value_quantiles", "kmv_distinct_tokens",
+               "events_mad_outliers"}
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -166,7 +179,10 @@ def main() -> None:
 
     from eventstorm_spark import inventory
 
-    qs = inventory.queries()
+    qs = dict(inventory.queries())
+    for n in SCALE_FORMS:
+        fn = qs[n]
+        qs[n] = (lambda f: lambda spark, d: f(spark, d, audit=False))(fn)
     names = [n for n in HEADLINE if n in qs]
 
     # Warm the JVM + parquet footers once with the cheapest query.

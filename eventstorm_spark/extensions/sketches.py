@@ -465,7 +465,8 @@ def streaming_heavy_hitters(stream_df: DataFrame, col: str, *,
 
 def mad_outlier_report(df: DataFrame, col: str, *,
                        group_cols: Sequence[str] = (),
-                       cutoff: float = 3.0) -> DataFrame:
+                       cutoff: float = 3.0,
+                       approx: bool = False) -> DataFrame:
     """Robust per-group outlier sweep on median/MAD instead of
     mean/sigma: ``score = |x - median| / (1.4826 * MAD)`` (1.4826
     scales MAD to sigma under normality), flagging ``score > cutoff``.
@@ -477,25 +478,28 @@ def mad_outlier_report(df: DataFrame, col: str, *,
     Three passes over the data (median -> MAD -> flag/count), each a
     map-side-combinable aggregate with the tiny per-group stats
     broadcast back — the same two-pass shape as the z-score sweep plus
-    one. Exact sort-based ``percentile`` here; at corpus scale swap in
-    ``percentile_approx`` (same plan shape, bounded memory) or serve
-    the medians from the at-rest HDR index. Intermediate median/MAD
-    are quantized to 6 decimals before re-entering arithmetic so the
-    chained computation replays identically in an external engine.
+    one. ``approx=False`` (the audited/oracle-replayable default) uses
+    exact sort-based ``percentile``; ``approx=True`` is the 100 TB
+    SCALE FORM — ``percentile_approx`` (KLL-style bounded-memory
+    sketch, same plan shape, no per-group sort) — or serve the medians
+    from the at-rest HDR index. Intermediate median/MAD are quantized
+    to 6 decimals before re-entering arithmetic so the chained
+    computation replays identically in an external engine.
 
     Returns (group..., med, mad, n, n_outliers, outlier_frac,
     max_score); mad == 0 (majority-constant groups) yields NULL
     scores rather than infinities."""
     gs = list(group_cols)
     v = F.col(col)
+    pct = "approx_percentile" if approx else "percentile"
     med = (df.groupBy(*gs)
-           .agg(F.round(F.expr(f"percentile({col}, 0.5)"), 6)
+           .agg(F.round(F.expr(f"{pct}({col}, 0.5)"), 6)
                 .alias("med")))
     with_med = df.join(F.broadcast(med), gs) if gs else \
         df.crossJoin(F.broadcast(med))
     mad = (with_med.groupBy(*gs, "med")
            .agg(F.round(F.expr(
-               f"percentile(abs({col} - med), 0.5)"), 6).alias("mad")))
+               f"{pct}(abs({col} - med), 0.5)"), 6).alias("mad")))
     with_mad = df.join(F.broadcast(mad), gs) if gs else \
         df.crossJoin(F.broadcast(mad))
     dev = F.abs(v - F.col("med"))

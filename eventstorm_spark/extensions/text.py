@@ -7,6 +7,7 @@ exact SQL twin for the DuckDB oracle (see inventory).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd  # module-level: pandas_udf type-hint resolution
 
 from pyspark.sql import Column, DataFrame
@@ -1522,22 +1523,34 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
     ``i`` iff ``portable_hash60(substr(text, i-window+1, window)) %
     divisor == 0``. Chunks are the segments between consecutive
     boundaries ``[0] + cuts + [len]``; docs shorter than ``window``
-    are a single chunk; empty docs yield no chunks. ``portable=False``
-    swaps the md5 slice for ``xxhash64`` on the boundary test (the
-    chunk-identity md5 stays — it's one call per CHUNK, not per
-    position), the standard portable-vs-production hash trade
-    (SCALE.md §8); a true rolling (Rabin/gear) hash in an Arrow batch
-    would drop the per-position substring too, at the cost of leaving
-    whole-stage codegen.
+    are a single chunk; empty docs yield no chunks.
 
-    Plan shape: the position explode is a flat map (O(total chars)
-    rows through a projection, no shuffle), cut positions aggregate to
-    one array per doc (shuffle carries ~len/divisor ints per doc, not
-    the text), and chunk extraction is array arithmetic joined back to
-    the one-row-per-doc text — all whole-stage codegen, no UDFs.
+    ``portable=False`` is the PRODUCTION mode: a true rolling
+    polynomial (Rabin) hash evaluated in Arrow batches
+    (:func:`_cdc_chunks_rolling`) — O(window) vectorized numpy passes
+    per batch instead of one md5 per POSITION through the explode, the
+    standard portable-vs-production hash trade (SCALE.md §8) taken one
+    step further because here even a cheap per-position hash pays the
+    O(total chars) row explode. Boundaries differ from portable mode
+    (different hash family; offsets are BYTES there, chars here) but
+    the CDC contract — tiling, ~divisor expected length, boundary
+    re-synchronization after edits — is identical and test-pinned in
+    both modes.
+
+    Plan shape (portable mode): the position explode is a flat map
+    (O(total chars) rows through a projection, no shuffle), cut
+    positions aggregate to one array per doc (shuffle carries
+    ~len/divisor ints per doc, not the text), and chunk extraction is
+    array arithmetic joined back to the one-row-per-doc text — all
+    whole-stage codegen, no UDFs.
     Returns (id, *keep_cols, chunk_idx, chunk_start, chunk_len,
     chunk_hash=md5(chunk))."""
     from eventstorm_spark.extensions.dedup import portable_hash60
+
+    if not portable:
+        return _cdc_chunks_rolling(docs, window=window, divisor=divisor,
+                                   text_col=text_col, id_col=id_col,
+                                   keep_cols=keep_cols)
 
     keep = [F.col(c) for c in keep_cols]
     base = docs.select(F.col(id_col).alias("__id"), *keep,
@@ -1549,8 +1562,7 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
                    .alias("i")))
     win = F.substring(F.col("__t"), F.col("i") - (window - 1),
                       F.lit(window))
-    h = (portable_hash60(win) if portable
-         else F.shiftrightunsigned(F.xxhash64(win), 4))
+    h = portable_hash60(win)
     cuts = (pos.where(F.pmod(h, F.lit(divisor)) == 0)
             .groupBy("__id")
             .agg(F.sort_array(F.collect_list("i")).alias("__cuts")))
@@ -1574,6 +1586,80 @@ def cdc_chunks(docs: DataFrame, *, window: int = 16, divisor: int = 64,
                      start.alias("chunk_start"),
                      clen.alias("chunk_len"),
                      F.md5(chunk).alias("chunk_hash"))
+
+
+def _cdc_chunks_rolling(docs: DataFrame, *, window: int, divisor: int,
+                        text_col: str, id_col: str,
+                        keep_cols: tuple) -> DataFrame:
+    """Production CDC chunker: Rabin polynomial rolling hash over UTF-8
+    BYTES, Arrow-batched. The per-position fingerprint is
+    ``H(p) = sum_j byte[p+j] * B^(window-1-j) mod 2^64`` (B=257, the
+    modulus implicit in uint64 wraparound); instead of rolling
+    position-by-position it is evaluated as ``window`` shifted
+    vectorized multiply-adds over the whole byte array — O(window)
+    numpy passes per document, no per-position Python and no
+    per-position row explode. Cut after byte ``i`` (1-based,
+    ``i >= window``) iff ``H(i-window) % divisor == 0`` — the same
+    window-ending-at-i rule as portable mode, over bytes.
+
+    Stateless per document, so this is a pure flat map: no shuffle at
+    all (the portable path shuffles cut arrays to rejoin the text; here
+    the text is already in hand inside the batch). chunk_start /
+    chunk_len are BYTE offsets; chunk_hash = md5 of the chunk's bytes,
+    which for ASCII text equals portable mode's md5-of-substring."""
+    import hashlib
+
+    fields = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    out_schema = ", ".join(
+        [f"{id_col} {fields[id_col]}"]
+        + [f"{c} {fields[c]}" for c in keep_cols]
+        + ["chunk_idx int", "chunk_start int", "chunk_len int",
+           "chunk_hash string"])
+    src = docs.select(id_col, *keep_cols, text_col)
+    w = window
+    weights = np.array([pow(257, w - 1 - j, 1 << 64) for j in range(w)],
+                       dtype=np.uint64)
+
+    def chunker(batches):
+        for pdf in batches:
+            ids, keeps, idxs, starts, lens, hashes = \
+                [], {c: [] for c in keep_cols}, [], [], [], []
+            for row in pdf.itertuples(index=False):
+                text = getattr(row, text_col)
+                b = text.encode("utf-8") if text is not None else b""
+                n = len(b)
+                if n == 0:
+                    continue
+                if n < w:
+                    bounds = [0, n]
+                else:
+                    c = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                    m = n - w + 1
+                    H = np.zeros(m, dtype=np.uint64)
+                    with np.errstate(over="ignore"):
+                        for j in range(w):
+                            H += c[j:j + m] * weights[j]
+                    cuts = (np.nonzero(H % np.uint64(divisor)
+                                       == 0)[0] + w).tolist()
+                    bounds = [0] + cuts + ([n] if (not cuts
+                                                   or cuts[-1] < n) else [])
+                for j, (s, e) in enumerate(zip(bounds, bounds[1:]),
+                                           start=1):
+                    ids.append(getattr(row, id_col))
+                    for cc in keep_cols:
+                        keeps[cc].append(getattr(row, cc))
+                    idxs.append(j)
+                    starts.append(s)
+                    lens.append(e - s)
+                    hashes.append(hashlib.md5(b[s:e]).hexdigest())
+            if ids:
+                out = {id_col: ids}
+                out.update(keeps)
+                out.update({"chunk_idx": idxs, "chunk_start": starts,
+                            "chunk_len": lens, "chunk_hash": hashes})
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(chunker, out_schema)
 
 
 def phrase_search(docs: DataFrame, phrase: list[str], *,

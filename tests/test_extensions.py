@@ -2580,17 +2580,22 @@ def test_hdr_nonpositive_underflow_bucket(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_cdc_chunks_tile_and_resync(spark):
+@pytest.mark.parametrize("portable", [True, False])
+def test_cdc_chunks_tile_and_resync(spark, portable):
     """Chunks tile each doc exactly, and an edit near the start leaves
     the post-edit chunks identical (boundary re-synchronization — the
     property fixed-size blocking lacks and the whole reason CDC
-    exists)."""
+    exists). Runs in BOTH modes: portable (md5-substring explode,
+    oracle-replayable) and production (Arrow-batched Rabin rolling
+    hash) — the boundaries differ across modes but the CDC contract
+    must hold in each."""
     from eventstorm_spark.extensions.text import cdc_chunks
     body = "the quick brown fox jumps over the lazy dog " * 30
     docs = spark.createDataFrame(
         [(1, body), (2, "EDITED PREAMBLE >>> " + body),
          (3, "tiny"), (4, "")], ["doc_id", "text"])
-    rows = cdc_chunks(docs, window=16, divisor=32).collect()
+    rows = cdc_chunks(docs, window=16, divisor=32,
+                      portable=portable).collect()
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
@@ -2599,6 +2604,7 @@ def test_cdc_chunks_tile_and_resync(spark):
     # tiling: contiguous, complete, 1-indexed
     assert d1[0].chunk_start == 0
     assert sum(r.chunk_len for r in d1) == len(body)
+    assert len(d1) > 5  # the divisor actually cuts (not one blob)
     for a, b in zip(d1, d1[1:]):
         assert b.chunk_start == a.chunk_start + a.chunk_len
         assert b.chunk_idx == a.chunk_idx + 1
@@ -2613,8 +2619,8 @@ def test_cdc_chunks_tile_and_resync(spark):
     assert 4 not in by_doc
     # deterministic under repartitioning
     again = {(r.doc_id, r.chunk_idx, r.chunk_hash)
-             for r in cdc_chunks(docs.repartition(5),
-                                 window=16, divisor=32).collect()}
+             for r in cdc_chunks(docs.repartition(5), window=16,
+                                 divisor=32, portable=portable).collect()}
     assert again == {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows}
 
 
