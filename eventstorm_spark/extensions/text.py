@@ -1785,10 +1785,20 @@ def proximity_search(docs: DataFrame, terms: list[str], *, slop: int = 8,
     base = (docs.select(F.col(id_col).alias("doc"),
                         F.posexplode(toks).alias("pos", "tok"))
             .where(F.col("tok").isin(terms)))
-    cur = (base.where(F.col("tok") == terms[0])
+    return _proximity_join(base, terms, slop)
+
+
+def _proximity_join(postings: DataFrame, terms: list[str],
+                    slop: int) -> DataFrame:
+    """Shared proximity evaluation over (doc, pos, tok) postings —
+    used by the in-memory :func:`proximity_search` and by callers
+    serving a shared/at-rest positional postings table (the same
+    split as :func:`_phrase_join`, so the two search forms cannot
+    drift from their index-served twins)."""
+    cur = (postings.where(F.col("tok") == terms[0])
            .select("doc", F.col("pos").alias("p0")))
     for j, term in enumerate(terms[1:], start=1):
-        nxt = (base.where(F.col("tok") == term)
+        nxt = (postings.where(F.col("tok") == term)
                .select("doc", F.col("pos").alias(f"p{j}")))
         cur = cur.join(nxt, "doc")
     ps = [F.col(f"p{j}") for j in range(len(terms))]
@@ -1802,7 +1812,8 @@ def proximity_search(docs: DataFrame, terms: list[str], *, slop: int = 8,
 
 def hashed_tfidf_rows(docs: DataFrame, *, dim: int = 256,
                       text_col: str = "text", id_col: str = "doc_id",
-                      portable: bool = True) -> DataFrame:
+                      portable: bool = True,
+                      terms: DataFrame | None = None) -> DataFrame:
     """Feature-hashed sparse TF-IDF vectors as (doc, slot, w) ROWS —
     text similarity with no trained model: each term hashes to one of
     ``dim`` slots (the hashing trick — collisions sum, no vocabulary
@@ -1813,14 +1824,20 @@ def hashed_tfidf_rows(docs: DataFrame, *, dim: int = 256,
     inverted-index equi-join on the slot — the classic scalable
     sparse-similarity plan — and every step stays in whole-stage
     codegen (a dense array would cost an interpreted per-element HOF
-    per doc). One tokenize pass, two map-side-combined aggregates."""
+    per doc). One tokenize pass, two map-side-combined aggregates.
+
+    ``terms`` lets a caller that already holds the (doc, term) rows —
+    e.g. derived from a shared/at-rest postings table — skip the
+    tokenize pass; alnum runs never span whitespace, so terms derived
+    from whitespace postings are identical to tokenizing the text."""
     from eventstorm_spark.extensions.dedup import portable_hash60
 
-    terms = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(
-            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-        .alias("term"))
+    if terms is None:
+        terms = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+            .alias("term"))
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.select(F.countDistinct(id_col).alias("__N"))
     df_ = (terms.select("doc", "term").distinct()
@@ -1839,7 +1856,8 @@ def hashed_tfidf_rows(docs: DataFrame, *, dim: int = 256,
 def hashed_tfidf_knn(docs: DataFrame, query_docs: DataFrame, *,
                      dim: int = 256, k: int = 3,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     terms: DataFrame | None = None) -> DataFrame:
     """Top-k cosine neighbors of each query doc over hashed-TF-IDF
     vectors, evaluated as an INVERTED-INDEX join: corpus rows keyed by
     slot, query rows (a small set) broadcast against them, partial
@@ -1862,7 +1880,8 @@ def hashed_tfidf_knn(docs: DataFrame, query_docs: DataFrame, *,
     # checkpoint the tokenize+tf+df pipeline re-derives per consumer
     # (measured 4x the work at sf0.1)
     rows = hashed_tfidf_rows(docs, dim=dim, text_col=text_col,
-                             id_col=id_col).localCheckpoint(eager=False)
+                             id_col=id_col,
+                             terms=terms).localCheckpoint(eager=False)
     norms = (rows.groupBy("doc")
              .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n"))
              ).localCheckpoint(eager=False)

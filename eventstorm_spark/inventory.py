@@ -2721,11 +2721,19 @@ def q_hashed_tfidf_knn(spark, sf_dir):
     inverted-slot-index join — partial products per shared hash slot,
     never a dense all-pairs product. The no-embedding twin of
     `ann_cosine_topk`; hashing, weights, dots and norms all replay in
-    SQL."""
+    SQL. Terms come from the session-shared postings frame
+    (`_doc_postings`): alnum runs never span whitespace, so exploding
+    lower(tok) over whitespace postings yields EXACTLY the terms of
+    tokenizing the text — one corpus tokenize shared with
+    phrase_search / proximity_search."""
     from eventstorm_spark.extensions.text import hashed_tfidf_knn
     docs = load(spark, sf_dir, "documents")
     qs = docs.where(F.col("doc_id") % 97 == 0)
-    return (hashed_tfidf_knn(docs, qs, dim=256, k=3)
+    terms = _doc_postings(spark, sf_dir).select(
+        "doc",
+        F.explode(F.expr("regexp_extract_all(lower(tok), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    return (hashed_tfidf_knn(docs, qs, dim=256, k=3, terms=terms)
             .orderBy("q_doc", F.col("cosine").desc(), "doc"))
 
 
@@ -2775,10 +2783,13 @@ def q_proximity_search(spark, sf_dir):
     with the tightest window and the qualifying-combination count —
     the middle ground between BM25 (anywhere) and phrase_search
     (adjacent). Term-filtered postings + one doc-keyed join per term;
-    ordered by (best_span, doc)."""
-    from eventstorm_spark.extensions.text import proximity_search
-    return (proximity_search(load(spark, sf_dir, "documents"),
-                             ["spark", "merge", "window"], slop=8)
+    ordered by (best_span, doc). Served from the session-shared
+    postings frame (`_doc_postings`) through the same
+    `_proximity_join` as the direct form."""
+    from eventstorm_spark.extensions.text import _proximity_join
+    terms = ["spark", "merge", "window"]
+    base = _doc_postings(spark, sf_dir).where(F.col("tok").isin(terms))
+    return (_proximity_join(base, terms, slop=8)
             .orderBy("best_span", "doc"))
 
 
@@ -2910,10 +2921,15 @@ def q_phrase_search(spark, sf_dir):
     in-order occurrences and the first 0-based token position —
     evaluated as term-filtered postings + one (doc, pos-offset)
     equi-join per extra term, the classic positional-index plan (the
-    adjacency read BM25 bag-of-words scoring cannot express)."""
-    from eventstorm_spark.extensions.text import phrase_search
-    docs = load(spark, sf_dir, "documents")
-    return (phrase_search(docs, ["merge", "window"])
+    adjacency read BM25 bag-of-words scoring cannot express). Served
+    from the session-shared postings frame (`_doc_postings`) — the
+    at-rest positional-index shape — through the same `_phrase_join`
+    as the direct form, so one corpus tokenize feeds this,
+    proximity_search and hashed_tfidf_knn."""
+    from eventstorm_spark.extensions.text import _phrase_join
+    phrase = ["merge", "window"]
+    base = _doc_postings(spark, sf_dir).where(F.col("tok").isin(phrase))
+    return (_phrase_join(base, phrase)
             .orderBy(F.col("n_matches").desc(), "doc"))
 
 
@@ -3139,6 +3155,69 @@ def q_weighted_sample(spark, sf_dir):
     return (weighted_sample(docs, k=20, weight_col="n_chars",
                             group_cols=("source",))
             .select("source", "doc_id", "n_chars", "sample_rank"))
+
+
+def q_windowed_heavy_hitters(spark, sf_dir):
+    """Streaming Misra-Gries heavy hitters run END TO END as a real
+    Structured Streaming query (`sketches.streaming_heavy_hitters`) —
+    the first driver query that exercises `applyInPandasWithState`
+    itself rather than a batch twin: the events feed is replayed
+    through a parquet stream source, per-day MG summaries fold in the
+    state store (bounded: <= capacity counters per open window), and
+    the final update-mode emission per window is the result.
+
+    Deterministic/oracle-replayable BY CONFIGURATION: capacity
+    (ceil(2/0.01) = 200) exceeds the distinct event-type count, so the
+    MG decrement step never fires and mg_count IS the exact per-day
+    count regardless of micro-batch or Arrow-chunk boundaries — the
+    same "sketch is exact below its capacity" contract as
+    kmv_distinct_tokens at k >= |values|; the pruning path is pinned by
+    tests/test_streaming.py (superset + lower-bound + fold-equality vs
+    the batch operator). A 40-day watermark makes the fold
+    batch-split-proof (nothing is ever late)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.sketches import streaming_heavy_hitters
+
+    # watermarks require TIMESTAMP (the loaded column is NTZ); the
+    # session tz is UTC in the driver container, so the cast is a
+    # wall-time no-op and day windows align with the oracle's
+    # date_trunc over the NTZ wall time
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    tmp = _tempfile.mkdtemp(prefix="eshh_")
+    try:
+        src = _os.path.join(tmp, "src")
+        ev.coalesce(1).write.parquet(src)
+        latest: dict = {}
+
+        def on_batch(bdf, _e):
+            rows = (bdf.select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "value", "mg_count", "n_window").collect())
+            for r in rows:
+                latest[(r.day, r.value)] = (int(r.mg_count),
+                                            int(r.n_window))
+
+        q = (streaming_heavy_hitters(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema).parquet(src),
+                "event_type", threshold=0.01, window="1 day",
+                ts_col="ts", watermark_delay="40 days")
+             .writeStream.outputMode("update")
+             .foreachBatch(on_batch).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [(d, v, mg, nw)
+                for (d, v), (mg, nw) in sorted(latest.items())]
+        return spark.createDataFrame(
+            rows, "day string, value string, mg_count long, n_window long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_kmv_daily_users(spark, sf_dir):
@@ -3929,6 +4008,38 @@ def q_winnow_cross_matches(spark, sf_dir):
             .groupBy("new_id", "corpus_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= 2))
+
+
+# Whitespace positional postings (doc, pos, tok) of the documents
+# table, memoized per (Spark app, sf_dir) and materialized ONCE
+# (DISK_ONLY) — the in-memory stand-in for the at-rest positional
+# index (curation.write_positional_index's serving shape): phrase
+# search, proximity search and hashed-TF-IDF kNN all evaluate over
+# postings, and tokenizing the corpus once per session instead of
+# once per query is exactly what the index buys at 100 TB. Bounded:
+# evicts beyond 4 (app, sf_dir) keys.
+_POSTINGS_CACHE: dict = {}
+
+
+def _doc_postings(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _POSTINGS_CACHE:
+        while len(_POSTINGS_CACHE) >= 4:
+            old = _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        from pyspark import StorageLevel
+
+        docs = load(spark, sf_dir, "documents")
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        p = (docs.select(F.col("doc_id").alias("doc"),
+                         F.posexplode(toks).alias("pos", "tok"))
+             .persist(StorageLevel.DISK_ONLY))
+        p.count()  # materialize the persisted blocks eagerly
+        _POSTINGS_CACHE[key] = p
+    return _POSTINGS_CACHE[key]
 
 
 # Stage-1 winnow candidate pairs for the substring-span family,
@@ -5406,6 +5517,20 @@ _EXT_ORACLES["kmv_daily_users"] = """
                 ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
            END AS n_distinct_est
     FROM sk"""
+
+# capacity 200 > |event types|, so the streaming MG fold never prunes
+# and its per-day counters are the exact counts — the oracle is the
+# plain daily GROUP BY plus the per-day total
+_EXT_ORACLES["windowed_heavy_hitters"] = """
+    WITH c AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type AS value, count(*) AS mg_count
+        FROM events GROUP BY 1, 2)
+    SELECT day, value, CAST(mg_count AS BIGINT) AS mg_count,
+           CAST(sum(mg_count) OVER (PARTITION BY day) AS BIGINT)
+               AS n_window
+    FROM c"""
+
 
 def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
     """Replay of temporal.ewma_anomalies: the same unrolled lag
@@ -7410,6 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    had no driver evidence yet. Entries pushed past the
         #    50-slot window by r10 insertions are r7-green and rotate
         #    next round. --
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "kmv_source_overlap": q_kmv_source_overlap,
         "skew_salted_join": q_skew_salted_join,
         "corpus_drift_psi": q_corpus_drift_psi,

@@ -896,3 +896,24 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
     assert mg <= true_hot
     assert mg >= true_hot - n // (cap + 1)
     assert len(summary) <= cap + 5     # ties may slightly exceed cap
+
+    # fold equality vs the BATCH operator: exact-recounting the
+    # streaming candidate set over the full data and thresholding
+    # yields exactly heavy_hitters() on the same rows (streaming MG
+    # = batch pass 1; the recount is batch pass 2 — so the two-pass
+    # contract holds across the streaming/batch split)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.sketches import heavy_hitters
+
+    full = spark.read.parquet(src).select("v")
+    batch_hh = {(r.value, r.n)
+                for r in heavy_hitters(full, "v", threshold=0.1).collect()}
+    recount = (full.where(F.col("v").isin(list(summary)))
+               .groupBy(F.col("v").alias("value"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .where(F.col("n") >= math.ceil(0.1 * n)))
+    stream_hh = {(r.value, r.n) for r in recount.collect()}
+    assert stream_hh == batch_hh
