@@ -7528,76 +7528,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 10 rotation: window head = the 20 late-r10 queries
-        #    (kmv_source_overlap .. funnel_transition_times, inserted
-        #    as they landed; all sf0.01-parity-verified locally), then
-        #    the earlier r10 additions, then the r9-new entries that
-        #    had no driver evidence yet. Entries pushed past the
-        #    50-slot window by r10 insertions are r7-green and rotate
-        #    next round. --
+        # -- round 11 rotation: window head = the new streaming
+        #    driver query + contrastive_triplets (config changed to
+        #    the capped 12-bit LSH this round => needs fresh driver
+        #    evidence), then ALL the r6/r7-evidence queries except
+        #    the two spilled below (50-slot budget: 2 + 4 r6 + 44 of
+        #    46 r7). Every entry re-verified against its oracle
+        #    locally at sf0.001 + sf0.01 this round. --
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "kmv_source_overlap": q_kmv_source_overlap,
-        "skew_salted_join": q_skew_salted_join,
-        "corpus_drift_psi": q_corpus_drift_psi,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "events_ewma_anomaly": q_events_ewma_anomaly,
-        "link_communities": q_link_communities,
-        "events_mad_outliers": q_events_mad_outliers,
-        "phrase_search": q_phrase_search,
-        "decayed_user_activity": q_decayed_user_activity,
-        "events_cusum_shift": q_events_cusum_shift,
-        "user_rfm_segments": q_user_rfm_segments,
-        "token_pmi_pairs": q_token_pmi_pairs,
-        "wordpiece_piece_usage": q_wordpiece_piece_usage,
-        "funnel_conversion_windowed": q_funnel_conversion_windowed,
-        "proximity_search": q_proximity_search,
-        "quality_calibration": q_quality_calibration,
-        "hashed_tfidf_knn": q_hashed_tfidf_knn,
-        "dq_gate": q_dq_gate,
-        "events_seasonal_deviation": q_events_seasonal_deviation,
-        "funnel_transition_times": q_funnel_transition_times,
-        "join_key_skew": q_join_key_skew,
-        "event_transitions": q_event_transitions,
-        "cms_event_type_counts": q_cms_event_type_counts,
-        "hdr_value_quantiles": q_hdr_value_quantiles,
-        "events_m4": q_events_m4,
-        "weighted_sample": q_weighted_sample,
-        "kmv_daily_users": q_kmv_daily_users,
         "contrastive_triplets": q_contrastive_triplets,
-        "zorder_locality": q_zorder_locality,
-        "link_page_rank": q_link_page_rank,
-        "kmv_distinct_tokens": q_kmv_distinct_tokens,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "events_gapfill_locf": q_events_gapfill_locf,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "multimodal_bmp_decode": q_multimodal_bmp_decode,
-        "audio_features": q_audio_features,
-        "audio_fingerprints": q_audio_fingerprints,
-        "audio_near_dup_pairs": q_audio_near_dup_pairs,
-        "video_frame_decode": q_video_frame_decode,
-        "source_overlap": q_source_overlap,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "url_host_composition": q_url_host_composition,
-        "image_dup_clusters": q_image_dup_clusters,
-        "train_quality_weights": q_train_quality_weights,
-        "dedup_keep_best": q_dedup_keep_best,
-        "near_dup_edit_distance": q_near_dup_edit_distance,
-        "cluster_cards": q_cluster_cards,
-        "cluster_balanced_counts": q_cluster_balanced_counts,
-        "html_extract": q_html_extract,
-        "exact_substring_scrub": q_exact_substring_scrub,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "market_share": q_market_share,
         "asof_last_view": q_asof_last_view,
         "funnel_conversion": q_funnel_conversion,
         "events_sessionization": q_events_sessionization,
-        # -- r7-green --
         "system_streams": q_system_streams,
         "value_percentiles": q_value_percentiles,
         "returnflag_priority": q_returnflag_priority,
         "supplier_part_counts": q_supplier_part_counts,
         "read_stream_from_revision": q_read_stream_from_revision,
         "read_stream_backward": q_read_stream_backward,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
         "multimodal_png_decode": q_multimodal_png_decode,
         "shard_manifest": q_shard_manifest,
         "length_bucket_report": q_length_bucket_report,
@@ -7632,12 +7584,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats": q_segment_order_stats,
         "top_supplier": q_top_supplier,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "market_share": q_market_share,
-        # -- r8-green (freshest evidence; last in line to rotate) --
         "html_c4_funnel": q_html_c4_funnel,
+        # -- spilled from the r11 window (r7 evidence; first in line
+        #    for the r12 head — both are degenerate LIMIT-1 reads
+        #    also pinned by the direction-x-boundary property test
+        #    and the top-k plan pins) --
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        # -- r10-checked (freshest evidence; rotated behind the
+        #    window after CORRECTNESS_r10.json came back 50/50
+        #    green), then the r8/r9-checked batches --
+        "kmv_source_overlap": q_kmv_source_overlap,
+        "skew_salted_join": q_skew_salted_join,
+        "corpus_drift_psi": q_corpus_drift_psi,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "events_ewma_anomaly": q_events_ewma_anomaly,
+        "link_communities": q_link_communities,
+        "events_mad_outliers": q_events_mad_outliers,
+        "phrase_search": q_phrase_search,
+        "decayed_user_activity": q_decayed_user_activity,
+        "events_cusum_shift": q_events_cusum_shift,
+        "user_rfm_segments": q_user_rfm_segments,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "wordpiece_piece_usage": q_wordpiece_piece_usage,
+        "funnel_conversion_windowed": q_funnel_conversion_windowed,
+        "proximity_search": q_proximity_search,
+        "quality_calibration": q_quality_calibration,
+        "hashed_tfidf_knn": q_hashed_tfidf_knn,
+        "dq_gate": q_dq_gate,
+        "events_seasonal_deviation": q_events_seasonal_deviation,
+        "funnel_transition_times": q_funnel_transition_times,
+        "join_key_skew": q_join_key_skew,
+        "event_transitions": q_event_transitions,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "hdr_value_quantiles": q_hdr_value_quantiles,
+        "events_m4": q_events_m4,
+        "weighted_sample": q_weighted_sample,
+        "kmv_daily_users": q_kmv_daily_users,
+        "zorder_locality": q_zorder_locality,
+        "link_page_rank": q_link_page_rank,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "audio_features": q_audio_features,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "video_frame_decode": q_video_frame_decode,
+        "source_overlap": q_source_overlap,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_host_composition": q_url_host_composition,
+        "image_dup_clusters": q_image_dup_clusters,
+        "train_quality_weights": q_train_quality_weights,
+        "dedup_keep_best": q_dedup_keep_best,
+        "near_dup_edit_distance": q_near_dup_edit_distance,
+        "cluster_cards": q_cluster_cards,
+        "cluster_balanced_counts": q_cluster_balanced_counts,
+        "html_extract": q_html_extract,
+        "exact_substring_scrub": q_exact_substring_scrub,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_part_share": q_nation_part_share,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -7688,22 +7693,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        # -- r9-checked (freshest evidence; rotated to the tail after
-        #    CORRECTNESS_r09.json came back 50/50 green) --
         "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "image_dhash": q_image_dhash,
         "image_near_dup_pairs": q_image_near_dup_pairs,
-        # -- (b) r4-evidence --
         "simhash_candidates": q_simhash_candidates,
         "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
         "tf_idf_top_terms": q_tf_idf_top_terms,
-        # -- (b) r5-evidence --
         "normalized_dedup_keys": q_normalized_dedup_keys,
         "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,

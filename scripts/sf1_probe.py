@@ -153,6 +153,31 @@ def generate_sf1_embeddings(n_vecs: int = 20_000, dim: int = 64,
     return out
 
 
+def generate_sf1_tpch(seed: int = 13) -> None:
+    """10x the sf0.1 lineitem/orders pair — only the columns the
+    probed queries touch (dq_gate: l_orderkey/l_quantity referential +
+    bound checks; column pruning means the missing columns never
+    matter): 6M lineitem rows over 1.5M order keys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li_out = os.path.join(SF1_DIR, "lineitem.parquet")
+    ord_out = os.path.join(SF1_DIR, "orders.parquet")
+    if os.path.exists(li_out) and os.path.exists(ord_out):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_orders, n_li = 1_500_000, 6_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+    }), ord_out)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_orders, n_li), pa.int64()),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype("float64")),
+    }), li_out)
+
+
 ZIPF_V = 10_000  # vocabulary size for the realistic-vocabulary fixture
 ZIPF_S = 1.1     # Zipf exponent (natural-language-like head/tail)
 BOILER = " ".join(f"b{i}" for i in range(12))  # 12-token boilerplate run
@@ -308,6 +333,7 @@ def main() -> None:
         generate_sf1()
         generate_sf1_events()
         generate_sf1_embeddings()
+        generate_sf1_tpch()
 
     from eventstorm_spark import inventory
     from eventstorm_spark.session import get_spark

@@ -644,6 +644,50 @@ def test_ewma_single_window_no_sort_exchange(q):
     assert "Exchange range" not in plan
 
 
+def test_postings_queries_share_one_tokenize(q, spark, sf_dir):
+    """Round 11: phrase/proximity/tfidf-knn serve from the session-
+    memoized postings frame — their plans must read the persisted
+    blocks (InMemoryTableScan; the relation still PRINTS its parquet
+    lineage, but execution hits the cache) instead of re-running the
+    posexplode tokenize (no Generate stage outside the cached
+    relation's printed lineage)."""
+    for name in ["phrase_search", "proximity_search"]:
+        plan = q(name)
+        assert "InMemoryTableScan" in plan, name
+        # every Generate (posexplode/explode) must sit INSIDE the
+        # InMemoryRelation's printed lineage, never as a live stage
+        # above the cache scan — live stages appear before the first
+        # InMemoryRelation marker in the plan string
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "Generate posexplode" not in live, name
+    # tfidf-knn's rows frame is localCheckpoint'd (it feeds four
+    # consumers), so the postings cache sits behind the checkpoint
+    # boundary — the plan shows the RDD scan, not the cache scan
+    assert "Scan ExistingRDD" in q("hashed_tfidf_knn")
+
+
+def test_cdc_rolling_mode_is_shuffle_free(spark, sf_dir):
+    """The production CDC chunker is a pure flat map: one Arrow stage,
+    zero exchanges (the portable path shuffles cut arrays to rejoin
+    the text; the rolling path holds the text in-batch)."""
+    from eventstorm_spark.extensions.text import cdc_chunks
+
+    docs = inventory.load(spark, sf_dir, "documents")
+    plan = plan_of(cdc_chunks(docs, portable=False))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_triplet_driver_config_is_capped(q):
+    """The contrastive_triplets driver plan must carry the hot-bucket
+    cap (the HAVING count <= 512 semi-join appears as an extra
+    aggregate + join over the banded frame) — pinning that the
+    scale-safe config actually ships, not the uncapped one the sf1
+    probe measured at 19.3x."""
+    plan = q("contrastive_triplets")
+    assert "<= 512" in plan
+
+
 def test_final_wave_plan_shapes(q):
     # seasonal profile joins via broadcast; gate/funnel/rfm/pmi/
     # calibration stay pure JVM
