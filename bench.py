@@ -157,6 +157,12 @@ HEADLINE = [
     "wordpiece_piece_usage",
     "proximity_search",
     "hashed_tfidf_knn",
+    # round 11: the first STREAMING headline — prices the
+    # applyInPandasWithState path end-to-end (parquet-stream replay,
+    # per-day MG state folds, update-mode emission; ~2 s of NEW
+    # coverage at sf0.1, 1.8x at 10x per SCALE.md §10.5). Compare
+    # per-query across rounds.
+    "windowed_heavy_hitters",
 ]
 
 

@@ -458,6 +458,84 @@ def streaming_heavy_hitters(stream_df: DataFrame, col: str, *,
         "state string", "update", GroupStateTimeout.NoTimeout)
 
 
+def streaming_hdr_quantiles(stream_df: DataFrame, col: str, *,
+                            quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+                            sig_digits: int = 2,
+                            window: str = "1 hour", ts_col: str = "ts",
+                            watermark_delay: str = "10 minutes"
+                            ) -> DataFrame:
+    """Streaming quantile estimates per event-time window with BOUNDED
+    state — the third and last sketch axis's streaming form (distinct =
+    :func:`streaming_kmv_distinct`, frequency =
+    :func:`streaming_heavy_hitters`, quantiles = this): the HDR
+    log-histogram as ``applyInPandasWithState`` state, size bounded by
+    the VALUE RANGE (~64 * 10^sig_digits buckets per open window),
+    never the row count — where the exact streaming percentile would
+    buffer every value.
+
+    Bucketing matches :func:`hdr_histogram` BIT-FOR-BIT: ``frexp``
+    gives the floor-log2 exponent exactly (the Python twin of the
+    batch expression's one-step correction — ``frexp(v) = (m, e)``
+    with ``0.5 <= m < 1`` means ``floor(log2 v) = e-1`` with no libm
+    wobble), and the mantissa quantization runs the identical IEEE
+    divide/multiply/floor. So a window's final state IS the batch
+    histogram of the same rows, and the emitted quantiles (bucket
+    lower bounds at the first cumulative count reaching
+    ``ceil(q * total)``) equal :func:`hdr_quantiles` on it — the
+    fold-equality the test pins. Emits (window_start, q, value_est)
+    per update, latest emission per window wins."""
+    import json as _json
+    import math as _math
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    scale = 10 ** sig_digits
+    qs = [float(x) for x in quantiles]
+    keyed = (stream_df
+             .withWatermark(ts_col, watermark_delay)
+             .select(F.window(F.col(ts_col), window).start
+                     .alias("window_start"),
+                     F.col(col).cast("double").alias("__v")))
+
+    def bucket(v: float):
+        if v > 0:
+            _, e2 = _math.frexp(v)   # v = m * 2^e2, 0.5 <= m < 1
+            e = e2 - 1               # = floor(log2(v)) exactly
+            return e, _math.floor(v / (2.0 ** e) * scale)
+        return -(1 << 31), 0
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        hist = ({tuple(_json.loads(k)): n
+                 for k, n in _json.loads(state.get[0]).items()}
+                if state.exists else {})
+        for pdf in pdf_iter:
+            for v in pdf["__v"]:
+                b = bucket(float(v))
+                hist[b] = hist.get(b, 0) + 1
+        state.update((_json.dumps(
+            {_json.dumps(k): n for k, n in hist.items()}),))
+        total = sum(hist.values())
+        order = sorted(hist)
+        out_q, out_v = [], []
+        for q in qs:
+            need = _math.ceil(q * total)
+            cum = 0
+            for (e, mant) in order:
+                cum += hist[(e, mant)]
+                if cum >= need:
+                    out_q.append(q)
+                    out_v.append(round(mant / scale * (2.0 ** e), 6))
+                    break
+        yield pd.DataFrame({"window_start": [key[0]] * len(out_q),
+                            "q": out_q, "value_est": out_v})
+
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        fold, "window_start timestamp, q double, value_est double",
+        "state string", "update", GroupStateTimeout.NoTimeout)
+
+
 # ---------------------------------------------------------------------------
 # Robust statistics (median / MAD outlier sweep)
 # ---------------------------------------------------------------------------

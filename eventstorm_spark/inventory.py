@@ -3174,7 +3174,14 @@ def q_windowed_heavy_hitters(spark, sf_dir):
     kmv_distinct_tokens at k >= |values|; the pruning path is pinned by
     tests/test_streaming.py (superset + lower-bound + fold-equality vs
     the batch operator). A 40-day watermark makes the fold
-    batch-split-proof (nothing is ever late)."""
+    batch-split-proof (nothing is ever late).
+
+    The coalesce(1) below is REPLAY-HARNESS plumbing, not operator
+    semantics: it keeps the driver-SF replay a single cheap batch. The
+    operator itself ingests any parallel stream — with the capacity
+    and watermark choices above the result is identical under any
+    file/batch split (sf1 probe: 1.8x at 10x, SCALE.md section
+    10.5)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile

@@ -917,3 +917,56 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
                .where(F.col("n") >= math.ceil(0.1 * n)))
     stream_hh = {(r.value, r.n) for r in recount.collect()}
     assert stream_hh == batch_hh
+
+
+def test_streaming_hdr_quantiles_fold_equals_batch(spark, tmp_path):
+    """Streaming HDR: the per-window estimates after all batches equal
+    the BATCH hdr_histogram -> hdr_quantiles pipeline on the same rows
+    (bucket ids are engine-exact on both sides, so this is equality,
+    not approximation), including exact powers of two (the libm-wobble
+    case frexp/the one-step correction exist for), sub-1 values
+    (negative exponents) and the non-positive underflow bin."""
+    import datetime as dt
+
+    from eventstorm_spark.extensions.sketches import (
+        hdr_histogram, hdr_quantiles, streaming_hdr_quantiles)
+
+    src = str(tmp_path / "hdrq_src")
+    schema = "ts timestamp, v double"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def batch(vals, sec0):
+        return [(base + dt.timedelta(seconds=sec0 + i), float(v))
+                for i, v in enumerate(vals)]
+
+    b1 = [1.0, 2.0, 4.0, 8.0, 0.25, 3.7, 100.0, 64.0, -1.0]
+    b2 = [5.0, 0.5, 1024.0, 7.77, 2.0, 0.0, 9.9] + [50.0] * 20
+    spark.createDataFrame(batch(b1, 0), schema) \
+        .write.mode("append").parquet(src)
+
+    latest = {}
+
+    def on_batch(bdf, _e):
+        for r in bdf.collect():
+            latest[(r.window_start, r.q)] = r.value_est
+
+    q = (streaming_hdr_quantiles(
+            spark.readStream.schema(schema).parquet(src), "v",
+            quantiles=(0.5, 0.95, 0.99), window="1 hour", ts_col="ts")
+         .writeStream.outputMode("update")
+         .foreachBatch(on_batch).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch(b2, 600), schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_rows = spark.createDataFrame(batch(b1, 0) + batch(b2, 600), schema)
+    want = {(r.q, r.value_est)
+            for r in hdr_quantiles(hdr_histogram(all_rows, "v"),
+                                   [0.5, 0.95, 0.99]).collect()}
+    got = {(qq, v) for (_w, qq), v in latest.items()}
+    assert got == want
+    assert len(got) == 3
