@@ -313,3 +313,142 @@ def wordpiece_segment(words: DataFrame, vocab: DataFrame, *,
 
     return (words.select("word").distinct()
             .mapInPandas(seg, "word string, idx int, piece string"))
+
+
+def unigram_lm_vocab(docs: DataFrame, *, max_piece_len: int = 5,
+                     num_pieces: int = 64, em_iters: int = 2,
+                     text_col: str = "text",
+                     wf: DataFrame | None = None) -> DataFrame:
+    """SentencePiece-style unigram-LM vocabulary (Kudo 2018, the hard-EM
+    / Viterbi variant) — the THIRD major tokenizer family next to the
+    BPE trainer and greedy WordPiece: pieces carry log-probabilities
+    and segmentation maximizes total piece log-prob instead of taking
+    the longest match, which is what lets the model trade one rare long
+    piece against two common short ones.
+
+    Training, deterministically:
+
+    1. **Seed** exactly like :func:`wordpiece_vocab`: every observed
+       character (coverage) + the top-``num_pieces`` multi-char
+       substrings by frequency-weighted occurrence count (ties by
+       piece), with initial ``logp = round(ln(n / total), 9)``.
+    2. **Hard EM**, ``em_iters`` rounds: E-step Viterbi-segments the
+       DISTINCT-word table under the current log-probs
+       (:func:`viterbi_segment` — the vocabulary-table trick again:
+       cost scales with |words|, never the corpus); M-step counts
+       frequency-weighted piece usage and re-estimates
+       ``logp = round(ln(usage / total), 9)``. Unused multi-char
+       pieces drop out; characters always survive with a floor count
+       of 1 so coverage never breaks. Classification-EM guarantees the
+       joint Viterbi objective is non-decreasing (test-pinned); the
+       round-9 quantization makes every score engine-portable.
+
+    All corpus-sized work is the one :func:`word_frequencies` pass
+    (share it via ``wf``); each EM round is an Arrow-batched segment
+    of the distinct words + one map-side-combinable usage aggregate,
+    with only the (alphabet + num_pieces)-row prob table collected —
+    the same bounded-collect contract as k-means centroids.
+    Returns (piece, logp, n) with n the final usage count."""
+    import math as _math
+
+    if wf is None:
+        wf = word_frequencies(docs, text_col=text_col)
+    wf = wf.localCheckpoint(eager=False)  # feeds seeding AND every EM round
+    seed = wordpiece_vocab(docs, max_piece_len=max_piece_len,
+                           num_pieces=num_pieces, text_col=text_col, wf=wf)
+    rows = seed.collect()  # bounded: alphabet + num_pieces
+    total = float(sum(r.n for r in rows))
+    logp = {r.piece: round(_math.log(r.n / total), 9) for r in rows}
+    chars = {r.piece for r in rows if len(r.piece) == 1}
+
+    for _ in range(em_iters):
+        seg = viterbi_segment(wf, _logp_df(docs.sparkSession, logp),
+                              max_piece_len=max_piece_len)
+        usage = (seg.join(wf, "word")
+                 .groupBy("piece").agg(F.sum("freq").alias("n"))
+                 .collect())  # bounded by |vocab|
+        counts = {r.piece: int(r.n) for r in usage}
+        for c in chars:  # coverage floor: characters never drop out
+            counts[c] = max(counts.get(c, 0), 1)
+        total = float(sum(counts.values()))
+        logp = {p: round(_math.log(n / total), 9)
+                for p, n in counts.items()}
+
+    out = sorted(logp.items())
+    sess = docs.sparkSession
+    final_counts = counts if em_iters > 0 else \
+        {r.piece: int(r.n) for r in rows}
+    return sess.createDataFrame(
+        [(p, lp, int(final_counts.get(p, 0))) for p, lp in out],
+        "piece string, logp double, n long")
+
+
+def _logp_df(spark, logp: dict) -> DataFrame:
+    return spark.createDataFrame(sorted(logp.items()),
+                                 "piece string, logp double")
+
+
+def viterbi_segment(words: DataFrame, vocab: DataFrame, *,
+                    max_piece_len: int = 5) -> DataFrame:
+    """Viterbi (max total log-prob) segmentation under a (piece, logp)
+    vocabulary — unigram-LM inference, the score-based counterpart of
+    :func:`wordpiece_segment`'s greedy longest-match. Deterministic
+    everywhere floats could wobble: prefix scores quantize to 9
+    decimals at every DP step, and ties break on (fewer pieces, then
+    lexicographically smaller piece sequence) — so the segmentation is
+    a pure function of (word, vocabulary), reproducible across
+    partitionings and engines.
+
+    Same distributed shape as the greedy form: DISTINCT words through
+    an Arrow-batched ``mapInPandas`` with the bounded vocab broadcast.
+    Raises if a word contains a character outside the vocabulary.
+    Returns (word, idx, piece)."""
+    lp = {r.piece: float(r.logp) for r in
+          vocab.select("piece", "logp").collect()}
+    bc = words.sparkSession.sparkContext.broadcast(lp)
+
+    def seg(batches):
+        import pandas as pd
+        table = bc.value
+        for pdf in batches:
+            w_o, i_o, p_o = [], [], []
+            for w in pdf["word"].drop_duplicates():
+                n = len(w)
+                # best[i] = (score, -n_pieces, pieces tuple) for w[:i];
+                # tuple comparison IS the tie-break order
+                best = [None] * (n + 1)
+                best[0] = (0.0, 0, ())
+                for i in range(1, n + 1):
+                    cand = None
+                    for ln in range(1, min(max_piece_len, i) + 1):
+                        prev = best[i - ln]
+                        if prev is None:
+                            continue
+                        piece = w[i - ln:i]
+                        plp = table.get(piece)
+                        if plp is None:
+                            continue
+                        state = (round(prev[0] + plp, 9),
+                                 prev[1] - 1, prev[2] + (piece,))
+                        # max score; tie -> fewer pieces (-n larger);
+                        # tie -> lexicographically SMALLER sequence
+                        if cand is None or (
+                                (state[0], state[1]) > (cand[0], cand[1])
+                                or ((state[0], state[1])
+                                    == (cand[0], cand[1])
+                                    and state[2] < cand[2])):
+                            cand = state
+                    best[i] = cand
+                if best[n] is None:
+                    raise ValueError(
+                        f"vocabulary cannot segment {w!r}")
+                for idx, piece in enumerate(best[n][2]):
+                    w_o.append(w)
+                    i_o.append(idx)
+                    p_o.append(piece)
+            if w_o:
+                yield pd.DataFrame({"word": w_o, "idx": i_o,
+                                    "piece": p_o})
+
+    return (words.select("word").distinct()
+            .mapInPandas(seg, "word string, idx int, piece string"))

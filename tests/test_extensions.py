@@ -2709,6 +2709,74 @@ def test_wordpiece_greedy_longest_match(spark):
         wordpiece_segment(bad, vocab, max_piece_len=5).collect()
 
 
+def test_viterbi_segment_score_and_tiebreaks(spark):
+    """Viterbi segmentation maximizes total log-prob (not longest
+    match), and its two tie-breaks — fewer pieces, then
+    lexicographically smaller sequence — are exact."""
+    from eventstorm_spark.extensions.bpe import viterbi_segment
+    vocab = spark.createDataFrame(
+        [("a", -1.0), ("b", -1.0), ("aa", -2.0), ("ab", -2.0),
+         ("ba", -2.0), ("aab", -10.0)],
+        "piece string, logp double")
+    words = spark.createDataFrame([("aa",), ("aba",), ("aab",)], ["word"])
+    seg = {}
+    for r in viterbi_segment(words, vocab, max_piece_len=3).collect():
+        seg.setdefault(r.word, []).append((r.idx, r.piece))
+    pieces = {w: [p for _, p in sorted(v)] for w, v in seg.items()}
+    # 'aa' as one piece (-2.0) ties 'a'+'a' (-2.0): fewer pieces wins
+    assert pieces["aa"] == ["aa"]
+    # 'aba': ('a','ba') ties ('ab','a') at -3.0 / 2 pieces:
+    # lexicographically smaller sequence wins
+    assert pieces["aba"] == ["a", "ba"]
+    # score beats piece length: 'aab' as the single piece scores -10,
+    # any 2-piece split scores -3 — Viterbi must NOT take the longest
+    # match; among the -3.0 ties ('a','ab') < ('aa','b') lexically
+    assert pieces["aab"] == ["a", "ab"]
+    # out-of-vocabulary character is an honest error
+    bad = spark.createDataFrame([("qux",)], ["word"])
+    with pytest.raises(Exception):
+        viterbi_segment(bad, vocab, max_piece_len=3).collect()
+
+
+def test_unigram_lm_vocab_em_improves_and_is_deterministic(spark):
+    """Hard-EM contract: the corpus Viterbi log-likelihood under the
+    trained vocabulary is non-decreasing in em_iters (classification-
+    EM guarantee, modulo round-9 quantization), characters never drop
+    out (coverage), and training is a pure function of the corpus
+    (repartition-invariant)."""
+    from eventstorm_spark.extensions.bpe import (unigram_lm_vocab,
+                                                 viterbi_segment,
+                                                 word_frequencies)
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark sparks park parking mark marks"),
+         (2, "park park mark spark sparking parks")],
+        ["doc_id", "text"])
+    wf = word_frequencies(docs)
+
+    def corpus_ll(vocab):
+        seg = viterbi_segment(wf, vocab, max_piece_len=5)
+        lp = {r.piece: r.logp for r in vocab.collect()}
+        tot = 0.0
+        for r in seg.join(wf, "word").collect():
+            tot += r.freq * lp[r.piece]
+        return tot
+
+    lls = [corpus_ll(unigram_lm_vocab(docs, max_piece_len=5,
+                                      num_pieces=8, em_iters=i))
+           for i in (0, 1, 2)]
+    assert lls[1] >= lls[0] - 1e-6
+    assert lls[2] >= lls[1] - 1e-6
+    v2 = unigram_lm_vocab(docs, max_piece_len=5, num_pieces=8,
+                          em_iters=2)
+    got = {(r.piece, r.logp) for r in v2.collect()}
+    chars = {c for w in "spark sparks park parking mark marks "
+             "sparking parks".split() for c in w}
+    assert chars <= {p for p, _ in got}  # coverage floor
+    again = unigram_lm_vocab(docs.repartition(7), max_piece_len=5,
+                             num_pieces=8, em_iters=2)
+    assert {(r.piece, r.logp) for r in again.collect()} == got
+
+
 def test_proximity_search_window_semantics(spark):
     from eventstorm_spark.extensions.text import proximity_search
     docs = spark.createDataFrame([
