@@ -2793,6 +2793,28 @@ def q_proximity_search(spark, sf_dir):
             .orderBy("best_span", "doc"))
 
 
+def q_unigram_lm_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training replayed END TO END
+    (`bpe.unigram_lm_vocab`, the SentencePiece hard-EM/Viterbi family):
+    the final (piece, logp, n) table after 2 EM rounds — seed vocab
+    (chars + top-64 weighted substrings), then per round a Viterbi
+    segmentation of the distinct-word table under the current
+    log-probs and a frequency-weighted usage re-estimate with the
+    character coverage floor. Deterministic end to end: scores
+    quantize to 9 decimals at every DP step and ties break on (fewer
+    pieces, lexicographically smaller sequence), so the ORACLE can
+    re-run both EM rounds — each Viterbi as a recursive CTE that
+    enumerates the (bounded) segmentations of each distinct word and
+    takes the same (score, n_pieces, path) argmax; DP-with-local-
+    tie-break equals the global argmax because the comparator is
+    suffix-monotone (score/pieces additive; equal-coverage paths are
+    never tuple-prefixes of each other)."""
+    from eventstorm_spark.extensions.bpe import unigram_lm_vocab
+    docs = load(spark, sf_dir, "documents")
+    return unigram_lm_vocab(docs, max_piece_len=5, num_pieces=64,
+                            em_iters=2).orderBy("piece")
+
+
 def q_wordpiece_piece_usage(spark, sf_dir):
     """Greedy longest-match subword tokenizer (`bpe.wordpiece_vocab` +
     `wordpiece_segment`) — the WordPiece-style family next to the BPE
@@ -5632,6 +5654,100 @@ def _wordpiece_oracle(max_piece_len: int = 5, num_pieces: int = 64,
 
 _EXT_ORACLES["wordpiece_piece_usage"] = _wordpiece_oracle()
 
+
+def _unigram_oracle(max_piece_len: int = 5, num_pieces: int = 64,
+                    em_iters: int = 2) -> str:
+    """Recursive-CTE replay of the unigram-LM trainer: same weighted-
+    substring seed as the WordPiece oracle, then per EM round a
+    recursive CTE that ENUMERATES every segmentation of each distinct
+    word under the round's vocabulary (bounded: pieces are nonempty so
+    paths <= 2^(len-1), and the distinct-word table is vocabulary-
+    sized), scoring each step with the same round-9 quantization, and
+    an argmax per word on (score DESC, n_pieces ASC, path ASC) —
+    equal to the engine's DP-with-local-tie-breaks because the
+    comparator is suffix-monotone. The chr(31) path delimiter sorts
+    below every [a-z0-9] character, so delimiter-joined string
+    comparison equals Python's tuple-of-strings comparison (equal-
+    coverage paths are never prefixes of each other)."""
+    lens = ", ".join(str(i) for i in range(1, max_piece_len + 1))
+    parts = [f"""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS word
+        FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
+    pos1 AS (SELECT word, freq,
+                    unnest(generate_series(
+                        1, CAST(length(word) AS INT))) AS i
+             FROM wf),
+    lens AS (SELECT word, freq, i, unnest([{lens}]) AS l FROM pos1),
+    cand AS (SELECT substr(word, i, l) AS piece, freq
+             FROM lens WHERE i + l - 1 <= length(word)),
+    cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+            FROM cand GROUP BY piece),
+    chars AS (SELECT piece, n FROM cnt WHERE length(piece) = 1),
+    seed AS (
+        SELECT piece, n FROM chars
+        UNION ALL
+        SELECT piece, n FROM (
+            SELECT piece, n,
+                   row_number() OVER (ORDER BY n DESC, piece) AS rn
+            FROM cnt WHERE length(piece) >= 2)
+        WHERE rn <= {num_pieces}),
+    v0 AS (SELECT piece,
+                  round(ln(CAST(n AS DOUBLE)
+                           / (SELECT CAST(sum(n) AS DOUBLE) FROM seed)),
+                        9) AS logp
+           FROM seed)"""]
+    for t in range(1, em_iters + 1):
+        p = t - 1
+        parts.append(f""",
+    s{t} AS (
+        SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score, 0 AS np,
+               CAST('' AS VARCHAR) AS path
+        FROM wf
+        UNION ALL
+        SELECT s.word, s.i + length(v.piece),
+               round(s.score + v.logp, 9), s.np + 1,
+               CASE WHEN s.path = '' THEN v.piece
+                    ELSE s.path || chr(31) || v.piece END
+        FROM s{t} s
+        JOIN v{p} v
+          ON v.piece = substr(s.word, s.i + 1, length(v.piece))
+        WHERE s.i < length(s.word)),
+    seg{t} AS (
+        SELECT word, path FROM (
+            SELECT word, path, row_number() OVER (
+                PARTITION BY word
+                ORDER BY score DESC, np ASC, path ASC) AS rn
+            FROM s{t} WHERE i = length(word))
+        WHERE rn = 1),
+    use{t} AS (
+        SELECT t.piece, CAST(sum(w.freq) AS BIGINT) AS n
+        FROM (SELECT word,
+                     unnest(string_split(path, chr(31))) AS piece
+              FROM seg{t}) t
+        JOIN wf w USING (word) GROUP BY t.piece),
+    cnt{t} AS (
+        SELECT piece, n FROM use{t}
+        UNION ALL
+        SELECT c.piece, CAST(1 AS BIGINT) AS n
+        FROM chars c
+        WHERE c.piece NOT IN (SELECT piece FROM use{t})),
+    v{t} AS (SELECT piece,
+                    round(ln(CAST(n AS DOUBLE)
+                             / (SELECT CAST(sum(n) AS DOUBLE)
+                                FROM cnt{t})), 9) AS logp
+             FROM cnt{t})""")
+    parts.append(f"""
+    SELECT v{em_iters}.piece, v{em_iters}.logp, cnt{em_iters}.n
+    FROM v{em_iters} JOIN cnt{em_iters} USING (piece)
+    ORDER BY piece""")
+    return "".join(parts)
+
+
+_EXT_ORACLES["unigram_lm_pieces"] = _unigram_oracle()
+
 _EXT_ORACLES["proximity_search"] = r"""
     WITH toks AS (SELECT doc_id,
                          string_split_regex(trim(text), '\s+') AS t
@@ -7598,6 +7714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    and the top-k plan pins) --
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
+        # -- r11-late addition (oracle-checked locally at sf0.001 +
+        #    sf0.01; no driver slot left this round — heads the r12
+        #    window with the two spills above) --
+        "unigram_lm_pieces": q_unigram_lm_pieces,
         # -- r10-checked (freshest evidence; rotated behind the
         #    window after CORRECTNESS_r10.json came back 50/50
         #    green), then the r8/r9-checked batches --
