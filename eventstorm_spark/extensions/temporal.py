@@ -597,3 +597,74 @@ def streaming_cusum_alerts(events_stream: DataFrame, ref: float, *,
     return keyed.groupBy("__k").applyInPandasWithState(
         fold, f"key {ktype}, us long, value double, s double",
         "state string", "append", GroupStateTimeout.NoTimeout)
+
+
+def streaming_funnel(events_stream: DataFrame,
+                     stages: tuple = ("view", "click", "purchase"), *,
+                     key_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming ordered-sequence funnel — the bounded-state twin of
+    the batch conditional-min funnel (`q_funnel_conversion`'s shape):
+    per-key state is ONE int64 micro-timestamp per stage (never the
+    event history), updated by the same rule the batch form encodes as
+    nested conditional mins — stage 0 latches its first timestamp,
+    stage s latches the first event with ``ts > t[s-1]`` — and a key
+    EMITS exactly once, in the micro-batch where its last stage
+    completes: (key, <stage>_us per stage).
+
+    Equality contract (test-pinned): under in-order arrival (the same
+    per-batch-sort + watermark-bounded-lateness contract as the
+    streaming EWMA/transition ops), the emitted set and timestamps
+    equal the batch conditional-min funnel on the same rows — in
+    ts order the first qualifying event IS the conditional min. At
+    web scale the state store holds |keys| x |stages| longs where the
+    batch form shuffles the event feed; completions stream out as
+    they happen instead of at scan end."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    stages = tuple(stages)
+    idx = {s: i for i, s in enumerate(stages)}
+    ktype = dict(events_stream.dtypes)[key_col]
+    keyed = (events_stream
+             .withWatermark(ts_col, watermark_delay)
+             .where(F.col(type_col).isin(list(stages)))
+             .select(F.col(key_col).alias("__k"),
+                     F.col(type_col).alias("__t"),
+                     F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("__us")))
+    out_cols = [f"{s}_us" for s in stages]
+
+    def fold(key, pdf_iter, state: GroupState):
+        t = _json.loads(state.get[0]) if state.exists else \
+            [None] * len(stages)
+        done_before = t[-1] is not None
+        for pdf in pdf_iter:
+            if t[-1] is not None:
+                break
+            pdf = pdf.sort_values("__us")
+            for et, us in zip(pdf["__t"], pdf["__us"]):
+                if t[-1] is not None:
+                    break
+                s = idx[et]
+                if s == 0:
+                    if t[0] is None:
+                        t[0] = int(us)
+                elif t[s] is None and t[s - 1] is not None \
+                        and int(us) > t[s - 1]:
+                    t[s] = int(us)
+        state.update((_json.dumps(t),))
+        if t[-1] is not None and not done_before:
+            row = {key_col: [key[0]]}
+            row.update({c: [t[i]] for i, c in enumerate(out_cols)})
+            yield pd.DataFrame(row)
+
+    schema = ", ".join([f"{key_col} {ktype}"]
+                       + [f"{c} long" for c in out_cols])
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fold, schema, "state string", "append",
+        GroupStateTimeout.NoTimeout)

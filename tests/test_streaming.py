@@ -970,3 +970,76 @@ def test_streaming_hdr_quantiles_fold_equals_batch(spark, tmp_path):
     got = {(qq, v) for (_w, qq), v in latest.items()}
     assert got == want
     assert len(got) == 3
+
+
+def test_streaming_funnel_matches_batch_conditional_min(spark, tmp_path):
+    """Streaming funnel: under in-order arrival across micro-batches,
+    the emitted (key, stage timestamps) equal the batch conditional-min
+    funnel on the same rows; a key emits exactly once (the batch its
+    last stage completes in) and incomplete keys never emit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.temporal import streaming_funnel
+
+    src = str(tmp_path / "funnel_src")
+    schema = "user_id long, event_type string, ts timestamp"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def ev(u, et, sec):
+        return (u, et, base + dt.timedelta(seconds=sec))
+
+    # u1 completes within batch 1; u2 completes across batches; u3
+    # never clicks; u4's purchase PRECEDES its click (must not count);
+    # u5 re-views (later view must not move the latched t_view)
+    batch1 = [ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+              ev(2, "view", 5), ev(2, "click", 15),
+              ev(3, "view", 7),
+              ev(4, "view", 1), ev(4, "purchase", 2), ev(4, "click", 3),
+              ev(5, "view", 30), ev(5, "view", 40)]
+    batch2 = [ev(2, "purchase", 100), ev(3, "error", 110),
+              ev(5, "click", 120), ev(5, "purchase", 130),
+              ev(1, "purchase", 140)]  # second purchase: no re-emit
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+
+    emitted = []
+
+    def on_batch(bdf, _e):
+        emitted.extend((r.user_id, r.view_us, r.click_us, r.purchase_us)
+                       for r in bdf.collect())
+
+    q = (streaming_funnel(
+            spark.readStream.schema(schema).parquet(src),
+            ("view", "click", "purchase"), key_col="user_id",
+            ts_col="ts", watermark_delay="1 hour")
+         .writeStream.outputMode("append")
+         .foreachBatch(on_batch).start())
+    try:
+        q.processAllAvailable()
+        n_after_b1 = len(emitted)
+        spark.createDataFrame(batch2, schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert n_after_b1 == 1  # only u1 completed in batch 1
+
+    # batch conditional-min reference on the full data
+    ev_df = spark.createDataFrame(batch1 + batch2, schema)
+    tv = (ev_df.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    tc = (ev_df.where(F.col("event_type") == "click")
+          .join(tv, "user_id").where(F.col("ts") > F.col("t0"))
+          .groupBy("user_id", "t0").agg(F.min("ts").alias("t1")))
+    tp = (ev_df.where(F.col("event_type") == "purchase")
+          .join(tc, "user_id").where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id", "t0", "t1").agg(F.min("ts").alias("t2")))
+    want = {(r.user_id,
+             int(r.t0.timestamp() * 1_000_000),
+             int(r.t1.timestamp() * 1_000_000),
+             int(r.t2.timestamp() * 1_000_000)) for r in tp.collect()}
+    assert set(emitted) == want
+    assert {u for u, *_ in emitted} == {1, 2, 5}
+    assert len(emitted) == 3  # u1 emitted once despite a 2nd purchase
