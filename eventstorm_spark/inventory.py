@@ -3249,6 +3249,56 @@ def q_windowed_heavy_hitters(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_funnel_users(spark, sf_dir):
+    """The streaming ordered-sequence funnel
+    (`temporal.streaming_funnel`) run END TO END over a parquet-stream
+    replay of the events feed — the second applyInPandasWithState
+    driver query next to `windowed_heavy_hitters`: per-user state is
+    one int64 per stage, a user emits exactly once when
+    view -> click -> purchase completes. The replay writes the feed
+    ts-SORTED into one file, so the single catch-up micro-batch is
+    fully in-order and the emitted set equals the batch
+    conditional-min funnel — which IS the oracle (plain nested
+    conditional-min SQL)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.temporal import streaming_funnel
+
+    ev = (load(spark, sf_dir, "events")
+          .select(F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id", "event_type")
+          .orderBy("ts"))
+    tmp = _tempfile.mkdtemp(prefix="esfun_")
+    try:
+        src = _os.path.join(tmp, "src")
+        ev.coalesce(1).write.parquet(src)
+        rows: list = []
+
+        def on_batch(bdf, _e):
+            rows.extend((int(r.user_id), int(r.view_us),
+                         int(r.click_us), int(r.purchase_us))
+                        for r in bdf.collect())
+
+        q = (streaming_funnel(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema).parquet(src),
+                ("view", "click", "purchase"), key_col="user_id",
+                ts_col="ts", watermark_delay="40 days")
+             .writeStream.outputMode("append")
+             .foreachBatch(on_batch).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            sorted(rows),
+            "user_id long, view_us long, click_us long, purchase_us long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_kmv_daily_users(spark, sf_dir):
     """Mergeable-sketch rollup, the distinct-count twin of
     hypertable_rollup: HOURLY KMV sketches of user_id merged into DAILY
@@ -5547,6 +5597,24 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["streaming_funnel_users"] = """
+    WITH tv AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    tc AS (
+        SELECT e.user_id, tv.t0, min(e.ts) AS t1
+        FROM events e JOIN tv USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > tv.t0
+        GROUP BY e.user_id, tv.t0),
+    tp AS (
+        SELECT e.user_id, tc.t0, tc.t1, min(e.ts) AS t2
+        FROM events e JOIN tc USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > tc.t1
+        GROUP BY e.user_id, tc.t0, tc.t1)
+    SELECT user_id, epoch_us(t0) AS view_us, epoch_us(t1) AS click_us,
+           epoch_us(t2) AS purchase_us
+    FROM tp ORDER BY user_id"""
+
 # capacity 200 > |event types|, so the streaming MG fold never prunes
 # and its per-day counters are the exact counts — the oracle is the
 # plain daily GROUP BY plus the per-day total
@@ -7714,10 +7782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    and the top-k plan pins) --
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
-        # -- r11-late addition (oracle-checked locally at sf0.001 +
-        #    sf0.01; no driver slot left this round — heads the r12
-        #    window with the two spills above) --
+        # -- r11-late additions (oracle-checked locally at sf0.001 +
+        #    sf0.01; no driver slot left this round — they head the
+        #    r12 window with the two spills above) --
         "unigram_lm_pieces": q_unigram_lm_pieces,
+        "streaming_funnel_users": q_streaming_funnel_users,
         # -- r10-checked (freshest evidence; rotated behind the
         #    window after CORRECTNESS_r10.json came back 50/50
         #    green), then the r8/r9-checked batches --
