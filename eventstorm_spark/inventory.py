@@ -3249,6 +3249,57 @@ def q_windowed_heavy_hitters(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_hdr_daily(spark, sf_dir):
+    """Streaming HDR quantiles (`sketches.streaming_hdr_quantiles`)
+    run END TO END over the events replay — the third
+    applyInPandasWithState driver query, completing the sketch tier's
+    streaming trio (MG = windowed_heavy_hitters, funnel/KMV family
+    pinned elsewhere): per-day p50/p95/p99 of `value` from a
+    log-histogram held as state (size bounded by the VALUE RANGE).
+    The histogram is exact counts — no pruning step exists — so the
+    result is micro-batch-split-independent and the ORACLE is the
+    batch HDR replay (the hdr_value_quantiles CTE chain keyed by day):
+    frexp bucket ids on the Python side bit-match the floor(log2)
+    one-step correction on both the Spark-batch and DuckDB sides."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.sketches import streaming_hdr_quantiles
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    tmp = _tempfile.mkdtemp(prefix="eshdr_")
+    try:
+        src = _os.path.join(tmp, "src")
+        ev.coalesce(1).write.parquet(src)
+        latest: dict = {}
+
+        def on_batch(bdf, _e):
+            rows = (bdf.select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "q", "value_est").collect())
+            for r in rows:
+                latest[(r.day, float(r.q))] = float(r.value_est)
+
+        q = (streaming_hdr_quantiles(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema).parquet(src),
+                "value", quantiles=(0.5, 0.95, 0.99), window="1 day",
+                ts_col="ts", watermark_delay="40 days")
+             .writeStream.outputMode("update")
+             .foreachBatch(on_batch).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [(d, qq, v) for (d, qq), v in sorted(latest.items())]
+        return spark.createDataFrame(
+            rows, "day string, q double, value_est double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_streaming_funnel_users(spark, sf_dir):
     """The streaming ordered-sequence funnel
     (`temporal.streaming_funnel`) run END TO END over a parquet-stream
@@ -5597,6 +5648,53 @@ _EXT_ORACLES["kmv_daily_users"] = """
            END AS n_distinct_est
     FROM sk"""
 
+_EXT_ORACLES["streaming_hdr_daily"] = """
+    WITH v AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+               CAST(value AS DOUBLE) AS v
+        FROM events),
+    e0t AS (
+        SELECT key, v,
+               CASE WHEN v > 0 THEN CAST(floor(log2(v)) AS INTEGER)
+               END AS e0
+        FROM v),
+    ec AS (
+        SELECT key, v,
+               CASE WHEN v > 0 THEN e0
+                    + CASE WHEN pow(2.0, e0) > v THEN -1
+                           WHEN pow(2.0, e0) * 2.0 <= v THEN 1
+                           ELSE 0 END
+               END AS e
+        FROM e0t),
+    b AS (
+        SELECT key,
+               CAST(CASE WHEN v > 0 THEN e ELSE -2147483648 END
+                    AS INTEGER) AS exp,
+               CASE WHEN v > 0
+                    THEN CAST(floor(v / pow(2.0, e) * 100) AS BIGINT)
+                    ELSE 0 END AS mant
+        FROM ec),
+    h AS (SELECT key, exp, mant, count(*) AS n FROM b GROUP BY 1, 2, 3),
+    c AS (
+        SELECT key, exp, mant,
+               sum(n) OVER (PARTITION BY key ORDER BY exp, mant
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY key) AS tot
+        FROM h),
+    qd AS (
+        SELECT key, exp, mant, cum, tot, q
+        FROM c CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99]
+                                              AS DOUBLE[])) AS q) qq),
+    hit AS (
+        SELECT key, q, exp, mant,
+               row_number() OVER (PARTITION BY key, q
+                                  ORDER BY exp, mant) AS rn
+        FROM qd WHERE cum >= ceil(q * tot))
+    SELECT key AS day, q,
+           round(mant / 100.0 * pow(2.0, exp), 6) AS value_est
+    FROM hit WHERE rn = 1
+    ORDER BY day, q"""
+
 _EXT_ORACLES["streaming_funnel_users"] = """
     WITH tv AS (
         SELECT user_id, min(ts) AS t0 FROM events
@@ -7787,6 +7885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r12 window with the two spills above) --
         "unigram_lm_pieces": q_unigram_lm_pieces,
         "streaming_funnel_users": q_streaming_funnel_users,
+        "streaming_hdr_daily": q_streaming_hdr_daily,
         # -- r10-checked (freshest evidence; rotated behind the
         #    window after CORRECTNESS_r10.json came back 50/50
         #    green), then the r8/r9-checked batches --
