@@ -139,9 +139,11 @@ HEADLINE = [
     "zorder_locality",
     "contrastive_triplets",
     # round 10 (late): one per new tier — ~9 s of NEW coverage across
-    # these ten, compare per-query across rounds. cdc prices the
-    # per-position portable-md5 explode (production mode is 1.75x
-    # cheaper, SCALE.md §10.4); the kmv overlap prices sketch build +
+    # these ten, compare per-query across rounds. cdc is benched in
+    # its round-11 PRODUCTION form (Arrow-batched Rabin rolling hash,
+    # SCALE_FORMS below — ~1.0 s vs 3.4 s portable at sf0.1; the
+    # driver query keeps the md5-per-position portable mode the oracle
+    # replays); the kmv overlap prices sketch build +
     # the sources²×k pair stage; wordpiece the vocab scoring + greedy
     # segmentation; tfidf-knn the inverted-slot cosine join; the rest
     # are one-window / few-aggregate reads.
@@ -166,10 +168,15 @@ HEADLINE = [
 ]
 
 
-# Queries benched with audit=False (sketch-only / approx scale form);
-# the queries() entries the driver checks keep the audited default.
-SCALE_FORMS = {"hdr_value_quantiles", "kmv_distinct_tokens",
-               "events_mad_outliers"}
+# Queries benched in their scale form — audit=False (sketch-only /
+# approx) for the audited sketches, portable=False (production Rabin
+# rolling hash instead of the oracle-replayable md5-per-position) for
+# the CDC chunker. The queries() entries the driver checks keep the
+# audited/portable defaults.
+SCALE_FORMS = {"hdr_value_quantiles": {"audit": False},
+               "kmv_distinct_tokens": {"audit": False},
+               "events_mad_outliers": {"audit": False},
+               "cdc_chunk_dedup": {"portable": False}}
 
 
 def materialize(df) -> None:
@@ -186,9 +193,9 @@ def main() -> None:
     from eventstorm_spark import inventory
 
     qs = dict(inventory.queries())
-    for n in SCALE_FORMS:
+    for n, kw in SCALE_FORMS.items():
         fn = qs[n]
-        qs[n] = (lambda f: lambda spark, d: f(spark, d, audit=False))(fn)
+        qs[n] = (lambda f, k: lambda spark, d: f(spark, d, **k))(fn, kw)
     names = [n for n in HEADLINE if n in qs]
 
     # Warm the JVM + parquet footers once with the cheapest query.

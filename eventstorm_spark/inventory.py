@@ -2991,7 +2991,7 @@ def q_events_ewma_anomaly(spark, sf_dir):
             .select("event_id", "user_id", "value", "ewma", "score"))
 
 
-def q_cdc_chunk_dedup(spark, sf_dir):
+def q_cdc_chunk_dedup(spark, sf_dir, portable=True):
     """Content-defined chunking dedup audit (`text.cdc_chunks`): split
     every document at rolling-fingerprint boundaries (hash % 64 == 0
     over a 16-char window — boundaries move WITH the content, so an
@@ -3002,10 +3002,17 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     corpus redundancy, complementary to the document-level MinHash
     tier. Pure codegen end to end: the position explode is a flat map,
     only cut positions shuffle (~len/64 ints per doc), and the oracle
-    replays boundaries, chunk bytes and hashes exactly."""
+    replays boundaries, chunk bytes and hashes exactly.
+
+    ``portable=False`` (bench.py's form; driver/oracle keep portable)
+    swaps in the PRODUCTION chunker — the Arrow-batched Rabin rolling
+    hash, no per-position explode: 8.2x faster at sf1 and 3.4x at 10x
+    data (SCALE.md section 10.5) with identical downstream report
+    shape (boundaries differ by hash family, as designed)."""
     from eventstorm_spark.extensions.text import cdc_chunks
     ch = cdc_chunks(load(spark, sf_dir, "documents"),
-                    window=16, divisor=64, keep_cols=("source",))
+                    window=16, divisor=64, keep_cols=("source",),
+                    portable=portable)
     nd = F.countDistinct("chunk_hash")
     nc = F.count(F.lit(1))
     return (ch.groupBy("source")
