@@ -643,10 +643,14 @@ def streaming_funnel(events_stream: DataFrame,
         t = _json.loads(state.get[0]) if state.exists else \
             [None] * len(stages)
         done_before = t[-1] is not None
-        for pdf in pdf_iter:
-            if t[-1] is not None:
-                break
-            pdf = pdf.sort_values("__us")
+        # concat-then-sort the WHOLE micro-batch (not per Arrow chunk):
+        # chunk arrival order within a group is unspecified, and the
+        # latch rule is order-sensitive — this makes in-batch ordering
+        # a guarantee, so only CROSS-batch disorder is left to the
+        # watermark contract
+        chunks = [] if done_before else list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__us")
             for et, us in zip(pdf["__t"], pdf["__us"]):
                 if t[-1] is not None:
                     break
