@@ -323,8 +323,12 @@ def streaming_event_transitions(events_stream: DataFrame, *,
     def fold(key, pdf_iter, state: GroupState):
         last = _json.loads(state.get[0]) if state.exists else None
         frm, to = [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("__us")
+        # concat-then-sort the whole micro-batch: Arrow chunk order
+        # within a group is unspecified and this fold is
+        # order-sensitive, so in-batch ordering must be a guarantee
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__us")
             for t, us in zip(pdf["__t"], pdf["__us"]):
                 if last is not None:
                     frm.append(last[0])
@@ -521,8 +525,10 @@ def streaming_ewma_anomalies(events_stream: DataFrame, *,
     def fold(key, pdf_iter, state: GroupState):
         s = _json.loads(state.get[0]) if state.exists else None
         us_o, v_o, e_o, sc_o = [], [], [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("__us")
+        # concat-then-sort: see streaming_event_transitions
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__us")
             for v, us in zip(pdf["__v"], pdf["__us"]):
                 v = float(v)
                 if s is not None:
@@ -581,8 +587,10 @@ def streaming_cusum_alerts(events_stream: DataFrame, ref: float, *,
     def fold(key, pdf_iter, state: GroupState):
         s = _json.loads(state.get[0]) if state.exists else 0.0
         us_o, v_o, s_o = [], [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("__us")
+        # concat-then-sort: see streaming_event_transitions
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__us")
             for v, us in zip(pdf["__v"], pdf["__us"]):
                 s = max(0.0, s + (float(v) - ref - slack))
                 if round(s, 6) > threshold:
