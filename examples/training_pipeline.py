@@ -219,6 +219,20 @@ def main() -> None:
     print(f"phrase index        'merge window' in {hits} docs "
           f"(index at {pos_path})")
 
+    # round 11: tokenizer fitting on the survivors — the unigram-LM
+    # family (hard-EM + Viterbi) next to the BPE trainer; ONE
+    # word-frequency pass feeds seeding, EM and the fertility readout
+    from eventstorm_spark.extensions import bpe
+    wf = bpe.word_frequencies(near).localCheckpoint(eager=False)
+    uni = bpe.unigram_lm_vocab(near, num_pieces=64, em_iters=2, wf=wf)
+    seg = bpe.viterbi_segment(wf, uni)
+    fert = (seg.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+            .join(wf, "word")
+            .agg((F.sum(F.col("n_pieces") * F.col("freq"))
+                  / F.sum("freq")).alias("fertility")).first())
+    print(f"unigram-LM          {uni.count()} pieces, corpus fertility "
+          f"{fert['fertility']:.3f} pieces/word")
+
 
 if __name__ == "__main__":
     main()
