@@ -759,6 +759,98 @@ def lsh_recall_audit(docs: DataFrame, *, sample_n: int = 300,
             .orderBy("bucket_lo"))
 
 
+def embedding_lsh_recall_audit(embeddings: DataFrame, *,
+                               sample_n: int = 200,
+                               num_planes: int = 24, bands: int = 2,
+                               planes: list[list[float]] | None = None,
+                               seed: int = 42,
+                               cos_edges: tuple = (0.5, 0.6, 0.7,
+                                                   0.8, 0.9),
+                               max_bucket_size: int | None = None,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH twin of :func:`lsh_recall_audit`: measure a
+    (num_planes, bands, max_bucket_size) banding config against exact
+    ground truth on YOUR embedding distribution — the audit that
+    tunes the hard-negative sampler / near-dup blocking the triplets
+    and embedding-dedup tiers run on (theory assumes isotropic
+    vectors; clustered real embeddings collide MORE within clusters
+    and LESS across, and a bucket cap deliberately spends recall
+    inside degenerate buckets for bounded candidate mass — this
+    reports what that costs, per cosine bucket).
+
+    Method, everything bounded by construction: sample = the
+    ``sample_n`` LOWEST-ID vectors (deterministic, oracle-replayable);
+    ground truth = ALL sample pairs with round-6 cosine >=
+    min(cos_edges), computed as ONE GEMM over the sample inside a
+    single ``applyInPandas`` group (bounded: sample_n x dim — no
+    crossJoin, the corpus is never all-paired); candidates = the same
+    banded (and optionally capped) buckets
+    :func:`embedding_near_duplicates` uses, on the same sample.
+    Output per cosine bucket: (bucket_lo, n_true_pairs, n_caught,
+    recall, recall_theory) with recall_theory =
+    ``1 - (1 - p^r)^b`` at the bucket's lower edge, ``p = 1 -
+    acos(cos)/pi`` (the sign-LSH bit-agreement probability) — measured
+    vs theoretical side by side, like the MinHash report."""
+    import math as _math
+
+    sample = (embeddings.select(F.col(id_col).alias("__id"),
+                                F.col(vec_col).alias("__vec"))
+              .orderBy("__id").limit(int(sample_n))
+              .localCheckpoint(eager=False))
+    lo = float(min(cos_edges))
+
+    def truth_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["__vec"]])
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = np.round((m / nrm[:, None]) @ (m / nrm[:, None]).T, 6)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= lo
+        ids = pdf["__id"].to_numpy()
+        return pd.DataFrame({"id_a": ids[ia[keep]],
+                             "id_b": ids[ib[keep]],
+                             "cos": sims[ia, ib][keep]})
+
+    truth = (sample.withColumn("__g", F.lit(1)).groupBy("__g")
+             .applyInPandas(truth_pairs,
+                            "id_a long, id_b long, cos double"))
+    cands = (embedding_near_duplicates(
+        sample, threshold=-1.0, num_planes=num_planes, bands=bands,
+        seed=seed, planes=planes, max_bucket_size=max_bucket_size,
+        vec_col="__vec", id_col="__id")
+        .select("id_a", "id_b").distinct()
+        .withColumn("__caught", F.lit(1)))
+
+    edges = sorted(float(e) for e in cos_edges)
+    bucket = F.lit(edges[0])
+    for e in edges[1:]:
+        bucket = F.when(F.col("cos") >= e, e).otherwise(bucket)
+    if planes is not None:
+        num_planes = len(planes)
+    r_per_band = num_planes // bands
+    p_agree = 1.0 - F.acos(F.least(F.col("bucket_lo"), F.lit(1.0))) \
+        / F.lit(_math.pi)
+    theory = F.round(
+        1.0 - F.pow(1.0 - F.pow(p_agree, F.lit(r_per_band)),
+                    F.lit(bands)), 6)
+    return (truth.join(cands, ["id_a", "id_b"], "left")
+            .withColumn("bucket_lo", bucket)
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_true_pairs"),
+                 F.sum(F.coalesce("__caught", F.lit(0)))
+                 .cast("long").alias("n_caught"))
+            .withColumn("recall",
+                        F.round(F.col("n_caught")
+                                / F.col("n_true_pairs"), 6))
+            .withColumn("recall_theory", theory)
+            .orderBy("bucket_lo"))
+
+
 def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 16,
                    tau: float = 0.4, centroids: list[list[float]] | None = None,
                    vec_col: str = "embedding",

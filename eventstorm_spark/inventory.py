@@ -3433,6 +3433,28 @@ def q_contrastive_triplets(spark, sf_dir):
                          num_planes=24, bands=2, max_bucket_size=512)
 
 
+def q_embedding_lsh_recall(spark, sf_dir):
+    """Sign-LSH recall audit (`dedup.embedding_lsh_recall_audit`) of
+    THE SHIPPED triplets/near-dup banding config (24 portable planes,
+    2 bands = 12-bit buckets, cap 512) against exact ground truth on a
+    deterministic 200-vector sample: per cosine bucket, true pairs,
+    banding-caught pairs, measured recall and the isotropic-theory
+    recall side by side — the tuning read for the one knob the LSH
+    tier's scale contract depends on. All-pairs work is bounded by the
+    SAMPLE (one GEMM in a single Arrow group); the oracle replays the
+    sample, exact cosines, buckets, cap and both recall columns. The
+    cosine edges sit where THIS table's mass is (the driver embeddings
+    are near-isotropic: sample p99 cosine ~0.29, max ~0.44 — a 0.5+
+    edge set would audit an empty truth set)."""
+    from eventstorm_spark.extensions.dedup import embedding_lsh_recall_audit
+    from eventstorm_spark.extensions.similarity import _portable_planes
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_lsh_recall_audit(
+        emb, sample_n=200, planes=_portable_planes(64, 24),
+        num_planes=24, bands=2, max_bucket_size=512,
+        cos_edges=(0.15, 0.2, 0.25, 0.3, 0.35))
+
+
 def q_zorder_locality(spark, sf_dir):
     """Z-order layout audit: documents keyed on the Morton interleave
     of min-max-bucketed (doc_id, n_chars), cut into 32 contiguous
@@ -6329,6 +6351,61 @@ _EXT_ORACLES["contrastive_triplets"] = """
            round(pos_sim - neg_sim, 6) AS margin
     FROM pos JOIN neg ON pos.anchor = neg.anchor"""
 
+_EXT_ORACLES["embedding_lsh_recall"] = """
+    WITH planes AS (
+        SELECT p,
+               list(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),
+                    ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)
+                    / 576460752303423488.0 - 1.0 ORDER BY d) AS plane
+        FROM range(24) tp(p) CROSS JOIN range(64) td(d)
+        GROUP BY p),
+    samp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings ORDER BY vec_id LIMIT 200),
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.15),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_dot_product(v, plane) >= 0
+                    THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+        FROM samp CROSS JOIN planes),
+    buckets AS (
+        SELECT vec_id, p // 12 AS band,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 12 AS INT)))
+                    + ((p // 12) << 40) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, p // 12),
+    capped AS (
+        SELECT b.vec_id, b.band, b.bucket
+        FROM buckets b
+        JOIN (SELECT band, bucket FROM buckets
+              GROUP BY band, bucket HAVING count(*) <= 512) ok
+          ON b.band = ok.band AND b.bucket = ok.bucket),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               1 AS caught
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id),
+    bucketed AS (
+        SELECT CAST(CASE WHEN cos >= 0.35 THEN 0.35
+                         WHEN cos >= 0.3 THEN 0.3
+                         WHEN cos >= 0.25 THEN 0.25
+                         WHEN cos >= 0.2 THEN 0.2
+                         ELSE 0.15 END AS DOUBLE) AS bucket_lo,
+               coalesce(c.caught, 0) AS caught
+        FROM truth t
+        LEFT JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall,
+           round(1.0 - pow(1.0 - pow(1.0 - acos(least(bucket_lo, 1.0))
+                                            / pi(), 12), 2), 6)
+               AS recall_theory
+    FROM bucketed GROUP BY bucket_lo ORDER BY bucket_lo"""
+
 _EXT_ORACLES["link_page_rank"] = _page_rank_oracle()
 _EXT_ORACLES["link_communities"] = _lpa_oracle()
 
@@ -7893,6 +7970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_pieces": q_unigram_lm_pieces,
         "streaming_funnel_users": q_streaming_funnel_users,
         "streaming_hdr_daily": q_streaming_hdr_daily,
+        "embedding_lsh_recall": q_embedding_lsh_recall,
         # -- r10-checked (freshest evidence; rotated behind the
         #    window after CORRECTNESS_r10.json came back 50/50
         #    green), then the r8/r9-checked batches --
