@@ -1043,3 +1043,56 @@ def test_streaming_funnel_matches_batch_conditional_min(spark, tmp_path):
     assert set(emitted) == want
     assert {u for u, *_ in emitted} == {1, 2, 5}
     assert len(emitted) == 3  # u1 emitted once despite a 2nd purchase
+
+
+def test_streaming_heavy_hitters_exact_below_capacity(spark, tmp_path):
+    """The windowed_heavy_hitters driver-oracle contract: with
+    capacity >= the window's distinct-value count the MG decrement
+    never fires, so mg_count is the EXACT count and the result is
+    independent of micro-batch splits — pinned here across three
+    batches with interleaved values."""
+    import datetime as dt
+
+    from eventstorm_spark.extensions.sketches import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_exact_src")
+    schema = "ts timestamp, v string"
+    base = dt.datetime(2024, 7, 1, 0, 0)
+
+    def batch(vals, sec0):
+        return [(base + dt.timedelta(seconds=sec0 + i), v)
+                for i, v in enumerate(vals)]
+
+    batches = [["a"] * 5 + ["b"] * 3 + ["c"],
+               ["b"] * 4 + ["a"] * 2 + ["d"] * 6,
+               ["c"] * 7 + ["d"] + ["a"]]
+    latest = {}
+
+    def on_batch(bdf, _e):
+        rows = bdf.collect()
+        if rows:
+            latest.update({r.value: (r.mg_count, r.n_window)
+                           for r in rows})
+
+    spark.createDataFrame(batch(batches[0], 0), schema) \
+        .write.mode("append").parquet(src)
+    q = (streaming_heavy_hitters(
+            spark.readStream.schema(schema).parquet(src), "v",
+            threshold=0.01, window="1 hour", ts_col="ts",
+            watermark_delay="1 day")   # capacity = 200 >> 4 distinct
+         .writeStream.outputMode("update")
+         .foreachBatch(on_batch).start())
+    try:
+        q.processAllAvailable()
+        for i, b in enumerate(batches[1:], start=1):
+            spark.createDataFrame(batch(b, i * 100), schema) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    flat = [v for b in batches for v in b]
+    exact = {v: flat.count(v) for v in set(flat)}
+    n = len(flat)
+    assert {v: c for v, (c, _) in latest.items()} == exact
+    assert all(nw == n for _, nw in latest.values())
