@@ -678,6 +678,23 @@ def test_cdc_rolling_mode_is_shuffle_free(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_scale_forms_drop_the_audit_stages(spark, sf_dir):
+    """bench.py's scale forms must actually shed the audit work: the
+    hdr audit=False plan carries no sort-based percentile, the mad
+    approx form no exact percentile (approx_percentile only), the kmv
+    estimate-only form no exact distinct count of the token stream."""
+    plan = plan_of(inventory.queries()["hdr_value_quantiles"](
+        spark, sf_dir, audit=False))
+    assert "percentile" not in plan
+    plan = plan_of(inventory.queries()["events_mad_outliers"](
+        spark, sf_dir, audit=False))
+    assert "approx_percentile" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+    plan = plan_of(inventory.queries()["kmv_distinct_tokens"](
+        spark, sf_dir, audit=False))
+    assert "count(distinct" not in plan.lower()
+
+
 def test_triplet_driver_config_is_capped(q):
     """The contrastive_triplets driver plan must carry the hot-bucket
     cap (the HAVING count <= 512 semi-join appears as an extra
