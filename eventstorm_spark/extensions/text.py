@@ -1706,7 +1706,8 @@ def _phrase_join(postings: DataFrame, phrase: list[str]) -> DataFrame:
 
 def pmi_pairs(docs: DataFrame, *, min_df_frac: float = 0.05,
               max_df_frac: float = 0.9, min_cooc: int = 5, k: int = 50,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              terms: DataFrame | None = None) -> DataFrame:
     """Top-k token pairs by pointwise mutual information over
     within-document co-occurrence — collocation / market-basket mining
     (``pmi = ln(P(a,b) / (P(a)P(b)))`` with document-level events):
@@ -1724,13 +1725,18 @@ def pmi_pairs(docs: DataFrame, *, min_df_frac: float = 0.05,
     broadcast-banded semi-join, and the per-doc pair self-join keyed
     on the doc id. Counts stay exact; the PMI ratio is evaluated in
     doubles with one fixed association (products exceed int64 at
-    corpus scale), rounded 6."""
-    toks = (docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(
-            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-        .alias("term"))
-        .distinct())
+    corpus scale), rounded 6.
+
+    ``terms`` lets a caller supply the (doc, term) rows (e.g. derived
+    from a shared/at-rest postings table) instead of tokenizing
+    ``text_col``; ``docs`` is still scanned for the corpus size."""
+    if terms is None:
+        terms = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+            .alias("term"))
+    toks = terms.select("doc", "term").distinct()
     n_docs = docs.select(F.countDistinct(id_col).alias("__N"))
     df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     kept = (df_.crossJoin(F.broadcast(n_docs))

@@ -2581,13 +2581,16 @@ def q_kmv_distinct_tokens(spark, sf_dir, audit=True):
     bit-for-bit. Scale shape: one map-side-deduped exchange + the salted
     two-phase bottom-k (<= k rows per group past phase 1); the exact
     column is the audit and stays out of the at-rest form.
-    ``audit=False`` returns the sketch estimate alone (the 2.1x-at-10x
-    scale form bench.py times; the exact-distinct audit is 2.8x)."""
+    ``audit=False`` returns the sketch estimate alone (the scale form
+    bench.py times — though for THIS query the tokenize dominates and
+    the audit adds little, SCALE.md section 10.5). Tokens derive from
+    the session-shared postings frame (`_doc_postings`, which carries
+    `source`): alnum runs never span whitespace, so the multiset
+    equals tokenizing the text."""
     from eventstorm_spark.extensions.sketches import kmv_estimate, kmv_sketch
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = _doc_postings(spark, sf_dir).select(
         "source",
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        F.explode(F.expr("regexp_extract_all(lower(tok), '[a-z0-9]+', 0)"))
         .alias("tok"))
     est = kmv_estimate(kmv_sketch(toks, "tok", k=256,
                                   group_cols=["source"], portable=True))
@@ -2846,9 +2849,14 @@ def q_token_pmi_pairs(spark, sf_dir):
     [5%, 90%] document frequency (the df-cap guard — the ubiquitous
     head is the quadratic adversary AND carries PMI ~ 0), support
     >= 5 co-occurring docs. Counts exact; the ratio is one fixed
-    double expression (products exceed int64 at corpus scale)."""
+    double expression (products exceed int64 at corpus scale). Terms
+    derive from the session-shared postings frame (`_doc_postings`)."""
     from eventstorm_spark.extensions.text import pmi_pairs
-    return pmi_pairs(load(spark, sf_dir, "documents"), k=50)
+    terms = _doc_postings(spark, sf_dir).select(
+        "doc",
+        F.explode(F.expr("regexp_extract_all(lower(tok), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    return pmi_pairs(load(spark, sf_dir, "documents"), k=50, terms=terms)
 
 
 def q_user_rfm_segments(spark, sf_dir):
@@ -3505,11 +3513,11 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     Misra-Gries candidates per partition (shuffle bounded by 2/theta per
     partition, never the Zipf tail) -> broadcast-semi-join exact
     recount. Output is exact and partitioning-independent, so the
-    oracle is the plain GROUP BY ... HAVING."""
+    oracle is the plain GROUP BY ... HAVING. Tokens derive from the
+    session-shared postings frame (`_doc_postings`)."""
     from eventstorm_spark.extensions.sketches import heavy_hitters
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    toks = _doc_postings(spark, sf_dir).select(
+        F.explode(F.expr("regexp_extract_all(lower(tok), '[a-z0-9]+', 0)"))
         .alias("tok"))
     return heavy_hitters(toks, "tok", threshold=0.002)
 
@@ -4193,7 +4201,10 @@ def _doc_postings(spark, sf_dir):
 
         docs = load(spark, sf_dir, "documents")
         toks = F.split(F.trim(F.col("text")), r"\s+")
-        p = (docs.select(F.col("doc_id").alias("doc"),
+        # `source` rides along (one short string per posting) so the
+        # per-source token consumers (kmv sketch, heavy hitters) can
+        # also serve from this frame without a join back to docs
+        p = (docs.select(F.col("doc_id").alias("doc"), "source",
                          F.posexplode(toks).alias("pos", "tok"))
              .persist(StorageLevel.DISK_ONLY))
         p.count()  # materialize the persisted blocks eagerly
