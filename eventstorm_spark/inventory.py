@@ -295,6 +295,16 @@ _READ_ORACLES = {
     "head_revisions": f"""{ORACLE_CTE}
         SELECT stream, max(revision) AS head_revision, max(position) AS head_position
         FROM es_events GROUP BY stream""",
+    # subscription_catchup: the delivery pump is a filtered read in
+    # position order with a gapless 1-based sequence; every 32nd
+    # delivery carries the checkpoint marker (checkpointMod=32).
+    "subscription_catchup": f"""{ORACLE_CTE},
+        d AS (SELECT *, row_number() OVER (ORDER BY position) AS delivery_seq
+              FROM es_events
+              WHERE position >= 250 AND starts_with(stream, 'user-1'))
+        SELECT delivery_seq, (delivery_seq % 32 = 0) AS checkpoint,
+               {_ENVELOPE_OUT_SQL}
+        FROM d""",
 }
 
 
@@ -3361,6 +3371,221 @@ def q_streaming_funnel_users(spark, sf_dir):
         return spark.createDataFrame(
             sorted(rows),
             "user_id long, view_us long, click_us long, purchase_us long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_subscription_catchup(spark, sf_dir):
+    """T1/T3/T4/T5 END TO END: a catch-up subscription served through
+    the scale-path sink. `subscribe_all(from_position=250)` with the
+    reference's stream-prefix server-side filter (applies to catch-up
+    AND live phases, streams.go:270-276) feeds a `SinkSubscription`
+    (streaming/subscriptions.py): every delivered row carries a gapless
+    1-based `delivery_seq` assigned in global position order and every
+    32nd delivery is flagged `checkpoint` — the reference's checkpoint
+    marker (checkpointMod=32, grpc_server.go:136-155; golden
+    cardinalities streams_test.go:482-564). The replay writes the
+    envelope log position-sorted into one file so catch-up is one
+    in-order micro-batch; the ORACLE is the same filtered read with
+    row_number() over position."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.streaming.subscriptions import (SinkSubscription,
+                                                          subscribe_all)
+
+    env = es_events(spark, sf_dir)
+    tmp = _tempfile.mkdtemp(prefix="essub_")
+    try:
+        src = _os.path.join(tmp, "src")
+        env.orderBy("position").coalesce(1).write.parquet(src)
+        sub = subscribe_all(
+            spark, src, from_position=250,
+            filter=SubscriptionFilter(FilterKind.STREAM_ID,
+                                      prefixes=["user-1"]))
+        sink = SinkSubscription(sub, _os.path.join(tmp, "sink"),
+                                checkpoint_dir=_os.path.join(tmp, "ckpt"))
+        try:
+            sink.process_available()
+        finally:
+            sink.stop()
+        rows = (sink.result()
+                .select("delivery_seq", "checkpoint", *_ENVELOPE_OUT)
+                .orderBy("delivery_seq").collect())
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "delivery_seq long, checkpoint boolean, stream string, "
+            "uuid string, data string, revision long, position long, "
+            "event_type string, created long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_bm25_served_from_index(spark, sf_dir):
+    """The at-rest index tier SERVING end to end: build a
+    `curation.write_bm25_index` (postings hash-partitioned by term
+    bucket + the narrow doclen table) in a temp path, then answer a
+    3-term query through `bm25_against_index` — the postings read
+    prunes to the query terms' bucket partition dirs (plan-pinned in
+    test_curation), per-term df comes from the pruned postings
+    themselves, and ranking goes through the SAME `text.bm25_rank`
+    stage as the in-memory form. The ORACLE replays the query against
+    the raw documents table: build-then-serve == direct scoring is
+    exactly the at-rest contract (the corpus is tokenized once at
+    index time, never at serve time)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import (bm25_against_index,
+                                                      write_bm25_index)
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = _tempfile.mkdtemp(prefix="esbm_")
+    try:
+        idx = _os.path.join(tmp, "bm25")
+        write_bm25_index(docs, idx, n_buckets=16)
+        rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
+                                  k=20, n_buckets=16).collect()
+        return spark.createDataFrame(
+            [(int(r.doc_id), float(r.bm25)) for r in rows],
+            "doc_id long, bm25 double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_streaming_dedup_corpus(spark, sf_dir):
+    """`curation.streaming_dedup_against_corpus` END TO END: a live
+    crawl feed deduped against the at-rest corpus (stream-static
+    left-anti join on the content digest — stateless, re-reads the
+    static side per micro-batch) AND against itself
+    (dropDuplicatesWithinWatermark — watermark-bounded state). Corpus =
+    docs with doc_id % 3 == 0; the replayed feed carries the OTHER docs
+    (novel), a re-crawl of every corpus doc (dropped by the anti-join)
+    and a second copy of each doc_id % 6 == 1 doc arriving later under
+    a fresh id (dropped by the in-stream layer). The streaming query
+    determines the KEPT DIGEST SET — deterministic regardless of which
+    physical row survives — and the per-digest feed stats are batch
+    enrichment. Oracle: the novel digest set with the same stats."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import \
+        streaming_dedup_against_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    feed = (docs.where(F.col("doc_id") % 3 != 0)
+            .unionByName(corpus)
+            .unionByName(docs.where(F.col("doc_id") % 6 == 1)
+                         .withColumn("doc_id",
+                                     F.col("doc_id") + F.lit(1000000)))
+            .withColumn("ts", F.timestamp_seconds(F.col("doc_id"))))
+    tmp = _tempfile.mkdtemp(prefix="essdd_")
+    try:
+        src = _os.path.join(tmp, "src")
+        feed.orderBy("ts").coalesce(1).write.parquet(src)
+        kept: list = []
+
+        def on_batch(bdf, _e):
+            kept.extend(r.digest for r in
+                        bdf.select(F.md5("text").alias("digest")).collect())
+
+        q = (streaming_dedup_against_corpus(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema).parquet(src),
+                corpus, text_col="text", event_time_col="ts",
+                watermark_delay="30 days")
+             .writeStream.outputMode("append")
+             .foreachBatch(on_batch).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept_df = spark.createDataFrame([(d,) for d in kept],
+                                        "digest string")
+        stats = (feed.select(F.md5("text").alias("digest"), "doc_id")
+                 .groupBy("digest")
+                 .agg(F.count(F.lit(1)).alias("n_feed_rows"),
+                      F.min("doc_id").alias("first_doc_id")))
+        return kept_df.join(stats, "digest").select(
+            "digest", "n_feed_rows", "first_doc_id")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """`temporal.streaming_sessionize` END TO END: the native
+    session_window aggregation under Structured Streaming — sessions
+    merge in the state store and emit EXACTLY ONCE when the watermark
+    passes their close (append mode). Two-phase replay: the real feed
+    (one file), then a far-future sentinel event (user -1) whose
+    watermark advance closes every real session; the sentinel's own
+    session never closes so it never emits. Emission is value-
+    deterministic (session merge is order-independent; the final
+    watermark clears every real session end), and the ORACLE is the
+    lag+cumsum gap-island replay — the same SQL that pins the batch
+    `events_session_native` twin, proving batch and streaming paths
+    cannot drift."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from eventstorm_spark.extensions.temporal import streaming_sessionize
+
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + _dt.timedelta(days=100)
+    tmp = _tempfile.mkdtemp(prefix="essw_")
+    try:
+        feed = _os.path.join(tmp, "src")
+        ev.orderBy("ts").coalesce(1).write.parquet(feed)
+        schema = spark.read.parquet(feed).schema
+        seen: list = []
+
+        def on_batch(bdf, _e):
+            seen.extend((r.user_id, r.session_start, r.session_end,
+                         r.n_events) for r in bdf.collect())
+
+        q = (streaming_sessionize(
+                spark.readStream.schema(schema).parquet(feed),
+                gap="30 minutes", key_col="user_id", ts_col="ts",
+                watermark_delay="1 minute")
+             .writeStream.outputMode("append")
+             .foreachBatch(on_batch).start())
+        try:
+            q.processAllAvailable()
+            (spark.createDataFrame([(-1, sentinel_ts)], schema)
+             .coalesce(1).write.mode("append").parquet(feed))
+            # Drain until the committed watermark has passed every real
+            # session close (sentinel - delay); the file source's
+            # directory listing can lag the append under host load, so
+            # poll the progress watermark rather than trusting one
+            # processAllAvailable round.
+            target = sentinel_ts - _dt.timedelta(minutes=2)
+            for i in range(40):
+                if i:
+                    _time.sleep(0.25)
+                q.processAllAvailable()
+                lp = q.lastProgress or {}
+                wm = (lp.get("eventTime") or {}).get("watermark")
+                if wm:
+                    got = _dt.datetime.fromisoformat(
+                        wm.replace("Z", "+00:00")).replace(tzinfo=None)
+                    if got >= target:
+                        break
+        finally:
+            q.stop()
+        rows = sorted((int(u), s, e, int(n))
+                      for u, s, e, n in seen if u >= 0)
+        return spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -6888,6 +7113,74 @@ _EXT_ORACLES["bm25_top_docs"] = """
     ORDER BY bm25 DESC, doc_id
     LIMIT 20"""
 
+# bm25_served_from_index: the index is built and served inside the Spark
+# query; the oracle scores the SAME 3-term query directly off the raw
+# documents table — build-then-serve == direct scoring is the at-rest
+# index contract (shared text.bm25_rank stage on the Spark side).
+_EXT_ORACLES["bm25_served_from_index"] = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('hash', 'join', 'filter')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+               AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20"""
+
+# streaming_dedup_corpus: the kept digest set is exactly the feed
+# digests absent from the corpus (layer 1), one row per digest
+# (layer 2); feed stats replay the same synthetic feed construction.
+_EXT_ORACLES["streaming_dedup_corpus"] = """
+    WITH feed AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+        WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id, md5(text) FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text) FROM documents
+        WHERE doc_id % 6 = 1),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents
+        WHERE doc_id % 3 = 0)
+    SELECT digest, CAST(count(*) AS BIGINT) AS n_feed_rows,
+           min(doc_id) AS first_doc_id
+    FROM feed
+    WHERE digest NOT IN (SELECT digest FROM corpus)
+    GROUP BY digest"""
+
+# streaming_sessions: the lag+cumsum gap-island replay — the exact SQL
+# that pins the batch events_session_native twin; equality proves the
+# streaming (watermark + state store + append emission) path computes
+# the same sessions as the batch backfill.
+_EXT_ORACLES["streaming_sessions"] = """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM g)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no"""
+
 _EXT_ORACLES["hybrid_retrieval"] = """
     WITH t AS (
         SELECT doc_id,
@@ -7912,128 +8205,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 11 rotation: window head = the new streaming
-        #    driver query + contrastive_triplets (config changed to
-        #    the capped 12-bit LSH this round => needs fresh driver
-        #    evidence), then ALL the r6/r7-evidence queries except
-        #    the two spilled below (50-slot budget: 2 + 4 r6 + 44 of
-        #    46 r7). Every entry re-verified against its oracle
+        # -- round 12 rotation: window head = the two r7-evidence
+        #    spills + the four r11-late never-driver-checked queries +
+        #    the four NEW r12 queries (subscription sink delivery,
+        #    BM25 served from the at-rest index, streaming corpus
+        #    dedup, streaming session windows), then the 40 oldest
+        #    r8-evidence entries (the remaining 10 r8 entries head the
+        #    r13 window). Every entry verified against its oracle
         #    locally at sf0.001 + sf0.01 this round. --
-        "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "contrastive_triplets": q_contrastive_triplets,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "market_share": q_market_share,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
-        "events_sessionization": q_events_sessionization,
-        "system_streams": q_system_streams,
-        "value_percentiles": q_value_percentiles,
-        "returnflag_priority": q_returnflag_priority,
-        "supplier_part_counts": q_supplier_part_counts,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "shard_manifest": q_shard_manifest,
-        "length_bucket_report": q_length_bucket_report,
-        "dedup_incremental": q_dedup_incremental,
-        "snapshot_novelty": q_snapshot_novelty,
-        "vocab_coverage": q_vocab_coverage,
-        "source_composition": q_source_composition,
-        "dataset_profile": q_dataset_profile,
-        "near_dup_incremental": q_near_dup_incremental,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "events_session_native": q_events_session_native,
-        "decontaminated_counts": q_decontaminated_counts,
-        "epoch_plan": q_epoch_plan,
-        "curriculum_order": q_curriculum_order,
-        "model_quality_score": q_model_quality_score,
-        "epoch_materialized_counts": q_epoch_materialized_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_fertility": q_bpe_fertility,
-        "bpe_token_counts": q_bpe_token_counts,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "near_dup_containment": q_near_dup_containment,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
-        "top_supplier": q_top_supplier,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "html_c4_funnel": q_html_c4_funnel,
-        # -- spilled from the r11 window (r7 evidence; first in line
-        #    for the r12 head — both are degenerate LIMIT-1 reads
-        #    also pinned by the direction-x-boundary property test
-        #    and the top-k plan pins) --
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
-        # -- r11-late additions (oracle-checked locally at sf0.001 +
-        #    sf0.01; no driver slot left this round — they head the
-        #    r12 window with the two spills above) --
         "unigram_lm_pieces": q_unigram_lm_pieces,
         "streaming_funnel_users": q_streaming_funnel_users,
         "streaming_hdr_daily": q_streaming_hdr_daily,
         "embedding_lsh_recall": q_embedding_lsh_recall,
-        # -- r10-checked (freshest evidence; rotated behind the
-        #    window after CORRECTNESS_r10.json came back 50/50
-        #    green), then the r8/r9-checked batches --
-        "kmv_source_overlap": q_kmv_source_overlap,
-        "skew_salted_join": q_skew_salted_join,
-        "corpus_drift_psi": q_corpus_drift_psi,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "events_ewma_anomaly": q_events_ewma_anomaly,
-        "link_communities": q_link_communities,
-        "events_mad_outliers": q_events_mad_outliers,
-        "phrase_search": q_phrase_search,
-        "decayed_user_activity": q_decayed_user_activity,
-        "events_cusum_shift": q_events_cusum_shift,
-        "user_rfm_segments": q_user_rfm_segments,
-        "token_pmi_pairs": q_token_pmi_pairs,
-        "wordpiece_piece_usage": q_wordpiece_piece_usage,
-        "funnel_conversion_windowed": q_funnel_conversion_windowed,
-        "proximity_search": q_proximity_search,
-        "quality_calibration": q_quality_calibration,
-        "hashed_tfidf_knn": q_hashed_tfidf_knn,
-        "dq_gate": q_dq_gate,
-        "events_seasonal_deviation": q_events_seasonal_deviation,
-        "funnel_transition_times": q_funnel_transition_times,
-        "join_key_skew": q_join_key_skew,
-        "event_transitions": q_event_transitions,
-        "cms_event_type_counts": q_cms_event_type_counts,
-        "hdr_value_quantiles": q_hdr_value_quantiles,
-        "events_m4": q_events_m4,
-        "weighted_sample": q_weighted_sample,
-        "kmv_daily_users": q_kmv_daily_users,
-        "zorder_locality": q_zorder_locality,
-        "link_page_rank": q_link_page_rank,
-        "kmv_distinct_tokens": q_kmv_distinct_tokens,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "events_gapfill_locf": q_events_gapfill_locf,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "multimodal_bmp_decode": q_multimodal_bmp_decode,
-        "audio_features": q_audio_features,
-        "audio_fingerprints": q_audio_fingerprints,
-        "audio_near_dup_pairs": q_audio_near_dup_pairs,
-        "video_frame_decode": q_video_frame_decode,
-        "source_overlap": q_source_overlap,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "url_host_composition": q_url_host_composition,
-        "image_dup_clusters": q_image_dup_clusters,
-        "train_quality_weights": q_train_quality_weights,
-        "dedup_keep_best": q_dedup_keep_best,
-        "near_dup_edit_distance": q_near_dup_edit_distance,
-        "cluster_cards": q_cluster_cards,
-        "cluster_balanced_counts": q_cluster_balanced_counts,
-        "html_extract": q_html_extract,
-        "exact_substring_scrub": q_exact_substring_scrub,
+        "subscription_catchup": q_subscription_catchup,
+        "bm25_served_from_index": q_bm25_served_from_index,
+        "streaming_dedup_corpus": q_streaming_dedup_corpus,
+        "streaming_sessions": q_streaming_sessions,
+        # -- r8-evidence batch (40 of 50; oldest driver evidence) --
         "min_cost_supplier": q_min_cost_supplier,
         "nation_part_share": q_nation_part_share,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -8074,6 +8264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_linkto_errors": q_proj_linkto_errors,
         "system_by_event_type": q_system_by_event_type,
         "late_shipment_priority": q_late_shipment_priority,
+        # -- spilled r8-evidence entries (10): first in line for the
+        #    r13 window head --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
         "orders_with_returns": q_orders_with_returns,
@@ -8084,6 +8276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
+        # -- r9-checked, then r10-, r11-checked batches (freshest last) --
         "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
@@ -8134,6 +8327,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
+        "kmv_source_overlap": q_kmv_source_overlap,
+        "skew_salted_join": q_skew_salted_join,
+        "corpus_drift_psi": q_corpus_drift_psi,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "events_ewma_anomaly": q_events_ewma_anomaly,
+        "link_communities": q_link_communities,
+        "events_mad_outliers": q_events_mad_outliers,
+        "phrase_search": q_phrase_search,
+        "decayed_user_activity": q_decayed_user_activity,
+        "events_cusum_shift": q_events_cusum_shift,
+        "user_rfm_segments": q_user_rfm_segments,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "wordpiece_piece_usage": q_wordpiece_piece_usage,
+        "funnel_conversion_windowed": q_funnel_conversion_windowed,
+        "proximity_search": q_proximity_search,
+        "quality_calibration": q_quality_calibration,
+        "hashed_tfidf_knn": q_hashed_tfidf_knn,
+        "dq_gate": q_dq_gate,
+        "events_seasonal_deviation": q_events_seasonal_deviation,
+        "funnel_transition_times": q_funnel_transition_times,
+        "join_key_skew": q_join_key_skew,
+        "event_transitions": q_event_transitions,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "hdr_value_quantiles": q_hdr_value_quantiles,
+        "events_m4": q_events_m4,
+        "weighted_sample": q_weighted_sample,
+        "kmv_daily_users": q_kmv_daily_users,
+        "zorder_locality": q_zorder_locality,
+        "link_page_rank": q_link_page_rank,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "audio_features": q_audio_features,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "video_frame_decode": q_video_frame_decode,
+        "source_overlap": q_source_overlap,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_host_composition": q_url_host_composition,
+        "image_dup_clusters": q_image_dup_clusters,
+        "train_quality_weights": q_train_quality_weights,
+        "dedup_keep_best": q_dedup_keep_best,
+        "near_dup_edit_distance": q_near_dup_edit_distance,
+        "cluster_cards": q_cluster_cards,
+        "cluster_balanced_counts": q_cluster_balanced_counts,
+        "html_extract": q_html_extract,
+        "exact_substring_scrub": q_exact_substring_scrub,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "contrastive_triplets": q_contrastive_triplets,
+        "nation_trade_flows": q_nation_trade_flows,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "market_share": q_market_share,
+        "asof_last_view": q_asof_last_view,
+        "funnel_conversion": q_funnel_conversion,
+        "events_sessionization": q_events_sessionization,
+        "system_streams": q_system_streams,
+        "value_percentiles": q_value_percentiles,
+        "returnflag_priority": q_returnflag_priority,
+        "supplier_part_counts": q_supplier_part_counts,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "read_stream_backward": q_read_stream_backward,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "shard_manifest": q_shard_manifest,
+        "length_bucket_report": q_length_bucket_report,
+        "dedup_incremental": q_dedup_incremental,
+        "snapshot_novelty": q_snapshot_novelty,
+        "vocab_coverage": q_vocab_coverage,
+        "source_composition": q_source_composition,
+        "dataset_profile": q_dataset_profile,
+        "near_dup_incremental": q_near_dup_incremental,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "events_session_native": q_events_session_native,
+        "decontaminated_counts": q_decontaminated_counts,
+        "epoch_plan": q_epoch_plan,
+        "curriculum_order": q_curriculum_order,
+        "model_quality_score": q_model_quality_score,
+        "epoch_materialized_counts": q_epoch_materialized_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
+        "bpe_token_counts": q_bpe_token_counts,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "near_dup_containment": q_near_dup_containment,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "nation_revenue": q_nation_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "segment_order_stats": q_segment_order_stats,
+        "top_supplier": q_top_supplier,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "html_c4_funnel": q_html_c4_funnel,
     }
     return q
 
