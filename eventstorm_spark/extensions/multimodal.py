@@ -6,16 +6,19 @@ here it is generalized to image/audio/video assets. The Spark-side
 plumbing (schema, partitioning, Arrow batch shape through mapInPandas)
 is real and tested.
 
-Real mode: pure-stdlib codecs for three self-describing formats —
-RIFF/WAV PCM16 (``decode_wav_pcm16``), binary PPM P6 (``decode_ppm``),
-and, round 6, compressed PNG (``decode_png``: chunk walk + CRC check +
-zlib inflate + all five scanline defilters) — so
-``decode_and_featurize(fake=False)`` exercises genuine byte-parse AND
-decompression paths end-to-end. Formats beyond those (JPEG, MP3, ...)
-still raise ``NotImplementedError``: their codec libraries are not in
-this container, and the honest stub marks exactly where they plug in.
-Fake mode (deterministic sha256-derived features) remains for tests
-that only exercise the plumbing.
+Real mode: pure-stdlib/numpy codecs for seven self-describing formats —
+RIFF/WAV PCM16 (``decode_wav_pcm16``) and µ-law (``decode_wav_mulaw``),
+binary PPM P6 (``decode_ppm``), BMP (``decode_bmp``), compressed PNG
+(``decode_png``: chunk walk + CRC check + zlib inflate + all five
+scanline defilters), GIF87a/89a (``decode_gif``: LZW decompression),
+and baseline JFIF JPEG (``decode_jpeg``: Huffman decode + dequantize +
+IDCT + YCbCr upsample) — so ``decode_and_featurize(fake=False)``
+exercises genuine byte-parse AND decompression paths end-to-end.
+Codec EDGES beyond those (progressive JPEG, interlaced GIF, ADPCM,
+MP3, ...) raise ``NotImplementedError`` with precise messages: their
+codec libraries are not in this container, and the honest stub marks
+exactly where they plug in. Fake mode (deterministic sha256-derived
+features) remains for tests that only exercise the plumbing.
 """
 
 from __future__ import annotations

@@ -534,9 +534,15 @@ def expect(df: DataFrame, checks: "dict[str, Column]") -> DataFrame:
                           .otherwise(0)).alias(f"__v_{i}"))
     totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     # check names are arbitrary labels interpolated as SQL string
-    # literals — escape embedded quotes so a name like "isn't null"
-    # can't break the generated stack() expression
-    pairs = ", ".join(f"""'{n.replace("'", "''")}', __v_{i}"""
+    # literals — escape backslashes first (Spark's default
+    # escapedStringLiterals=false treats \ as an escape, so a name
+    # ending in "\" would swallow the closing quote), then quotes,
+    # so names like "isn't null" or "path \" can't break or alter
+    # the generated stack() expression
+    def _sql_quote(name: str) -> str:
+        return name.replace("\\", "\\\\").replace("'", "''")
+
+    pairs = ", ".join(f"'{_sql_quote(n)}', __v_{i}"
                       for i, n in enumerate(checks))
     report = totals.selectExpr(
         "__n", f"stack({len(checks)}, {pairs}) AS (check, n_violations)")

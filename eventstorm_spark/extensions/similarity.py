@@ -1314,6 +1314,16 @@ def mine_triplets(embeddings: DataFrame, *,
     is 3.4x with 62% of anchors keeping a hard negative. Pass explicit
     ``num_planes``/``bands``/``max_bucket_size=None`` to reproduce a
     fixed small-corpus config.
+
+    .. versionchanged:: round 11
+       Defaults changed for scale safety: ``bands`` 4→2,
+       ``max_bucket_size`` None→512, and ``num_planes`` is now
+       corpus-derived when unset (one extra ``count()`` action). A
+       caller passing only ``planes=...`` gets different buckets than
+       before, and anchors in buckets larger than the cap are DROPPED
+       (whole-bucket, deterministic) — pass the explicit pre-r11
+       values (``bands=4``, ``max_bucket_size=None``) to reproduce the
+       old behavior.
     """
     import math
 

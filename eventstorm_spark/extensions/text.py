@@ -1610,9 +1610,11 @@ def _cdc_chunks_rolling(docs: DataFrame, *, window: int, divisor: int,
     import hashlib
 
     fields = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    # backtick-quote carried names so a non-identifier id/keep column
+    # (e.g. "chunk id") parses in the DDL schema string
     out_schema = ", ".join(
-        [f"{id_col} {fields[id_col]}"]
-        + [f"{c} {fields[c]}" for c in keep_cols]
+        [f"`{id_col}` {fields[id_col]}"]
+        + [f"`{c}` {fields[c]}" for c in keep_cols]
         + ["chunk_idx int", "chunk_start int", "chunk_len int",
            "chunk_hash string"])
     src = docs.select(id_col, *keep_cols, text_col)
@@ -1620,12 +1622,18 @@ def _cdc_chunks_rolling(docs: DataFrame, *, window: int, divisor: int,
     weights = np.array([pow(257, w - 1 - j, 1 << 64) for j in range(w)],
                        dtype=np.uint64)
 
+    n_keep = len(keep_cols)
+
     def chunker(batches):
         for pdf in batches:
             ids, keeps, idxs, starts, lens, hashes = \
                 [], {c: [] for c in keep_cols}, [], [], [], []
-            for row in pdf.itertuples(index=False):
-                text = getattr(row, text_col)
+            # name=None yields plain tuples in src's column order
+            # (id, *keeps, text) — getattr-by-name breaks on column
+            # names that aren't valid identifiers (pandas renames
+            # them to _1, _2, … in named tuples)
+            for row in pdf.itertuples(index=False, name=None):
+                text = row[n_keep + 1]
                 b = text.encode("utf-8") if text is not None else b""
                 n = len(b)
                 if n == 0:
@@ -1645,9 +1653,9 @@ def _cdc_chunks_rolling(docs: DataFrame, *, window: int, divisor: int,
                                                    or cuts[-1] < n) else [])
                 for j, (s, e) in enumerate(zip(bounds, bounds[1:]),
                                            start=1):
-                    ids.append(getattr(row, id_col))
-                    for cc in keep_cols:
-                        keeps[cc].append(getattr(row, cc))
+                    ids.append(row[0])
+                    for ci, cc in enumerate(keep_cols, start=1):
+                        keeps[cc].append(row[ci])
                     idxs.append(j)
                     starts.append(s)
                     lens.append(e - s)

@@ -296,13 +296,15 @@ _READ_ORACLES = {
         SELECT stream, max(revision) AS head_revision, max(position) AS head_position
         FROM es_events GROUP BY stream""",
     # subscription_catchup: the delivery pump is a filtered read in
-    # position order with a gapless 1-based sequence; every 32nd
-    # delivery carries the checkpoint marker (checkpointMod=32).
+    # position order with a gapless 1-based sequence; the reference
+    # emits the checkpoint marker BEFORE deliveries 1, 33, 65, …
+    # (nSent%32==0 pre-send, grpc_server.go:98-115), so the flag rides
+    # the row the marker precedes/quotes: (delivery_seq-1) % 32 = 0.
     "subscription_catchup": f"""{ORACLE_CTE},
         d AS (SELECT *, row_number() OVER (ORDER BY position) AS delivery_seq
               FROM es_events
               WHERE position >= 250 AND starts_with(stream, 'user-1'))
-        SELECT delivery_seq, (delivery_seq % 32 = 0) AS checkpoint,
+        SELECT delivery_seq, ((delivery_seq - 1) % 32 = 0) AS checkpoint,
                {_ENVELOPE_OUT_SQL}
         FROM d""",
 }
@@ -3381,13 +3383,15 @@ def q_subscription_catchup(spark, sf_dir):
     reference's stream-prefix server-side filter (applies to catch-up
     AND live phases, streams.go:270-276) feeds a `SinkSubscription`
     (streaming/subscriptions.py): every delivered row carries a gapless
-    1-based `delivery_seq` assigned in global position order and every
-    32nd delivery is flagged `checkpoint` — the reference's checkpoint
-    marker (checkpointMod=32, grpc_server.go:136-155; golden
-    cardinalities streams_test.go:482-564). The replay writes the
-    envelope log position-sorted into one file so catch-up is one
-    in-order micro-batch; the ORACLE is the same filtered read with
-    row_number() over position."""
+    1-based `delivery_seq` assigned in global position order, and rows
+    where `(delivery_seq - 1) % 32 == 0` are flagged `checkpoint` — the
+    reference's marker cadence (checkpointMod=32 at grpc_server.go:85;
+    the pump at :98-115 emits the marker when nSent%32==0 BEFORE the
+    send, so markers precede deliveries 1, 33, 65, … and quote that
+    event's position; the flag here rides the row the marker would
+    precede/quote). The replay writes the envelope log position-sorted
+    into one file so catch-up is one in-order micro-batch; the ORACLE is
+    the same filtered read with row_number() over position."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -3579,10 +3583,17 @@ def q_streaming_sessions(spark, sf_dir):
                         wm.replace("Z", "+00:00")).replace(tzinfo=None)
                     if got >= target:
                         break
+            else:
+                # A partial session set would surface as an opaque
+                # row-count mismatch; fail loudly instead.
+                raise TimeoutError(
+                    "streaming_sessions: committed watermark never "
+                    f"reached {target} (sentinel append not listed?)")
         finally:
             q.stop()
+        # exclude only the sentinel key itself (-1), not all negatives
         rows = sorted((int(u), s, e, int(n))
-                      for u, s, e, n in seen if u >= 0)
+                      for u, s, e, n in seen if u != -1)
         return spark.createDataFrame(
             rows, "user_id long, session_start timestamp, "
                   "session_end timestamp, n_events long")
@@ -8205,67 +8216,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 12 rotation: window head = the two r7-evidence
-        #    spills + the four r11-late never-driver-checked queries +
-        #    the four NEW r12 queries (subscription sink delivery,
-        #    BM25 served from the at-rest index, streaming corpus
-        #    dedup, streaming session windows), then the 40 oldest
-        #    r8-evidence entries (the remaining 10 r8 entries head the
-        #    r13 window). Every entry verified against its oracle
-        #    locally at sf0.001 + sf0.01 this round. --
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
-        "unigram_lm_pieces": q_unigram_lm_pieces,
-        "streaming_funnel_users": q_streaming_funnel_users,
-        "streaming_hdr_daily": q_streaming_hdr_daily,
-        "embedding_lsh_recall": q_embedding_lsh_recall,
+        # -- round 13 rotation: window head = the two queries whose
+        #    code/oracle CHANGED this round (subscription_catchup's
+        #    checkpoint cadence now matches the reference's pre-send
+        #    marker — (delivery_seq-1) % 32 == 0 — and
+        #    streaming_sessions' sentinel filter/timeout hardening),
+        #    then the 10 r8-evidence spills, then the 38 oldest
+        #    r9-evidence entries. Every entry verified against its
+        #    oracle locally at sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
-        "bm25_served_from_index": q_bm25_served_from_index,
-        "streaming_dedup_corpus": q_streaming_dedup_corpus,
         "streaming_sessions": q_streaming_sessions,
-        # -- r8-evidence batch (40 of 50; oldest driver evidence) --
-        "min_cost_supplier": q_min_cost_supplier,
-        "nation_part_share": q_nation_part_share,
-        "bulk_part_suppliers": q_bulk_part_suppliers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "winnow_cross_matches": q_winnow_cross_matches,
-        "hybrid_retrieval": q_hybrid_retrieval,
-        "corpus_diff": q_corpus_diff,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "chunk_documents": q_chunk_documents,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
-        "scrubbed_corpus": q_scrubbed_corpus,
-        "token_balanced_shards": q_token_balanced_shards,
-        "events_range_join": q_events_range_join,
-        "winnow_matches": q_winnow_matches,
-        "exact_substring_spans": q_exact_substring_spans,
-        "head_revisions": q_head_revisions,
-        "cohort_retention": q_cohort_retention,
-        "rollup_revenue": q_rollup_revenue,
-        "promo_revenue_ratio": q_promo_revenue_ratio,
-        "tpch_q1": q_tpch_q1,
-        "vocab_stats": q_vocab_stats,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "system_by_category": q_system_by_category,
-        "proj_emit_enriched": q_proj_emit_enriched,
-        "proj_first_last": q_proj_first_last,
-        "read_all_backward": q_read_all_backward,
-        "read_all_first_event": q_read_all_first_event,
-        "read_all_last_event": q_read_all_last_event,
-        "filter_stream_prefix": q_filter_stream_prefix,
-        "filter_type_regex": q_filter_type_regex,
-        "scalar_envelope": q_scalar_envelope,
-        "scalar_struct_uuid": q_scalar_struct_uuid,
-        "read_all_from_position": q_read_all_from_position,
-        "proj_category_counts": q_proj_category_counts,
-        "proj_filtered_emissions": q_proj_filtered_emissions,
-        "proj_transform": q_proj_transform,
-        "proj_linkto_errors": q_proj_linkto_errors,
-        "system_by_event_type": q_system_by_event_type,
-        "late_shipment_priority": q_late_shipment_priority,
-        # -- spilled r8-evidence entries (10): first in line for the
-        #    r13 window head --
+        # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
         "orders_with_returns": q_orders_with_returns,
@@ -8276,7 +8237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        # -- r9-checked, then r10-, r11-checked batches (freshest last) --
+        # -- r9-evidence batch (38 of 50 fit the window) --
         "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
@@ -8315,6 +8276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "semantic_dedup": q_semantic_dedup,
+        # -- spilled r9-evidence entries (12): first in line for the
+        #    r14 window head --
         "ann_pq_topk": q_ann_pq_topk,
         "ann_recall_report": q_ann_recall_report,
         "embedding_centroids": q_embedding_centroids,
@@ -8327,6 +8290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repeated_passages": q_repeated_passages,
+        # -- r10-, r11-, r12-checked batches (freshest last) --
         "kmv_source_overlap": q_kmv_source_overlap,
         "skew_salted_join": q_skew_salted_join,
         "corpus_drift_psi": q_corpus_drift_psi,
@@ -8426,6 +8390,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "html_c4_funnel": q_html_c4_funnel,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "unigram_lm_pieces": q_unigram_lm_pieces,
+        "streaming_funnel_users": q_streaming_funnel_users,
+        "streaming_hdr_daily": q_streaming_hdr_daily,
+        "embedding_lsh_recall": q_embedding_lsh_recall,
+        "bm25_served_from_index": q_bm25_served_from_index,
+        "streaming_dedup_corpus": q_streaming_dedup_corpus,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_part_share": q_nation_part_share,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "winnow_cross_matches": q_winnow_cross_matches,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "corpus_diff": q_corpus_diff,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "chunk_documents": q_chunk_documents,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "scrubbed_corpus": q_scrubbed_corpus,
+        "token_balanced_shards": q_token_balanced_shards,
+        "events_range_join": q_events_range_join,
+        "winnow_matches": q_winnow_matches,
+        "exact_substring_spans": q_exact_substring_spans,
+        "head_revisions": q_head_revisions,
+        "cohort_retention": q_cohort_retention,
+        "rollup_revenue": q_rollup_revenue,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "tpch_q1": q_tpch_q1,
+        "vocab_stats": q_vocab_stats,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "system_by_category": q_system_by_category,
+        "proj_emit_enriched": q_proj_emit_enriched,
+        "proj_first_last": q_proj_first_last,
+        "read_all_backward": q_read_all_backward,
+        "read_all_first_event": q_read_all_first_event,
+        "read_all_last_event": q_read_all_last_event,
+        "filter_stream_prefix": q_filter_stream_prefix,
+        "filter_type_regex": q_filter_type_regex,
+        "scalar_envelope": q_scalar_envelope,
+        "scalar_struct_uuid": q_scalar_struct_uuid,
+        "read_all_from_position": q_read_all_from_position,
+        "proj_category_counts": q_proj_category_counts,
+        "proj_filtered_emissions": q_proj_filtered_emissions,
+        "proj_transform": q_proj_transform,
+        "proj_linkto_errors": q_proj_linkto_errors,
+        "system_by_event_type": q_system_by_event_type,
+        "late_shipment_priority": q_late_shipment_priority,
     }
     return q
 

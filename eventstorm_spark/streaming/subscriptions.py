@@ -14,7 +14,9 @@ Delivery-order note: a micro-batch may span files out of order, so the
 consumer-facing sinks here sort each batch by position before handing it
 over — the per-batch analogue of the reference's ``ORDER BY position``
 re-read. Checkpoint markers every N events (T4, checkpointMod=32 at
-``grpc_server.go:136-155``) are emitted by the memory-sink collector.
+``grpc_server.go:85``; the pump at ``:98-115`` emits the marker BEFORE
+deliveries 1, 33, 65, …, quoting that next event's position) are
+emitted by the memory-sink collector with the same pre-send cadence.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from pyspark.sql import functions as F
 from eventstorm_spark.log.filters import filter_column
 from eventstorm_spark.model import EVENT_SCHEMA, SubscriptionFilter
 
-CHECKPOINT_EVERY = 32  # grpc_server.go:136 (checkpointMod)
+CHECKPOINT_EVERY = 32  # grpc_server.go:85 (checkpointMod)
 
 
 def _stream_source(spark: SparkSession, path: str) -> DataFrame:
@@ -71,8 +73,10 @@ class Subscription:
 
     Wraps a streaming query over the subscription DataFrame; each
     micro-batch is sorted by position and appended to the delivery
-    buffer, emitting a checkpoint marker every CHECKPOINT_EVERY events
-    (T4). ``process_available()`` drains everything currently committed
+    buffer, emitting a checkpoint marker before every CHECKPOINT_EVERY-th
+    delivery (the 1st, 33rd, …, quoting that event's position — the
+    reference's pre-send cadence, T4).
+    ``process_available()`` drains everything currently committed
     — the deterministic replay harness for tests (Trigger-AvailableNow
     semantics); with live appends, call it again to pick up new files.
     """
@@ -98,17 +102,18 @@ class Subscription:
         self.id = f"sub-{Subscription._seq}"
         self.delivered = Delivered()
         self.confirmed = False  # SubscriptionConfirmation (grpc_server.go:84-122)
-        self._count_since_checkpoint = 0
         self._checkpoint_every = checkpoint_every
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
             rows = batch_df.orderBy("position").collect()
             for r in rows:
-                self.delivered.events.append(r)
-                self._count_since_checkpoint += 1
-                if self._count_since_checkpoint >= self._checkpoint_every:
+                # Reference pump (grpc_server.go:98-115): the marker is
+                # sent when nSent % checkpointMod == 0 BEFORE the send,
+                # quoting the about-to-be-delivered event's position —
+                # markers precede deliveries 1, 33, 65, ….
+                if len(self.delivered.events) % self._checkpoint_every == 0:
                     self.delivered.checkpoints.append(r["position"])
-                    self._count_since_checkpoint = 0
+                self.delivered.events.append(r)
 
         writer = (
             sub_df.writeStream.outputMode("append")
@@ -166,10 +171,12 @@ class SinkSubscription:
       assigned in global position order, so a consumer reading the sink
       ``ORDER BY delivery_seq`` replays the exact order the reference
       would have pushed;
-    - rows where ``delivery_seq % checkpoint_every == 0`` are flagged
-      ``checkpoint = true`` — the T4 checkpoint marker (checkpointMod=32,
-      grpc_server.go:136-155) carried on the row whose position the
-      marker would quote;
+    - rows where ``(delivery_seq - 1) % checkpoint_every == 0`` are
+      flagged ``checkpoint = true`` — the T4 checkpoint marker
+      (checkpointMod=32 at grpc_server.go:85; the pump at :98-115 emits
+      it when ``nSent % mod == 0`` BEFORE the send, i.e. preceding
+      deliveries 1, 33, 65, … and quoting that event's position) carried
+      on the row the marker would precede/quote;
     - the only driver-side state is the running delivered count (a
       scalar), recovered from ``max(delivery_seq)`` already in the sink
       on restart, so a resumed subscription (same Spark checkpoint dir)
@@ -240,7 +247,7 @@ class SinkSubscription:
                    .cast("long") + F.lit(base))
             out = (batch_df.withColumn("delivery_seq", seq)
                    .withColumn("checkpoint",
-                               F.col("delivery_seq") % every == 0))
+                               (F.col("delivery_seq") - 1) % every == 0))
             out.write.mode("overwrite").parquet(edir)
             self._delivered = max(self._delivered, base + cnt)
 

@@ -2624,6 +2624,28 @@ def test_cdc_chunks_tile_and_resync(spark, portable):
     assert again == {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows}
 
 
+@pytest.mark.parametrize("portable", [True, False])
+def test_cdc_chunks_non_identifier_columns(spark, portable):
+    """Production (gear/rolling) mode iterates rows positionally and
+    backtick-quotes its DDL schema, so id/keep columns that aren't
+    valid Python identifiers (spaces, namedtuple collisions) behave
+    exactly like portable mode."""
+    from eventstorm_spark.extensions.text import cdc_chunks
+    body = "the quick brown fox jumps over the lazy dog " * 30
+    docs = spark.createDataFrame(
+        [(10, "s1", body), (11, "s2", "tiny")],
+        ["chunk id", "count", "text"])
+    rows = cdc_chunks(docs, window=16, divisor=32, portable=portable,
+                      id_col="chunk id", keep_cols=("count",)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["chunk id"], []).append(r)
+    assert sum(r.chunk_len for r in by_doc[10]) == len(body)
+    assert len(by_doc[10]) > 5
+    assert all(r["count"] == "s1" for r in by_doc[10])
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[11]] == [(0, 4)]
+
+
 def test_mad_outlier_report_resists_masking(spark):
     """One huge outlier inflates mean/sigma enough to mask a second,
     smaller one from the z-score sweep; median/MAD flags both."""
@@ -2832,3 +2854,16 @@ def test_expect_quality_gate(spark):
     import pytest as _p
     with _p.raises(ValueError):
         expect(df, {})
+
+
+def test_expect_hostile_check_names(spark):
+    """Check names are arbitrary labels interpolated into a generated
+    stack() expression — quotes AND backslashes must round-trip (a
+    trailing backslash would otherwise swallow the closing quote under
+    Spark's default escapedStringLiterals=false)."""
+    from eventstorm_spark.extensions.pipeline import expect
+    df = spark.createDataFrame([(1,), (2,), (-3,)], ["id"])
+    names = ["isn't null", "path \\", "back\\slash 'mix'\\"]
+    got = {r.check: r.n_violations
+           for r in expect(df, {n: F.col("id") > 0 for n in names}).collect()}
+    assert got == {n: 1 for n in names}

@@ -65,7 +65,9 @@ def test_all_subscription_catchup_live(spark, log):
             log.append(f"s-{i}", _events(10))
         sub.process_available()
         assert sub.positions == list(range(1, 101))  # + live
-        assert len(sub.delivered.checkpoints) == 3  # every 32 events (T4)
+        # pre-send cadence (grpc_server.go:98-115): markers precede
+        # deliveries 1, 33, 65, 97 and quote those events' positions
+        assert sub.delivered.checkpoints == [1, 33, 65, 97]
     finally:
         sub.stop()
 
@@ -330,8 +332,8 @@ def test_sink_subscription_full_catchup_order_and_checkpoints(spark, log, tmp_pa
                 for r in rows] == \
                [(r["stream"], r["uuid"], r["data"], r["revision"], r["position"])
                 for r in expected]
-        # checkpoint markers at every 32nd delivery
-        assert [r["delivery_seq"] for r in rows if r["checkpoint"]] == [32, 64, 96]
+        # pre-send checkpoint cadence: markers on deliveries 1, 33, 65, 97
+        assert [r["delivery_seq"] for r in rows if r["checkpoint"]] == [1, 33, 65, 97]
     finally:
         sub.stop()
 
