@@ -1165,17 +1165,26 @@ def write_bm25_index(corpus: DataFrame, path: str, *, n_buckets: int = 64,
     through the shared ``text.bm25_rank`` stage (test-pinned).
 
     At 100 TB the postings table is the standard inverted-index cost
-    (one row per distinct (doc, term)); building it is one tokenize
-    pass + one map-side-combinable (id, term) aggregate.
+    (one row per distinct (doc, term)); building it is ONE tokenize
+    pass + one map-side-combinable (id, term) aggregate. The doclen
+    table is then derived from the WRITTEN postings (``dl = sum(tf)``
+    per doc — identical to the token count by construction, and a doc
+    with zero tokens has no postings rows, matching the explicit
+    ``dl > 0`` filter), so the corpus text is scanned and tokenized
+    exactly once and the second job reads the compact columnar
+    postings instead of re-running the regex over raw text.
     """
-    _write_index_meta(corpus.sparkSession, path,
+    spark = corpus.sparkSession
+    _write_index_meta(spark, path,
                       {"kind": "bm25", "n_buckets": n_buckets})
     (_bm25_postings(corpus, text_col=text_col, id_col=id_col,
                     n_buckets=n_buckets)
      .repartition("bucket", "term")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "postings")))
-    (_bm25_doclen(corpus, text_col=text_col, id_col=id_col)
+    (spark.read.parquet(os.path.join(path, "postings"))
+     .groupBy(F.col(id_col))
+     .agg(F.sum("tf").cast("long").alias("dl"))
      .write.mode("overwrite").parquet(os.path.join(path, "doclen")))
 
 

@@ -55,6 +55,41 @@ def assign_splits(docs: DataFrame, *,
     return docs.withColumn("split", expr)
 
 
+def assign_splits_grouped(docs: DataFrame, clusters: DataFrame, *,
+                          weights: Mapping[str, float] | None = None,
+                          salt: str = "v1", id_col: str = "doc_id",
+                          cluster_col: str = "cluster_id") -> DataFrame:
+    """LEAKAGE-SAFE split assignment: hash the duplicate-CLUSTER label
+    instead of the document id, so near-duplicate documents can never
+    straddle train/test — the eval-leakage bug that per-doc hashing
+    (:func:`assign_splits`) cannot prevent (a test doc's near-copy in
+    train inflates every downstream metric; group-wise splitting is the
+    standard fix, cf. sklearn's GroupKFold).
+
+    ``clusters`` is ``(id_col, cluster_col)`` — e.g. the output of
+    ``dedup.duplicate_clusters`` — mapping every doc to its near-dup
+    component's label (singletons to themselves). Docs absent from
+    ``clusters`` fall back to their own id, so a clusters frame covering
+    only the paired subset works too. The split is a pure function of
+    (cluster label, salt, weights): growing the corpus never reassigns
+    an existing cluster, and every member of a cluster lands in the
+    same split by construction.
+
+    Scale shape: one equi-join on ``id_col`` (at 100 TB the clusters
+    frame is corpus-keyed but two columns wide — co-partition or bucket
+    both sides on the id; the hash bucketing itself stays a projection,
+    zero extra shuffles)."""
+    lab = clusters.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("_split_group"))
+    out = (docs.join(lab, id_col, "left")
+           .withColumn("_split_group",
+                       F.coalesce(F.col("_split_group"), F.col(id_col))))
+    out = assign_splits(out, weights=weights, salt=salt,
+                        id_col="_split_group")
+    return out.drop("_split_group")
+
+
 def split_contamination(train: DataFrame, test: DataFrame, *, n: int = 5,
                         min_common: int = 1, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -2222,6 +2222,26 @@ def q_split_assign(spark, sf_dir):
             .select("doc_id", "split"))
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test assignment: near-dup clusters
+    (n-gram-Jaccard >= 0.8 pairs closed under transitivity) are hashed
+    by their CLUSTER label, so a document and its near-copies land in
+    the SAME split by construction — the eval-leakage failure mode
+    per-doc hashing (split_assign) cannot prevent. Full row-level pin:
+    (doc_id, cluster_id, split) for every document. Oracle = the
+    dedup_clusters recursive-CTE closure + the md5 unit-hash split
+    replay on coalesce(cluster_id, doc_id)."""
+    from eventstorm_spark.extensions.dedup import (duplicate_clusters,
+                                                   ngram_jaccard_pairs)
+    from eventstorm_spark.extensions.pipeline import assign_splits_grouped
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = duplicate_clusters(pairs, docs)
+    return (assign_splits_grouped(docs, clusters)
+            .join(clusters, "doc_id")
+            .select("doc_id", "cluster_id", "split"))
+
+
 def q_split_contamination(spark, sf_dir):
     """Decontamination report: train/test doc pairs sharing >=1 5-gram
     shingle, with the (small) test side broadcast so the train corpus
@@ -5115,6 +5135,39 @@ _EXT_ORACLES = {
                      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
                           ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
               FROM documents) t""",
+    # leakage-safe split: the dedup_clusters recursive-CTE closure, then
+    # the md5 unit-hash split replay keyed on the CLUSTER label.
+    "leakage_safe_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s),
+        lab AS (SELECT d.doc_id,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN u < 0.98 THEN 'train'
+                    WHEN u < 0.99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     CAST(concat('0x', substr(md5(concat(CAST(cluster_id AS VARCHAR),
+                          ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+              FROM lab) t""",
     "split_contamination": r"""
         WITH lab AS (
             SELECT doc_id, text,
@@ -8226,6 +8279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    oracle locally at sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
         "streaming_sessions": q_streaming_sessions,
+        # -- new in round 13 --
+        "leakage_safe_split": q_leakage_safe_split,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,

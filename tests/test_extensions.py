@@ -357,6 +357,29 @@ def test_assign_splits_salt_changes_assignment(docs):
     assert a != b
 
 
+def test_assign_splits_grouped_cluster_coherent(spark, docs):
+    """Every member of a near-dup cluster lands in the SAME split (the
+    leakage invariant per-doc hashing cannot give); docs absent from the
+    clusters frame fall back to their own id, i.e. they match plain
+    assign_splits exactly; the helper column never leaks out."""
+    from eventstorm_spark.extensions.pipeline import (assign_splits,
+                                                      assign_splits_grouped)
+    # even/odd ids share a cluster each; doc 20 is absent from clusters
+    clusters = spark.createDataFrame(
+        [(1, 1), (3, 1), (2, 2), (4, 2), (10, 10)],
+        ["doc_id", "cluster_id"])
+    # weights that force visible split diversity on tiny data
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    got = assign_splits_grouped(docs, clusters, weights=w).collect()
+    by_id = {r.doc_id: r.split for r in got}
+    assert by_id[1] == by_id[3] and by_id[2] == by_id[4]
+    plain = {r.doc_id: r.split
+             for r in assign_splits(docs, weights=w).collect()}
+    assert by_id[20] == plain[20]  # fallback: absent id hashes itself
+    assert "_split_group" not in got[0].asDict()
+    assert set(by_id) == {r.doc_id for r in docs.collect()}
+
+
 def test_split_contamination_finds_planted_leak(spark):
     from eventstorm_spark.extensions.pipeline import split_contamination
     leak = "alpha beta gamma delta epsilon zeta eta"
