@@ -2023,6 +2023,37 @@ def q_dedup_clusters_star(spark, sf_dir):
     return duplicate_clusters(pairs, docs, algorithm="star")
 
 
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """The dedup OPERATING-POINT curve (FineWeb-style ablation input):
+    pairs are scored ONCE at the loosest threshold (0.7), then each
+    candidate threshold re-filters the same pair set and closes it into
+    clusters — (threshold, n_pairs, n_dup_clusters, n_dropped) per
+    row: how many candidate pairs qualify, how many multi-doc clusters
+    they collapse into, and how many documents min-id keep-one dedup
+    would remove. The numbers a pipeline owner reads to pick how
+    aggressive dedup should be. One shingle/join pass total; each
+    closure is candidate-pair-sized (tiny vs corpus). Oracle replays
+    the shared pair table and one recursive-CTE closure per
+    threshold."""
+    from eventstorm_spark.extensions.dedup import (duplicate_clusters,
+                                                   ngram_jaccard_pairs)
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7)
+    pairs = pairs.localCheckpoint(eager=False)
+    out = []
+    for t in (0.7, 0.8, 0.9):
+        pt = pairs.where(F.col("jaccard") >= t)
+        cl = duplicate_clusters(pt, docs)
+        dropped = cl.where(F.col("cluster_id") != F.col("doc_id"))
+        agg = dropped.agg(
+            F.countDistinct("cluster_id").alias("nc"),
+            F.count(F.lit(1)).alias("nd")).collect()[0]
+        out.append((t, pt.count(), int(agg.nc or 0), int(agg.nd)))
+    return spark.createDataFrame(
+        out, "threshold double, n_pairs long, n_dup_clusters long, "
+             "n_dropped long")
+
+
 def q_dedup_kept_by_source(spark, sf_dir):
     """The full dedup pipeline end-to-end: jaccard pairs -> connected
     components -> keep the min-id representative per cluster -> kept-doc
@@ -2240,6 +2271,42 @@ def q_leakage_safe_split(spark, sf_dir):
     return (assign_splits_grouped(docs, clusters)
             .join(clusters, "doc_id")
             .select("doc_id", "cluster_id", "split"))
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Quantifies WHY cluster-hashed splits exist: for the same
+    near-dup pair set (n-gram Jaccard >= 0.8), count the pairs whose
+    two ends land in DIFFERENT splits under (a) per-doc hashing
+    (split_assign) and (b) cluster-label hashing (leakage_safe_split).
+    Every cross-split near-dup pair is an eval-leakage edge; the
+    grouped method yields exactly ZERO by construction — this query
+    pins that invariant as data, next to the per-doc method's actual
+    leak count. Output: (method, n_pairs, n_cross_pairs)."""
+    from eventstorm_spark.extensions.dedup import (duplicate_clusters,
+                                                   ngram_jaccard_pairs)
+    from eventstorm_spark.extensions.pipeline import (assign_splits,
+                                                      assign_splits_grouped)
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = pairs.localCheckpoint(eager=False)
+    clusters = duplicate_clusters(pairs, docs)
+    out = []
+    for method, labeled in (
+            ("per_doc", assign_splits(docs)),
+            ("grouped", assign_splits_grouped(docs, clusters))):
+        sm = labeled.select("doc_id", "split")
+        j = (pairs
+             .join(sm.select(F.col("doc_id").alias("id_a"),
+                             F.col("split").alias("split_a")), "id_a")
+             .join(sm.select(F.col("doc_id").alias("id_b"),
+                             F.col("split").alias("split_b")), "id_b"))
+        agg = j.agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long"))
+            .alias("nx")).collect()[0]
+        out.append((method, int(agg.np), int(agg.nx or 0)))
+    return spark.createDataFrame(
+        out, "method string, n_pairs long, n_cross_pairs long")
 
 
 def q_split_contamination(spark, sf_dir):
@@ -5629,6 +5696,105 @@ _EXT_ORACLES["dedup_cluster_sizes"] = """
         ) c GROUP BY cluster_id) s
     GROUP BY size"""
 
+# Threshold sweep: ONE shared pair table scored at the loosest
+# threshold (rounded to 6 like ngram_jaccard_pairs), then one
+# recursive-CTE closure per candidate threshold. comp{t} maps every
+# PAIRED node to its component's min label; dropped = label <> id.
+_SWEEP_THRESHOLDS = (("7", "0.7"), ("8", "0.8"), ("9", "0.9"))
+_EXT_ORACLES["dedup_threshold_sweep"] = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        jp AS (
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+            FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7)"""
+    + "".join(f""",
+        sym{s} AS (SELECT id_a AS s, id_b AS d FROM jp WHERE j >= {t}
+                   UNION SELECT id_b, id_a FROM jp WHERE j >= {t}),
+        reach{s} AS (
+            SELECT s, d FROM sym{s}
+            UNION
+            SELECT r.s, y.d FROM reach{s} r JOIN sym{s} y ON r.d = y.s
+            WHERE y.d <> r.s),
+        comp{s} AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                    FROM reach{s} GROUP BY s)"""
+              for s, t in _SWEEP_THRESHOLDS)
+    + "\n        " + "\n        UNION ALL\n        ".join(f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+               (SELECT count(*) FROM jp WHERE j >= {t}) AS n_pairs,
+               (SELECT count(DISTINCT cluster_id) FROM comp{s}
+                WHERE cluster_id <> doc_id) AS n_dup_clusters,
+               (SELECT count(*) FROM comp{s}
+                WHERE cluster_id <> doc_id) AS n_dropped"""
+                                           for s, t in _SWEEP_THRESHOLDS))
+
+# Leakage audit: the 0.8 pair set + its closure, split labels from the
+# md5 unit hash keyed per method (doc id vs cluster label).
+_EXT_ORACLES["split_leakage_audit"] = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        jp AS (
+            SELECT id_a, id_b
+            FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+            WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s),
+        pd AS (SELECT doc_id,
+                      CASE WHEN u < 0.98 THEN 'train'
+                           WHEN u < 0.99 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                            CAST(concat('0x', substr(md5(concat(
+                                 CAST(doc_id AS VARCHAR), ':', 'v1')), 1, 8))
+                                 AS BIGINT) / 4294967296.0 AS u
+                     FROM documents) t),
+        gl AS (SELECT d.doc_id,
+                      coalesce(c.cluster_id, d.doc_id) AS g
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        gp AS (SELECT doc_id,
+                      CASE WHEN u < 0.98 THEN 'train'
+                           WHEN u < 0.99 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                            CAST(concat('0x', substr(md5(concat(
+                                 CAST(g AS VARCHAR), ':', 'v1')), 1, 8))
+                                 AS BIGINT) / 4294967296.0 AS u
+                     FROM gl) t)
+        SELECT 'per_doc' AS method,
+               (SELECT count(*) FROM jp) AS n_pairs,
+               (SELECT count(*) FROM jp
+                JOIN pd a ON id_a = a.doc_id
+                JOIN pd b ON id_b = b.doc_id
+                WHERE a.split <> b.split) AS n_cross_pairs
+        UNION ALL
+        SELECT 'grouped' AS method,
+               (SELECT count(*) FROM jp) AS n_pairs,
+               (SELECT count(*) FROM jp
+                JOIN gp a ON id_a = a.doc_id
+                JOIN gp b ON id_b = b.doc_id
+                WHERE a.split <> b.split) AS n_cross_pairs""")
+
 _EXT_ORACLES["chunk_documents"] = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -8274,13 +8440,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the 10 r8-evidence spills, then the 38 oldest
-        #    r9-evidence entries. Every entry verified against its
-        #    oracle locally at sf0.001 + sf0.01 this round. --
+        #    then the THREE NEW round-13 queries (leakage_safe_split,
+        #    split_leakage_audit, dedup_threshold_sweep), the 10
+        #    r8-evidence spills, and the 35 oldest r9-evidence entries
+        #    that still fit (dedup_exact, dedup_embedding_cosine,
+        #    semantic_dedup spilled to positions 51-53 -> r14 head).
+        #    Every entry verified against its oracle locally at
+        #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
         "streaming_sessions": q_streaming_sessions,
         # -- new in round 13 --
         "leakage_safe_split": q_leakage_safe_split,
+        "split_leakage_audit": q_split_leakage_audit,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
