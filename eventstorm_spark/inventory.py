@@ -3546,6 +3546,40 @@ def q_bm25_served_from_index(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_phrase_served_from_index(spark, sf_dir):
+    """The POSITIONAL index tier's build→serve lifecycle end to end
+    (the phrase twin of bm25_served_from_index): persist a
+    `curation.write_positional_index` ((doc, pos, tok) rows
+    hash-partitioned by token bucket) in a temp path, then answer the
+    'merge window' phrase through `phrase_against_index` — the
+    postings read prunes to the phrase tokens' bucket dirs, adjacency
+    is the same (doc, pos-offset) equi-join `_phrase_join` as the
+    in-memory form, and the corpus text is never re-tokenized at serve
+    time. ORACLE = direct positional replay over raw documents
+    (phrase_search's oracle): build-then-serve ≡ direct is the at-rest
+    contract."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import (phrase_against_index,
+                                                      write_positional_index)
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = _tempfile.mkdtemp(prefix="espos_")
+    try:
+        idx = _os.path.join(tmp, "pos")
+        write_positional_index(docs, idx, n_buckets=16)
+        rows = phrase_against_index(spark, idx, ["merge", "window"],
+                                    n_buckets=16).collect()
+        return spark.createDataFrame(
+            [(int(r.doc), int(r.n_matches), int(r.first_pos))
+             for r in rows],
+            "doc long, n_matches long, first_pos int")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_streaming_dedup_corpus(spark, sf_dir):
     """`curation.streaming_dedup_against_corpus` END TO END: a live
     crawl feed deduped against the at-rest corpus (stream-static
@@ -6548,6 +6582,10 @@ _EXT_ORACLES["phrase_search"] = r"""
     FROM m GROUP BY doc_id
     ORDER BY n_matches DESC, doc"""
 
+# Build-then-serve ≡ direct is the at-rest contract: the positional
+# index serving query replays the SAME direct positional SQL.
+_EXT_ORACLES["phrase_served_from_index"] = _EXT_ORACLES["phrase_search"]
+
 _EXT_ORACLES["events_mad_outliers"] = """
     WITH med AS (SELECT event_type,
                         round(quantile_cont(value, 0.5), 6) AS med
@@ -8440,11 +8478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the THREE NEW round-13 queries (leakage_safe_split,
-        #    split_leakage_audit, dedup_threshold_sweep), the 10
-        #    r8-evidence spills, and the 35 oldest r9-evidence entries
-        #    that still fit (dedup_exact, dedup_embedding_cosine,
-        #    semantic_dedup spilled to positions 51-53 -> r14 head).
+        #    then the FOUR NEW round-13 queries (leakage_safe_split,
+        #    split_leakage_audit, dedup_threshold_sweep,
+        #    phrase_served_from_index), the 10 r8-evidence spills, and
+        #    the 34 oldest r9-evidence entries that still fit
+        #    (training_mix_pipeline, dedup_exact,
+        #    dedup_embedding_cosine, semantic_dedup spilled to
+        #    positions 51-54 -> r14 head).
         #    Every entry verified against its oracle locally at
         #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
@@ -8453,6 +8493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "split_leakage_audit": q_split_leakage_audit,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "phrase_served_from_index": q_phrase_served_from_index,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,

@@ -35,7 +35,7 @@ def test_doc_query_counts_match_inventory():
     assert m, "README.md lost its driver-query count sentence"
     assert int(m.group(1)) == n, f"README says {m.group(1)}, code has {n}"
     survey = open(os.path.join(ROOT, "SURVEY.md")).read()
-    counts = re.findall(r"Driver surface: (\d+) queries, (\d+) oracles",
+    counts = re.findall(r"Driver surface: (\d+) queries,\s+(\d+) oracles",
                         survey)
     assert counts, "SURVEY.md lost its 'Driver surface: N queries' lines"
     latest_q, latest_o = counts[-1]
