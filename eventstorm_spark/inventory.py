@@ -3546,6 +3546,41 @@ def q_bm25_served_from_index(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bm25_index_after_append(spark, sf_dir):
+    """The at-rest index INCREMENTAL lifecycle end to end: build the
+    BM25 index from the EVEN half of the corpus, `append_bm25_index`
+    the odd half (new ids only — the post-dedup-ingest contract; no
+    read-modify-write, the new postings land in their bucket dirs),
+    then serve the same 3-term query as bm25_served_from_index. The
+    ORACLE is direct scoring of the FULL corpus: equality proves that
+    df/N/avgdl need no stored update on append (probes derive them
+    from the appended tables) and that bucket routing is stable across
+    appends — the recurring-ingest contract a 100 TB corpus lives on."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import (append_bm25_index,
+                                                      bm25_against_index,
+                                                      write_bm25_index)
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = _tempfile.mkdtemp(prefix="esbma_")
+    try:
+        idx = _os.path.join(tmp, "bm25")
+        write_bm25_index(docs.where(F.col("doc_id") % 2 == 0), idx,
+                         n_buckets=16)
+        append_bm25_index(docs.where(F.col("doc_id") % 2 == 1), idx,
+                          n_buckets=16)
+        rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
+                                  k=20, n_buckets=16).collect()
+        return spark.createDataFrame(
+            [(int(r.doc_id), float(r.bm25)) for r in rows],
+            "doc_id long, bm25 double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_phrase_served_from_index(spark, sf_dir):
     """The POSITIONAL index tier's build→serve lifecycle end to end
     (the phrase twin of bm25_served_from_index): persist a
@@ -7406,6 +7441,11 @@ _EXT_ORACLES["bm25_served_from_index"] = """
     ORDER BY bm25 DESC, doc_id
     LIMIT 20"""
 
+# Build-on-half + append-the-rest must equal direct scoring of the
+# FULL corpus — the incremental-ingest contract; same oracle.
+_EXT_ORACLES["bm25_index_after_append"] = \
+    _EXT_ORACLES["bm25_served_from_index"]
+
 # streaming_dedup_corpus: the kept digest set is exactly the feed
 # digests absent from the corpus (layer 1), one row per digest
 # (layer 2); feed stats replay the same synthetic feed construction.
@@ -8478,13 +8518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the FOUR NEW round-13 queries (leakage_safe_split,
+        #    then the FIVE NEW round-13 queries (leakage_safe_split,
         #    split_leakage_audit, dedup_threshold_sweep,
-        #    phrase_served_from_index), the 10 r8-evidence spills, and
-        #    the 34 oldest r9-evidence entries that still fit
-        #    (training_mix_pipeline, dedup_exact,
-        #    dedup_embedding_cosine, semantic_dedup spilled to
-        #    positions 51-54 -> r14 head).
+        #    phrase_served_from_index, bm25_index_after_append), the
+        #    10 r8-evidence spills, and the 33 oldest r9-evidence
+        #    entries that still fit (passage_scrub,
+        #    training_mix_pipeline, dedup_exact, dedup_embedding_cosine,
+        #    semantic_dedup spilled to positions 51-55 -> r14 head).
         #    Every entry verified against its oracle locally at
         #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
@@ -8494,6 +8534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": q_split_leakage_audit,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "phrase_served_from_index": q_phrase_served_from_index,
+        "bm25_index_after_append": q_bm25_index_after_append,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
