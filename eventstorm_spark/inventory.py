@@ -307,6 +307,31 @@ _READ_ORACLES = {
         SELECT delivery_seq, ((delivery_seq - 1) % 32 = 0) AS checkpoint,
                {_ENVELOPE_OUT_SQL}
         FROM d""",
+    # persistent_park_retry: all three dispatch batches replayed
+    # declaratively — the Pinned assignment is the SAME md5-derived rule
+    # the engine computes (15 hex chars -> 60-bit int, mod #consumers),
+    # the mod-7 park/retry consumer script selects batches 2 and 3, and
+    # batch_seq is row_number over position within each batch.
+    "persistent_park_retry": f"""{ORACLE_CTE},
+        pin AS (SELECT position, stream, event_type,
+                       CASE WHEN CAST(concat('0x', substr(md5(stream), 1, 15))
+                                 AS BIGINT) % 2 = 0
+                            THEN 'c0' ELSE 'c1' END AS consumer
+                FROM es_events)
+        SELECT position, stream, event_type, consumer, 0 AS attempt,
+               CAST(1 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY position) AS INT) AS batch_seq
+        FROM pin
+        UNION ALL
+        SELECT position, stream, event_type, consumer, 1 AS attempt,
+               CAST(2 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY position) AS INT) AS batch_seq
+        FROM pin WHERE position % 7 = 3
+        UNION ALL
+        SELECT position, stream, event_type, consumer, 0 AS attempt,
+               CAST(3 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY position) AS INT) AS batch_seq
+        FROM pin WHERE position % 7 = 0""",
 }
 
 
@@ -3542,6 +3567,71 @@ def q_bm25_served_from_index(spark, sf_dir):
         return spark.createDataFrame(
             [(int(r.doc_id), float(r.bm25)) for r in rows],
             "doc_id long, bm25 double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_persistent_park_retry(spark, sf_dir):
+    """T9 END TO END through the SCALE-path sink dispatcher: a
+    persistent subscription group (proto-only in the reference,
+    persistent.proto:8-16) on $all with TWO consumers under the Pinned
+    strategy (consumer = md5(stream-id) mod k — deterministic across
+    runs AND engines), driven through the full ack/nack lifecycle:
+
+    - batch 1 dispatches every event (attempt 0, batch_seq in position
+      order, consumer pinned);
+    - the consumer script then parks position%7==0 (Nack Park), nacks
+      position%7==3 for retry (Nack Retry), acks the rest;
+    - batch 2 redelivers the RETRY set from the cursor (attempt 1);
+    - ReplayParked + batch 3 redelivers the PARKED set with a fresh
+      retry budget (attempt 0, replayed-first priority).
+
+    The result is the full delivery TABLE — every attempt of every
+    event with its consumer/attempt/batch_id/batch_seq — and the
+    ORACLE replays all three batches declaratively: the pin hash, the
+    mod-7 consumer script, and per-batch row_number over position."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.streaming.persistent import (
+        PINNED, SinkPersistentSubscription)
+
+    env = es_events(spark, sf_dir)
+    tmp = _tempfile.mkdtemp(prefix="espers_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        sub = SinkPersistentSubscription(
+            log, "grp-audit", sink_path=_os.path.join(tmp, "sink"),
+            consumer_strategy=PINNED)
+        sub.connect("c0")
+        sub.connect("c1")
+        n = sub.dispatch(max_count=1_000_000)
+        positions = [int(r.position) for r in
+                     env.select("position").collect()]
+        park = [p for p in positions if p % 7 == 0]
+        retry = [p for p in positions if p % 7 == 3]
+        done = [p for p in positions if p % 7 not in (0, 3)]
+        sub.nack(park, "Park")
+        sub.nack(retry, "Retry")
+        sub.ack(done)
+        sub.dispatch(max_count=1_000_000)   # batch 2: the retry set
+        sub.ack(retry)
+        sub.replay_parked()
+        sub.dispatch(max_count=1_000_000)   # batch 3: the parked set
+        sub.ack(park)
+        rows = (sub.deliveries()
+                .select("position", "stream", "event_type", "consumer",
+                        "attempt", "batch_id", "batch_seq")
+                .orderBy("batch_id", "batch_seq").collect())
+        return spark.createDataFrame(
+            [(int(r.position), r.stream, r.event_type, r.consumer,
+              int(r.attempt), int(r.batch_id), int(r.batch_seq))
+             for r in rows],
+            "position long, stream string, event_type string, "
+            "consumer string, attempt int, batch_id long, batch_seq int")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -8518,13 +8608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the FIVE NEW round-13 queries (leakage_safe_split,
+        #    then the SIX NEW round-13 queries (leakage_safe_split,
         #    split_leakage_audit, dedup_threshold_sweep,
-        #    phrase_served_from_index, bm25_index_after_append), the
-        #    10 r8-evidence spills, and the 33 oldest r9-evidence
-        #    entries that still fit (passage_scrub,
-        #    training_mix_pipeline, dedup_exact, dedup_embedding_cosine,
-        #    semantic_dedup spilled to positions 51-55 -> r14 head).
+        #    phrase_served_from_index, bm25_index_after_append,
+        #    persistent_park_retry), the 10 r8-evidence spills, and the
+        #    32 oldest r9-evidence entries that still fit
+        #    (bm25_top_docs, passage_scrub, training_mix_pipeline,
+        #    dedup_exact, dedup_embedding_cosine, semantic_dedup
+        #    spilled to positions 51-56 -> r14 head).
         #    Every entry verified against its oracle locally at
         #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
@@ -8535,6 +8626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "phrase_served_from_index": q_phrase_served_from_index,
         "bm25_index_after_append": q_bm25_index_after_append,
+        "persistent_park_retry": q_persistent_park_retry,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,

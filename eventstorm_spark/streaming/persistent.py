@@ -115,6 +115,7 @@ class PersistentSubscription:
         # the cursor (they sit BEHIND the checkpoint, which treats parked
         # events as complete so they never block the live cursor)
         self._replay_queue: list[int] = []
+        self._log_floor: Optional[int] = None  # cached min position/revision
         self._state_path = None
         if state_dir is not None:
             os.makedirs(state_dir, exist_ok=True)
@@ -188,7 +189,10 @@ class PersistentSubscription:
         requeue: list[int] = []      # in-flight cap — must stay pending
         for r in rows:
             p = r[pos_field]
-            if p in skip:
+            # `p in self._in_flight`: a replayed position the cursor
+            # page ALSO returned was just delivered from the replay
+            # copy earlier in this loop — skip the duplicate
+            if p in skip or p in self._in_flight:
                 continue
             if len(self._in_flight) >= max_count:
                 if p in replay_take:
@@ -265,6 +269,28 @@ class PersistentSubscription:
         self._save()
         return n
 
+    def _floor(self) -> Optional[int]:
+        """Smallest existing position/revision in the group's scope
+        (None while the scope is empty), cached after first success.
+        Positions below it were never assigned, so they are implicitly
+        complete — the origin case of gap-skipping: $all positions
+        start at 1 while a fresh group's checkpoint starts at
+        ``start_from - 1`` (-1 by default), and without this the
+        checkpoint would wait forever for position 0, the completed
+        set would grow O(history), and replayed parked events would
+        sit AHEAD of the checkpoint where the live cursor re-reads
+        them (the invariant the replay queue's design leans on is that
+        parked positions live BEHIND the checkpoint)."""
+        if self._log_floor is None:
+            pos_field = "revision" if self.stream is not None else "position"
+            base = self.log.df()
+            if self.stream is not None:
+                base = base.where(F.col("stream") == self.stream)
+            row = base.agg(F.min(pos_field).alias("m")).collect()[0]
+            if row["m"] is not None:
+                self._log_floor = int(row["m"])
+        return self._log_floor
+
     def _advance(self) -> None:
         # checkpoint moves past contiguous completed/parked positions;
         # parked events are "done" for ordering purposes (they live in
@@ -283,6 +309,11 @@ class PersistentSubscription:
                     and p not in self._in_flight
                     and p not in self._retry_counts):
                 self._checkpoint = p
+                continue
+            floor = self._floor()
+            if floor is not None and p < floor:
+                # below the first assigned position: implicitly complete
+                self._checkpoint = floor - 1
                 continue
             break
         # acked replays live below the checkpoint — drop them so the
@@ -418,6 +449,7 @@ class SinkPersistentSubscription(PersistentSubscription):
         skip = set(self._in_flight) | self._completed | set(self._parked)
 
         frames = []
+        take: list[int] = []
         if self._replay_queue:
             take = [int(p) for p in self._replay_queue[:max_count]]
             base = self.log.df()
@@ -444,6 +476,12 @@ class SinkPersistentSubscription(PersistentSubscription):
         if self.filter is not None:
             st = cur.agg(F.count(F.lit(1)).alias("n"),
                          F.max("position").alias("m")).collect()[0]
+        if take:
+            # a replayed position the checkpoint has not passed yet can
+            # ALSO surface in the cursor page — without this exclusion
+            # the union would deliver it twice in one batch (the replay
+            # frame wins: fresh retry budget + replayed-first priority)
+            cur = cur.where(~F.col(pos_field).isin(take))
         frames.append(cur.withColumn("__prio", F.lit(1)))
         cand = frames[0]
         for f in frames[1:]:

@@ -88,6 +88,68 @@ def test_park_and_replay(log):
     assert batch[0]["revision"] in {r["revision"] for r in redelivered}
 
 
+def test_replayed_park_ahead_of_checkpoint_delivers_once(log):
+    """A parked position the checkpoint has NOT passed yet (earlier
+    events still in flight) is visible to BOTH the replay queue and the
+    live cursor after ReplayParked — it must deliver exactly once per
+    fetch (regression: the cursor copy used to ride along as a
+    duplicate)."""
+    sub = PersistentSubscription(log, "g", "s")
+    sub.connect("c1")
+    batch = sub.fetch(max_count=10)["c1"]
+    assert len(batch) == 10
+    sub.nack([5], "Park")
+    sub.ack([0, 1, 2])          # checkpoint = 2, still below the park
+    assert sub.info().last_checkpoint == 2
+    assert sub.replay_parked() == 1
+    redelivered = sub.fetch(max_count=10)["c1"]
+    assert [r["revision"] for r in redelivered] == [5]
+
+
+def test_all_group_checkpoint_advances_past_origin(spark, tmp_path):
+    """$all positions start at 1 while a fresh group's checkpoint
+    starts at -1; the checkpoint must lift over the never-assigned
+    origin gap instead of waiting for position 0 forever (regression:
+    it stalled, the completed set grew O(history), and replayed parked
+    events sat AHEAD of the stuck checkpoint where the cursor re-read
+    them — double delivery through the sink dispatcher)."""
+    log = EventLog(spark, str(tmp_path / "log3"))
+    log.append("s1", new_events(3, prefix="a"))
+    log.append("s2", new_events(3, prefix="b"))
+    sub = PersistentSubscription(log, "g", None)
+    sub.connect("c1")
+    batch = sub.fetch(max_count=10)["c1"]
+    assert len(batch) == 6
+    sub.ack([r["position"] for r in batch])
+    assert sub.info().last_checkpoint == log.tail_position()
+    assert not sub._completed  # pruned — no O(history) growth
+
+
+def test_sink_replay_ahead_of_checkpoint_single_delivery(spark, tmp_path):
+    """Sink-mode twin of the fetch dedup regression: park every 3rd
+    $all position while the checkpoint is behind, replay, dispatch —
+    each parked position lands in the sink exactly once for the replay
+    batch."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.streaming.persistent import \
+        SinkPersistentSubscription
+
+    log = EventLog(spark, str(tmp_path / "log4"))
+    log.append("s1", new_events(6, prefix="a"))
+    sub = SinkPersistentSubscription(
+        log, "g", None, sink_path=str(tmp_path / "sink4"))
+    sub.connect("c1")
+    sub.dispatch(max_count=10)
+    sub.nack([3, 6], "Park")
+    sub.ack([1, 2])             # checkpoint = 3 (park folds in), 4,5 in flight
+    sub.replay_parked()
+    sub.dispatch(max_count=10)  # replay frame + cursor page overlap
+    b2 = (sub.deliveries().where(F.col("batch_id") == 2)
+          .groupBy("position").count().collect())
+    assert {int(r["position"]): int(r["count"]) for r in b2} == {3: 1, 6: 1}
+
+
 def test_pinned_strategy_pins_streams(spark, tmp_path):
     log = EventLog(spark, str(tmp_path / "log2"))
     for s in ["a", "b", "c", "d"]:
