@@ -3671,6 +3671,43 @@ def q_bm25_index_after_append(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bm25_index_compacted_serve(spark, sf_dir):
+    """The at-rest index lifecycle's LAST stage driver-checked:
+    build (even half) → append (odd half — leaves per-append file
+    accumulation in every bucket dir) → `compact_index` (kind-aware
+    rewrite: postings re-clustered by (bucket, term) behind a
+    directory-rename swap, doclen collapsed, `_meta` preserved) →
+    serve. The ORACLE is direct scoring of the full corpus — equality
+    through the compaction proves the rewrite preserved membership
+    EXACTLY and the served plan still prunes to the query terms'
+    bucket dirs (pruning plan pinned in test_curation)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import (append_bm25_index,
+                                                      bm25_against_index,
+                                                      compact_index,
+                                                      write_bm25_index)
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = _tempfile.mkdtemp(prefix="esbmc_")
+    try:
+        idx = _os.path.join(tmp, "bm25")
+        write_bm25_index(docs.where(F.col("doc_id") % 2 == 0), idx,
+                         n_buckets=16)
+        append_bm25_index(docs.where(F.col("doc_id") % 2 == 1), idx,
+                          n_buckets=16)
+        compact_index(spark, idx)
+        rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
+                                  k=20, n_buckets=16).collect()
+        return spark.createDataFrame(
+            [(int(r.doc_id), float(r.bm25)) for r in rows],
+            "doc_id long, bm25 double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_phrase_served_from_index(spark, sf_dir):
     """The POSITIONAL index tier's build→serve lifecycle end to end
     (the phrase twin of bm25_served_from_index): persist a
@@ -7535,6 +7572,9 @@ _EXT_ORACLES["bm25_served_from_index"] = """
 # FULL corpus — the incremental-ingest contract; same oracle.
 _EXT_ORACLES["bm25_index_after_append"] = \
     _EXT_ORACLES["bm25_served_from_index"]
+# ... and compaction must preserve membership exactly: same oracle.
+_EXT_ORACLES["bm25_index_compacted_serve"] = \
+    _EXT_ORACLES["bm25_served_from_index"]
 
 # streaming_dedup_corpus: the kept digest set is exactly the feed
 # digests absent from the corpus (layer 1), one row per digest
@@ -8608,14 +8648,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the SIX NEW round-13 queries (leakage_safe_split,
+        #    then the SEVEN NEW round-13 queries (leakage_safe_split,
         #    split_leakage_audit, dedup_threshold_sweep,
         #    phrase_served_from_index, bm25_index_after_append,
-        #    persistent_park_retry), the 10 r8-evidence spills, and the
-        #    32 oldest r9-evidence entries that still fit
-        #    (bm25_top_docs, passage_scrub, training_mix_pipeline,
-        #    dedup_exact, dedup_embedding_cosine, semantic_dedup
-        #    spilled to positions 51-56 -> r14 head).
+        #    bm25_index_compacted_serve, persistent_park_retry), the
+        #    10 r8-evidence spills, and the 31 oldest r9-evidence
+        #    entries that still fit (pack_sequences, bm25_top_docs,
+        #    passage_scrub, training_mix_pipeline, dedup_exact,
+        #    dedup_embedding_cosine, semantic_dedup spilled to
+        #    positions 51-57 -> r14 head).
         #    Every entry verified against its oracle locally at
         #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
@@ -8626,6 +8667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "phrase_served_from_index": q_phrase_served_from_index,
         "bm25_index_after_append": q_bm25_index_after_append,
+        "bm25_index_compacted_serve": q_bm25_index_compacted_serve,
         "persistent_park_retry": q_persistent_park_retry,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
