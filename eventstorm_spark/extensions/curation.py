@@ -1175,17 +1175,39 @@ def write_bm25_index(corpus: DataFrame, path: str, *, n_buckets: int = 64,
     postings instead of re-running the regex over raw text.
     """
     spark = corpus.sparkSession
+    postings = _bm25_postings(corpus, text_col=text_col, id_col=id_col,
+                              n_buckets=n_buckets)
+    # the postings schema rides in _meta so reads survive a ZERO-file
+    # postings table (empty corpus / nothing matching the tokenizer —
+    # parquet schema inference fails on a bare directory)
     _write_index_meta(spark, path,
-                      {"kind": "bm25", "n_buckets": n_buckets})
-    (_bm25_postings(corpus, text_col=text_col, id_col=id_col,
-                    n_buckets=n_buckets)
-     .repartition("bucket", "term")
+                      {"kind": "bm25", "n_buckets": n_buckets,
+                       "postings_schema": postings.schema.json()})
+    (postings.repartition("bucket", "term")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "postings")))
-    (spark.read.parquet(os.path.join(path, "postings"))
+    # read back with the postings' own schema: a zero-postings corpus
+    # (empty, or nothing matching the tokenizer) writes no parquet
+    # files and schema inference would fail on the bare directory
+    (spark.read.schema(postings.schema)
+     .parquet(os.path.join(path, "postings"))
      .groupBy(F.col(id_col))
      .agg(F.sum("tf").cast("long").alias("dl"))
      .write.mode("overwrite").parquet(os.path.join(path, "doclen")))
+
+
+def _meta_postings_schema(spark, index_path: str):
+    """The postings StructType recorded in ``_meta`` (None for a
+    pre-round-13 index). Reading with it survives a ZERO-file postings
+    table, where parquet schema inference fails on the bare
+    directory."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    meta = _read_index_meta(spark, index_path) or {}
+    sj = meta.get("postings_schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
 
 
 def bm25_against_index(spark, index_path: str, query_terms: list, *,
@@ -1211,10 +1233,18 @@ def bm25_against_index(spark, index_path: str, query_terms: list, *,
                tdf.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                           .cast("int").alias("bucket"))
                .distinct().collect()]
-    postings = (spark.read.parquet(os.path.join(index_path, "postings"))
+    pschema = _meta_postings_schema(spark, index_path)
+    preader = spark.read.schema(pschema) if pschema else spark.read
+    postings = (preader.parquet(os.path.join(index_path, "postings"))
                 .where(F.col("bucket").isin(buckets))
                 .where(F.col("term").isin(terms)))
-    dl = spark.read.parquet(os.path.join(index_path, "doclen"))
+    if pschema is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+        dreader = spark.read.schema(StructType(
+            [pschema[id_col], StructField("dl", LongType())]))
+    else:
+        dreader = spark.read
+    dl = dreader.parquet(os.path.join(index_path, "doclen"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     tf = postings.select(id_col, "term", "tf")
@@ -1234,14 +1264,15 @@ def write_positional_index(corpus: DataFrame, path: str, *,
     time. Tokenizer is the whitespace split of ``text.phrase_search``
     (NOT the BM25 ``[a-z0-9]+`` regex — phrase adjacency is defined on
     the raw token stream), positions 0-based."""
-    _write_index_meta(corpus.sparkSession, path,
-                      {"kind": "positional", "n_buckets": n_buckets})
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     rows = (corpus.select(F.col(id_col).alias("doc"),
                           F.posexplode(toks).alias("pos", "tok"))
             .withColumn("bucket",
                         F.pmod(F.xxhash64("tok"),
                                F.lit(n_buckets)).cast("int")))
+    _write_index_meta(corpus.sparkSession, path,
+                      {"kind": "positional", "n_buckets": n_buckets,
+                       "postings_schema": rows.schema.json()})
     (rows.repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "postings")))
@@ -1270,7 +1301,9 @@ def phrase_against_index(spark, index_path: str, phrase: list, *,
                tdf.select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
                           .cast("int").alias("bucket"))
                .distinct().collect()]
-    postings = (spark.read.parquet(os.path.join(index_path, "postings"))
+    pschema = _meta_postings_schema(spark, index_path)
+    preader = spark.read.schema(pschema) if pschema else spark.read
+    postings = (preader.parquet(os.path.join(index_path, "postings"))
                 .where(F.col("bucket").isin(buckets))
                 .where(F.col("tok").isin(terms)))
     return _phrase_join(postings, terms)

@@ -4874,6 +4874,33 @@ sh AS (
     FROM toks)
 """
 
+# Shared by every 0.8-threshold cluster-closure oracle (dedup_clusters
+# family, leakage_safe_split, split_leakage_audit): the EXACT
+# ngram_jaccard_pairs pair set — jaccard rounded to 6 decimals before
+# the threshold test, matching the engine bit-for-bit — closed under
+# transitivity into comp(doc_id, cluster_id). Append after a
+# WITH RECURSIVE _SHINGLE_CTE prefix.
+_CLOSURE_08_CTE = """
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s)"""
+
 # Shared by the image_* oracles: replay the full dHash pipeline
 # (synth_ppm_assets pixel recurrence → integer grayscale → 9x8 nearest
 # gather → gradient-sign bits → two-BIGINT packing), then brute-force
@@ -4980,74 +5007,17 @@ _EXT_ORACLES = {
                CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
                    AS dup_docs
         FROM canon GROUP BY 1 ORDER BY host""",
-    "dedup_clusters": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        pairs AS (
-            SELECT id_a, id_b FROM common
-            JOIN sz sa ON id_a = sa.doc_id
-            JOIN sz sb ON id_b = sb.doc_id
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        reach AS (
-            SELECT s, d FROM sym
-            UNION
-            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
-        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-                 FROM reach GROUP BY s)
+    "dedup_clusters": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _CLOSURE_08_CTE + """
         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
-    "dedup_kept_by_source": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        pairs AS (
-            SELECT id_a, id_b FROM common
-            JOIN sz sa ON id_a = sa.doc_id
-            JOIN sz sb ON id_b = sb.doc_id
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        reach AS (
-            SELECT s, d FROM sym
-            UNION
-            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
-        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-                 FROM reach GROUP BY s)
+    "dedup_kept_by_source": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _CLOSURE_08_CTE + """
         SELECT source, count(*) AS n_kept
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
         GROUP BY source""",
     # keep-BEST variant: same closure, survivor = argmax(n_chars) per
     # cluster with min-id tie-break (row_number replay of max_by)
-    "dedup_keep_best": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        pairs AS (
-            SELECT id_a, id_b FROM common
-            JOIN sz sa ON id_a = sa.doc_id
-            JOIN sz sb ON id_b = sb.doc_id
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        reach AS (
-            SELECT s, d FROM sym
-            UNION
-            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
-        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-                 FROM reach GROUP BY s),
+    "dedup_keep_best": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _CLOSURE_08_CTE + """,
         lab AS (SELECT d.doc_id, d.source, d.n_chars,
                        coalesce(c.cluster_id, d.doc_id) AS cid
                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
@@ -5172,7 +5142,7 @@ _EXT_ORACLES = {
         FROM common
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""",
+        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8""",
     "near_dup_containment": _SHINGLE_CTE + """,
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         common AS (
@@ -5400,26 +5370,7 @@ _EXT_ORACLES = {
               FROM documents) t""",
     # leakage-safe split: the dedup_clusters recursive-CTE closure, then
     # the md5 unit-hash split replay keyed on the CLUSTER label.
-    "leakage_safe_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        pairs AS (
-            SELECT id_a, id_b FROM common
-            JOIN sz sa ON id_a = sa.doc_id
-            JOIN sz sb ON id_b = sb.doc_id
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        reach AS (
-            SELECT s, d FROM sym
-            UNION
-            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s WHERE y.d <> r.s),
-        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-                 FROM reach GROUP BY s),
+    "leakage_safe_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _CLOSURE_08_CTE + """,
         lab AS (SELECT d.doc_id,
                        coalesce(c.cluster_id, d.doc_id) AS cluster_id
                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
@@ -5934,28 +5885,8 @@ _EXT_ORACLES["dedup_threshold_sweep"] = (
 # Leakage audit: the 0.8 pair set + its closure, split labels from the
 # md5 unit hash keyed per method (doc id vs cluster label).
 _EXT_ORACLES["split_leakage_audit"] = (
-    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        jp AS (
-            SELECT id_a, id_b
-            FROM common
-            JOIN sz sa ON id_a = sa.doc_id
-            JOIN sz sb ON id_b = sb.doc_id
-            WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
-        sym AS (SELECT id_a AS s, id_b AS d FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-        reach AS (
-            SELECT s, d FROM sym
-            UNION
-            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
-            WHERE y.d <> r.s),
-        comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-                 FROM reach GROUP BY s),
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + "," + _CLOSURE_08_CTE + """,
         pd AS (SELECT doc_id,
                       CASE WHEN u < 0.98 THEN 'train'
                            WHEN u < 0.99 THEN 'val'
@@ -5978,15 +5909,15 @@ _EXT_ORACLES["split_leakage_audit"] = (
                                  AS BIGINT) / 4294967296.0 AS u
                      FROM gl) t)
         SELECT 'per_doc' AS method,
-               (SELECT count(*) FROM jp) AS n_pairs,
-               (SELECT count(*) FROM jp
+               (SELECT count(*) FROM pairs) AS n_pairs,
+               (SELECT count(*) FROM pairs
                 JOIN pd a ON id_a = a.doc_id
                 JOIN pd b ON id_b = b.doc_id
                 WHERE a.split <> b.split) AS n_cross_pairs
         UNION ALL
         SELECT 'grouped' AS method,
-               (SELECT count(*) FROM jp) AS n_pairs,
-               (SELECT count(*) FROM jp
+               (SELECT count(*) FROM pairs) AS n_pairs,
+               (SELECT count(*) FROM pairs
                 JOIN gp a ON id_a = a.doc_id
                 JOIN gp b ON id_b = b.doc_id
                 WHERE a.split <> b.split) AS n_cross_pairs""")

@@ -187,13 +187,17 @@ class PersistentSubscription:
         out: dict[str, list] = {}
         undelivered: list[int] = []  # matching cursor rows cut by the
         requeue: list[int] = []      # in-flight cap — must stay pending
+        seen: set[int] = set()
         for r in rows:
             p = r[pos_field]
-            # `p in self._in_flight`: a replayed position the cursor
-            # page ALSO returned was just delivered from the replay
-            # copy earlier in this loop — skip the duplicate
-            if p in skip or p in self._in_flight:
+            # `p in seen`: a replayed position the cursor page ALSO
+            # returned was already handled from the replay copy earlier
+            # in this loop — skip the duplicate whether the first copy
+            # was delivered OR requeued at the in-flight cap (a double
+            # requeue would redeliver the event after its ack)
+            if p in skip or p in seen:
                 continue
+            seen.add(p)
             if len(self._in_flight) >= max_count:
                 if p in replay_take:
                     requeue.append(p)  # back onto the replay queue

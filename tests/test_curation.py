@@ -1290,6 +1290,23 @@ def test_bm25_index_parity_pruning_append_compact(spark, tmp_path, sf_dir):
         bm25_against_index(spark, path, terms, n_buckets=32)
 
 
+def test_bm25_index_zero_postings_corpus(spark, tmp_path):
+    """A corpus whose text yields no [a-z0-9]+ tokens (all punctuation)
+    writes ZERO postings files; the doclen derivation must read the
+    bare directory with the postings' own schema instead of crashing on
+    parquet schema inference (regression from the single-tokenize
+    build), and a probe against the empty index returns no rows."""
+    from eventstorm_spark.extensions.curation import (bm25_against_index,
+                                                      write_bm25_index)
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "---")], "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "bm25_empty")
+    write_bm25_index(docs, path, n_buckets=4)
+    got = bm25_against_index(spark, path, ["hash"], k=5, n_buckets=4)
+    assert got.collect() == []
+
+
 # ---------------------------------------------------------------------------
 # at-rest KMV sketch store
 # ---------------------------------------------------------------------------

@@ -106,6 +106,27 @@ def test_replayed_park_ahead_of_checkpoint_delivers_once(log):
     assert [r["revision"] for r in redelivered] == [5]
 
 
+def test_replay_requeued_at_cap_not_duplicated(log):
+    """Cap-full twin of the replay dedup regression: when the in-flight
+    cap forces the replay copy back onto the queue, the cursor copy of
+    the same position must not requeue it a second time — a stale
+    duplicate queue entry would redeliver the event AFTER its ack (a
+    protocol violation with no nack)."""
+    sub = PersistentSubscription(log, "g", "s")
+    sub.connect("c1")
+    sub.fetch(max_count=10)
+    sub.nack([5], "Park")
+    assert sub.replay_parked() == 1
+    got = sub.fetch(max_count=9)   # cap already full: nothing delivers
+    assert got == {}
+    assert sub._replay_queue == [5]  # requeued ONCE, not [5, 5]
+    sub.ack([r for r in range(10) if r != 5])
+    redelivered = sub.fetch(max_count=10)["c1"]
+    assert [r["revision"] for r in redelivered] == [5]
+    sub.ack([5])
+    assert sub.fetch(max_count=10) == {}  # acked — never comes back
+
+
 def test_all_group_checkpoint_advances_past_origin(spark, tmp_path):
     """$all positions start at 1 while a fresh group's checkpoint
     starts at -1; the checkpoint must lift over the never-assigned
