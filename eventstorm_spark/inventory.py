@@ -2264,6 +2264,50 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_ivf_served_from_index(spark, sf_dir):
+    """The IVF index tier's FULL at-rest lifecycle end to end (the
+    vector twin of bm25_index_compacted_serve): `write_ivf_index` on
+    the even-id half (cell = argmax-cosine partition column, pinned
+    deterministic centroids = the 16 lowest-id vectors so the oracle
+    can replay routing), `append_ivf_index` the odd half (same shared
+    cell expression — build and append cannot drift),
+    `compact_table(partition_by=('cell',))` to collapse the per-append
+    files, then serve through `ivf_index_topk` — a partition-pruned
+    scan of the 4 probed cells. ORACLE = ann_ivf_topk's in-memory
+    replay: build/append/compaction must not change WHAT the probe
+    returns, only how many files it opens."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.extensions.curation import compact_table
+    from eventstorm_spark.extensions.similarity import (append_ivf_index,
+                                                        ivf_index_topk,
+                                                        write_ivf_index)
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") != 0)
+    cents = [[float(x) for x in r["embedding"]] for r in
+             base.orderBy("vec_id").limit(16)
+             .select("vec_id", "embedding").collect()]
+    qv = _query_vec(spark, sf_dir)
+    tmp = _tempfile.mkdtemp(prefix="esivf_")
+    try:
+        idx = _os.path.join(tmp, "ivf")
+        write_ivf_index(base.where(F.col("vec_id") % 2 == 0), idx,
+                        centroids=cents)
+        append_ivf_index(base.where(F.col("vec_id") % 2 == 1), idx,
+                         centroids=cents)
+        compact_table(spark, idx, partition_by=("cell",))
+        rows = ivf_index_topk(spark, idx, cents, qv,
+                              k=10, n_probe=4).collect()
+        return spark.createDataFrame(
+            [(int(r.vec_id), float(r.cosine_sim)) for r in rows],
+            "vec_id long, cosine_sim double")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_knn_within_label(spark, sf_dir):
     from eventstorm_spark.extensions.similarity import pairwise_topk_per_label
     return pairwise_topk_per_label(load(spark, sf_dir, "embeddings"), k=3)
@@ -7506,6 +7550,9 @@ _EXT_ORACLES["bm25_index_after_append"] = \
 # ... and compaction must preserve membership exactly: same oracle.
 _EXT_ORACLES["bm25_index_compacted_serve"] = \
     _EXT_ORACLES["bm25_served_from_index"]
+# IVF lifecycle: build/append/compaction change file layout, never the
+# probe result — the in-memory IVF replay is the oracle.
+_EXT_ORACLES["ann_ivf_served_from_index"] = _EXT_ORACLES["ann_ivf_topk"]
 
 # streaming_dedup_corpus: the kept digest set is exactly the feed
 # digests absent from the corpus (layer 1), one row per digest
@@ -8579,15 +8626,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    checkpoint cadence now matches the reference's pre-send
         #    marker — (delivery_seq-1) % 32 == 0 — and
         #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the SEVEN NEW round-13 queries (leakage_safe_split,
+        #    then the EIGHT NEW round-13 queries (leakage_safe_split,
         #    split_leakage_audit, dedup_threshold_sweep,
         #    phrase_served_from_index, bm25_index_after_append,
-        #    bm25_index_compacted_serve, persistent_park_retry), the
-        #    10 r8-evidence spills, and the 31 oldest r9-evidence
-        #    entries that still fit (pack_sequences, bm25_top_docs,
-        #    passage_scrub, training_mix_pipeline, dedup_exact,
-        #    dedup_embedding_cosine, semantic_dedup spilled to
-        #    positions 51-57 -> r14 head).
+        #    bm25_index_compacted_serve, ann_ivf_served_from_index,
+        #    persistent_park_retry), the 10 r8-evidence spills, and the
+        #    30 oldest r9-evidence entries that still fit (dsir_weights,
+        #    pack_sequences, bm25_top_docs, passage_scrub,
+        #    training_mix_pipeline, dedup_exact, dedup_embedding_cosine,
+        #    semantic_dedup spilled to positions 51-58 -> r14 head).
         #    Every entry verified against its oracle locally at
         #    sf0.001 + sf0.01 this round. --
         "subscription_catchup": q_subscription_catchup,
@@ -8599,6 +8646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_served_from_index": q_phrase_served_from_index,
         "bm25_index_after_append": q_bm25_index_after_append,
         "bm25_index_compacted_serve": q_bm25_index_compacted_serve,
+        "ann_ivf_served_from_index": q_ann_ivf_served_from_index,
         "persistent_park_retry": q_persistent_park_retry,
         # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
