@@ -167,6 +167,10 @@ class EventLog:
         # same fence for the head-revision/tail caches on the append
         # path (see _refresh_log_caches)
         self._log_cache_watermark: Optional[int] = None
+        # ... and for the deletion-marker cache (read through
+        # _load_deletions): a moved watermark may carry another
+        # process's delete/tombstone marker
+        self._deletions_watermark: Optional[int] = None
         # fixed clock for $maxAge retention (tests/replays); None = now
         self.retention_clock = None
 
@@ -349,16 +353,24 @@ class EventLog:
                               args=(marker, stop), daemon=True)
         hb.start()
         try:
-            batch.write.mode("overwrite").parquet(staging)
+            # coalesce(1): the batch is one caller-bounded append, and a
+            # SINGLE staged part file makes the publish one atomic
+            # rename — a multi-file loop could fail (or crash) partway
+            # and publish a torn batch with the 'log untouched' promise
+            # already broken
+            batch.coalesce(1).write.mode("overwrite").parquet(staging)
             if not self._marker_owned(marker, token):
                 return False  # fence tripped; finally-block cleans up
             os.makedirs(self.path, exist_ok=True)
-            for part in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
-                os.rename(part,
-                          os.path.join(self.path, os.path.basename(part)))
+            parts = sorted(_glob.glob(os.path.join(staging, "*.parquet")))
+            assert len(parts) == 1, f"staged batch has {len(parts)} files"
+            os.rename(parts[0],
+                      os.path.join(self.path, os.path.basename(parts[0])))
             return True
         except BaseException:
             # failed commit releases its claim; the log is untouched
+            # (the only publish step is the single rename above, which
+            # either fully happened or didn't)
             self._release(marker, token)
             raise
         finally:
@@ -498,14 +510,11 @@ class EventLog:
                 # the tail read missed blocks our position reserve; one
                 # it saw is visible to the (strictly later) head read
                 base_pos = self.tail_position()
-                current = self.head_revision(stream)
-                # Soft-deleted stream: revision numbering continues from
-                # the pre-delete head even after scavenge reclaimed the
-                # rows (EventStoreDB recreation semantics).
-                if kind == "deleted":
-                    _, _, last_rev = self._load_deletions()[stream]
-                    if current is None or current < last_rev:
-                        current = last_rev if last_rev >= 0 else None
+                current, kind = self._effective_head(stream)
+                if kind == "tombstoned":
+                    # committed by another process since the fast-fail
+                    # check above (stale-cache fence in _load_deletions)
+                    raise StreamDeletedError(stream)
                 self._check_revision(expected, current, stream)
                 if check_duplicates and current is not None:
                     uuids = [e.uuid for e in events]
@@ -604,12 +613,9 @@ class EventLog:
                 failed = None
                 for stream, events, expected in requests:
                     if stream not in heads:
-                        cur = self.head_revision(stream)
-                        kind, _, _ = self._deletion_state(stream)
-                        if kind == "deleted":
-                            _, _, last_rev = self._load_deletions()[stream]
-                            if cur is None or cur < last_rev:
-                                cur = last_rev if last_rev >= 0 else None
+                        cur, kind = self._effective_head(stream)
+                        if kind == "tombstoned":
+                            raise StreamDeletedError(stream)
                         heads[stream] = -1 if cur is None else cur
                         cur_for_check = cur
                     else:
@@ -651,12 +657,7 @@ class EventLog:
                 pos = base_pos
                 for stream, events, _ in requests:
                     if stream not in revs:
-                        cur = self.head_revision(stream)
-                        kind, _, _ = self._deletion_state(stream)
-                        if kind == "deleted":
-                            _, _, last_rev = self._load_deletions()[stream]
-                            if cur is None or cur < last_rev:
-                                cur = last_rev if last_rev >= 0 else None
+                        cur, _kind = self._effective_head(stream)
                         revs[stream] = -1 if cur is None else cur
                     first_position = pos + 1
                     for ev in events:
@@ -769,7 +770,19 @@ class EventLog:
 
     def _load_deletions(self) -> dict[str, tuple]:
         """Deletion markers, folded to per-stream state: tombstone wins,
-        else the latest (max before_position) soft delete."""
+        else the latest (max before_position) soft delete.
+
+        Cross-process staleness fence (marker protocol): a moved shared
+        watermark means another writer committed — possibly a
+        delete/tombstone marker this process's cache predates, which
+        would let appends land on a tombstoned stream and reads keep
+        serving soft-deleted events. The watermark read is one local
+        file stat, so the check is cheap enough for every lookup."""
+        if self._commit_protocol == "marker":
+            wm = self._read_watermark()
+            if wm != self._deletions_watermark:
+                self._deletions_watermark = wm
+                self._deletions = None
         if self._deletions is not None:
             return self._deletions
         import json as _json
@@ -795,6 +808,21 @@ class EventLog:
     def _deletion_state(self, stream: str) -> tuple:
         return self._load_deletions().get(stream, (None, -1, -1))
 
+    def _effective_head(self, stream: str) -> tuple:
+        """(continuation-aware head revision, deletion kind): after a
+        soft delete — even one whose rows scavenge already reclaimed —
+        revision numbering continues from the pre-delete head
+        (EventStoreDB recreation semantics). The single home for the
+        continuation rule used by append, append_multi and
+        delete_stream; also re-reads deletion state through the
+        watermark fence, so a tombstone committed by another process
+        since a caller's fast-fail check is still seen."""
+        current = self.head_revision(stream)
+        kind, _, last_rev = self._deletion_state(stream)
+        if kind == "deleted" and (current is None or current < last_rev):
+            current = last_rev if last_rev >= 0 else None
+        return current, kind
+
     def delete_stream(self, stream: str,
                       expected: ExpectedRevision = ExpectedRevision.any(),
                       *, tombstone: bool = False) -> AppendResult:
@@ -808,10 +836,15 @@ class EventLog:
         numbering continuing from the pre-delete head. Tombstone is
         permanent: further appends/reads raise StreamDeletedError.
         """
-        kind, _, _ = self._deletion_state(stream)
+        # continuation-aware head: deleting an already-soft-deleted
+        # stream (possibly after scavenge reclaimed its rows) must
+        # carry the remembered pre-delete head forward, not reset the
+        # marker to last_revision=-1 — a later recreation append would
+        # otherwise restart revisions at 0 and re-issue numbers
+        # consumers already saw
+        current, kind = self._effective_head(stream)
         if kind == "tombstoned":
             raise StreamDeletedError(stream)
-        current = self.head_revision(stream)
         if current is None and kind is None:
             raise StreamNotFoundError(stream)
         self._check_revision(expected, current, stream)
@@ -899,6 +932,8 @@ class EventLog:
              .write.mode("overwrite").parquet(tmp))
             back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
             back.write.mode("overwrite").parquet(self.path)
+            import shutil as _shutil
+            _shutil.rmtree(tmp, ignore_errors=True)  # full-size copy
             self._revisions.clear()
             self._tail_position = None
             self._restore_watermark_after_rewrite()
@@ -1285,6 +1320,8 @@ class EventLog:
             df.write.mode("overwrite").parquet(tmp)
             back = self.spark.read.schema(EVENT_SCHEMA).parquet(tmp)
             back.write.mode("overwrite").parquet(self.path)
+            import shutil as _shutil
+            _shutil.rmtree(tmp, ignore_errors=True)  # full-size copy
             self._tail_position = None
             self._restore_watermark_after_rewrite()
 

@@ -33,28 +33,48 @@ from eventstorm_spark.model import EVENT_SCHEMA, SubscriptionFilter
 CHECKPOINT_EVERY = 32  # grpc_server.go:85 (checkpointMod)
 
 
-def _stream_source(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over the event table (file source, envelope schema)."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+# Default source backpressure: files per micro-batch. Bounds the
+# per-batch position sort AND the buffer-mode driver collect — without
+# it the FIRST catch-up batch is the entire existing log (the buffered
+# channel the reference's pump leans on, streams.go:229-235).
+MAX_FILES_PER_TRIGGER = 64
+
+
+def _stream_source(spark: SparkSession, path: str,
+                   max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER,
+                   ) -> DataFrame:
+    """readStream over the event table (file source, envelope schema).
+    ``max_files_per_trigger`` is the backpressure bound (None =
+    unbounded — the whole backlog lands in one batch)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def subscribe_stream(spark: SparkSession, path: str, stream: str,
-                     from_revision: int = 0) -> DataFrame:
+                     from_revision: int = 0, *,
+                     max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER,
+                     ) -> DataFrame:
     """Catch-up subscription to one stream from a revision (T1).
 
     Resume semantics are inclusive ``>=`` exactly like the reference's
     resume-opts builder (streams.go:264-285, `>=` at backend.go:111-116).
     """
-    src = _stream_source(spark, path)
+    src = _stream_source(spark, path, max_files_per_trigger)
     return src.where((F.col("stream") == stream) & (F.col("revision") >= from_revision))
 
 
 def subscribe_all(spark: SparkSession, path: str, from_position: int = 0,
-                  filter: Optional[SubscriptionFilter] = None) -> DataFrame:
+                  filter: Optional[SubscriptionFilter] = None, *,
+                  max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER,
+                  ) -> DataFrame:
     """Catch-up subscription to $all from a position, with server-side
     filter (T1 + T5 — the filter applies to catch-up AND live phases,
     streams.go:270-276)."""
-    src = _stream_source(spark, path).where(F.col("position") >= from_position)
+    src = (_stream_source(spark, path, max_files_per_trigger)
+           .where(F.col("position") >= from_position))
     if filter is not None:
         src = src.where(filter_column(filter))
     return src
@@ -98,22 +118,57 @@ class Subscription:
         re-subscribe from a position (``subscribe_all(from_position=…)``)
         after compacting, or use the sink mode — the buffer surface is
         the in-memory test/client harness, not the scale path."""
+        import os as _os
+
         Subscription._seq += 1
         self.id = f"sub-{Subscription._seq}"
         self.delivered = Delivered()
         self.confirmed = False  # SubscriptionConfirmation (grpc_server.go:84-122)
         self._checkpoint_every = checkpoint_every
+        # Lifetime delivered count, persisted next to the Spark offsets
+        # so a RESUMED subscription continues the checkpoint-marker
+        # cadence (markers before lifetime deliveries 1, 33, 65, …)
+        # instead of restarting it from its fresh in-memory buffer.
+        self._nsent_path = (_os.path.join(checkpoint_dir, "_nsent")
+                            if checkpoint_dir else None)
+        self._nsent = 0
+        self._nsent_epoch: Optional[tuple] = None  # (epoch_id, before)
+        if self._nsent_path and _os.path.exists(self._nsent_path):
+            import json as _json
+            try:
+                with open(self._nsent_path) as f:
+                    doc = _json.load(f)
+                self._nsent = int(doc.get("after", 0))
+                self._nsent_epoch = (doc.get("epoch"), int(doc.get("before", 0)))
+            except (OSError, ValueError):
+                self._nsent = 0
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            import json as _json
+
+            # foreachBatch is at-least-once: a replay of the last
+            # counted epoch rewinds to its pre-batch count instead of
+            # double-counting its rows in the lifetime cadence
+            if self._nsent_epoch and self._nsent_epoch[0] == epoch_id:
+                self._nsent = self._nsent_epoch[1]
+            before = self._nsent
             rows = batch_df.orderBy("position").collect()
             for r in rows:
                 # Reference pump (grpc_server.go:98-115): the marker is
                 # sent when nSent % checkpointMod == 0 BEFORE the send,
                 # quoting the about-to-be-delivered event's position —
                 # markers precede deliveries 1, 33, 65, ….
-                if len(self.delivered.events) % self._checkpoint_every == 0:
+                if self._nsent % self._checkpoint_every == 0:
                     self.delivered.checkpoints.append(r["position"])
                 self.delivered.events.append(r)
+                self._nsent += 1
+            self._nsent_epoch = (epoch_id, before)
+            if rows and self._nsent_path:
+                tmp = self._nsent_path + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump({"epoch": epoch_id, "before": before,
+                                "after": self._nsent}, f)
+                _os.replace(tmp, self._nsent_path)
 
         writer = (
             sub_df.writeStream.outputMode("append")
@@ -215,40 +270,68 @@ class SinkSubscription:
         # this, a restarted subscription would redeliver the entire
         # compacted history. Positions are globally monotonic, so rows
         # at or below the sink's max delivered position are replays of
-        # already-delivered events, not new data. (Epoch replays bypass
-        # the fence — they must reproduce their rows byte-identically.)
+        # already-delivered events, not new data.
         self._resume_position = self._existing_max_position()
+        # Epoch namespacing across query lineages: a FRESH streaming
+        # lineage (no checkpoint_dir, or one with no offsets yet)
+        # restarts Spark's epoch ids at 0, which would collide with the
+        # epoch dirs of a previous run over the same sink — the replay
+        # path would then misread a stale epoch=0 as a crash replay and
+        # overwrite/duplicate history. Offset fresh lineages past the
+        # existing epochs; a RESUMED lineage (same checkpoint dir with
+        # offsets) keeps its ids, which is what legit epoch replay
+        # needs.
+        fresh_lineage = True
+        if checkpoint_dir:
+            offs = _os.path.join(checkpoint_dir, "offsets")
+            fresh_lineage = not (_os.path.isdir(offs)
+                                 and any(not n.startswith(".")
+                                         for n in _os.listdir(offs)))
+        self._epoch_offset = (self._existing_max_epoch() + 1
+                              if fresh_lineage else 0)
 
         every = checkpoint_every
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            edir = _os.path.join(self.sink_path, f"epoch={epoch_id}")
-            if not _os.path.exists(edir) and self._resume_position > 0:
+            eid = int(epoch_id) + self._epoch_offset
+            edir = _os.path.join(self.sink_path, f"epoch={eid}")
+            base = self._delivered
+            replay = False
+            if _os.path.exists(edir):
+                # Replay of an epoch whose data already landed (crash
+                # between the sink write and the streaming checkpoint
+                # commit): reproduce the ORIGINAL write exactly — the
+                # original row set (the landed rows' min position tells
+                # us where the resume fence cut, so re-applying
+                # `>= min` reproduces the same filter) under the
+                # original sequence base. Epoch writes are single-file,
+                # so a readable epoch dir is a complete one.
+                try:
+                    row = (self._spark.read.parquet(edir)
+                           .agg(F.min("delivery_seq").alias("s"),
+                                F.min("position").alias("p")).collect()[0])
+                    if row["s"] is not None:
+                        base = int(row["s"]) - 1
+                        batch_df = batch_df.where(
+                            F.col("position") >= int(row["p"]))
+                        replay = True
+                except Exception:
+                    pass  # no data landed: treat as a fresh write
+            if not replay and self._resume_position > 0:
                 batch_df = batch_df.where(
                     F.col("position") > self._resume_position)
             cnt = batch_df.count()
             if cnt == 0:
                 return
-            base = self._delivered
-            if _os.path.exists(edir):
-                # Replay of an epoch whose data already landed (crash
-                # between the sink write and the streaming checkpoint
-                # commit): reuse its original sequence base so the
-                # overwrite is byte-identical, not a redelivery under
-                # fresh sequence numbers.
-                try:
-                    row = (self._spark.read.parquet(edir)
-                           .agg(F.min("delivery_seq").alias("m")).collect()[0])
-                    if row["m"] is not None:
-                        base = int(row["m"]) - 1
-                except Exception:
-                    pass  # torn partial write: overwrite at current base
             seq = (F.row_number().over(W.orderBy("position"))
                    .cast("long") + F.lit(base))
             out = (batch_df.withColumn("delivery_seq", seq)
                    .withColumn("checkpoint",
                                (F.col("delivery_seq") - 1) % every == 0))
-            out.write.mode("overwrite").parquet(edir)
+            # one file per epoch: the publish is all-or-nothing, so a
+            # crash mid-write can never land a readable PARTIAL epoch
+            # (which would poison the replay base recovery above)
+            out.coalesce(1).write.mode("overwrite").parquet(edir)
             self._delivered = max(self._delivered, base + cnt)
 
         writer = (
@@ -275,6 +358,15 @@ class SinkSubscription:
             return int(row["m"]) if row["m"] is not None else 0
         except Exception:
             return 0
+
+    def _existing_max_epoch(self) -> int:
+        import os as _os
+        try:
+            return max((int(n.split("=", 1)[1])
+                        for n in _os.listdir(self.sink_path)
+                        if n.startswith("epoch=")), default=-1)
+        except OSError:
+            return -1
 
     def process_available(self) -> None:
         """Drain everything currently committed (same listing-staleness

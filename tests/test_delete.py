@@ -106,6 +106,39 @@ def test_recreated_stream_survives_scavenge_with_continuity(log):
 # -- link events (resolve_links — parsed but unimplemented in the
 #    reference; EventStoreDB `$>` semantics) ------------------------------
 
+def test_redelete_after_scavenge_keeps_continuation(log):
+    """Deleting an already-soft-deleted stream AFTER scavenge reclaimed
+    its rows must carry the remembered pre-delete head into the new
+    marker (head_revision is None by then) — the old marker's
+    last_revision used to be replaced with -1, so a recreation append
+    restarted revisions at 0, re-issuing numbers consumers had seen."""
+    log.append("s", new_events(5))        # revisions 0..4
+    log.delete_stream("s")
+    log.scavenge()
+    log.delete_stream("s")                # re-delete the scavenged ghost
+    res = log.append("s", new_events(1))  # recreation
+    assert res.last_revision == 5         # continues, not 0
+
+
+def test_tombstone_visible_across_instances(spark, tmp_path):
+    """Two EventLog instances on the same path (the multi-writer setup
+    the marker commit protocol exists for): a tombstone committed
+    through instance A must be seen by instance B even though B's
+    deletion-marker cache was already populated — the shared watermark
+    moved, so the cache re-reads (regression: B's stale cache let it
+    append to, and read from, a tombstoned stream)."""
+    path = str(tmp_path / "log2")
+    a = EventLog(spark, path)
+    b = EventLog(spark, path)
+    a.append("s", new_events(2))
+    assert b.read_stream("s").count() == 2   # warms B's caches
+    a.tombstone_stream("s")
+    with pytest.raises(StreamDeletedError):
+        b.append("s", new_events(1))
+    with pytest.raises(StreamDeletedError):
+        b.read_stream("s")
+
+
 def test_link_to_and_resolve(log):
     log.append("src", new_events(3))
     log.link_to("index", "src", 1)

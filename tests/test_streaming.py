@@ -363,6 +363,35 @@ def test_sink_subscription_resumes_sequence(spark, log, tmp_path):
         sub2.stop()
 
 
+def test_sink_reuse_fresh_lineage_no_epoch_collision(spark, log, tmp_path):
+    """A NEW subscription (fresh/no checkpoint lineage) over an
+    existing sink restarts Spark's epoch ids at 0; its epoch dirs must
+    be offset past the previous run's, or the replay path would misread
+    the old epoch=0 as a crash replay and overwrite/duplicate history
+    (regression). The resume fence keeps delivery exactly-once and the
+    sequence continues."""
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    log.append("f-1", _events(10))
+    sink = str(tmp_path / "delivery")
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink)
+    try:
+        sub.process_available()
+    finally:
+        sub.stop()
+
+    log.append("f-1", _events(5, start=10))
+    sub2 = SinkSubscription(subscribe_all(spark, log.path), sink)
+    try:
+        sub2.process_available()
+        rows = sub2.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 16))
+        assert [r["revision"] for r in rows] == list(range(15))
+        assert len({r["position"] for r in rows}) == 15  # no duplicates
+    finally:
+        sub2.stop()
+
+
 def test_sink_subscription_replayed_epoch_is_idempotent(spark, log, tmp_path):
     """foreachBatch is at-least-once: a crash after the sink write but
     before the streaming checkpoint commit replays the epoch on restart.
