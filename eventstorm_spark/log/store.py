@@ -337,13 +337,23 @@ class EventLog:
             except OSError:
                 return  # marker gone (stolen); the fence check will abort
 
-    def _fenced_write(self, batch: DataFrame, marker: str, token: str) -> bool:
+    def _fenced_write(self, batch: DataFrame, marker: str, token: str,
+                      *, single_file: bool = True) -> bool:
         """Fenced publish of a batch under an owned marker: stage the
         (possibly slow) parquet write outside the log, heartbeat the
         lease meanwhile, re-verify ownership, then publish via fast
         same-filesystem renames. Returns False when the fence tripped
         (claim stolen mid-write — staging discarded, log untouched);
-        raises after releasing the claim on a failed write."""
+        raises after releasing the claim on a failed write.
+
+        ``single_file`` (default, for caller-bounded appends) coalesces
+        the staged batch so the publish is ONE atomic rename — a
+        multi-file loop could fail or crash partway and publish a torn
+        batch after the 'log untouched' promise. Bulk writers (system
+        projection materialization — corpus-sized batches that must
+        stay distributed) pass ``single_file=False`` and accept the
+        torn-publish window; their documented recovery is uuid-dedupe
+        on re-materialization."""
         import glob as _glob
         import shutil as _shutil
 
@@ -353,24 +363,21 @@ class EventLog:
                               args=(marker, stop), daemon=True)
         hb.start()
         try:
-            # coalesce(1): the batch is one caller-bounded append, and a
-            # SINGLE staged part file makes the publish one atomic
-            # rename — a multi-file loop could fail (or crash) partway
-            # and publish a torn batch with the 'log untouched' promise
-            # already broken
-            batch.coalesce(1).write.mode("overwrite").parquet(staging)
+            staged = batch.coalesce(1) if single_file else batch
+            staged.write.mode("overwrite").parquet(staging)
             if not self._marker_owned(marker, token):
                 return False  # fence tripped; finally-block cleans up
             os.makedirs(self.path, exist_ok=True)
             parts = sorted(_glob.glob(os.path.join(staging, "*.parquet")))
-            assert len(parts) == 1, f"staged batch has {len(parts)} files"
-            os.rename(parts[0],
-                      os.path.join(self.path, os.path.basename(parts[0])))
+            if single_file:
+                assert len(parts) == 1, f"staged batch has {len(parts)} files"
+            for part in parts:
+                os.rename(part,
+                          os.path.join(self.path, os.path.basename(part)))
             return True
         except BaseException:
-            # failed commit releases its claim; the log is untouched
-            # (the only publish step is the single rename above, which
-            # either fully happened or didn't)
+            # failed commit releases its claim; the log is untouched in
+            # single-file mode (the one rename either happened or not)
             self._release(marker, token)
             raise
         finally:

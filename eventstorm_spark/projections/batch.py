@@ -44,10 +44,14 @@ _FOLD_COLUMNS = ["stream", "event_type", "data", "metadata", "content_type",
 FINAL_SCHEMA = "partition string, state string"
 EMIT_SCHEMA = "partition string, position long, state string"
 # Events produced by emit()/linkTo() during replay, tagged with the
-# position of the input event that produced them (deterministic order).
+# position of the input event that produced them plus the ordinal
+# WITHIN that event's emissions — (source_position, emit_seq) is a
+# total order, so two emits from one input event sort (and mint uuids)
+# identically on every run; source_position alone ties and Spark's
+# sort is not stable on ties.
 EMITTED_SCHEMA = ("stream string, event_type string, data string, "
                   "metadata map<string,string>, content_type string, "
-                  "source_position long")
+                  "source_position long, emit_seq long")
 
 
 def _event_from_row(row: Any) -> ProjEvent:
@@ -319,18 +323,20 @@ def run_batch_emitted(spec: Projection, events: DataFrame) -> DataFrame:
         state: Any = None
         out: dict[str, list] = {c: [] for c in
                                 ("stream", "event_type", "data", "metadata",
-                                 "content_type", "source_position")}
+                                 "content_type", "source_position",
+                                 "emit_seq")}
         for row in pdf.itertuples(index=False):
             e = _event_from_row(row)
             e.partition = key if spec.is_partitioned else ""
             state, _forward, emitted = spec.run_chain_collect(state, e)
-            for em in emitted:
+            for j, em in enumerate(emitted):
                 out["stream"].append(em.stream)
                 out["event_type"].append(em.event_type)
                 out["data"].append(em.data)
                 out["metadata"].append(em.metadata_dict())
                 out["content_type"].append(em.content_type)
                 out["source_position"].append(int(row.position))
+                out["emit_seq"].append(j)
         return pd.DataFrame(out)
 
     return keyed.groupBy("__key").applyInPandas(fold, EMITTED_SCHEMA)
@@ -345,11 +351,15 @@ def write_emitted(spec: Projection, emitted: DataFrame, log) -> int:
     — at 100 TB you shard this by target stream across commits."""
     from eventstorm_spark.model import NewEvent
 
-    rows = emitted.orderBy("source_position", "stream").collect()
+    rows = emitted.orderBy("source_position", "emit_seq").collect()
     by_stream: dict[str, list] = {}
-    for i, r in enumerate(rows):
+    for r in rows:
         ev = NewEvent(
-            uuid=f"{spec.name}-emit-{r['source_position']}-{i}",
+            # (source_position, emit_seq) is unique and replay-stable; a
+            # collect-order ordinal would shift when ties sort
+            # differently across runs, defeating uuid-based re-run
+            # detection
+            uuid=f"{spec.name}-emit-{r['source_position']}-{r['emit_seq']}",
             event_type=r["event_type"],
             data=r["data"],
             metadata=dict(r["metadata"] or {}),

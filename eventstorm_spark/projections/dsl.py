@@ -152,8 +152,35 @@ class AggSpec:
         ``max_by(value, position)``."""
         return cls("last", field, where_type, cast)
 
+    def _body_value(self, body):
+        """Walk the JSON-path field (dots = nesting) — the lowering
+        extracts ``$.a.b`` with get_json_object, so a flat
+        ``body.get("a.b")`` would silently read None for nested
+        specs."""
+        v = body
+        for part in self.field.split("."):
+            if not isinstance(v, dict):
+                return None
+            v = v.get(part)
+            if v is None:
+                return None
+        return v
+
     def _coerce(self, v):
-        return int(v) if self.cast in ("long", "int", "bigint") else float(v)
+        """Mirror of the lowering's ``cast('double').cast(cast)``: a
+        non-numeric value becomes null and is SKIPPED (never a crash),
+        "5.5" under a long cast truncates to 5, and large ints pass
+        through double exactly like the lowered path — same projection,
+        same answer, either engine."""
+        if isinstance(v, bool):
+            return None  # lowered: "true" -> cast double -> null
+        try:
+            d = float(v)
+        except (TypeError, ValueError):
+            return None
+        if self.cast in ("long", "int", "bigint"):
+            return int(d)
+        return d
 
     def update(self, acc, e: "ProjEvent"):
         """The per-event fold semantics of this aggregate (the non-lowered
@@ -163,10 +190,12 @@ class AggSpec:
         if self.kind == "count":
             return (acc or 0) + 1
         body = e.body or {}
-        v = body.get(self.field)
+        v = self._body_value(body)
         if v is None:
             return acc
         v = self._coerce(v)
+        if v is None:
+            return acc
         if self.kind == "sum":
             return (acc or 0) + v
         if self.kind == "min":

@@ -48,6 +48,11 @@ class ProjectionRegistry:
         doc = {
             "name": spec.name,
             "streams": list(spec.selector.streams) if spec.selector.streams else None,
+            # category/pattern selectors must round-trip too — recording
+            # only `streams` made from_category/from_streams_matching
+            # projections indistinguishable from from_all in the catalog
+            "category": spec.selector.category,
+            "pattern": spec.selector.pattern,
             "output": spec.output,
             "options": {
                 "resultStreamName": spec.opts.result_stream,

@@ -63,9 +63,17 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
         else:
             st = None
         touched = False
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("position", kind="mergesort")
-            for row in pdf.itertuples(index=False):
+        # concatenate the key's WHOLE micro-batch before sorting: the
+        # iterator yields Arrow chunks (~10k rows each), and a per-chunk
+        # sort would fold events out of position order whenever one
+        # key's batch spans chunks (e.g. the unpartitioned "" key during
+        # catch-up) — state would silently diverge from the batch replay
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = (chunks[0] if len(chunks) == 1
+                     else pd.concat(chunks, ignore_index=True))
+            whole = whole.sort_values("position", kind="mergesort")
+            for row in whole.itertuples(index=False):
                 e = _event_from_row(row)
                 e.partition = key[0] if spec.is_partitioned else ""
                 # emit()/linkTo() output is not delivered live: continuous
@@ -177,7 +185,8 @@ def _run_streaming_reordered(spec: Projection, events_stream: DataFrame,
 
 def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None,
                      trigger_ms: int = 200,
-                     max_updates_per_batch: int = 100_000):
+                     max_updates_per_batch: int = 100_000,
+                     max_files_per_trigger: int | None = 64):
     """Run a projection continuously against an EventLog, emitting every
     state update into its result stream (S8 live — the wiring the
     reference holds but never connects, SURVEY §3.3).
@@ -205,7 +214,15 @@ def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None
 
     from eventstorm_spark.model import EVENT_SCHEMA, NewEvent
 
-    src = log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+    reader = log.spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # backpressure: without it the FIRST catch-up micro-batch is the
+        # entire existing log, and a history with more distinct
+        # partitions than max_updates_per_batch trips the overflow
+        # guard spuriously (steady state never would)
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    src = reader.parquet(log.path)
     # result-stream events must not feed back into the fold
     src = src.where(F.col("stream") != spec.result_stream())
     updates = run_streaming(spec, src)
@@ -220,17 +237,35 @@ def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None
                 "raise max_updates_per_batch or materialize via "
                 "projections.materialize / a SinkSubscription table "
                 "instead of a result stream")
+        if not rows:
+            return
+        # uuid = (name, partition, epoch): update mode yields one row
+        # per key per batch, so the pair is unique WITHOUT a positional
+        # index (a collect-order ordinal would change across replays);
+        # sort for deterministic append order.
+        rows = sorted(rows, key=lambda r: r["partition"] or "")
         events = [
             NewEvent(
-                uuid=f"{spec.name}-{r['partition']}-{epoch_id}-{i}",
+                uuid=f"{spec.name}-{r['partition']}-{epoch_id}",
                 event_type="$projection-state",
                 data=r["state"],
                 metadata={"partition": r["partition"] or ""},
             )
-            for i, r in enumerate(rows)
+            for r in rows
         ]
+        # foreachBatch is at-least-once: a crash between the append and
+        # the streaming checkpoint commit replays this epoch — skip
+        # uuids that already landed instead of raising ConflictError
+        # forever (or appending duplicates)
+        uuids = [ev.uuid for ev in events]
+        existing = {r["uuid"] for r in
+                    log.df().where((F.col("stream") == spec.result_stream())
+                                   & F.col("uuid").isin(uuids))
+                    .select("uuid").collect()}
+        events = [ev for ev in events if ev.uuid not in existing]
         if events:
-            log.append(spec.result_stream(), events)
+            log.append(spec.result_stream(), events,
+                       check_duplicates=False)
 
     writer = (
         updates.writeStream.outputMode("update")

@@ -116,10 +116,12 @@ def materialize(events: DataFrame, log, which=None, *,
 
     Driver-side state is O(partitions), not O(events). The commit is
     serialized under the log's single-writer lock like every append.
-    Link uuids are deterministic (``name-stream-link_revision``) so a
-    re-run is detectable; unlike ``EventLog.append`` this bulk path does
-    not duplicate-check — rebuild into a fresh/scavenged log or dedupe
-    on uuid when re-materializing.
+    Link uuids are deterministic (``name-stream-revision``, using the
+    FINAL continued revision — a per-batch ``link_revision`` would
+    collide across incremental re-materializations of the same link
+    stream) so a re-run is detectable; unlike ``EventLog.append`` this
+    bulk path does not duplicate-check — rebuild into a
+    fresh/scavenged log or dedupe on uuid when re-materializing.
     """
     builders = {
         "$by_category": by_category,
@@ -127,6 +129,8 @@ def materialize(events: DataFrame, log, which=None, *,
         "$streams": streams_index,
         "$stream_by_category": stream_by_category,
     }
+    if isinstance(which, str):  # natural single-projection call
+        which = [which]
     total = 0
     for name in (which or builders):
         total += _append_links(log, name, builders[name](events),
@@ -209,8 +213,12 @@ def _append_links(log, name: str, links: DataFrame, *,
 
             env = part.select(
                 F.col("stream"),
+                # uuid from the FINAL (continued) revision: link_revision
+                # restarts at 0 per batch, so incremental tail
+                # materializations would mint colliding uuids within a
+                # link stream — violating the (stream, uuid) key
                 F.concat(F.lit(name + "-"), F.col("stream"), F.lit("-"),
-                         F.col("link_revision").cast("string")).alias("uuid"),
+                         F.col("revision").cast("string")).alias("uuid"),
                 F.col("data"),
                 F.create_map(
                     F.lit(META_TYPE), F.lit(LINK_EVENT),
@@ -227,7 +235,7 @@ def _append_links(log, name: str, links: DataFrame, *,
             if marker is None:  # protocol "none": direct append
                 env.write.mode("append").parquet(log.path)
                 break
-            if log._fenced_write(env, marker, token):
+            if log._fenced_write(env, marker, token, single_file=False):
                 wm = log._advance_watermark(base_pos + n)
                 log._gc_markers(wm)
                 break
