@@ -288,11 +288,42 @@ def streaming_m4(events_stream: DataFrame, *, window: str = "1 minute",
         F.col("__max.x").alias("max_v"))
 
 
+def _duration_us(spec: str) -> int:
+    """Parse ``"N seconds|minutes|hours|days"`` to microseconds."""
+    import re
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", spec.strip())
+    if not m:
+        raise ValueError(f"unsupported duration {spec!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3_600,
+            "day": 86_400}[m.group(2)]
+    return int(m.group(1)) * mult * 1_000_000
+
+
+def _release_buffered(buf, hwm_us: int, lag_us: int, state) -> tuple:
+    """The buffered-reorder release rule shared by the order-sensitive
+    temporal folds (same semantics as the projections tier's
+    ``reorderEvents``/``processingLag`` machinery,
+    ``projections/streaming.py:_run_streaming_reordered``): an event is
+    released once the key's event-time high-watermark has advanced
+    ``lag_us`` past it, OR once Spark's global event-time watermark has
+    passed it (no older row can ever arrive then — Spark drops
+    late-beyond-watermark rows before the fold sees them, so releasing
+    is safe and drains the tail as other keys advance the clock).
+    Released events come back sorted by (event-time, payload) — a total
+    order, so replay is deterministic. Returns (ready, kept)."""
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    horizon = max(hwm_us - lag_us, wm_us)
+    ready = sorted(p for p in buf if p[0] <= horizon)
+    kept = [p for p in buf if p[0] > horizon]
+    return ready, kept
+
+
 def streaming_event_transitions(events_stream: DataFrame, *,
                                 key_col: str = "user_id",
                                 type_col: str = "event_type",
                                 ts_col: str = "ts",
-                                watermark_delay: str = "10 minutes"
+                                watermark_delay: str = "10 minutes",
+                                reorder_lag: str | None = None
                                 ) -> DataFrame:
     """Streaming twin of the event-path transition extraction
     (``q_event_transitions``'s lag window): per-user state is ONE
@@ -302,26 +333,49 @@ def streaming_event_transitions(events_stream: DataFrame, *,
     union of emitted pairs over any prefix of batches equals the batch
     lag-window pairs over the same rows (test-pinned). Downstream, any
     aggregation (windowed counts, the transition matrix) is a plain
-    streaming groupBy over this bounded-state stream. Same
-    arrival=event-time-order contract as the streaming near-dup tier;
-    out-of-order arrivals WITHIN a batch are healed by the per-batch
-    sort, across batches by the watermark bounding how late data can
-    be."""
+    streaming groupBy over this bounded-state stream.
+
+    Ordering contract (default, ``reorder_lag=None``): the per-batch
+    sort heals disorder WITHIN a micro-batch only; ACROSS batches the
+    fold chains in arrival order — it never buffers on the watermark.
+    The watermark's only effect is Spark dropping rows later than
+    ``watermark_delay``. So the fold-equals-batch guarantee requires
+    event-time-ordered arrival across batches (single appending writer,
+    atomic single-file commits — the engine's fenced append gives both).
+
+    With ``reorder_lag="2 minutes"`` the fold additionally heals
+    cross-batch disorder up to that bound: events buffer in state and
+    release only once the key's event-time high-watermark has advanced
+    ``reorder_lag`` past them (or the global watermark has — see
+    :func:`_release_buffered`), folding in event-time order. State grows
+    by lag × per-key arrival rate; the newest events are withheld until
+    newer ones (or the watermark) release them — the same latency trade
+    as the projections tier's ``processingLag``."""
     import json as _json
 
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    # select BEFORE the watermark, keeping the event-time column: a
+    # select that drops it severs the watermark from the stateful
+    # operator (GroupState.getCurrentWatermarkMs would raise)
     keyed = (events_stream
-             .withWatermark(ts_col, watermark_delay)
              .select(F.col(key_col).alias("__k"),
                      F.col(type_col).alias("__t"),
-                     F.unix_micros(F.col(ts_col).cast("timestamp"))
-                     .alias("__us")))
+                     F.col(ts_col).cast("timestamp").alias("__ts"))
+             .withWatermark("__ts", watermark_delay)
+             .withColumn("__us", F.unix_micros(F.col("__ts"))))
+
+    lag_us = _duration_us(reorder_lag) if reorder_lag else None
 
     def fold(key, pdf_iter, state: GroupState):
-        last = _json.loads(state.get[0]) if state.exists else None
+        st = _json.loads(state.get[0]) if state.exists else None
+        if lag_us is None:
+            last, buf, hwm = st, None, 0
+        else:
+            last, buf, hwm = ((st["last"], st["buf"], st["hwm"])
+                              if st is not None else (None, [], 0))
         frm, to = [], []
         # concat-then-sort the whole micro-batch: Arrow chunk order
         # within a group is unspecified and this fold is
@@ -329,13 +383,26 @@ def streaming_event_transitions(events_stream: DataFrame, *,
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks).sort_values("__us")
-            for t, us in zip(pdf["__t"], pdf["__us"]):
-                if last is not None:
-                    frm.append(last[0])
-                    to.append(t)
-                last = [t, int(us)]
-        if last is not None:
-            state.update((_json.dumps(last),))
+            rows = [(t, int(us)) for t, us in zip(pdf["__t"], pdf["__us"])]
+        else:
+            rows = []
+        if lag_us is not None:
+            for t, us in rows:
+                buf.append([us, t])
+                hwm = max(hwm, us)
+            ready, buf = _release_buffered(buf, hwm, lag_us, state)
+            rows = [(t, us) for us, t in ready]
+        for t, us in rows:
+            if last is not None:
+                frm.append(last[0])
+                to.append(t)
+            last = [t, us]
+        if lag_us is None:
+            if last is not None:
+                state.update((_json.dumps(last),))
+        else:
+            state.update((_json.dumps(
+                {"last": last, "buf": buf, "hwm": hwm}),))
         if frm:
             yield pd.DataFrame({"user_id": [key[0]] * len(frm),
                                 "from_type": frm, "to_type": to})
@@ -495,7 +562,8 @@ def streaming_ewma_anomalies(events_stream: DataFrame, *,
                              value_col: str = "value",
                              key_col: str = "user_id",
                              ts_col: str = "ts", alpha: float = 0.3,
-                             watermark_delay: str = "10 minutes"
+                             watermark_delay: str = "10 minutes",
+                             reorder_lag: str | None = None
                              ) -> DataFrame:
     """Streaming twin of :func:`ewma_anomalies` — and the place where
     the TRUE infinite-history recurrence is natural: per-key state is
@@ -506,41 +574,69 @@ def streaming_ewma_anomalies(events_stream: DataFrame, *,
     full-history recurrence doesn't parallelize; here the fold is the
     execution model, so state is 8 bytes/key instead of 8 lags/row.
     A key's first event seeds the state and emits nothing (the batch
-    first-row exclusion). Same arrival contract as the transition
-    extractor: per-batch sort heals in-batch disorder, the watermark
-    bounds cross-batch lateness."""
+    first-row exclusion).
+
+    Ordering contract — same as :func:`streaming_event_transitions`:
+    by default the per-batch sort heals in-batch disorder only and the
+    fold chains across batches in ARRIVAL order (in-order arrival is
+    the caller's contract: single appending writer, atomic single-file
+    commits); pass ``reorder_lag`` to buffer and heal cross-batch
+    disorder up to that bound via the hwm-lag / global-watermark
+    release rule (:func:`_release_buffered`)."""
     import json as _json
 
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    # select BEFORE the watermark, keeping the event-time column: a
+    # select that drops it severs the watermark from the stateful
+    # operator (GroupState.getCurrentWatermarkMs would raise)
     keyed = (events_stream
-             .withWatermark(ts_col, watermark_delay)
              .select(F.col(key_col).alias("__k"),
                      F.col(value_col).alias("__v"),
-                     F.unix_micros(F.col(ts_col).cast("timestamp"))
-                     .alias("__us")))
+                     F.col(ts_col).cast("timestamp").alias("__ts"))
+             .withWatermark("__ts", watermark_delay)
+             .withColumn("__us", F.unix_micros(F.col("__ts"))))
+
+    lag_us = _duration_us(reorder_lag) if reorder_lag else None
 
     def fold(key, pdf_iter, state: GroupState):
-        s = _json.loads(state.get[0]) if state.exists else None
+        st = _json.loads(state.get[0]) if state.exists else None
+        if lag_us is None:
+            s, buf, hwm = st, None, 0
+        else:
+            s, buf, hwm = ((st["s"], st["buf"], st["hwm"])
+                           if st is not None else (None, [], 0))
         us_o, v_o, e_o, sc_o = [], [], [], []
         # concat-then-sort: see streaming_event_transitions
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks).sort_values("__us")
-            for v, us in zip(pdf["__v"], pdf["__us"]):
-                v = float(v)
-                if s is not None:
-                    us_o.append(int(us))
-                    v_o.append(v)
-                    e_o.append(round(s, 6))
-                    sc_o.append(round(abs(v - s), 6))
-                    s = alpha * v + (1.0 - alpha) * s
-                else:
-                    s = v
-        if s is not None:
-            state.update((_json.dumps(s),))
+            rows = [(float(v), int(us))
+                    for v, us in zip(pdf["__v"], pdf["__us"])]
+        else:
+            rows = []
+        if lag_us is not None:
+            for v, us in rows:
+                buf.append([us, v])
+                hwm = max(hwm, us)
+            ready, buf = _release_buffered(buf, hwm, lag_us, state)
+            rows = [(v, us) for us, v in ready]
+        for v, us in rows:
+            if s is not None:
+                us_o.append(us)
+                v_o.append(v)
+                e_o.append(round(s, 6))
+                sc_o.append(round(abs(v - s), 6))
+                s = alpha * v + (1.0 - alpha) * s
+            else:
+                s = v
+        if lag_us is None:
+            if s is not None:
+                state.update((_json.dumps(s),))
+        else:
+            state.update((_json.dumps({"s": s, "buf": buf, "hwm": hwm}),))
         if us_o:
             yield pd.DataFrame({key_col: [key[0]] * len(us_o),
                                 "us": us_o, "value": v_o,
@@ -557,7 +653,8 @@ def streaming_cusum_alerts(events_stream: DataFrame, ref: float, *,
                            key_col: str = "event_type",
                            ts_col: str = "ts", slack: float = 0.5,
                            threshold: float = 5.0,
-                           watermark_delay: str = "10 minutes"
+                           watermark_delay: str = "10 minutes",
+                           reorder_lag: str | None = None
                            ) -> DataFrame:
     """Streaming twin of :func:`cusum_alerts`: the clamp recurrence
     ``S = max(0, S + (x - ref - slack))`` run directly — per-key state
@@ -569,35 +666,62 @@ def streaming_cusum_alerts(events_stream: DataFrame, ref: float, *,
     value, s). ``ref`` is a fixed baseline constant — the SPC
     monitoring setup; recompute it out-of-band, not inside the
     monitor. Equality contract (test-pinned): the alert set over any
-    prefix of batches equals the batch operator on the same rows."""
+    prefix of batches equals the batch operator on the same rows —
+    under the same ordering contract as
+    :func:`streaming_event_transitions` (in-order arrival across
+    batches by default; ``reorder_lag`` buffers and heals cross-batch
+    disorder up to that bound)."""
     import json as _json
 
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    # select BEFORE the watermark, keeping the event-time column: a
+    # select that drops it severs the watermark from the stateful
+    # operator (GroupState.getCurrentWatermarkMs would raise)
     keyed = (events_stream
-             .withWatermark(ts_col, watermark_delay)
              .select(F.col(key_col).alias("__k"),
                      F.col(value_col).alias("__v"),
-                     F.unix_micros(F.col(ts_col).cast("timestamp"))
-                     .alias("__us")))
+                     F.col(ts_col).cast("timestamp").alias("__ts"))
+             .withWatermark("__ts", watermark_delay)
+             .withColumn("__us", F.unix_micros(F.col("__ts"))))
     ktype = dict(events_stream.dtypes)[key_col]
 
+    lag_us = _duration_us(reorder_lag) if reorder_lag else None
+
     def fold(key, pdf_iter, state: GroupState):
-        s = _json.loads(state.get[0]) if state.exists else 0.0
+        st = _json.loads(state.get[0]) if state.exists else None
+        if lag_us is None:
+            s, buf, hwm = (st if st is not None else 0.0), None, 0
+        else:
+            s, buf, hwm = ((st["s"], st["buf"], st["hwm"])
+                           if st is not None else (0.0, [], 0))
         us_o, v_o, s_o = [], [], []
         # concat-then-sort: see streaming_event_transitions
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks).sort_values("__us")
-            for v, us in zip(pdf["__v"], pdf["__us"]):
-                s = max(0.0, s + (float(v) - ref - slack))
-                if round(s, 6) > threshold:
-                    us_o.append(int(us))
-                    v_o.append(float(v))
-                    s_o.append(round(s, 6))
-        state.update((_json.dumps(s),))
+            rows = [(float(v), int(us))
+                    for v, us in zip(pdf["__v"], pdf["__us"])]
+        else:
+            rows = []
+        if lag_us is not None:
+            for v, us in rows:
+                buf.append([us, v])
+                hwm = max(hwm, us)
+            ready, buf = _release_buffered(buf, hwm, lag_us, state)
+            rows = [(v, us) for us, v in ready]
+        for v, us in rows:
+            s = max(0.0, s + (v - ref - slack))
+            if round(s, 6) > threshold:
+                us_o.append(us)
+                v_o.append(v)
+                s_o.append(round(s, 6))
+        if lag_us is None:
+            state.update((_json.dumps(s),))
+        else:
+            state.update((_json.dumps({"s": s, "buf": buf, "hwm": hwm}),))
         if us_o:
             yield pd.DataFrame({"key": [key[0]] * len(us_o),
                                 "us": us_o, "value": v_o, "s": s_o})

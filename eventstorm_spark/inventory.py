@@ -867,9 +867,14 @@ def q_orders_with_returns(spark, sf_dir):
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """Anti-join (NOT EXISTS): customers that never ordered, by segment."""
+    """Anti-join (NOT EXISTS): customers with no orders since 2000, by
+    segment. The date window makes the entry NON-vacuous on the fixture
+    (every sf0.01 customer has *some* order, so the unwindowed form
+    passed 0-rows-vs-0-rows and proved nothing — r13 verdict); the
+    filter pushes into the orders scan before the anti-join builds."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -1779,7 +1784,9 @@ _REL_ORACLES = {
     "customers_without_orders": """
         SELECT c_mktsegment, count(*) AS n_customers
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= DATE '2000-01-01')
         GROUP BY c_mktsegment""",
     "set_ops_streams": f"""{ORACLE_CTE},
         purch AS (SELECT DISTINCT stream FROM es_events WHERE event_type = 'purchase'),
@@ -2381,11 +2388,25 @@ def q_split_leakage_audit(spark, sf_dir):
 def q_split_contamination(spark, sf_dir):
     """Decontamination report: train/test doc pairs sharing >=1 5-gram
     shingle, with the (small) test side broadcast so the train corpus
-    never shuffles."""
+    never shuffles. The synthetic corpus has no natural cross-split
+    leakage (the entry passed 0-rows-vs-0-rows through r13 and proved
+    nothing), so deterministic leakage is PLANTED first — every test
+    doc and every 50th-id train doc get the same appended passage, the
+    oracle plants identically, and the detector must report exactly
+    those pairs (the same planted-leak strategy as the unit test at
+    test_extensions.py and the redact_pii driver entry)."""
     from eventstorm_spark.extensions.pipeline import assign_splits, split_contamination
     labeled = assign_splits(load(spark, sf_dir, "documents"))
-    train = labeled.where(F.col("split") == "train")
-    test = labeled.where(F.col("split") == "test")
+    leak = " leak marker alpha beta gamma delta epsilon"
+    planted = labeled.withColumn(
+        "text",
+        F.when((F.col("split") == "test")
+               | ((F.col("split") == "train")
+                  & (F.col("doc_id") % 50 == 0)),
+               F.concat(F.col("text"), F.lit(leak)))
+        .otherwise(F.col("text")))
+    train = planted.where(F.col("split") == "train")
+    test = planted.where(F.col("split") == "test")
     return split_contamination(train, test, n=5)
 
 
@@ -5436,8 +5457,15 @@ _EXT_ORACLES = {
                          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
                               ':', 'v1')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
                   FROM documents) t),
+        planted AS (
+            SELECT doc_id, split,
+                   CASE WHEN split = 'test'
+                          OR (split = 'train' AND doc_id % 50 = 0)
+                        THEN text || ' leak marker alpha beta gamma delta epsilon'
+                        ELSE text END AS text
+            FROM lab),
         toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
-                 FROM lab WHERE split IN ('train', 'test')),
+                 FROM planted WHERE split IN ('train', 'test')),
         sh AS (SELECT doc_id, split, list_distinct(list_transform(
                    generate_series(1, greatest(len(t) - 4, 1)),
                    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS shingles

@@ -24,6 +24,18 @@ arrive), not on wall-clock idleness — a processing-time timeout was
 measured and rejected: pending state timeouts keep the engine planning
 micro-batches forever, so AvailableNow/processAllAvailable never
 settle.
+
+State serialization contract: streaming projection state must be
+JSON-NATIVE (dict/list/str/int/float/bool/None). The state round-trips
+through ``json.dumps``/``loads`` at EVERY micro-batch boundary, so a
+non-native value (a set, a datetime) would be handed back to the
+handler as its string rendering on the next batch — silently diverging
+from the batch replay, which keeps the live object until the single
+final dump. The fold therefore raises ``TypeError`` (with the
+offending projection named) instead of degrading: keep sets as sorted
+lists and datetimes as isoformat strings inside handler state. Batch
+mode is unaffected (its one terminal render via ``default=str`` never
+feeds back into a handler).
 """
 
 from __future__ import annotations
@@ -42,6 +54,22 @@ from eventstorm_spark.projections.dsl import Projection
 
 STREAM_OUT_SCHEMA = "partition string, state string"
 STREAM_STATE_SCHEMA = "state string"
+
+
+def _dump_state(spec: Projection, st: Any) -> str:
+    """Serialize fold state for the state store (see the module
+    docstring's JSON-native contract). Raises instead of degrading."""
+    try:
+        return json.dumps(st, sort_keys=True)
+    except TypeError as exc:
+        raise TypeError(
+            f"projection '{spec.name}': streaming state must be "
+            f"JSON-native (dict/list/str/int/float/bool/None) — it "
+            f"round-trips through the state store every micro-batch, "
+            f"so {exc}. Use sorted lists for sets and isoformat "
+            f"strings for datetimes; batch mode accepts the value "
+            f"because it renders state only once, at output."
+        ) from exc
 
 
 def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
@@ -82,8 +110,9 @@ def run_streaming(spec: Projection, events_stream: DataFrame) -> DataFrame:
                 st, _forward, _emitted = spec.run_chain_collect(st, e)
                 touched = True
         if touched:
-            state.update((json.dumps(st, sort_keys=True, default=str),))
-            yield pd.DataFrame({"partition": [key[0]], "state": [json.dumps(st, sort_keys=True, default=str)]})
+            dumped = _dump_state(spec, st)
+            state.update((dumped,))
+            yield pd.DataFrame({"partition": [key[0]], "state": [dumped]})
 
     return keyed.groupBy("__key").applyInPandasWithState(
         fold,
@@ -165,13 +194,12 @@ def _run_streaming_reordered(spec: Projection, events_stream: DataFrame,
             e.partition = key[0] if spec.is_partitioned else ""
             st, _forward, _emitted = spec.run_chain_collect(st, e)
             touched = True
-        state.update((json.dumps(
-            {"st": st, "buf": buf, "hwm": hwm},
-            sort_keys=True, default=str),))
+        state.update((_dump_state(
+            spec, {"st": st, "buf": buf, "hwm": hwm}),))
         if touched:
             yield pd.DataFrame({
                 "partition": [key[0]],
-                "state": [json.dumps(st, sort_keys=True, default=str)],
+                "state": [_dump_state(spec, st)],
             })
 
     return keyed.groupBy("__key").applyInPandasWithState(
@@ -256,11 +284,17 @@ def start_continuous(spec: Projection, log, *, checkpoint_dir: str | None = None
         # foreachBatch is at-least-once: a crash between the append and
         # the streaming checkpoint commit replays this epoch — skip
         # uuids that already landed instead of raising ConflictError
-        # forever (or appending duplicates)
-        uuids = [ev.uuid for ev in events]
+        # forever (or appending duplicates). The candidate scan
+        # prefilters on the uuid's "-{epoch}" suffix — ONE predicate
+        # instead of an isin over up to max_updates_per_batch literals
+        # (a 100k-literal Catalyst expression stalls planning every
+        # micro-batch). The suffix match is a superset of the exact
+        # uuids (every one ends with it); the set-diff below is exact,
+        # so a stray suffix collision costs a collected row, never a
+        # wrong skip.
         existing = {r["uuid"] for r in
                     log.df().where((F.col("stream") == spec.result_stream())
-                                   & F.col("uuid").isin(uuids))
+                                   & F.col("uuid").endswith(f"-{epoch_id}"))
                     .select("uuid").collect()}
         events = [ev for ev in events if ev.uuid not in existing]
         if events:

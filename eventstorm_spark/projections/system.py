@@ -116,12 +116,14 @@ def materialize(events: DataFrame, log, which=None, *,
 
     Driver-side state is O(partitions), not O(events). The commit is
     serialized under the log's single-writer lock like every append.
-    Link uuids are deterministic (``name-stream-revision``, using the
-    FINAL continued revision — a per-batch ``link_revision`` would
-    collide across incremental re-materializations of the same link
-    stream) so a re-run is detectable; unlike ``EventLog.append`` this
-    bulk path does not duplicate-check — rebuild into a
-    fresh/scavenged log or dedupe on uuid when re-materializing.
+    Link uuids are deterministic AND replay-stable
+    (``name-stream-source_position`` — derived from the linked event's
+    global position, never from the assigned revision, so a re-run
+    over the same source rows mints identical uuids even when revision
+    numbering has moved past a torn partial publish); unlike
+    ``EventLog.append`` this bulk path does not duplicate-check —
+    rebuild into a fresh/scavenged log or dedupe on uuid when
+    re-materializing.
     """
     builders = {
         "$by_category": by_category,
@@ -213,12 +215,18 @@ def _append_links(log, name: str, links: DataFrame, *,
 
             env = part.select(
                 F.col("stream"),
-                # uuid from the FINAL (continued) revision: link_revision
-                # restarts at 0 per batch, so incremental tail
-                # materializations would mint colliding uuids within a
-                # link stream — violating the (stream, uuid) key
+                # uuid from CONTENT (the linked event's global position):
+                # replay-stable — a re-run after a torn publish mints
+                # IDENTICAL uuids so uuid-dedupe can identify the
+                # already-landed rows (a revision-derived uuid would
+                # continue PAST the partial rows and mint fresh ones),
+                # and unique — a source event links into a given stream
+                # at most once per projection, and incremental tail
+                # batches carry strictly newer positions (unlike
+                # link_revision, which restarts at 0 per batch)
                 F.concat(F.lit(name + "-"), F.col("stream"), F.lit("-"),
-                         F.col("revision").cast("string")).alias("uuid"),
+                         F.col("source_position").cast("string"))
+                .alias("uuid"),
                 F.col("data"),
                 F.create_map(
                     F.lit(META_TYPE), F.lit(LINK_EVENT),

@@ -272,6 +272,9 @@ class SinkSubscription:
         # at or below the sink's max delivered position are replays of
         # already-delivered events, not new data.
         self._resume_position = self._existing_max_position()
+        # Highest position delivered so far — the cross-batch order
+        # guard's fence (seeded from the sink so restarts keep it).
+        self._max_seen_pos = self._resume_position
         # Epoch namespacing across query lineages: a FRESH streaming
         # lineage (no checkpoint_dir, or one with no offsets yet)
         # restarts Spark's epoch ids at 0, which would collide with the
@@ -281,14 +284,36 @@ class SinkSubscription:
         # existing epochs; a RESUMED lineage (same checkpoint dir with
         # offsets) keeps its ids, which is what legit epoch replay
         # needs.
+        # The offset is PERSISTED next to the Spark offsets (like
+        # Subscription's _nsent): a lineage that STARTED over a
+        # non-empty sink chose a non-zero offset, and recomputing after
+        # a crash/restart (offsets dir now non-empty -> "resumed")
+        # would default it back to 0 — colliding this lineage's epoch
+        # dirs with the older lineage's and corrupting the replay base.
         fresh_lineage = True
+        offset_path = None
         if checkpoint_dir:
             offs = _os.path.join(checkpoint_dir, "offsets")
             fresh_lineage = not (_os.path.isdir(offs)
                                  and any(not n.startswith(".")
                                          for n in _os.listdir(offs)))
-        self._epoch_offset = (self._existing_max_epoch() + 1
-                              if fresh_lineage else 0)
+            offset_path = _os.path.join(checkpoint_dir, "_epoch_offset")
+        if fresh_lineage:
+            self._epoch_offset = self._existing_max_epoch() + 1
+            if offset_path:
+                _os.makedirs(checkpoint_dir, exist_ok=True)
+                tmp = offset_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(self._epoch_offset))
+                _os.replace(tmp, offset_path)
+        else:
+            self._epoch_offset = 0
+            if offset_path and _os.path.exists(offset_path):
+                try:
+                    with open(offset_path) as f:
+                        self._epoch_offset = int(f.read().strip())
+                except (OSError, ValueError):
+                    self._epoch_offset = 0
 
         every = checkpoint_every
 
@@ -320,9 +345,32 @@ class SinkSubscription:
             if not replay and self._resume_position > 0:
                 batch_df = batch_df.where(
                     F.col("position") > self._resume_position)
-            cnt = batch_df.count()
+            stats = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("position").alias("lo"),
+                F.max("position").alias("hi")).collect()[0]
+            cnt = int(stats["n"])
             if cnt == 0:
                 return
+            # Cross-batch order guard: with maxFilesPerTrigger the file
+            # source splits catch-up into batches in LISTING order
+            # (mod-time, then path); a bulk-written log whose files
+            # share timestamps can hand a later batch LOWER positions,
+            # which would assign delivery_seq out of global position
+            # order — silently breaking the replay contract. Positions
+            # are globally monotonic per the single-appending-writer
+            # contract (the engine's fenced append commits one file per
+            # append, so listing order = position order); detect the
+            # violation instead of mis-sequencing. Recovery: compact
+            # the bootstrapped log to one file, or subscribe with
+            # max_files_per_trigger=None so catch-up is one batch.
+            if not replay and int(stats["lo"]) <= self._max_seen_pos:
+                raise RuntimeError(
+                    "SinkSubscription: micro-batch carries position "
+                    f"{int(stats['lo'])} <= already-delivered max "
+                    f"{self._max_seen_pos} — the source listing split a "
+                    "bulk-written log out of position order; compact "
+                    "the log or use max_files_per_trigger=None")
             seq = (F.row_number().over(W.orderBy("position"))
                    .cast("long") + F.lit(base))
             out = (batch_df.withColumn("delivery_seq", seq)
@@ -333,6 +381,7 @@ class SinkSubscription:
             # (which would poison the replay base recovery above)
             out.coalesce(1).write.mode("overwrite").parquet(edir)
             self._delivered = max(self._delivered, base + cnt)
+            self._max_seen_pos = max(self._max_seen_pos, int(stats["hi"]))
 
         writer = (
             sub_df.writeStream.outputMode("append")

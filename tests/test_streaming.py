@@ -472,7 +472,7 @@ def test_processing_lag_reorders_across_batches(spark, tmp_path):
 
     # batch 1 delivers positions 4,5 BEFORE 1,2,3 ever land
     spark.createDataFrame(_env_rows([4, 5], t0), EVENT_SCHEMA) \
-        .write.mode("append").parquet(path)
+        .coalesce(1).write.mode("append").parquet(path)
     sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
     q = (run_streaming(make_spec(), sdf)
          .writeStream.outputMode("update").format("memory")
@@ -481,7 +481,7 @@ def test_processing_lag_reorders_across_batches(spark, tmp_path):
         q.processAllAvailable()
         # late batch with the EARLIER positions
         spark.createDataFrame(_env_rows([1, 2, 3], t0), EVENT_SCHEMA) \
-            .write.mode("append").parquet(path)
+            .coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         # everything is inside the lag window: nothing folded yet
         assert spark.sql("SELECT * FROM lagged").count() == 0
@@ -490,7 +490,7 @@ def test_processing_lag_reorders_across_batches(spark, tmp_path):
         # itself)
         spark.createDataFrame(
             _env_rows([6], t0, created_at=t0 + 864_000_000_000),
-            EVENT_SCHEMA).write.mode("append").parquet(path)
+            EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM lagged").collect()
         latest = {}
@@ -531,7 +531,7 @@ def test_processing_lag_tail_releases_on_watermark_advance(spark, tmp_path):
     # 2,1 disordered; created 10ms apart -> inside the 2s lag together
     spark.createDataFrame(
         _env_rows([2, 1], t0, tick_step=100_000), EVENT_SCHEMA) \
-        .write.mode("append").parquet(path)
+        .coalesce(1).write.mode("append").parquet(path)
     sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
     q = (run_streaming(spec, sdf)
          .writeStream.outputMode("update").format("memory")
@@ -543,7 +543,7 @@ def test_processing_lag_tail_releases_on_watermark_advance(spark, tmp_path):
         # position 3 created 10s later advances the watermark past 1,2
         spark.createDataFrame(
             _env_rows([3], t0, created_at=t0 + 100_000_000), EVENT_SCHEMA) \
-            .write.mode("append").parquet(path)
+            .coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM lagged_wm").collect()
         assert rows and rows[-1]["state"] == '{"seen": [1, 2]}'
@@ -565,7 +565,7 @@ def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
 
     spark.createDataFrame(
         [(1, 100.0, base), (2, 101.0, near), (3, 102.0, other)], schema
-    ).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(path)
 
     sdf = spark.readStream.schema(schema).parquet(path)
     pairs = streaming_near_dup_pairs(sdf, threshold=0.8, retention_secs=600.0)
@@ -581,7 +581,7 @@ def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
         # a second batch: doc 4 near-dups 1 and 2, inside retention
         spark.createDataFrame(
             [(4, 150.0, base + " tail")], schema
-        ).write.mode("append").parquet(path)
+        ).coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         got = {(r.id_a, r.id_b) for r in spark.sql(
             "SELECT DISTINCT id_a, id_b FROM near_pairs").collect()}
@@ -590,7 +590,7 @@ def test_streaming_near_dup_pairs_detects_and_evicts(spark, tmp_path):
         # far-future arrival: eviction means no pair despite similarity
         spark.createDataFrame(
             [(5, 10_000.0, base)], schema
-        ).write.mode("append").parquet(path)
+        ).coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         got = {(r.id_a, r.id_b) for r in spark.sql(
             "SELECT DISTINCT id_a, id_b FROM near_pairs").collect()}
@@ -647,14 +647,14 @@ def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
     near = " ".join(f"w{i}" for i in range(49)) + " zz"
 
     spark.createDataFrame([("doc-a", 100.0, base)], schema) \
-        .write.mode("append").parquet(path)
+        .coalesce(1).write.mode("append").parquet(path)
 
     def start():
         sdf = spark.readStream.schema(schema).parquet(path)
         pairs = streaming_near_dup_pairs(sdf, threshold=0.8,
                                          retention_secs=600.0)
         return (pairs.writeStream.outputMode("update")
-                .foreachBatch(lambda b, e: b.write.mode("append").parquet(sink))
+                .foreachBatch(lambda b, e: b.coalesce(1).write.mode("append").parquet(sink))
                 .option("checkpointLocation", ckpt)
                 .trigger(processingTime="200 milliseconds").start())
 
@@ -666,7 +666,7 @@ def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
 
     # restart; the near-duplicate arrives only after the restart
     spark.createDataFrame([("doc-b", 101.0, near)], schema) \
-        .write.mode("append").parquet(path)
+        .coalesce(1).write.mode("append").parquet(path)
     q2 = start()
     try:
         q2.processAllAvailable()
@@ -693,7 +693,7 @@ def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
 
     spark.createDataFrame(
         [(i, 100.0 + i, text) for i in range(1, 5)], schema
-    ).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(path)
 
     sdf = spark.readStream.schema(schema).parquet(path)
     pairs = streaming_near_dup_pairs(sdf, threshold=0.8, retention_secs=600.0,
@@ -704,7 +704,7 @@ def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
     try:
         q.processAllAvailable()
         spark.createDataFrame([(9, 110.0, text)], schema) \
-            .write.mode("append").parquet(path)
+            .coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         partners = {r.id_a for r in spark.sql(
             "SELECT DISTINCT id_a, id_b FROM capped_pairs WHERE id_b = 9"
@@ -782,7 +782,7 @@ def test_streaming_winnow_hits_detects_shared_runs(spark, tmp_path):
         [(1, 100.0, f"a1 b1 {shared} c1 d1"),
          (2, 101.0, f"x1 {shared} y1 z1 q1"),
          (3, 102.0, "totally different words with no overlap at all")],
-        schema).write.mode("append").parquet(path)
+        schema).coalesce(1).write.mode("append").parquet(path)
     sdf = spark.readStream.schema(schema).parquet(path)
     hits = streaming_winnow_hits(sdf, retention_secs=600.0)
     q = (hits.writeStream.outputMode("update").format("memory")
@@ -797,7 +797,7 @@ def test_streaming_winnow_hits_detects_shared_runs(spark, tmp_path):
         # in-window copy pairs with both carriers
         spark.createDataFrame(
             [(4, 150.0, f"fresh {shared} copy here")], schema
-        ).write.mode("append").parquet(path)
+        ).coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         got = {(r.id_a, r.id_b) for r in spark.sql(
             "SELECT DISTINCT id_a, id_b FROM winnow_hits").collect()}
@@ -806,7 +806,7 @@ def test_streaming_winnow_hits_detects_shared_runs(spark, tmp_path):
         # far-future arrival: eviction -> no pair despite the shared run
         spark.createDataFrame(
             [(5, 10_000.0, f"late {shared} arrival")], schema
-        ).write.mode("append").parquet(path)
+        ).coalesce(1).write.mode("append").parquet(path)
         q.processAllAvailable()
         got = {(r.id_a, r.id_b) for r in spark.sql(
             "SELECT DISTINCT id_a, id_b FROM winnow_hits").collect()}
@@ -836,7 +836,7 @@ def test_streaming_kmv_distinct_matches_batch_sketch(spark, tmp_path):
                 for i in range(lo, hi)]
 
     spark.createDataFrame(rows(0, 120, 0) + rows(0, 30, 1), schema) \
-         .write.mode("append").parquet(src_dir)
+         .coalesce(1).write.mode("append").parquet(src_dir)
 
     est = streaming_kmv_distinct(
         spark.readStream.schema(schema).parquet(src_dir),
@@ -853,7 +853,7 @@ def test_streaming_kmv_distinct_matches_batch_sketch(spark, tmp_path):
         q.processAllAvailable()
         # second batch: 80 users overlap hour 0, 50 new ones in hour 1
         spark.createDataFrame(rows(40, 160, 0) + rows(20, 80, 1), schema) \
-             .write.mode("append").parquet(src_dir)
+             .coalesce(1).write.mode("append").parquet(src_dir)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -894,7 +894,7 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
     # batch 1: hot x 60 + 150 singletons; batch 2: hot x 40 + 150 more
     spark.createDataFrame(
         batch(["hot"] * 60 + [f"t{i}" for i in range(150)], 0),
-        schema).write.mode("append").parquet(src)
+        schema).coalesce(1).write.mode("append").parquet(src)
 
     latest = {}
 
@@ -913,7 +913,7 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
         q.processAllAvailable()
         spark.createDataFrame(
             batch(["hot"] * 40 + [f"u{i}" for i in range(150)], 600),
-            schema).write.mode("append").parquet(src)
+            schema).coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -973,7 +973,7 @@ def test_streaming_hdr_quantiles_fold_equals_batch(spark, tmp_path):
     b1 = [1.0, 2.0, 4.0, 8.0, 0.25, 3.7, 100.0, 64.0, -1.0]
     b2 = [5.0, 0.5, 1024.0, 7.77, 2.0, 0.0, 9.9] + [50.0] * 20
     spark.createDataFrame(batch(b1, 0), schema) \
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
 
     latest = {}
 
@@ -989,7 +989,7 @@ def test_streaming_hdr_quantiles_fold_equals_batch(spark, tmp_path):
     try:
         q.processAllAvailable()
         spark.createDataFrame(batch(b2, 600), schema) \
-            .write.mode("append").parquet(src)
+            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1032,7 +1032,7 @@ def test_streaming_funnel_matches_batch_conditional_min(spark, tmp_path):
     batch2 = [ev(2, "purchase", 100), ev(3, "error", 110),
               ev(5, "click", 120), ev(5, "purchase", 130),
               ev(1, "purchase", 140)]  # second purchase: no re-emit
-    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
 
     emitted = []
 
@@ -1050,7 +1050,7 @@ def test_streaming_funnel_matches_batch_conditional_min(spark, tmp_path):
         q.processAllAvailable()
         n_after_b1 = len(emitted)
         spark.createDataFrame(batch2, schema) \
-            .write.mode("append").parquet(src)
+            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1106,7 +1106,7 @@ def test_streaming_heavy_hitters_exact_below_capacity(spark, tmp_path):
                            for r in rows})
 
     spark.createDataFrame(batch(batches[0], 0), schema) \
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
     q = (streaming_heavy_hitters(
             spark.readStream.schema(schema).parquet(src), "v",
             threshold=0.01, window="1 hour", ts_col="ts",
@@ -1117,7 +1117,7 @@ def test_streaming_heavy_hitters_exact_below_capacity(spark, tmp_path):
         q.processAllAvailable()
         for i, b in enumerate(batches[1:], start=1):
             spark.createDataFrame(batch(b, i * 100), schema) \
-                .write.mode("append").parquet(src)
+                .coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -1127,3 +1127,140 @@ def test_streaming_heavy_hitters_exact_below_capacity(spark, tmp_path):
     n = len(flat)
     assert {v: c for v, (c, _) in latest.items()} == exact
     assert all(nw == n for _, nw in latest.values())
+
+
+def test_sink_epoch_offset_survives_restart(spark, log, tmp_path):
+    """The epoch-id offset a lineage chose at START (over a non-empty
+    sink) is persisted next to the Spark offsets and reloaded on
+    resume. Regression: a resumed lineage recomputing it as 0 would
+    write epoch dirs colliding with the OLDER lineage's — the replay
+    path then misreads a foreign epoch dir as a crash replay and
+    overwrites its history (events lost, delivery_seq corrupted)."""
+    from eventstorm_spark.streaming.subscriptions import (SinkSubscription,
+                                                          subscribe_all)
+
+    sink = str(tmp_path / "delivery")
+    # lineage 1: no checkpoint, writes epoch=0..
+    log.append("eo-1", _events(10))
+    sub = SinkSubscription(subscribe_all(spark, log.path), sink)
+    try:
+        sub.process_available()
+    finally:
+        sub.stop()
+
+    # lineage 2: fresh checkpointed lineage over the NON-EMPTY sink —
+    # picks a non-zero epoch offset and must persist it
+    ckpt = str(tmp_path / "ckpt2")
+    log.append("eo-1", _events(5, start=10))
+    sub2 = SinkSubscription(subscribe_all(spark, log.path), sink,
+                            checkpoint_dir=ckpt)
+    try:
+        sub2.process_available()
+        off2 = sub2._epoch_offset
+        assert off2 > 0
+    finally:
+        sub2.stop()
+
+    # lineage 2 RESUMES (same checkpoint dir, offsets now non-empty):
+    # the reloaded offset must equal the one chosen at start
+    log.append("eo-1", _events(5, start=15))
+    sub3 = SinkSubscription(subscribe_all(spark, log.path), sink,
+                            checkpoint_dir=ckpt)
+    try:
+        assert sub3._epoch_offset == off2
+        sub3.process_available()
+        rows = sub3.result().orderBy("delivery_seq").collect()
+        assert [r["delivery_seq"] for r in rows] == list(range(1, 21))
+        assert [r["revision"] for r in rows] == list(range(20))
+        assert len({r["uuid"] for r in rows}) == 20  # nothing lost/duped
+    finally:
+        sub3.stop()
+
+
+def test_sink_subscription_order_guard_on_split_bootstrap(spark, tmp_path):
+    """A bulk-written log whose files list out of position order (shared
+    mtimes / adverse listing) must NOT be mis-sequenced: with
+    maxFilesPerTrigger splitting catch-up, a later batch carrying lower
+    positions raises instead of assigning delivery_seq out of global
+    position order."""
+    import os
+    import shutil
+    import time
+
+    from eventstorm_spark.model import EVENT_SCHEMA
+    from eventstorm_spark.streaming.subscriptions import (SinkSubscription,
+                                                          subscribe_all)
+
+    logdir = str(tmp_path / "rawlog")
+    os.makedirs(logdir)
+
+    def plant(positions, name, mtime):
+        rows = [("s", f"u-{p}", json.dumps({"p": p}), {}, None,
+                 int(p), int(p), "t", "application/json",
+                 int(p) * 10_000_000)
+                for p in positions]
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1) \
+            .write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(logdir, name)
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    # HIGH positions in the OLDER-mtime file -> listed/delivered first
+    now = time.time()
+    plant(range(10, 20), "b.parquet", now - 300)
+    plant(range(0, 10), "a.parquet", now - 100)
+
+    sink = str(tmp_path / "delivery")
+    sub = SinkSubscription(
+        subscribe_all(spark, logdir, max_files_per_trigger=1), sink)
+    try:
+        with pytest.raises(Exception, match="out of position order"):
+            sub.process_available()
+            sub._query.awaitTermination(10)
+    finally:
+        try:
+            sub.stop()
+        except Exception:
+            pass
+
+
+def test_streaming_state_must_be_json_native(spark, log):
+    """The streaming-state serialization contract (module docstring of
+    projections.streaming): state round-trips through the state store
+    as JSON every micro-batch, so non-JSON-native state (a set here)
+    raises a TypeError naming the projection instead of silently
+    degrading to its str() rendering — the batch fold, which renders
+    state exactly once at output, still accepts the same handler."""
+    from eventstorm_spark.projections.streaming import run_streaming
+
+    log.append("jn-1", _events(3))
+
+    def track(state, e):
+        state["seen"].add(e.eventType)
+
+    def make_spec():
+        return (
+            projection("set-state").from_all().foreach_stream()
+            .when({"$init": lambda: {"seen": set()}, "$any": track})
+        )
+
+    # batch: one terminal render via default=str — accepted
+    batch = run_batch(make_spec(), log.df())
+    assert batch.count() == 1
+
+    sdf = spark.readStream.schema(log.df().schema).parquet(log.path)
+    q = (run_streaming(make_spec(), sdf)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("set_state").trigger(processingTime="200 milliseconds")
+         .start())
+    try:
+        with pytest.raises(Exception, match="JSON-native"):
+            q.processAllAvailable()
+            q.awaitTermination(10)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass

@@ -145,3 +145,40 @@ def test_materialize_continues_existing_link_revisions(spark, tmp_path):
     assert log.head_revision("$ce-acct") == 4
     ce = log.read_stream("$ce-acct").orderBy("revision").collect()
     assert [r["revision"] for r in ce] == [0, 1, 2, 3, 4]
+
+
+def test_materialize_uuids_replay_stable_and_unique(spark, tmp_path):
+    """Link uuids derive from the linked event's global position
+    (name-stream-source_position): re-materializing the SAME source
+    rows mints IDENTICAL uuids — the torn-publish recovery contract
+    (uuid-dedupe on re-materialization) — while incremental batches
+    (strictly newer positions) never collide."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.log.store import EventLog
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("acct-1", new_events(3, prefix="a"))
+    src = log.df().where(~F.col("stream").startswith("$"))
+    materialize(src, log, which=["$by_category"])
+    first = {(r["uuid"], r["data"]) for r in
+             log.read_stream("$ce-acct").collect()}
+    assert len(first) == 3
+
+    # replay of the SAME source rows (torn-publish re-run): identical
+    # uuids, so dedupe-on-uuid identifies every already-landed row
+    materialize(src, log, which=["$by_category"])
+    again = [r for r in log.read_stream("$ce-acct").collect()]
+    assert len(again) == 6
+    assert {(r["uuid"], r["data"]) for r in again} == first  # same ids
+
+    # incremental delta (new positions): disjoint uuids
+    log.append("acct-1", new_events(2, prefix="b"))
+    delta = log.df().where(
+        ~F.col("stream").startswith("$") & (F.col("revision") >= 3))
+    materialize(delta, log, which=["$by_category"])
+    rows = log.read_stream("$ce-acct").collect()
+    uuids = [r["uuid"] for r in rows]
+    assert len(rows) == 8
+    assert len(set(uuids)) == 5  # 3 originals (each twice) + 2 new

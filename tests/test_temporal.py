@@ -155,7 +155,7 @@ def test_streaming_m4_matches_batch_reduction(spark, tmp_path):
     rows = [("k", base + dt.timedelta(seconds=s), float(v))
             for s, v in [(0, 5.0), (10, 9.0), (50, 1.0),
                          (70, 7.0), (80, 2.0), (200, 4.0)]]
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
 
     got = []
     q = (streaming_m4(spark.readStream.schema(schema).parquet(src),
@@ -167,7 +167,7 @@ def test_streaming_m4_matches_batch_reduction(spark, tmp_path):
         # late-ish tail event: advances the watermark, closes minute 1
         spark.createDataFrame(
             [("k", base + dt.timedelta(seconds=400), 0.0)], schema) \
-            .write.mode("append").parquet(src)
+            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -194,7 +194,7 @@ def test_streaming_event_transitions_chain_across_batches(spark, tmp_path):
 
     spark.createDataFrame(
         rows([(1, "view"), (1, "click"), (2, "view")], 0),
-        schema).write.mode("append").parquet(src)
+        schema).coalesce(1).write.mode("append").parquet(src)
 
     got = []
     q = (streaming_event_transitions(
@@ -208,7 +208,7 @@ def test_streaming_event_transitions_chain_across_batches(spark, tmp_path):
         # batch 2 chains: user 1's click -> purchase crosses the batch
         spark.createDataFrame(
             rows([(1, "purchase"), (2, "click")], 60),
-            schema).write.mode("append").parquet(src)
+            schema).coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -326,7 +326,7 @@ def test_streaming_ewma_chains_across_batches(spark, tmp_path):
 
     batch1, batch2 = [1.0, 2.0, 4.0], [8.0, 100.0]
     spark.createDataFrame(rows(batch1, 0), schema) \
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
 
     got = []
     q = (streaming_ewma_anomalies(
@@ -338,7 +338,7 @@ def test_streaming_ewma_chains_across_batches(spark, tmp_path):
     try:
         q.processAllAvailable()
         spark.createDataFrame(rows(batch2, 60), schema) \
-            .write.mode("append").parquet(src)
+            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -368,7 +368,7 @@ def test_streaming_cusum_matches_batch_alert_set(spark, tmp_path):
     batch1 = [10.0] * 20 + [14.0] * 5          # drift starts
     batch2 = [14.0] * 10 + [10.0] * 5          # keeps alerting, then decays
     spark.createDataFrame(rows(batch1, 0, 0), schema) \
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
 
     got = []
     q = (streaming_cusum_alerts(
@@ -381,7 +381,7 @@ def test_streaming_cusum_matches_batch_alert_set(spark, tmp_path):
     try:
         q.processAllAvailable()
         spark.createDataFrame(rows(batch2, 60, 100), schema) \
-            .write.mode("append").parquet(src)
+            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -399,3 +399,98 @@ def test_streaming_cusum_matches_batch_alert_set(spark, tmp_path):
     first_us = int(calendar.timegm(
         b.first_alert_ts.timetuple()) * 1_000_000)
     assert min(u for u, _ in got) == first_us
+
+
+def test_streaming_ewma_reorder_lag_heals_cross_batch_disorder(
+        spark, tmp_path):
+    """reorder_lag buffers cross-batch disorder: an event that arrives
+    a batch EARLY (higher ts first) still folds in event-time order,
+    and the newest events stay withheld until the hwm-lag horizon
+    passes them."""
+    from eventstorm_spark.extensions.temporal import (
+        streaming_ewma_anomalies)
+
+    src = str(tmp_path / "ewma_reorder_src")
+    schema = "user_id long, value double, ts timestamp"
+    base = dt.datetime(2024, 7, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(1, v, base + dt.timedelta(seconds=s)) for v, s in rows],
+            schema).coalesce(1).write.mode("append").parquet(src)
+
+    write([(100.0, 61)])                      # arrives FIRST, ts later
+    got = []
+    q = (streaming_ewma_anomalies(
+            spark.readStream.schema(schema).parquet(src),
+            reorder_lag="30 seconds")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.us, r.value, r.ewma, r.score) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert got == []                      # withheld, not folded
+        # ts 60 arrives a batch LATE; 120/125 advance the hwm so the
+        # horizon (hwm - 30s = 95s) releases 60 and 61 in time order
+        write([(8.0, 60), (5.0, 120), (6.0, 125)])
+        q.processAllAvailable()
+        # 8.0@60 seeds silently; 100.0@61 scores against ewma=8.0 —
+        # the healed order. Without reorder, 100.0 would have seeded.
+        assert [(v, e, sc) for _, v, e, sc in got] == [
+            (100.0, 8.0, 92.0)]
+        # 120/125 are inside the lag window: withheld
+        write([(7.0, 300)])                   # hwm 300 -> horizon 270
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    s = 0.3 * 100.0 + 0.7 * 8.0              # 35.6 after the heal
+    want = [(100.0, 8.0, 92.0)]
+    for v in (5.0, 6.0):
+        want.append((v, round(s, 6), round(abs(v - s), 6)))
+        s = 0.3 * v + 0.7 * s
+    assert [(v, e, sc) for _, v, e, sc in sorted(got)] == want
+
+
+def test_streaming_transitions_reorder_lag_and_watermark_drain(
+        spark, tmp_path):
+    """Transitions with reorder_lag: cross-batch disorder heals, and
+    the GLOBAL watermark drains buffered events even when the key's
+    own hwm-lag horizon never would (lag is huge here)."""
+    from eventstorm_spark.extensions.temporal import (
+        streaming_event_transitions)
+
+    src = str(tmp_path / "trans_reorder_src")
+    schema = "user_id long, event_type string, ts timestamp"
+    base = dt.datetime(2024, 7, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, t, base + dt.timedelta(seconds=s)) for u, t, s in rows],
+            schema).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "b", 61), (1, "a", 60)])
+    got = []
+    q = (streaming_event_transitions(
+            spark.readStream.schema(schema).parquet(src),
+            watermark_delay="10 seconds", reorder_lag="1 hour")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.from_type, r.to_type) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert got == []                      # all buffered (lag 1h)
+        # watermark after batch1 = 61s - 10s = 51s; advance it far
+        # past 61 with a later batch, then give key 1 one more row so
+        # its fold runs and the wm horizon releases a->b
+        write([(1, "c", 600)])                # wm during: 51s -> no release
+        q.processAllAvailable()
+        assert got == []
+        write([(1, "d", 601)])                # wm during: 590s -> drain
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # horizon during batch3 = wm 590s: a(60) and b(61) drain and fold
+    # in event-time order; c(600) and d(601) are above it -> buffered
+    assert got == [("a", "b")]
