@@ -243,27 +243,38 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
+    # Paired-commit control (SCALE.md §10.2 method): the control lives
+    # in BENCH_CONTROL.json and is only REFERENCED here — round 13
+    # attached the whole control object to the headline line, which
+    # pushed it past the driver's 2,000-char tail capture and left
+    # BENCH_r13 without parseable totals. Anything beyond the headline
+    # prints on its OWN line, BEFORE the headline.
+    ctl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_CONTROL.json")
+    if os.path.exists(ctl_path):
+        print(json.dumps({"note": "paired-commit control in "
+                                  "BENCH_CONTROL.json (not attached: "
+                                  "the headline line must fit the "
+                                  "driver's 2000-char tail)"}))
+    # Full-precision detail line for humans reading the raw output.
+    print(json.dumps({"metric": "headline_queries_detail_sec",
+                      "queries": timings}))
+    # The headline is the FINAL line and must fit the driver's tail
+    # whole: compact separators + 2-decimal per-query values keep ~80
+    # queries under ~1,850 chars (3-decimal spaced JSON crossed 2,000
+    # at 69 queries — the r13 capture bug's second half).
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
     }
-    # Paired-commit control (SCALE.md §10.2 method): if a control file
-    # exists — HEAD and the previous round's commit benched back-to-back
-    # in one quiet window — attach it, so round-over-round deltas are
-    # adjudicated host-vs-code instead of being formally undecidable
-    # (the r12 "23% improvement" landed on an inventory-only diff).
-    ctl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_CONTROL.json")
-    if os.path.exists(ctl_path):
-        try:
-            with open(ctl_path) as fh:
-                out["control"] = json.load(fh)
-        except Exception:
-            pass
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"headline line {len(line)} chars — trim the per-query payload "
+        "before it outgrows the driver's 2000-char tail capture")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from eventstorm_spark.model import (
     BoundaryKind,
     Direction,
     FilterKind,
+    NewEvent,
     ReadOptions,
     StreamOptions,
     SubscriptionFilter,
@@ -307,6 +308,26 @@ _READ_ORACLES = {
         SELECT delivery_seq, ((delivery_seq - 1) % 32 = 0) AS checkpoint,
                {_ENVELOPE_OUT_SQL}
         FROM d""",
+    # delta_log_lifecycle: the parquet-mode twin — what the Delta
+    # appends MUST assign. Append order is (stream asc, source position
+    # asc): dense per-stream revisions from 0, gapless global positions
+    # from 1, delivery_seq = position (the subscription starts at the
+    # origin over the same total order), (seq-1)%32 checkpoint cadence.
+    "delta_log_lifecycle": f"""{ORACLE_CTE},
+        sel AS (SELECT stream, uuid, data, event_type,
+                       position AS orig_pos
+                FROM es_events
+                WHERE stream IN ('user-1', 'user-2', 'user-3')),
+        asg AS (SELECT stream, uuid, data, event_type,
+                       CAST(row_number() OVER (PARTITION BY stream
+                            ORDER BY orig_pos) - 1 AS BIGINT) AS revision,
+                       CAST(row_number() OVER (ORDER BY stream, orig_pos)
+                            AS BIGINT) AS position
+                FROM sel)
+        SELECT stream, uuid, data, event_type, revision, position,
+               position AS delivery_seq,
+               ((position - 1) % 32 = 0) AS checkpoint
+        FROM asg""",
     # persistent_park_retry: all three dispatch batches replayed
     # declaratively — the Pinned assignment is the SAME md5-derived rule
     # the engine computes (15 hex chars -> 60-bit int, mod #consumers),
@@ -3599,6 +3620,76 @@ def q_subscription_catchup(spark, sf_dir):
             "delivery_seq long, checkpoint boolean, stream string, "
             "uuid string, data string, revision long, position long, "
             "event_type string, created long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_delta_log_lifecycle(spark, sf_dir):
+    """The Delta-backed log END TO END (S2/S3/S6/T1 with the Delta
+    transaction log replacing the `_commits/` fenced exchange,
+    `log/delta.py`): append three users' events through
+    `EventLog(format="delta")` — two commits per stream, the second
+    under an exact-revision CAS, so dense revisions provably continue
+    across Delta commits — then READ the table back through the
+    transaction-log snapshot (`delta.read_log`) and SUBSCRIBE from the
+    start through `delta.stream_source` + `SinkSubscription` (gapless
+    `delivery_seq` in position order, the (seq-1)%32 checkpoint
+    cadence). The output inner-joins the read leg (revision/position
+    straight from the snapshot) with the subscribe leg on uuid, so a
+    divergence in EITHER path breaks the row count. Oracle: the
+    parquet-mode twin — re-derive what the appends must assign
+    (revision = per-stream arrival rank, position = global rank in
+    append order, delivery_seq = position). Backend-honest: runs on
+    delta-spark when importable, else the O_EXCL shim with identical
+    commit semantics (delta.backend() reports which)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from collections import defaultdict as _dd
+
+    from eventstorm_spark.log.delta import stream_source
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.model import ExpectedRevision
+    from eventstorm_spark.streaming.subscriptions import SinkSubscription
+
+    src = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-1", "user-2", "user-3"))
+           .select("stream", "uuid", "data", "event_type", "position")
+           .orderBy("position").collect())
+    per = _dd(list)
+    for r in src:
+        per[r["stream"]].append(r)
+    tmp = _tempfile.mkdtemp(prefix="esdelta_")
+    try:
+        log = EventLog(spark, _os.path.join(tmp, "dlog"), format="delta")
+        for stream in sorted(per):
+            evs = [NewEvent(uuid=r["uuid"], event_type=r["event_type"],
+                            data=r["data"]) for r in per[stream]]
+            half = len(evs) // 2
+            log.append(stream, evs[:half])
+            log.append(stream, evs[half:],
+                       expected=ExpectedRevision.at(half - 1))
+        read_leg = (log.df()
+                    .select("stream", "uuid", "data", "event_type",
+                            "revision", "position"))
+        sink = SinkSubscription(
+            stream_source(spark, log.path),
+            _os.path.join(tmp, "sink"),
+            checkpoint_dir=_os.path.join(tmp, "ckpt"))
+        try:
+            sink.process_available()
+        finally:
+            sink.stop()
+        sub_leg = sink.result().select("uuid", "delivery_seq", "checkpoint")
+        rows = (read_leg.join(sub_leg, "uuid")
+                .select("stream", "uuid", "data", "event_type", "revision",
+                        "position", "delivery_seq", "checkpoint")
+                .orderBy("position").collect())
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "stream string, uuid string, data string, event_type string, "
+            "revision long, position long, delivery_seq long, "
+            "checkpoint boolean")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -8649,25 +8740,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 13 rotation: window head = the two queries whose
-        #    code/oracle CHANGED this round (subscription_catchup's
-        #    checkpoint cadence now matches the reference's pre-send
-        #    marker — (delivery_seq-1) % 32 == 0 — and
-        #    streaming_sessions' sentinel filter/timeout hardening),
-        #    then the EIGHT NEW round-13 queries (leakage_safe_split,
-        #    split_leakage_audit, dedup_threshold_sweep,
-        #    phrase_served_from_index, bm25_index_after_append,
-        #    bm25_index_compacted_serve, ann_ivf_served_from_index,
-        #    persistent_park_retry), the 10 r8-evidence spills, and the
-        #    30 oldest r9-evidence entries that still fit (dsir_weights,
-        #    pack_sequences, bm25_top_docs, passage_scrub,
-        #    training_mix_pipeline, dedup_exact, dedup_embedding_cosine,
-        #    semantic_dedup spilled to positions 51-58 -> r14 head).
-        #    Every entry verified against its oracle locally at
-        #    sf0.001 + sf0.01 this round. --
+        # -- round 14 rotation: window head = the NEW delta_log_lifecycle
+        #    plus the four entries whose code/oracle CHANGED this round
+        #    (customers_without_orders and split_contamination were
+        #    de-vacuated — date-window anti-join / planted leakage;
+        #    subscription_catchup's SinkSubscription gained the persisted
+        #    epoch offset + cross-batch order guard; proj_state_lookup's
+        #    start_continuous replay-dedupe swapped isin for the epoch
+        #    suffix prefilter), then the 20 r9-evidence entries and the
+        #    25 alphabetically-first r10-evidence entries (the remaining
+        #    24 r10 entries head the r15 window). Every entry verified
+        #    against its oracle locally at sf0.001 + sf0.01 this round. --
+        "delta_log_lifecycle": q_delta_log_lifecycle,
+        "customers_without_orders": q_customers_without_orders,
+        "split_contamination": q_split_contamination,
         "subscription_catchup": q_subscription_catchup,
+        "proj_state_lookup": q_proj_state_lookup,
+        # -- r9-evidence batch (20) --
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "bm25_top_docs": q_bm25_top_docs,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_exact": q_dedup_exact,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "dsir_weights": q_dsir_weights,
+        "embedding_centroids": q_embedding_centroids,
+        "knn_within_label": q_knn_within_label,
+        "pack_sequences": q_pack_sequences,
+        "passage_scrub": q_passage_scrub,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "repeated_passages": q_repeated_passages,
+        "semantic_dedup": q_semantic_dedup,
+        "training_mix_pipeline": q_training_mix_pipeline,
+        # -- r10-evidence batch (25 of 49) --
+        "audio_features": q_audio_features,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "cluster_balanced_counts": q_cluster_balanced_counts,
+        "cluster_cards": q_cluster_cards,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "corpus_drift_psi": q_corpus_drift_psi,
+        "decayed_user_activity": q_decayed_user_activity,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dq_gate": q_dq_gate,
+        "event_transitions": q_event_transitions,
+        "events_cusum_shift": q_events_cusum_shift,
+        "events_ewma_anomaly": q_events_ewma_anomaly,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_m4": q_events_m4,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_seasonal_deviation": q_events_seasonal_deviation,
+        "exact_substring_scrub": q_exact_substring_scrub,
+        "funnel_conversion_windowed": q_funnel_conversion_windowed,
+        "funnel_transition_times": q_funnel_transition_times,
+        "hashed_tfidf_knn": q_hashed_tfidf_knn,
+        "hdr_value_quantiles": q_hdr_value_quantiles,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        # -- r10-evidence spills (24): first in line for the
+        #    r15 window head --
+        "html_extract": q_html_extract,
+        "image_dup_clusters": q_image_dup_clusters,
+        "join_key_skew": q_join_key_skew,
+        "kmv_daily_users": q_kmv_daily_users,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "kmv_source_overlap": q_kmv_source_overlap,
+        "link_communities": q_link_communities,
+        "link_page_rank": q_link_page_rank,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "near_dup_edit_distance": q_near_dup_edit_distance,
+        "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
+        "quality_calibration": q_quality_calibration,
+        "skew_salted_join": q_skew_salted_join,
+        "source_overlap": q_source_overlap,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "train_quality_weights": q_train_quality_weights,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_host_composition": q_url_host_composition,
+        "user_rfm_segments": q_user_rfm_segments,
+        "video_frame_decode": q_video_frame_decode,
+        "weighted_sample": q_weighted_sample,
+        "wordpiece_piece_usage": q_wordpiece_piece_usage,
+        "zorder_locality": q_zorder_locality,
+        # -- r11-, r12-, r13-checked batches --
         "streaming_sessions": q_streaming_sessions,
-        # -- new in round 13 --
         "leakage_safe_split": q_leakage_safe_split,
         "split_leakage_audit": q_split_leakage_audit,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -8676,19 +8839,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_compacted_serve": q_bm25_index_compacted_serve,
         "ann_ivf_served_from_index": q_ann_ivf_served_from_index,
         "persistent_park_retry": q_persistent_park_retry,
-        # -- r8-evidence batch (10; oldest driver evidence) --
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
         "orders_with_returns": q_orders_with_returns,
-        "customers_without_orders": q_customers_without_orders,
         "set_ops_streams": q_set_ops_streams,
         "hypertable_rollup": q_hypertable_rollup,
         "events_anomalies": q_events_anomalies,
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
         "approx_event_stats": q_approx_event_stats,
-        # -- r9-evidence batch (38 of 50 fit the window) --
-        "proj_state_lookup": q_proj_state_lookup,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -8714,82 +8873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
         "stratified_sample": q_stratified_sample,
         "split_assign": q_split_assign,
-        "split_contamination": q_split_contamination,
         "quality_bucket_sample": q_quality_bucket_sample,
         "temperature_mixture": q_temperature_mixture,
         "c4_quality_filter": q_c4_quality_filter,
-        "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
-        "bm25_top_docs": q_bm25_top_docs,
-        "passage_scrub": q_passage_scrub,
-        "training_mix_pipeline": q_training_mix_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "semantic_dedup": q_semantic_dedup,
-        # -- spilled r9-evidence entries (12): first in line for the
-        #    r14 window head --
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_recall_report": q_ann_recall_report,
-        "embedding_centroids": q_embedding_centroids,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_within_label": q_knn_within_label,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "repeated_passages": q_repeated_passages,
-        # -- r10-, r11-, r12-checked batches (freshest last) --
-        "kmv_source_overlap": q_kmv_source_overlap,
-        "skew_salted_join": q_skew_salted_join,
-        "corpus_drift_psi": q_corpus_drift_psi,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "events_ewma_anomaly": q_events_ewma_anomaly,
-        "link_communities": q_link_communities,
-        "events_mad_outliers": q_events_mad_outliers,
-        "phrase_search": q_phrase_search,
-        "decayed_user_activity": q_decayed_user_activity,
-        "events_cusum_shift": q_events_cusum_shift,
-        "user_rfm_segments": q_user_rfm_segments,
-        "token_pmi_pairs": q_token_pmi_pairs,
-        "wordpiece_piece_usage": q_wordpiece_piece_usage,
-        "funnel_conversion_windowed": q_funnel_conversion_windowed,
-        "proximity_search": q_proximity_search,
-        "quality_calibration": q_quality_calibration,
-        "hashed_tfidf_knn": q_hashed_tfidf_knn,
-        "dq_gate": q_dq_gate,
-        "events_seasonal_deviation": q_events_seasonal_deviation,
-        "funnel_transition_times": q_funnel_transition_times,
-        "join_key_skew": q_join_key_skew,
-        "event_transitions": q_event_transitions,
-        "cms_event_type_counts": q_cms_event_type_counts,
-        "hdr_value_quantiles": q_hdr_value_quantiles,
-        "events_m4": q_events_m4,
-        "weighted_sample": q_weighted_sample,
-        "kmv_daily_users": q_kmv_daily_users,
-        "zorder_locality": q_zorder_locality,
-        "link_page_rank": q_link_page_rank,
-        "kmv_distinct_tokens": q_kmv_distinct_tokens,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "events_gapfill_locf": q_events_gapfill_locf,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "multimodal_bmp_decode": q_multimodal_bmp_decode,
-        "audio_features": q_audio_features,
-        "audio_fingerprints": q_audio_fingerprints,
-        "audio_near_dup_pairs": q_audio_near_dup_pairs,
-        "video_frame_decode": q_video_frame_decode,
-        "source_overlap": q_source_overlap,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "url_host_composition": q_url_host_composition,
-        "image_dup_clusters": q_image_dup_clusters,
-        "train_quality_weights": q_train_quality_weights,
-        "dedup_keep_best": q_dedup_keep_best,
-        "near_dup_edit_distance": q_near_dup_edit_distance,
-        "cluster_cards": q_cluster_cards,
-        "cluster_balanced_counts": q_cluster_balanced_counts,
-        "html_extract": q_html_extract,
-        "exact_substring_scrub": q_exact_substring_scrub,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "contrastive_triplets": q_contrastive_triplets,
         "nation_trade_flows": q_nation_trade_flows,

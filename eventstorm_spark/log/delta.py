@@ -160,3 +160,33 @@ def append_batch(spark: "SparkSession", path: str, batch: "DataFrame") -> bool:
     log_df = spark.read.format("delta").load(path)
     placed = log_df.where(log_df["uuid"].isin(uuids)).count()
     return placed == len(uuids)
+
+
+def stream_source(spark: "SparkSession", path: str,
+                  max_files_per_trigger: int | None = 64) -> "DataFrame":
+    """Streaming read over a Delta-backed log — the subscribe leg of
+    the lifecycle (the parquet-mode twin is
+    ``subscriptions._stream_source``). Real Delta uses the native
+    ``readStream.format("delta")`` (the transaction log IS the offset
+    authority, so compaction/vacuum never redelivers); the shim exposes
+    its committed data files (``{path}/data/*.parquet``, each published
+    whole via atomic rename, so a torn file is never listed) to the
+    ordinary file source."""
+    require_delta()
+    if DELTA_AVAILABLE:
+        reader = spark.readStream.format("delta")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   int(max_files_per_trigger))
+        return reader.load(path)
+    import os
+
+    from eventstorm_spark.model import EVENT_SCHEMA
+
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    from eventstorm_spark.log.deltashim import DATA_DIR
+
+    return reader.parquet(os.path.join(path, DATA_DIR))
