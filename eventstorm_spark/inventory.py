@@ -308,6 +308,21 @@ _READ_ORACLES = {
         SELECT delivery_seq, ((delivery_seq - 1) % 32 = 0) AS checkpoint,
                {_ENVELOPE_OUT_SQL}
         FROM d""",
+    # streaming_reordered_transitions: the reordered fold's emitted
+    # multiset must equal the batch lag-window pairs over event-time
+    # order — disorder was planted ACROSS micro-batches, so matching
+    # this oracle is exactly the reorder guarantee (no sentinel rows:
+    # the $drain event never releases past its own hwm-lag horizon).
+    "streaming_reordered_transitions": """
+        WITH sel AS (SELECT user_id, event_type, ts
+                     FROM events WHERE user_id BETWEEN 1 AND 5),
+        p AS (SELECT user_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts) AS from_type,
+                     event_type AS to_type
+              FROM sel)
+        SELECT user_id, from_type, to_type
+        FROM p WHERE from_type IS NOT NULL""",
     # delta_log_lifecycle: the parquet-mode twin — what the Delta
     # appends MUST assign. Append order is (stream asc, source position
     # asc): dense per-stream revisions from 0, gapless global positions
@@ -3620,6 +3635,83 @@ def q_subscription_catchup(spark, sf_dir):
             "delivery_seq long, checkpoint boolean, stream string, "
             "uuid string, data string, revision long, position long, "
             "event_type string, created long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_streaming_reordered_transitions(spark, sf_dir):
+    """T7 ENFORCED, driver-checked end to end: the buffered-reorder
+    path (`reorder_lag` on `temporal.streaming_event_transitions`,
+    r14) healing PLANTED cross-batch disorder. Users 1-5's events are
+    bucketed into 5-day windows and committed with each bucket PAIR
+    swapped (arrival order b1,b0,b3,b2,b5,b4 under
+    maxFilesPerTrigger=1 with staggered mtimes — every bucket arrives
+    a full batch out of event-time order, disorder bounded by 10
+    days), then a per-user `$drain` sentinel 15+ days past the corpus
+    advances each key's hwm so the lag horizon releases every real
+    event; the sentinel itself stays above the horizon and never
+    folds, so no sentinel transition ever emits. The emitted
+    (user, from_type, to_type) multiset must equal the BATCH lag-window
+    pairs over the event-time order — the oracle — which the
+    fold-on-arrival default provably would not produce under this
+    arrival order. State is bounded by lag x per-key arrival rate
+    (projections' processingLag semantics, projection.go:48-53)."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+    from collections import defaultdict as _dd
+
+    from eventstorm_spark.extensions.temporal import (
+        streaming_event_transitions)
+
+    rows = (load(spark, sf_dir, "events")
+            .where(F.col("user_id").between(1, 5))
+            .select("user_id", "event_type", "ts")
+            .collect())
+    day0 = _dt.date(2024, 1, 1)
+    buckets = _dd(list)
+    for r in rows:
+        buckets[(r["ts"].date() - day0).days // 5].append(
+            (r["user_id"], r["event_type"], r["ts"]))
+    users = sorted({r["user_id"] for r in rows})
+    sentinel = [(u, "$drain", _dt.datetime(2024, 2, 15)) for u in users]
+    schema = "user_id long, event_type string, ts timestamp"
+    tmp = _tempfile.mkdtemp(prefix="esreord_")
+    try:
+        src = _os.path.join(tmp, "src")
+        _os.makedirs(src)
+        commits = [buckets[b] for b in (1, 0, 3, 2, 5, 4) if buckets[b]]
+        commits.append(sentinel)
+        now = _time.time()
+        for i, batch in enumerate(commits):
+            stage = _os.path.join(tmp, f"stage{i}")
+            spark.createDataFrame(batch, schema).coalesce(1) \
+                .write.parquet(stage)
+            part = [f for f in _os.listdir(stage)
+                    if f.endswith(".parquet")][0]
+            dst = _os.path.join(src, f"c{i}.parquet")
+            _os.replace(_os.path.join(stage, part), dst)
+            # staggered mtimes pin the file source's listing (= batch)
+            # order to the planted commit order
+            _os.utime(dst, (now - 600 + 60 * i, now - 600 + 60 * i))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_event_transitions(
+            stream, watermark_delay="20 days", reorder_lag="10 days")
+        got: list = []
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda b, _e: got.extend(
+                 (r["user_id"], r["from_type"], r["to_type"])
+                 for r in b.collect()))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            got, "user_id long, from_type string, to_type string")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -8747,11 +8839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    subscription_catchup's SinkSubscription gained the persisted
         #    epoch offset + cross-batch order guard; proj_state_lookup's
         #    start_continuous replay-dedupe swapped isin for the epoch
-        #    suffix prefilter), then the 20 r9-evidence entries and the
-        #    25 alphabetically-first r10-evidence entries (the remaining
-        #    24 r10 entries head the r15 window). Every entry verified
-        #    against its oracle locally at sf0.001 + sf0.01 this round. --
+        #    suffix prefilter; streaming_reordered_transitions is the
+        #    second NEW entry — the T7 buffered-reorder path), then the
+        #    20 r9-evidence entries and the alphabetically-first
+        #    r10-evidence entries that fit (24; the remaining 25 head
+        #    the r15 window). Every entry verified against its oracle
+        #    locally at sf0.001 + sf0.01 this round. --
         "delta_log_lifecycle": q_delta_log_lifecycle,
+        "streaming_reordered_transitions": q_streaming_reordered_transitions,
         "customers_without_orders": q_customers_without_orders,
         "split_contamination": q_split_contamination,
         "subscription_catchup": q_subscription_catchup,
