@@ -260,17 +260,18 @@ def main() -> None:
     print(json.dumps({"metric": "headline_queries_detail_sec",
                       "queries": timings}))
     # The headline is the FINAL line and must fit the driver's tail
-    # whole: compact separators + 2-decimal per-query values keep ~80
-    # queries under ~1,850 chars (3-decimal spaced JSON crossed 2,000
-    # at 69 queries — the r13 capture bug's second half).
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-        "sf": sf,
-    }
-    line = json.dumps(out, separators=(",", ":"))
+    # whole: 2-decimal per-query values + compact separators INSIDE the
+    # queries payload keep ~80 queries under ~1,800 chars (3-decimal
+    # spaced JSON crossed 2,000 at 69 queries — the r13 capture bug's
+    # second half). The top-level keys keep the exact historical
+    # spacing ({"metric": "...", ...}) in case the driver's tail parser
+    # anchors on it.
+    qjson = json.dumps({n: round(t, 2) for n, t in timings.items()},
+                       separators=(",", ":"))
+    line = (f'{{"metric": "headline_queries_total_sec", '
+            f'"value": {total}, "unit": "sec", '
+            f'"queries": {qjson}, "sf": {sf}}}')
+    json.loads(line)  # self-check: stays valid JSON
     assert len(line) < 1900, (
         f"headline line {len(line)} chars — trim the per-query payload "
         "before it outgrows the driver's 2000-char tail capture")

@@ -99,6 +99,16 @@ class Subscription:
     ``process_available()`` drains everything currently committed
     — the deterministic replay harness for tests (Trigger-AvailableNow
     semantics); with live appends, call it again to pick up new files.
+
+    Ordering contract (same as ``SinkSubscription``, which additionally
+    GUARDS it): each micro-batch is sorted by position, and batches
+    arrive in source-listing order — position order exactly when the
+    log is single-writer-appended with atomic single-file commits (the
+    engine's fenced append). A bulk-written log whose files share
+    mtimes can list out of position order under ``maxFilesPerTrigger``
+    splitting; this buffer-mode harness delivers what arrives (the
+    client-surface mirror of the reference's pump), so compact such a
+    log or pass ``max_files_per_trigger=None`` before subscribing.
     """
 
     _seq = 0

@@ -1,0 +1,127 @@
+"""Paired-commit bench control (SCALE.md §10.2 method), scripted.
+
+Benches HEAD and one or more reference commits back-to-back in ONE
+quiet window — each commit's OWN bench.py, same host, same SF — then
+writes BENCH_CONTROL.json adjudicating round-over-round deltas as
+host-vs-code. Round 12's "23% improvement" and round 13's "1.4x slower
+host" both turned out to be environment, not code; this control is how
+every future delta gets decided instead of argued.
+
+Usage:
+  python scripts/bench_control.py <label>=<commit> [<label>=<commit> ...]
+e.g.
+  python scripts/bench_control.py r13_code=5198003
+
+HEAD is always benched (label "head", from the repo itself, clean tree
+assumed). Reference commits run from throwaway `git worktree`s under
+.bench_worktrees/ (removed afterwards). The per-leg result is the LAST
+stdout line of that commit's bench.py (the headline JSON; older
+commits' bench attached the control object to the same line — stdout
+here is uncapped, so it still parses).
+
+Run this in a QUIET window: no pytest, no other Spark sessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_bench(workdir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=workdir, env=env,
+        capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"bench failed in {workdir}:\n{out.stderr[-2000:]}")
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    doc = json.loads(lines[-1])
+    # Prefer the full-precision detail line when present (head's bench
+    # rounds the headline per-query values to 2 decimals for the
+    # driver's tail capture).
+    for ln in lines:
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "headline_queries_detail_sec":
+            doc["queries"] = d["queries"]
+    return doc
+
+
+def main() -> None:
+    legs_spec = [a.split("=", 1) for a in sys.argv[1:]]
+    if not legs_spec:
+        print("usage: bench_control.py <label>=<commit> ...", file=sys.stderr)
+        sys.exit(2)
+
+    head_commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
+
+    results: dict[str, dict] = {}
+    commits = {"head": head_commit}
+    # HEAD first, then each reference commit — one window, back-to-back.
+    print(f"[control] benching head ({head_commit}) at {SF_DIR}",
+          file=sys.stderr)
+    results["head"] = run_bench(REPO)
+    wt_base = os.path.join(REPO, ".bench_worktrees")
+    os.makedirs(wt_base, exist_ok=True)
+    try:
+        for label, commit in legs_spec:
+            wt = os.path.join(wt_base, label)
+            subprocess.run(["git", "worktree", "add", "--detach", wt, commit],
+                           cwd=REPO, check=True, capture_output=True)
+            try:
+                print(f"[control] benching {label} ({commit})",
+                      file=sys.stderr)
+                results[label] = run_bench(wt)
+                commits[label] = commit
+            finally:
+                subprocess.run(["git", "worktree", "remove", "--force", wt],
+                               cwd=REPO, capture_output=True)
+    finally:
+        subprocess.run(["git", "worktree", "prune"], cwd=REPO,
+                       capture_output=True)
+
+    shared = set(results["head"]["queries"])
+    for r in results.values():
+        shared &= set(r["queries"])
+    legs = {}
+    for label, r in results.items():
+        legs[label] = {
+            "commit": commits[label],
+            "shared_total_sec": round(
+                sum(r["queries"][q] for q in shared), 3),
+        }
+    shared_queries = {
+        q: {f"{label}_sec": results[label]["queries"][q]
+            for label in results}
+        for q in sorted(shared)
+    }
+    out = {
+        "method": ("SCALE.md 10.2 paired-commit control: HEAD and the "
+                   "listed commits benched back-to-back in one quiet "
+                   "window on this round's host (each commit's own "
+                   f"bench.py, {SF_DIR}, local[32]); totals are over "
+                   f"the {len(shared)}-query shared subset."),
+        "head_commit": head_commit,
+        "legs": legs,
+        "shared_queries": shared_queries,
+    }
+    path = os.path.join(REPO, "BENCH_CONTROL.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=False)
+    print(json.dumps({"control_written": path,
+                      "legs": {k: v["shared_total_sec"]
+                               for k, v in legs.items()}}))
+
+
+if __name__ == "__main__":
+    main()
