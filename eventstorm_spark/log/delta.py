@@ -171,7 +171,15 @@ def stream_source(spark: "SparkSession", path: str,
     authority, so compaction/vacuum never redelivers); the shim exposes
     its committed data files (``{path}/data/*.parquet``, each published
     whole via atomic rename, so a torn file is never listed) to the
-    ordinary file source."""
+    ordinary file source.
+
+    Shim caveat: a CAS-LOSING writer publishes its data file before the
+    version CAS and removes it after losing, so a concurrently-listing
+    file source can observe a file that then disappears (the directory
+    listing is not the transaction log — exactly the impedance real
+    Delta avoids by reading the log). Subscribe over the shim only
+    under the engine's single-writer discipline, or on real Delta for
+    multi-writer deployments."""
     require_delta()
     if DELTA_AVAILABLE:
         reader = spark.readStream.format("delta")
@@ -190,3 +198,23 @@ def stream_source(spark: "SparkSession", path: str,
     from eventstorm_spark.log.deltashim import DATA_DIR
 
     return reader.parquet(os.path.join(path, DATA_DIR))
+
+
+def current_version(path: str) -> int:
+    """Monotonic transaction-log version — the cross-process staleness
+    clock for ``format="delta"`` caches (the marker protocol's shared
+    watermark twin, ``store._read_watermark``). One directory listing on
+    either backend: Delta's ``_delta_log/N.json`` commit files or the
+    shim's ``_shim_log/N.json`` (log-retention expiry only ever REMOVES
+    older versions, so the max stays monotonic). -1 = no table yet."""
+    import glob as _glob
+    import os as _os
+
+    logdir = _os.path.join(
+        path, "_delta_log" if DELTA_AVAILABLE else "_shim_log")
+    versions = []
+    for f in _glob.glob(_os.path.join(logdir, "*.json")):
+        stem = _os.path.basename(f)[:-5]
+        if stem.isdigit():
+            versions.append(int(stem))
+    return max(versions, default=-1)

@@ -474,12 +474,24 @@ class EventLog:
         tail-before-head read ordering in append/append_multi this
         closes every interleaving: a commit invisible to the tail read
         blocks the reserve; one visible to it is visible to the later
-        head read too)."""
-        if self._commit_protocol != "marker":
+        head read too).
+
+        Under ``format="delta"`` the same interleaving exists with a
+        different clock: the position-overlap validation only rejects a
+        stale TAIL — a fresh tail combined with a stale per-stream HEAD
+        (this process appended elsewhere since caching it) would commit
+        duplicate (stream, revision) pairs unopposed. The transaction-log
+        version (one directory listing, ``delta.current_version``) is the
+        watermark's twin there."""
+        if self._commit_protocol == "marker":
+            clock = self._read_watermark()
+        elif self._commit_protocol == "delta":
+            from eventstorm_spark.log.delta import current_version
+            clock = current_version(self.path)
+        else:
             return
-        wm = self._read_watermark()
-        if wm != self._log_cache_watermark:
-            self._log_cache_watermark = wm
+        if clock != self._log_cache_watermark:
+            self._log_cache_watermark = clock
             self._revisions.clear()
             self._tail_position = None
 
@@ -789,6 +801,17 @@ class EventLog:
             wm = self._read_watermark()
             if wm != self._deletions_watermark:
                 self._deletions_watermark = wm
+                self._deletions = None
+        elif self._commit_protocol == "delta":
+            # Same fence, delta clock: the transaction-log version moves
+            # on every cross-process commit (delete markers included),
+            # and reading it is one directory listing — without this the
+            # deletions cache was sticky per instance under
+            # format="delta" while marker mode re-read correctly.
+            from eventstorm_spark.log.delta import current_version
+            v = current_version(self.path)
+            if v != self._deletions_watermark:
+                self._deletions_watermark = v
                 self._deletions = None
         if self._deletions is not None:
             return self._deletions

@@ -240,6 +240,23 @@ def _append_links(log, name: str, links: DataFrame, *,
                 F.lit("application/octet-stream").alias("content_type"),
                 F.lit(ticks).alias("created"),
             )
+            if marker is None and log.format == "delta":
+                # Delta-backed log: the bulk append MUST go through the
+                # transaction log (a direct parquet write into the table
+                # path bypasses the commit protocol — invisible to the
+                # shim's snapshot, corrupting under real Delta). False =
+                # lost the optimistic race: refresh and redo the whole
+                # derivation, same as a tripped fence.
+                from eventstorm_spark.log import delta as _delta
+                if _delta.append_batch(log.spark, log.path, env):
+                    break
+                attempts += 1
+                if attempts > 200:
+                    raise RuntimeError(
+                        f"commit contention materializing {name} on the "
+                        f"Delta log (position {base_pos + 1})")
+                log._tail_position = None
+                continue
             if marker is None:  # protocol "none": direct append
                 env.write.mode("append").parquet(log.path)
                 break

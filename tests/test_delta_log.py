@@ -187,3 +187,83 @@ def test_stalled_foreign_commit_keeps_fences_conservative(spark, tmp_path):
     assert a._log_cache_watermark != a._read_watermark()
     res = a.append("s", new_events(1, prefix="a2"))
     assert res.last_revision == 4  # continues after b's rev 3
+
+
+def test_materialize_on_delta_log_goes_through_transaction_log(spark, tmp_path):
+    """Bulk link materialization on a format='delta' log must commit
+    through the transaction log. Regression: _reserve returns None for
+    non-marker protocols, and the bulk writer treated None as the
+    'none'-protocol DIRECT parquet append — rows written into the table
+    path outside the commit protocol, invisible to the shim's snapshot
+    (and corrupting under real Delta)."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.projections.system import materialize
+    from tests.fixtures import new_events
+
+    log = EventLog(spark, str(tmp_path / "dlog"), format="delta")
+    log.append("acct-1", new_events(3, prefix="a"))
+    log.append("cart-7", new_events(2, prefix="b"))
+
+    n = materialize(log.df().where(~F.col("stream").startswith("$")),
+                    log, which=["$by_category"])
+    assert n == 5
+    # visible through the TRANSACTION-LOG snapshot, not a directory scan
+    ce = log.read_stream("$ce-acct").orderBy("revision").collect()
+    assert [r["revision"] for r in ce] == [0, 1, 2]
+    assert log.read_stream("$ce-cart").count() == 2
+    # positions continue gapless past the source events
+    links = log.df().where(F.col("stream").startswith("$ce-"))
+    assert sorted(r["position"] for r in links.collect()) == [6, 7, 8, 9, 10]
+    # and the table path holds no rogue parquet outside the shim's
+    # data/ dir (the bug wrote part files into the table root)
+    import os
+    rogue = [f for f in os.listdir(str(tmp_path / "dlog"))
+             if f.endswith(".parquet")]
+    assert rogue == []
+
+
+def test_delta_tombstone_visible_across_instances(spark, tmp_path):
+    """The cross-process deletion fence, delta clock: instance B's
+    populated deletion-marker cache must re-read after instance A
+    commits a tombstone through the transaction log — the log VERSION
+    is the staleness clock (the marker protocol uses the shared
+    watermark; format='delta' had no fence at all and B's sticky cache
+    let it append to, and read from, a tombstoned stream)."""
+    from eventstorm_spark.errors import StreamDeletedError
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "dlog2")
+    a = EventLog(spark, path, format="delta")
+    b = EventLog(spark, path, format="delta")
+    a.append("s", new_events(2))
+    assert b.read_stream("s").count() == 2   # warms B's caches
+    a.tombstone_stream("s")
+    with pytest.raises(StreamDeletedError):
+        b.append("s", new_events(1, prefix="x"))
+    with pytest.raises(StreamDeletedError):
+        b.read_stream("s")
+
+
+def test_delta_head_cache_fence_blocks_duplicate_revisions(spark, tmp_path):
+    """The append-path staleness fence, delta clock: a fresh TAIL plus
+    a stale per-stream HEAD would pass the position-overlap validation
+    and commit duplicate (stream, revision) pairs. Scenario: B caches
+    s's head, A appends more to s, B appends to t (fresh tail), then B
+    appends to s — without the transaction-log-version fence B mints
+    revision 3 again (marker mode fences this via the shared
+    watermark)."""
+    from tests.fixtures import new_events
+
+    path = str(tmp_path / "dlog3")
+    a = EventLog(spark, path, format="delta")
+    b = EventLog(spark, path, format="delta")
+    a.append("s", new_events(3, prefix="a"))
+    assert b.head_revision("s") == 2          # warms B's head cache
+    a.append("s", new_events(2, prefix="a2"))  # revisions 3, 4
+    b.append("t", new_events(1, prefix="t"))   # B's tail now fresh
+    res = b.append("s", new_events(1, prefix="b"))
+    assert res.last_revision == 5              # continues past A's 4
+    revs = [r["revision"] for r in
+            b.read_stream("s").orderBy("revision").collect()]
+    assert revs == [0, 1, 2, 3, 4, 5]          # dense, no duplicates
