@@ -153,6 +153,12 @@ class PersistentSubscription:
         """Pull the next batch past the checkpoint and assign per the
         consumer strategy. Returns consumer -> [event Row]. Events already
         in flight, completed, or parked are excluded."""
+        # Guard BEFORE any state mutation (dispatch() does the same):
+        # _assign raising mid-loop used to leave the replay queue
+        # already truncated, losing replayed positions until a restart
+        # reloaded the persisted state.
+        if not self._consumers:
+            raise EventStormError("no consumers connected")
         skip = set(self._in_flight) | self._completed | set(self._parked)
         pos_field = "revision" if self.stream is not None else "position"
         rows = []
@@ -176,13 +182,21 @@ class PersistentSubscription:
         tail_before = (self.log.tail_position()
                        if self.filter is not None else None)
         if self.stream is not None:
-            df = self.log.read_stream(self.stream,
-                                      from_revision=self._checkpoint + 1,
-                                      count=requested)
+            # A group may be created BEFORE its stream's first append
+            # (EventStoreDB allows it); a missing stream is an empty
+            # page, not an error — the group just waits.
+            from eventstorm_spark.errors import StreamNotFoundError
+            try:
+                df = self.log.read_stream(self.stream,
+                                          from_revision=self._checkpoint + 1,
+                                          count=requested)
+                cursor_rows = df.collect()
+            except StreamNotFoundError:
+                cursor_rows = []
         else:
             df = self.log.read_all(from_position=self._checkpoint + 1,
                                    count=requested, filter=self.filter)
-        cursor_rows = df.collect()
+            cursor_rows = df.collect()
         rows.extend(cursor_rows)
         out: dict[str, list] = {}
         undelivered: list[int] = []  # matching cursor rows cut by the
@@ -468,9 +482,14 @@ class SinkPersistentSubscription(PersistentSubscription):
         tail_before = (self.log.tail_position()
                        if self.filter is not None else None)
         if self.stream is not None:
-            cur = self.log.read_stream(self.stream,
-                                       from_revision=self._checkpoint + 1,
-                                       count=requested)
+            # missing stream = empty page (same contract as fetch())
+            from eventstorm_spark.errors import StreamNotFoundError
+            try:
+                cur = self.log.read_stream(self.stream,
+                                           from_revision=self._checkpoint + 1,
+                                           count=requested)
+            except StreamNotFoundError:
+                cur = self.log.df().where(F.lit(False))
         else:
             cur = self.log.read_all(from_position=self._checkpoint + 1,
                                     count=requested, filter=self.filter)

@@ -544,3 +544,50 @@ def test_fetch_requeues_replay_rows_cut_by_cap(spark, tmp_path):
     sub.ack([0, 1])
     got2 = sub.fetch(max_count=2).get("c1", [])
     assert [r["revision"] for r in got2] == [2, 3]
+
+
+def test_group_created_before_stream_exists(log, tmp_path):
+    """EventStoreDB allows creating a persistent group before its
+    stream's first append: fetch/dispatch must return an empty page
+    (the group waits), not raise StreamNotFoundError, and deliver once
+    the stream appears."""
+    from eventstorm_spark.streaming.persistent import (
+        SinkPersistentSubscription)
+
+    sub = PersistentSubscription(log, "early", "not-yet")
+    sub.connect("c0")
+    assert sub.fetch() == {}                  # waits, no error
+    log.append("not-yet", new_events(2, prefix="ny"))
+    got = sub.fetch()
+    assert sum(len(v) for v in got.values()) == 2
+
+    sink = SinkPersistentSubscription(
+        log, "early-sink", "not-yet-2",
+        sink_path=str(tmp_path / "deliv"))
+    sink.connect("c0")
+    assert sink.dispatch() == 0               # waits, no error
+    log.append("not-yet-2", new_events(3, prefix="ny2"))
+    assert sink.dispatch() == 3
+
+
+def test_fetch_without_consumers_raises_before_state_mutation(log):
+    """fetch() with no consumers raises up front; the replay queue must
+    NOT be truncated first (regression: _assign raised mid-loop after
+    the queue was already consumed, silently losing replayed parked
+    events until a restart reloaded state)."""
+    from eventstorm_spark.errors import EventStormError
+
+    sub = PersistentSubscription(log, "noc", "s")
+    sub.connect("c0")
+    got = sub.fetch(max_count=3)
+    sub.nack([r["revision"] for rows in got.values() for r in rows],
+             action="Park")
+    assert sub.replay_parked() == 3
+    queue_before = list(sub._replay_queue)
+    sub.disconnect("c0")
+    with pytest.raises(EventStormError, match="no consumers"):
+        sub.fetch()
+    assert sub._replay_queue == queue_before  # queue intact
+    sub.connect("c1")
+    got2 = sub.fetch(max_count=3)
+    assert sum(len(v) for v in got2.values()) == 3  # replays delivered
