@@ -8840,13 +8840,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    epoch offset + cross-batch order guard; proj_state_lookup's
         #    start_continuous replay-dedupe swapped isin for the epoch
         #    suffix prefilter; streaming_reordered_transitions is the
-        #    second NEW entry — the T7 buffered-reorder path), then the
-        #    20 r9-evidence entries and the alphabetically-first
-        #    r10-evidence entries that fit (24; the remaining 25 head
-        #    the r15 window). Every entry verified against its oracle
-        #    locally at sf0.001 + sf0.01 this round. --
+        #    second NEW entry — the T7 buffered-reorder path;
+        #    persistent_park_retry re-enters for the late-r14
+        #    fetch/dispatch changes), then the 20 r9-evidence entries
+        #    and the alphabetically-first r10-evidence entries that fit
+        #    (23; the remaining 26 head the r15 window). Every entry
+        #    verified against its oracle locally at sf0.001 + sf0.01
+        #    this round. --
         "delta_log_lifecycle": q_delta_log_lifecycle,
         "streaming_reordered_transitions": q_streaming_reordered_transitions,
+        # late-r14: persistent fetch/dispatch changed (missing-stream
+        # wait + precondition guard) -> back into the window
+        "persistent_park_retry": q_persistent_park_retry,
         "customers_without_orders": q_customers_without_orders,
         "split_contamination": q_split_contamination,
         "subscription_catchup": q_subscription_catchup,
@@ -8933,7 +8938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_after_append": q_bm25_index_after_append,
         "bm25_index_compacted_serve": q_bm25_index_compacted_serve,
         "ann_ivf_served_from_index": q_ann_ivf_served_from_index,
-        "persistent_park_retry": q_persistent_park_retry,
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
         "orders_with_returns": q_orders_with_returns,
