@@ -3666,6 +3666,9 @@ def q_streaming_reordered_transitions(spark, sf_dir):
     from eventstorm_spark.extensions.temporal import (
         streaming_event_transitions)
 
+    # bounded: driver-side fixture build — 5 users' events at driver SFs
+    # (<= ~2k rows at sf0.01); the operator under test streams from files,
+    # only the planted-arrival-order fixture is materialised here.
     rows = (load(spark, sf_dir, "events")
             .where(F.col("user_id").between(1, 5))
             .select("user_id", "event_type", "ts")
@@ -3744,6 +3747,9 @@ def q_delta_log_lifecycle(spark, sf_dir):
     from eventstorm_spark.model import ExpectedRevision
     from eventstorm_spark.streaming.subscriptions import SinkSubscription
 
+    # bounded: driver-side fixture build — 3 streams' events at driver SFs
+    # (a few hundred rows at sf0.01); the lifecycle under test (append/
+    # snapshot/subscribe) runs through the log, not this slice.
     src = (es_events(spark, sf_dir)
            .where(F.col("stream").isin("user-1", "user-2", "user-3"))
            .select("stream", "uuid", "data", "event_type", "position")
