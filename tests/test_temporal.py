@@ -494,3 +494,60 @@ def test_streaming_transitions_reorder_lag_and_watermark_drain(
     # horizon during batch3 = wm 590s: a(60) and b(61) drain and fold
     # in event-time order; c(600) and d(601) are above it -> buffered
     assert got == [("a", "b")]
+
+
+def test_streaming_cusum_reorder_lag_heals_cross_batch_disorder(
+        spark, tmp_path):
+    """reorder_lag on the cusum fold (temporal.py:651 shares
+    _release_buffered with ewma/transitions, but nothing drove ITS
+    buffered branch before this test). A spike that arrives a batch
+    EARLY is withheld (fold-on-arrival would alert immediately — the
+    proven-red leg), then folds in healed event-time order: the small
+    value at ts 60 clamps to 0 BEFORE the spike, so exactly one alert
+    fires at the spike, not a second one after it."""
+    from eventstorm_spark.extensions.temporal import (
+        streaming_cusum_alerts)
+
+    src = str(tmp_path / "cusum_reorder_src")
+    schema = "event_type string, value double, ts timestamp"
+    base = dt.datetime(2024, 7, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [("k", v, base + dt.timedelta(seconds=s)) for v, s in rows],
+            schema).coalesce(1).write.mode("append").parquet(src)
+
+    write([(30.0, 61)])                       # spike arrives FIRST
+    got = []
+    q = (streaming_cusum_alerts(
+            spark.readStream.schema(schema).parquet(src),
+            ref=10.0, slack=1.0, threshold=10.0,
+            reorder_lag="30 seconds")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.extend(
+             (r.us, r.value, r.s) for r in b.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        # without the buffer, 30.0 folds now: s = 30-10-1 = 19 > 10
+        # would ALERT here — withheld instead
+        assert got == []
+        # ts 60 arrives a batch LATE; 120/125 push hwm to 125 so the
+        # horizon (125-30 = 95s) releases 60 then 61 in time order
+        write([(5.0, 60), (12.0, 120), (12.0, 125)])
+        q.processAllAvailable()
+        # healed: 5.0@60 clamps s to 0 first, then the spike alerts at
+        # s=19. Arrival order would also emit a phantom second alert
+        # (s = 19+5-11 = 13) — its absence is the heal.
+        assert [(v, s) for _, v, s in got] == [(30.0, 19.0)]
+        write([(11.5, 300)])                  # hwm 300 -> horizon 270
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 120/125 drain: s = 19+12-11 = 20, then 21 — both above threshold
+    us = lambda sec: int((base + dt.timedelta(seconds=sec)
+                          - dt.datetime(1970, 1, 1)).total_seconds()
+                         * 1_000_000)
+    assert sorted(got) == [(us(61), 30.0, 19.0),
+                           (us(120), 12.0, 20.0),
+                           (us(125), 12.0, 21.0)]
