@@ -179,6 +179,19 @@ HEADLINE = [
     "streaming_sessions",
 ]
 
+# Round 15: the two per-micro-batch rows are measured identically but
+# EXCLUDED from the headline total and reported on their own metric
+# line. Both round-14 paired-commit control windows showed these two
+# rows swinging the headline ±10% on byte-identical code
+# (streaming_sessions 9.49→14.34 s, bm25_served_from_index
+# 5.97→8.38 s across two same-round head legs): their wall-clock is
+# dominated by Structured-Streaming micro-batch machinery / index
+# build-to-tempdir I/O — constant in data size, variable with host
+# weather — not by the operator (10x probes: 2.7x harness-dominated,
+# 1.2x). The headline should move only when CODE changes; these two
+# get their own total so the paired-commit control reads clean.
+HARNESS_DOMINATED = ["bm25_served_from_index", "streaming_sessions"]
+
 
 # Queries benched in their scale form — audit=False (sketch-only /
 # approx) for the audited sketches, portable=False (production Rabin
@@ -242,7 +255,12 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[1], 3)
 
-    total = round(sum(timings.values()), 3)
+    steady = {n: t for n, t in timings.items()
+              if n not in HARNESS_DOMINATED}
+    harness = {n: t for n, t in timings.items()
+               if n in HARNESS_DOMINATED}
+    total = round(sum(steady.values()), 3)
+    harness_total = round(sum(harness.values()), 3)
     # Paired-commit control (SCALE.md §10.2 method): the control lives
     # in BENCH_CONTROL.json and is only REFERENCED here — round 13
     # attached the whole control object to the headline line, which
@@ -259,6 +277,12 @@ def main() -> None:
     # Full-precision detail line for humans reading the raw output.
     print(json.dumps({"metric": "headline_queries_detail_sec",
                       "queries": timings}))
+    # The two harness-dominated rows (see HARNESS_DOMINATED): own line,
+    # BEFORE the headline so the driver's tail capture keeps the
+    # headline whole.
+    print(json.dumps({"metric": "harness_queries_total_sec",
+                      "value": harness_total, "unit": "sec",
+                      "queries": harness}))
     # The headline is the FINAL line and must fit the driver's tail
     # whole: 2-decimal per-query values + compact separators INSIDE the
     # queries payload keep ~80 queries under ~1,800 chars (3-decimal
@@ -266,11 +290,12 @@ def main() -> None:
     # second half). The top-level keys keep the exact historical
     # spacing ({"metric": "...", ...}) in case the driver's tail parser
     # anchors on it.
-    qjson = json.dumps({n: round(t, 2) for n, t in timings.items()},
+    qjson = json.dumps({n: round(t, 2) for n, t in steady.items()},
                        separators=(",", ":"))
     line = (f'{{"metric": "headline_queries_total_sec", '
             f'"value": {total}, "unit": "sec", '
-            f'"queries": {qjson}, "sf": {sf}}}')
+            f'"queries": {qjson}, "harness_sec": {harness_total}, '
+            f'"sf": {sf}}}')
     json.loads(line)  # self-check: stays valid JSON
     assert len(line) < 1900, (
         f"headline line {len(line)} chars — trim the per-query payload "

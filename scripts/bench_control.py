@@ -93,12 +93,26 @@ def main() -> None:
     shared = set(results["head"]["queries"])
     for r in results.values():
         shared &= set(r["queries"])
+    # Round 15: adjudicate steady-state and harness-dominated rows
+    # SEPARATELY (both r14 control windows spent their budget
+    # re-explaining the two per-micro-batch rows' host-weather swings).
+    try:
+        sys.path.insert(0, REPO)
+        from bench import HARNESS_DOMINATED as _harness_rows
+    except ImportError:
+        _harness_rows = ["bm25_served_from_index", "streaming_sessions"]
+    harness_shared = shared & set(_harness_rows)
+    steady_shared = shared - harness_shared
     legs = {}
     for label, r in results.items():
         legs[label] = {
             "commit": commits[label],
             "shared_total_sec": round(
                 sum(r["queries"][q] for q in shared), 3),
+            "steady_total_sec": round(
+                sum(r["queries"][q] for q in steady_shared), 3),
+            "harness_total_sec": round(
+                sum(r["queries"][q] for q in harness_shared), 3),
         }
     shared_queries = {
         q: {f"{label}_sec": results[label]["queries"][q]
@@ -110,7 +124,11 @@ def main() -> None:
                    "listed commits benched back-to-back in one quiet "
                    "window on this round's host (each commit's own "
                    f"bench.py, {SF_DIR}, local[32]); totals are over "
-                   f"the {len(shared)}-query shared subset."),
+                   f"the {len(shared)}-query shared subset; "
+                   "steady/harness totals split out the "
+                   f"{sorted(harness_shared)} per-micro-batch rows "
+                   "whose wall-clock tracks host weather, not code "
+                   "(r14 control finding)."),
         "head_commit": head_commit,
         "legs": legs,
         "shared_queries": shared_queries,
