@@ -368,6 +368,31 @@ _READ_ORACLES = {
                CAST(3 AS BIGINT) AS batch_id,
                CAST(row_number() OVER (ORDER BY position) AS INT) AS batch_seq
         FROM pin WHERE position % 7 = 0""",
+    # persistent_round_robin: both strategies replayed declaratively.
+    # RoundRobin's rotation counter advances by each batch's size, so
+    # with full acks between batches the i-th event in position order
+    # (0-based rank) gets consumer rank%3, batch_id rank//17 + 1,
+    # batch_seq rank%17 + 1; DispatchToSingle is one batch, all to the
+    # first-connected consumer.
+    "persistent_round_robin": f"""{ORACLE_CTE},
+        sel AS (SELECT position, stream, event_type FROM es_events
+                WHERE stream IN ('user-1', 'user-2', 'user-3')),
+        r AS (SELECT position, stream, event_type,
+                     CAST(row_number() OVER (ORDER BY position) - 1
+                          AS BIGINT) AS rnk
+              FROM sel)
+        SELECT 'rr' AS grp, position, stream, event_type,
+               CASE CAST(rnk % 3 AS INT) WHEN 0 THEN 'c0'
+                    WHEN 1 THEN 'c1' ELSE 'c2' END AS consumer,
+               CAST(rnk // 17 + 1 AS BIGINT) AS batch_id,
+               CAST(rnk % 17 + 1 AS INT) AS batch_seq
+        FROM r
+        UNION ALL
+        SELECT 'single' AS grp, position, stream, event_type,
+               'c0' AS consumer, CAST(1 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY position) AS INT)
+                   AS batch_seq
+        FROM sel""",
 }
 
 
@@ -3886,6 +3911,78 @@ def q_persistent_park_retry(spark, sf_dir):
              for r in rows],
             "position long, stream string, event_type string, "
             "consumer string, attempt int, batch_id long, batch_seq int")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_persistent_round_robin(spark, sf_dir):
+    """T9's two remaining dispatch strategies driver-checked (Pinned
+    carries `persistent_park_retry`): RoundRobin — the rotation counter
+    CONTINUES across dispatch batches (persistent.py:531, engine-side
+    `consumers[(rr_next + batch_seq - 1) % k]` with rr_next advanced by
+    each batch's size), so over b full-ack batches of max_count=17 the
+    i-th event in position order lands on consumer i % 3 — and
+    DispatchToSingle — every event to the FIRST-connected consumer
+    (persistent.py's `consumers[0]` literal). Two groups over the same
+    3-stream log slice; 13 RR dispatch rounds at 211 events prove the
+    counter survives the batch boundary 12 times. The ORACLE replays
+    both assignments declaratively: global position rank -> rank%3 /
+    rank//17 batching for RR, one batch to 'c0' for single.
+    Reference: persistent.proto:8-16 consumer strategies (declared,
+    never implemented there)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.streaming.persistent import (
+        DISPATCH_TO_SINGLE, ROUND_ROBIN, SinkPersistentSubscription)
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-1", "user-2", "user-3")))
+    tmp = _tempfile.mkdtemp(prefix="esperr_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: driver-side ack script — the 3-stream slice is a few
+        # hundred positions at driver SFs; dispatch itself stays
+        # engine-side (the sink write), only ids come back.
+        positions = sorted(int(r.position) for r in
+                           env.select("position").collect())
+
+        rr = SinkPersistentSubscription(
+            log, "grp-rr", sink_path=_os.path.join(tmp, "sink_rr"),
+            consumer_strategy=ROUND_ROBIN)
+        for c in ("c0", "c1", "c2"):
+            rr.connect(c)
+        i = 0
+        while True:
+            n = rr.dispatch(max_count=17)
+            if n == 0:
+                break
+            rr.ack(positions[i:i + n])  # full ack -> next batch is full
+            i += n
+
+        single = SinkPersistentSubscription(
+            log, "grp-single", sink_path=_os.path.join(tmp, "sink_s"),
+            consumer_strategy=DISPATCH_TO_SINGLE)
+        single.connect("c0")
+        single.connect("c1")   # connected but never assigned
+        single.dispatch(max_count=1_000_000)
+        single.ack(positions)
+
+        out = []
+        for grp, sub in (("rr", rr), ("single", single)):
+            out.extend((grp, int(r.position), r.stream, r.event_type,
+                        r.consumer, int(r.batch_id), int(r.batch_seq))
+                       for r in sub.deliveries()
+                       .select("position", "stream", "event_type",
+                               "consumer", "batch_id", "batch_seq")
+                       .collect())
+        return spark.createDataFrame(
+            out, "grp string, position long, stream string, "
+            "event_type string, consumer string, batch_id long, "
+            "batch_seq int")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -8838,79 +8935,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 14 rotation: window head = the NEW delta_log_lifecycle
-        #    plus the four entries whose code/oracle CHANGED this round
-        #    (customers_without_orders and split_contamination were
-        #    de-vacuated — date-window anti-join / planted leakage;
-        #    subscription_catchup's SinkSubscription gained the persisted
-        #    epoch offset + cross-batch order guard; proj_state_lookup's
-        #    start_continuous replay-dedupe swapped isin for the epoch
-        #    suffix prefilter; streaming_reordered_transitions is the
-        #    second NEW entry — the T7 buffered-reorder path;
-        #    persistent_park_retry re-enters for the late-r14
-        #    fetch/dispatch changes), then the 20 r9-evidence entries
-        #    and the alphabetically-first r10-evidence entries that fit
-        #    (23; the remaining 26 head the r15 window). Every entry
+        # -- round 15 rotation: window head = the NEW
+        #    persistent_round_robin (T9 RoundRobin +
+        #    DispatchToSingle strategies — Pinned already carries
+        #    persistent_park_retry), then the 26 r10-evidence entries
+        #    the r14 window spilled (SURVEY 7.5a list), then the
+        #    alphabetically-first 23 r11-evidence entries. Every entry
         #    verified against its oracle locally at sf0.001 + sf0.01
         #    this round. --
-        "delta_log_lifecycle": q_delta_log_lifecycle,
-        "streaming_reordered_transitions": q_streaming_reordered_transitions,
-        # late-r14: persistent fetch/dispatch changed (missing-stream
-        # wait + precondition guard) -> back into the window
-        "persistent_park_retry": q_persistent_park_retry,
-        "customers_without_orders": q_customers_without_orders,
-        "split_contamination": q_split_contamination,
-        "subscription_catchup": q_subscription_catchup,
-        "proj_state_lookup": q_proj_state_lookup,
-        # -- r9-evidence batch (20) --
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_recall_report": q_ann_recall_report,
-        "bm25_top_docs": q_bm25_top_docs,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_exact": q_dedup_exact,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "dsir_weights": q_dsir_weights,
-        "embedding_centroids": q_embedding_centroids,
-        "knn_within_label": q_knn_within_label,
-        "pack_sequences": q_pack_sequences,
-        "passage_scrub": q_passage_scrub,
-        "proj_count_by_stream": q_proj_count_by_stream,
-        "proj_stats_by_type": q_proj_stats_by_type,
-        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
-        "repeated_passages": q_repeated_passages,
-        "semantic_dedup": q_semantic_dedup,
-        "training_mix_pipeline": q_training_mix_pipeline,
-        # -- r10-evidence batch (25 of 49) --
-        "audio_features": q_audio_features,
-        "audio_fingerprints": q_audio_fingerprints,
-        "audio_near_dup_pairs": q_audio_near_dup_pairs,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "cluster_balanced_counts": q_cluster_balanced_counts,
-        "cluster_cards": q_cluster_cards,
-        "cms_event_type_counts": q_cms_event_type_counts,
-        "corpus_drift_psi": q_corpus_drift_psi,
-        "decayed_user_activity": q_decayed_user_activity,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dq_gate": q_dq_gate,
-        "event_transitions": q_event_transitions,
-        "events_cusum_shift": q_events_cusum_shift,
-        "events_ewma_anomaly": q_events_ewma_anomaly,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "events_gapfill_locf": q_events_gapfill_locf,
-        "events_m4": q_events_m4,
-        "events_mad_outliers": q_events_mad_outliers,
-        "events_seasonal_deviation": q_events_seasonal_deviation,
-        "exact_substring_scrub": q_exact_substring_scrub,
-        "funnel_conversion_windowed": q_funnel_conversion_windowed,
-        "funnel_transition_times": q_funnel_transition_times,
-        "hashed_tfidf_knn": q_hashed_tfidf_knn,
+        "persistent_round_robin": q_persistent_round_robin,
+        # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        # -- r10-evidence spills (24): first in line for the
-        #    r15 window head --
         "html_extract": q_html_extract,
         "image_dup_clusters": q_image_dup_clusters,
         "join_key_skew": q_join_key_skew,
@@ -8935,7 +8971,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "wordpiece_piece_usage": q_wordpiece_piece_usage,
         "zorder_locality": q_zorder_locality,
-        # -- r11-, r12-, r13-checked batches --
+        # -- r11-evidence batch (alphabetically-first 23) --
+        "asof_last_view": q_asof_last_view,
+        "bpe_fertility": q_bpe_fertility,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "contrastive_triplets": q_contrastive_triplets,
+        "curriculum_order": q_curriculum_order,
+        "dataset_profile": q_dataset_profile,
+        "decontaminated_counts": q_decontaminated_counts,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_kept_by_source": q_dedup_kept_by_source,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "epoch_materialized_counts": q_epoch_materialized_counts,
+        "epoch_plan": q_epoch_plan,
+        "events_session_native": q_events_session_native,
+        "events_sessionization": q_events_sessionization,
+        "funnel_conversion": q_funnel_conversion,
+        "html_c4_funnel": q_html_c4_funnel,
+        "large_volume_orders": q_large_volume_orders,
+        "length_bucket_report": q_length_bucket_report,
+        # -- r11-evidence leftovers (27): first in line for the
+        #    r16 window head --
+        "market_share": q_market_share,
+        "model_quality_score": q_model_quality_score,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "nation_revenue": q_nation_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
+        "near_dup_containment": q_near_dup_containment,
+        "near_dup_incremental": q_near_dup_incremental,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "returnflag_priority": q_returnflag_priority,
+        "segment_order_stats": q_segment_order_stats,
+        "shard_manifest": q_shard_manifest,
+        "small_qty_revenue": q_small_qty_revenue,
+        "snapshot_novelty": q_snapshot_novelty,
+        "source_composition": q_source_composition,
+        "supplier_part_counts": q_supplier_part_counts,
+        "system_streams": q_system_streams,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "top_supplier": q_top_supplier,
+        "value_percentiles": q_value_percentiles,
+        "vocab_coverage": q_vocab_coverage,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- r12-, r13-, r14-checked batches --
+        "delta_log_lifecycle": q_delta_log_lifecycle,
+        "streaming_reordered_transitions": q_streaming_reordered_transitions,
+        "persistent_park_retry": q_persistent_park_retry,
+        "customers_without_orders": q_customers_without_orders,
+        "split_contamination": q_split_contamination,
+        "subscription_catchup": q_subscription_catchup,
+        "proj_state_lookup": q_proj_state_lookup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "bm25_top_docs": q_bm25_top_docs,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_exact": q_dedup_exact,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "dsir_weights": q_dsir_weights,
+        "embedding_centroids": q_embedding_centroids,
+        "knn_within_label": q_knn_within_label,
+        "pack_sequences": q_pack_sequences,
+        "passage_scrub": q_passage_scrub,
+        "proj_count_by_stream": q_proj_count_by_stream,
+        "proj_stats_by_type": q_proj_stats_by_type,
+        "proj_stats_by_type_lowered": q_proj_stats_by_type_lowered,
+        "repeated_passages": q_repeated_passages,
+        "semantic_dedup": q_semantic_dedup,
+        "training_mix_pipeline": q_training_mix_pipeline,
+        "audio_features": q_audio_features,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "cluster_balanced_counts": q_cluster_balanced_counts,
+        "cluster_cards": q_cluster_cards,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "corpus_drift_psi": q_corpus_drift_psi,
+        "decayed_user_activity": q_decayed_user_activity,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dq_gate": q_dq_gate,
+        "event_transitions": q_event_transitions,
+        "events_cusum_shift": q_events_cusum_shift,
+        "events_ewma_anomaly": q_events_ewma_anomaly,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_m4": q_events_m4,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_seasonal_deviation": q_events_seasonal_deviation,
+        "exact_substring_scrub": q_exact_substring_scrub,
+        "funnel_conversion_windowed": q_funnel_conversion_windowed,
+        "funnel_transition_times": q_funnel_transition_times,
+        "hashed_tfidf_knn": q_hashed_tfidf_knn,
         "streaming_sessions": q_streaming_sessions,
         "leakage_safe_split": q_leakage_safe_split,
         "split_leakage_audit": q_split_leakage_audit,
@@ -8981,56 +9120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bucket_sample": q_quality_bucket_sample,
         "temperature_mixture": q_temperature_mixture,
         "c4_quality_filter": q_c4_quality_filter,
-        "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "contrastive_triplets": q_contrastive_triplets,
-        "nation_trade_flows": q_nation_trade_flows,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "market_share": q_market_share,
-        "asof_last_view": q_asof_last_view,
-        "funnel_conversion": q_funnel_conversion,
-        "events_sessionization": q_events_sessionization,
-        "system_streams": q_system_streams,
-        "value_percentiles": q_value_percentiles,
-        "returnflag_priority": q_returnflag_priority,
-        "supplier_part_counts": q_supplier_part_counts,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "read_stream_backward": q_read_stream_backward,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "shard_manifest": q_shard_manifest,
-        "length_bucket_report": q_length_bucket_report,
-        "dedup_incremental": q_dedup_incremental,
-        "snapshot_novelty": q_snapshot_novelty,
-        "vocab_coverage": q_vocab_coverage,
-        "source_composition": q_source_composition,
-        "dataset_profile": q_dataset_profile,
-        "near_dup_incremental": q_near_dup_incremental,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "events_session_native": q_events_session_native,
-        "decontaminated_counts": q_decontaminated_counts,
-        "epoch_plan": q_epoch_plan,
-        "curriculum_order": q_curriculum_order,
-        "model_quality_score": q_model_quality_score,
-        "epoch_materialized_counts": q_epoch_materialized_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_fertility": q_bpe_fertility,
-        "bpe_token_counts": q_bpe_token_counts,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "near_dup_containment": q_near_dup_containment,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_kept_by_source": q_dedup_kept_by_source,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "nation_revenue": q_nation_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "segment_order_stats": q_segment_order_stats,
-        "top_supplier": q_top_supplier,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "html_c4_funnel": q_html_c4_funnel,
         "read_stream_first_event": q_read_stream_first_event,
         "read_stream_last_event": q_read_stream_last_event,
         "unigram_lm_pieces": q_unigram_lm_pieces,
