@@ -551,3 +551,42 @@ def test_streaming_cusum_reorder_lag_heals_cross_batch_disorder(
     assert sorted(got) == [(us(61), 30.0, 19.0),
                            (us(120), 12.0, 20.0),
                            (us(125), 12.0, 21.0)]
+
+
+@pytest.mark.parametrize("rate,lag_s", [(1, 30), (10, 30), (10, 10)])
+def test_reorder_buffer_state_is_lag_times_arrival_rate(
+        spark, tmp_path, rate, lag_s):
+    """Empirical pin of the documented state-size law
+    (temporal.py:350: 'State grows by lag × per-key arrival rate'):
+    after one uniform-rate batch, the withheld tail — the buffer
+    content, observed as rows NOT yet emitted — is exactly
+    rate × lag events, independent of how long the history is. 10×
+    the arrival rate → 10× the buffer; a shorter lag shrinks it
+    proportionally; total history length N never appears."""
+    from eventstorm_spark.extensions.temporal import (
+        streaming_ewma_anomalies)
+
+    span_s, base = 100, dt.datetime(2024, 7, 1)
+    n = rate * span_s
+    src = str(tmp_path / f"law_{rate}_{lag_s}")
+    schema = "user_id long, value double, ts timestamp"
+    spark.createDataFrame(
+        [(1, 1.0, base + dt.timedelta(seconds=i / rate))
+         for i in range(n)],
+        schema).coalesce(1).write.mode("append").parquet(src)
+
+    got = []
+    q = (streaming_ewma_anomalies(
+            spark.readStream.schema(schema).parquet(src),
+            reorder_lag=f"{lag_s} seconds")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _e: got.append(b.count()))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # horizon = hwm - lag releases everything except the trailing
+    # lag-window; minus 1 for the silent first-event seed
+    withheld = rate * lag_s
+    assert sum(got) == n - withheld - 1
