@@ -393,6 +393,25 @@ _READ_ORACLES = {
                CAST(row_number() OVER (ORDER BY position) AS INT)
                    AS batch_seq
         FROM sel""",
+    # persistent_filtered: the filtered $all cursor pages max_count
+    # MATCHING events per dispatch (count applies after the filter),
+    # so with full acks batch_id/batch_seq derive from the rank over
+    # the FILTERED position order; the consumer is the same md5 pin
+    # rule as persistent_park_retry.
+    "persistent_filtered": f"""{ORACLE_CTE},
+        sel AS (SELECT position, stream, event_type FROM es_events
+                WHERE event_type = 'purchase'),
+        r AS (SELECT position, stream, event_type,
+                     CAST(row_number() OVER (ORDER BY position) - 1
+                          AS BIGINT) AS rnk,
+                     CASE WHEN CAST(concat('0x', substr(md5(stream), 1, 15))
+                               AS BIGINT) % 2 = 0
+                          THEN 'c0' ELSE 'c1' END AS consumer
+              FROM sel)
+        SELECT position, stream, event_type, consumer,
+               CAST(rnk // 256 + 1 AS BIGINT) AS batch_id,
+               CAST(rnk % 256 + 1 AS INT) AS batch_seq
+        FROM r""",
 }
 
 
@@ -3983,6 +4002,69 @@ def q_persistent_round_robin(spark, sf_dir):
             out, "grp string, position long, stream string, "
             "event_type string, consumer string, batch_id long, "
             "batch_seq int")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_persistent_filtered(spark, sf_dir):
+    """T9'' driver-checked: a FILTERED $all persistent subscription
+    through the sink dispatcher (EventStoreDB allows filters on $all
+    persistent subscriptions only — stream groups refuse them,
+    enforced at persistent.py's constructor): only '^purchase$'
+    events deliver, and the checkpoint WALKS past the interleaved
+    non-matching positions via the filtered cursor's scan proof — the
+    full-ack dispatch loop terminating with every matching event
+    delivered exactly once IS that proof (a stalled checkpoint either
+    redelivers or strands rows; both hash-mismatch the oracle).
+    Pinned assignment = the same md5 rule persistent_park_retry
+    proves. ~8 dispatch rounds of max_count=256 at sf0.01. The ORACLE
+    replays it declaratively: the filtered envelope in position order
+    with rank-derived (batch_id, batch_seq) and the pin-hash
+    consumer. Reference: model.go:109-125 (filter kinds),
+    persistent.proto:8-16."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.model import FilterKind, SubscriptionFilter
+    from eventstorm_spark.streaming.persistent import (
+        PINNED, SinkPersistentSubscription)
+
+    env = es_events(spark, sf_dir)
+    tmp = _tempfile.mkdtemp(prefix="espflt_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        f = SubscriptionFilter(kind=FilterKind.EVENT_TYPE,
+                               regex="^purchase$")
+        sub = SinkPersistentSubscription(
+            log, "grp-flt", sink_path=_os.path.join(tmp, "sink"),
+            consumer_strategy=PINNED, filter=f)
+        sub.connect("c0")
+        sub.connect("c1")
+        # bounded: driver-side ack script — the matching positions
+        # (~2k at sf0.01); dispatch itself pages the filtered cursor
+        # engine-side, only ids come back.
+        positions = sorted(
+            int(r.position) for r in
+            env.where(F.col("event_type") == "purchase")
+               .select("position").collect())
+        i = 0
+        while True:
+            n = sub.dispatch(max_count=256)
+            if n == 0:
+                break
+            sub.ack(positions[i:i + n])
+            i += n
+        rows = (sub.deliveries()
+                .select("position", "stream", "event_type", "consumer",
+                        "batch_id", "batch_seq").collect())
+        return spark.createDataFrame(
+            [(int(r.position), r.stream, r.event_type, r.consumer,
+              int(r.batch_id), int(r.batch_seq)) for r in rows],
+            "position long, stream string, event_type string, "
+            "consumer string, batch_id long, batch_seq int")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -8935,15 +9017,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 15 rotation: window head = the NEW
-        #    persistent_round_robin (T9 RoundRobin +
-        #    DispatchToSingle strategies — Pinned already carries
-        #    persistent_park_retry), then the 26 r10-evidence entries
-        #    the r14 window spilled (SURVEY 7.5a list), then the
-        #    alphabetically-first 23 r11-evidence entries. Every entry
-        #    verified against its oracle locally at sf0.001 + sf0.01
-        #    this round. --
+        # -- round 15 rotation: window head = the TWO NEW queries
+        #    (persistent_round_robin: T9 RoundRobin + DispatchToSingle
+        #    strategies; persistent_filtered: T9'' filtered-$all
+        #    dispatch — Pinned already carries persistent_park_retry),
+        #    then the 26 r10-evidence entries the r14 window spilled
+        #    (SURVEY 7.5a list), then the alphabetically-first 22
+        #    r11-evidence entries. Every entry verified against its
+        #    oracle locally at sf0.001 + sf0.01 this round. --
         "persistent_round_robin": q_persistent_round_robin,
+        "persistent_filtered": q_persistent_filtered,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -8994,9 +9077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "html_c4_funnel": q_html_c4_funnel,
         "large_volume_orders": q_large_volume_orders,
-        "length_bucket_report": q_length_bucket_report,
-        # -- r11-evidence leftovers (27): first in line for the
+        # -- r11-evidence leftovers (28): first in line for the
         #    r16 window head --
+        "length_bucket_report": q_length_bucket_report,
         "market_share": q_market_share,
         "model_quality_score": q_model_quality_score,
         "multimodal_png_decode": q_multimodal_png_decode,
