@@ -412,6 +412,56 @@ _READ_ORACLES = {
                CAST(rnk // 256 + 1 AS BIGINT) AS batch_id,
                CAST(rnk % 256 + 1 AS INT) AS batch_seq
         FROM r""",
+    # stream_deletion_lifecycle: the post-scavenge $all read,
+    # reconstructed declaratively. from_dataframe keeps the slice's
+    # ORIGINAL envelope (positions/revisions), so: user-4 rows survive
+    # as-is; the delete marker lands at max(position)+1 in
+    # $deleted-streams (uuid $del-user-5-<tail>, body = json.dumps with
+    # ", " separators, last_revision = n5-1); the 3 recreation rows
+    # take positions tail+2..tail+4 with revisions n5..n5+2; the
+    # tombstone marker lands at tail+5 quoting before_position tail+4
+    # and last_revision n6-1. user-5 originals and all user-6 rows are
+    # scavenged.
+    "stream_deletion_lifecycle": f"""{ORACLE_CTE},
+        sel AS (SELECT stream, uuid, data, event_type, revision, position
+                FROM es_events
+                WHERE stream IN ('user-4', 'user-5', 'user-6')),
+        tot AS (SELECT CAST(max(position) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN stream = 'user-5'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+                       CAST(sum(CASE WHEN stream = 'user-6'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n6
+                FROM sel)
+        SELECT stream, uuid, data, event_type, revision, position
+        FROM sel WHERE stream = 'user-4'
+        UNION ALL
+        SELECT '$deleted-streams' AS stream,
+               concat('$del-user-5-', CAST(n AS VARCHAR)) AS uuid,
+               concat('{{"stream": "user-5", "before_position": ',
+                      CAST(n AS VARCHAR), ', "last_revision": ',
+                      CAST(n5 - 1 AS VARCHAR), '}}') AS data,
+               '$stream-deleted' AS event_type,
+               CAST(0 AS BIGINT) AS revision,
+               n + 1 AS position
+        FROM tot
+        UNION ALL
+        SELECT 'user-5' AS stream,
+               concat('rec-', CAST(i AS VARCHAR)) AS uuid,
+               concat('{{"rec": ', CAST(i AS VARCHAR), '}}') AS data,
+               'recreated' AS event_type,
+               n5 + i AS revision,
+               n + 2 + i AS position
+        FROM tot, (SELECT CAST(unnest(range(3)) AS BIGINT) AS i)
+        UNION ALL
+        SELECT '$deleted-streams' AS stream,
+               concat('$del-user-6-', CAST(n + 4 AS VARCHAR)) AS uuid,
+               concat('{{"stream": "user-6", "before_position": ',
+                      CAST(n + 4 AS VARCHAR), ', "last_revision": ',
+                      CAST(n6 - 1 AS VARCHAR), '}}') AS data,
+               '$stream-tombstoned' AS event_type,
+               CAST(1 AS BIGINT) AS revision,
+               n + 5 AS position
+        FROM tot""",
 }
 
 
@@ -4065,6 +4115,81 @@ def q_persistent_filtered(spark, sf_dir):
               int(r.batch_id), int(r.batch_seq)) for r in rows],
             "position long, stream string, event_type string, "
             "consumer string, batch_id long, batch_seq int")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_deletion_lifecycle(spark, sf_dir):
+    """S9 END TO END driver-checked (previously unit-test evidence
+    only): soft delete -> hidden history -> recreation with CONTINUED
+    revisions -> tombstone -> scavenge, over a 3-stream slice.
+    Sequence: delete user-5 (marker at tail+1, EventStoreDB
+    soft-delete semantics — store.py:856, reference stubs
+    grpc_server.go:271-281), read_stream(user-5) must raise
+    StreamNotFound (hidden), append 3 recreation events (revisions
+    continue from the pre-delete head — never re-issued), tombstone
+    user-6, append/read on it must raise StreamDeleted, then
+    scavenge() physically reclaims exactly the deleted rows while
+    PRESERVING survivor positions. The negative legs assert inline
+    (a broken contract errors the driver row); the returned table is
+    the post-scavenge $all read — user-4 untouched, the two markers
+    with their deterministic uuids/bodies, the recreation rows — and
+    the ORACLE reconstructs every surviving row declaratively from
+    the slice's counts and max position."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.errors import (StreamDeletedError,
+                                         StreamNotFoundError)
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.model import NewEvent
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-4", "user-5", "user-6")))
+    tmp = _tempfile.mkdtemp(prefix="esdel_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: three per-stream counts — one aggregate row
+        cnt = {r["stream"]: r["n"] for r in
+               env.groupBy("stream").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+        n4, n5, n6 = cnt["user-4"], cnt["user-5"], cnt["user-6"]
+
+        log.delete_stream("user-5")
+        try:
+            log.read_stream("user-5")
+            raise AssertionError("soft-deleted stream still readable")
+        except StreamNotFoundError:
+            pass
+        log.append("user-5", [
+            NewEvent(uuid=f"rec-{i}", event_type="recreated",
+                     data=_json.dumps({"rec": i})) for i in range(3)])
+        log.tombstone_stream("user-6")
+        for op in (lambda: log.append("user-6", [
+                       NewEvent(uuid="zz", event_type="x")]),
+                   lambda: log.read_stream("user-6")):
+            try:
+                op()
+                raise AssertionError("tombstoned stream not blocked")
+            except StreamDeletedError:
+                pass
+        removed = log.scavenge()
+        assert removed == n5 + n6, (removed, n5, n6)
+        # physical reclamation, not just the logical filter:
+        assert log.df().count() == n4 + 2 + 3
+
+        rows = (log.read_all()
+                .select("stream", "uuid", "data", "event_type",
+                        "revision", "position")
+                .orderBy("position").collect())
+        return spark.createDataFrame(
+            [(r.stream, r.uuid, r.data, r.event_type,
+              int(r.revision), int(r.position)) for r in rows],
+            "stream string, uuid string, data string, "
+            "event_type string, revision long, position long")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -9017,16 +9142,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 15 rotation: window head = the TWO NEW queries
+        # -- round 15 rotation: window head = the THREE NEW queries
         #    (persistent_round_robin: T9 RoundRobin + DispatchToSingle
         #    strategies; persistent_filtered: T9'' filtered-$all
-        #    dispatch — Pinned already carries persistent_park_retry),
-        #    then the 26 r10-evidence entries the r14 window spilled
-        #    (SURVEY 7.5a list), then the alphabetically-first 22
-        #    r11-evidence entries. Every entry verified against its
-        #    oracle locally at sf0.001 + sf0.01 this round. --
+        #    dispatch — Pinned already carries persistent_park_retry;
+        #    stream_deletion_lifecycle: S9 delete/tombstone/recreate/
+        #    scavenge end to end), then the 26 r10-evidence entries the
+        #    r14 window spilled (SURVEY 7.5a list), then the
+        #    alphabetically-first 21 r11-evidence entries. Every entry
+        #    verified against its oracle locally at sf0.001 + sf0.01
+        #    this round. --
         "persistent_round_robin": q_persistent_round_robin,
         "persistent_filtered": q_persistent_filtered,
+        "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -9076,9 +9204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "funnel_conversion": q_funnel_conversion,
         "html_c4_funnel": q_html_c4_funnel,
-        "large_volume_orders": q_large_volume_orders,
-        # -- r11-evidence leftovers (28): first in line for the
+        # -- r11-evidence leftovers (29): first in line for the
         #    r16 window head --
+        "large_volume_orders": q_large_volume_orders,
         "length_bucket_report": q_length_bucket_report,
         "market_share": q_market_share,
         "model_quality_score": q_model_quality_score,
