@@ -462,6 +462,22 @@ _READ_ORACLES = {
                CAST(1 AS BIGINT) AS revision,
                n + 5 AS position
         FROM tot""",
+    # stream_retention_lifecycle: the two retention rules applied
+    # declaratively to the original slice — $maxCount 5 keeps user-7's
+    # last five revisions, $tb 3 keeps user-8's revision >= 3, user-9
+    # is the untouched control; positions/uuids/bodies are the
+    # original envelope's (scavenge preserves survivor positions).
+    "stream_retention_lifecycle": f"""{ORACLE_CTE},
+        sel AS (SELECT stream, uuid, data, event_type, revision, position
+                FROM es_events
+                WHERE stream IN ('user-7', 'user-8', 'user-9')),
+        c7 AS (SELECT count(*) AS n7 FROM sel WHERE stream = 'user-7')
+        SELECT s.stream, s.uuid, s.data, s.event_type, s.revision,
+               s.position
+        FROM sel s, c7
+        WHERE (s.stream = 'user-7' AND s.revision >= n7 - 5)
+           OR (s.stream = 'user-8' AND s.revision >= 3)
+           OR s.stream = 'user-9'""",
 }
 
 
@@ -4182,6 +4198,60 @@ def q_stream_deletion_lifecycle(spark, sf_dir):
         assert log.df().count() == n4 + 2 + 3
 
         rows = (log.read_all()
+                .select("stream", "uuid", "data", "event_type",
+                        "revision", "position")
+                .orderBy("position").collect())
+        return spark.createDataFrame(
+            [(r.stream, r.uuid, r.data, r.event_type,
+              int(r.revision), int(r.position)) for r in rows],
+            "stream string, uuid string, data string, "
+            "event_type string, revision long, position long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_retention_lifecycle(spark, sf_dir):
+    """S9' END TO END driver-checked (previously unit-test evidence
+    only): EventStoreDB ``$$<stream>`` metadata retention —
+    ``$maxCount`` on user-7 (keep the last 5), ``$tb`` truncate-before
+    on user-8 (keep revision >= 3), user-9 untouched as the control —
+    applied logically at read time, then physically reclaimed by
+    ``scavenge()`` with survivor positions PRESERVED (store.py:974
+    set_stream_metadata, :901 scavenge's retention terms; absent from
+    the reference — EventStoreDB semantics). Inline asserts pin the
+    read-time filter (retained suffix revisions) and the exact
+    scavenge count; the returned table is the post-scavenge $all read
+    minus the ``$$`` metadata streams (their marker uuids are random
+    — the retained DATA rows carry the proof), and the ORACLE applies
+    the two retention rules declaratively to the original slice."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-7", "user-8", "user-9")))
+    tmp = _tempfile.mkdtemp(prefix="esret_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: three per-stream counts — one aggregate row
+        cnt = {r["stream"]: r["n"] for r in
+               env.groupBy("stream").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+        n7, n8 = cnt["user-7"], cnt["user-8"]
+
+        log.set_stream_metadata("user-7", max_count=5)
+        log.set_stream_metadata("user-8", truncate_before=3)
+        revs7 = [int(r.revision) for r in
+                 log.read_stream("user-7").collect()]
+        assert revs7 == list(range(n7 - 5, n7)), revs7
+        removed = log.scavenge()
+        assert removed == (n7 - 5) + 3, (removed, n7)
+
+        rows = (log.read_all()
+                .where(~F.col("stream").startswith("$$"))
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("position").collect())
@@ -9142,19 +9212,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 15 rotation: window head = the THREE NEW queries
+        # -- round 15 rotation: window head = the FOUR NEW queries
         #    (persistent_round_robin: T9 RoundRobin + DispatchToSingle
         #    strategies; persistent_filtered: T9'' filtered-$all
         #    dispatch — Pinned already carries persistent_park_retry;
         #    stream_deletion_lifecycle: S9 delete/tombstone/recreate/
-        #    scavenge end to end), then the 26 r10-evidence entries the
-        #    r14 window spilled (SURVEY 7.5a list), then the
-        #    alphabetically-first 21 r11-evidence entries. Every entry
-        #    verified against its oracle locally at sf0.001 + sf0.01
-        #    this round. --
+        #    scavenge end to end; stream_retention_lifecycle: S9'
+        #    $maxCount/$tb retention + scavenge), then the 26
+        #    r10-evidence entries the r14 window spilled (SURVEY 7.5a
+        #    list), then the alphabetically-first 20 r11-evidence
+        #    entries. Every entry verified against its oracle locally
+        #    at sf0.001 + sf0.01 this round. --
         "persistent_round_robin": q_persistent_round_robin,
         "persistent_filtered": q_persistent_filtered,
         "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
+        "stream_retention_lifecycle": q_stream_retention_lifecycle,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -9203,9 +9275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_native": q_events_session_native,
         "events_sessionization": q_events_sessionization,
         "funnel_conversion": q_funnel_conversion,
-        "html_c4_funnel": q_html_c4_funnel,
-        # -- r11-evidence leftovers (29): first in line for the
+        # -- r11-evidence leftovers (30): first in line for the
         #    r16 window head --
+        "html_c4_funnel": q_html_c4_funnel,
         "large_volume_orders": q_large_volume_orders,
         "length_bucket_report": q_length_bucket_report,
         "market_share": q_market_share,
