@@ -478,6 +478,30 @@ _READ_ORACLES = {
         WHERE (s.stream = 'user-7' AND s.revision >= n7 - 5)
            OR (s.stream = 'user-8' AND s.revision >= 3)
            OR s.stream = 'user-9'""",
+    # read_resolved_links: links append in target-position order after
+    # the slice tail, so link i carries revision i and position
+    # max(position)+1+i; a resolved row = the TARGET's payload identity
+    # under the LINK's coordinates; the dangling link passes through
+    # with its raw `$>` body.
+    "read_resolved_links": f"""{ORACLE_CTE},
+        sel AS (SELECT * FROM es_events
+                WHERE stream IN ('user-1', 'user-2')),
+        tot AS (SELECT CAST(max(position) AS BIGINT) AS n FROM sel),
+        err AS (SELECT uuid, data, position,
+                       CAST(row_number() OVER (ORDER BY position) - 1
+                            AS BIGINT) AS i
+                FROM sel WHERE event_type = 'error'),
+        lcnt AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM err)
+        SELECT '$errors-idx' AS stream, e.uuid, e.data,
+               'error' AS event_type, e.i AS revision,
+               t.n + 1 + e.i AS position
+        FROM err e, tot t
+        UNION ALL
+        SELECT '$errors-idx' AS stream,
+               '$link-$errors-idx-user-1-999999' AS uuid,
+               '999999@user-1' AS data, '$>' AS event_type,
+               nl AS revision, n + 1 + nl AS position
+        FROM tot, lcnt""",
 }
 
 
@@ -4255,6 +4279,53 @@ def q_stream_retention_lifecycle(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("position").collect())
+        return spark.createDataFrame(
+            [(r.stream, r.uuid, r.data, r.event_type,
+              int(r.revision), int(r.position)) for r in rows],
+            "stream string, uuid string, data string, "
+            "event_type string, revision long, position long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_read_resolved_links(spark, sf_dir):
+    """The resolve-links READ path driver-checked (the write side —
+    linkTo/emit/system index streams — already carries driver
+    evidence; the READ side, ``read_stream(resolve_links=True)``
+    (store.py:1156), had test pins only). Every `error` event of two
+    streams is linked into an ``$errors-idx`` stream in position
+    order (EventStoreDB `$>` convention: body `revision@stream`),
+    plus one DANGLING link at a nonexistent revision; the resolved
+    read must return the TARGET's payload identity (uuid/data/
+    event_type) under the LINK's coordinates (stream/revision/
+    position), and the dangling link must pass through unresolved —
+    both replayed declaratively by the oracle (reference parses
+    resolve-links flags but never implements them,
+    model.go:97-154)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-1", "user-2")))
+    tmp = _tempfile.mkdtemp(prefix="eslnk_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: driver-side link script — the two streams' error
+        # events (a few dozen at driver SFs), id columns only
+        errs = (env.where(F.col("event_type") == "error")
+                .select("stream", "revision", "position")
+                .orderBy("position").collect())
+        for r in errs:
+            log.link_to("$errors-idx", r["stream"], int(r["revision"]))
+        log.link_to("$errors-idx", "user-1", 999999)  # dangling
+        rows = (log.read_stream("$errors-idx", resolve_links=True)
+                .select("stream", "uuid", "data", "event_type",
+                        "revision", "position")
+                .orderBy("revision").collect())
         return spark.createDataFrame(
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
@@ -9212,21 +9283,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 15 rotation: window head = the FOUR NEW queries
+        # -- round 15 rotation: window head = the FIVE NEW queries
         #    (persistent_round_robin: T9 RoundRobin + DispatchToSingle
         #    strategies; persistent_filtered: T9'' filtered-$all
         #    dispatch — Pinned already carries persistent_park_retry;
         #    stream_deletion_lifecycle: S9 delete/tombstone/recreate/
         #    scavenge end to end; stream_retention_lifecycle: S9'
-        #    $maxCount/$tb retention + scavenge), then the 26
-        #    r10-evidence entries the r14 window spilled (SURVEY 7.5a
-        #    list), then the alphabetically-first 20 r11-evidence
-        #    entries. Every entry verified against its oracle locally
-        #    at sf0.001 + sf0.01 this round. --
+        #    $maxCount/$tb retention + scavenge;
+        #    read_resolved_links: the resolve-links READ path), then
+        #    the 26 r10-evidence entries the r14 window spilled
+        #    (SURVEY 7.5a list), then the alphabetically-first 19
+        #    r11-evidence entries. Every entry verified against its
+        #    oracle locally at sf0.001 + sf0.01 this round. --
         "persistent_round_robin": q_persistent_round_robin,
         "persistent_filtered": q_persistent_filtered,
         "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
         "stream_retention_lifecycle": q_stream_retention_lifecycle,
+        "read_resolved_links": q_read_resolved_links,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -9274,9 +9347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "events_session_native": q_events_session_native,
         "events_sessionization": q_events_sessionization,
-        "funnel_conversion": q_funnel_conversion,
-        # -- r11-evidence leftovers (30): first in line for the
+        # -- r11-evidence leftovers (31): first in line for the
         #    r16 window head --
+        "funnel_conversion": q_funnel_conversion,
         "html_c4_funnel": q_html_c4_funnel,
         "large_volume_orders": q_large_volume_orders,
         "length_bucket_report": q_length_bucket_report,
