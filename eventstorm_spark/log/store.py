@@ -1152,6 +1152,39 @@ class EventLog:
         )
         return self.append(stream, [ev], expected)
 
+    def _resolution_envelope(self) -> DataFrame:
+        """The envelope link targets resolve against: per-stream LOGICAL
+        visibility — soft-deleted/tombstoned history and out-of-retention
+        events excluded — so resolution answers like the target stream's
+        own read path and is INVARIANT across ``scavenge()``.
+        EventStoreDB's resolveLinkTos reads the target through the
+        stream read path, which enforces deletion/$tb/$maxCount, so a
+        link into deleted or truncated history is unresolved whether or
+        not the rows were physically reclaimed yet ($all itself keeps
+        showing those rows until scavenge — a separate, test-pinned
+        surface). Before round 15 resolution joined the RAW envelope,
+        so the same link resolved pre-scavenge and dangled post-scavenge
+        — scavenge was not transparent to link readers."""
+        df = self.df()
+        dels = self._load_deletions()
+        cond = None
+        for s, (kind, before, _) in dels.items():
+            c = F.col("stream") == s
+            if kind != "tombstoned":
+                c = c & (F.col("position") <= before)
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            df = df.where(~cond)
+        rt = self._retention_frame()
+        if rt is not None:
+            df = (df.join(F.broadcast(rt), "stream", "left")
+                  .where((F.col("__floor").isNull()
+                          | (F.col("revision") >= F.col("__floor")))
+                         & (F.col("__cutoff").isNull()
+                            | (F.col("created") >= F.col("__cutoff"))))
+                  .drop("__floor", "__cutoff"))
+        return df
+
     @staticmethod
     def resolve_links(df: DataFrame, events: DataFrame) -> DataFrame:
         """Replace each `$>` link row's payload columns with its target's.
@@ -1243,7 +1276,7 @@ class EventLog:
         if opts.resolve_links:
             from eventstorm_spark.log.plan import _bounds
 
-            out = self.resolve_links(out, self.df())
+            out = self.resolve_links(out, self._resolution_envelope())
             if opts.stream is not None:
                 field, kind, at = "revision", opts.stream.kind, opts.stream.revision
             else:

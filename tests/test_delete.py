@@ -164,6 +164,40 @@ def test_dangling_link_passes_through(log):
     assert [r["data"] for r in resolved] == ["99@src"]
 
 
+def test_link_resolution_respects_deletion_and_retention(log):
+    """Resolution answers like the TARGET stream's own read path
+    (EventStoreDB resolveLinkTos): a link into soft-deleted or
+    $tb-truncated history is unresolved BEFORE scavenge too, and the
+    answer is invariant across scavenge(). Proven red on the round-15
+    raw-envelope join (the link resolved pre-scavenge, dangled after —
+    scavenge was not transparent to link readers)."""
+    log.append("src", new_events(6))          # revisions 0..5
+    log.link_to("idx", "src", 1)              # into soon-truncated history
+    log.link_to("idx", "src", 5)              # stays retained
+    log.set_stream_metadata("src", truncate_before=2)
+
+    def snap():
+        return [(r["event_type"], r["data"], r["revision"])
+                for r in log.read_stream("idx", resolve_links=True).collect()]
+
+    pre = snap()
+    assert pre[0] == ("$>", "1@src", 0)       # truncated target: raw link
+    assert pre[1] == ("event-type", '{"i": 5}', 1)  # retained: resolves
+    log.scavenge()
+    assert snap() == pre                      # scavenge-transparent
+
+    # soft-deleted target: same rule, pre- and post-scavenge
+    log.append("gone", new_events(2, prefix="g"))
+    log.link_to("idx2", "gone", 0)
+    log.delete_stream("gone")
+    pre2 = [(r["event_type"], r["data"])
+            for r in log.read_stream("idx2", resolve_links=True).collect()]
+    assert pre2 == [("$>", "0@gone")]
+    log.scavenge()
+    assert [(r["event_type"], r["data"])
+            for r in log.read_stream("idx2", resolve_links=True).collect()] == pre2
+
+
 def test_resolve_links_noop_without_links(log):
     log.append("s", new_events(4))
     plain = log.read_stream("s").collect()
