@@ -559,8 +559,25 @@ class SinkPersistentSubscription(PersistentSubscription):
         if self.strategy == ROUND_ROBIN:
             self._rr_next += len(meta)
         if self._replay_queue:
+            keep = set(self._replay_queue) - dispatched
+            if take:
+                # A taken position that produced NO candidate row is
+                # physically gone (its stream deleted AND scavenged
+                # between park and replay) — drop it, or it squats at
+                # the queue head forever and, once ghosts fill a
+                # max_count page, blocks every later parked replay
+                # (fetch() already drops these by truncating its queue
+                # up-front). Detected on the PRE-slot-cut frame so a
+                # merely slot-cut replay row — present but not
+                # dispatched this batch — stays queued.
+                present = {int(r[pos_field]) for r in
+                           pre_cut.where(F.col("__prio") == 0)
+                           .select(pos_field).collect()}  # bounded: <= max_count ids
+                # skip-set members are absent from pre_cut without
+                # being gone — never classify those as ghosts
+                keep -= (set(take) - present) - skip
             self._replay_queue = [p for p in self._replay_queue
-                                  if p not in dispatched]
+                                  if p in keep]
         if self.filter is not None:
             # scan proof, capped just below the first matching cursor
             # row the slot cut left undispatched (same rule as fetch())

@@ -591,3 +591,45 @@ def test_fetch_without_consumers_raises_before_state_mutation(log):
     sub.connect("c1")
     got2 = sub.fetch(max_count=3)
     assert sum(len(v) for v in got2.values()) == 3  # replays delivered
+
+
+def test_sink_dispatch_drops_scavenged_replay_ghosts(spark, tmp_path):
+    """A parked position whose stream was deleted AND scavenged between
+    park and replay is physically gone: the sink dispatcher must drop
+    it from the replay queue (fetch() already does, by truncating its
+    queue up-front) instead of letting it squat at the queue head —
+    where, once ghosts fill a max_count page, NO later parked event can
+    ever replay. Proven red on the pre-round-15 dispatch (the ghost
+    stayed queued forever and the final dispatch returned 0)."""
+    from eventstorm_spark.streaming.persistent import (
+        SinkPersistentSubscription)
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.append("dead", new_events(2, prefix="d"))    # positions 1-2
+    log.append("live", new_events(2, prefix="l"))    # positions 3-4
+    snk = SinkPersistentSubscription(log, "g",
+                                     sink_path=str(tmp_path / "sink"))
+    snk.connect("c1")
+    assert snk.dispatch(max_count=10) == 4
+    snk.nack([1], "Park")
+    snk.ack([2, 3, 4])
+    log.delete_stream("dead")                        # marker at 5
+    assert log.scavenge() == 2                       # 1-2 reclaimed
+    assert snk.replay_parked() == 1                  # queues ghost 1
+    # the cursor leg delivers the delete MARKER (position 5 —
+    # $deleted-streams flows through $all groups); the replay leg
+    # yields nothing and the ghost must be dropped, not requeued
+    assert snk.dispatch(max_count=10) == 1
+    snk.ack([5])
+    assert snk._replay_queue == []                   # ghost dropped
+
+    # the live-lock leg: with the ghost gone, a max_count=1 replay of a
+    # REAL parked event gets the queue head and delivers
+    log.append("live2", new_events(2, prefix="m"))   # positions 6-7
+    assert snk.dispatch(max_count=10) == 2
+    snk.nack([6], "Park")
+    snk.ack([7])
+    assert snk.replay_parked() == 1
+    assert snk.dispatch(max_count=1) == 1            # red: 0 forever
+    d = snk.deliveries("c1").orderBy("batch_id", "batch_seq").collect()
+    assert int(d[-1].position) == 6
