@@ -590,3 +590,76 @@ def test_reorder_buffer_state_is_lag_times_arrival_rate(
     # lag-window; minus 1 for the silent first-event seed
     withheld = rate * lag_s
     assert sum(got) == n - withheld - 1
+
+
+# -- _release_buffered property pin (pure function; no Spark) -----------
+
+class _FakeState:
+    def __init__(self, wm_ms=0):
+        self._wm_ms = wm_ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+def _replay_release(arrivals, batches, lag_us, final_wm_us):
+    """Feed `arrivals` (list of (us, val)) split into `batches` chunks
+    through the shared release rule, then drain with the watermark at
+    `final_wm_us`; return the concatenated released sequence."""
+    from eventstorm_spark.extensions.temporal import _release_buffered
+
+    buf, hwm, out = [], 0, []
+    n = max(1, batches)
+    size = max(1, (len(arrivals) + n - 1) // n)
+    for i in range(0, len(arrivals), size):
+        for us, v in arrivals[i:i + size]:
+            buf.append([us, v])
+            hwm = max(hwm, us)
+        ready, buf = _release_buffered(buf, hwm, lag_us, _FakeState(0))
+        out.extend(tuple(p) for p in ready)
+    ready, buf = _release_buffered(
+        buf, hwm, lag_us, _FakeState(final_wm_us // 1000))
+    out.extend(tuple(p) for p in ready)
+    assert buf == [] or final_wm_us < max(p[0] for p in buf)
+    return out
+
+
+from hypothesis import HealthCheck as _HC, given as _given, \
+    settings as _settings, strategies as _st
+
+
+@_settings(max_examples=200, deadline=None,
+           suppress_health_check=[_HC.too_slow])
+@_given(seq=_st.lists(_st.integers(min_value=0, max_value=500),
+                      min_size=1, max_size=60),
+        lag=_st.integers(min_value=1, max_value=100),
+        batches=_st.integers(min_value=1, max_value=8),
+        data=_st.data())
+def test_release_buffered_heals_bounded_disorder(seq, lag, batches, data):
+    """Property pin of the shared buffered-reorder release rule
+    (temporal.py _release_buffered, backing reorder_lag on all three
+    temporal folds and the projections tier): for ANY arrival order
+    whose disorder is bounded by the lag (each event arrives while
+    hwm <= us + lag), the released sequence is complete after a
+    watermark drain (no loss, no duplication) and NON-DECREASING in
+    event time — the fold sees event-time order. Equal timestamps
+    carry no cross-batch order promise (ties are broken by payload
+    only WITHIN one release; across releases arrival decides, as in
+    any log without a per-tie sequence number)."""
+    # build an arrival order with disorder bounded by lag: start from
+    # time order, then swap adjacent events whose gap is < lag
+    # (times in whole seconds -> microseconds, so the drain watermark
+    # survives the rule's ms->us conversion)
+    US = 1_000_000
+    events = sorted([(us * US, i) for i, us in enumerate(seq)])
+    arrivals = list(events)
+    for k in range(len(arrivals) - 1):
+        if data.draw(_st.booleans(), label=f"swap{k}"):
+            a, b = arrivals[k], arrivals[k + 1]
+            if abs(a[0] - b[0]) < lag * US:
+                arrivals[k], arrivals[k + 1] = b, a
+    out = _replay_release(arrivals, batches, lag * US,
+                          final_wm_us=(max(seq) + 1) * US)
+    assert sorted(out) == events            # complete, no dup, no loss
+    ts = [us for us, _ in out]
+    assert ts == sorted(ts)                 # event-time order
