@@ -373,3 +373,18 @@ def test_stream_metadata_cas_two_writer_race(spark, tmp_path):
                           expected=ExpectedRevision.at(0))
     assert a.get_stream_metadata("s") == {"$maxCount": 3}
     assert a.read_stream("s").count() == 3
+
+
+def test_resolution_envelope_retention_join_broadcasts(log):
+    """The round-15 _resolution_envelope adds a retention join to the
+    resolve path — it must stay the same broadcast shape the $all read
+    prices (#metadata-streams rows; the log never shuffles), and the
+    resolved read must not introduce a cartesian/nested-loop join."""
+    log.append("src", new_events(4))
+    log.link_to("idx", "src", 3)
+    log.set_stream_metadata("src", truncate_before=1)
+    plan = (log.read_stream("idx", resolve_links=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan       # retention table broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
