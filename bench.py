@@ -292,9 +292,15 @@ def main() -> None:
     # anchors on it.
     qjson = json.dumps({n: round(t, 2) for n, t in steady.items()},
                        separators=(",", ":"))
+    # legacy_total_sec = steady + harness, the r14-and-earlier headline
+    # DEFINITION: consumers diffing headline values across rounds can
+    # compare like with like instead of reading the r15 harness-row
+    # exclusion as a spurious ~10-15 s improvement.
+    legacy_total = round(total + harness_total, 3)
     line = (f'{{"metric": "headline_queries_total_sec", '
             f'"value": {total}, "unit": "sec", '
             f'"queries": {qjson}, "harness_sec": {harness_total}, '
+            f'"legacy_total_sec": {legacy_total}, '
             f'"sf": {sf}}}')
     json.loads(line)  # self-check: stays valid JSON
     assert len(line) < 1900, (

@@ -502,6 +502,77 @@ _READ_ORACLES = {
                '999999@user-1' AS data, '$>' AS event_type,
                nl AS revision, n + 1 + nl AS position
         FROM tot, lcnt""",
+    # stream_retention_max_age: the third retention rule applied
+    # declaratively — the Spark side pins retention_clock so the
+    # $maxAge cutoff lands a 5,000-tick guard BELOW user-0's
+    # median-revision event's created (per-stream ts gaps are >=0.2 s
+    # at every driver SF, so guard + float jitter never cross an
+    # event): exactly the rows with created >= that boundary survive;
+    # user-3 is the untouched control; positions/uuids are the
+    # original envelope's (scavenge preserves survivor positions).
+    "stream_retention_max_age": f"""{ORACLE_CTE},
+        sel AS (SELECT stream, uuid, data, event_type, revision,
+                       position, created
+                FROM es_events
+                WHERE stream IN ('user-0', 'user-3')),
+        c0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM sel
+               WHERE stream = 'user-0'),
+        b AS (SELECT created AS bcreated FROM sel, c0
+              WHERE stream = 'user-0' AND revision = n0 // 2)
+        SELECT s.stream, s.uuid, s.data, s.event_type, s.revision,
+               s.position, s.created
+        FROM sel s, b
+        WHERE s.stream = 'user-3'
+           OR (s.stream = 'user-0' AND s.created >= bcreated)""",
+    # batch_append_cas: the committed batch reconstructed
+    # declaratively. from_dataframe keeps the slice's ORIGINAL
+    # envelope; the 4-request batch appends densely after the tail in
+    # request order — user-10 gets revisions n10..n10+1 at positions
+    # n+1..n+2, batch-new revisions 0..1 at n+3..n+4, user-11 revision
+    # n11 at n+5, batch-new's SECOND request continues at revision 2,
+    # position n+6 (batch-internal continuation). The rejected second
+    # batch (stale CAS on its second request) contributes NOTHING —
+    # its absence is what the hash proves.
+    "batch_append_cas": f"""{ORACLE_CTE},
+        sel AS (SELECT stream, uuid, data, event_type, revision, position
+                FROM es_events
+                WHERE stream IN ('user-10', 'user-11')),
+        tot AS (SELECT CAST(max(position) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN stream = 'user-10'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                       CAST(sum(CASE WHEN stream = 'user-11'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n11
+                FROM sel)
+        SELECT stream, uuid, data, event_type, revision, position
+        FROM sel
+        UNION ALL
+        SELECT 'user-10' AS stream,
+               concat('a-', CAST(i AS VARCHAR)) AS uuid,
+               concat('{{"b": "a", "i": ', CAST(i AS VARCHAR),
+                      '}}') AS data,
+               'batched' AS event_type, n10 + i AS revision,
+               n + 1 + i AS position
+        FROM tot, (SELECT CAST(unnest(range(2)) AS BIGINT) AS i)
+        UNION ALL
+        SELECT 'batch-new' AS stream,
+               concat('b-', CAST(i AS VARCHAR)) AS uuid,
+               concat('{{"b": "b", "i": ', CAST(i AS VARCHAR),
+                      '}}') AS data,
+               'batched' AS event_type, i AS revision,
+               n + 3 + i AS position
+        FROM tot, (SELECT CAST(unnest(range(2)) AS BIGINT) AS i)
+        UNION ALL
+        SELECT 'user-11' AS stream, 'c-0' AS uuid,
+               '{{"b": "c", "i": 0}}' AS data,
+               'batched' AS event_type, n11 AS revision,
+               n + 5 AS position
+        FROM tot
+        UNION ALL
+        SELECT 'batch-new' AS stream, 'd-0' AS uuid,
+               '{{"b": "d", "i": 0}}' AS data,
+               'batched' AS event_type, CAST(2 AS BIGINT) AS revision,
+               n + 6 AS position
+        FROM tot""",
 }
 
 
@@ -4326,6 +4397,149 @@ def q_read_resolved_links(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("revision").collect())
+        return spark.createDataFrame(
+            [(r.stream, r.uuid, r.data, r.event_type,
+              int(r.revision), int(r.position)) for r in rows],
+            "stream string, uuid string, data string, "
+            "event_type string, revision long, position long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_retention_max_age(spark, sf_dir):
+    """S9′ third retention rule END TO END driver-checked: ``$maxAge``
+    (store.py ``_retention_cutoff``; previously unit evidence only —
+    ``stream_retention_lifecycle`` drives $maxCount/$tb). The log's
+    ``retention_clock`` is pinned so the age cutoff is REPLAYABLE:
+    clock = (user-0's median-revision event's ``created`` − a
+    5,000-tick guard) + the $maxAge window, so exactly the events from
+    that boundary onward are in retention (per-stream ts gaps are
+    ≥0.2 s ≈ 2M ticks at every driver SF — the guard plus the ticks
+    round-trip's float jitter can never cross an event). Inline
+    asserts pin the read-time filter and the exact scavenge reclaim;
+    the returned table is the post-scavenge ``$all`` read minus the
+    ``$$`` metadata stream (random marker uuid), and the ORACLE
+    applies the rule declaratively: user-0 rows with ``created`` ≥ the
+    boundary event's survive, control stream user-3 is untouched."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-0", "user-3")))
+    tmp = _tempfile.mkdtemp(prefix="esage_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: user-0's (revision, created) pairs — a few dozen
+        # rows at driver SFs — picks the boundary + survivor set
+        pairs = sorted((int(r.revision), int(r.created)) for r in
+                       env.where(F.col("stream") == "user-0")
+                       .select("revision", "created").collect())
+        n0 = len(pairs)
+        boundary = dict(pairs)[n0 // 2]
+        cutoff = boundary - 5_000  # ticks; guard >> float jitter
+        max_age = 3_600.0
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        log.retention_clock = (
+            epoch + _dt.timedelta(microseconds=cutoff // 10)
+            + _dt.timedelta(seconds=max_age))
+        log.set_stream_metadata("user-0", max_age_secs=max_age)
+        survivors = {rev for rev, created in pairs if created >= cutoff}
+        got = {int(r.revision)
+               for r in log.read_stream("user-0").collect()}
+        assert got == survivors, (n0, len(survivors), len(got))
+        removed = log.scavenge()
+        assert removed == n0 - len(survivors), (removed, n0)
+
+        rows = (log.read_all()
+                .where(~F.col("stream").startswith("$$"))
+                .select("stream", "uuid", "data", "event_type",
+                        "revision", "position", "created")
+                .orderBy("position").collect())
+        return spark.createDataFrame(
+            [(r.stream, r.uuid, r.data, r.event_type,
+              int(r.revision), int(r.position), int(r.created))
+             for r in rows],
+            "stream string, uuid string, data string, "
+            "event_type string, revision long, position long, "
+            "created long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_batch_append_cas(spark, sf_dir):
+    """S2/S3 BatchAppend END TO END driver-checked: ``append_multi``
+    (store.py:578) — the engine form of the reference's declared-but-
+    stubbed BatchAppend RPC (streams.proto:204-307, handler stub
+    grpc_server.go:271-281; previously test-pinned only) — commits N
+    streams in ONE transaction with all-or-nothing expected-revision
+    CAS. Sequence: a 4-request batch over user-10, user-11 and a
+    brand-new stream (appearing TWICE, pinning batch-internal revision
+    continuation) commits atomically with dense cross-request
+    positions; then a second batch whose FIRST request passes CAS but
+    whose SECOND carries a stale expected revision must write NOTHING
+    (inline negative-leg asserts on the tail position and per-stream
+    heads). The returned table is the final ``$all`` read; the ORACLE
+    reconstructs the committed rows declaratively — the rejected
+    batch's would-have-been rows prove absence through the hash."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.errors import WrongExpectedRevisionError
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.model import ExpectedRevision, NewEvent
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-10", "user-11")))
+    tmp = _tempfile.mkdtemp(prefix="esbac_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: two per-stream counts — one aggregate row
+        cnt = {r["stream"]: r["n"] for r in
+               env.groupBy("stream").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+        n10, n11 = cnt["user-10"], cnt["user-11"]
+        tail0 = log.tail_position()
+
+        def mk(tag, k):
+            return [NewEvent(uuid=f"{tag}-{i}", event_type="batched",
+                             data=_json.dumps({"b": tag, "i": i}))
+                    for i in range(k)]
+
+        results = log.append_multi([
+            ("user-10", mk("a", 2), ExpectedRevision.at(n10 - 1)),
+            ("batch-new", mk("b", 2), ExpectedRevision.no_stream()),
+            ("user-11", mk("c", 1), ExpectedRevision.at(n11 - 1)),
+            ("batch-new", mk("d", 1), ExpectedRevision.at(1)),
+        ])
+        assert [(r.first_position, r.last_revision) for r in results] == [
+            (tail0 + 1, n10 + 1), (tail0 + 3, 1),
+            (tail0 + 5, n11), (tail0 + 6, 2)], results
+
+        tail_committed = log.tail_position()
+        try:
+            log.append_multi([
+                ("user-10", mk("x", 1), ExpectedRevision.at(n10 + 1)),
+                ("user-11", mk("y", 1), ExpectedRevision.at(0)),  # stale
+            ])
+            raise AssertionError("stale CAS batch was not rejected")
+        except WrongExpectedRevisionError:
+            pass
+        # atomic rejection: the passing FIRST request wrote nothing
+        assert log.tail_position() == tail_committed
+        assert log.head_revision("user-10") == n10 + 1
+
+        rows = (log.read_all()
+                .select("stream", "uuid", "data", "event_type",
+                        "revision", "position")
+                .orderBy("position").collect())
         return spark.createDataFrame(
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
@@ -9283,23 +9497,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 15 rotation: window head = the FIVE NEW queries
-        #    (persistent_round_robin: T9 RoundRobin + DispatchToSingle
-        #    strategies; persistent_filtered: T9'' filtered-$all
-        #    dispatch — Pinned already carries persistent_park_retry;
-        #    stream_deletion_lifecycle: S9 delete/tombstone/recreate/
-        #    scavenge end to end; stream_retention_lifecycle: S9'
-        #    $maxCount/$tb retention + scavenge;
-        #    read_resolved_links: the resolve-links READ path), then
-        #    the 26 r10-evidence entries the r14 window spilled
-        #    (SURVEY 7.5a list), then the alphabetically-first 19
-        #    r11-evidence entries. Every entry verified against its
+        # -- round 16 rotation: window head = the TWO NEW queries
+        #    (stream_retention_max_age: S9' third retention rule with
+        #    a pinned retention_clock; batch_append_cas: BatchAppend's
+        #    all-or-nothing multi-stream CAS — the last test-only
+        #    protocol op), then the FIVE whose code paths changed this
+        #    round and need fresh driver evidence (the deletion filter
+        #    on the resolve + scavenge paths became a broadcast join
+        #    against a #deleted-streams frame — read_resolved_links,
+        #    stream_deletion_lifecycle, stream_retention_lifecycle;
+        #    the persistent dispatcher's ghost detection gained a
+        #    no-ghost-possible guard — persistent_park_retry,
+        #    persistent_filtered), then the 31 r11-evidence entries
+        #    (SURVEY 7.5b list), then the alphabetically-first 12
+        #    r12-evidence entries. Every entry verified against its
         #    oracle locally at sf0.001 + sf0.01 this round. --
-        "persistent_round_robin": q_persistent_round_robin,
-        "persistent_filtered": q_persistent_filtered,
+        "stream_retention_max_age": q_stream_retention_max_age,
+        "batch_append_cas": q_batch_append_cas,
+        "read_resolved_links": q_read_resolved_links,
         "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
         "stream_retention_lifecycle": q_stream_retention_lifecycle,
-        "read_resolved_links": q_read_resolved_links,
+        "persistent_park_retry": q_persistent_park_retry,
+        "persistent_filtered": q_persistent_filtered,
+        # -- r11-evidence batch (31) --
+        "funnel_conversion": q_funnel_conversion,
+        "html_c4_funnel": q_html_c4_funnel,
+        "large_volume_orders": q_large_volume_orders,
+        "length_bucket_report": q_length_bucket_report,
+        "market_share": q_market_share,
+        "model_quality_score": q_model_quality_score,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "nation_revenue": q_nation_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
+        "near_dup_containment": q_near_dup_containment,
+        "near_dup_incremental": q_near_dup_incremental,
+        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
+        "read_stream_backward": q_read_stream_backward,
+        "read_stream_from_revision": q_read_stream_from_revision,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "returnflag_priority": q_returnflag_priority,
+        "segment_order_stats": q_segment_order_stats,
+        "shard_manifest": q_shard_manifest,
+        "small_qty_revenue": q_small_qty_revenue,
+        "snapshot_novelty": q_snapshot_novelty,
+        "source_composition": q_source_composition,
+        "supplier_part_counts": q_supplier_part_counts,
+        "system_streams": q_system_streams,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "top_supplier": q_top_supplier,
+        "value_percentiles": q_value_percentiles,
+        "vocab_coverage": q_vocab_coverage,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- r12-evidence batch (alphabetically-first 12) --
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "bm25_served_from_index": q_bm25_served_from_index,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "chunk_documents": q_chunk_documents,
+        "cohort_retention": q_cohort_retention,
+        "corpus_diff": q_corpus_diff,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "embedding_lsh_recall": q_embedding_lsh_recall,
+        "events_range_join": q_events_range_join,
+        "exact_substring_spans": q_exact_substring_spans,
+        "filter_stream_prefix": q_filter_stream_prefix,
+        "filter_type_regex": q_filter_type_regex,
+        # -- previously-checked batches (r12+ evidence; the r15 head
+        #    entries whose code did NOT change rotate here) --
+        "persistent_round_robin": q_persistent_round_robin,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -9347,43 +9614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "events_session_native": q_events_session_native,
         "events_sessionization": q_events_sessionization,
-        # -- r11-evidence leftovers (31): first in line for the
-        #    r16 window head --
-        "funnel_conversion": q_funnel_conversion,
-        "html_c4_funnel": q_html_c4_funnel,
-        "large_volume_orders": q_large_volume_orders,
-        "length_bucket_report": q_length_bucket_report,
-        "market_share": q_market_share,
-        "model_quality_score": q_model_quality_score,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "nation_revenue": q_nation_revenue,
-        "nation_trade_flows": q_nation_trade_flows,
-        "near_dup_containment": q_near_dup_containment,
-        "near_dup_incremental": q_near_dup_incremental,
-        "near_dup_ngram_jaccard": q_near_dup_ngram_jaccard,
-        "read_stream_backward": q_read_stream_backward,
-        "read_stream_from_revision": q_read_stream_from_revision,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "returnflag_priority": q_returnflag_priority,
-        "segment_order_stats": q_segment_order_stats,
-        "shard_manifest": q_shard_manifest,
-        "small_qty_revenue": q_small_qty_revenue,
-        "snapshot_novelty": q_snapshot_novelty,
-        "source_composition": q_source_composition,
-        "supplier_part_counts": q_supplier_part_counts,
-        "system_streams": q_system_streams,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "top_supplier": q_top_supplier,
-        "value_percentiles": q_value_percentiles,
-        "vocab_coverage": q_vocab_coverage,
-        "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "winnow_fingerprints": q_winnow_fingerprints,
         # -- r12-, r13-, r14-checked batches --
         "delta_log_lifecycle": q_delta_log_lifecycle,
         "streaming_reordered_transitions": q_streaming_reordered_transitions,
-        "persistent_park_retry": q_persistent_park_retry,
         "customers_without_orders": q_customers_without_orders,
         "split_contamination": q_split_contamination,
         "subscription_catchup": q_subscription_catchup,
@@ -9481,40 +9714,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_pieces": q_unigram_lm_pieces,
         "streaming_funnel_users": q_streaming_funnel_users,
         "streaming_hdr_daily": q_streaming_hdr_daily,
-        "embedding_lsh_recall": q_embedding_lsh_recall,
-        "bm25_served_from_index": q_bm25_served_from_index,
         "streaming_dedup_corpus": q_streaming_dedup_corpus,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_part_share": q_nation_part_share,
-        "bulk_part_suppliers": q_bulk_part_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "winnow_cross_matches": q_winnow_cross_matches,
         "hybrid_retrieval": q_hybrid_retrieval,
-        "corpus_diff": q_corpus_diff,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "chunk_documents": q_chunk_documents,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "scrubbed_corpus": q_scrubbed_corpus,
         "token_balanced_shards": q_token_balanced_shards,
-        "events_range_join": q_events_range_join,
         "winnow_matches": q_winnow_matches,
-        "exact_substring_spans": q_exact_substring_spans,
         "head_revisions": q_head_revisions,
-        "cohort_retention": q_cohort_retention,
         "rollup_revenue": q_rollup_revenue,
         "promo_revenue_ratio": q_promo_revenue_ratio,
         "tpch_q1": q_tpch_q1,
         "vocab_stats": q_vocab_stats,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "system_by_category": q_system_by_category,
         "proj_emit_enriched": q_proj_emit_enriched,
         "proj_first_last": q_proj_first_last,
         "read_all_backward": q_read_all_backward,
         "read_all_first_event": q_read_all_first_event,
         "read_all_last_event": q_read_all_last_event,
-        "filter_stream_prefix": q_filter_stream_prefix,
-        "filter_type_regex": q_filter_type_regex,
         "scalar_envelope": q_scalar_envelope,
         "scalar_struct_uuid": q_scalar_struct_uuid,
         "read_all_from_position": q_read_all_from_position,

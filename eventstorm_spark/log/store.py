@@ -88,6 +88,14 @@ TOMBSTONE_EVENT = "$stream-tombstoned"
 LINK_EVENT = "$>"
 METADATA_EVENT = "$metadata"  # EventStoreDB stream-metadata event type
 
+# Sentinel "hide every position" bound for tombstoned streams in the
+# broadcast deletion frame (any real position is far below 2^62).
+_TOMBSTONE_BEFORE = 1 << 62
+
+# Distinguishes "caller did not pass a retention frame" from "caller
+# computed the frame and it was None (no metadata streams)".
+_UNSET = object()
+
 
 class EventLog:
     """A named event log over a Parquet directory.
@@ -838,6 +846,39 @@ class EventLog:
     def _deletion_state(self, stream: str) -> tuple:
         return self._load_deletions().get(stream, (None, -1, -1))
 
+    def _deletions_frame(self) -> Optional[DataFrame]:
+        """``(stream, __del_before)`` for every ever-deleted stream — the
+        broadcast side of the logical deletion filter. A soft delete
+        hides positions ``<= before``; a tombstone hides the whole
+        stream (sentinel bound). Row count = #ever-deleted streams
+        (the already-cached deletions dict, one bounded
+        ``$deleted-streams`` collect), so the join side is
+        broadcast-scale by construction. This REPLACES the old
+        per-stream OR-chain predicate: tombstone state is permanent,
+        so that expression tree grew one term per ever-deleted stream
+        and Catalyst plan compile is superlinear in expression size —
+        at 100× stream churn the chain degenerates long before the
+        data does. The join's plan shape is constant in #deletions."""
+        dels = self._load_deletions()
+        if not dels:
+            return None
+        rows = [(s, _TOMBSTONE_BEFORE if kind == "tombstoned" else int(before))
+                for s, (kind, before, _) in dels.items()]
+        return self.spark.createDataFrame(
+            rows, "stream string, __del_before long")
+
+    @staticmethod
+    def _apply_deletion_filter(df: DataFrame, delf: DataFrame) -> DataFrame:
+        """Hide logically-deleted history: broadcast left join against
+        the deletions frame, keep rows past the per-stream bound (or
+        from never-deleted streams). Same shape as the retention join
+        right below it in ``_resolution_envelope`` — the corpus never
+        shuffles."""
+        return (df.join(F.broadcast(delf), "stream", "left")
+                .where(F.col("__del_before").isNull()
+                       | (F.col("position") > F.col("__del_before")))
+                .drop("__del_before"))
+
     def _effective_head(self, stream: str) -> tuple:
         """(continuation-aware head revision, deletion kind): after a
         soft delete — even one whose rows scavenge already reclaimed —
@@ -911,48 +952,28 @@ class EventLog:
                 "scavenge on a Delta-backed log maps to Delta DELETE + "
                 "OPTIMIZE; use those (the parquet path's rewrite would "
                 "bypass the transaction log)")
-        dels = self._load_deletions()
-        cond = None
-        for s, (kind, before, _) in dels.items():
-            c = (F.col("stream") == s)
-            if kind != "tombstoned":
-                c = c & (F.col("position") <= before)
-            cond = c if cond is None else (cond | c)
-        # retention metadata: physically drop out-of-retention events
-        # (the logical read filter made them invisible already). The
-        # collect is bounded by the number of $$-metadata STREAMS (their
-        # latest body each), never event volume.
-        import json as _json
-
-        meta_rows = (self.df()
-                     .where(F.col("stream").startswith("$$"))
-                     .groupBy("stream")
-                     .agg(F.max_by("data", "revision").alias("data"))
-                     .collect())
-        for r in meta_rows:
-            sid = r["stream"][2:]
-            meta = _json.loads(r["data"]) if r["data"] else {}
-            if not meta:
-                continue
-            self._stream_meta[sid] = meta
-            floor, cutoff = self._retention_cutoff(meta)
-            if "$maxCount" in meta:
-                head = self.head_revision(sid)
-                if head is not None:
-                    cf = head - int(meta["$maxCount"]) + 1
-                    floor = cf if floor is None else max(floor, cf)
-            this_stream = F.col("stream") == sid
-            if floor is not None and floor > 0:
-                c = this_stream & (F.col("revision") < floor)
-                cond = c if cond is None else (cond | c)
-            if cutoff is not None:
-                c = this_stream & (F.col("created") < F.lit(cutoff))
-                cond = c if cond is None else (cond | c)
-        if cond is None:
+        # Both reclamation rules are broadcast anti-filters against
+        # small per-stream frames (#ever-deleted streams / #metadata
+        # streams rows) — the same shape the logical read filters use.
+        # Tombstone state is permanent, so an expression-tree form
+        # (one OR term per deleted stream) would grow the compiled
+        # plan without bound; the join's plan shape is constant.
+        delf = self._deletions_frame()
+        rt = self._retention_frame()
+        if delf is None and rt is None:
             return 0
         with self._lock:
             df = self.df()
-            kept = df.where(~cond)
+            kept = df
+            if delf is not None:
+                kept = self._apply_deletion_filter(kept, delf)
+            if rt is not None:
+                kept = (kept.join(F.broadcast(rt), "stream", "left")
+                        .where((F.col("__floor").isNull()
+                                | (F.col("revision") >= F.col("__floor")))
+                               & (F.col("__cutoff").isNull()
+                                  | (F.col("created") >= F.col("__cutoff"))))
+                        .drop("__floor", "__cutoff"))
             removed = df.count() - kept.count()
             if removed == 0:
                 return 0
@@ -1152,7 +1173,7 @@ class EventLog:
         )
         return self.append(stream, [ev], expected)
 
-    def _resolution_envelope(self) -> DataFrame:
+    def _resolution_envelope(self, retention_frame=_UNSET) -> DataFrame:
         """The envelope link targets resolve against: per-stream LOGICAL
         visibility — soft-deleted/tombstoned history and out-of-retention
         events excluded — so resolution answers like the target stream's
@@ -1164,18 +1185,20 @@ class EventLog:
         showing those rows until scavenge — a separate, test-pinned
         surface). Before round 15 resolution joined the RAW envelope,
         so the same link resolved pre-scavenge and dangled post-scavenge
-        — scavenge was not transparent to link readers."""
+        — scavenge was not transparent to link readers.
+
+        Both visibility rules are broadcast joins against small
+        per-stream frames (#ever-deleted / #metadata streams rows), so
+        the plan shape is constant in deletion churn — see
+        ``_deletions_frame``. ``retention_frame`` lets ``read`` pass
+        the frame it already built for the ``$all`` branch instead of
+        re-running the two bounded metadata collects."""
         df = self.df()
-        dels = self._load_deletions()
-        cond = None
-        for s, (kind, before, _) in dels.items():
-            c = F.col("stream") == s
-            if kind != "tombstoned":
-                c = c & (F.col("position") <= before)
-            cond = c if cond is None else (cond | c)
-        if cond is not None:
-            df = df.where(~cond)
-        rt = self._retention_frame()
+        delf = self._deletions_frame()
+        if delf is not None:
+            df = self._apply_deletion_filter(df, delf)
+        rt = (self._retention_frame() if retention_frame is _UNSET
+              else retention_frame)
         if rt is not None:
             df = (df.join(F.broadcast(rt), "stream", "left")
                   .where((F.col("__floor").isNull()
@@ -1244,6 +1267,7 @@ class EventLog:
         soft-deleted stream reads as recreated-or-missing (only events
         appended after the delete are visible)."""
         df = self.df()
+        rt_for_resolution = _UNSET
         if opts.stream is not None:
             sid = opts.stream.identifier
             kind, before, _ = self._deletion_state(sid)
@@ -1265,6 +1289,7 @@ class EventLog:
             # corpus never shuffles, and logs without metadata skip this
             # entirely (single has-any probe per instance).
             rt = self._retention_frame()
+            rt_for_resolution = rt  # reuse below; rebuilding = 2 collects
             if rt is not None:
                 df = (df.join(F.broadcast(rt), "stream", "left")
                       .where((F.col("__floor").isNull()
@@ -1276,7 +1301,8 @@ class EventLog:
         if opts.resolve_links:
             from eventstorm_spark.log.plan import _bounds
 
-            out = self.resolve_links(out, self._resolution_envelope())
+            out = self.resolve_links(
+                out, self._resolution_envelope(rt_for_resolution))
             if opts.stream is not None:
                 field, kind, at = "revision", opts.stream.kind, opts.stream.revision
             else:

@@ -560,7 +560,10 @@ class SinkPersistentSubscription(PersistentSubscription):
             self._rr_next += len(meta)
         if self._replay_queue:
             keep = set(self._replay_queue) - dispatched
-            if take:
+            if take and (set(take) - dispatched - skip):
+                # Guard: only positions neither dispatched nor in the
+                # skip set can be ghosts — in the common all-dispatched
+                # batch the replay-frame re-scan below is pure cost.
                 # A taken position that produced NO candidate row is
                 # physically gone (its stream deleted AND scavenged
                 # between park and replay) — drop it, or it squats at

@@ -96,10 +96,20 @@ def main() -> None:
     # Round 15: adjudicate steady-state and harness-dominated rows
     # SEPARATELY (both r14 control windows spent their budget
     # re-explaining the two per-micro-batch rows' host-weather swings).
+    # Parse HARNESS_DOMINATED out of bench.py textually: importing the
+    # module would pull in eventstorm_spark.session/pyspark (and mutate
+    # sys.path) just to read a two-element list, and any import-time
+    # failure beyond ImportError aborted the whole control run.
     try:
-        sys.path.insert(0, REPO)
-        from bench import HARNESS_DOMINATED as _harness_rows
-    except ImportError:
+        import ast
+        src = open(os.path.join(REPO, "bench.py")).read()
+        _harness_rows = next(
+            ast.literal_eval(node.value)
+            for node in ast.walk(ast.parse(src))
+            if isinstance(node, ast.Assign)
+            and any(getattr(t, "id", None) == "HARNESS_DOMINATED"
+                    for t in node.targets))
+    except Exception:
         _harness_rows = ["bm25_served_from_index", "streaming_sessions"]
     harness_shared = shared & set(_harness_rows)
     steady_shared = shared - harness_shared

@@ -388,3 +388,41 @@ def test_resolution_envelope_retention_join_broadcasts(log):
     assert "BroadcastHashJoin" in plan       # retention table broadcast
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deletion_filter_plan_constant_in_churn(log):
+    """The logical deletion filter on the resolve path must be a
+    broadcast join against a #deleted-streams-sized frame, NOT an
+    expression tree with one ``(stream = s AND position <= b)`` term
+    per ever-deleted stream — tombstone state is permanent, so that
+    chain grows without bound with stream churn and Catalyst plan
+    compile is superlinear in expression size. Pin: no per-deletion
+    stream-name literal ever appears in the compiled plan, and the
+    plan's size stays flat as deletions accumulate."""
+    log.append("src", new_events(4))
+    log.link_to("idx", "src", 2)
+    for i in range(3):
+        log.append(f"churn-{i}", new_events(2))
+        log.delete_stream(f"churn-{i}")
+    def resolved_plan():
+        return (log.read_stream("idx", resolve_links=True)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    plan3 = resolved_plan()
+    assert "BroadcastHashJoin" in plan3      # deletions frame broadcast
+    for i in range(3):                       # no per-deletion literals
+        assert f"churn-{i}" not in plan3, plan3
+    assert " OR " not in plan3 or plan3.count(" OR ") <= 4
+
+    for i in range(3, 12):
+        log.append(f"churn-{i}", new_events(2))
+        log.delete_stream(f"churn-{i}")
+    plan12 = resolved_plan()
+    for i in range(12):
+        assert f"churn-{i}" not in plan12, plan12
+    # constant shape: 4x the deletions must not grow the plan (allow
+    # small slack for differing exchange/stat annotations)
+    assert len(plan12) <= len(plan3) * 1.2, (len(plan3), len(plan12))
+    # and the resolved read still answers correctly through the churn
+    rows = log.read_stream("idx", resolve_links=True).collect()
+    assert [r.uuid for r in rows] == ["uuid-2"]
