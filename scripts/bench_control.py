@@ -67,26 +67,47 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     commits = {"head": head_commit}
-    # HEAD first, then each reference commit — one window, back-to-back.
-    print(f"[control] benching head ({head_commit}) at {SF_DIR}",
-          file=sys.stderr)
-    results["head"] = run_bench(REPO)
+    # Median-of-N legs per commit, INTERLEAVED head/ref/head/ref/... so
+    # slow host drift within the window hits both sides symmetrically
+    # (r15 finding: a byte-identical leg drifted 1.064x across two
+    # windows — single-leg controls read that as a code delta).
+    rounds = int(os.environ.get("BENCH_CONTROL_ROUNDS", "3"))
     wt_base = os.path.join(REPO, ".bench_worktrees")
     os.makedirs(wt_base, exist_ok=True)
+    wts: dict[str, str] = {}
     try:
         for label, commit in legs_spec:
             wt = os.path.join(wt_base, label)
             subprocess.run(["git", "worktree", "add", "--detach", wt, commit],
                            cwd=REPO, check=True, capture_output=True)
-            try:
-                print(f"[control] benching {label} ({commit})",
-                      file=sys.stderr)
-                results[label] = run_bench(wt)
-                commits[label] = commit
-            finally:
-                subprocess.run(["git", "worktree", "remove", "--force", wt],
-                               cwd=REPO, capture_output=True)
+            wts[label] = wt
+            commits[label] = commit
+        samples: dict[str, list[dict]] = {lb: [] for lb in ["head", *wts]}
+        for rnd in range(rounds):
+            print(f"[control] round {rnd + 1}/{rounds}: head "
+                  f"({head_commit}) at {SF_DIR}", file=sys.stderr)
+            samples["head"].append(run_bench(REPO))
+            for label, wt in wts.items():
+                print(f"[control] round {rnd + 1}/{rounds}: {label} "
+                      f"({commits[label]})", file=sys.stderr)
+                samples[label].append(run_bench(wt))
+        import statistics
+        for label, docs in samples.items():
+            qnames = set(docs[0]["queries"])
+            for d in docs[1:]:
+                qnames &= set(d["queries"])
+            doc = dict(docs[0])
+            doc["queries"] = {
+                q: round(statistics.median(d["queries"][q] for d in docs), 3)
+                for q in qnames}
+            doc["bench_legs"] = len(docs)
+            doc["leg_totals_sec"] = [
+                round(sum(d["queries"][q] for q in qnames), 3) for d in docs]
+            results[label] = doc
     finally:
+        for wt in wts.values():
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           cwd=REPO, capture_output=True)
         subprocess.run(["git", "worktree", "prune"], cwd=REPO,
                        capture_output=True)
 
@@ -123,6 +144,8 @@ def main() -> None:
                 sum(r["queries"][q] for q in steady_shared), 3),
             "harness_total_sec": round(
                 sum(r["queries"][q] for q in harness_shared), 3),
+            "bench_legs": r.get("bench_legs", 1),
+            "leg_totals_sec": r.get("leg_totals_sec"),
         }
     shared_queries = {
         q: {f"{label}_sec": results[label]["queries"][q]
@@ -133,7 +156,10 @@ def main() -> None:
         "method": ("SCALE.md 10.2 paired-commit control: HEAD and the "
                    "listed commits benched back-to-back in one quiet "
                    "window on this round's host (each commit's own "
-                   f"bench.py, {SF_DIR}, local[32]); totals are over "
+                   f"bench.py, {SF_DIR}, local[32]); per-query values "
+                   "are the MEDIAN over interleaved "
+                   "head/ref/head/ref legs (r16: single-leg controls "
+                   "read within-window drift as code); totals are over "
                    f"the {len(shared)}-query shared subset; "
                    "steady/harness totals split out the "
                    f"{sorted(harness_shared)} per-micro-batch rows "

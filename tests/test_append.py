@@ -497,3 +497,52 @@ def test_multiprocess_two_writer_race(spark, tmp_path):
         revs = sorted(r.revision for r in rows if r.stream == f"w-{i}")
         assert revs == list(range(n_batches * 3))  # per-stream dense
     assert sum(1 for r in rows if r.stream == "cas") == 1
+
+
+def test_append_multi_two_writer_cas_race(spark, tmp_path):
+    """Cross-instance BatchAppend race: two EventLog instances on one
+    path race append_multi batches that BOTH carry a no_stream() CAS
+    on the same brand-new stream plus an unconditional request. The
+    reserve loser re-runs every request's CAS against refreshed heads
+    (store.py append_multi's retry loop), so exactly ONE batch commits
+    the claim — and the loser's batch writes NOTHING AT ALL, its
+    unconditional request included (all-or-nothing survives the
+    retry; a partial commit here would be the classic half-applied
+    batch the single-transaction contract forbids)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "log")
+    a, b = EventLog(spark, path), EventLog(spark, path)
+    a.append("seed", new_events(1, prefix="seed"))
+    outcomes: dict[str, str] = {}
+
+    def racer(name: str, log: EventLog) -> None:
+        reqs = [
+            (f"solo-{name}", new_events(2, prefix=name),
+             ExpectedRevision.any()),
+            ("claimed", new_events(1, prefix=f"{name}-c"),
+             ExpectedRevision.no_stream()),
+        ]
+        try:
+            log.append_multi(reqs)
+            outcomes[name] = "won"
+        except WrongExpectedRevisionError:
+            outcomes[name] = "lost"
+
+    t1 = threading.Thread(target=racer, args=("a", a))
+    t2 = threading.Thread(target=racer, args=("b", b))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(outcomes.values()) == ["lost", "won"], outcomes
+    winner = "a" if outcomes["a"] == "won" else "b"
+    loser = "b" if winner == "a" else "a"
+
+    df = EventLog(spark, path).df()
+    assert df.where(F.col("stream") == f"solo-{loser}").count() == 0
+    assert df.where(F.col("stream") == f"solo-{winner}").count() == 2
+    claimed = df.where(F.col("stream") == "claimed").collect()
+    assert [r.uuid for r in claimed] == [f"{winner}-c-0"]
+    # the surviving log is gapless: seed + the winner's 3 rows
+    positions = sorted(r.position for r in df.collect())
+    assert positions == list(range(1, 5))
