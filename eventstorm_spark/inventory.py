@@ -502,6 +502,30 @@ _READ_ORACLES = {
                '999999@user-1' AS data, '$>' AS event_type,
                nl AS revision, n + 1 + nl AS position
         FROM tot, lcnt""",
+    # subscription_resolved: the read-path resolution oracle plus a
+    # row_number delivery_seq — links append in target-position order
+    # after the slice tail, the subscription delivers them in position
+    # order (SinkSubscription's guarded contract), and resolution keeps
+    # link coordinates, so delivery_seq = link index + 1.
+    "subscription_resolved": f"""{ORACLE_CTE},
+        sel AS (SELECT * FROM es_events
+                WHERE stream IN ('user-1', 'user-2')),
+        tot AS (SELECT CAST(max(position) AS BIGINT) AS n FROM sel),
+        err AS (SELECT uuid, data, position,
+                       CAST(row_number() OVER (ORDER BY position) - 1
+                            AS BIGINT) AS i
+                FROM sel WHERE event_type = 'error'),
+        lcnt AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM err)
+        SELECT e.i + 1 AS delivery_seq, '$errors-idx' AS stream,
+               e.uuid, e.data, 'error' AS event_type, e.i AS revision,
+               t.n + 1 + e.i AS position
+        FROM err e, tot t
+        UNION ALL
+        SELECT nl + 1 AS delivery_seq, '$errors-idx' AS stream,
+               '$link-$errors-idx-user-1-999999' AS uuid,
+               '999999@user-1' AS data, '$>' AS event_type,
+               nl AS revision, n + 1 + nl AS position
+        FROM tot, lcnt""",
     # stream_retention_max_age: the third retention rule applied
     # declaratively — the Spark side pins retention_clock so the
     # $maxAge cutoff lands a 5,000-tick guard BELOW user-0's
@@ -4402,6 +4426,63 @@ def q_read_resolved_links(spark, sf_dir):
               int(r.revision), int(r.position)) for r in rows],
             "stream string, uuid string, data string, "
             "event_type string, revision long, position long")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_subscription_resolved(spark, sf_dir):
+    """resolveLinkTos on the SUBSCRIPTION path driver-checked (round 16
+    adds the flag to catch-up subscriptions — streaming/subscriptions
+    ``_resolve_sub``; the READ path's twin is ``read_resolved_links``;
+    the reference parses the flag for subscriptions at model.go:100 and
+    never implements it): the same ``$errors-idx`` link construction,
+    but DELIVERED through a catch-up subscription + SinkSubscription —
+    each micro-batch's link rows stream-static-join the resolution
+    envelope, so delivered rows carry the TARGET's payload identity
+    under the LINK's coordinates with a gapless position-ordered
+    ``delivery_seq``, and the dangling link passes through raw. ORACLE
+    = the read-path oracle plus ``row_number()`` over link position."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.streaming.subscriptions import (SinkSubscription,
+                                                          subscribe_stream)
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-1", "user-2")))
+    tmp = _tempfile.mkdtemp(prefix="essubr_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: driver-side link script — the two streams' error
+        # events (a few dozen at driver SFs), id columns only
+        errs = (env.where(F.col("event_type") == "error")
+                .select("stream", "revision", "position")
+                .orderBy("position").collect())
+        for r in errs:
+            log.link_to("$errors-idx", r["stream"], int(r["revision"]))
+        log.link_to("$errors-idx", "user-1", 999999)  # dangling
+        sub = subscribe_stream(spark, log.path, "$errors-idx",
+                               resolve_links=True)
+        sink = SinkSubscription(sub, _os.path.join(tmp, "sink"),
+                                checkpoint_dir=_os.path.join(tmp, "ckpt"))
+        try:
+            sink.process_available()
+        finally:
+            sink.stop()
+        rows = (sink.result()
+                .select("delivery_seq", "stream", "uuid", "data",
+                        "event_type", "revision", "position")
+                .orderBy("delivery_seq").collect())
+        return spark.createDataFrame(
+            [(int(r.delivery_seq), r.stream, r.uuid, r.data,
+              r.event_type, int(r.revision), int(r.position))
+             for r in rows],
+            "delivery_seq long, stream string, uuid string, "
+            "data string, event_type string, revision long, "
+            "position long")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
 
@@ -9497,23 +9578,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 16 rotation: window head = the TWO NEW queries
+        # -- round 16 rotation: window head = the THREE NEW queries
         #    (stream_retention_max_age: S9' third retention rule with
         #    a pinned retention_clock; batch_append_cas: BatchAppend's
         #    all-or-nothing multi-stream CAS — the last test-only
-        #    protocol op), then the FIVE whose code paths changed this
-        #    round and need fresh driver evidence (the deletion filter
-        #    on the resolve + scavenge paths became a broadcast join
-        #    against a #deleted-streams frame — read_resolved_links,
-        #    stream_deletion_lifecycle, stream_retention_lifecycle;
-        #    the persistent dispatcher's ghost detection gained a
-        #    no-ghost-possible guard — persistent_park_retry,
-        #    persistent_filtered), then the 31 r11-evidence entries
-        #    (SURVEY 7.5b list), then the alphabetically-first 12
-        #    r12-evidence entries. Every entry verified against its
-        #    oracle locally at sf0.001 + sf0.01 this round. --
+        #    protocol op; subscription_resolved: resolveLinkTos on the
+        #    catch-up subscription path), then the FIVE whose code
+        #    paths changed this round and need fresh driver evidence
+        #    (the deletion filter on the resolve + scavenge paths
+        #    became a broadcast join against a #deleted-streams frame
+        #    — read_resolved_links, stream_deletion_lifecycle,
+        #    stream_retention_lifecycle; the persistent dispatcher's
+        #    ghost detection gained a no-ghost-possible guard —
+        #    persistent_park_retry, persistent_filtered), then the 31
+        #    r11-evidence entries (SURVEY 7.5b list), then the
+        #    alphabetically-first 11 r12-evidence entries. Every entry
+        #    verified against its oracle locally at sf0.001 + sf0.01
+        #    this round. --
         "stream_retention_max_age": q_stream_retention_max_age,
         "batch_append_cas": q_batch_append_cas,
+        "subscription_resolved": q_subscription_resolved,
         "read_resolved_links": q_read_resolved_links,
         "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
         "stream_retention_lifecycle": q_stream_retention_lifecycle,
@@ -9563,9 +9647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "exact_substring_spans": q_exact_substring_spans,
         "filter_stream_prefix": q_filter_stream_prefix,
-        "filter_type_regex": q_filter_type_regex,
         # -- previously-checked batches (r12+ evidence; the r15 head
-        #    entries whose code did NOT change rotate here) --
+        #    entries whose code did NOT change rotate here;
+        #    filter_type_regex keeps r12 evidence and heads the r17
+        #    queue with the other r12 leftovers) --
+        "filter_type_regex": q_filter_type_regex,
         "persistent_round_robin": q_persistent_round_robin,
         # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,

@@ -53,30 +53,65 @@ def _stream_source(spark: SparkSession, path: str,
     return reader.parquet(path)
 
 
+def _resolve_sub(spark: SparkSession, path: str,
+                 sub_df: DataFrame) -> DataFrame:
+    """resolveLinkTos on a subscription (EventStoreDB semantics; the
+    reference parses the flag for subscriptions too — ``model.go:100``/
+    ``extensions.go:24`` — and never implements it): a STREAM-STATIC
+    left join of each micro-batch's link rows against the log's
+    logically-visible resolution envelope, replacing link payloads with
+    their targets' while keeping link coordinates for ordering/resume —
+    the exact ``EventLog.resolve_links`` the read path uses.
+
+    Snapshot contract: the envelope (event rows AND the
+    deletion/retention visibility frames) is captured at SUBSCRIBE
+    time — a link whose target commits after the subscription starts
+    delivers unresolved, same as a dangling link. Links point backward
+    in a log whose positions only grow, so catch-up (the phase that
+    carries history, where links live) always resolves; for live-phase
+    links into live-phase targets, re-subscribe or use the read path."""
+    from eventstorm_spark.log.store import EventLog
+
+    log = EventLog(spark, path)
+    return EventLog.resolve_links(sub_df, log._resolution_envelope())
+
+
 def subscribe_stream(spark: SparkSession, path: str, stream: str,
                      from_revision: int = 0, *,
+                     resolve_links: bool = False,
                      max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER,
                      ) -> DataFrame:
     """Catch-up subscription to one stream from a revision (T1).
 
     Resume semantics are inclusive ``>=`` exactly like the reference's
     resume-opts builder (streams.go:264-285, `>=` at backend.go:111-116).
+    ``resolve_links`` applies EventStoreDB's resolveLinkTos per
+    micro-batch (see ``_resolve_sub`` for the snapshot contract).
     """
     src = _stream_source(spark, path, max_files_per_trigger)
-    return src.where((F.col("stream") == stream) & (F.col("revision") >= from_revision))
+    out = src.where((F.col("stream") == stream)
+                    & (F.col("revision") >= from_revision))
+    if resolve_links:
+        out = _resolve_sub(spark, path, out)
+    return out
 
 
 def subscribe_all(spark: SparkSession, path: str, from_position: int = 0,
                   filter: Optional[SubscriptionFilter] = None, *,
+                  resolve_links: bool = False,
                   max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER,
                   ) -> DataFrame:
     """Catch-up subscription to $all from a position, with server-side
     filter (T1 + T5 — the filter applies to catch-up AND live phases,
-    streams.go:270-276)."""
+    streams.go:270-276) and optional resolveLinkTos (the filter sees
+    the LINK rows' own stream/type — EventStoreDB filters before
+    resolution — and resolution keeps link coordinates)."""
     src = (_stream_source(spark, path, max_files_per_trigger)
            .where(F.col("position") >= from_position))
     if filter is not None:
         src = src.where(filter_column(filter))
+    if resolve_links:
+        src = _resolve_sub(spark, path, src)
     return src
 
 

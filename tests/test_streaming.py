@@ -1264,3 +1264,45 @@ def test_streaming_state_must_be_json_native(spark, log):
             q.stop()
         except Exception:
             pass
+
+
+# EventStoreDB resolveLinkTos on catch-up subscriptions (the reference
+# parses the flag for subscriptions too — model.go:100/extensions.go:24
+# — and never implements it): delivered link rows carry the TARGET's
+# payload identity under the LINK's coordinates; dangling links pass
+# through raw; non-link rows are untouched; deliveries stay in link
+# position order so resume/checkpoint semantics are unchanged.
+def test_subscription_resolves_links(spark, log):
+    log.append("src", _events(4))
+    for rev in (2, 0):
+        log.link_to("idx", "src", rev)
+    log.link_to("idx", "src", 999)  # dangling
+    log.append("idx", _events(1, start=50))  # non-link row in the stream
+
+    sub = Subscription(subscribe_stream(spark, log.path, "idx",
+                                        resolve_links=True))
+    try:
+        sub.process_available()
+        got = [(r["uuid"], r["event_type"], r["revision"])
+               for r in sub.delivered.events]
+        assert got == [
+            ("u-2", "event-type", 0),      # resolved: target payload,
+            ("u-0", "event-type", 1),      # link coordinates
+            ("$link-idx-src-999", "$>", 2),  # dangling passes through
+            ("u-50", "event-type", 3),     # non-link untouched
+        ], got
+    finally:
+        sub.stop()
+
+    # the $all form: filter sees the LINK rows (prefix 'idx'), then
+    # resolution swaps payloads under preserved positions
+    flt = SubscriptionFilter(FilterKind.STREAM_ID, prefixes=["idx"])
+    sub2 = Subscription(subscribe_all(spark, log.path, filter=flt,
+                                      resolve_links=True))
+    try:
+        sub2.process_available()
+        assert [r["uuid"] for r in sub2.delivered.events] == [
+            "u-2", "u-0", "$link-idx-src-999", "u-50"]
+        assert sub2.positions == sorted(sub2.positions)
+    finally:
+        sub2.stop()
