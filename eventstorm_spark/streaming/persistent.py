@@ -88,7 +88,7 @@ class PersistentSubscription:
     def __init__(self, log, group: str, stream: Optional[str] = None, *,
                  start_from: int = 0, max_retry_count: int = 3,
                  consumer_strategy: str = ROUND_ROBIN,
-                 filter=None,
+                 filter=None, resolve_links: bool = False,
                  state_dir: Optional[str] = None):
         if filter is not None and stream is not None:
             raise ValueError(
@@ -99,6 +99,13 @@ class PersistentSubscription:
         self.group = group
         self.stream = stream
         self.filter = filter
+        # EventStoreDB's resolveLinkTos on persistent groups: delivered
+        # link rows carry their TARGET's payload identity under the
+        # LINK's coordinates. Positions/revisions are untouched, so the
+        # whole checkpoint/ack/park/replay state machine is oblivious
+        # to resolution; filters evaluate on the ORIGINAL (link) rows
+        # — both exactly EventStoreDB's contract.
+        self.resolve_links = resolve_links
         # highest position the filtered cursor has provably examined
         self._scan_hwm = start_from - 1
         self.max_retry_count = max_retry_count
@@ -149,6 +156,15 @@ class PersistentSubscription:
         self._rr_next += 1
         return c
 
+    def _resolved(self, df):
+        """Apply resolveLinkTos to a delivery frame when enabled (link
+        coordinates preserved — see ``__init__``); identity otherwise."""
+        if not self.resolve_links:
+            return df
+        from eventstorm_spark.log.store import EventLog
+
+        return EventLog.resolve_links(df, self.log._resolution_envelope())
+
     def fetch(self, max_count: int = 32) -> dict[str, list]:
         """Pull the next batch past the checkpoint and assign per the
         consumer strategy. Returns consumer -> [event Row]. Events already
@@ -170,7 +186,7 @@ class PersistentSubscription:
             if self.stream is not None:
                 base = base.where(F.col("stream") == self.stream)
             rows.extend(
-                base.where(F.col(pos_field).isin(take))
+                self._resolved(base.where(F.col(pos_field).isin(take)))
                 .orderBy(pos_field).collect()
             )
             self._replay_queue = self._replay_queue[len(take):]
@@ -189,13 +205,15 @@ class PersistentSubscription:
             try:
                 df = self.log.read_stream(self.stream,
                                           from_revision=self._checkpoint + 1,
-                                          count=requested)
+                                          count=requested,
+                                          resolve_links=self.resolve_links)
                 cursor_rows = df.collect()
             except StreamNotFoundError:
                 cursor_rows = []
         else:
             df = self.log.read_all(from_position=self._checkpoint + 1,
-                                   count=requested, filter=self.filter)
+                                   count=requested, filter=self.filter,
+                                   resolve_links=self.resolve_links)
             cursor_rows = df.collect()
         rows.extend(cursor_rows)
         out: dict[str, list] = {}
@@ -428,12 +446,13 @@ class SinkPersistentSubscription(PersistentSubscription):
                  sink_path: str, start_from: int = 0,
                  max_retry_count: int = 3,
                  consumer_strategy: str = ROUND_ROBIN,
-                 filter=None,
+                 filter=None, resolve_links: bool = False,
                  state_dir: Optional[str] = None):
         super().__init__(log, group, stream, start_from=start_from,
                          max_retry_count=max_retry_count,
                          consumer_strategy=consumer_strategy,
-                         filter=filter, state_dir=state_dir)
+                         filter=filter, resolve_links=resolve_links,
+                         state_dir=state_dir)
         from pyspark.errors import AnalysisException
 
         self.sink_path = sink_path
@@ -473,8 +492,9 @@ class SinkPersistentSubscription(PersistentSubscription):
             base = self.log.df()
             if self.stream is not None:
                 base = base.where(F.col("stream") == self.stream)
-            frames.append(base.where(F.col(pos_field).isin(take))
-                          .withColumn("__prio", F.lit(0)))
+            frames.append(
+                self._resolved(base.where(F.col(pos_field).isin(take)))
+                .withColumn("__prio", F.lit(0)))
         requested = max_count + len(skip)
         # tail snapshot BEFORE the cursor read — same short-page bound
         # as fetch(): appends racing the scan land above the snapshot
@@ -487,12 +507,14 @@ class SinkPersistentSubscription(PersistentSubscription):
             try:
                 cur = self.log.read_stream(self.stream,
                                            from_revision=self._checkpoint + 1,
-                                           count=requested)
+                                           count=requested,
+                                           resolve_links=self.resolve_links)
             except StreamNotFoundError:
                 cur = self.log.df().where(F.lit(False))
         else:
             cur = self.log.read_all(from_position=self._checkpoint + 1,
-                                    count=requested, filter=self.filter)
+                                    count=requested, filter=self.filter,
+                                    resolve_links=self.resolve_links)
         # materialize the page once (bounded: <= requested rows) so the
         # scan-proof stats and the dispatched batch see the SAME rows
         cur = cur.localCheckpoint(eager=True)

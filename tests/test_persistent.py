@@ -633,3 +633,56 @@ def test_sink_dispatch_drops_scavenged_replay_ghosts(spark, tmp_path):
     assert snk.dispatch(max_count=1) == 1            # red: 0 forever
     d = snk.deliveries("c1").orderBy("batch_id", "batch_seq").collect()
     assert int(d[-1].position) == 6
+
+
+def test_resolve_links_delivery_and_parked_replay(log):
+    """resolveLinkTos on a persistent group (EventStoreDB semantics,
+    persistent.proto's declared option): delivered link rows carry the
+    TARGET's payload identity under the LINK's coordinates, so the
+    checkpoint/ack/park machinery — keyed on the link's own
+    revision/position — is oblivious to resolution. Covers BOTH
+    delivery paths: the cursor page and the parked-replay frame (the
+    replay frame reads the raw df, so it needs its own resolution)."""
+    for rev in (7, 3, 5):
+        log.link_to("idx", "s", rev)
+    log.link_to("idx", "s", 999)  # dangling
+
+    sub = PersistentSubscription(log, "g", "idx", resolve_links=True)
+    sub.connect("c1")
+    batch = sub.fetch(max_count=10)["c1"]
+    assert [(r["uuid"], r["revision"]) for r in batch] == [
+        ("uuid-7", 0), ("uuid-3", 1), ("uuid-5", 2),
+        ("$link-idx-s-999", 3)]
+    assert batch[0]["event_type"] == "event-type"  # target identity
+    assert batch[3]["event_type"] == "$>"          # dangling raw
+
+    # park the middle link, ack the rest, replay: the replayed delivery
+    # must come back RESOLVED too (replay-frame path)
+    sub.nack([1], "Park")
+    sub.ack([0, 2, 3])
+    assert sub.replay_parked() == 1
+    replayed = sub.fetch(max_count=10)["c1"]
+    assert [(r["uuid"], r["revision"], r["data"])
+            for r in replayed] == [("uuid-3", 1, '{"i": 3}')]
+
+
+def test_resolve_links_sink_dispatch(log, tmp_path):
+    """The sink dispatcher's twin: dispatched link rows land in the
+    consumer-partitioned sink with target payloads under link
+    coordinates; batch_seq ordering keys on the link positions."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.streaming.persistent import (
+        SinkPersistentSubscription)
+
+    for rev in (2, 0):
+        log.link_to("idx", "s", rev)
+    sub = SinkPersistentSubscription(
+        log, "g", "idx", sink_path=str(tmp_path / "sink"),
+        resolve_links=True)
+    sub.connect("c1")
+    assert sub.dispatch(max_count=10) == 2
+    rows = (sub.deliveries("c1").orderBy("batch_seq")
+            .select("uuid", "revision", "event_type").collect())
+    assert [(r.uuid, r.revision, r.event_type) for r in rows] == [
+        ("uuid-2", 0, "event-type"), ("uuid-0", 1, "event-type")]
