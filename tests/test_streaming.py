@@ -1306,3 +1306,27 @@ def test_subscription_resolves_links(spark, log):
         assert sub2.positions == sorted(sub2.positions)
     finally:
         sub2.stop()
+
+
+# Resolution visibility on the subscription path matches the read path:
+# a link into soft-deleted history delivers UNRESOLVED (the envelope is
+# the logically-visible one, scavenge-invariant), while links to live
+# targets still resolve.
+def test_subscription_resolution_respects_deletion(spark, log):
+    log.append("gone", _events(2))
+    log.append("kept", _events(2, start=10))
+    log.link_to("idx", "gone", 1)
+    log.link_to("idx", "kept", 0)
+    log.delete_stream("gone")
+
+    sub = Subscription(subscribe_stream(spark, log.path, "idx",
+                                        resolve_links=True))
+    try:
+        sub.process_available()
+        got = [(r["uuid"], r["event_type"]) for r in sub.delivered.events]
+        assert got == [
+            ("$link-idx-gone-1", "$>"),   # deleted target: unresolved
+            ("u-10", "event-type"),       # live target: resolved
+        ], got
+    finally:
+        sub.stop()
