@@ -426,3 +426,47 @@ def test_deletion_filter_plan_constant_in_churn(log):
     # and the resolved read still answers correctly through the churn
     rows = log.read_stream("idx", resolve_links=True).collect()
     assert [r.uuid for r in rows] == ["uuid-2"]
+
+
+def test_scavenge_join_path_at_churn(log):
+    """Scavenge's broadcast-anti-join rewrite at moderate churn: 40
+    streams created in ONE BatchAppend commit, 25 of them deleted via
+    batch-appended markers (same state `delete_stream` writes), plus a
+    retention rule on a survivor — one scavenge must reclaim exactly
+    the deleted rows + the out-of-retention prefix, keep every marker,
+    and preserve survivor positions."""
+    import json
+
+    from eventstorm_spark.log.store import DELETE_EVENT, DELETED_STREAMS
+    from eventstorm_spark.model import NewEvent
+
+    log.append("seed", new_events(1, prefix="seed"))
+    reqs = [(f"c-{i}", new_events(3, prefix=f"c{i}"),
+             ExpectedRevision.no_stream()) for i in range(40)]
+    log.append_multi(reqs)
+    tail = log.tail_position()
+    markers = [NewEvent(uuid=f"$del-c-{i}-{tail}",
+                        event_type=DELETE_EVENT,
+                        data=json.dumps({"stream": f"c-{i}",
+                                         "before_position": tail,
+                                         "last_revision": 2}))
+               for i in range(25)]
+    log.append(DELETED_STREAMS, markers, check_duplicates=False)
+    log._deletions = None
+    log.set_stream_metadata("c-30", truncate_before=2)  # keep last rev
+
+    before = {r.stream: r.position for r in log.df().collect()
+              if r.stream == "c-39"}
+    removed = log.scavenge()
+    assert removed == 25 * 3 + 2, removed
+    df = log.df()
+    # markers retained; survivors intact at ORIGINAL positions
+    assert df.where(df.stream == DELETED_STREAMS).count() == 25
+    assert df.where(df.stream.startswith("c-")).count() == 15 * 3 - 2
+    after = {r.stream: r.position for r in df.collect()
+             if r.stream == "c-39"}
+    assert after == before
+    # deleted streams recreate with continued revisions through the
+    # join-based deletion state (the dict survives the rewrite)
+    res = log.append("c-3", new_events(1, prefix="rec"))
+    assert res.last_revision == 3
