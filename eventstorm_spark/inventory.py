@@ -526,6 +526,45 @@ _READ_ORACLES = {
                '999999@user-1' AS data, '$>' AS event_type,
                nl AS revision, n + 1 + nl AS position
         FROM tot, lcnt""",
+    # persistent_resolved: the same link/target reconstruction as
+    # subscription_resolved (links appended in error-position order get
+    # revisions 0..nl-1 and positions n+1..n+nl; the dangling link is
+    # revision nl), delivered as two DispatchToSingle batches — batch 1
+    # all links in revision order, batch 2 the revision%3==0 parked set
+    # replayed with a fresh attempt budget; batch_seq is row_number
+    # over revision within each batch; resolution swaps uuid/data/
+    # event_type for the target's under the link's coordinates.
+    "persistent_resolved": f"""{ORACLE_CTE},
+        sel AS (SELECT * FROM es_events
+                WHERE stream IN ('user-1', 'user-2')),
+        tot AS (SELECT CAST(max(position) AS BIGINT) AS n FROM sel),
+        err AS (SELECT uuid, data, position,
+                       CAST(row_number() OVER (ORDER BY position) - 1
+                            AS BIGINT) AS i
+                FROM sel WHERE event_type = 'error'),
+        lcnt AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM err),
+        links AS (
+            SELECT e.i AS revision, t.n + 1 + e.i AS position,
+                   e.uuid, e.data, 'error' AS event_type
+            FROM err e, tot t
+            UNION ALL
+            SELECT nl AS revision, n + 1 + nl AS position,
+                   '$link-$errors-idx-user-1-999999' AS uuid,
+                   '999999@user-1' AS data, '$>' AS event_type
+            FROM tot, lcnt)
+        SELECT CAST(1 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY revision) AS INT)
+                   AS batch_seq,
+               0 AS attempt, 'c0' AS consumer, '$errors-idx' AS stream,
+               revision, position, uuid, data, event_type
+        FROM links
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS batch_id,
+               CAST(row_number() OVER (ORDER BY revision) AS INT)
+                   AS batch_seq,
+               0 AS attempt, 'c0' AS consumer, '$errors-idx' AS stream,
+               revision, position, uuid, data, event_type
+        FROM links WHERE revision % 3 = 0""",
     # stream_retention_max_age: the third retention rule applied
     # declaratively — the Spark side pins retention_clock so the
     # $maxAge cutoff lands a 5,000-tick guard BELOW user-0's
@@ -4487,6 +4526,78 @@ def q_subscription_resolved(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_persistent_resolved(spark, sf_dir):
+    """T9 resolveLinkTos on a PERSISTENT group END TO END through the
+    scale-path sink dispatcher (the last resolution path with test-only
+    evidence — `test_persistent.py` pins cursor page, parked replay and
+    sink dispatch; this drives the sink dispatcher's BOTH delivery
+    frames against the oracle): the `subscription_resolved` link
+    construction (one `$errors-idx` link per user-1/user-2 error event,
+    in position order, plus a dangling link), dispatched by a
+    stream-scoped group with ``resolve_links=True`` under
+    DispatchToSingle. Batch 1 delivers every link RESOLVED (target
+    payload identity under the link's own revision/position — the
+    checkpoint/ack/park machinery keys on link coordinates and is
+    oblivious to resolution); the consumer script parks revision%3==0
+    and acks the rest; ReplayParked + batch 2 redelivers the parked set
+    through the REPLAY frame, which must come back resolved too (it
+    reads the raw df, so it needs its own resolution — proven red in
+    round 16's unit pin). The ORACLE replays both batches
+    declaratively from the error-event positions."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from eventstorm_spark.log.store import EventLog
+    from eventstorm_spark.streaming.persistent import (
+        DISPATCH_TO_SINGLE, SinkPersistentSubscription)
+
+    env = (es_events(spark, sf_dir)
+           .where(F.col("stream").isin("user-1", "user-2")))
+    tmp = _tempfile.mkdtemp(prefix="espres_")
+    try:
+        log = EventLog.from_dataframe(
+            spark, _os.path.join(tmp, "log"), env)
+        # bounded: driver-side link script — the two streams' error
+        # events (a few dozen at driver SFs), id columns only
+        errs = (env.where(F.col("event_type") == "error")
+                .select("stream", "revision", "position")
+                .orderBy("position").collect())
+        for r in errs:
+            log.link_to("$errors-idx", r["stream"], int(r["revision"]))
+        log.link_to("$errors-idx", "user-1", 999999)  # dangling
+        sub = SinkPersistentSubscription(
+            log, "grp-err", "$errors-idx",
+            sink_path=_os.path.join(tmp, "sink"),
+            resolve_links=True, consumer_strategy=DISPATCH_TO_SINGLE)
+        sub.connect("c0")
+        nlinks = len(errs) + 1
+        n1 = sub.dispatch(max_count=1_000_000)
+        assert n1 == nlinks, (n1, nlinks)
+        park = [rev for rev in range(nlinks) if rev % 3 == 0]
+        sub.nack(park, "Park")
+        sub.ack([rev for rev in range(nlinks) if rev % 3 != 0])
+        assert sub.replay_parked() == len(park)
+        n2 = sub.dispatch(max_count=1_000_000)  # batch 2: parked set
+        assert n2 == len(park), (n2, len(park))
+        sub.ack(park)
+        rows = (sub.deliveries()
+                .select("batch_id", "batch_seq", "attempt", "consumer",
+                        "stream", "revision", "position", "uuid",
+                        "data", "event_type")
+                .orderBy("batch_id", "batch_seq").collect())
+        return spark.createDataFrame(
+            [(int(r.batch_id), int(r.batch_seq), int(r.attempt),
+              r.consumer, r.stream, int(r.revision), int(r.position),
+              r.uuid, r.data, r.event_type) for r in rows],
+            "batch_id long, batch_seq int, attempt int, "
+            "consumer string, stream string, revision long, "
+            "position long, uuid string, data string, "
+            "event_type string")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_retention_max_age(spark, sf_dir):
     """S9′ third retention rule END TO END driver-checked: ``$maxAge``
     (store.py ``_retention_cutoff``; previously unit evidence only —
@@ -4586,6 +4697,13 @@ def q_batch_append_cas(spark, sf_dir):
         cnt = {r["stream"]: r["n"] for r in
                env.groupBy("stream").agg(
                    F.count(F.lit(1)).alias("n")).collect()}
+        # dataset invariant this query leans on: every driver SF's
+        # events table populates user-10 and user-11 with >= 1 event
+        # each and dense revisions 0..n-1 (the CAS legs below address
+        # ExpectedRevision.at(n-1))
+        assert {"user-10", "user-11"} <= cnt.keys(), (
+            "driver fixture must contain user-10 and user-11 streams; "
+            f"got {sorted(cnt)}")
         n10, n11 = cnt["user-10"], cnt["user-11"]
         tail0 = log.tail_position()
 
@@ -9578,32 +9696,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window; entries already green in CORRECTNESS_r01.json rotate to
     the tail. Keep this comment when reordering."""
     q = {
-        # -- round 16 rotation: window head = the THREE NEW queries
-        #    (stream_retention_max_age: S9' third retention rule with
-        #    a pinned retention_clock; batch_append_cas: BatchAppend's
-        #    all-or-nothing multi-stream CAS — the last test-only
-        #    protocol op; subscription_resolved: resolveLinkTos on the
-        #    catch-up subscription path), then the FIVE whose code
-        #    paths changed this round and need fresh driver evidence
-        #    (the deletion filter on the resolve + scavenge paths
-        #    became a broadcast join against a #deleted-streams frame
-        #    — read_resolved_links, stream_deletion_lifecycle,
-        #    stream_retention_lifecycle; the persistent dispatcher's
-        #    ghost detection gained a no-ghost-possible guard —
-        #    persistent_park_retry, persistent_filtered), then the 31
-        #    r11-evidence entries (SURVEY 7.5b list), then the
-        #    alphabetically-first 11 r12-evidence entries. Every entry
-        #    verified against its oracle locally at sf0.001 + sf0.01
-        #    this round. --
-        "stream_retention_max_age": q_stream_retention_max_age,
-        "batch_append_cas": q_batch_append_cas,
+        # -- round 17 rotation: window head = the NEW query
+        #    (persistent_resolved: resolveLinkTos on a persistent
+        #    group through the sink dispatcher, cursor + parked-replay
+        #    frames — the last resolution path that had test-only
+        #    evidence), then the NINE whose code paths changed this
+        #    round (the resolution envelope is now PRUNED by the
+        #    probe's bounded target-stream set before the LeftOuter
+        #    join, subscriptions resolve per micro-batch instead of
+        #    in-plan, persistent fetch/dispatch share one envelope per
+        #    call, and _deletions_frame is memoized per deletions
+        #    epoch — subscription_resolved, read_resolved_links, the
+        #    three persistent_* queries, subscription_catchup, and the
+        #    three deletion/retention lifecycle queries), then the 37
+        #    r12-evidence entries and the alphabetically-first 3
+        #    r13-evidence entries from the SURVEY 7.5c queue (the 10
+        #    remaining queued r13 entries head the r18 queue). Every
+        #    entry verified against its oracle locally at sf0.001 +
+        #    sf0.01 this round. --
+        "persistent_resolved": q_persistent_resolved,
         "subscription_resolved": q_subscription_resolved,
         "read_resolved_links": q_read_resolved_links,
-        "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
-        "stream_retention_lifecycle": q_stream_retention_lifecycle,
         "persistent_park_retry": q_persistent_park_retry,
         "persistent_filtered": q_persistent_filtered,
-        # -- r11-evidence batch (31) --
+        "persistent_round_robin": q_persistent_round_robin,
+        "subscription_catchup": q_subscription_catchup,
+        "stream_deletion_lifecycle": q_stream_deletion_lifecycle,
+        "stream_retention_lifecycle": q_stream_retention_lifecycle,
+        "stream_retention_max_age": q_stream_retention_max_age,
+        "filter_type_regex": q_filter_type_regex,
+        "head_revisions": q_head_revisions,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "late_shipment_priority": q_late_shipment_priority,
+        "min_cost_supplier": q_min_cost_supplier,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "nation_part_share": q_nation_part_share,
+        "proj_category_counts": q_proj_category_counts,
+        "proj_emit_enriched": q_proj_emit_enriched,
+        "proj_filtered_emissions": q_proj_filtered_emissions,
+        "proj_first_last": q_proj_first_last,
+        "proj_linkto_errors": q_proj_linkto_errors,
+        "proj_transform": q_proj_transform,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "read_all_backward": q_read_all_backward,
+        "read_all_first_event": q_read_all_first_event,
+        "read_all_from_position": q_read_all_from_position,
+        "read_all_last_event": q_read_all_last_event,
+        "read_stream_first_event": q_read_stream_first_event,
+        "read_stream_last_event": q_read_stream_last_event,
+        "rollup_revenue": q_rollup_revenue,
+        "scalar_envelope": q_scalar_envelope,
+        "scalar_struct_uuid": q_scalar_struct_uuid,
+        "scrubbed_corpus": q_scrubbed_corpus,
+        "streaming_dedup_corpus": q_streaming_dedup_corpus,
+        "streaming_funnel_users": q_streaming_funnel_users,
+        "streaming_hdr_daily": q_streaming_hdr_daily,
+        "system_by_category": q_system_by_category,
+        "system_by_event_type": q_system_by_event_type,
+        "token_balanced_shards": q_token_balanced_shards,
+        "tpch_q1": q_tpch_q1,
+        "unigram_lm_pieces": q_unigram_lm_pieces,
+        "vocab_stats": q_vocab_stats,
+        "waiting_suppliers": q_waiting_suppliers,
+        "winnow_cross_matches": q_winnow_cross_matches,
+        "winnow_matches": q_winnow_matches,
+        "ann_ivf_served_from_index": q_ann_ivf_served_from_index,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "approx_event_stats": q_approx_event_stats,
+        "batch_append_cas": q_batch_append_cas,
         "funnel_conversion": q_funnel_conversion,
         "html_c4_funnel": q_html_c4_funnel,
         "large_volume_orders": q_large_volume_orders,
@@ -9635,7 +9796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # -- r12-evidence batch (alphabetically-first 12) --
         "ann_lsh_topk": q_ann_lsh_topk,
         "bm25_served_from_index": q_bm25_served_from_index,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -9647,13 +9807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "exact_substring_spans": q_exact_substring_spans,
         "filter_stream_prefix": q_filter_stream_prefix,
-        # -- previously-checked batches (r12+ evidence; the r15 head
-        #    entries whose code did NOT change rotate here;
-        #    filter_type_regex keeps r12 evidence and heads the r17
-        #    queue with the other r12 leftovers) --
-        "filter_type_regex": q_filter_type_regex,
-        "persistent_round_robin": q_persistent_round_robin,
-        # -- r10-evidence batch (26) --
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "html_extract": q_html_extract,
@@ -9680,7 +9833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "wordpiece_piece_usage": q_wordpiece_piece_usage,
         "zorder_locality": q_zorder_locality,
-        # -- r11-evidence batch (alphabetically-first 23) --
         "asof_last_view": q_asof_last_view,
         "bpe_fertility": q_bpe_fertility,
         "bpe_merges": q_bpe_merges,
@@ -9700,12 +9852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "events_session_native": q_events_session_native,
         "events_sessionization": q_events_sessionization,
-        # -- r12-, r13-, r14-checked batches --
         "delta_log_lifecycle": q_delta_log_lifecycle,
         "streaming_reordered_transitions": q_streaming_reordered_transitions,
         "customers_without_orders": q_customers_without_orders,
         "split_contamination": q_split_contamination,
-        "subscription_catchup": q_subscription_catchup,
         "proj_state_lookup": q_proj_state_lookup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -9757,7 +9907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_served_from_index": q_phrase_served_from_index,
         "bm25_index_after_append": q_bm25_index_after_append,
         "bm25_index_compacted_serve": q_bm25_index_compacted_serve,
-        "ann_ivf_served_from_index": q_ann_ivf_served_from_index,
         "events_daily_counts": q_events_daily_counts,
         "tpch_q6": q_tpch_q6,
         "orders_with_returns": q_orders_with_returns,
@@ -9766,14 +9915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": q_events_anomalies,
         "events_rolling_avg": q_events_rolling_avg,
         "cust_order_distribution": q_cust_order_distribution,
-        "approx_event_stats": q_approx_event_stats,
         "lsh_recall_audit": q_lsh_recall_audit,
         "bloom_decontaminated_counts": q_bloom_decontaminated_counts,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "image_dhash": q_image_dhash,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "simhash_candidates": q_simhash_candidates,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "proj_count_by_stream_lowered": q_proj_count_by_stream_lowered,
         "read_stream_forward": q_read_stream_forward,
         "top_returning_customers": q_top_returning_customers,
@@ -9795,42 +9942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bucket_sample": q_quality_bucket_sample,
         "temperature_mixture": q_temperature_mixture,
         "c4_quality_filter": q_c4_quality_filter,
-        "read_stream_first_event": q_read_stream_first_event,
-        "read_stream_last_event": q_read_stream_last_event,
-        "unigram_lm_pieces": q_unigram_lm_pieces,
-        "streaming_funnel_users": q_streaming_funnel_users,
-        "streaming_hdr_daily": q_streaming_hdr_daily,
-        "streaming_dedup_corpus": q_streaming_dedup_corpus,
-        "min_cost_supplier": q_min_cost_supplier,
-        "nation_part_share": q_nation_part_share,
-        "waiting_suppliers": q_waiting_suppliers,
-        "winnow_cross_matches": q_winnow_cross_matches,
-        "hybrid_retrieval": q_hybrid_retrieval,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
-        "scrubbed_corpus": q_scrubbed_corpus,
-        "token_balanced_shards": q_token_balanced_shards,
-        "winnow_matches": q_winnow_matches,
-        "head_revisions": q_head_revisions,
-        "rollup_revenue": q_rollup_revenue,
-        "promo_revenue_ratio": q_promo_revenue_ratio,
-        "tpch_q1": q_tpch_q1,
-        "vocab_stats": q_vocab_stats,
-        "system_by_category": q_system_by_category,
-        "proj_emit_enriched": q_proj_emit_enriched,
-        "proj_first_last": q_proj_first_last,
-        "read_all_backward": q_read_all_backward,
-        "read_all_first_event": q_read_all_first_event,
-        "read_all_last_event": q_read_all_last_event,
-        "scalar_envelope": q_scalar_envelope,
-        "scalar_struct_uuid": q_scalar_struct_uuid,
-        "read_all_from_position": q_read_all_from_position,
-        "proj_category_counts": q_proj_category_counts,
-        "proj_filtered_emissions": q_proj_filtered_emissions,
-        "proj_transform": q_proj_transform,
-        "proj_linkto_errors": q_proj_linkto_errors,
-        "system_by_event_type": q_system_by_event_type,
-        "late_shipment_priority": q_late_shipment_priority,
     }
     return q
 

@@ -163,6 +163,11 @@ class EventLog:
         self._revisions: dict[str, int] = {}  # stream -> head revision cache
         # stream -> (kind, before_position, last_revision); None = not loaded
         self._deletions: Optional[dict[str, tuple]] = None
+        # memoized local (stream, __del_before) frame derived from
+        # _deletions — one createDataFrame per deletions epoch instead
+        # of one per resolve/scavenge call; invalidated everywhere the
+        # dict cache is (watermark fence, marker append)
+        self._deletions_df: Optional[DataFrame] = None
         self._watermark_checked = False
         # stream -> metadata body (read-through; {} = no metadata)
         self._stream_meta: dict[str, dict] = {}
@@ -810,6 +815,7 @@ class EventLog:
             if wm != self._deletions_watermark:
                 self._deletions_watermark = wm
                 self._deletions = None
+                self._deletions_df = None
         elif self._commit_protocol == "delta":
             # Same fence, delta clock: the transaction-log version moves
             # on every cross-process commit (delete markers included),
@@ -821,6 +827,7 @@ class EventLog:
             if v != self._deletions_watermark:
                 self._deletions_watermark = v
                 self._deletions = None
+                self._deletions_df = None
         if self._deletions is not None:
             return self._deletions
         import json as _json
@@ -862,10 +869,13 @@ class EventLog:
         dels = self._load_deletions()
         if not dels:
             return None
+        if self._deletions_df is not None:
+            return self._deletions_df
         rows = [(s, _TOMBSTONE_BEFORE if kind == "tombstoned" else int(before))
                 for s, (kind, before, _) in dels.items()]
-        return self.spark.createDataFrame(
+        self._deletions_df = self.spark.createDataFrame(
             rows, "stream string, __del_before long")
+        return self._deletions_df
 
     @staticmethod
     def _apply_deletion_filter(df: DataFrame, delf: DataFrame) -> DataFrame:
@@ -932,6 +942,7 @@ class EventLog:
         )
         res = self.append(DELETED_STREAMS, [marker], check_duplicates=False)
         self._deletions = None
+        self._deletions_df = None
         return res
 
     def tombstone_stream(self, stream: str,
@@ -1217,11 +1228,25 @@ class EventLog:
         body (EventStoreDB surfaces unresolved links the same way). The
         link's own position/revision are preserved so ordering, limits
         and resume positions keep referring to the *link* stream — only
-        payload identity changes. The join probe side is the (small) read
-        result; the build side is the envelope table keyed exactly like
-        the (stream-bucket, position) layout, so at scale this is a
-        broadcast of the probe or a bucket-co-located join, never a
-        corpus shuffle of the log itself.
+        payload identity changes.
+
+        Scale shape: the probe is page/batch-bounded, but Spark cannot
+        build the preserved (left) side of a LeftOuter broadcast join,
+        so joining the RAW envelope would broadcast the *envelope* —
+        fine at driver SFs, but past the broadcast threshold the
+        planner falls back to sort-merge and shuffles the entire corpus
+        by (stream, revision) for a page-sized resolved read. So the
+        envelope is PRUNED first by the probe's distinct link-target
+        streams (collected driver-side — bounded by the page/batch row
+        count): the ``isin`` pushes through the visibility joins to the
+        parquet scan, prunes it, and the filtered envelope is
+        probe-scale, which AQE then broadcasts. A probe with no link
+        rows skips the join entirely. Streaming probes can't be
+        collected at plan time, so they keep the unpruned stream-static
+        join — the wrappers (``Subscription``/``SinkSubscription``)
+        resolve per micro-batch with static frames precisely so the
+        pruned path engages; the in-plan streaming form is the
+        driver-SF fallback for direct ``writeStream`` consumers.
         """
         is_link = F.col("event_type") == LINK_EVENT
         at = F.split(F.col("data"), "@", 2)
@@ -1229,6 +1254,16 @@ class EventLog:
             "__tgt_rev": F.when(is_link, F.element_at(at, 1).cast("long")),
             "__tgt_stream": F.when(is_link, F.element_at(at, 2)),
         })
+        if not df.isStreaming:
+            # bounded: the probe is a page-bounded read result, a
+            # replay frame, or one micro-batch — its distinct
+            # link-target streams number at most its row count
+            tgts = [r[0] for r in probe.select("__tgt_stream")
+                    .where(F.col("__tgt_stream").isNotNull())
+                    .distinct().collect()]
+            if not tgts:
+                return df
+            events = events.where(F.col("stream").isin(tgts))
         tgt = events.select(
             F.col("stream").alias("__t_stream"), F.col("revision").alias("__t_rev"),
             F.col("uuid").alias("__t_uuid"), F.col("data").alias("__t_data"),

@@ -156,14 +156,26 @@ class PersistentSubscription:
         self._rr_next += 1
         return c
 
-    def _resolved(self, df):
+    def _envelope(self):
+        """One resolution envelope per fetch/dispatch call, shared by
+        the replay frame AND the cursor read — rebuilding it per frame
+        re-ran the deletions collect and both retention-metadata
+        collects twice per call (the very re-collect read()'s
+        rt_for_resolution reuse avoids). None when resolution is off."""
+        if not self.resolve_links:
+            return None
+        return self.log._resolution_envelope()
+
+    def _resolved(self, df, env=None):
         """Apply resolveLinkTos to a delivery frame when enabled (link
-        coordinates preserved — see ``__init__``); identity otherwise."""
+        coordinates preserved — see ``__init__``); identity otherwise.
+        ``env`` is the per-call shared envelope from ``_envelope``."""
         if not self.resolve_links:
             return df
         from eventstorm_spark.log.store import EventLog
 
-        return EventLog.resolve_links(df, self.log._resolution_envelope())
+        return EventLog.resolve_links(
+            df, env if env is not None else self.log._resolution_envelope())
 
     def fetch(self, max_count: int = 32) -> dict[str, list]:
         """Pull the next batch past the checkpoint and assign per the
@@ -177,6 +189,7 @@ class PersistentSubscription:
             raise EventStormError("no consumers connected")
         skip = set(self._in_flight) | self._completed | set(self._parked)
         pos_field = "revision" if self.stream is not None else "position"
+        env = self._envelope()  # one envelope per call (replay + cursor)
         rows = []
         replay_take: set[int] = set()
         if self._replay_queue:
@@ -186,7 +199,7 @@ class PersistentSubscription:
             if self.stream is not None:
                 base = base.where(F.col("stream") == self.stream)
             rows.extend(
-                self._resolved(base.where(F.col(pos_field).isin(take)))
+                self._resolved(base.where(F.col(pos_field).isin(take)), env)
                 .orderBy(pos_field).collect()
             )
             self._replay_queue = self._replay_queue[len(take):]
@@ -203,17 +216,20 @@ class PersistentSubscription:
             # page, not an error — the group just waits.
             from eventstorm_spark.errors import StreamNotFoundError
             try:
+                # cursor read unresolved, then resolve against the
+                # SHARED envelope (coordinates preserved, so
+                # page-then-resolve == read(resolve_links=True))
                 df = self.log.read_stream(self.stream,
                                           from_revision=self._checkpoint + 1,
-                                          count=requested,
-                                          resolve_links=self.resolve_links)
+                                          count=requested)
+                df = self._resolved(df, env).orderBy(pos_field)
                 cursor_rows = df.collect()
             except StreamNotFoundError:
                 cursor_rows = []
         else:
             df = self.log.read_all(from_position=self._checkpoint + 1,
-                                   count=requested, filter=self.filter,
-                                   resolve_links=self.resolve_links)
+                                   count=requested, filter=self.filter)
+            df = self._resolved(df, env).orderBy(pos_field)
             cursor_rows = df.collect()
         rows.extend(cursor_rows)
         out: dict[str, list] = {}
@@ -484,6 +500,7 @@ class SinkPersistentSubscription(PersistentSubscription):
             return 0
         pos_field = "revision" if self.stream is not None else "position"
         skip = set(self._in_flight) | self._completed | set(self._parked)
+        env = self._envelope()  # one envelope per call (replay + cursor)
 
         frames = []
         take: list[int] = []
@@ -493,7 +510,7 @@ class SinkPersistentSubscription(PersistentSubscription):
             if self.stream is not None:
                 base = base.where(F.col("stream") == self.stream)
             frames.append(
-                self._resolved(base.where(F.col(pos_field).isin(take)))
+                self._resolved(base.where(F.col(pos_field).isin(take)), env)
                 .withColumn("__prio", F.lit(0)))
         requested = max_count + len(skip)
         # tail snapshot BEFORE the cursor read — same short-page bound
@@ -505,16 +522,18 @@ class SinkPersistentSubscription(PersistentSubscription):
             # missing stream = empty page (same contract as fetch())
             from eventstorm_spark.errors import StreamNotFoundError
             try:
+                # unresolved cursor read + shared-envelope resolution —
+                # same page-then-resolve equivalence as fetch()
                 cur = self.log.read_stream(self.stream,
                                            from_revision=self._checkpoint + 1,
-                                           count=requested,
-                                           resolve_links=self.resolve_links)
+                                           count=requested)
+                cur = self._resolved(cur, env)
             except StreamNotFoundError:
                 cur = self.log.df().where(F.lit(False))
         else:
             cur = self.log.read_all(from_position=self._checkpoint + 1,
-                                    count=requested, filter=self.filter,
-                                    resolve_links=self.resolve_links)
+                                    count=requested, filter=self.filter)
+            cur = self._resolved(cur, env)
         # materialize the page once (bounded: <= requested rows) so the
         # scan-proof stats and the dispatched batch see the SAME rows
         cur = cur.localCheckpoint(eager=True)

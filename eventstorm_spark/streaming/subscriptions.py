@@ -63,17 +63,61 @@ def _resolve_sub(spark: SparkSession, path: str,
     their targets' while keeping link coordinates for ordering/resume —
     the exact ``EventLog.resolve_links`` the read path uses.
 
-    Snapshot contract: the envelope (event rows AND the
-    deletion/retention visibility frames) is captured at SUBSCRIBE
-    time — a link whose target commits after the subscription starts
-    delivers unresolved, same as a dangling link. Links point backward
-    in a log whose positions only grow, so catch-up (the phase that
-    carries history, where links live) always resolves; for live-phase
-    links into live-phase targets, re-subscribe or use the read path."""
+    This in-plan form is the fallback for DIRECT ``writeStream``
+    consumers of the returned frame only — ``Subscription`` and
+    ``SinkSubscription`` instead resolve per micro-batch (see
+    ``_batch_resolver``), which both keeps visibility fresh and lets
+    the envelope be pruned by the batch's bounded target-stream set.
+    Visibility contract of THIS form is split: the deletion/retention
+    frames are frozen driver-side at subscribe time, but the event-row
+    side of the stream-static join is a lazy parquet read, so a target
+    appended after subscribe may still resolve in later micro-batches
+    while a stream deleted after subscribe keeps resolving — use the
+    wrapper classes (or the read path) when read-path-equivalent
+    visibility matters."""
     from eventstorm_spark.log.store import EventLog
 
     log = EventLog(spark, path)
     return EventLog.resolve_links(sub_df, log._resolution_envelope())
+
+
+def _batch_resolver(spark: SparkSession, path: str):
+    """Per-micro-batch resolveLinkTos: returns ``batch_df ->
+    resolved_df`` for the wrapper sinks. Each batch is a STATIC frame,
+    so ``EventLog.resolve_links`` prunes the envelope by the batch's
+    distinct link-target streams (bounded by the batch row count, which
+    ``maxFilesPerTrigger`` bounds) before the join — the 100×-scale
+    shape; the in-plan stream-static join can't prune (the probe isn't
+    collectable at plan time) and would shuffle the corpus once the
+    envelope outgrows the broadcast threshold. Visibility is re-read
+    per batch through the log's watermark fences (one cached
+    ``EventLog``; ``_load_deletions``/``_retention_frame`` re-check the
+    shared watermark on every call), so post-subscribe deletes,
+    tombstones and retention changes are observed exactly as the read
+    path would — unlike the subscribe-time-frozen in-plan form."""
+    from eventstorm_spark.log.store import EventLog
+
+    log = EventLog(spark, path)
+
+    def resolve(batch_df: DataFrame) -> DataFrame:
+        return EventLog.resolve_links(batch_df, log._resolution_envelope())
+
+    return resolve
+
+
+def _mark_resolved(spark: SparkSession, path: str,
+                   src: DataFrame) -> DataFrame:
+    """Build the resolved subscription frame AND carry the per-batch
+    plan: the returned frame has the in-plan stream-static resolution
+    (so a direct ``writeStream`` consumer still gets resolved rows),
+    plus two attributes the wrapper sinks use to upgrade to per-batch
+    resolution — ``_es_unresolved`` (the pre-resolution source frame
+    they subscribe to instead) and ``_es_resolve`` (the
+    ``_batch_resolver`` they apply inside ``foreachBatch``)."""
+    out = _resolve_sub(spark, path, src)
+    out._es_unresolved = src
+    out._es_resolve = _batch_resolver(spark, path)
+    return out
 
 
 def subscribe_stream(spark: SparkSession, path: str, stream: str,
@@ -92,7 +136,7 @@ def subscribe_stream(spark: SparkSession, path: str, stream: str,
     out = src.where((F.col("stream") == stream)
                     & (F.col("revision") >= from_revision))
     if resolve_links:
-        out = _resolve_sub(spark, path, out)
+        out = _mark_resolved(spark, path, out)
     return out
 
 
@@ -111,7 +155,7 @@ def subscribe_all(spark: SparkSession, path: str, from_position: int = 0,
     if filter is not None:
         src = src.where(filter_column(filter))
     if resolve_links:
-        src = _resolve_sub(spark, path, src)
+        src = _mark_resolved(spark, path, src)
     return src
 
 
@@ -167,6 +211,13 @@ class Subscription:
 
         Subscription._seq += 1
         self.id = f"sub-{Subscription._seq}"
+        # resolveLinkTos upgrade: subscribe to the UNRESOLVED source and
+        # resolve per micro-batch (fresh visibility, envelope pruned by
+        # the batch's bounded target set — see _batch_resolver) instead
+        # of running the marked frame's in-plan stream-static join
+        self._resolve = getattr(sub_df, "_es_resolve", None)
+        if self._resolve is not None:
+            sub_df = sub_df._es_unresolved
         self.delivered = Delivered()
         self.confirmed = False  # SubscriptionConfirmation (grpc_server.go:84-122)
         self._checkpoint_every = checkpoint_every
@@ -197,6 +248,8 @@ class Subscription:
             if self._nsent_epoch and self._nsent_epoch[0] == epoch_id:
                 self._nsent = self._nsent_epoch[1]
             before = self._nsent
+            if self._resolve is not None:
+                batch_df = self._resolve(batch_df)
             rows = batch_df.orderBy("position").collect()
             for r in rows:
                 # Reference pump (grpc_server.go:98-115): the marker is
@@ -308,6 +361,12 @@ class SinkSubscription:
 
         self.sink_path = sink_path
         self._spark = sub_df.sparkSession
+        # resolveLinkTos upgrade — same contract as Subscription:
+        # subscribe unresolved, resolve each micro-batch statically so
+        # the envelope prune engages (see _batch_resolver)
+        self._resolve = getattr(sub_df, "_es_resolve", None)
+        if self._resolve is not None:
+            sub_df = sub_df._es_unresolved
         self._delivered = self._existing_count()
         # Resume fence against rewritten source files: a compaction /
         # scavenge rewrites the log into NEW files, which the file
@@ -363,6 +422,10 @@ class SinkSubscription:
         every = checkpoint_every
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # resolution first: it preserves link coordinates, so the
+            # position-based fences/sequencing below are unaffected
+            if self._resolve is not None:
+                batch_df = self._resolve(batch_df)
             eid = int(epoch_id) + self._epoch_offset
             edir = _os.path.join(self.sink_path, f"epoch={eid}")
             base = self._delivered

@@ -203,6 +203,52 @@ def test_resolve_links_noop_without_links(log):
     plain = log.read_stream("s").collect()
     resolved = log.read_stream("s", resolve_links=True).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in resolved]
+    # a link-free probe skips the resolution join entirely (the target
+    # collect found nothing) — no join operator in the executed plan
+    plan = (log.read_stream("s", resolve_links=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
+
+
+def test_deletions_frame_memoized_across_resolves(log):
+    """_deletions_frame builds ONE local frame per deletions epoch (a
+    resolve-heavy loop used to re-run createDataFrame on every call);
+    the cache invalidates with the dict cache on a new marker."""
+    log.append("keep", new_events(2))
+    log.append("del-0", new_events(1))
+    log.delete_stream("del-0")
+    f1 = log._deletions_frame()
+    f2 = log._deletions_frame()
+    assert f1 is f2
+    log.append("del-1", new_events(1))
+    log.delete_stream("del-1")
+    f3 = log._deletions_frame()
+    assert f3 is not f1
+    assert {r["stream"] for r in f3.collect()} == {"del-0", "del-1"}
+
+
+def test_resolution_envelope_is_probe_pruned(log):
+    """The resolve-links envelope must be filtered by the probe's
+    (bounded) distinct link-target streams BEFORE the LeftOuter join:
+    Spark cannot broadcast the preserved (probe) side of a LeftOuter
+    join, so an UNPRUNED envelope is broadcast only while the whole
+    corpus fits the threshold — past it the planner falls back to a
+    corpus-wide sort-merge shuffle for a page-sized resolved read.
+    Pin: the envelope-side scan's pushed filters name exactly the
+    probe's target streams, and a never-targeted stream's data is
+    not scanned into the join."""
+    log.append("src-a", new_events(3))
+    log.append("src-b", new_events(2))
+    log.append("decoy", new_events(2))
+    log.link_to("idx", "src-a", 1)
+    log.link_to("idx", "src-b", 0)
+    plan = (log.read_stream("idx", resolve_links=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "In(stream, [src-" in plan or "EqualTo(stream,src-" in plan, plan
+    assert "src-a" in plan and "src-b" in plan
+    assert "decoy" not in plan, plan
+    rows = log.read_stream("idx", resolve_links=True).collect()
+    assert [r["uuid"] for r in rows] == ["uuid-1", "uuid-0"]
 
 
 def test_stream_metadata_retention_reads(log, spark, tmp_path):
