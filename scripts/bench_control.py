@@ -92,14 +92,27 @@ def main() -> None:
                       f"({commits[label]})", file=sys.stderr)
                 samples[label].append(run_bench(wt))
         import statistics
+        # ONE shared query set across every label's every leg: the
+        # per-label medians, per-label leg totals and the headline
+        # totals below must cover the SAME queries, or leg_totals_sec
+        # silently sums different sets across labels (r16 advice —
+        # per-label intersections could diverge when a commit adds or
+        # renames a bench row).
+        qnames: set | None = None
+        for docs in samples.values():
+            for d in docs:
+                qnames = (set(d["queries"]) if qnames is None
+                          else qnames & set(d["queries"]))
+        qnames = qnames or set()
         for label, docs in samples.items():
-            qnames = set(docs[0]["queries"])
-            for d in docs[1:]:
-                qnames &= set(d["queries"])
-            doc = dict(docs[0])
+            # fresh doc — carrying docs[0] verbatim left leg-0 scalar
+            # fields (value/legacy_total_sec) beside median queries
+            doc = {k: docs[0][k] for k in ("metric", "unit", "sf")
+                   if k in docs[0]}
             doc["queries"] = {
                 q: round(statistics.median(d["queries"][q] for d in docs), 3)
                 for q in qnames}
+            doc["value"] = round(sum(doc["queries"].values()), 3)
             doc["bench_legs"] = len(docs)
             doc["leg_totals_sec"] = [
                 round(sum(d["queries"][q] for q in qnames), 3) for d in docs]
