@@ -4476,9 +4476,11 @@ def q_subscription_resolved(spark, sf_dir):
     the reference parses the flag for subscriptions at model.go:100 and
     never implements it): the same ``$errors-idx`` link construction,
     but DELIVERED through a catch-up subscription + SinkSubscription —
-    each micro-batch's link rows stream-static-join the resolution
-    envelope, so delivered rows carry the TARGET's payload identity
-    under the LINK's coordinates with a gapless position-ordered
+    each micro-batch resolves as a STATIC frame inside foreachBatch
+    (round 17: the envelope is pruned by the batch's bounded
+    target-stream set and visibility is re-read per batch), so
+    delivered rows carry the TARGET's payload identity under the
+    LINK's coordinates with a gapless position-ordered
     ``delivery_seq``, and the dangling link passes through raw. ORACLE
     = the read-path oracle plus ``row_number()`` over link position."""
     import os as _os
