@@ -1257,13 +1257,21 @@ class EventLog:
         if not df.isStreaming:
             # bounded: the probe is a page-bounded read result, a
             # replay frame, or one micro-batch — its distinct
-            # link-target streams number at most its row count
+            # link-target streams number at most its row count. The
+            # limit()+1 caps the collect itself: an UNBOUNDED read over
+            # a link stream fanning out to a huge target set must not
+            # pull that set to the driver, nor bake it into a giant
+            # In() literal (the expression-tree disease the deletions
+            # frame fix removed) — past the cap, fall back to the
+            # unpruned join and let the planner pick broadcast/SMJ.
+            cap = 1024
             tgts = [r[0] for r in probe.select("__tgt_stream")
                     .where(F.col("__tgt_stream").isNotNull())
-                    .distinct().collect()]
+                    .distinct().limit(cap + 1).collect()]
             if not tgts:
                 return df
-            events = events.where(F.col("stream").isin(tgts))
+            if len(tgts) <= cap:
+                events = events.where(F.col("stream").isin(tgts))
         tgt = events.select(
             F.col("stream").alias("__t_stream"), F.col("revision").alias("__t_rev"),
             F.col("uuid").alias("__t_uuid"), F.col("data").alias("__t_data"),
