@@ -284,11 +284,15 @@ def test_stream_metadata_retention_reads(log, spark, tmp_path):
     assert cold.get_stream_metadata("s") == {"$maxCount": 5, "$tb": 6}
 
     # $maxAge against a pinned clock: push the clock far forward -> all
-    # events age out; the stream still EXISTS (empty read, not missing)
+    # events age out; the stream still EXISTS (empty read, not missing).
+    # maxAge is 1h (not seconds): the "all young" assertion below runs
+    # on the REAL clock, so the age must exceed any plausible test-body
+    # wall time (a 10s age flaked on slow/loaded hosts the moment the
+    # preceding Spark actions took >10s from append to read).
     import datetime as dt
-    log.set_stream_metadata("s", max_age_secs=10.0)
+    log.set_stream_metadata("s", max_age_secs=3600.0)
     log.retention_clock = dt.datetime.now(dt.timezone.utc) + dt.timedelta(hours=1)
-    assert log.read_stream("s").count() == 0
+    assert log.read_stream("s").count() == 0  # cutoff == real now: all aged out
     log.retention_clock = None
     assert log.read_stream("s").count() == 10  # maxAge-only now, all young
 
