@@ -652,6 +652,14 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # branch-materialization idiom (SCALE.md §8): pair_ids feeds the
+    # candidate-id union (twice) AND both vector-attach joins — without
+    # a checkpoint the scan+GEMM+banded-join subtree is replanned under
+    # every consumer (runtime exchange reuse dedupes the EXECUTION, but
+    # the optimizer/codegen still pay for a plan that repeats the
+    # subtree ~40x in mine_triplets' composed query). Candidate-pair-
+    # sized, never corpus vectors.
+    pair_ids = pair_ids.localCheckpoint(eager=False)
     cand_ids = (pair_ids.select(F.col("id_a").alias("cid"))
                 .union(pair_ids.select(F.col("id_b").alias("cid")))
                 .distinct())

@@ -1385,6 +1385,11 @@ def mine_triplets(embeddings: DataFrame, *,
         embeddings, threshold=-1.0, num_planes=num_planes, bands=bands,
         planes=planes, max_bucket_size=max_bucket_size,
         vec_col=vec_col, id_col=id_col)
+    # the verified candidate table feeds BOTH direction branches of the
+    # anchor union below — checkpoint it so the whole LSH + verify
+    # pipeline plans (and its Python-boundary nodes codegen) once;
+    # candidate-pair-sized (id, id, sim) rows
+    cands = cands.localCheckpoint(eager=False)
     both = (cands.select(F.col("id_a").alias("anchor"),
                          F.col("id_b").alias("neg_id"), "cosine_sim")
             .unionByName(cands.select(F.col("id_b").alias("anchor"),

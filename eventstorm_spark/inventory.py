@@ -5836,9 +5836,19 @@ def _doc_postings(spark, sf_dir):
         toks = F.split(F.trim(F.col("text")), r"\s+")
         # `source` rides along (one short string per posting) so the
         # per-source token consumers (kmv sketch, heavy hitters) can
-        # also serve from this frame without a join back to docs
+        # also serve from this frame without a join back to docs.
+        # repartition(doc) BEFORE persisting (round 17): the explode
+        # multiplies rows ~100x over the scan, so partitioning derived
+        # from pre-explode FILE bytes under-parallelizes the persisted
+        # blocks at every scale (at sf0.1 the whole postings frame
+        # landed in ONE partition, serializing the heavy first stage
+        # of all six consumer queries); one shuffle at memoization
+        # time, amortized across the consumers, sized by the session's
+        # shuffle partitioning (scale-adaptive, not a constant)
         p = (docs.select(F.col("doc_id").alias("doc"), "source",
                          F.posexplode(toks).alias("pos", "tok"))
+             .repartition(spark.sparkContext.defaultParallelism,
+                          F.col("doc"))
              .persist(StorageLevel.DISK_ONLY))
         p.count()  # materialize the persisted blocks eagerly
         _POSTINGS_CACHE[key] = p
@@ -5884,8 +5894,15 @@ def _span_candidate_pairs(spark, sf_dir):
         # table (34.5M rows at the sf1 probe) plus a running span query
         # GC-thrashed an 8g heap — serialized-to-disk blocks cost one
         # read back and zero heap residency
+        # repartition to the session parallelism before persisting
+        # (round 17): the pair table exits a tiny AQE-coalesced
+        # aggregate (ONE partition at sf0.1), and the span queries'
+        # heavy stage-2/3 work inherits the cached partitioning — one
+        # bounded shuffle here parallelizes every downstream consumer
         pairs = (winnow_matches(docs, min_shared=1, portable=True)
                  .select("id_a", "id_b")
+                 .repartition(spark.sparkContext.defaultParallelism,
+                              F.col("id_a"), F.col("id_b"))
                  .persist(StorageLevel.DISK_ONLY))
         pairs.count()  # materialize the persisted blocks eagerly
         # the SAME candidate-restricted cost basis the operator's auto
