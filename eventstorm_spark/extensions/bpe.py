@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from eventstorm_spark.localframe import local_frame
 
 END_MARK = "</w>"
 
@@ -102,7 +103,7 @@ def train_bpe(docs: DataFrame, *, num_merges: int = 8,
                 for r in wf.collect()]
         merges = _train_driver(rows, num_merges)
         spark = docs.sparkSession
-        out = spark.createDataFrame(
+        out = local_frame(spark, 
             [(w, f, " " + " ".join(s) + " ") for w, f, s in rows],
             "word string, freq long, syms string")
         return merges, out
@@ -178,7 +179,7 @@ def bpe_merge_table(docs: DataFrame, *, num_merges: int = 8,
     count) — the query/oracle surface of :func:`train_bpe`."""
     merges, _ = train_bpe(docs, num_merges=num_merges, text_col=text_col)
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "step int, pair string, merged string, count long")
 
 
@@ -378,13 +379,13 @@ def unigram_lm_vocab(docs: DataFrame, *, max_piece_len: int = 5,
     sess = docs.sparkSession
     final_counts = counts if em_iters > 0 else \
         {r.piece: int(r.n) for r in rows}
-    return sess.createDataFrame(
+    return local_frame(sess, 
         [(p, lp, int(final_counts.get(p, 0))) for p, lp in out],
         "piece string, logp double, n long")
 
 
 def _logp_df(spark, logp: dict) -> DataFrame:
-    return spark.createDataFrame(sorted(logp.items()),
+    return local_frame(spark, sorted(logp.items()),
                                  "piece string, logp double")
 
 

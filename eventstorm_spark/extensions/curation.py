@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from eventstorm_spark.extensions.pipeline import _unit_hash
 from eventstorm_spark.extensions.text import token_count
+from eventstorm_spark.localframe import local_frame
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +176,7 @@ def _write_index_meta(spark, path: str, meta: dict) -> None:
     error at read time."""
     import json
 
-    (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
+    (local_frame(spark, [(json.dumps(meta, sort_keys=True),)],
                            "value string")
      .coalesce(1).write.mode("overwrite")
      .text(os.path.join(path, "_meta")))
@@ -1183,7 +1184,12 @@ def write_bm25_index(corpus: DataFrame, path: str, *, n_buckets: int = 64,
     _write_index_meta(spark, path,
                       {"kind": "bm25", "n_buckets": n_buckets,
                        "postings_schema": postings.schema.json()})
-    (postings.repartition("bucket", "term")
+    # dir-aligned write (same discipline as the digest/positional
+    # writers): repartition by the partition column so each task owns
+    # whole bucket dirs — ("bucket", "term") sprayed every bucket
+    # across every shuffle task, n_tasks x n_buckets small files (the
+    # classic 100 TB trap; n_buckets is the file-size knob at scale)
+    (postings.repartition(n_buckets, "bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "postings")))
     # read back with the postings' own schema: a zero-postings corpus
@@ -1228,7 +1234,7 @@ def bm25_against_index(spark, index_path: str, query_terms: list, *,
     _check_index_meta(spark, index_path,
                       {"kind": "bm25", "n_buckets": n_buckets}, "bm25")
     terms = [str(t) for t in query_terms]
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tdf = local_frame(spark, [(t,) for t in terms], "term string")
     buckets = [r.bucket for r in
                tdf.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                           .cast("int").alias("bucket"))
@@ -1296,7 +1302,7 @@ def phrase_against_index(spark, index_path: str, phrase: list, *,
                       {"kind": "positional", "n_buckets": n_buckets},
                       "positional")
     terms = [str(t) for t in phrase]
-    tdf = spark.createDataFrame([(t,) for t in set(terms)], "tok string")
+    tdf = local_frame(spark, [(t,) for t in set(terms)], "tok string")
     buckets = [r.bucket for r in
                tdf.select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
                           .cast("int").alias("bucket"))

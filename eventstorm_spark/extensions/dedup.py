@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from eventstorm_spark.localframe import local_frame
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1166,7 +1167,7 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None, *,
         mapping = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         id_type = dict(pairs.dtypes)[id_a]
-        out = spark.createDataFrame(
+        out = local_frame(spark, 
             mapping or [(None, None)],
             f"{id_col} {id_type}, cluster_id {id_type}")
         if mapping == []:

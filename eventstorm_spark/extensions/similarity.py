@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from eventstorm_spark.localframe import local_frame
 
 
 def _as_double_array(col: Column) -> Column:
@@ -617,7 +618,7 @@ def write_pq_index(embeddings: DataFrame, path: str, *,
     spark = embeddings.sparkSession
     cb_rows = [(s, c, [float(x) for x in cb[s, c]])
                for s in range(cb.shape[0]) for c in range(cb.shape[1])]
-    (spark.createDataFrame(
+    (local_frame(spark, 
         cb_rows, "subspace int, code int, center array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
     return cb
@@ -687,13 +688,13 @@ def write_ivfpq_index(embeddings: DataFrame, path: str, *,
                 F.col("__cc.pq_codes").alias("pq_codes"))
      .write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes"))
     spark = embeddings.sparkSession
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, center array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     cb_rows = [(s, c, [float(x) for x in cb[s, c]])
                for s in range(cb.shape[0]) for c in range(cb.shape[1])]
-    (spark.createDataFrame(
+    (local_frame(spark, 
         cb_rows, "subspace int, code int, center array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
     return [list(map(float, c)) for c in centroids], cb
@@ -1081,16 +1082,16 @@ def write_ivfpq_residual_index(embeddings: DataFrame, path: str, *,
     (res.select(id_col, "cell", encode_res(F.col("residual")).alias("pq_codes"))
      .write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes"))
     spark = embeddings.sparkSession
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, center array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     cb_rows = [(s, c, [float(x) for x in cbn[s, c]])
                for s in range(cbn.shape[0]) for c in range(cbn.shape[1])]
-    (spark.createDataFrame(
+    (local_frame(spark, 
         cb_rows, "subspace int, code int, center array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
-    (spark.createDataFrame([("residual", "true")], "key string, value string")
+    (local_frame(spark, [("residual", "true")], "key string, value string")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return [list(map(float, c)) for c in centroids], cbn
 

@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from eventstorm_spark.localframe import local_frame
 
 
 def _cms_bucket(val, row, width: int, portable: bool):
@@ -55,7 +56,7 @@ def cms_estimate(sketch: DataFrame, values: list, *, width: int = 1024,
     value hashes to. The probe set is tiny — broadcast it against the
     (already tiny) sketch."""
     spark = sketch.sparkSession
-    probes = spark.createDataFrame([(str(v),) for v in values], ["value"])
+    probes = local_frame(spark, [(str(v),) for v in values], "value string")
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     keyed = probes.select("value", rows).withColumn(
         "bucket", _cms_bucket(F.col("value"), F.col("row"), width, portable))

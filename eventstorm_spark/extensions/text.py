@@ -234,6 +234,13 @@ def winnow_matches(docs: DataFrame, *, n: int = 3, window: int = 4,
               .where(F.col("__df") <= max_fingerprint_df)
               .select("fingerprint"))
         fp = fp.join(ok, "fingerprint", "left_semi")
+    # fp feeds BOTH sides of the blocked self-join (and, under the df
+    # cap, the df aggregate too): materialize once so the tokenize +
+    # shingle + window-min fingerprint lineage doesn't recompute per
+    # consumer — same branch-materialization idiom as
+    # ngram_jaccard_pairs' shingle rows. (doc, fingerprint)-distinct
+    # sized, never corpus text.
+    fp = fp.localCheckpoint(eager=False)
     a = fp.alias("a")
     b = fp.alias("b")
     return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
@@ -403,6 +410,13 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
            .distinct())
     cand = docs.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
     sh = positional_shingles(cand, n=n, text_col=text_col, id_col=id_col)
+    # sh feeds BOTH sides of the match self-join (and the auto-mode
+    # cost estimator): without materialization the candidate semi-join
+    # + shingle explode recomputes per consumer (two identical
+    # explode stages measured per run). Candidate-doc-shingle-sized —
+    # the same rows the match join shuffles anyway (branch-
+    # materialization idiom, SCALE.md section 8).
+    sh = sh.localCheckpoint(eager=False)
     a_sh = sh.select(F.col("doc_id").alias("id_a"),
                      F.col("pos").alias("pos_a"), "sh")
     b_sh = sh.select(F.col("doc_id").alias("id_b"),
@@ -1751,7 +1765,14 @@ def pmi_pairs(docs: DataFrame, *, min_df_frac: float = 0.05,
             .where((F.col("__df") >= F.lit(min_df_frac) * F.col("__N"))
                    & (F.col("__df") <= F.lit(max_df_frac) * F.col("__N")))
             .select("term", "__df"))
+    # `kept` feeds three joins and `t` both sides of the pair
+    # self-join; without materialization each consumer re-runs the
+    # distinct + df aggregate over the full postings (4 identical
+    # broadcast-build stages measured). Both frames are banded-vocab
+    # bounded: `kept` is the vocabulary band, `t` its postings.
+    kept = kept.localCheckpoint(eager=False)
     t = toks.join(kept.select("term"), "term", "left_semi")
+    t = t.localCheckpoint(eager=False)
     a = t.select("doc", F.col("term").alias("term_a"))
     b = t.select("doc", F.col("term").alias("term_b"))
     pairs = (a.join(b, "doc")

@@ -32,6 +32,7 @@ from eventstorm_spark.model import (
 from eventstorm_spark.functions.scalars import wallclock_micros
 from eventstorm_spark.projections.batch import run_batch, run_batch_emissions
 from eventstorm_spark.projections.dsl import projection
+from eventstorm_spark.localframe import local_frame
 
 # ---------------------------------------------------------------------------
 # loaders
@@ -61,6 +62,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes of a testdata table (file or directory) —
+    the cheap input-size estimate the memoized-frame partition rules
+    scale with."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, fs in os.walk(path) for f in fs)
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 _ES_CACHE: dict[str, str] = {}
@@ -2385,7 +2401,7 @@ def q_dedup_threshold_sweep(spark, sf_dir):
             F.countDistinct("cluster_id").alias("nc"),
             F.count(F.lit(1)).alias("nd")).collect()[0]
         out.append((t, pt.count(), int(agg.nc or 0), int(agg.nd)))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out, "threshold double, n_pairs long, n_dup_clusters long, "
              "n_dropped long")
 
@@ -2612,7 +2628,7 @@ def q_ann_ivf_served_from_index(spark, sf_dir):
         compact_table(spark, idx, partition_by=("cell",))
         rows = ivf_index_topk(spark, idx, cents, qv,
                               k=10, n_probe=4).collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.vec_id), float(r.cosine_sim)) for r in rows],
             "vec_id long, cosine_sim double")
     finally:
@@ -2685,7 +2701,7 @@ def q_split_leakage_audit(spark, sf_dir):
             F.sum((F.col("split_a") != F.col("split_b")).cast("long"))
             .alias("nx")).collect()[0]
         out.append((method, int(agg.np), int(agg.nx or 0)))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out, "method string, n_pairs long, n_cross_pairs long")
 
 
@@ -3751,7 +3767,7 @@ def q_windowed_heavy_hitters(spark, sf_dir):
             q.stop()
         rows = [(d, v, mg, nw)
                 for (d, v), (mg, nw) in sorted(latest.items())]
-        return spark.createDataFrame(
+        return local_frame(spark, 
             rows, "day string, value string, mg_count long, n_window long")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -3802,7 +3818,7 @@ def q_streaming_hdr_daily(spark, sf_dir):
         finally:
             q.stop()
         rows = [(d, qq, v) for (d, qq), v in sorted(latest.items())]
-        return spark.createDataFrame(
+        return local_frame(spark, 
             rows, "day string, q double, value_est double")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -3851,7 +3867,7 @@ def q_streaming_funnel_users(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             sorted(rows),
             "user_id long, view_us long, click_us long, purchase_us long")
     finally:
@@ -3898,7 +3914,7 @@ def q_subscription_catchup(spark, sf_dir):
         rows = (sink.result()
                 .select("delivery_seq", "checkpoint", *_ENVELOPE_OUT)
                 .orderBy("delivery_seq").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [tuple(r) for r in rows],
             "delivery_seq long, checkpoint boolean, stream string, "
             "uuid string, data string, revision long, position long, "
@@ -3958,7 +3974,7 @@ def q_streaming_reordered_transitions(spark, sf_dir):
         now = _time.time()
         for i, batch in enumerate(commits):
             stage = _os.path.join(tmp, f"stage{i}")
-            spark.createDataFrame(batch, schema).coalesce(1) \
+            local_frame(spark, batch, schema).coalesce(1) \
                 .write.parquet(stage)
             part = [f for f in _os.listdir(stage)
                     if f.endswith(".parquet")][0]
@@ -3981,7 +3997,7 @@ def q_streaming_reordered_transitions(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             got, "user_id long, from_type string, to_type string")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -4051,7 +4067,7 @@ def q_delta_log_lifecycle(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type", "revision",
                         "position", "delivery_seq", "checkpoint")
                 .orderBy("position").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [tuple(r) for r in rows],
             "stream string, uuid string, data string, event_type string, "
             "revision long, position long, delivery_seq long, "
@@ -4086,7 +4102,7 @@ def q_bm25_served_from_index(spark, sf_dir):
         write_bm25_index(docs, idx, n_buckets=16)
         rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
                                   k=20, n_buckets=16).collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.doc_id), float(r.bm25)) for r in rows],
             "doc_id long, bm25 double")
     finally:
@@ -4148,7 +4164,7 @@ def q_persistent_park_retry(spark, sf_dir):
                 .select("position", "stream", "event_type", "consumer",
                         "attempt", "batch_id", "batch_seq")
                 .orderBy("batch_id", "batch_seq").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.position), r.stream, r.event_type, r.consumer,
               int(r.attempt), int(r.batch_id), int(r.batch_seq))
              for r in rows],
@@ -4222,7 +4238,7 @@ def q_persistent_round_robin(spark, sf_dir):
                        .select("position", "stream", "event_type",
                                "consumer", "batch_id", "batch_seq")
                        .collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             out, "grp string, position long, stream string, "
             "event_type string, consumer string, batch_id long, "
             "batch_seq int")
@@ -4284,7 +4300,7 @@ def q_persistent_filtered(spark, sf_dir):
         rows = (sub.deliveries()
                 .select("position", "stream", "event_type", "consumer",
                         "batch_id", "batch_seq").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.position), r.stream, r.event_type, r.consumer,
               int(r.batch_id), int(r.batch_seq)) for r in rows],
             "position long, stream string, event_type string, "
@@ -4359,7 +4375,7 @@ def q_stream_deletion_lifecycle(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("position").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
             "stream string, uuid string, data string, "
@@ -4413,7 +4429,7 @@ def q_stream_retention_lifecycle(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("position").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
             "stream string, uuid string, data string, "
@@ -4460,7 +4476,7 @@ def q_read_resolved_links(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("revision").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
             "stream string, uuid string, data string, "
@@ -4517,7 +4533,7 @@ def q_subscription_resolved(spark, sf_dir):
                 .select("delivery_seq", "stream", "uuid", "data",
                         "event_type", "revision", "position")
                 .orderBy("delivery_seq").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.delivery_seq), r.stream, r.uuid, r.data,
               r.event_type, int(r.revision), int(r.position))
              for r in rows],
@@ -4588,7 +4604,7 @@ def q_persistent_resolved(spark, sf_dir):
                         "stream", "revision", "position", "uuid",
                         "data", "event_type")
                 .orderBy("batch_id", "batch_seq").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.batch_id), int(r.batch_seq), int(r.attempt),
               r.consumer, r.stream, int(r.revision), int(r.position),
               r.uuid, r.data, r.event_type) for r in rows],
@@ -4654,7 +4670,7 @@ def q_stream_retention_max_age(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position", "created")
                 .orderBy("position").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position), int(r.created))
              for r in rows],
@@ -4741,7 +4757,7 @@ def q_batch_append_cas(spark, sf_dir):
                 .select("stream", "uuid", "data", "event_type",
                         "revision", "position")
                 .orderBy("position").collect())
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(r.stream, r.uuid, r.data, r.event_type,
               int(r.revision), int(r.position)) for r in rows],
             "stream string, uuid string, data string, "
@@ -4778,7 +4794,7 @@ def q_bm25_index_after_append(spark, sf_dir):
                           n_buckets=16)
         rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
                                   k=20, n_buckets=16).collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.doc_id), float(r.bm25)) for r in rows],
             "doc_id long, bm25 double")
     finally:
@@ -4815,7 +4831,7 @@ def q_bm25_index_compacted_serve(spark, sf_dir):
         compact_index(spark, idx)
         rows = bm25_against_index(spark, idx, ["hash", "join", "filter"],
                                   k=20, n_buckets=16).collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.doc_id), float(r.bm25)) for r in rows],
             "doc_id long, bm25 double")
     finally:
@@ -4848,7 +4864,7 @@ def q_phrase_served_from_index(spark, sf_dir):
         write_positional_index(docs, idx, n_buckets=16)
         rows = phrase_against_index(spark, idx, ["merge", "window"],
                                     n_buckets=16).collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(int(r.doc), int(r.n_matches), int(r.first_pos))
              for r in rows],
             "doc long, n_matches long, first_pos int")
@@ -4905,7 +4921,7 @@ def q_streaming_dedup_corpus(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-        kept_df = spark.createDataFrame([(d,) for d in kept],
+        kept_df = local_frame(spark, [(d,) for d in kept],
                                         "digest string")
         stats = (feed.select(F.md5("text").alias("digest"), "doc_id")
                  .groupBy("digest")
@@ -4961,7 +4977,7 @@ def q_streaming_sessions(spark, sf_dir):
              .foreachBatch(on_batch).start())
         try:
             q.processAllAvailable()
-            (spark.createDataFrame([(-1, sentinel_ts)], schema)
+            (local_frame(spark, [(-1, sentinel_ts)], schema)
              .coalesce(1).write.mode("append").parquet(feed))
             # Drain until the committed watermark has passed every real
             # session close (sentinel - delay); the file source's
@@ -4991,7 +5007,7 @@ def q_streaming_sessions(spark, sf_dir):
         # exclude only the sentinel key itself (-1), not all negatives
         rows = sorted((int(u), s, e, int(n))
                       for u, s, e, n in seen if u != -1)
-        return spark.createDataFrame(
+        return local_frame(spark, 
             rows, "user_id long, session_start timestamp, "
                   "session_end timestamp, n_events long")
     finally:
@@ -5288,7 +5304,7 @@ def q_train_quality_weights(spark, sf_dir):
     w, b = train_linear_quality(docs, labels, iters=8, lr=1.0)
     rows = sorted([(k, round(v, 6)) for k, v in w.items()]
                   + [("__bias__", round(b, 6))])
-    return (spark.createDataFrame(rows, "feature string, weight double")
+    return (local_frame(spark, rows, "feature string, weight double")
             .orderBy("feature"))
 
 
@@ -5843,12 +5859,21 @@ def _doc_postings(spark, sf_dir):
         # blocks at every scale (at sf0.1 the whole postings frame
         # landed in ONE partition, serializing the heavy first stage
         # of all six consumer queries); one shuffle at memoization
-        # time, amortized across the consumers, sized by the session's
-        # shuffle partitioning (scale-adaptive, not a constant)
+        # time, amortized across the consumers. Partition count is
+        # size-driven with a parallelism floor (guide §2.2 "fewer,
+        # larger"): a measured sweep at sf0.1 (1/4/8/16/32 partitions,
+        # warm consumer medians) bottomed at ~cores/4 — full-core
+        # fan-out on a tiny cached frame just multiplies per-task
+        # fixed costs (cache-block deserialization, Python worker
+        # fan-out in MG consumers) — while at scale the 128 MB/
+        # partition term takes over (est. post-explode bytes ~= 4x the
+        # pre-explode parquet bytes: token duplicated + doc + pos).
+        n_parts = max(1, spark.sparkContext.defaultParallelism // 4,
+                      int(4 * _table_bytes(sf_dir, "documents")
+                          // (128 << 20)))
         p = (docs.select(F.col("doc_id").alias("doc"), "source",
                          F.posexplode(toks).alias("pos", "tok"))
-             .repartition(spark.sparkContext.defaultParallelism,
-                          F.col("doc"))
+             .repartition(n_parts, F.col("doc"))
              .persist(StorageLevel.DISK_ONLY))
         p.count()  # materialize the persisted blocks eagerly
         _POSTINGS_CACHE[key] = p
@@ -5894,15 +5919,19 @@ def _span_candidate_pairs(spark, sf_dir):
         # table (34.5M rows at the sf1 probe) plus a running span query
         # GC-thrashed an 8g heap — serialized-to-disk blocks cost one
         # read back and zero heap residency
-        # repartition to the session parallelism before persisting
-        # (round 17): the pair table exits a tiny AQE-coalesced
-        # aggregate (ONE partition at sf0.1), and the span queries'
-        # heavy stage-2/3 work inherits the cached partitioning — one
-        # bounded shuffle here parallelizes every downstream consumer
+        # repartition before persisting (round 17): the pair table
+        # exits a tiny AQE-coalesced aggregate (ONE partition at
+        # sf0.1), and the span queries' heavy stage-2/3 work inherits
+        # the cached partitioning — one bounded shuffle here
+        # parallelizes every downstream consumer. Same size-driven
+        # rule as _doc_postings (sweep-measured: ~cores/4 floor, 128MB
+        # size term at scale; pair count grows with the corpus).
+        n_parts = max(1, spark.sparkContext.defaultParallelism // 4,
+                      int(4 * _table_bytes(sf_dir, "documents")
+                          // (128 << 20)))
         pairs = (winnow_matches(docs, min_shared=1, portable=True)
                  .select("id_a", "id_b")
-                 .repartition(spark.sparkContext.defaultParallelism,
-                              F.col("id_a"), F.col("id_b"))
+                 .repartition(n_parts, F.col("id_a"), F.col("id_b"))
                  .persist(StorageLevel.DISK_ONLY))
         pairs.count()  # materialize the persisted blocks eagerly
         # the SAME candidate-restricted cost basis the operator's auto

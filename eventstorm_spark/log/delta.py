@@ -46,6 +46,7 @@ commit is the storage-layer equivalent at object-store scale.
 from __future__ import annotations
 
 from typing import TYPE_CHECKING
+from eventstorm_spark.localframe import local_frame
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -119,7 +120,7 @@ def read_log(spark: "SparkSession", path: str) -> "DataFrame":
         return deltashim.read_log(spark, path)
     if DeltaTable.isDeltaTable(spark, path):
         return spark.read.format("delta").load(path)
-    return spark.createDataFrame([], EVENT_SCHEMA)
+    return local_frame(spark, [], EVENT_SCHEMA)
 
 
 def append_batch(spark: "SparkSession", path: str, batch: "DataFrame") -> bool:

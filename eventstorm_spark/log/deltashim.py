@@ -39,6 +39,7 @@ import os
 import shutil
 import uuid as uuidlib
 from typing import TYPE_CHECKING
+from eventstorm_spark.localframe import local_frame
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -82,7 +83,7 @@ def read_log(spark: "SparkSession", path: str) -> "DataFrame":
 
     _, files = _snapshot(path)
     if not files:
-        return spark.createDataFrame([], EVENT_SCHEMA)
+        return local_frame(spark, [], EVENT_SCHEMA)
     return spark.read.schema(EVENT_SCHEMA).parquet(*files)
 
 

@@ -43,6 +43,7 @@ from eventstorm_spark.errors import (
     WrongExpectedRevisionError,
 )
 from eventstorm_spark.log.plan import compile_read
+from eventstorm_spark.localframe import local_frame
 from eventstorm_spark.model import (
     ALL_STREAM,
     AllOptions,
@@ -412,11 +413,11 @@ class EventLog:
         if self.path.startswith("/") or "://" not in self.path:
             import glob
             if not glob.glob(os.path.join(self.path, "*.parquet")):
-                return self.spark.createDataFrame([], EVENT_SCHEMA)
+                return local_frame(self.spark, [], EVENT_SCHEMA)
         try:
             return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
         except Exception:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return local_frame(self.spark, [], EVENT_SCHEMA)
 
     @classmethod
     def from_dataframe(cls, spark: SparkSession, path: str, df: DataFrame,
@@ -725,7 +726,7 @@ class EventLog:
         path (Delta optimistic merge / direct append / fenced staged
         write + watermark). False = lost race or fence tripped; nothing
         published, caller retries its CAS."""
-        batch = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        batch = local_frame(self.spark, rows, EVENT_SCHEMA)
         if self.format == "delta":
             from eventstorm_spark.log import delta as _delta
             return _delta.append_batch(self.spark, self.path, batch)
@@ -873,7 +874,7 @@ class EventLog:
             return self._deletions_df
         rows = [(s, _TOMBSTONE_BEFORE if kind == "tombstoned" else int(before))
                 for s, (kind, before, _) in dels.items()]
-        self._deletions_df = self.spark.createDataFrame(
+        self._deletions_df = local_frame(self.spark, 
             rows, "stream string, __del_before long")
         return self._deletions_df
 
@@ -1165,7 +1166,7 @@ class EventLog:
                 cf = heads[sid] - int(body["$maxCount"]) + 1
                 floor = cf if floor is None else max(floor, cf)
             rows.append((sid, floor, cutoff))
-        return self.spark.createDataFrame(
+        return local_frame(self.spark, 
             rows, "stream string, __floor long, __cutoff long")
 
     # -- links ------------------------------------------------------------

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from eventstorm_spark.log.filters import filter_column
 from eventstorm_spark.model import EVENT_SCHEMA, SubscriptionFilter
+from eventstorm_spark.localframe import local_frame
 
 CHECKPOINT_EVERY = 32  # grpc_server.go:85 (checkpointMod)
 
@@ -551,7 +552,7 @@ class SinkSubscription:
                 EVENT_SCHEMA.fields
                 + [T.StructField("delivery_seq", T.LongType(), False),
                    T.StructField("checkpoint", T.BooleanType(), False)])
-            return self._spark.createDataFrame([], schema)
+            return local_frame(self._spark, [], schema)
 
     def stop(self) -> None:
         self._query.stop()
