@@ -215,7 +215,8 @@ def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
                          group_col: str = "source",
                          text_col: str = "text",
                          id_col: str = "doc_id",
-                         hash_join: bool = True) -> DataFrame:
+                         hash_join: bool = True,
+                         prehashed: DataFrame | None = None) -> DataFrame:
     """Cross-SOURCE n-gram overlap matrix — the corpus-composition
     diagnostic run before mixing sources into a training set: for every
     pair of sources, how much of their shingle vocabulary is shared?
@@ -238,16 +239,33 @@ def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
     never in documents. ``hash_join=True`` (default) hashes BEFORE the
     distinct, so both the dedup exchange and the join move 8-byte keys
     instead of n-word strings (identical counts short of 2^-64
-    collisions — same argument as :func:`ngram_jaccard_pairs`)."""
-    pre = docs.select(F.col(group_col).alias("grp"),
-                      F.col(id_col).alias("__doc"),
-                      F.col(text_col).alias("__text"))
-    raw = _shingle_rows_raw(pre, n, "__text", "__doc", keep_cols=("grp",))
-    ex = (raw.select("grp", (F.xxhash64("shingle") if hash_join
-                             else F.col("shingle")).alias("shingle"))
-          .distinct())
-    # feeds the per-source sizes AND both join sides — pin it once
-    ex = ex.localCheckpoint(eager=False)
+    collisions — same argument as :func:`ngram_jaccard_pairs`).
+
+    ``prehashed`` serves the matrix from an already-distinct
+    ``(group_col, hash)`` frame instead of re-shingling ``docs`` — the
+    share path for callers that also sketch the same shingle sets
+    (:func:`q_kmv_source_overlap` builds ONE distinct-hash pass and
+    feeds both the KMV sketch and this exact audit; any injective-
+    modulo-collision hash yields the same counts, the ``hash_join``
+    argument above). Rows must be distinct per (group, hash); ``n``/
+    ``text_col``/``id_col``/``hash_join`` are ignored."""
+    if prehashed is not None:
+        # caller already materialized the distinct frame — a plain
+        # rename over its blocks needs no second checkpoint copy
+        gcol, hcol = prehashed.columns[0], prehashed.columns[1]
+        ex = prehashed.select(F.col(gcol).alias("grp"),
+                              F.col(hcol).alias("shingle"))
+    else:
+        pre = docs.select(F.col(group_col).alias("grp"),
+                          F.col(id_col).alias("__doc"),
+                          F.col(text_col).alias("__text"))
+        raw = _shingle_rows_raw(pre, n, "__text", "__doc",
+                                keep_cols=("grp",))
+        ex = (raw.select("grp", (F.xxhash64("shingle") if hash_join
+                                 else F.col("shingle")).alias("shingle"))
+              .distinct())
+        # feeds the per-source sizes AND both join sides — pin it once
+        ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("grp").alias("source_a"), "shingle")
     b = ex.select(F.col("grp").alias("source_b"), "shingle")

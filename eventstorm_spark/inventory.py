@@ -5051,17 +5051,29 @@ def q_kmv_source_overlap(spark, sf_dir):
     membership count SQL-replayable."""
     from eventstorm_spark.extensions.dedup import (_shingle_rows_raw,
                                                    source_ngram_overlap)
-    from eventstorm_spark.extensions.sketches import (kmv_pairwise_overlap,
-                                                      kmv_sketch)
+    from eventstorm_spark.extensions.sketches import (_bottom_k, _hash60,
+                                                      kmv_pairwise_overlap)
     docs = load(spark, sf_dir, "documents")
     sh = _shingle_rows_raw(docs, 3, "text", "doc_id",
                            keep_cols=("source",))
-    sk = kmv_sketch(sh, "shingle", k=128, group_cols=["source"],
-                    portable=True)
+    # ONE distinct-hash pass feeds BOTH the sketch and the exact audit
+    # (round 17): previously the sketch (kmv_sketch) and the audit
+    # (source_ngram_overlap) each re-ran scan + tokenize + shingle
+    # window + distinct — two identical full passes per run. The
+    # sketch's portable md5-60 hash is injective-modulo-collisions, so
+    # the audit's distinct counts are unchanged (the same 2^-60
+    # argument as source_ngram_overlap's hash_join). Checkpointed:
+    # per-source distinct vocabulary hashes, 8 bytes each — never raw
+    # shingle text.
+    hashed = (sh.select("source",
+                        _hash60(F.col("shingle").cast("string"),
+                                True).alias("__h"))
+              .distinct().localCheckpoint(eager=False))
+    sk = _bottom_k(hashed, ["source"], k=128, n_salts=64)
     est = (kmv_pairwise_overlap(sk, "source", k=128)
            .withColumnRenamed("grp_a", "source_a")
            .withColumnRenamed("grp_b", "source_b"))
-    exact = source_ngram_overlap(docs).select(
+    exact = source_ngram_overlap(docs, prehashed=hashed).select(
         "source_a", "source_b", F.col("jaccard").alias("jaccard_exact"))
     return (est.join(exact, ["source_a", "source_b"])
             .select("source_a", "source_b", "m", "n_union_est",

@@ -2031,6 +2031,38 @@ def test_source_ngram_overlap_hand_computed(spark):
         assert got == {("s1", "s2"): (1, round(1 / (2 + 3 - 1), 6))}
 
 
+def test_source_ngram_overlap_prehashed_matches(spark):
+    """The prehashed serving form (round 17: one distinct-hash pass
+    shared with the KMV sketch in q_kmv_source_overlap) must yield the
+    same matrix as re-shingling the docs, for any injective hash of the
+    distinct shingle sets."""
+    from pyspark.sql import functions as F
+
+    from eventstorm_spark.extensions.dedup import _shingle_rows_raw
+    from eventstorm_spark.extensions.sketches import _hash60
+
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "a b c e", "s2"),
+        (3, "x y z", "s3"),
+        (4, "b c e f", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sh = _shingle_rows_raw(docs, 3, "text", "doc_id",
+                           keep_cols=("source",))
+    hashed = (sh.select("source",
+                        _hash60(F.col("shingle").cast("string"),
+                                True).alias("__h"))
+              .distinct())
+    key = lambda r: (r["source_a"], r["source_b"])
+    want = {key(r): (r["n_common"], r["jaccard"])
+            for r in dedup.source_ngram_overlap(docs).collect()}
+    got = {key(r): (r["n_common"], r["jaccard"])
+           for r in dedup.source_ngram_overlap(
+               docs, prehashed=hashed).collect()}
+    assert got == want == {("s1", "s2"): (1, round(1 / 4, 6))}
+
+
 def test_real_featurize_covers_all_stdlib_codecs(spark):
     """decode_and_featurize(fake=False) now dispatches every stdlib
     codec: BMP, JPEG (flat gray, exact at q100) and GIF rasters plus
