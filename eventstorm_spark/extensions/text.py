@@ -409,6 +409,19 @@ def exact_substring_spans(docs: DataFrame, *, n: int = 3, window: int = 4,
            .unionByName(pairs.select(F.col("id_b").alias("cid")))
            .distinct())
     cand = docs.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+    # widen ONLY when the candidate frame is under-partitioned (small
+    # inputs inherit a 1-split scan, serializing the whole tokenize +
+    # slice + posexplode below on one core — measured 1.2 s of a 3 s
+    # run as a single task at sf0.1): a keyed repartition to a
+    # parallelism floor spreads the explode; at scale the scan already
+    # carries >= floor partitions and no extra shuffle is added.
+    floor = max(
+        1, cand.sparkSession.sparkContext.defaultParallelism // 4)
+    # probe the SCAN's split count (cand inherits it through the
+    # broadcast semi-join; probing cand itself would force the
+    # broadcast subquery to plan eagerly)
+    if docs.rdd.getNumPartitions() < floor:
+        cand = cand.repartition(floor, F.col(id_col))
     sh = positional_shingles(cand, n=n, text_col=text_col, id_col=id_col)
     # sh feeds BOTH sides of the match self-join (and the auto-mode
     # cost estimator): without materialization the candidate semi-join
