@@ -4966,8 +4966,14 @@ def q_streaming_sessions(spark, sf_dir):
         seen: list = []
 
         def on_batch(bdf, _e):
-            seen.extend((r.user_id, r.session_start, r.session_end,
-                         r.n_events) for r in bdf.collect())
+            # Arrow transfer (guide §6): the sentinel drain emits every
+            # closed session in one batch (~95k rows at sf0.1) and the
+            # row-pickled collect() was ~1 s of the drain loop; the
+            # same rows cross as one Arrow batch in ~0.1 s
+            pdf = bdf.select("user_id", "session_start",
+                             "session_end", "n_events").toPandas()
+            seen.extend(zip(pdf["user_id"], pdf["session_start"],
+                            pdf["session_end"], pdf["n_events"]))
 
         q = (streaming_sessionize(
                 spark.readStream.schema(schema).parquet(feed),
@@ -5004,8 +5010,11 @@ def q_streaming_sessions(spark, sf_dir):
                     f"reached {target} (sentinel append not listed?)")
         finally:
             q.stop()
-        # exclude only the sentinel key itself (-1), not all negatives
-        rows = sorted((int(u), s, e, int(n))
+        # exclude only the sentinel key itself (-1), not all negatives;
+        # pandas Timestamps normalize to plain datetimes so the frame
+        # rows are byte-identical to the previous collect() form
+        rows = sorted((int(u), s.to_pydatetime(), e.to_pydatetime(),
+                       int(n))
                       for u, s, e, n in seen if u != -1)
         return local_frame(spark, 
             rows, "user_id long, session_start timestamp, "
