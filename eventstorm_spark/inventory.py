@@ -4977,7 +4977,16 @@ def q_streaming_sessions(spark, sf_dir):
     tmp = _tempfile.mkdtemp(prefix="essw_")
     try:
         feed = _os.path.join(tmp, "src")
-        ev.orderBy("ts").coalesce(1).write.parquet(feed)
+        # parallel replay-feed write (round 17): session merge in the
+        # state store is order-independent and the final watermark
+        # closes every real session (the docstring's value-determinism
+        # argument), so the sorted single-file write — a full sort plus
+        # a one-task parquet encode — is not needed for the result; a
+        # handful of unsorted files still lands in ONE first micro-
+        # batch, and the sentinel append stays the second phase.
+        ev.repartition(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.parquet(feed)
         schema = spark.read.parquet(feed).schema
         seen: list = []
 
