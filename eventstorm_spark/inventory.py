@@ -79,6 +79,20 @@ def _table_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
+def _widen_scan(df: DataFrame, key: str, frac: int = 4) -> DataFrame:
+    """Conditionally widen an under-partitioned scan (guide §2.5, the
+    exact_substring_spans idiom): heavy per-row compute downstream of a
+    1-split driver-SF scan (codec encode/decode, HTML+regex rules,
+    GEMM) serializes on one core. Repartition by ``key`` up to
+    ``defaultParallelism // frac`` ONLY when the frame carries fewer
+    partitions than that floor — at scale the scan already carries
+    more splits and no shuffle is added."""
+    floor = max(1, df.sparkSession.sparkContext.defaultParallelism // frac)
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor, F.col(key))
+    return df
+
+
 _ES_CACHE: dict[str, str] = {}
 
 
@@ -2885,7 +2899,11 @@ def q_html_c4_funnel(spark, sf_dir):
     pipeline chained in ONE plan (the filter runs on the extractor's
     output column in the same scan; no join, no rewrite)."""
     from eventstorm_spark.extensions.text import c4_reject_reason, html_to_text
-    page = _wrapped_html(load(spark, sf_dir, "documents"))
+    # widen the 1-split driver-SF scan: the wrap + extract + C4 rules
+    # below are all heavy per-row expressions that otherwise run as ONE
+    # task (profiled 1.29 s of a 1.6 s run on one of 32 cores)
+    page = _wrapped_html(_widen_scan(load(spark, sf_dir, "documents"),
+                                     "doc_id"))
     extracted = html_to_text(page, text_col="html", out_col="text")
     verdict = F.coalesce(c4_reject_reason(F.col("text")), F.lit("kept"))
     return (extracted.select(verdict.alias("verdict"))
@@ -5236,6 +5254,25 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return frame_sample(synth_assets(load(spark, sf_dir, "documents")))
 
 
+def _codec_docs(spark, sf_dir):
+    """Shared head of the multimodal codec queries: the documents scan
+    widened past its 1-split driver-SF layout (the synth encode and the
+    byte-parse decode are both heavy per-row Python passes that
+    otherwise run as ONE task — profiled 2x ~0.8 s single-task stages
+    per run)."""
+    return _widen_scan(load(spark, sf_dir, "documents"), "doc_id")
+
+
+def _codec_sorted(decoded, *cols):
+    """Shared tail of the multimodal codec queries: orderBy's
+    range-partition sampling pass re-runs the whole synth+decode
+    pipeline (one full extra codec pass per run, measured); lazily
+    checkpointing the slim decoded-stats frame makes the sort sample
+    and shuffle stats rows instead of codec work. Stats-row-sized —
+    never payload bytes."""
+    return decoded.localCheckpoint(eager=False).orderBy(*(cols or ("asset_id",)))
+
+
 def q_multimodal_ppm_decode(spark, sf_dir):
     """REAL codec path (image twin of wav_decode): synthesize P6 PPM
     rasters per document, byte-parse them back (netpbm header scan +
@@ -5244,8 +5281,8 @@ def q_multimodal_ppm_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_image_meta, synth_ppm_assets,
     )
-    return decode_image_meta(
-        synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_image_meta(
+        synth_ppm_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_multimodal_bmp_decode(spark, sf_dir):
@@ -5258,8 +5295,8 @@ def q_multimodal_bmp_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_image_meta, synth_bmp_assets,
     )
-    return decode_image_meta(
-        synth_bmp_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_image_meta(
+        synth_bmp_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_multimodal_jpeg_decode(spark, sf_dir):
@@ -5275,8 +5312,8 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_image_meta, synth_jpeg_assets,
     )
-    return decode_image_meta(
-        synth_jpeg_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_image_meta(
+        synth_jpeg_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_multimodal_mulaw_decode(spark, sf_dir):
@@ -5289,8 +5326,8 @@ def q_multimodal_mulaw_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_audio_meta, synth_mulaw_assets,
     )
-    return decode_audio_meta(
-        synth_mulaw_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_audio_meta(
+        synth_mulaw_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_image_dhash(spark, sf_dir):
@@ -5307,8 +5344,8 @@ def q_image_dhash(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         image_dhash, synth_ppm_assets,
     )
-    return image_dhash(
-        synth_ppm_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(image_dhash(
+        synth_ppm_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_image_near_dup_pairs(spark, sf_dir):
@@ -5323,7 +5360,7 @@ def q_image_near_dup_pairs(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         image_dhash, image_hamming_pairs, synth_ppm_assets,
     )
-    hashes = image_dhash(synth_ppm_assets(load(spark, sf_dir, "documents")))
+    hashes = image_dhash(synth_ppm_assets(_codec_docs(spark, sf_dir)))
     return (image_hamming_pairs(hashes, max_distance=3)
             .orderBy("id_a", "id_b"))
 
@@ -5420,8 +5457,8 @@ def q_audio_fingerprints(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         audio_fingerprint, synth_wav_assets,
     )
-    return audio_fingerprint(
-        synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(audio_fingerprint(
+        synth_wav_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_audio_near_dup_pairs(spark, sf_dir):
@@ -5439,7 +5476,7 @@ def q_audio_near_dup_pairs(spark, sf_dir):
         audio_fingerprint, hamming_pairs, synth_wav_assets,
     )
     fps = audio_fingerprint(
-        synth_wav_assets(load(spark, sf_dir, "documents")))
+        synth_wav_assets(_codec_docs(spark, sf_dir)))
     return hamming_pairs(fps, max_distance=3).orderBy("id_a", "id_b")
 
 
@@ -5500,8 +5537,8 @@ def q_multimodal_gif_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_image_meta, synth_gif_assets,
     )
-    return decode_image_meta(
-        synth_gif_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_image_meta(
+        synth_gif_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_multimodal_png_decode(spark, sf_dir):
@@ -5515,8 +5552,8 @@ def q_multimodal_png_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_image_meta, synth_png_assets,
     )
-    return decode_image_meta(
-        synth_png_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_image_meta(
+        synth_png_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_multimodal_wav_decode(spark, sf_dir):
@@ -5528,8 +5565,8 @@ def q_multimodal_wav_decode(spark, sf_dir):
     from eventstorm_spark.extensions.multimodal import (
         decode_audio_meta, synth_wav_assets,
     )
-    return decode_audio_meta(
-        synth_wav_assets(load(spark, sf_dir, "documents"))).orderBy("asset_id")
+    return _codec_sorted(decode_audio_meta(
+        synth_wav_assets(_codec_docs(spark, sf_dir))))
 
 
 def q_shard_manifest(spark, sf_dir):
