@@ -176,6 +176,16 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.8,
     ex = shingle_rows(docs, n, text_col, id_col)
     if hash_join:
         ex = ex.select("id", F.xxhash64("shingle").alias("shingle"))
+    # the checkpoint otherwise lands in the distinct's AQE-coalesced
+    # partitioning (2 partitions at sf0.1 — every downstream stage of
+    # the pair pipeline then runs on 2-3 of 32 cores); widen it to the
+    # parallelism floor ONLY when the docs scan itself is narrow (the
+    # driver-SF signature — probing the scan, not the shuffled frame,
+    # is reliable pre-AQE); at scale AQE sizes the distinct output by
+    # bytes and the checkpoint keeps that layout
+    _floor = max(1, docs.sparkSession.sparkContext.defaultParallelism // 4)
+    if docs.rdd.getNumPartitions() < _floor:
+        ex = ex.repartition(_floor, "id")
     ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Length prefilter (set-similarity join): J(A,B) <= min/max of the
@@ -311,6 +321,16 @@ def ngram_containment_pairs(docs: DataFrame, *, n: int = 3,
     ex = shingle_rows(docs, n, text_col, id_col)
     if hash_join:
         ex = ex.select("id", F.xxhash64("shingle").alias("shingle"))
+    # the checkpoint otherwise lands in the distinct's AQE-coalesced
+    # partitioning (2 partitions at sf0.1 — every downstream stage of
+    # the pair pipeline then runs on 2-3 of 32 cores); widen it to the
+    # parallelism floor ONLY when the docs scan itself is narrow (the
+    # driver-SF signature — probing the scan, not the shuffled frame,
+    # is reliable pre-AQE); at scale AQE sizes the distinct output by
+    # bytes and the checkpoint keeps that layout
+    _floor = max(1, docs.sparkSession.sparkContext.defaultParallelism // 4)
+    if docs.rdd.getNumPartitions() < _floor:
+        ex = ex.repartition(_floor, "id")
     ex = ex.localCheckpoint(eager=False)
     # denominators use the FULL shingle sets even when the join is
     # stop-shingle-pruned, so pruning only ever lowers the score
@@ -629,7 +649,20 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
 
     from eventstorm_spark.extensions.similarity import _hyperplanes
 
+    # dim probe BEFORE the widen below: first() on the original frame
+    # reads one row from the scan; on a repartitioned frame it would
+    # pay the full vector shuffle just to learn the dimension
     dim = len(embeddings.select(vec_col).first()[0])
+
+    # widen ONLY when the vector frame is under-partitioned (a 1-split
+    # driver-SF scan serializes the banding GEMM below on one core —
+    # profiled as ~0.3-0.4 s single-task stages in the composed
+    # triplet-mining plan); at scale the scan already carries >= floor
+    # partitions and no shuffle is added
+    floor = max(
+        1, embeddings.sparkSession.sparkContext.defaultParallelism // 4)
+    if embeddings.rdd.getNumPartitions() < floor:
+        embeddings = embeddings.repartition(floor, F.col(id_col))
     if planes is None:
         planes = _hyperplanes(dim, num_planes, seed)
     num_planes = len(planes)

@@ -2989,7 +2989,10 @@ def q_training_mix_pipeline(spark, sf_dir):
     from eventstorm_spark.extensions.packing import pack_token_spans
     from eventstorm_spark.extensions.text import c4_rules
 
-    docs = load(spark, sf_dir, "documents")
+    # widen the 1-split driver-SF scan: the three corpus passes below
+    # (C4 rules, md5 digest agg, pack tokenize) each ran as ONE task on
+    # one of 32 cores (profiled 3x ~0.5 s single-task stages per run)
+    docs = _widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     # The filter runs as c4_rules (ids only) + join-back rather than an
     # inline where(c4_reject_reason(...)): the funnel consumes the
     # survivor set from several plan branches, and the join form
@@ -2999,13 +3002,20 @@ def q_training_mix_pipeline(spark, sf_dir):
     # corpus exchange (the second join reuses the first's partitioning);
     # both join sides scale together, so no hints (AQE broadcasts the
     # id sets while they fit).
+    # Both id sets are lazily checkpointed (branch-materialization
+    # idiom, SCALE.md §8): kept_ids feeds the survivor join AND the
+    # funnel count, canon feeds the dedup join AND (through deduped)
+    # the pack + count branches — without the pin each consumer replans
+    # and re-evaluates the C4-rule / md5-agg subtree. Both frames are
+    # ids-only (8 bytes a row at any scale), never document text.
     kept_ids = (c4_rules(docs).where(F.col("kept") == 1)
-                .select("doc_id"))
+                .select("doc_id").localCheckpoint(eager=False))
     survivors = docs.join(kept_ids, "doc_id")
     # exact dedup among survivors: min doc_id per md5 digest keeps
     canon = (survivors.groupBy(F.md5("text").alias("__d"))
-             .agg(F.min("doc_id").alias("doc_id")))
-    deduped = survivors.join(canon.select("doc_id"), "doc_id")
+             .agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id").localCheckpoint(eager=False))
+    deduped = survivors.join(canon, "doc_id")
     spans = pack_token_spans(deduped, seq_len=256)
     stats = spans.agg(
         F.countDistinct("doc_id").alias("n_docs_packed"),
@@ -5117,10 +5127,18 @@ def q_kmv_source_overlap(spark, sf_dir):
     # argument as source_ngram_overlap's hash_join). Checkpointed:
     # per-source distinct vocabulary hashes, 8 bytes each — never raw
     # shingle text.
+    # the checkpoint otherwise lands in the distinct's AQE-coalesced
+    # partitioning (3 partitions at sf0.1 — its three heavy consumers
+    # each profiled ~0.3 s wall on 3 of 32 cores); repartition with the
+    # memoized-frame size rule (parallelism floor for tiny inputs, the
+    # 128 MB-target byte term takes over at scale)
+    n_parts = max(1, spark.sparkContext.defaultParallelism // 4,
+                  4 * _table_bytes(sf_dir, "documents") // (128 << 20))
     hashed = (sh.select("source",
                         _hash60(F.col("shingle").cast("string"),
                                 True).alias("__h"))
-              .distinct().localCheckpoint(eager=False))
+              .distinct().repartition(n_parts, "source", "__h")
+              .localCheckpoint(eager=False))
     sk = _bottom_k(hashed, ["source"], k=128, n_salts=64)
     est = (kmv_pairwise_overlap(sk, "source", k=128)
            .withColumnRenamed("grp_a", "source_a")
