@@ -269,11 +269,25 @@ def source_ngram_overlap(docs: DataFrame, *, n: int = 3,
         pre = docs.select(F.col(group_col).alias("grp"),
                           F.col(id_col).alias("__doc"),
                           F.col(text_col).alias("__text"))
+        # driver-SF narrow-scan guard (probe the scan, reliable
+        # pre-AQE): widen the shingle explode (a generator — NOT
+        # pushed back below the exchange, unlike plain projections)
+        # and make the explicit repartition BE the dedup exchange
+        # (user repartitions are never AQE-coalesced and
+        # dropDuplicates reuses their partitioning); at scale the
+        # scan is already wide and the plain distinct lets AQE size
+        # the dedup output by bytes
+        _floor = max(
+            1, docs.sparkSession.sparkContext.defaultParallelism // 4)
+        narrow = docs.rdd.getNumPartitions() < _floor
+        if narrow:
+            pre = pre.repartition(_floor, "__doc")
         raw = _shingle_rows_raw(pre, n, "__text", "__doc",
                                 keep_cols=("grp",))
-        ex = (raw.select("grp", (F.xxhash64("shingle") if hash_join
-                                 else F.col("shingle")).alias("shingle"))
-              .distinct())
+        ex = raw.select("grp", (F.xxhash64("shingle") if hash_join
+                                else F.col("shingle")).alias("shingle"))
+        ex = (ex.repartition(_floor, "grp", "shingle").dropDuplicates()
+              if narrow else ex.distinct())
         # feeds the per-source sizes AND both join sides — pin it once
         ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -962,6 +962,11 @@ def bm25_top_docs(docs: DataFrame, query_terms: list[str], *, k: int = 20,
         .alias("term"))
     tf = (terms.where(F.col("term").isin(list(query_terms)))
           .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    # tf feeds the score join AND the df aggregate below: without the
+    # pin the candidate rlike + tokenize + explode subtree evaluates
+    # twice per run (two identical heavy stages profiled). Query-term-
+    # postings-sized (id, term, tf) — bounded by candidates x |query|.
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return bm25_rank(tf, df_, dl, stats, k1=k1, b=b, k=k, id_col=id_col)
 

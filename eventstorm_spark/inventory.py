@@ -5116,8 +5116,11 @@ def q_kmv_source_overlap(spark, sf_dir):
     from eventstorm_spark.extensions.sketches import (_bottom_k, _hash60,
                                                       kmv_pairwise_overlap)
     docs = load(spark, sf_dir, "documents")
-    sh = _shingle_rows_raw(docs, 3, "text", "doc_id",
-                           keep_cols=("source",))
+    # the shingle explode is a generator, so (unlike a plain
+    # projection) it is NOT pushed back below the widen exchange —
+    # the tokenize+window map pass really runs at the floor width
+    sh = _shingle_rows_raw(_widen_scan(docs, "doc_id"), 3, "text",
+                           "doc_id", keep_cols=("source",))
     # ONE distinct-hash pass feeds BOTH the sketch and the exact audit
     # (round 17): previously the sketch (kmv_sketch) and the audit
     # (source_ngram_overlap) each re-ran scan + tokenize + shingle
@@ -5127,17 +5130,20 @@ def q_kmv_source_overlap(spark, sf_dir):
     # argument as source_ngram_overlap's hash_join). Checkpointed:
     # per-source distinct vocabulary hashes, 8 bytes each — never raw
     # shingle text.
-    # the checkpoint otherwise lands in the distinct's AQE-coalesced
-    # partitioning (3 partitions at sf0.1 — its three heavy consumers
-    # each profiled ~0.3 s wall on 3 of 32 cores); repartition with the
-    # memoized-frame size rule (parallelism floor for tiny inputs, the
-    # 128 MB-target byte term takes over at scale)
+    # the explicit repartition IS the dedup exchange: a bare .distinct()
+    # lands in an AQE-coalesced layout (3 partitions at sf0.1 — the
+    # final dedup aggregate and every checkpoint consumer then ran on
+    # 3 of 32 cores), while a user repartition on the dedup keys is
+    # never coalesced and dropDuplicates reuses its partitioning, so
+    # ONE exchange pins the dedup and the checkpoint at n_parts
+    # (memoized-frame size rule: parallelism floor for tiny inputs,
+    # the 128 MB-target byte term takes over at scale)
     n_parts = max(1, spark.sparkContext.defaultParallelism // 4,
                   4 * _table_bytes(sf_dir, "documents") // (128 << 20))
     hashed = (sh.select("source",
                         _hash60(F.col("shingle").cast("string"),
                                 True).alias("__h"))
-              .distinct().repartition(n_parts, "source", "__h")
+              .repartition(n_parts, "source", "__h").dropDuplicates()
               .localCheckpoint(eager=False))
     sk = _bottom_k(hashed, ["source"], k=128, n_salts=64)
     est = (kmv_pairwise_overlap(sk, "source", k=128)
