@@ -180,6 +180,25 @@ def winnow_fingerprints(docs: DataFrame, *, n: int = 3, window: int = 4,
     of positions."""
     from pyspark.sql import Window as _W
 
+    # Fan out before the shingle explode when the source arrives in
+    # fewer partitions than cores (the driver testdata is one parquet
+    # file — without this the tokenize + posexplode map work serializes
+    # into one task). Hash-partitioning on the doc id rather than
+    # round-robin makes this exchange BE the per-document window's
+    # exchange (the round-17 dedup-exchange idiom): the posexplode
+    # generator preserves its child's partitioning and is never pushed
+    # below a user repartition, so the two window passes reuse it and
+    # the exploded shingle rows are never shuffled at all — the one
+    # exchange carries raw docs, ~4x fewer bytes than the shingle rows
+    # it replaces. Width = cores/4, the round-17 memoized-frame floor
+    # (full fan-out of a small frame multiplies per-task fixed costs —
+    # the E3 sweep), not the session shuffle width; any hash partition
+    # count satisfies the window's clustering, so the count is free to
+    # choose. At cluster scale the scan already yields
+    # maxPartitionBytes-sized splits and this branch is a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(max(1, par // 4), F.col(id_col))
     ph = positional_shingle_hashes(docs, n=n, text_col=text_col,
                                    id_col=id_col, portable=portable)
     by_pos = _W.partitionBy("doc_id").orderBy("pos")

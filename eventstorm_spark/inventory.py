@@ -79,17 +79,30 @@ def _table_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
-def _widen_scan(df: DataFrame, key: str, frac: int = 4) -> DataFrame:
+def _widen_scan(df: DataFrame, key: str, frac: int = 4,
+                pin: bool = False) -> DataFrame:
     """Conditionally widen an under-partitioned scan (guide §2.5, the
     exact_substring_spans idiom): heavy per-row compute downstream of a
     1-split driver-SF scan (codec encode/decode, HTML+regex rules,
     GEMM) serializes on one core. Repartition by ``key`` up to
     ``defaultParallelism // frac`` ONLY when the frame carries fewer
     partitions than that floor — at scale the scan already carries
-    more splits and no shuffle is added."""
+    more splits and no shuffle is added.
+
+    ``pin=True`` additionally truncates lineage below the widen
+    (lazy localCheckpoint): Catalyst pushes plain PROJECTIONS back
+    below a repartition (generators and opaque functions stay above),
+    so a pure-expression consumer like ``c4_rules`` would otherwise
+    still evaluate scan-side as one task — and a frame consumed by
+    several plan branches re-runs the widen exchange per branch (no
+    cross-branch exchange reuse). The pin materializes the widened
+    rows once for every consumer. Only reached when the widen fires,
+    i.e. driver SFs — at scale this is the same no-op as the widen."""
     floor = max(1, df.sparkSession.sparkContext.defaultParallelism // frac)
     if df.rdd.getNumPartitions() < floor:
-        return df.repartition(floor, F.col(key))
+        df = df.repartition(floor, F.col(key))
+        if pin:
+            df = df.localCheckpoint(eager=False)
     return df
 
 
@@ -2991,8 +3004,15 @@ def q_training_mix_pipeline(spark, sf_dir):
 
     # widen the 1-split driver-SF scan: the three corpus passes below
     # (C4 rules, md5 digest agg, pack tokenize) each ran as ONE task on
-    # one of 32 cores (profiled 3x ~0.5 s single-task stages per run)
-    docs = _widen_scan(load(spark, sf_dir, "documents"), "doc_id")
+    # one of 32 cores (profiled 3x ~0.5 s single-task stages per run).
+    # pin=True (round 17, second pass): Catalyst pushed the C4-rule
+    # projection back below the widen exchange (the E13 residual), and
+    # docs feeds four plan branches (kept_ids, survivors, the n_input
+    # count, the pack pass) which each re-ran the widen exchange — the
+    # pin evaluates the widened scan once for all of them. Driver-SF
+    # only: at scale the widen (and so the pin) never fires.
+    docs = _widen_scan(load(spark, sf_dir, "documents"), "doc_id",
+                       pin=True)
     # The filter runs as c4_rules (ids only) + join-back rather than an
     # inline where(c4_reject_reason(...)): the funnel consumes the
     # survivor set from several plan branches, and the join form

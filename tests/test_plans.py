@@ -477,6 +477,21 @@ def test_winnow_passes_share_one_exchange(q):
     assert "BatchEvalPython" not in plan
 
 
+def test_winnow_exchange_carries_docs_not_shingles(q):
+    """Round-17: on a narrow (driver-SF) scan the explicit doc-id
+    repartition IS the per-document window exchange, placed BELOW the
+    shingle posexplode — the exchange moves raw doc rows (~4x fewer
+    bytes than the exploded positional shingles), and the explode runs
+    post-shuffle across the repartition width instead of serializing
+    on the scan's single split. In the printed plan tree (root first)
+    the Generate must therefore sit ABOVE the Exchange."""
+    plan = q("winnow_fingerprints")
+    assert "Generate" in plan and "Exchange" in plan
+    assert plan.index("Generate") < plan.index("Exchange"), (
+        "shingle explode planned below the exchange — the window "
+        "exchange is shuffling exploded shingle rows again")
+
+
 def test_state_point_lookup_pushes_partition_filter(spark, tmp_path):
     """P16 State(name, partition): Materializer.state_of's slice must
     push the partition equality into the state parquet scan
