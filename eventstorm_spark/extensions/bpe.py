@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from eventstorm_spark.extensions.text import _widen_narrow
 from eventstorm_spark.localframe import local_frame
 
 END_MARK = "</w>"
@@ -45,9 +46,9 @@ END_MARK = "</w>"
 def word_frequencies(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercase alphanumeric tokens — the ONLY
     corpus-sized pass of BPE training."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    # cores/4 fan-out floor, shared with every text-tokenize widen
+    # (round 18: full-width fan-out anti-scaled — see _widen_narrow)
+    docs = _widen_narrow(docs)
     return (docs.select(
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("word"))

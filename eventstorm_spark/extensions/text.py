@@ -45,6 +45,28 @@ def _resolve_fingerprint_cap(max_fingerprint_df: int | None,
     return max_fingerprint_df
 
 
+def _widen_narrow(docs: DataFrame) -> DataFrame:
+    """Fan out before a per-row tokenize/regex pass when the source
+    arrives in fewer partitions than half the cores (the driver
+    testdata is one parquet file — without this the map stage
+    serializes into one task). Width is cores/4 — the round-17
+    measured floor for small widened frames — NOT the full core count:
+    the round-18 stage profile showed full-width fan-out multiplying
+    per-task fixed costs (the 5,000-doc tokenize cost 7.1 task-seconds
+    across 32 tasks, and every bench consumer of these widens
+    anti-scaled, c8/c32 0.52-0.82 — 8 cores materially FASTER than
+    32). At cluster scale the scan already yields
+    maxPartitionBytes-sized splits and this branch is a no-op; on a
+    streaming frame partition probing is illegal (and the widen
+    meaningless), so streams pass through untouched."""
+    if docs.isStreaming:
+        return docs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(max(1, par // 4))
+    return docs
+
+
 def tokens(text_col: Column) -> Column:
     return F.split(F.trim(text_col), r"\s+")
 
@@ -196,9 +218,12 @@ def winnow_fingerprints(docs: DataFrame, *, n: int = 3, window: int = 4,
     # count satisfies the window's clustering, so the count is free to
     # choose. At cluster scale the scan already yields
     # maxPartitionBytes-sized splits and this branch is a no-op.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(max(1, par // 4), F.col(id_col))
+    # streaming frames can't be partition-probed (.rdd is illegal on a
+    # streaming plan) and are served by winnow_fingerprint_expr anyway
+    if not docs.isStreaming:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par // 2:
+            docs = docs.repartition(max(1, par // 4), F.col(id_col))
     ph = positional_shingle_hashes(docs, n=n, text_col=text_col,
                                    id_col=id_col, portable=portable)
     by_pos = _W.partitionBy("doc_id").orderBy("pos")
@@ -562,14 +587,7 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    # Fan out before the per-row regex when the source arrives in fewer
-    # partitions than cores (the driver testdata is one parquet file —
-    # without this the tokenize stage serializes into one task). At
-    # cluster scale the scan already yields maxPartitionBytes-sized
-    # splits and this branch is a no-op.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     terms = (docs.select(
         F.col(id_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
@@ -846,9 +864,7 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
     DuckDB oracle recomputes it identically). Docs with no alphanumeric
     tokens drop out (no LM support).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     terms = docs.select(
         F.col(id_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
@@ -885,9 +901,7 @@ def bigram_logprob(docs: DataFrame, *, text_col: str = "text",
     """
     from pyspark.sql import Window as _W
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     terms = docs.select(
         F.col(id_col),
         F.posexplode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
@@ -916,9 +930,7 @@ def vocab_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     reduction over the vocabulary table; everything map-side
     combinable, output is one row regardless of corpus size.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     terms = docs.select(
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("term"))
@@ -952,9 +964,7 @@ def bm25_top_docs(docs: DataFrame, query_terms: list[str], *, k: int = 20,
     is the (doc, dl) join with the postings, co-keyed on the doc id.
     Scores round to 6 decimals and rank ties break on id, so the SQL
     oracle reproduces the ranking exactly."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     # Document length needs no explode: it is a row-local token COUNT,
     # so the dl branch (and the corpus-wide stats reduction over it)
     # never shuffles token rows — only the query-term postings do.
@@ -1154,9 +1164,7 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
     a forced broadcast hint (size-gated by Catalyst/AQE, round-5
     policy); the totals row is a provably-1-row broadcast.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _widen_narrow(docs)
     terms = docs.select(
         F.col(id_col), F.col(lang_col),
         F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
