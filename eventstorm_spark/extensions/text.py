@@ -568,7 +568,8 @@ def exact_substring_scrub(docs: DataFrame, *, n: int = 3, window: int = 4,
 
 
 def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     terms: DataFrame | None = None) -> DataFrame:
     """Top-k TF-IDF terms per document over the whole corpus.
 
     Corpus-level text statistics in three codegen stages: explode
@@ -584,15 +585,31 @@ def tf_idf_top_terms(docs: DataFrame, *, k: int = 3, text_col: str = "text",
     degrades to a shuffle hash join instead of an executor OOM. Ties
     break on the rounded score then term text so ranking is reproducible
     across partitionings (and vs the SQL oracle).
+
+    ``terms`` lets a caller supply the (``id_col``, term) rows (e.g.
+    derived from a shared/at-rest postings table — the ``pmi_pairs``
+    pattern) instead of tokenizing ``text_col``; ``docs`` is still
+    scanned for the 1-row corpus count.
     """
     from pyspark.sql import Window
 
-    docs = _widen_narrow(docs)
-    terms = (docs.select(
-        F.col(id_col),
-        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-        .alias("term")))
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if terms is None:
+        docs = _widen_narrow(docs)
+        terms = (docs.select(
+            F.col(id_col),
+            F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+            .alias("term")))
+    tf = terms.select(id_col, "term").groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    # the tf aggregate exits AQE-coalesced by BYTES (ONE partition at
+    # driver SFs — round-18 profile: the df aggregate, scoring join and
+    # top-k window all ran single-task on it); widen the checkpoint to
+    # the parallelism floor ONLY when the docs scan itself is narrow —
+    # at scale AQE's byte sizing stands and no exchange is added
+    _par = docs.sparkSession.sparkContext.defaultParallelism
+    _floor = max(1, _par // 4)
+    if not docs.isStreaming and docs.rdd.getNumPartitions() < _floor:
+        tf = tf.repartition(_floor, F.col(id_col))
     # tf feeds BOTH the df aggregation and the scoring join; without a
     # materialization Spark recomputes the whole tokenize+count branch
     # twice (no cross-branch exchange reuse) — 3-4x slower at sf0.1

@@ -2770,8 +2770,19 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_tf_idf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Terms derive from the
+    session-shared postings frame (`_doc_postings`) like its six
+    sibling token queries (round 18 — it re-tokenized the corpus per
+    run before): alnum runs never span whitespace, so exploding
+    `[a-z0-9]+` runs out of the whitespace-token postings yields the
+    exact multiset of tokenizing the text."""
     from eventstorm_spark.extensions.text import tf_idf_top_terms
-    return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
+    terms = _doc_postings(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        F.explode(F.expr("regexp_extract_all(lower(tok), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3,
+                            terms=terms)
 
 
 def q_normalized_dedup_keys(spark, sf_dir):
