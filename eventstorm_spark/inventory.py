@@ -79,6 +79,44 @@ def _table_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
+class _replay_state_width:
+    """Scale-adaptive state-store width for the streaming REPLAY
+    harnesses (round 18). A stateful streaming operator partitions its
+    state store by ``spark.sql.shuffle.partitions`` as captured when
+    the query STARTS — the session width (= core count locally), which
+    multiplies per-micro-batch fixed costs (one state-store commit +
+    one state task per partition per batch) regardless of how little
+    state exists: the round-18 phase probe read the warm
+    windowed_heavy_hitters stream run at 2.7 s with 32 state
+    partitions vs 1.4 s with 8, identical 150-row result, and the
+    driver's c8/c32 scaling ratio (0.56) already showed 32 cores
+    LOSING to 8 on this query. Width follows the repo's memoized-frame
+    rule — cores/4 floor, input-bytes/128 MB term — so a 100 TB feed
+    sizes state partitions UP while a driver-SF replay stops paying
+    ~24 idle commits per batch. Streaming sessions are CLONED from the
+    live session at ``start()``, so restoring the conf right after the
+    ``with`` body leaves the session untouched for the next query; the
+    bench and tests run queries sequentially, which is what makes the
+    set/restore window safe. Results are partition-count-independent
+    (state operators key state by the grouping key; the fold/merge
+    contracts are split-proof per each query's docstring) — oracle
+    parity re-verified at two SFs for all three replay queries."""
+
+    def __init__(self, spark, sf_dir: str, table: str = "events"):
+        self._spark = spark
+        self._n = max(1, spark.sparkContext.defaultParallelism // 4,
+                      int(4 * _table_bytes(sf_dir, table) // (128 << 20)))
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def _widen_scan(df: DataFrame, key: str, frac: int = 4,
                 pin: bool = False) -> DataFrame:
     """Conditionally widen an under-partitioned scan (guide §2.5, the
@@ -3822,13 +3860,14 @@ def q_windowed_heavy_hitters(spark, sf_dir):
                 latest[(r.day, r.value)] = (int(r.mg_count),
                                             int(r.n_window))
 
-        q = (streaming_heavy_hitters(
-                spark.readStream.schema(
-                    spark.read.parquet(src).schema).parquet(src),
-                "event_type", threshold=0.01, window="1 day",
-                ts_col="ts", watermark_delay="40 days")
-             .writeStream.outputMode("update")
-             .foreachBatch(on_batch).start())
+        with _replay_state_width(spark, sf_dir):
+            q = (streaming_heavy_hitters(
+                    spark.readStream.schema(
+                        spark.read.parquet(src).schema).parquet(src),
+                    "event_type", threshold=0.01, window="1 day",
+                    ts_col="ts", watermark_delay="40 days")
+                 .writeStream.outputMode("update")
+                 .foreachBatch(on_batch).start())
         try:
             q.processAllAvailable()
         finally:
@@ -3881,13 +3920,14 @@ def q_streaming_hdr_daily(spark, sf_dir):
             for r in rows:
                 latest[(r.day, float(r.q))] = float(r.value_est)
 
-        q = (streaming_hdr_quantiles(
-                spark.readStream.schema(
-                    spark.read.parquet(src).schema).parquet(src),
-                "value", quantiles=(0.5, 0.95, 0.99), window="1 day",
-                ts_col="ts", watermark_delay="40 days")
-             .writeStream.outputMode("update")
-             .foreachBatch(on_batch).start())
+        with _replay_state_width(spark, sf_dir):
+            q = (streaming_hdr_quantiles(
+                    spark.readStream.schema(
+                        spark.read.parquet(src).schema).parquet(src),
+                    "value", quantiles=(0.5, 0.95, 0.99), window="1 day",
+                    ts_col="ts", watermark_delay="40 days")
+                 .writeStream.outputMode("update")
+                 .foreachBatch(on_batch).start())
         try:
             q.processAllAvailable()
         finally:
@@ -5059,12 +5099,13 @@ def q_streaming_sessions(spark, sf_dir):
             seen.extend(zip(pdf["user_id"], pdf["session_start"],
                             pdf["session_end"], pdf["n_events"]))
 
-        q = (streaming_sessionize(
-                spark.readStream.schema(schema).parquet(feed),
-                gap="30 minutes", key_col="user_id", ts_col="ts",
-                watermark_delay="1 minute")
-             .writeStream.outputMode("append")
-             .foreachBatch(on_batch).start())
+        with _replay_state_width(spark, sf_dir):
+            q = (streaming_sessionize(
+                    spark.readStream.schema(schema).parquet(feed),
+                    gap="30 minutes", key_col="user_id", ts_col="ts",
+                    watermark_delay="1 minute")
+                 .writeStream.outputMode("append")
+                 .foreachBatch(on_batch).start())
         try:
             q.processAllAvailable()
             (local_frame(spark, [(-1, sentinel_ts)], schema)
