@@ -672,11 +672,18 @@ def embedding_near_duplicates(embeddings: DataFrame, *, threshold: float = 0.9,
     # driver-SF scan serializes the banding GEMM below on one core —
     # profiled as ~0.3-0.4 s single-task stages in the composed
     # triplet-mining plan); at scale the scan already carries >= floor
-    # partitions and no shuffle is added
+    # partitions and no shuffle is added. PIN the widened frame (round
+    # 18, the training-mix idiom): it feeds the banding branch AND both
+    # vector-attach joins, and without the pin each branch re-ran the
+    # widen exchange (three identical ~530 KB single-task scan+shuffle
+    # stages per run in the round-18 profile — no cross-branch exchange
+    # reuse). Only reached when the widen fires, i.e. narrow driver-SF
+    # scans; at scale both are the same no-op.
     floor = max(
         1, embeddings.sparkSession.sparkContext.defaultParallelism // 4)
     if embeddings.rdd.getNumPartitions() < floor:
-        embeddings = embeddings.repartition(floor, F.col(id_col))
+        embeddings = (embeddings.repartition(floor, F.col(id_col))
+                      .localCheckpoint(eager=False))
     if planes is None:
         planes = _hyperplanes(dim, num_planes, seed)
     num_planes = len(planes)

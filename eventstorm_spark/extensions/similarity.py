@@ -1368,9 +1368,24 @@ def mine_triplets(embeddings: DataFrame, *,
         return pd.DataFrame({"anchor": ids, "pos_id": ids[best],
                              "pos_sim": sims[np.arange(len(ids)), best]})
 
-    pos = (embeddings.select(F.col(id_col).alias("__id"),
-                             F.col(label_col).alias("__lbl"),
-                             F.col(vec_col).alias("__vec"))
+    pos_in = embeddings.select(F.col(id_col).alias("__id"),
+                               F.col(label_col).alias("__lbl"),
+                               F.col(vec_col).alias("__vec"))
+    # pin the label exchange's width on narrow inputs (round 18, the
+    # repartition-IS-the-exchange idiom): the groupBy's own exchange is
+    # AQE-coalesced by BYTES (n=2 at sf0.1 — the per-label GEMM, the
+    # single biggest wall chunk of the composed plan, ran on 2 of 32
+    # cores); an explicit repartition on the SAME key is never
+    # coalesced and satisfies applyInPandas's clustering, so no second
+    # exchange appears. Width cores/4, the measured fan-out floor. At
+    # scale the scan carries >= floor partitions and AQE's byte sizing
+    # stands.
+    _floor = max(
+        1, embeddings.sparkSession.sparkContext.defaultParallelism // 4)
+    if not embeddings.isStreaming and \
+            embeddings.rdd.getNumPartitions() < _floor:
+        pos_in = pos_in.repartition(_floor, F.col("__lbl"))
+    pos = (pos_in
            .groupBy("__lbl")
            .applyInPandas(pos_top1,
                           "anchor long, pos_id long, pos_sim double"))

@@ -259,12 +259,13 @@ def page_rank(edges: DataFrame, *, damping: float = 0.85,
     ``D = sum of r(u) over dangling u`` (nodes with no out-edges).
 
     Spark shape: the loop unrolls into the plan — each iteration is one
-    equi-join of the edge list with the current rank frame plus two
-    scalar aggregates (dangling mass, carried by a broadcast one-row
-    cross join), all map-side-combinable. The driver never holds ranks;
-    per-iteration state is the DataFrame itself. At 100 TB the edge
-    list partitions by src once and every iteration reuses that
-    exchange; for deep iteration counts interpose
+    equi-join of the edge list with the current rank frame plus the
+    dangling-mass scalar aggregate, all map-side-combinable. The driver
+    never holds ranks — per-iteration state is the DataFrame itself —
+    but it does hold N and each iteration's dangling mass (one long,
+    one double: bounded metadata, the trainer-loop contract). At 100 TB
+    the edge list partitions by src once and every iteration reuses
+    that exchange; for deep iteration counts interpose
     ``df.localCheckpoint()`` every few rounds to truncate lineage (the
     same discipline as the k-means/BPE trainer loops).
 
@@ -286,30 +287,38 @@ def page_rank(edges: DataFrame, *, damping: float = 0.85,
              .distinct()).localCheckpoint(eager=False)
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=False)
-    n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = (nodes.crossJoin(F.broadcast(n_total))
-             .select("node", F.round(F.lit(1.0) / F.col("__n"), 9)
-                     .alias("rank")))
+    # N and the per-iteration dangling mass are BOUNDED driver scalars
+    # (one long, one double — the same bounded-metadata class as the
+    # trainer loops' weight vectors; the driver still never holds
+    # ranks). Round 17 shipped both as 1-row broadcast cross joins and
+    # the iteration loop profiled as 52 tiny jobs at sf0.1 — each
+    # iteration re-ran the N aggregate's broadcast build plus the
+    # dangling agg's own exchange+broadcast stages under AQE, pure
+    # per-job scheduling overhead (2.2 s stage-wall in a 4.3 s run).
+    # Collecting them embeds the SAME doubles as literals: the division
+    # and rounding expressions are unchanged, so every iteration is
+    # bit-identical to the broadcast form (oracle-verified).
+    n_total = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(n_total), 9).alias("rank"))
     for _ in range(iters):
         ranks = ranks.localCheckpoint(eager=False)
         with_deg = ranks.join(outdeg, "node", "left")
-        dangling = (with_deg.where(F.col("outdeg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("__dang")))
+        dang = (with_deg.where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dang")).collect()[0][0])
         contrib = (edges.join(with_deg.where(F.col("outdeg").isNotNull()),
                               edges["src"] == F.col("node"))
                    .groupBy("dst")
                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
                         .alias("__c")))
         ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                 .crossJoin(F.broadcast(n_total))
-                 .crossJoin(F.broadcast(dangling))
                  .select(
                      "node",
                      F.round(
-                         (1.0 - damping) / F.col("__n")
+                         (1.0 - damping) / F.lit(n_total)
                          + damping * (F.coalesce(F.col("__c"), F.lit(0.0))
-                                      + F.col("__dang") / F.col("__n")),
+                                      + F.lit(dang) / F.lit(n_total)),
                          9).alias("rank")))
     return ranks
 
