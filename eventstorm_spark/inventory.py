@@ -135,7 +135,16 @@ def _widen_scan(df: DataFrame, key: str, frac: int = 4,
     several plan branches re-runs the widen exchange per branch (no
     cross-branch exchange reuse). The pin materializes the widened
     rows once for every consumer. Only reached when the widen fires,
-    i.e. driver SFs — at scale this is the same no-op as the widen."""
+    i.e. driver SFs — at scale this is the same no-op as the widen.
+
+    Two costs worth naming (round-18 audit): the checkpoint ERASES the
+    widen's hash partitioning (consumers see UnknownPartitioning and
+    re-insert their own per-key exchanges — acceptable because they
+    now shuffle materialized rows, per the round-17 profile), and the
+    ``.rdd.getNumPartitions()`` probe forces analysis + an RDD
+    conversion at query-build time (no job; at driver SFs it is
+    microseconds, at scale it is per-build overhead a caller can avoid
+    by passing pre-partitioned frames)."""
     floor = max(1, df.sparkSession.sparkContext.defaultParallelism // frac)
     if df.rdd.getNumPartitions() < floor:
         df = df.repartition(floor, F.col(key))

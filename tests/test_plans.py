@@ -485,6 +485,14 @@ def test_winnow_exchange_carries_docs_not_shingles(q):
     post-shuffle across the repartition width instead of serializing
     on the scan's single split. In the printed plan tree (root first)
     the Generate must therefore sit ABOVE the Exchange."""
+    from eventstorm_spark.session import get_spark
+
+    # the repartition branch only fires when par // 2 > 1 AND the test
+    # scan is a single split; at SPARK_GRAFT_CPUS <= 3 the widen is a
+    # no-op and the window exchange legitimately sits above Generate
+    if get_spark().sparkContext.defaultParallelism < 4:
+        import pytest
+        pytest.skip("winnow widen needs defaultParallelism >= 4")
     plan = q("winnow_fingerprints")
     assert "Generate" in plan and "Exchange" in plan
     assert plan.index("Generate") < plan.index("Exchange"), (
