@@ -1033,6 +1033,13 @@ def simhash(docs: DataFrame, *, bits: int = 64, text_col: str = "text",
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # on a narrow (driver-SF) scan cap the doc-id exchange at the
+    # cores/4 fan-out floor (round 18 — full-width fan-out of a small
+    # frame multiplies per-task fixed costs); at scale the full
+    # session width stands as the vote-aggregate exchange
+    if not docs.isStreaming and \
+            docs.rdd.getNumPartitions() < max(1, par // 4):
+        par = max(1, par // 4)
     tok_hash = (portable_hash60(F.col("tok")) if portable
                 else F.xxhash64("tok"))
     ex = (
